@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Reference-parity analytics (SURVEY.md §2.4 A1-A7) expressed over the
+  * driver's `events` table, which plays the role of the reference's
+  * `analytics.sales_orders` (event_type ≙ category/status, value ≙
+  * total_amount, ts ≙ order_timestamp; see FIXTURES.md §B).
+  *
+  * Each query is a declarative DataFrame program: Catalyst handles column
+  * pruning and predicate pushdown into the parquet scan, and the hourly/daily
+  * group-bys are single-shuffle partial-aggregate plans (map-side combine
+  * before exchange) — the shape that scales linearly with input on a real
+  * cluster.
+  */
+object Rollups {
+
+  /** A1 (`clickhouse/init/01_init.sql:63-74`): filtered hourly group-by
+    * rollup — the hourly materialized-view semantics, batch form.
+    * Filter → date_trunc bucket → grouped count/sum. The filter is pushed to
+    * the scan; the aggregate is partial+final around one hash exchange.
+    */
+  def hourlyRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type").as("event_type"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        round(sum("value"), 2).as("total_revenue"))
+      .orderBy("hour", "event_type")
+
+  /** A2 (`01_init.sql:77-87`): filtered daily group-by rollup (daily MV
+    * semantics; the reference keys by (date, region), here (date,
+    * event_type)).
+    */
+  def dailyRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") =!= "error")
+      .groupBy(to_date(col("ts")).as("date"), col("event_type"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        round(sum("value"), 2).as("total_revenue"))
+      .orderBy("date", "event_type")
+
+  /** A3 (`01_init.sql:44-58` SummingMergeTree): read-side compaction of a
+    * partial-aggregate rollup. We materialize block-local partials (grouped
+    * by an extra sub-key, like the MV's per-insert-block partials) and fold
+    * them with a second groupBy.sum — additive re-aggregation semantics.
+    * Both aggregations are partial+final; the second one is cheap because
+    * the partials table is tiny.
+    */
+  def rollupCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val partials = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"),
+        // per-"insert-block" sub-key: partials for the same (hour, type)
+        // land in distinct rows, as SummingMergeTree sees them pre-merge
+        (col("event_id") % 7).as("block"))
+      .agg(count(lit(1)).as("pc"), sum("value").as("pv"))
+    partials
+      .groupBy(col("hour"), col("event_type"))
+      .agg(
+        sum("pc").as("order_count"),
+        round(sum("pv"), 2).as("total_revenue"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** A4 (dashboard tiles "Total Order"/"Total Revenue",
+    * Sample_Dashboard.png): global count + sum, no grouping — a single
+    * partial-aggregate pass, one row out.
+    */
+  def globalTotals(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .agg(
+        count(lit(1)).as("total_orders"),
+        round(sum("value"), 2).as("total_revenue"))
+
+  /** A5 (dashboard donut "Sales by Category"): share-of-total via an
+    * empty-frame window over the aggregated (tiny) result — the window runs
+    * over the handful of groups, never the raw data.
+    */
+  def shareOfTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    val byType = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(sum("value").as("rev"))
+    // pct is a ratio of two *rounded* sums — never round a ratio directly:
+    // engines differ in ulps on raw float aggregates, and rounding a ratio
+    // at a .xx5 boundary flips between them. Dividing identical rounded
+    // doubles is IEEE-deterministic on both sides.
+    byType
+      .withColumn("total", round(sum("rev").over(Window.partitionBy()), 2))
+      .select(
+        col("event_type"),
+        round(col("rev"), 2).as("revenue"),
+        (round(col("rev"), 2) * 100.0 / col("total")).as("pct"))
+      .orderBy("event_type")
+  }
+
+  /** A6 (dashboard bar "Sales by Region", descending): grouped sum with a
+    * presentation sort. Sort keys include the group key for determinism.
+    */
+  def revenueByTypeDesc(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(round(sum("value"), 2).as("revenue"))
+      .orderBy(desc("revenue"), asc("event_type"))
+
+  /** A7 (dashboard "Hourly Sales Trend"): multi-measure hourly time series
+    * over all events (unfiltered, unlike A1).
+    */
+  def hourlyTrend(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        count(lit(1)).as("orders"),
+        round(sum("value"), 2).as("revenue"),
+        // avg as rounded-sum / count (not round(avg)): deterministic across
+        // engines — see shareOfTotal for the ulp/rounding rationale
+        (round(sum("value"), 2) / count(lit(1))).as("avg_value"))
+      .orderBy("hour")
+
+  /** P6+P7 (`01_init.sql:66-73`): the MV's filter+project shape on raw rows.
+    * `.explain` shows PushedFilters: [EqualTo(event_type,purchase)] and a
+    * 4-column ReadSchema — the scan never materializes unused columns.
+    */
+  def filterProject(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        round(col("value"), 2).as("value"))
+      .orderBy("event_id")
+
+  /** F14 / events.props: JSON field extraction. Uses get_json_object
+    * (codegen'd path over the string column); the oracle uses a regexp so
+    * the DuckDB side needs no JSON extension.
+    */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        // integer sum / integer count: exact operands, deterministic quotient
+        (sum("k").cast("double") / count(lit(1))).as("avg_k"))
+      .orderBy("event_type")
+}
