@@ -28,7 +28,17 @@ object SparkEntry {
     "revenue_by_type_desc" -> (Rollups.revenueByTypeDesc _),
     "hourly_trend" -> (Rollups.hourlyTrend _),
     "filter_project" -> (Rollups.filterProject _),
-    "json_extract" -> (Rollups.jsonExtract _)
+    "json_extract" -> (Rollups.jsonExtract _),
+    "q1_pricing_summary" -> (StarQueries.q1PricingSummary _),
+    "q3_top_unshipped" -> (StarQueries.q3TopUnshipped _),
+    "q5_region_revenue" -> (StarQueries.q5RegionRevenue _),
+    "top_orders" -> (StarQueries.topOrders _),
+    "window_top_per_customer" -> (StarQueries.windowTopPerCustomer _),
+    "window_daily_delta" -> (StarQueries.windowDailyDelta _),
+    "set_ops_counts" -> (StarQueries.setOpsCounts _),
+    "distinct_counts" -> (StarQueries.distinctCounts _),
+    "scalar_funcs" -> (StarQueries.scalarFuncs _),
+    "ingest_roundtrip" -> (IngestQueries.ingestRoundtrip _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -75,6 +85,84 @@ object SparkEntry {
         |FROM (SELECT event_type,
         |      CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
         |      FROM events)
-        |WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
+        |WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |sum(l_quantity) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |sum(l_quantity) / count(*) AS avg_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
+        |CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_top_unshipped" ->
+      """SELECT l_orderkey, o_orderdate::TIMESTAMP AS o_orderdate, o_orderpriority,
+        |CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |AND o_orderdate < TIMESTAMP '1998-06-01'
+        |AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate::TIMESTAMP AS o_orderdate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "window_top_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |       ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+        |  FROM orders WHERE o_totalprice > 300000.0
+        |) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "window_daily_delta" ->
+      """SELECT date, revenue, prev_revenue, revenue - prev_revenue AS delta FROM (
+        |  SELECT o_orderdate::DATE AS date,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  lag(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 1)
+        |    OVER (ORDER BY o_orderdate::DATE) AS prev_revenue
+        |  FROM orders GROUP BY 1
+        |) ORDER BY date""".stripMargin,
+    "set_ops_counts" ->
+      """WITH b AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |     big AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 200000.0)
+        |SELECT
+        |(SELECT count(*) FROM (SELECT k FROM b UNION SELECT k FROM big)) AS n_union,
+        |(SELECT count(*) FROM (SELECT k FROM b INTERSECT SELECT k FROM big)) AS n_intersect,
+        |(SELECT count(*) FROM (SELECT k FROM b EXCEPT SELECT k FROM big)) AS n_except""".stripMargin,
+    "distinct_counts" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+        |count(*) AS n_orders FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "scalar_funcs" ->
+      """SELECT o_orderkey,
+        |date_trunc('month', o_orderdate)::TIMESTAMP AS month_start,
+        |o_orderdate::DATE AS order_date,
+        |CAST(year(o_orderdate) AS INT) AS y,
+        |CAST(month(o_orderdate) AS INT) AS m,
+        |strftime(o_orderdate, '%Y%m') AS yyyymm,
+        |(o_orderdate + INTERVAL 365 DAY)::TIMESTAMP AS ttl_expiry,
+        |upper(o_orderpriority) AS prio_upper,
+        |substring(o_orderpriority, 1, 1) AS prio_code,
+        |CAST(length(o_orderstatus) AS INT) AS status_len,
+        |concat('ORD-', lpad(CAST(o_orderkey AS VARCHAR), 10, '0')) AS order_tag,
+        |round(o_totalprice, 2) AS price_rounded
+        |FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""".stripMargin,
+    "ingest_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+        |max(o_orderdate)::TIMESTAMP AS max_date
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Num.moneySum
+
+/** Star-schema join/aggregate breadth over the driver's TPC-H-ish tables
+  * (SURVEY.md §2.3 J2). The reference itself never joins (events arrive
+  * denormalized, `producers/sales_producer.py:118-133`), but its producer
+  * performs in-memory dimension lookups (J1) — these queries are that same
+  * hash-join semantics expressed relationally.
+  *
+  * Scale posture: dimension tables (region/nation/supplier/customer) are
+  * broadcast — no shuffle of the fact side for those joins; fact-fact joins
+  * (orders⋈lineitem) are shuffle hash/sort-merge on the join key, which AQE
+  * re-plans at runtime. Money aggregates are summed as DECIMAL(18,6): exact,
+  * order-independent, and hash-identical across engines (raw double sums
+  * differ in ulps with aggregation order), then surfaced as DOUBLE.
+  */
+object StarQueries {
+
+  /** TPC-H Q1-shape pricing summary over lineitem — wide aggregate, no
+    * join, one shuffle (partial agg → 4 groups). Averages are quotients of
+    * exact operands (decimal-sum-as-double / count): never round a ratio.
+    */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("2000-12-01"))
+    val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge = discPrice * (lit(1.0) + col("l_tax"))
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum("l_quantity").as("sum_qty"), // whole-number doubles: exact
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(discPrice).as("sum_disc_price"),
+        moneySum(charge).as("sum_charge"),
+        (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+        (moneySum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (moneySum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3-shape: top unshipped orders by revenue for one segment.
+    * customer is broadcast (small dim); orders⋈lineitem shuffles on the
+    * order key; top-10 runs as TakeOrderedAndProject (no global sort
+    * materialization).
+    */
+  def q3TopUnshipped(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1998-06-01")
+    val c = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shape: revenue by nation within one region, customer and
+    * supplier in the same nation — the full 6-table join chain. All four
+    * dimension sides broadcast; only orders⋈lineitem shuffles.
+    */
+  def q5RegionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, sfDir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val s = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  /** O2 + top-k (SURVEY.md §2.6): global top-10 orders by price.
+    * Physically TakeOrderedAndProject — per-partition heaps, no full sort.
+    */
+  def topOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+
+  /** Window ranking (extension beyond the reference, SURVEY.md §2.5): top-2
+    * orders per customer. Deterministic tiebreak on the key.
+    */
+  def windowTopPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 300000.0)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Window lag (frames/offsets surface): day-over-day revenue delta.
+    * Daily revenue is decimal-exact, so the lag delta is deterministic.
+    */
+  def windowDailyDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("date"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"))
+    val w = Window.orderBy("date")
+    daily
+      .withColumn("prev_revenue", lag("revenue", 1).over(w))
+      .withColumn("delta", col("revenue") - col("prev_revenue"))
+      .orderBy("date")
+  }
+
+  /** Set operations (SURVEY.md §2.7): UNION / INTERSECT / EXCEPT distinct
+    * cardinalities of two customer sets, one row out. Each count is its own
+    * distributed aggregate; the 1-row cross joins are free.
+    */
+  def setOpsCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val building = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val bigSpenders = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 200000.0)
+      .select(col("o_custkey").as("k")).distinct()
+    def cnt(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as(name))
+    cnt(building.union(bigSpenders).distinct(), "n_union")
+      .crossJoin(cnt(building.intersect(bigSpenders), "n_intersect"))
+      .crossJoin(cnt(building.except(bigSpenders), "n_except"))
+  }
+
+  /** Exact distinct aggregation per group (the reference has none; needed
+    * for engine breadth). count(DISTINCT) expands to a two-phase aggregate.
+    */
+  def distinctCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** Scalar-function battery (SURVEY.md §2.8 F1-F12): date truncation /
+    * extraction / formatting and string manipulation, verified value-exact
+    * against the oracle.
+    */
+  def scalarFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        to_date(col("o_orderdate")).as("order_date"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        date_format(col("o_orderdate"), "yyyyMM").as("yyyymm"),
+        (col("o_orderdate") + expr("INTERVAL 365 DAYS")).as("ttl_expiry"),
+        upper(col("o_orderpriority")).as("prio_upper"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        length(col("o_orderstatus")).as("status_len"),
+        concat(lit("ORD-"), lpad(col("o_orderkey").cast("string"), 10, "0")).as("order_tag"),
+        round(col("o_totalprice"), 2).as("price_rounded"))
+      .orderBy("o_orderkey")
+}

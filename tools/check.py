@@ -20,6 +20,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm(v):
     if isinstance(v, float):
+        if v != v:  # NaN (pandas null) — compare as None
+            return None
         return round(v, 6)
     return v
 
