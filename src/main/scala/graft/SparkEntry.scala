@@ -38,7 +38,18 @@ object SparkEntry {
     "set_ops_counts" -> (StarQueries.setOpsCounts _),
     "distinct_counts" -> (StarQueries.distinctCounts _),
     "scalar_funcs" -> (StarQueries.scalarFuncs _),
-    "ingest_roundtrip" -> (IngestQueries.ingestRoundtrip _)
+    "ingest_roundtrip" -> (IngestQueries.ingestRoundtrip _),
+    "dedup_exact" -> (Dedup.dedupExact _),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingNearDups(s, d)),
+    "sim_topk_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "sim_ann_lsh" -> ((s, d) => Similarity.annTopK(s, d)),
+    "text_token_counts" -> (TextAnalysis.tokenCounts _),
+    "text_quality" -> (TextAnalysis.qualityScores _),
+    "text_langid" -> (TextAnalysis.langIdConfusion _),
+    "text_fingerprint" -> (TextAnalysis.fingerprints _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -163,6 +174,117 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
         |max(o_orderdate)::TIMESTAMP AS max_date
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])) AS s
+        |  FROM tok WHERE len(ws) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+        |FROM shared JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])) AS s
+        |  FROM tok WHERE len(ws) >= 3),
+        |h AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS minh
+        |  FROM sh, range(0, 12) t(i) GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, (i // 2) AS band,
+        |  md5(string_agg(minh, '|' ORDER BY i)) AS bsig
+        |  FROM h GROUP BY doc_id, (i // 2)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bs a JOIN bs b ON a.band = b.band AND a.bsig = b.bsig
+        |  AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |shared AS (SELECT doc_a, doc_b, count(*) AS shared FROM cand
+        |  JOIN sh sa ON sa.doc_id = doc_a
+        |  JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |CAST(shared AS DOUBLE) / (za.n + zb.n - shared) AS jaccard
+        |FROM shared JOIN sizes za ON doc_a = za.doc_id
+        |JOIN sizes zb ON doc_b = zb.doc_id
+        |WHERE CAST(shared AS DOUBLE) / (za.n + zb.n - shared) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, w FROM
+        |  (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM tok),
+        |bits AS (SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS v
+        |  FROM h, range(0, 32) t(j) GROUP BY 1, 2),
+        |fp AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+        |    AS simhash FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                 for i in range(1, 65)])) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |          for i in range(1, 65)]) / (a.nrm * b.nrm) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |      for i in range(1, 65)]) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "sim_topk_bruteforce" ->
+      """WITH q AS (SELECT embedding AS q_emb,
+        |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                 for i in range(1, 65)])) AS q_nrm
+        |  FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label,
+        |list_sum([e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE
+        |          for i in range(1, 65)]) /
+        |(sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+        |                for i in range(1, 65)])) * q.q_nrm) AS cosine
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "text_token_counts" ->
+      """SELECT doc_id, lang,
+        |CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+        |CAST(len(list_distinct(string_split(text,' '))) AS INT) AS n_distinct_tokens,
+        |CAST(length(text) AS INT) AS n_chars_measured,
+        |CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subword_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH base AS (SELECT doc_id, text, string_split(text,' ') AS ws FROM documents)
+        |SELECT doc_id,
+        |CAST(len(ws) AS INT) AS n_tokens,
+        |len(list_filter(ws, w -> list_contains(['the','a','of','and','to','in','is'], w)))::DOUBLE / len(ws) AS stopword_ratio,
+        |len(list_distinct(ws))::DOUBLE / len(ws) AS distinct_ratio,
+        |(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')))::DOUBLE / length(text) AS punct_ratio,
+        |length(text)::DOUBLE / len(ws) AS avg_token_len,
+        |(len(list_distinct(ws))::DOUBLE / len(ws)) * 0.5 +
+        |least(len(list_filter(ws, w -> list_contains(['the','a','of','and','to','in','is'], w)))::DOUBLE / len(ws) * 2.0, 1.0) * 0.3 +
+        |(CASE WHEN len(ws) BETWEEN 20 AND 1000 THEN 0.2 ELSE 0.0 END) AS quality_score
+        |FROM base ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH base AS (SELECT doc_id, lang, string_split(text,' ') AS ws FROM documents),
+        |pred AS (SELECT lang,
+        |  CASE WHEN len(list_filter(ws, w -> list_contains(['the','a','of','and'], w)))::DOUBLE / len(ws) >= 0.05 THEN 'en'
+        |       WHEN len(list_filter(ws, w -> list_contains(['table','row','column','value'], w)))::DOUBLE / len(ws) >= 0.15 THEN 'data'
+        |       ELSE 'other' END AS predicted
+        |  FROM base)
+        |SELECT lang, predicted, count(*) AS n FROM pred
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT md5(array_to_string(string_split_regex(lower(text), '\s+'), ' '))
+        |  AS fingerprint,
+        |min(doc_id) AS first_doc, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (ARRAY<FLOAT>, dim 64).
+  *
+  * Brute-force cosine top-k is the correctness baseline (one pass over the
+  * corpus per query vector — at cluster scale a broadcast of the query
+  * side); the random-hyperplane LSH variant is the scale path (bucketed
+  * shuffle join instead of full cross product).
+  *
+  * Numeric determinism: dot products fold left-to-right in DOUBLE over
+  * float→double casts. Both Spark's `aggregate` HOF and DuckDB's list_sum
+  * walk the list in order, so scores are bit-identical across engines —
+  * no rounding needed for oracle parity.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float arrays, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** L2 norm, same fold discipline. */
+  def norm2(a: Column): Column =
+    sqrt(aggregate(
+      transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v))
+
+  /** Brute-force cosine top-k against the embedding of `queryId`. The query
+    * row is a 1-row broadcast; the scan is a single projection+filter over
+    * the corpus followed by TakeOrderedAndProject — no shuffle of the
+    * corpus, scales linearly and parallelizes perfectly.
+    */
+  def bruteForceTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                     k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), norm2(col("embedding")).as("q_nrm"))
+    e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        (dot(col("embedding"), col("q_emb")) /
+          (norm2(col("embedding")) * col("q_nrm"))).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH signature: `nPlanes` hyperplanes with ±1
+    * components derived deterministically from md5(plane, dim) parity —
+    * reproducible anywhere, no RNG state. Vectors agreeing on the signature
+    * land in the same bucket.
+    */
+  def lshSignature(emb: Column, dim: Int, nPlanes: Int): Column = {
+    val planeBits = (0 until nPlanes).map { p =>
+      // dot(plane_p, v) with plane components ±1 from md5 parity
+      val terms = (0 until dim).map { d =>
+        val sign = if (planeComponent(p, d) > 0) 1.0 else -1.0
+        element_at(emb, d + 1).cast("double") * lit(sign)
+      }
+      val dotP = terms.reduce(_ + _)
+      when(dotP > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    planeBits.reduce(_ + _)
+  }
+
+  /** ±1 plane component: parity of the first hex char of md5("p,d").
+    * Evaluated at plan-build time (the planes are constants).
+    */
+  private def planeComponent(p: Int, d: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p,$d".getBytes("UTF-8"))
+    if ((md(0) & 1) == 0) 1 else -1
+  }
+
+  /** ANN top-k via LSH bucketing: candidates = vectors sharing the query's
+    * signature bucket (multi-probe: Hamming ≤ 1 on the signature), ranked
+    * by exact cosine. At scale this is a bucket-key join instead of a full
+    * scan; recall vs brute force is asserted in the spec suite.
+    */
+  def annTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+              k: Int = 10, nPlanes: Int = 8): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("sig", lshSignature(col("embedding"), dim = 64, nPlanes = nPlanes))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), norm2(col("embedding")).as("q_nrm"),
+        col("sig").as("q_sig"))
+    e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      // multi-probe: own bucket plus Hamming-1 neighbours
+      .filter(expr("bit_count(sig ^ q_sig)") <= 1)
+      .select(col("vec_id"), col("label"),
+        (dot(col("embedding"), col("q_emb")) /
+          (norm2(col("embedding")) * col("q_nrm"))).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+}

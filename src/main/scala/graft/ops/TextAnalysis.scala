@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over `documents` — the training-data pipeline
+  * surface: token counting, quality scoring, language-ID heuristics, and
+  * content fingerprinting. All scores are quotients of exact integer counts
+  * (deterministic across engines; see [[Num]]).
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  private def toks(textCol: Column): Column = split(textCol, " ")
+
+  /** Token counting: whitespace tokens plus a BPE-ish subword estimate
+    * (ceil(chars/4), the common ~4-chars-per-token heuristic) — both exact
+    * integer functions of the text.
+    */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"), col("lang"),
+        size(toks(col("text"))).as("n_tokens"),
+        size(array_distinct(toks(col("text")))).as("n_distinct_tokens"),
+        length(col("text")).as("n_chars_measured"),
+        ceil(length(col("text")) / 4.0).cast("long").as("n_subword_est"))
+      .orderBy("doc_id")
+
+  /** Quality scoring (length / punctuation / stopword / repetition
+    * signals). Every ratio is int/int; the composite score is a fixed
+    * arithmetic combination of those quotients.
+    */
+  def qualityScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t).cast("double")
+    val nStop = size(filter(t, w => w.isin(stopwords.map(lit(_)): _*)))
+      .cast("double")
+    val nDistinct = size(array_distinct(t)).cast("double")
+    val nPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[\\.,;:!\\?]", ""))).cast("double")
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(t).as("n_tokens"),
+        (nStop / nTok).as("stopword_ratio"),
+        (nDistinct / nTok).as("distinct_ratio"),
+        (nPunct / length(col("text")).cast("double")).as("punct_ratio"),
+        (length(col("text")).cast("double") / nTok).as("avg_token_len"))
+      .withColumn("quality_score",
+        col("distinct_ratio") * 0.5 +
+          least(col("stopword_ratio") * 2.0, lit(1.0)) * 0.3 +
+          when(col("n_tokens") >= 20 && col("n_tokens") <= 1000, 0.2)
+            .otherwise(0.0))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic: stopword-hit ratios per language profile (the
+    * classic cheap n-gram/stopword classifier). On this fixture corpus the
+    * vocabulary is shared across langs, so the value of the operator is its
+    * deterministic semantics, summarized as a (lang, predicted) confusion
+    * count.
+    */
+  def langIdConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = toks(col("text"))
+    def hitRatio(words: Seq[String]): Column =
+      size(filter(t, w => w.isin(words.map(lit(_)): _*))).cast("double") /
+        size(t).cast("double")
+    val en = hitRatio(Seq("the", "a", "of", "and"))
+    val dataish = hitRatio(Seq("table", "row", "column", "value"))
+    Tables.documents(spark, sfDir)
+      .withColumn("predicted",
+        when(en >= 0.05, "en")
+          .when(dataish >= 0.15, "data")
+          .otherwise("other"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Document fingerprinting: canonical md5 over normalized tokens (lower,
+    * collapse whitespace) — duplicate fingerprints = normalized dups. The
+    * 64-bit rolling-hash variant (a native Catalyst expression with
+    * codegen) lives in [[graft.functions.RollingHash]]; this query uses the
+    * md5 canonical form for oracle portability.
+    */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(array_join(split(lower(col("text")), "\\s+"), " "))
+          .as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("first_doc"), count(lit(1)).as("n_docs"))
+      .orderBy("fingerprint")
+}
