@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Registry for graft's native Catalyst expressions, usable two ways:
+  *   - `spark.sql.extensions=graft.functions.GraftExtensions` at session
+  *     build time, or
+  *   - [[GraftFunctions.register]] on a live session (idempotent) — the
+  *     path the query library uses so the driver's plain sessions work.
+  */
+object GraftFunctions {
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (es => DotProduct(es.head, es(1))),
+    "vec_norm" -> (es => NormL2(es.head))
+  )
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}
+
+/** `SparkSessionExtensions` hook (config `spark.sql.extensions`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
+}

@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the similarity-search hot path.
+  *
+  * The generic higher-order-function formulation
+  * (`aggregate(zip_with(a, b, …))`) is interpreted per element with boxing —
+  * measured ~30 s for the 2M-pair × 64-dim near-dup sweep at sf0.1. These
+  * expressions generate a tight primitive loop inside whole-stage codegen
+  * instead (preference order (b) of the builder brief: a native
+  * `Expression` with `doGenCode` beats a Scala UDF).
+  *
+  * Numeric contract: accumulation is sequential left-to-right in DOUBLE over
+  * float→double casts — the exact operation order of the HOF formulation and
+  * of DuckDB's list_sum, so results stay bit-identical to the oracle.
+  */
+object VectorExpressions {
+
+  private[functions] def elemGet(elemType: DataType, arr: String, i: String): String =
+    elemType match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case DoubleType => s"$arr.getDouble($i)"
+      case t => throw new IllegalArgumentException(s"unsupported element type $t")
+    }
+
+  private[functions] def elemAt(elemType: DataType, arr: ArrayData, i: Int): Double =
+    elemType match {
+      case FloatType => arr.getFloat(i).toDouble
+      case DoubleType => arr.getDouble(i)
+      case t => throw new IllegalArgumentException(s"unsupported element type $t")
+    }
+
+  private[functions] def checkVec(name: String, e: Expression): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$name expects array<float>/array<double>, got ${t.catalogString}")
+    }
+}
+
+/** dot(a, b) over two float/double arrays, double accumulation in index
+  * order. Null if either side is null; length mismatch uses the common
+  * prefix (callers guarantee fixed dims).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import VectorExpressions._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(checkVec(prettyName, left), checkVec(prettyName, right))
+      .find(_ != TypeCheckResult.TypeCheckSuccess)
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  private def lElem = left.dataType.asInstanceOf[ArrayType].elementType
+  private def rElem = right.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += elemAt(lElem, x, i) * elemAt(rElem, y, i)
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${elemGet(lElem, a, i)} * ${elemGet(rElem, b, i)};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** sqrt(sum(x_i^2)) over a float/double array, same fold discipline. */
+case class NormL2(child: Expression)
+    extends UnaryExpression {
+  import VectorExpressions._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVec(prettyName, child)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm"
+
+  private def elem = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      val v = elemAt(elem, x, i)
+      acc += v * v
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = ${elemGet(elem, a, i)};
+         |  $acc += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NormL2 =
+    copy(child = newChild)
+}

@@ -53,19 +53,33 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("content_hash")
 
-  /** n-gram Jaccard near-dup pairs via inverted-index join: only doc pairs
-    * sharing at least one 3-word shingle are compared. Jaccard is a
-    * quotient of exact distinct-shingle counts. At 100 TB the same plan
-    * holds: the shingle join is the only shuffle, and hot shingles would be
-    * capped by document frequency (the fixture vocab needs no cap).
+  /** n-gram Jaccard near-dup pairs via inverted-index join, with
+    * stop-shingle removal: candidate pairs come only from shingles whose
+    * document frequency is ≤ maxDf (a shingle appearing in hundreds of docs
+    * is non-discriminative and quadratically explodes the join — the
+    * classic df cap that keeps this plan linear-ish at 100 TB). Candidates
+    * are then verified with exact Jaccard over the FULL shingle sets, so
+    * scores are unaffected by the cap; only pairs whose overlap consists
+    * exclusively of stop-shingles can be missed (documented recall
+    * property, mirrored exactly by the oracle).
     */
-  def ngramJaccardPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame = {
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.8,
+                        maxDf: Int = 100): DataFrame = {
     val sh = shingleRows(spark, sfDir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shared = sh.as("a")
-      .join(sh.as("b"),
+    val rare = sh.join(
+      sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
+      "s")
+    val candidates = rare.as("a")
+      .join(rare.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = candidates
+      .join(sh.as("sa2"), col("doc_a") === col("sa2.doc_id"))
+      .join(sh.as("sb2"),
+        col("doc_b") === col("sb2.doc_id") && col("sa2.s") === col("sb2.s"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared"))
     shared
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -180,6 +194,7 @@ object Dedup {
     * bit-identical.
     */
   def embeddingNearDups(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         Similarity.norm2(col("embedding")).as("nrm"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.GraftFunctions
 
 /** Similarity search over the `embeddings` table (ARRAY<FLOAT>, dim 64).
   *
@@ -13,25 +14,22 @@ import graft.Tables
   * shuffle join instead of full cross product).
   *
   * Numeric determinism: dot products fold left-to-right in DOUBLE over
-  * float→double casts. Both Spark's `aggregate` HOF and DuckDB's list_sum
-  * walk the list in order, so scores are bit-identical across engines —
-  * no rounding needed for oracle parity.
+  * float→double casts — the same operation order as DuckDB's list_sum, so
+  * scores are bit-identical across engines, no rounding needed.
+  *
+  * The folds run as the native codegen expressions `vec_dot`/`vec_norm`
+  * ([[graft.functions.DotProduct]]/[[graft.functions.NormL2]]): the HOF
+  * formulation (`aggregate(zip_with(…))`) is interpreted with per-element
+  * boxing and measured ~30 s on the sf0.1 near-dup sweep; the codegen loop
+  * stays inside whole-stage codegen.
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float arrays, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Sequential-fold dot product, in double (codegen expression). */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
-  /** L2 norm, same fold discipline. */
-  def norm2(a: Column): Column =
-    sqrt(aggregate(
-      transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v))
+  /** L2 norm, same fold discipline (codegen expression). */
+  def norm2(a: Column): Column = call_function("vec_norm", a)
 
   /** Brute-force cosine top-k against the embedding of `queryId`. The query
     * row is a 1-row broadcast; the scan is a single projection+filter over
@@ -40,6 +38,7 @@ object Similarity {
     */
   def bruteForceTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L,
                      k: Int = 10): DataFrame = {
+    GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"), norm2(col("embedding")).as("q_nrm"))
@@ -86,6 +85,7 @@ object Similarity {
     */
   def annTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L,
               k: Int = 10, nPlanes: Int = 8): DataFrame = {
+    GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("sig", lshSignature(col("embedding"), dim = 64, nPlanes = nPlanes))
     val q = e.filter(col("vec_id") === queryId)
