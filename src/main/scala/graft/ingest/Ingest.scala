@@ -25,12 +25,12 @@ object Ingest {
       .select("o.*")
 
   /** P5 (`kafka_to_clickhouse.py:82-86`): ISO-8601-with-literal-'Z' parse
-    * with fallback to ingestion time on malformed input — `to_timestamp`
-    * returns null (not error) on bad input, so `coalesce` reproduces the
-    * reference's try/except.
+    * with fallback to ingestion time on malformed input — `try_to_timestamp`
+    * returns null (not error) on bad input even under Spark 4's default
+    * ANSI mode, so `coalesce` reproduces the reference's try/except.
     */
   def parseTimestampZ(c: Column): Column =
-    coalesce(to_timestamp(regexp_replace(c, "Z$", "")), current_timestamp())
+    coalesce(try_to_timestamp(regexp_replace(c, "Z$", "")), current_timestamp())
 
   /** P3+P4 (`kafka_to_clickhouse.py:88-105`): per-field defaulting and
     * coercion for the sales-order event. from_json already returns typed

@@ -1,0 +1,177 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.ingest.Ingest
+
+/** Structured Streaming assembly of the reference's realtime pipeline
+  * (SURVEY.md §2.9 T1-T8, §3 EP2): source → JSON ingest → windowed rollups
+  * → sinks, as declarative streaming DataFrames.
+  *
+  * Source/transform/sink are deliberately decoupled `DataFrame`
+  * combinators: the ingest and rollup stages are the SAME Column programs
+  * the batch path uses ([[graft.ingest.Ingest]]), applied to a streaming
+  * frame — Catalyst's IncrementalExecution turns them into per-micro-batch
+  * incremental plans, which is exactly the reference's ClickHouse
+  * materialized-view semantics (`clickhouse/init/01_init.sql:63-87`:
+  * MV fires per insert block) with stronger delivery guarantees
+  * (checkpointed offsets + idempotent sink ⇒ exactly-once, vs the
+  * reference's at-least-once auto-commit, `kafka_to_clickhouse.py:56`).
+  *
+  * Tested broker-free via MemoryStream; the Kafka wiring compiles against
+  * the DataSource V2 string API and activates when the
+  * spark-sql-kafka connector jar is on the classpath.
+  */
+object StreamAssembly {
+
+  /** S1 (`kafka_to_clickhouse.py:50-58`): Kafka source. Offsets live in
+    * the checkpoint (not broker group auto-commit). `maxOffsetsPerTrigger`
+    * plays the reference's `max_poll_records=500` role (T1).
+    */
+  def kafkaSource(spark: SparkSession, bootstrap: String,
+                  topic: String = "sales_orders",
+                  maxOffsetsPerTrigger: Long = 500): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .load()
+
+  /** Broker-free file source: JSON-lines files appearing under `path`,
+    * whole file = one micro-batch of `value` strings (the shape Kafka
+    * delivers).
+    */
+  def jsonFileSource(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.text(path).select(col("value"))
+
+  /** EP2 ingest transform (P1-P5): value bytes/strings → typed, defaulted,
+    * audited sales-order rows. Identical code to the batch path.
+    */
+  def ingest(raw: DataFrame): DataFrame = Ingest.ingestSalesOrders(raw)
+
+  /** A1 streaming: hourly × category rollup over completed orders.
+    * Update-mode state keeps exact per-key totals — the "eager exact"
+    * superset of SummingMergeTree's eventual merge (SURVEY.md §2.4 A3
+    * option (a)). Watermark bounds state (T3); the reference has NO
+    * watermark (any hour can still receive rows), so `watermark = None`
+    * reproduces it exactly at unbounded-state cost. Default 1 day admits
+    * the producer's realistic lateness.
+    */
+  def hourlyRollupStream(orders: DataFrame,
+                         watermark: Option[String] = Some("1 day")): DataFrame = {
+    val wm = watermark.fold(orders)(orders.withWatermark("order_timestamp", _))
+    wm.filter(col("order_status") === "completed")
+      // group by the window STRUCT (not a pre-extracted field): Spark's
+      // event-time metadata lives on the struct, and watermark-driven state
+      // eviction needs to see it in the grouping key
+      .groupBy(window(col("order_timestamp"), "1 hour"), col("category"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        sum("total_amount").as("total_revenue"),
+        sum("quantity").as("total_quantity"))
+      .select(col("window.start").as("hour"), col("category"),
+        col("order_count"), col("total_revenue"), col("total_quantity"))
+  }
+
+  /** A2 streaming: daily × region rollup over completed orders. */
+  def dailyRollupStream(orders: DataFrame,
+                        watermark: Option[String] = Some("1 day")): DataFrame = {
+    val wm = watermark.fold(orders)(orders.withWatermark("order_timestamp", _))
+    wm.filter(col("order_status") === "completed")
+      .groupBy(window(col("order_timestamp"), "1 day"), col("region"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        sum("total_amount").as("total_revenue"))
+      .select(col("window.start").cast("date").as("date"), col("region"),
+        col("order_count"), col("total_revenue"))
+  }
+
+  /** A8 (`sales_producer.py:172-188`, `kafka_to_clickhouse.py:131-149`):
+    * running ingest metrics via `observe` — per-micro-batch row count,
+    * revenue, error count (rows whose timestamp fell back). Read from a
+    * `StreamingQueryListener`'s `QueryProgressEvent.progress.observedMetrics`.
+    */
+  def withIngestMetrics(orders: DataFrame): DataFrame =
+    orders.observe("ingest_metrics",
+      count(lit(1)).as("rows"),
+      sum("total_amount").as("revenue"),
+      count(when(col("order_id") === "", 1)).as("empty_ids"))
+
+  /** T1 (`kafka_to_clickhouse.py:32,182-185`): the reference flushes when
+    * batch ≥500 rows OR ≥5 s elapsed. Structured Streaming's processing-
+    * time trigger + maxOffsetsPerTrigger reproduce both bounds.
+    */
+  val defaultTrigger: Trigger = Trigger.ProcessingTime("5 seconds")
+
+  /** Raw-table sink (S5 analogue): append micro-batches as yyyyMM-
+    * partitioned parquet — the engine's MergeTree. Exactly-once:
+    * checkpoint + deterministic file commit protocol.
+    */
+  def startRawSink(orders: DataFrame, outDir: String, checkpointDir: String,
+                   trigger: Trigger = defaultTrigger): StreamingQuery =
+    orders
+      .withColumn("month", date_format(col("order_timestamp"), "yyyyMM"))
+      .writeStream
+      .partitionBy("month")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** A3 option (b) — the faithful SummingMergeTree mirror: each micro-batch
+    * appends its block-local partial aggregate (what the ClickHouse MV
+    * inserts per block, `01_init.sql:63-74`); readers fold partials with
+    * [[graft.ops.Rollups.rollupCompact]]-style `groupBy.sum` (what CK does
+    * lazily at merge/read time). No streaming state at all — state lives in
+    * the storage layout, so this scales to unbounded keys.
+    */
+  def startHourlyPartialsSink(orders: DataFrame, outDir: String,
+                              checkpointDir: String,
+                              trigger: Trigger = defaultTrigger): StreamingQuery =
+    orders.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.filter(col("order_status") === "completed")
+          .groupBy(date_trunc("hour", col("order_timestamp")).as("hour"),
+            col("category"))
+          .agg(
+            count(lit(1)).as("partial_count"),
+            sum("total_amount").as("partial_revenue"),
+            sum("quantity").as("partial_quantity"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
+  /** Read side of the partials mirror: fold partial rows into final
+    * totals — identical result to the update-mode state path (tested).
+    */
+  def compactHourlyPartials(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy("hour", "category")
+      .agg(
+        sum("partial_count").as("order_count"),
+        sum("partial_revenue").as("total_revenue"),
+        sum("partial_quantity").as("total_quantity"))
+
+  /** S3 (`sales_producer.py:160-165`): orders → JSON → Kafka sink
+    * (connector jar required at runtime).
+    */
+  def toKafkaSink(orders: DataFrame, bootstrap: String,
+                  topic: String = "sales_orders",
+                  checkpointDir: String): DataStreamWriter[Row] =
+    orders
+      .select(to_json(struct(col("*"))).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+}

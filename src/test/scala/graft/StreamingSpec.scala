@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.gen.SalesGen
+import graft.streaming.StreamAssembly
+
+/** Streaming semantics T1-T6 (SURVEY.md §2.9), broker-free via
+  * MemoryStream. The governing property, both rollup paths: a streaming run
+  * over the data in ANY micro-batch split equals the batch groupBy over the
+  * union — which is exactly the reference's MV + SummingMergeTree contract
+  * (per-block partials that fold to the same totals,
+  * `clickhouse/init/01_init.sql:63-87`).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jsonBatches(n: Long, splits: Int): Seq[Seq[String]] = {
+    val all = SalesGen.ordersJson(spark, n).collect().map(_.getString(0)).toSeq
+    all.grouped((all.size + splits - 1) / splits).toSeq
+  }
+
+  private def batchHourly(n: Long) =
+    graft.ingest.Ingest.ingestSalesOrders(SalesGen.ordersJson(spark, n))
+      .filter(col("order_status") === "completed")
+      .groupBy(date_trunc("hour", col("order_timestamp")).as("hour"),
+        col("category"))
+      .agg(count(lit(1)).as("order_count"),
+        round(sum("total_amount"), 2).as("total_revenue"),
+        sum("quantity").as("total_quantity"))
+
+  test("update-mode hourly rollup over 3 micro-batches == batch groupBy") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val rollup = StreamAssembly.hourlyRollupStream(
+      StreamAssembly.ingest(stream.toDF()))
+    val q = rollup.writeStream
+      .format("memory").queryName("hourly_state")
+      .outputMode("complete")
+      .start()
+    try {
+      jsonBatches(600, 3).foreach { b =>
+        stream.addData(b)
+        q.processAllAvailable()
+      }
+      val got = spark.table("hourly_state")
+        .withColumn("total_revenue", round(col("total_revenue"), 2))
+      val want = batchHourly(600)
+      assert(got.count() === want.count())
+      assert(got.exceptAll(want).count() === 0)
+    } finally q.stop()
+  }
+
+  test("append-partials + compaction (SummingMergeTree mirror) == " +
+       "update-mode state == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val outDir = Files.createTempDirectory("partials").toString
+    val ckDir = Files.createTempDirectory("ck").toString
+    val q = StreamAssembly.startHourlyPartialsSink(
+      StreamAssembly.ingest(stream.toDF()), outDir, ckDir)
+    try {
+      jsonBatches(600, 4).foreach { b =>
+        stream.addData(b)
+        q.processAllAvailable()
+      }
+      // more than one partial row per key proves blocks really were split
+      val partials = spark.read.parquet(outDir)
+      assert(partials.count() >
+        partials.select("hour", "category").distinct().count())
+      val got = StreamAssembly.compactHourlyPartials(spark, outDir)
+        .withColumn("total_revenue", round(col("total_revenue"), 2))
+      val want = batchHourly(600)
+      assert(got.count() === want.count())
+      assert(got.exceptAll(want).count() === 0)
+    } finally q.stop()
+  }
+
+  test("late rows fold into their original hour (no-watermark mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val rollup = StreamAssembly.hourlyRollupStream(
+      StreamAssembly.ingest(stream.toDF()), watermark = None)
+    val q = rollup.writeStream
+      .format("memory").queryName("late_state")
+      .outputMode("complete")
+      .start()
+    try {
+      def order(id: String, ts: String) =
+        s"""{"order_id":"$id","category":"Home","order_status":"completed",
+           |"quantity":1,"unit_price":10.0,"total_amount":10.0,
+           |"order_timestamp":"$ts"}""".stripMargin.replace("\n", "")
+      stream.addData(Seq(
+        order("a", "2026-01-17T05:10:00Z"),
+        order("b", "2026-01-17T09:00:00Z")))
+      q.processAllAvailable()
+      // a row arriving much later for the 05:00 hour
+      stream.addData(Seq(order("c", "2026-01-17T05:59:59Z")))
+      q.processAllAvailable()
+      val five = spark.table("late_state")
+        .filter(col("hour") === to_timestamp(lit("2026-01-17 05:00:00")))
+        .head()
+      assert(five.getAs[Long]("order_count") === 2)
+      assert(five.getAs[Double]("total_revenue") === 20.0)
+    } finally q.stop()
+  }
+
+  test("observe() ingest metrics report per-batch rows and revenue (A8)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    @volatile var lastRows = -1L
+    val observed = StreamAssembly.withIngestMetrics(
+      StreamAssembly.ingest(stream.toDF()))
+    val q = observed.writeStream
+      .format("noop")
+      .start()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val m = e.progress.observedMetrics
+        if (m.containsKey("ingest_metrics"))
+          lastRows = m.get("ingest_metrics").getAs[Long]("rows")
+      }
+    }
+    spark.streams.addListener(listener)
+    try {
+      stream.addData(jsonBatches(50, 1).head)
+      q.processAllAvailable()
+      // listener events are async; give the bus a moment
+      var waited = 0
+      while (lastRows < 0 && waited < 50) { Thread.sleep(100); waited += 1 }
+      assert(lastRows === 50L)
+    } finally { q.stop(); spark.streams.removeListener(listener) }
+  }
+}
