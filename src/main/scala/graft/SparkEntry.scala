@@ -49,7 +49,10 @@ object SparkEntry {
     "text_token_counts" -> (TextAnalysis.tokenCounts _),
     "text_quality" -> (TextAnalysis.qualityScores _),
     "text_langid" -> (TextAnalysis.langIdConfusion _),
-    "text_fingerprint" -> (TextAnalysis.fingerprints _)
+    "text_fingerprint" -> (TextAnalysis.fingerprints _),
+    "mm_decode_stats" -> (graft.multimodal.Multimodal.decodeStats _),
+    "mm_frame_counts" -> ((s, d) => graft.multimodal.Multimodal.frameCounts(s, d)),
+    "mm_resize_stats" -> (graft.multimodal.Multimodal.resizeStats _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -290,6 +293,34 @@ object SparkEntry {
       """SELECT md5(array_to_string(string_split_regex(lower(text), '\s+'), ' '))
         |  AS fingerprint,
         |min(doc_id) AS first_doc, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Multimodal stubs: metadata fields derive arithmetically from doc_id
+    // (graft.multimodal.Multimodal scaladoc), so the oracle verifies the
+    // Spark-side binary encode→decode round-trip without seeing bytes.
+    "mm_decode_stats" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |  ELSE 'video' END AS media_type,
+        |count(*) AS n,
+        |sum(64 + 32*(doc_id % 16)) AS sum_width,
+        |sum(64 + 32*(doc_id % 9)) AS sum_height,
+        |sum(1 + (doc_id % 4)) AS sum_channels,
+        |sum(1000 + 500*(doc_id % 60)) AS sum_duration_ms,
+        |sum(16 + n_chars % 240) AS sum_body_len
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mm_frame_counts" ->
+      """SELECT doc_id,
+        |CAST(ceil((1000 + 500*(doc_id % 60)) / 1000.0) AS BIGINT) AS n_frames,
+        |(CAST(ceil((1000 + 500*(doc_id % 60)) / 1000.0) AS BIGINT) - 1) * 1000
+        |  AS last_frame_ms
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin,
+    "mm_resize_stats" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |  ELSE 'video' END AS media_type,
+        |count(*) AS n,
+        |sum(CASE WHEN doc_id % 3 = 0 THEN 224 ELSE 64 + 32*(doc_id % 16) END)
+        |  AS sum_width,
+        |sum(CASE WHEN doc_id % 3 = 0 THEN 224 ELSE 64 + 32*(doc_id % 9) END)
+        |  AS sum_height
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{Media, DecodedMeta}
+
+/** Multimodal binary plumbing: header round-trip, corrupt-payload
+  * handling, feature shape, frame sampling, resize consistency.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("encode→decode round-trips every header field") {
+    for (id <- Seq(0L, 1L, 2L, 17L, 59L, 12345L)) {
+      val m = Multimodal.decodeOne(Multimodal.encodeOne(id, 100)).get
+      assert(m.media_type === Multimodal.typeOf(id))
+      assert(m.width === Multimodal.widthOf(id))
+      assert(m.height === Multimodal.heightOf(id))
+      assert(m.channels === Multimodal.channelsOf(id))
+      assert(m.duration_ms === Multimodal.durationOf(id))
+      assert(m.body_len === Multimodal.bodyLenOf(id, 100))
+    }
+  }
+
+  test("corrupt payloads decode to None (bad magic, truncation, null)") {
+    val ok = Multimodal.encodeOne(7L, 50)
+    assert(Multimodal.decodeOne(null).isEmpty)
+    assert(Multimodal.decodeOne(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeOne(ok.take(ok.length - 1)).isEmpty)
+    val badMagic = ok.clone(); badMagic(0) = 0
+    assert(Multimodal.decodeOne(badMagic).isEmpty)
+  }
+
+  test("corrupt rows are dropped by the decode stage, valid rows survive") {
+    val ds = Seq(
+      Media(1L, "image", Multimodal.encodeOne(1L, 80)),
+      Media(2L, "audio", Array[Byte](9, 9)),
+      Media(3L, "video", null)).toDS()
+    val out = Multimodal.decode(ds).collect()
+    assert(out.map(_.doc_id).toSeq === Seq(1L))
+  }
+
+  test("features are unit-norm ARRAY<FLOAT> of the requested dim") {
+    graft.functions.GraftFunctions.register(spark)
+    val feats = Multimodal.extractFeatures(
+      Multimodal.mediaTable(spark, sf), dim = 16)
+    val r = feats.select(
+      size(col("features")).as("d"),
+      graft.ops.Similarity.norm2(col("features")).as("nrm"))
+    assert(r.filter(col("d") =!= 16).count() === 0)
+    assert(r.filter(abs(col("nrm") - 1.0) > 1e-5).count() === 0)
+  }
+
+  test("frame sampling yields ceil(duration/interval) frames, videos only") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000)
+    val joined = frames.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .join(Multimodal.decode(media).toDF(), "doc_id")
+    assert(joined.filter(col("media_type") =!= "video").count() === 0)
+    assert(joined.filter(
+      col("n") =!= ceil(col("duration_ms") / 1000.0)).count() === 0)
+  }
+
+  test("resize rewrites image dims only and keeps payloads decodable") {
+    val resized = Multimodal.decode(
+      Multimodal.resize(Multimodal.mediaTable(spark, sf), 224, 224))
+    val images = resized.filter(_.media_type == "image")
+    val others = resized.filter(_.media_type != "image")
+    assert(images.filter(m => m.width != 224 || m.height != 224).count() === 0)
+    // non-images keep their ORIGINAL derived dims (some are natively
+    // 224×224 — 64+32·5 — so compare against the derivation, not 224)
+    assert(others.filter(m =>
+      m.width != Multimodal.widthOf(m.doc_id) ||
+      m.height != Multimodal.heightOf(m.doc_id)).count() === 0)
+    // nothing dropped: decode succeeded for every resized payload
+    assert(resized.count() === Multimodal.mediaTable(spark, sf).count())
+  }
+}
