@@ -114,7 +114,8 @@ object StreamAssembly {
   def startRawSink(orders: DataFrame, outDir: String, checkpointDir: String,
                    trigger: Trigger = defaultTrigger): StreamingQuery =
     orders
-      .withColumn("month", date_format(col("order_timestamp"), "yyyyMM"))
+      .withColumn("month",
+        date_format(col("order_timestamp"), "yyyyMM").cast("int"))
       .writeStream
       .partitionBy("month")
       .format("parquet")
