@@ -186,14 +186,9 @@ object SparkEntry {
         |sh AS (SELECT doc_id, unnest(list_distinct(
         |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])) AS s
         |  FROM tok WHERE len(ws) >= 3),
-        |rare AS (SELECT doc_id, s FROM sh WHERE s IN
-        |  (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100)),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |shared AS (SELECT doc_a, doc_b, count(*) AS shared FROM cand
-        |  JOIN sh sa ON sa.doc_id = doc_a
-        |  JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s GROUP BY 1, 2)
+        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT doc_a, doc_b,
         |CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
         |FROM shared JOIN sizes sa ON doc_a = sa.doc_id

@@ -15,7 +15,12 @@ object GraftFunctions {
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => DotProduct(es.head, es(1))),
-    "vec_norm" -> (es => NormL2(es.head))
+    "vec_norm" -> (es => NormL2(es.head)),
+    "word_shingles" -> (es => WordShingles(es.head, es(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"word_shingles n must be an int literal, got $other")
+    }))
   )
 
   def register(spark: SparkSession): Unit =
