@@ -52,7 +52,8 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprints _),
     "mm_decode_stats" -> (graft.multimodal.Multimodal.decodeStats _),
     "mm_frame_counts" -> ((s, d) => graft.multimodal.Multimodal.frameCounts(s, d)),
-    "mm_resize_stats" -> (graft.multimodal.Multimodal.resizeStats _)
+    "mm_resize_stats" -> (graft.multimodal.Multimodal.resizeStats _),
+    "sessions" -> ((s, d) => Sessions.sessionize(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -316,6 +317,17 @@ object SparkEntry {
         |  AS sum_width,
         |sum(CASE WHEN doc_id % 3 = 0 THEN 224 ELSE 64 + 32*(doc_id % 9) END)
         |  AS sum_height
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sessions" ->
+      """WITH g AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch(ts::TIMESTAMP) - epoch(lag(ts) OVER w::TIMESTAMP) > 1800
+        |  THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, value,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g)
+        |SELECT user_id, sid, min(ts)::TIMESTAMP AS session_start,
+        |count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

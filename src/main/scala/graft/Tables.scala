@@ -18,6 +18,16 @@ object Tables {
     else df
   }
 
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every testdata table as a temp view, enabling the ad-hoc
+    * `spark.sql` surface (the reference's Metabase/EP3 query path and its
+    * declared-but-missing query CLI — SURVEY.md §0).
+    */
+  def registerAll(s: SparkSession, d: String): Unit =
+    names.foreach(n => table(s, d, n).createOrReplaceTempView(n))
+
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

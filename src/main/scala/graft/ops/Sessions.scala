@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Sessionization over the events stream: consecutive events of a user
+  * belong to one session while gaps stay under `gapMinutes`. The batch form
+  * is the classic two-window program — new-session flags via lag, session
+  * ids via running sum — with a single shuffle on user_id reused by both
+  * windows and the final group-by (same partitioning key, Catalyst plans
+  * one exchange). The streaming form with custom state lives in
+  * [[graft.streaming.SessionizeStream]]; the two are equivalence-tested.
+  */
+object Sessions {
+
+  def sessionize(spark: SparkSession, sfDir: String,
+                 gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val gapSec = gapMinutes * 60L
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("new_s",
+        when(lag("ts", 1).over(byUser).isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(byUser))
+            > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("new_s").over(byUser))
+      .groupBy("user_id", "sid")
+      .agg(
+        min("ts").as("session_start"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("user_id", "sid")
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+
+/** Physical-plan regressions guard: the properties that make these queries
+  * scale (pushdown, pruning, broadcast, minimal shuffles) are asserted so a
+  * refactor can't silently trade them away. Complements the value-level
+  * oracle checks.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Execute (AQE finalizes the plan lazily), then flatten through the
+    * adaptive wrapper and query-stage leaf nodes that `collect` won't
+    * descend into.
+    */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val nested = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => Nil
+    }
+    p +: (p.children ++ p.subqueries ++ nested).flatMap(flatten)
+  }
+
+  private def planOf(name: String): Seq[SparkPlan] = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    flatten(df.queryExecution.executedPlan)
+  }
+
+  test("filter_project pushes the predicate into the parquet scan and prunes columns") {
+    val scan = planOf("filter_project").collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    assert(scan.metadata("PushedFilters").contains("EqualTo(event_type,purchase)"))
+    // 17-column table read as only the 5 needed
+    assert(scan.requiredSchema.fields.length <= 5)
+  }
+
+  test("q5 star join broadcasts every dimension — no sort-merge join, " +
+       "fact side streams map-side") {
+    val plan = planOf("q5_region_revenue")
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    val smj = plan.collect { case j: SortMergeJoinExec => j }
+    assert(bhj.size === 5) // orders, customer, supplier, nation, region
+    assert(smj.isEmpty)
+  }
+
+  test("q3 pushes both date filters to the scans") {
+    val scans = planOf("q3_top_unshipped").collect {
+      case f: FileSourceScanExec => f.metadata("PushedFilters")
+    }
+    assert(scans.exists(_.contains("LessThan(o_orderdate")))
+    assert(scans.exists(_.contains("GreaterThan(l_shipdate")))
+  }
+
+  test("rollup_hourly is a single-shuffle aggregate (plus presentation sort)") {
+    val shuffles = planOf("rollup_hourly").collect {
+      case s: ShuffleExchangeExec => s
+    }
+    // one hash exchange for the groupBy, one range exchange for orderBy
+    assert(shuffles.size === 2)
+  }
+
+  test("dedup_exact is a single-shuffle hash aggregate") {
+    val shuffles = planOf("dedup_exact").collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.size === 2) // agg exchange + presentation sort
+  }
+}
