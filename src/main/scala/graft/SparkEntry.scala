@@ -53,7 +53,10 @@ object SparkEntry {
     "mm_decode_stats" -> (graft.multimodal.Multimodal.decodeStats _),
     "mm_frame_counts" -> ((s, d) => graft.multimodal.Multimodal.frameCounts(s, d)),
     "mm_resize_stats" -> (graft.multimodal.Multimodal.resizeStats _),
-    "sessions" -> ((s, d) => Sessions.sessionize(s, d))
+    "sessions" -> ((s, d) => Sessions.sessionize(s, d)),
+    "semi_anti_counts" -> (StarQueries.semiAntiCounts _),
+    "rollup_grouping_sets" -> (StarQueries.rollupGroupingSets _),
+    "part_promo_share" -> (StarQueries.partPromoShare _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -201,10 +204,13 @@ object SparkEntry {
         |sh AS (SELECT doc_id, unnest(list_distinct(
         |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])) AS s
         |  FROM tok WHERE len(ws) >= 3),
-        |h AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS minh
-        |  FROM sh, range(0, 12) t(i) GROUP BY 1, 2),
+        |hx AS (SELECT doc_id,
+        |  ('0x' || substr(md5(s), 1, 12))::BIGINT AS h1,
+        |  (('0x' || substr(md5(s), 13, 12))::BIGINT | 1) AS h2 FROM sh),
+        |h AS (SELECT doc_id, i, min(h1 + i * h2) AS minh
+        |  FROM hx, range(0, 12) t(i) GROUP BY 1, 2),
         |bs AS (SELECT doc_id, (i // 2) AS band,
-        |  md5(string_agg(minh, '|' ORDER BY i)) AS bsig
+        |  string_agg(minh::VARCHAR, '|' ORDER BY i) AS bsig
         |  FROM h GROUP BY doc_id, (i // 2)),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bs a JOIN bs b ON a.band = b.band AND a.bsig = b.bsig
@@ -328,6 +334,41 @@ object SparkEntry {
         |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g)
         |SELECT user_id, sid, min(ts)::TIMESTAMP AS session_start,
         |count(*) AS n_events, round(sum(value), 2) AS total_value
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "semi_anti_counts" ->
+      """WITH wb AS (SELECT c_mktsegment, count(*) AS n_with_big_order
+        |  FROM customer c WHERE EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0)
+        |  GROUP BY 1),
+        |wo AS (SELECT c_mktsegment, count(*) AS n_without_orders
+        |  FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey)
+        |  GROUP BY 1)
+        |SELECT coalesce(wb.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+        |coalesce(n_with_big_order, 0) AS n_with_big_order,
+        |coalesce(n_without_orders, 0) AS n_without_orders
+        |FROM wb FULL OUTER JOIN wo USING (c_mktsegment)
+        |ORDER BY 1""".stripMargin,
+    "rollup_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |sum(l_quantity) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "part_promo_share" ->
+      """SELECT
+        |CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
+        |  THEN l_extendedprice*(1-l_discount) ELSE 0 END AS DECIMAL(18,6)))
+        |  AS DOUBLE) AS promo_revenue,
+        |CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6)))
+        |  AS DOUBLE) AS total_revenue,
+        |CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
+        |  THEN l_extendedprice*(1-l_discount) ELSE 0 END AS DECIMAL(18,6)))
+        |  AS DOUBLE) * 100.0 /
+        |CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6)))
+        |  AS DOUBLE) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+        |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin
   )
 }

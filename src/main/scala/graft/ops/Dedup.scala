@@ -124,24 +124,32 @@ object Dedup {
     * 2 rows → band-signature bucket join → exact-Jaccard verification of
     * candidates only.
     *
-    * The min-wise hash family is `min(md5(i || ':' || shingle))` under
-    * lexicographic order — md5 strings are uniformly distributed, so the
-    * lexicographic min is a valid permutation-min, and it is bit-identical
-    * in any engine with md5 (the oracle mirrors it exactly). Candidate
-    * recall at j=0.8 with r=2,b=6 is 1-(1-0.64)^6 ≈ 0.998; output is the
-    * deterministic candidates∩(j≥threshold), not the idealized all-pairs
-    * result — recall is a documented property of the banding scheme.
+    * The hash family is double hashing (Kirsch-Mitzenmacher, ESA'06 —
+    * "Less Hashing, Same Performance"): ONE md5 per shingle, split into
+    * two 48-bit halves h1/h2 (h2 forced odd), draw i = h1 + i·h2. This
+    * cuts k·|shingles| digest computations to |shingles| while keeping
+    * per-draw min-wise uniformity, and stays bit-identical in any engine
+    * with md5 + 64-bit integer arithmetic (the oracle mirrors it; values
+    * stay < 2^52, so no overflow on either side). Candidate recall at
+    * j=0.8 with r=2,b=6 is 1-(1-0.64)^6 ≈ 0.998; output is the
+    * deterministic candidates∩(j≥threshold) — recall is a documented
+    * property of the banding scheme.
     */
   def minhashPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.8,
                    k: Int = 12, rowsPerBand: Int = 2): DataFrame = {
     val sh = shingleRows(spark, sfDir)
-    // k min-hashes as k aggregate columns in ONE doc-level groupBy: the k
-    // md5 draws happen map-side per shingle row and combine via partial
-    // min — no k× explode, no k× shuffle volume. (An exploded (doc,i,h)
-    // formulation shuffles k·|shingles| rows; this shuffles |shingles|.)
+    // k min-hashes as k aggregate columns in ONE doc-level groupBy: the
+    // draws happen map-side per shingle row and combine via partial
+    // min — no k× explode, no k× shuffle volume
+    val hashed = sh
+      .withColumn("hx", md5(col("s")))
+      .select(col("doc_id"),
+        conv(substring(col("hx"), 1, 12), 16, 10).cast("long").as("h1"),
+        conv(substring(col("hx"), 13, 12), 16, 10).cast("long")
+          .bitwiseOR(1L).as("h2"))
     val minCols = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("s")))).as(s"m$i"))
-    val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
+    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
     // band signature = the band's min-hashes joined in i order — equality
     // of the concat is equality of the tuple, same candidate set as the
     // oracle's md5-of-joined-minhashes formulation

@@ -180,4 +180,62 @@ object StarQueries {
         concat(lit("ORD-"), lpad(col("o_orderkey").cast("string"), 10, "0")).as("order_tag"),
         round(col("o_totalprice"), 2).as("price_rounded"))
       .orderBy("o_orderkey")
+
+  /** Semi/anti join surface: per market segment, customers WITH at least
+    * one high-value order (left_semi — existence, no fan-out) and WITHOUT
+    * any order at all (left_anti). Both run as broadcast/shuffled hash
+    * joins with early termination — the relational EXISTS / NOT EXISTS.
+    */
+  def semiAntiCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val bigOrders = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 150000.0)
+      .select("o_custkey")
+    val allOrders = Tables.orders(spark, sfDir).select("o_custkey")
+    val withBig = c.join(bigOrders, col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_big_order"))
+    val without = c.join(allOrders, col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+    withBig.join(without, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_with_big_order"), lit(0L)).as("n_with_big_order"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Grouping sets: ROLLUP over (returnflag, linestatus) — subtotals and a
+    * grand total in one pass (Spark expands the grouping sets before the
+    * single hash aggregate; no per-level rescan).
+    */
+  def rollupGroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum("l_quantity").as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** TPC-H Q14-shape promo revenue share: lineitem⋈part (part broadcast)
+    * with a conditional aggregate — share is a ratio of two decimal-exact
+    * sums, deterministic across engines.
+    */
+  def partPromoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1995-09-01") &&
+        col("l_shipdate") < lit("1995-10-01"))
+    val p = Tables.part(spark, sfDir).select("p_partkey", "p_type")
+    val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        moneySum(when(col("p_type").startsWith("PROMO"), discPrice)
+          .otherwise(lit(0.0))).as("promo_revenue"),
+        moneySum(discPrice).as("total_revenue"))
+      .select(
+        col("promo_revenue"),
+        col("total_revenue"),
+        (col("promo_revenue") * 100.0 / col("total_revenue")).as("promo_pct"))
+  }
 }
