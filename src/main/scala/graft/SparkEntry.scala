@@ -263,6 +263,32 @@ object SparkEntry {
         |                for i in range(1, 65)])) * q.q_nrm) AS cosine
         |FROM embeddings e, q WHERE e.vec_id <> 0
         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // LSH plane signs derive from md5("p,d") first-byte parity in BOTH
+    // engines; per-plane dots fold in dim order, so signatures (and thus
+    // the multi-probe candidate set) are bit-identical.
+    "sim_ann_lsh" ->
+      """WITH sigs AS (SELECT vec_id, label, embedding,
+        |  list_sum([
+        |    CASE WHEN list_sum([
+        |      CASE WHEN (('0x' || substr(md5(p::VARCHAR || ',' ||
+        |        (i-1)::VARCHAR), 1, 2))::INT & 1) = 0
+        |      THEN embedding[i]::DOUBLE ELSE -embedding[i]::DOUBLE END
+        |      for i in range(1, 65)]) > 0
+        |    THEN (1 << p) ELSE 0 END
+        |    for p in range(0, 8)])::BIGINT AS sig
+        |  FROM embeddings),
+        |q AS (SELECT embedding AS q_emb, sig AS q_sig,
+        |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                 for i in range(1, 65)])) AS q_nrm
+        |  FROM sigs WHERE vec_id = 0)
+        |SELECT s.vec_id, s.label,
+        |list_sum([s.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE
+        |          for i in range(1, 65)]) /
+        |(sqrt(list_sum([s.embedding[i]::DOUBLE * s.embedding[i]::DOUBLE
+        |                for i in range(1, 65)])) * q.q_nrm) AS cosine
+        |FROM sigs s, q WHERE s.vec_id <> 0
+        |  AND bit_count(xor(s.sig, q.q_sig)) <= 1
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
     "text_token_counts" ->
       """SELECT doc_id, lang,
         |CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
