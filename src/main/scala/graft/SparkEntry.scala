@@ -56,7 +56,9 @@ object SparkEntry {
     "sessions" -> ((s, d) => Sessions.sessionize(s, d)),
     "semi_anti_counts" -> (StarQueries.semiAntiCounts _),
     "rollup_grouping_sets" -> (StarQueries.rollupGroupingSets _),
-    "part_promo_share" -> (StarQueries.partPromoShare _)
+    "part_promo_share" -> (StarQueries.partPromoShare _),
+    "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d)),
+    "approx_distinct_users" -> (Rollups.approxDistinctUsers _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -289,6 +291,27 @@ object SparkEntry {
         |FROM sigs s, q WHERE s.vec_id <> 0
         |  AND bit_count(xor(s.sig, q.q_sig)) <= 1
         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "dedup_embedding_lsh" ->
+      """WITH sigs AS (SELECT vec_id, embedding,
+        |  list_sum([
+        |    CASE WHEN list_sum([
+        |      CASE WHEN (('0x' || substr(md5(p::VARCHAR || ',' ||
+        |        (i-1)::VARCHAR), 1, 2))::INT & 1) = 0
+        |      THEN embedding[i]::DOUBLE ELSE -embedding[i]::DOUBLE END
+        |      for i in range(1, 65)]) > 0
+        |    THEN (1 << p) ELSE 0 END
+        |    for p in range(0, 8)])::BIGINT AS sig,
+        |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                 for i in range(1, 65)])) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |          for i in range(1, 65)]) / (a.nrm * b.nrm) AS cosine
+        |FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+        |  AND bit_count(xor(a.sig, b.sig)) <= 1
+        |WHERE list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |                for i in range(1, 65)]) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "text_token_counts" ->
       """SELECT doc_id, lang,
         |CAST(len(string_split(text,' ')) AS INT) AS n_tokens,

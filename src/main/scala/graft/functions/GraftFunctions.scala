@@ -16,12 +16,15 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => DotProduct(es.head, es(1))),
     "vec_norm" -> (es => NormL2(es.head)),
-    "word_shingles" -> (es => WordShingles(es.head, es(1) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case other => throw new IllegalArgumentException(
-        s"word_shingles n must be an int literal, got $other")
-    }))
+    "word_shingles" -> (es => WordShingles(es.head, intLit("word_shingles", es(1)))),
+    "vec_lsh_sig" -> (es => LshSignature(es.head, intLit("vec_lsh_sig", es(1))))
   )
+
+  private def intLit(fn: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an int literal, got $other")
+  }
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

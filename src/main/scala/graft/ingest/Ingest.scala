@@ -66,4 +66,30 @@ object Ingest {
       .withColumn("order_timestamp", parseTimestampZ(col("order_timestamp")))
     withIngestedAt(coerced)
   }
+
+  /** T6 hardening beyond the reference (which silently skips bad messages,
+    * `kafka_to_clickhouse.py:175-178`): split the stream into (good, dead)
+    * — malformed JSON goes to a dead-letter frame carrying the raw value
+    * and a rejection timestamp instead of degrading into an all-default
+    * row. Both frames are lazy views over one pass; works identically for
+    * batch and streaming inputs.
+    */
+  def ingestWithDeadLetter(raw: DataFrame, valueCol: String = "value"): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schemaWithCorrupt = StructType(
+      Schemas.salesOrderJsonSchema.fields :+ StructField("_corrupt", StringType))
+    val parsed = raw.select(
+      col(valueCol).cast("string").as("raw"),
+      from_json(col(valueCol).cast("string"), schemaWithCorrupt,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt")).as("o"))
+    val good = parsed.filter(col("o._corrupt").isNull)
+      .select("o.*").drop("_corrupt")
+    val goodCoerced = withIngestedAt(
+      coerceAndDefault(good)
+        .withColumn("order_timestamp", parseTimestampZ(col("order_timestamp"))))
+    val dead = parsed.filter(col("o._corrupt").isNotNull)
+      .select(col("raw"), current_timestamp().as("_rejected_at"))
+    (goodCoerced, dead)
+  }
 }

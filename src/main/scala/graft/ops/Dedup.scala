@@ -236,4 +236,46 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
+
+  /** The 100 TB path for embedding near-dup: LSH-bucketed candidate join
+    * instead of the all-pairs cross product. Signatures are the same
+    * deterministic hyperplane scheme as [[Similarity.lshSignature]]
+    * (md5-parity plane signs, dim-ordered folds — bit-identical in the
+    * oracle); candidates are pairs within Hamming ≤ 1 of each other's
+    * signature (multi-probe), verified by exact cosine. Recall vs the
+    * exact variant is a documented property of the banding scheme —
+    * vectors similar at `threshold` collide with high probability on
+    * 8 hyperplanes; both operators ship, the exact one for bucketable
+    * corpora, this one for scale.
+    */
+  def embeddingNearDupsLsh(spark: SparkSession, sfDir: String,
+                           threshold: Double = 0.4, nPlanes: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm2(col("embedding")).as("nrm"),
+        Similarity.lshSignature(col("embedding"), dim = 64, nPlanes = nPlanes)
+          .as("sig"))
+    // multi-probe across buckets: band on (plane-dropped signature) so a
+    // Hamming-1 pair shares at least one band without an O(n²) compare
+    val banded = e.select(col("vec_id"), col("sig"),
+        explode(sequence(lit(0), lit(nPlanes - 1))).as("drop"))
+      .withColumn("bucket",
+        expr(s"sig & ~(CAST(1 AS BIGINT) << drop)"))
+    val candidates = banded.as("x")
+      .join(banded.as("y"),
+        col("x.drop") === col("y.drop") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    candidates
+      .join(e.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(e.as("b"), col("vec_b") === col("b.vec_id"))
+      .filter(expr("bit_count(a.sig ^ b.sig)") <= 1)
+      .select(col("vec_a"), col("vec_b"),
+        (Similarity.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
 }

@@ -138,6 +138,21 @@ object Rollups {
         round(col("value"), 2).as("value"))
       .orderBy("event_id")
 
+  /** Approximate distinct users per event type (HyperLogLog++, 1.5% rsd)
+    * next to the exact count — the approx operator a 100 TB engine uses
+    * where exact countDistinct would shuffle every distinct key. No oracle:
+    * DuckDB's HLL implementation produces different estimates by design,
+    * so the driver records a rows-only check; the spec suite asserts the
+    * estimate lands within the configured error of exact.
+    */
+  def approxDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.015).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
   /** F14 / events.props: JSON field extraction. Uses get_json_object
     * (codegen'd path over the string column); the oracle uses a regexp so
     * the DuckDB side needs no JSON extension.

@@ -56,27 +56,8 @@ object Similarity {
     * reproducible anywhere, no RNG state. Vectors agreeing on the signature
     * land in the same bucket.
     */
-  def lshSignature(emb: Column, dim: Int, nPlanes: Int): Column = {
-    val planeBits = (0 until nPlanes).map { p =>
-      // dot(plane_p, v) with plane components ±1 from md5 parity
-      val terms = (0 until dim).map { d =>
-        val sign = if (planeComponent(p, d) > 0) 1.0 else -1.0
-        element_at(emb, d + 1).cast("double") * lit(sign)
-      }
-      val dotP = terms.reduce(_ + _)
-      when(dotP > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    planeBits.reduce(_ + _)
-  }
-
-  /** ±1 plane component: parity of the first hex char of md5("p,d").
-    * Evaluated at plan-build time (the planes are constants).
-    */
-  private def planeComponent(p: Int, d: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$p,$d".getBytes("UTF-8"))
-    if ((md(0) & 1) == 0) 1 else -1
-  }
+  def lshSignature(emb: Column, dim: Int, nPlanes: Int): Column =
+    call_function("vec_lsh_sig", emb, lit(nPlanes))
 
   /** ANN top-k via LSH bucketing: candidates = vectors sharing the query's
     * signature bucket (multi-probe: Hamming ≤ 1 on the signature), ranked

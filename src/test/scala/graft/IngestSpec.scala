@@ -74,4 +74,22 @@ class IngestSpec extends SparkSpec {
     assert(ingest("""{"order_id":"a"}""")
       .filter(col("_ingested_at").isNotNull).count() === 1)
   }
+
+  test("dead-letter split: malformed rows quarantined with raw payload, " +
+       "valid rows coerced") {
+    val (good, dead) = Ingest.ingestWithDeadLetter(Seq(
+      """{"order_id":"ok-1","quantity":2}""",
+      """{broken""",
+      """not json at all""",
+      """{"order_id":"ok-2"}""").toDF("value"))
+    assert(good.count() === 2)
+    assert(good.filter(col("order_id").startsWith("ok-")).count() === 2)
+    assert(good.filter(col("order_id") === "ok-1").head()
+      .getAs[Int]("quantity") === 2)
+    val deadRows = dead.collect()
+    assert(deadRows.length === 2)
+    assert(deadRows.map(_.getAs[String]("raw")).toSet ===
+      Set("{broken", "not json at all"))
+    assert(deadRows.forall(_.getAs[java.sql.Timestamp]("_rejected_at") != null))
+  }
 }
