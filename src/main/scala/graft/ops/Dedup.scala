@@ -213,8 +213,11 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: drops hamming>max pairs map-side instead
+      // of shuffling them into the dedup exchange (filter ∘ distinct ≡
+      // distinct ∘ filter on identical rows)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 

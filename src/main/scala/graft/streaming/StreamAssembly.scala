@@ -151,6 +151,31 @@ object StreamAssembly {
       }
       .start()
 
+  /** T6 end-to-end: one streaming pass that routes parsed orders to the
+    * partitioned raw store and malformed payloads to a dead-letter
+    * directory (raw value + rejection time) — the quarantine the reference
+    * lacks (it silently skips, `kafka_to_clickhouse.py:175-178`). Both
+    * writes happen inside one foreachBatch, so a micro-batch commits rows
+    * and rejects together.
+    */
+  def startIngestWithDeadLetter(raw: DataFrame, outDir: String,
+                                deadDir: String, checkpointDir: String,
+                                trigger: Trigger = defaultTrigger): StreamingQuery =
+    raw.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (good, dead) = Ingest.ingestWithDeadLetter(batch)
+        good
+          .withColumn("month",
+            date_format(col("order_timestamp"), "yyyyMM").cast("int"))
+          .write.mode("append").partitionBy("month").parquet(outDir)
+        dead.write.mode("append").parquet(deadDir)
+        ()
+      }
+      .start()
+
   /** Read side of the partials mirror: fold partial rows into final
     * totals — identical result to the update-mode state path (tested).
     */

@@ -108,6 +108,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dead-letter sink routes good rows and rejects separately") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val outDir = Files.createTempDirectory("dlq_good").toString
+    val deadDir = Files.createTempDirectory("dlq_dead").toString
+    val ckDir = Files.createTempDirectory("dlq_ck").toString
+    val q = StreamAssembly.startIngestWithDeadLetter(
+      stream.toDF(), outDir, deadDir, ckDir)
+    try {
+      stream.addData(jsonBatches(40, 1).head ++ Seq("{oops", "garbage"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() === 40)
+      val dead = spark.read.parquet(deadDir).collect()
+      assert(dead.map(_.getAs[String]("raw")).toSet === Set("{oops", "garbage"))
+    } finally q.stop()
+  }
+
   test("observe() ingest metrics report per-batch rows and revenue (A8)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
