@@ -58,7 +58,8 @@ object SparkEntry {
     "rollup_grouping_sets" -> (StarQueries.rollupGroupingSets _),
     "part_promo_share" -> (StarQueries.partPromoShare _),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d)),
-    "approx_distinct_users" -> (Rollups.approxDistinctUsers _)
+    "approx_distinct_users" -> (Rollups.approxDistinctUsers _),
+    "topk_per_segment" -> ((s, d) => TopK.topOrdersPerSegment(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -418,6 +419,13 @@ object SparkEntry {
         |  AS DOUBLE) AS promo_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
-        |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin
+        |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin,
+    "topk_per_segment" ->
+      """WITH ranked AS (SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, o_orderkey, o_totalprice FROM ranked
+        |WHERE rk <= 3 ORDER BY c_mktsegment, o_orderkey""".stripMargin
   )
 }

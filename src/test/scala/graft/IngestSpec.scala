@@ -75,6 +75,16 @@ class IngestSpec extends SparkSpec {
       .filter(col("_ingested_at").isNotNull).count() === 1)
   }
 
+  test("binary Kafka-shaped values ingest identically to strings") {
+    val asBytes = Seq(
+      """{"order_id":"bin-1","quantity":4}""".getBytes("UTF-8"),
+      """{"order_id":"สั่งซื้อ-2"}""".getBytes("UTF-8")).toDF("value")
+    val rows = Ingest.ingestSalesOrders(asBytes)
+      .select("order_id", "quantity").collect()
+    assert(rows.map(r => r.getString(0) -> r.getInt(1)).toMap ===
+      Map("bin-1" -> 4, "สั่งซื้อ-2" -> 1))
+  }
+
   test("dead-letter split: malformed rows quarantined with raw payload, " +
        "valid rows coerced") {
     val (good, dead) = Ingest.ingestWithDeadLetter(Seq(
