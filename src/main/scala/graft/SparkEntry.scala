@@ -59,7 +59,8 @@ object SparkEntry {
     "part_promo_share" -> (StarQueries.partPromoShare _),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d)),
     "approx_distinct_users" -> (Rollups.approxDistinctUsers _),
-    "topk_per_segment" -> ((s, d) => TopK.topOrdersPerSegment(s, d))
+    "topk_per_segment" -> ((s, d) => TopK.topOrdersPerSegment(s, d)),
+    "asof_events_orders" -> (AsOf.eventsAsOfOrders _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -426,6 +427,19 @@ object SparkEntry {
         |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |  FROM orders JOIN customer ON o_custkey = c_custkey)
         |SELECT c_mktsegment, o_orderkey, o_totalprice FROM ranked
-        |WHERE rk <= 3 ORDER BY c_mktsegment, o_orderkey""".stripMargin
+        |WHERE rk <= 3 ORDER BY c_mktsegment, o_orderkey""".stripMargin,
+    // DuckDB's native ASOF JOIN is the oracle for the composed
+    // union+carry-forward-window implementation
+    "asof_events_orders" ->
+      """WITH ords AS (SELECT o_custkey, o_orderdate,
+        |  max(o_orderkey) AS o_orderkey,
+        |  arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts::TIMESTAMP AS ts, e.event_type,
+        |o.o_orderkey AS asof_orderkey, o.o_totalprice AS asof_price
+        |FROM events e ASOF LEFT JOIN ords o
+        |  ON e.user_id = o.o_custkey
+        |  AND e.ts::TIMESTAMP >= o.o_orderdate::TIMESTAMP
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** AS-OF (point-in-time) join — the feature-store primitive the builder
+  * brief lists among operators Spark lacks natively: for each left row,
+  * the single right row with the greatest timestamp ≤ the left timestamp,
+  * per key.
+  *
+  * Implemented by COMPOSITION (preference (a) — no custom plan node
+  * needed): tag and union both sides, then one carry-forward window
+  * (`last(payload, ignoreNulls)` over rows-unbounded-preceding) per key in
+  * time order. One hash shuffle on the key, a per-partition sort, zero
+  * range fan-out — the scalable pattern (an inequality theta-join would
+  * cross-product inside key groups; this is linear in rows). At 100 TB the
+  * same plan holds: shuffle by key, sort by (t, side) within partitions.
+  *
+  * Right side is pre-deduplicated to one row per (key, t) so tie handling
+  * is engine-independent; ordering puts right rows before left rows at
+  * equal t, giving `>=` (inclusive) as-of semantics — matching DuckDB's
+  * native ASOF JOIN, which is the oracle.
+  */
+object AsOf {
+
+  /** Each event joined to the user's latest order at-or-before the event
+    * time: `events ASOF LEFT JOIN orders ON user_id = o_custkey AND
+    * ts >= o_orderdate`.
+    */
+  def eventsAsOfOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    // one row per (custkey, orderdate): keep the max orderkey, its price
+    val orders = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max_by(
+        struct(col("o_orderkey"), col("o_totalprice")), col("o_orderkey"))
+        .as("o"))
+      .select(col("o_custkey").as("key"),
+        // orders carry TIMESTAMP_NTZ; unify on session-TZ TIMESTAMP (UTC)
+        col("o_orderdate").cast("timestamp").as("t"),
+        col("o.o_orderkey").as("o_orderkey"),
+        col("o.o_totalprice").as("o_totalprice"))
+      .withColumn("side", lit(0))
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id").as("key"), col("ts").cast("timestamp").as("t"),
+        col("event_id"), col("event_type"))
+      .withColumn("side", lit(1))
+
+    val unioned = orders
+      .withColumn("event_id", lit(null).cast("long"))
+      .withColumn("event_type", lit(null).cast("string"))
+      .select("key", "t", "side", "event_id", "event_type",
+        "o_orderkey", "o_totalprice")
+      .unionByName(events
+        .withColumn("o_orderkey", lit(null).cast("long"))
+        .withColumn("o_totalprice", lit(null).cast("double"))
+        .select("key", "t", "side", "event_id", "event_type",
+          "o_orderkey", "o_totalprice"))
+
+    // carry the latest order forward in (t, side) order: at equal t the
+    // order row (side 0) sorts first, so the event at t sees it (>= match)
+    val w = Window.partitionBy("key").orderBy("t", "side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("asof_orderkey", last("o_orderkey", ignoreNulls = true).over(w))
+      .withColumn("asof_price", last("o_totalprice", ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("key").as("user_id"), col("t").as("ts"),
+        col("event_type"), col("asof_orderkey"), col("asof_price"))
+      .orderBy("event_id")
+  }
+}
