@@ -60,7 +60,10 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d)),
     "approx_distinct_users" -> (Rollups.approxDistinctUsers _),
     "topk_per_segment" -> ((s, d) => TopK.topOrdersPerSegment(s, d)),
-    "asof_events_orders" -> (AsOf.eventsAsOfOrders _)
+    "asof_events_orders" -> (AsOf.eventsAsOfOrders _),
+    "range_join_pairs" -> ((s, d) => RangeJoin.eventPairsWithin(s, d)),
+    "train_test_split" -> (TrainingSets.trainTestSplit _),
+    "value_quantiles" -> (TrainingSets.valueQuantiles _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -440,6 +443,30 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN ords o
         |  ON e.user_id = o.o_custkey
         |  AND e.ts::TIMESTAMP >= o.o_orderdate::TIMESTAMP
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "range_join_pairs" ->
+      """SELECT a.event_id AS event_a, b.event_id AS event_b,
+        |abs(epoch_us(a.ts::TIMESTAMP) - epoch_us(b.ts::TIMESTAMP)) AS delta_us
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND a.event_id < b.event_id
+        |  AND abs(epoch_us(a.ts::TIMESTAMP) - epoch_us(b.ts::TIMESTAMP))
+        |      <= 3600000000
+        |ORDER BY 1, 2""".stripMargin,
+    "train_test_split" ->
+      """SELECT CASE
+        |  WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80
+        |    THEN 'train'
+        |  WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
+        |    THEN 'val'
+        |  ELSE 'test' END AS split,
+        |lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "value_quantiles" ->
+      """SELECT event_type,
+        |quantile_cont(value, 0.5) AS p50,
+        |quantile_cont(value, 0.9) AS p90,
+        |quantile_cont(value, 0.99) AS p99,
+        |min(value) AS vmin, max(value) AS vmax
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
