@@ -63,7 +63,12 @@ object SparkEntry {
     "asof_events_orders" -> (AsOf.eventsAsOfOrders _),
     "range_join_pairs" -> ((s, d) => RangeJoin.eventPairsWithin(s, d)),
     "train_test_split" -> (TrainingSets.trainTestSplit _),
-    "value_quantiles" -> (TrainingSets.valueQuantiles _)
+    "value_quantiles" -> (TrainingSets.valueQuantiles _),
+    "stratified_sample" -> ((s, d) => TrainingSets.stratifiedSample(s, d)),
+    "group_cap" -> ((s, d) => TrainingSets.groupCap(s, d)),
+    "pack_sequences" -> ((s, d) => TrainingSets.packSequences(s, d)),
+    "contamination_check" -> ((s, d) => TrainingSets.contaminationCheck(s, d)),
+    "sim_ivf" -> ((s, d) => Similarity.ivfTopK(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -467,6 +472,72 @@ object SparkEntry {
         |quantile_cont(value, 0.9) AS p90,
         |quantile_cont(value, 0.99) AS p99,
         |min(value) AS vmin, max(value) AS vmax
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled, sum(n_chars) AS sum_chars
+        |FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 20
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "group_cap" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
+    "pack_sequences" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |    ceil(n_chars / 4.0)::BIGINT AS est FROM documents),
+        |c AS (SELECT lang, est, sum(est) OVER (
+        |    PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT lang, (cum - est) // 2048 AS bin,
+        |count(*) AS n_docs, sum(est) AS sum_est_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "contamination_check" ->
+      """WITH d AS (SELECT doc_id, lang, text,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents),
+        |sp AS (SELECT doc_id, lang,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  string_split(text, ' ') AS ws FROM d),
+        |sh AS (SELECT doc_id, lang, split, unnest(list_distinct(
+        |  [ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
+        |   ||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]
+        |   for i in range(1, len(ws) - 6)])) AS s
+        |  FROM sp WHERE len(ws) >= 8),
+        |tr AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
+        |cont AS (SELECT lang, count(DISTINCT doc_id) AS n_contaminated
+        |  FROM sh WHERE split = 'test' AND s IN (SELECT s FROM tr)
+        |  GROUP BY 1)
+        |SELECT t.lang, t.n_test, coalesce(c.n_contaminated, 0) AS n_contaminated
+        |FROM (SELECT lang, count(*) AS n_test FROM sp
+        |      WHERE split = 'test' GROUP BY 1) t
+        |LEFT JOIN cont c ON t.lang = c.lang
+        |ORDER BY t.lang""".stripMargin,
+    "sim_ivf" ->
+      """WITH nrm AS (SELECT vec_id, label, embedding,
+        |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                 for i in range(1, 65)])) AS nrm
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, embedding AS c_emb, nrm AS c_nrm
+        |  FROM nrm WHERE vec_id < 16),
+        |scored AS (SELECT n.vec_id, n.label, n.embedding, n.nrm, c.cid,
+        |  list_sum([n.embedding[i]::DOUBLE * c.c_emb[i]::DOUBLE
+        |            for i in range(1, 65)]) / (n.nrm * c.c_nrm) AS ccos
+        |  FROM nrm n, cents c),
+        |assigned AS (SELECT vec_id, label, embedding, nrm, cid AS cell FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |qcells AS (SELECT cid FROM scored WHERE vec_id = 0
+        |  ORDER BY ccos DESC, cid ASC LIMIT 4),
+        |q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM nrm WHERE vec_id = 0)
+        |SELECT a.vec_id, a.label,
+        |list_sum([a.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE
+        |          for i in range(1, 65)]) / (a.nrm * q.q_nrm) AS cosine
+        |FROM assigned a, q
+        |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cid FROM qcells)
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
   )
 }

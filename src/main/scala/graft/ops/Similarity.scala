@@ -59,6 +59,58 @@ object Similarity {
   def lshSignature(emb: Column, dim: Int, nPlanes: Int): Column =
     call_function("vec_lsh_sig", emb, lit(nPlanes))
 
+  /** IVF (inverted-file) ANN top-k — the cell-probing scale path: the
+    * corpus is coarse-quantized into `nCells` cells (assignment = argmax
+    * cosine against the centroid set, ties to the lowest centroid id); a
+    * query probes only the `nProbe` cells nearest its vector and ranks
+    * candidates by exact cosine.
+    *
+    * Centroids here are seed vectors (the first `nCells` vec_ids) rather
+    * than k-means output: assignment stays a pure deterministic function
+    * of the input (k-means iteration order isn't engine-portable), which
+    * is what makes the query oracle-checkable. At cluster scale the
+    * centroid set is a broadcast (nCells rows), assignment is one
+    * scan + map-side partial argmax — the shuffle carries one row per
+    * vector — and the probe is a cell-key equi-join: the corpus is never
+    * cross-joined. Swapping in offline-trained centroids changes recall,
+    * not the plan.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+              k: Int = 10, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm2(col("embedding")).as("nrm"))
+    val cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+    // argmax over the centroid axis via max(struct): compares ccos first,
+    // then -cid — identical selection to ORDER BY ccos DESC, cid ASC
+    val assigned = scored.groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"),
+        first("label").as("label"), first("embedding").as("embedding"),
+        first("nrm").as("nrm"))
+      .select(col("vec_id"), (-col("best.ncid")).as("cell"),
+        col("label"), col("embedding"), col("nrm"))
+    val qCells = scored.filter(col("vec_id") === queryId)
+      .orderBy(desc("ccos"), asc("cid"))
+      .limit(nProbe)
+      .select(col("cid").as("probe_cell"))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    assigned.filter(col("vec_id") =!= queryId)
+      .join(broadcast(qCells), col("cell") === col("probe_cell"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        (dot(col("embedding"), col("q_emb")) /
+          (col("nrm") * col("q_nrm"))).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** ANN top-k via LSH bucketing: candidates = vectors sharing the query's
     * signature bucket (multi-probe: Hamming ≤ 1 on the signature), ranked
     * by exact cosine. At scale this is a bucket-key join instead of a full

@@ -5,45 +5,6 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Training-data set operations: deterministic splits and distribution
-  * stats over the documents corpus.
-  */
-object TrainingSets {
-
-  /** Deterministic 80/10/10 train/val/test split: bucket = md5(doc_id)
-    * mod 100 — stable under any partitioning/engine (no RNG), the property
-    * a reproducible training pipeline needs. Returns per-split per-lang
-    * counts (compact proof the split is total and disjoint).
-    */
-  def trainTestSplit(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .withColumn("bucket",
-        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long"), lit(100)))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test"))
-      .groupBy("split", "lang")
-      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
-      .orderBy("split", "lang")
-
-  /** Exact quantiles of event value per type (percentile with linear
-    * interpolation — the same definition as the oracle's quantile_cont,
-    * so interpolated doubles match bit-for-bit).
-    */
-  def valueQuantiles(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
-      .groupBy("event_type")
-      .agg(
-        expr("percentile(value, 0.5)").as("p50"),
-        expr("percentile(value, 0.9)").as("p90"),
-        expr("percentile(value, 0.99)").as("p99"),
-        min("value").as("vmin"),
-        max("value").as("vmax"))
-      .orderBy("event_type")
-}
-
 /** Text-analysis operators over `documents` — the training-data pipeline
   * surface: token counting, quality scoring, language-ID heuristics, and
   * content fingerprinting. All scores are quotients of exact integer counts

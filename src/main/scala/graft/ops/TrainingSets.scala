@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data set operations over the documents corpus: deterministic
+  * splits, sampling, quota capping, sequence packing, leakage checks, and
+  * distribution stats — the curation surface a large-scale training
+  * pipeline needs on top of dedup/similarity/text-analysis.
+  *
+  * Determinism discipline: every "random" choice is an md5 bucket of a
+  * stable id — never `rand()` (partition-order dependent) — so results are
+  * engine- and partitioning-independent, reproducible on any cluster size,
+  * and oracle-checkable.
+  */
+object TrainingSets {
+
+  /** md5-derived bucket in [0, 100): the deterministic coin every split /
+    * sample decision uses. First 8 hex chars < 2^32, exact in both engines.
+    */
+  private def bucket100(idCol: org.apache.spark.sql.Column) =
+    pmod(conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(100))
+
+  private def withSplit(df: DataFrame): DataFrame =
+    df.withColumn("bucket", bucket100(col("doc_id")))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+
+  /** Deterministic 80/10/10 train/val/test split; returns per-split
+    * per-lang counts (compact proof the split is total and disjoint).
+    */
+  def trainTestSplit(spark: SparkSession, sfDir: String): DataFrame =
+    withSplit(Tables.documents(spark, sfDir))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("split", "lang")
+
+  /** Stratified 20% sample: an independent md5 coin per doc, reported per
+    * stratum (lang). Rows never shuffle for the sampling itself — the
+    * filter is row-local, so at 100 TB this is a scan, not a job.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String,
+                       pct: Int = 20): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(bucket100(col("doc_id")) < pct)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+
+  /** Per-group quota: keep at most `cap` docs per lang, chosen by md5
+    * order (deterministic, unbiased by doc_id assignment order). The
+    * window shuffles on lang — bounded-cardinality keys; at scale the
+    * rank could early-stop via `spark.sql.execution.topKSortFallbackThreshold`
+    * or a per-partition pre-cap, but lang cardinality keeps state tiny.
+    */
+  def groupCap(spark: SparkSession, sfDir: String, cap: Int = 50): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  /** Sequence packing (concat-and-chop): docs stream in doc_id order per
+    * lang; each doc's subword estimate (ceil(chars/4)) lands at the running
+    * offset, and bin = offset div budget — exactly how LM training packs
+    * documents into fixed context windows. Per-lang windows parallelize the
+    * cumsum; at 100 TB you pack per (shard, lang) partition the same way.
+    */
+  def packSequences(spark: SparkSession, sfDir: String,
+                    budgetTokens: Long = 2048L): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .withColumn("est", ceil(col("n_chars") / 4.0).cast("long"))
+      .withColumn("cum", sum("est").over(w))
+      .withColumn("bin", expr(s"(cum - est) div $budgetTokens"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("est").as("sum_est_tokens"))
+      .orderBy("lang", "bin")
+  }
+
+  /** Train/test contamination check: a test doc is contaminated if it
+    * shares any word 8-gram with any train doc (the published n-gram
+    * decontamination rule, GPT-3 appendix C). Implementation is a
+    * distinct-shingle SEMI join — at 100 TB the train shingle set is the
+    * broadcast/bloom side, and no pair enumeration ever happens.
+    */
+  def contaminationCheck(spark: SparkSession, sfDir: String,
+                         n: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = withSplit(Tables.documents(spark, sfDir))
+    val sh = docs.select(col("doc_id"), col("lang"), col("split"),
+      explode(Dedup.shingleCol(col("text"), n)).as("s"))
+    val trainSh = sh.filter(col("split") === "train").select("s").distinct()
+    val contaminated = sh.filter(col("split") === "test")
+      .join(trainSh, Seq("s"), "left_semi")
+      .select("doc_id", "lang").distinct()
+      .groupBy("lang").agg(count(lit(1)).as("n_contaminated"))
+    docs.filter(col("split") === "test")
+      .groupBy("lang").agg(count(lit(1)).as("n_test"))
+      .join(contaminated, Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_test"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .orderBy("lang")
+  }
+
+  /** Exact quantiles of event value per type (percentile with linear
+    * interpolation — the same definition as the oracle's quantile_cont,
+    * so interpolated doubles match bit-for-bit).
+    */
+  def valueQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"),
+        min("value").as("vmin"),
+        max("value").as("vmax"))
+      .orderBy("event_type")
+}
