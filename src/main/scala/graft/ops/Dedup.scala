@@ -201,23 +201,31 @@ object Dedup {
     * band join finds exactly the all-pairs result without O(n²) compare.
     */
   def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
-    val fp = simhashFingerprints(spark, sfDir)
+    // persisted: the fingerprint subtree otherwise computes twice — the
+    // broadcast side of the band self-join has no shuffle stage for AQE
+    // stage-reuse to dedup (shuffle-fed twins are reused automatically)
+    val fp = simhashFingerprints(spark, sfDir).persist()
     val banded = fp.select(
       col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("bandidx"))
       .withColumn("bandval", expr("(simhash >> (bandidx * 8)) & 255"))
+    // emit each pair ONLY at its lowest agreeing band (every lower band's
+    // byte of the xor must be non-zero): pairs come out exactly once, so
+    // no distinct() — that was a full exchange of the (large) pair set
+    val firstAgreeingBand = (0 until 3).map(j =>
+        col("a.bandidx") <= j ||
+          (shiftright(col("a.simhash").bitwiseXOR(col("b.simhash")), 8 * j)
+            .bitwiseAND(255) =!= 0))
+      .reduce(_ && _)
     banded.as("a")
       .join(banded.as("b"),
         col("a.bandidx") === col("b.bandidx") &&
           col("a.bandval") === col("b.bandval") &&
           col("a.doc_id") < col("b.doc_id"))
+      .filter(firstAgreeingBand)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
-      // filter BEFORE distinct: drops hamming>max pairs map-side instead
-      // of shuffling them into the dedup exchange (filter ∘ distinct ≡
-      // distinct ∘ filter on identical rows)
       .filter(col("hamming") <= maxHamming)
-      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
