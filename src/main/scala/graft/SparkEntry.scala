@@ -68,7 +68,10 @@ object SparkEntry {
     "group_cap" -> ((s, d) => TrainingSets.groupCap(s, d)),
     "pack_sequences" -> ((s, d) => TrainingSets.packSequences(s, d)),
     "contamination_check" -> ((s, d) => TrainingSets.contaminationCheck(s, d)),
-    "sim_ivf" -> ((s, d) => Similarity.ivfTopK(s, d))
+    "sim_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "sliding_trend" -> (Rollups.slidingTrend _),
+    "pivot_daily_revenue" -> (Rollups.pivotDailyRevenue _),
+    "salted_user_counts" -> ((s, d) => Skew.saltedUserCounts(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -538,6 +541,26 @@ object SparkEntry {
         |          for i in range(1, 65)]) / (a.nrm * q.q_nrm) AS cosine
         |FROM assigned a, q
         |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cid FROM qcells)
-        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "sliding_trend" ->
+      """WITH x AS (SELECT value, unnest([date_trunc('hour', ts),
+        |  date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT ws::TIMESTAMP AS window_start, count(*) AS n_orders,
+        |round(sum(value), 2) AS revenue
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pivot_daily_revenue" ->
+      """SELECT ts::DATE AS date,
+        |round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+        |round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+        |round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        |round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+        |round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "salted_user_counts" ->
+      """SELECT e.user_id, count(*) AS n_pairs,
+        |round(sum(o.o_totalprice), 2) AS sum_price
+        |FROM events e JOIN orders o ON e.user_id = o.o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -168,4 +168,32 @@ object Rollups {
         // integer sum / integer count: exact operands, deterministic quotient
         (sum("k").cast("double") / count(lit(1))).as("avg_k"))
       .orderBy("event_type")
+
+  /** Sliding-window trend: 2-hour windows sliding by 1 hour (the reference
+    * has tumbling buckets only, §2.5 — this is the generalization a trend
+    * dashboard needs). `window(ts, 2h, 1h)` expands each row into its two
+    * covering windows BEFORE the shuffle, so the plan stays one partial+
+    * final aggregate around a single exchange — the row fan-out is the
+    * window overlap factor (2×), constant in data size.
+    */
+  def slidingTrend(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("value"), 2).as("revenue"))
+      .select(col("window.start").as("window_start"),
+        col("n_orders"), col("revenue"))
+      .orderBy("window_start")
+
+  /** Pivot (crosstab): daily revenue with one column per event type — the
+    * dashboard matrix view. The pivot value list is FIXED (not inferred
+    * with an extra collect job), so the plan is a single groupBy with
+    * conditional aggregates and stays deterministic.
+    */
+  def pivotDailyRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("date"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum("value"), 2))
+      .orderBy("date")
 }

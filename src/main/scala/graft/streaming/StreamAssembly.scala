@@ -53,6 +53,19 @@ object StreamAssembly {
     */
   def ingest(raw: DataFrame): DataFrame = Ingest.ingestSalesOrders(raw)
 
+  /** Streaming exact dedup: the first occurrence of each order natural key
+    * wins; replays and cross-batch duplicates are dropped. The reference's
+    * order_id is non-unique by accident (`sales_producer.py:89-93`) and its
+    * at-least-once consumer re-inserts on crash — this operator is the
+    * exactly-once-shaped fix, with state keyed by (order_id,
+    * order_timestamp) and bounded by the watermark (T3/T4).
+    */
+  def dedupStream(orders: DataFrame,
+                  watermark: Option[String] = Some("1 day")): DataFrame = {
+    val wm = watermark.fold(orders)(orders.withWatermark("order_timestamp", _))
+    wm.dropDuplicates("order_id", "order_timestamp")
+  }
+
   /** A1 streaming: hourly × category rollup over completed orders.
     * Update-mode state keeps exact per-key totals — the "eager exact"
     * superset of SummingMergeTree's eventual merge (SURVEY.md §2.4 A3

@@ -54,6 +54,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed and cross-batch duplicate orders") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val deduped = StreamAssembly.dedupStream(
+      StreamAssembly.ingest(stream.toDF()))
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_state")
+      .outputMode("append")
+      .start()
+    try {
+      val batches = jsonBatches(400, 2)
+      // replay batch 0 in full, then batch 1 with batch 0's tail mixed in:
+      // duplicates within AND across micro-batches
+      Seq(batches(0), batches(0), batches(1) ++ batches(0).takeRight(50))
+        .foreach { b => stream.addData(b); q.processAllAvailable() }
+      val want = graft.ingest.Ingest
+        .ingestSalesOrders(SalesGen.ordersJson(spark, 400))
+        .dropDuplicates("order_id", "order_timestamp")
+        .count()
+      assert(spark.table("dedup_state").count() === want)
+    } finally q.stop()
+  }
+
   test("append-partials + compaction (SummingMergeTree mirror) == " +
        "update-mode state == batch") {
     implicit val sqlCtx = spark.sqlContext
