@@ -186,14 +186,21 @@ object Rollups {
       .orderBy("window_start")
 
   /** Pivot (crosstab): daily revenue with one column per event type — the
-    * dashboard matrix view. The pivot value list is FIXED (not inferred
-    * with an extra collect job), so the plan is a single groupBy with
-    * conditional aggregates and stays deterministic.
+    * dashboard matrix view. Expressed as conditional aggregates rather
+    * than `Dataset.pivot`: the built-in pivot (even with a fixed value
+    * list) plans two stacked hash aggregations — groupBy(date, type) then
+    * pivot over date, two exchanges — where conditional sums need ONE
+    * exchange, and no value-inference collect job runs either way.
     */
-  def pivotDailyRevenue(spark: SparkSession, sfDir: String): DataFrame =
+  def pivotDailyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
     Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts")).as("date"))
-      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-      .agg(round(sum("value"), 2))
+      .agg(
+        round(sum(when(col("event_type") === types.head, col("value"))), 2)
+          .as(types.head),
+        types.tail.map(t =>
+          round(sum(when(col("event_type") === t, col("value"))), 2).as(t)): _*)
       .orderBy("date")
+  }
 }

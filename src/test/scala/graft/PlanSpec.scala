@@ -74,4 +74,47 @@ class PlanSpec extends SparkSpec {
     }
     assert(shuffles.size === 2) // agg exchange + presentation sort
   }
+
+  test("range join stays an equi-join — no cartesian/nested-loop product") {
+    val plan = planOf("range_join_pairs")
+    assert(!plan.exists(_.getClass.getSimpleName.contains("Cartesian")))
+    assert(!plan.exists(_.getClass.getSimpleName.contains("BroadcastNestedLoop")))
+  }
+
+  test("IVF probes via broadcasts; the corpus side never shuffles for a join") {
+    val plan = planOf("sim_ivf")
+    assert(!plan.exists(_.getClass.getSimpleName.contains("Cartesian")))
+    // the only shuffle joins allowed are none: cell probe is a broadcast
+    // semi-join, centroids/query are tiny broadcasts (BNLJ over 1-16 rows)
+    assert(plan.exists {
+      case j: BroadcastHashJoinExec => j.joinType.sql == "LEFT SEMI"
+      case _ => false
+    })
+    assert(!plan.exists(_.isInstanceOf[SortMergeJoinExec]))
+  }
+
+  test("sliding window expands rows pre-shuffle: one agg exchange only") {
+    val shuffles = planOf("sliding_trend").collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.size === 2) // agg exchange + presentation sort
+  }
+
+  test("pivot with fixed values runs no inference job and one agg exchange") {
+    val shuffles = planOf("pivot_daily_revenue").collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.size === 2) // agg exchange + presentation sort
+  }
+
+  test("contamination check is a semi-join, never a pair enumeration") {
+    val plan = planOf("contamination_check")
+    val semis = plan.collect {
+      case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT SEMI" => j
+      case j: SortMergeJoinExec if j.joinType.sql == "LEFT SEMI" => j
+      case j => j
+    }.filter(_.toString.contains("LeftSemi"))
+    assert(semis.nonEmpty)
+    assert(!plan.exists(_.getClass.getSimpleName.contains("Cartesian")))
+  }
 }
