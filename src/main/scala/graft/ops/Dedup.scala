@@ -102,12 +102,16 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, sfDir: String,
                         threshold: Double = 0.8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleRows(spark, sfDir)
+    graft.functions.GraftFunctions.register(spark)
+    // set size n rides along row-locally from the shingle array — no
+    // count() window pass over the exploded rows
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingleCol(col("text")).as("ss"))
+      .select(col("doc_id"), size(col("ss")).as("n"), explode(col("ss")).as("s"))
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy("doc_id")
     val ranked = sh.join(dfreq, "s")
       .withColumn("rk", row_number().over(byDoc.orderBy("df", "s")))
-      .withColumn("n", count(lit(1)).over(byDoc))
     val pfx = ranked.filter(
       col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
     val candidates = pfx.as("a")
@@ -171,6 +175,45 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(spark, sfDir, candidates, threshold)
+  }
+
+  /** Near-dup CLUSTERS from pair lists — the step that turns candidate
+    * pairs into dedup decisions (keep the min-id member per connected
+    * component). Iterative min-label propagation: every node starts
+    * labeled with itself; each round it takes the min label over its
+    * neighbourhood; converged when no label changes. Rounds are plain
+    * shuffled joins (diameter-bounded, ≤ `maxIter`), so the algorithm is
+    * the published map-reduce connected-components loop — no driver-side
+    * graph. The oracle mirrors it with a recursive-CTE transitive closure
+    * (viable at oracle scale; the ITERATIVE form is the 100 TB path).
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String,
+                    maxIter: Int = 20): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, sfDir).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbour = edges.join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), col("label"))
+      val next = labels.union(viaNeighbour)
+        .groupBy("node").agg(min("label").as("label")).persist()
+      val changed = next.as("n")
+        .join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_members"), max("node").as("max_doc"))
+      .orderBy("cluster")
   }
 
   /** 32-bit SimHash per document over distinct tokens: token hash =

@@ -127,4 +127,22 @@ object TrainingSets {
         min("value").as("vmin"),
         max("value").as("vmax"))
       .orderBy("event_type")
+
+  /** Approximate quantiles (KLL/GK-style sketch, `percentile_approx`) —
+    * the 100 TB path: mergeable fixed-size sketch instead of the exact
+    * percentile's per-group sorted buffer. Exact values ride along for
+    * the spec's error-bound assertion; no cross-engine oracle exists for
+    * sketch internals (rows-only check, like approx_distinct_users).
+    */
+  def approxValueQuantiles(spark: SparkSession, sfDir: String,
+                           accuracy: Int = 10000): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(accuracy)).as("p50_approx"),
+        percentile_approx(col("value"), lit(0.99), lit(accuracy)).as("p99_approx"),
+        expr("percentile(value, 0.5)").as("p50_exact"),
+        expr("percentile(value, 0.99)").as("p99_exact"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
 }

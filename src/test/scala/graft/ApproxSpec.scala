@@ -8,6 +8,18 @@ import org.apache.spark.sql.functions._
   */
 class ApproxSpec extends SparkSpec {
 
+  test("approx quantiles land within 1% relative rank error of exact") {
+    val r = graft.ops.TrainingSets
+      .approxValueQuantiles(spark, "/root/testdata/sf0.01")
+      .withColumn("err50",
+        abs(col("p50_approx") - col("p50_exact")) / abs(col("p50_exact")))
+      .withColumn("err99",
+        abs(col("p99_approx") - col("p99_exact")) / abs(col("p99_exact")))
+    assert(r.count() > 0)
+    // value distribution is smooth; 1/accuracy rank error ⇒ small value error
+    assert(r.filter(col("err50") > 0.05 || col("err99") > 0.05).count() === 0)
+  }
+
   test("HLL estimate within 3*rsd of exact on every event type") {
     val r = graft.ops.Rollups
       .approxDistinctUsers(spark, "/root/testdata/sf0.01")
