@@ -189,7 +189,10 @@ object Dedup {
     */
   def dedupClusters(spark: SparkSession, sfDir: String,
                     maxIter: Int = 20): DataFrame = {
-    val pairs = ngramJaccardPairs(spark, sfDir).select("doc_a", "doc_b")
+    // persist BEFORE the symmetric union: both union branches (and the
+    // label init) would otherwise re-run the whole pair pipeline
+    val pairs = ngramJaccardPairs(spark, sfDir)
+      .select("doc_a", "doc_b").persist()
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").persist()

@@ -66,6 +66,32 @@ object StreamAssembly {
     wm.dropDuplicates("order_id", "order_timestamp")
   }
 
+  /** Stream-stream interval join: orders by the same customer within
+    * `tol` of each other (follow-up purchases), both sides watermarked so
+    * the join state is range-bounded and evicted as event time advances —
+    * the streaming sibling of the batch range join
+    * ([[graft.ops.RangeJoin]]). Inner join + both-side watermarks + a
+    * bounded time condition is exactly the state-cleanup contract
+    * Structured Streaming requires for stream-stream joins.
+    */
+  def followupJoinStream(left: DataFrame, right: DataFrame,
+                         tol: String = "1 hour",
+                         watermark: String = "1 day"): DataFrame = {
+    val l = left.withWatermark("order_timestamp", watermark)
+      .select(col("order_id").as("order_a"),
+        col("customer_id").as("cust_a"),
+        col("order_timestamp").as("ts_a"))
+    val r = right.withWatermark("order_timestamp", watermark)
+      .select(col("order_id").as("order_b"),
+        col("customer_id").as("cust_b"),
+        col("order_timestamp").as("ts_b"))
+    l.join(r,
+      col("cust_a") === col("cust_b") &&
+        col("ts_b") > col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $tol"))
+      .select(col("order_a"), col("order_b"), col("cust_a").as("customer_id"))
+  }
+
   /** A1 streaming: hourly × category rollup over completed orders.
     * Update-mode state keeps exact per-key totals — the "eager exact"
     * superset of SummingMergeTree's eventual merge (SURVEY.md §2.4 A3

@@ -77,6 +77,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch self-join on the same orders") {
+    implicit val sqlCtx = spark.sqlContext
+    val sl = MemoryStream[String]
+    val sr = MemoryStream[String]
+    val joined = StreamAssembly.followupJoinStream(
+      StreamAssembly.ingest(sl.toDF()), StreamAssembly.ingest(sr.toDF()))
+    val q = joined.writeStream
+      .format("memory").queryName("followup_state")
+      .outputMode("append")
+      .start()
+    try {
+      jsonBatches(300, 3).foreach { b =>
+        sl.addData(b); sr.addData(b); q.processAllAvailable()
+      }
+      val o = graft.ingest.Ingest.ingestSalesOrders(SalesGen.ordersJson(spark, 300))
+      val want = o.as("l").join(o.as("r"),
+        col("l.customer_id") === col("r.customer_id") &&
+          col("r.order_timestamp") > col("l.order_timestamp") &&
+          col("r.order_timestamp") <=
+            col("l.order_timestamp") + expr("INTERVAL 1 hour"))
+        .count()
+      assert(want > 0)  // fixture actually exercises the join
+      assert(spark.table("followup_state").count() === want)
+    } finally q.stop()
+  }
+
   test("append-partials + compaction (SummingMergeTree mirror) == " +
        "update-mode state == batch") {
     implicit val sqlCtx = spark.sqlContext
