@@ -73,6 +73,7 @@ object SparkEntry {
     "pivot_daily_revenue" -> (Rollups.pivotDailyRevenue _),
     "salted_user_counts" -> ((s, d) => Skew.saltedUserCounts(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "curation_pipeline" -> (TrainingSets.curationPipeline _),
     // rows-only (approx sketches aren't cross-engine comparable; accuracy
     // is spec-asserted in ApproxSpec, mirroring approx_distinct_users)
     "approx_value_quantiles" -> ((s, d) => TrainingSets.approxValueQuantiles(s, d))
@@ -591,6 +592,45 @@ object SparkEntry {
         |lab AS (SELECT a AS node, least(a, min(b)) AS label
         |  FROM reach GROUP BY a)
         |SELECT label AS cluster, count(*) AS n_members, max(node) AS max_doc
-        |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
+    "curation_pipeline" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |   for i in range(1, len(ws)-1)])) AS s
+        |  FROM tok WHERE len(ws) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |prs AS (SELECT doc_a, doc_b
+        |  FROM shared JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+        |  UNION SELECT doc_b, doc_a FROM prs),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |lab AS (SELECT a AS node, least(a, min(b)) AS label
+        |  FROM reach GROUP BY a),
+        |exact_keep AS (SELECT min(doc_id) AS doc_id
+        |  FROM documents GROUP BY md5(text)),
+        |kept AS (SELECT d.doc_id, d.n_chars,
+        |    ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 100
+        |      AS bucket
+        |  FROM documents d
+        |  JOIN exact_keep k ON d.doc_id = k.doc_id
+        |  JOIN tok t ON d.doc_id = t.doc_id
+        |  WHERE d.doc_id NOT IN
+        |      (SELECT node FROM lab WHERE node <> label)
+        |    AND len(t.ws) >= 5
+        |    AND len(list_distinct(t.ws))::DOUBLE / len(t.ws) >= 0.3)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |count(*) AS n_docs,
+        |sum(ceil(n_chars / 4.0)::BIGINT) AS sum_est_tokens
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -187,7 +187,11 @@ object Dedup {
     * graph. The oracle mirrors it with a recursive-CTE transitive closure
     * (viable at oracle scale; the ITERATIVE form is the 100 TB path).
     */
-  def dedupClusters(spark: SparkSession, sfDir: String,
+  /** Converged (node → min-member label) assignment for every node that
+    * appears in a near-dup pair. The propagation loop behind
+    * [[dedupClusters]] and the curation pipeline's near-dup pruning.
+    */
+  def clusterLabels(spark: SparkSession, sfDir: String,
                     maxIter: Int = 20): DataFrame = {
     // persist BEFORE the symmetric union: both union branches (and the
     // label init) would otherwise re-run the whole pair pipeline
@@ -214,10 +218,15 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
-    labels.groupBy(col("label").as("cluster"))
+    labels
+  }
+
+  def dedupClusters(spark: SparkSession, sfDir: String,
+                    maxIter: Int = 20): DataFrame =
+    clusterLabels(spark, sfDir, maxIter)
+      .groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_members"), max("node").as("max_doc"))
       .orderBy("cluster")
-  }
 
   /** 32-bit SimHash per document over distinct tokens: token hash =
     * first 8 md5 hex chars; each bit contributes ±1; fingerprint bit j set

@@ -128,6 +128,42 @@ object TrainingSets {
         max("value").as("vmax"))
       .orderBy("event_type")
 
+  /** The full curation pipeline, composed end-to-end as ONE dataflow —
+    * what a training-data run actually executes over the corpus:
+    *
+    *   1. exact dedup (keep min doc_id per content hash),
+    *   2. near-dup pruning (drop every cluster member except the min-id
+    *      representative, clusters from [[Dedup.clusterLabels]]),
+    *   3. quality gate (≥ 5 tokens, distinct-token ratio ≥ 0.3 —
+    *      quotients of exact integers, engine-portable),
+    *   4. deterministic 80/10/10 split,
+    *   5. per-split document/token accounting.
+    *
+    * Each stage is row-local or a semi/anti join against a small keyed
+    * side — the corpus is never pair-enumerated or re-shuffled beyond the
+    * dedup stages themselves, so the composition adds nothing beyond its
+    * parts at 100 TB.
+    */
+  def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val exactKeep = docs
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val nearDupDrops = Dedup.clusterLabels(spark, sfDir)
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"))
+    val ws = split(col("text"), " ")
+    withSplit(
+      docs.join(exactKeep, Seq("doc_id"), "left_semi")
+        .join(nearDupDrops, Seq("doc_id"), "left_anti")
+        .filter(size(ws) >= 5 &&
+          size(array_distinct(ws)).cast("double") / size(ws) >= 0.3))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(ceil(col("n_chars") / 4.0).cast("long")).as("sum_est_tokens"))
+      .orderBy("split")
+  }
+
   /** Approximate quantiles (KLL/GK-style sketch, `percentile_approx`) —
     * the 100 TB path: mergeable fixed-size sketch instead of the exact
     * percentile's per-group sorted buffer. Exact values ride along for
