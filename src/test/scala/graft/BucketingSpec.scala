@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.functions._
+
+/** Bucketing = the co-located-join scale technique: both join sides
+  * pre-hashed into the same bucket count on the join key at WRITE time, so
+  * the join needs no exchange at READ time — at 100 TB this converts every
+  * repeated fact⋈fact join from a full shuffle into a local zip of
+  * buckets. Asserted here end-to-end through the metastore.
+  */
+class BucketingSpec extends SparkSpec {
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val nested = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => Nil
+    }
+    p +: (p.children ++ p.subqueries ++ nested).flatMap(flatten)
+  }
+
+  test("bucketed fact-fact join plans with zero shuffle exchanges") {
+    val sf = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Tables.orders(spark, sf)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.lineitem(spark, sf)
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"))
+    joined.collect()
+
+    val shuffles = flatten(joined.queryExecution.executedPlan).collect {
+      case s: ShuffleExchangeExec => s
+    }
+    // join exchanges eliminated by bucketing; only the groupBy may shuffle
+    assert(shuffles.size <= 1,
+      s"expected bucketing to eliminate join shuffles, got ${shuffles.size}")
+
+    // and the result matches the plain (shuffled) join
+    val plain = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"))
+    assert(joined.exceptAll(plain).isEmpty && plain.exceptAll(joined).isEmpty)
+  }
+}
