@@ -209,15 +209,22 @@ object Dedup {
         .select(edges("src").as("node"), col("label"))
       val next = labels.union(viaNeighbour)
         .groupBy("node").agg(min("label").as("label")).persist()
-      val changed = next.as("n")
-        .join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
+      // Jaccard-threshold clusters are near-cliques: min-label converges in
+      // 2-3 rounds, so skip the convergence-count JOB for the first rounds
+      // (extra propagation rounds are idempotent; the check still gates
+      // every later round, so correctness never depends on the guess)
+      if (i >= 2) {
+        val changed = next.as("n")
+          .join(labels.withColumnRenamed("label", "old"), "node")
+          .filter(col("label") =!= col("old")).count()
+        converged = changed == 0
+      }
       labels.unpersist()
       labels = next
-      converged = changed == 0
       i += 1
     }
     edges.unpersist()
+    pairs.unpersist()
     labels
   }
 

@@ -27,6 +27,15 @@ class BucketingSpec extends SparkSpec {
     val sf = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // a fresh metastore won't know tables from an earlier JVM, so DROP
+    // can't clear their leftover warehouse dirs — remove them directly
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete())
+        dir.delete()
+      }
+    }
     Tables.orders(spark, sf)
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("b_orders")
