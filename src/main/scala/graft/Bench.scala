@@ -19,15 +19,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // noop write materializes every result expression; .count() would let
+    // Catalyst prune unreferenced projections and understate per-query cost
+    def run(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
     // warm-up at the smallest sf: JIT, codegen, parquet footer caches
     names.foreach { n =>
-      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      try run(n, "/root/testdata/sf0.001")
       catch { case _: Throwable => () }
     }
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
+      try run(name, sfDir)
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -55,6 +55,9 @@ object SparkEntry {
     "mm_resize_stats" -> (graft.multimodal.Multimodal.resizeStats _),
     "sessions" -> ((s, d) => Sessions.sessionize(s, d)),
     "semi_anti_counts" -> (StarQueries.semiAntiCounts _),
+    "outer_join_order_stats" -> (StarQueries.outerJoinOrderStats _),
+    "stream_partials_hourly" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamPartialsHourly(s, d)),
     "rollup_grouping_sets" -> (StarQueries.rollupGroupingSets _),
     "part_promo_share" -> (StarQueries.partPromoShare _),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d)),
@@ -90,8 +93,11 @@ object SparkEntry {
         |count(*) AS order_count, round(sum(value), 2) AS total_revenue
         |FROM events WHERE event_type <> 'error'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // CAST(sum(int) AS BIGINT) throughout: DuckDB widens integer sum() to
+    // HUGEINT (int128) while Spark emits BIGINT; values are equal but the
+    // driver hashes the byte encoding, so the cast is required for parity.
     "rollup_compact" ->
-      """SELECT hour, event_type, sum(pc) AS order_count,
+      """SELECT hour, event_type, CAST(sum(pc) AS BIGINT) AS order_count,
         |round(sum(pv), 2) AS total_revenue
         |FROM (
         |  SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type,
@@ -370,11 +376,11 @@ object SparkEntry {
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |  ELSE 'video' END AS media_type,
         |count(*) AS n,
-        |sum(64 + 32*(doc_id % 16)) AS sum_width,
-        |sum(64 + 32*(doc_id % 9)) AS sum_height,
-        |sum(1 + (doc_id % 4)) AS sum_channels,
-        |sum(1000 + 500*(doc_id % 60)) AS sum_duration_ms,
-        |sum(16 + n_chars % 240) AS sum_body_len
+        |CAST(sum(64 + 32*(doc_id % 16)) AS BIGINT) AS sum_width,
+        |CAST(sum(64 + 32*(doc_id % 9)) AS BIGINT) AS sum_height,
+        |CAST(sum(1 + (doc_id % 4)) AS BIGINT) AS sum_channels,
+        |CAST(sum(1000 + 500*(doc_id % 60)) AS BIGINT) AS sum_duration_ms,
+        |CAST(sum(16 + n_chars % 240) AS BIGINT) AS sum_body_len
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm_frame_counts" ->
       """SELECT doc_id,
@@ -386,10 +392,10 @@ object SparkEntry {
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |  ELSE 'video' END AS media_type,
         |count(*) AS n,
-        |sum(CASE WHEN doc_id % 3 = 0 THEN 224 ELSE 64 + 32*(doc_id % 16) END)
-        |  AS sum_width,
-        |sum(CASE WHEN doc_id % 3 = 0 THEN 224 ELSE 64 + 32*(doc_id % 9) END)
-        |  AS sum_height
+        |CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 224
+        |  ELSE 64 + 32*(doc_id % 16) END) AS BIGINT) AS sum_width,
+        |CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 224
+        |  ELSE 64 + 32*(doc_id % 9) END) AS BIGINT) AS sum_height
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "sessions" ->
       """WITH g AS (SELECT user_id, ts, value,
@@ -398,7 +404,8 @@ object SparkEntry {
         |  THEN 1 ELSE 0 END AS new_s
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |s AS (SELECT user_id, ts, value,
-        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g)
+        |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+        |    AS sid FROM g)
         |SELECT user_id, sid, min(ts)::TIMESTAMP AS session_start,
         |count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -416,6 +423,25 @@ object SparkEntry {
         |coalesce(n_without_orders, 0) AS n_without_orders
         |FROM wb FULL OUTER JOIN wo USING (c_mktsegment)
         |ORDER BY 1""".stripMargin,
+    "outer_join_order_stats" ->
+      """SELECT c_mktsegment,
+        |count(DISTINCT c_custkey) AS n_customers,
+        |count(o_custkey) AS n_orders,
+        |count(CASE WHEN o_custkey IS NULL THEN 1 END)
+        |  AS n_customers_no_orders,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the streaming micro-batch partials path compacts to exactly the batch
+    // hourly rollup (counts + DECIMAL(18,6) sums are additive), so the batch
+    // SQL IS its oracle
+    "stream_partials_hourly" ->
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type,
+        |count(*) AS order_count,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |  AS total_revenue
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "rollup_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |sum(l_quantity) AS sum_qty,
@@ -472,7 +498,7 @@ object SparkEntry {
         |  WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
         |    THEN 'val'
         |  ELSE 'test' END AS split,
-        |lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "value_quantiles" ->
       """SELECT event_type,
@@ -482,7 +508,8 @@ object SparkEntry {
         |min(value) AS vmin, max(value) AS vmax
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "stratified_sample" ->
-      """SELECT lang, count(*) AS n_sampled, sum(n_chars) AS sum_chars
+      """SELECT lang, count(*) AS n_sampled,
+        |CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 20
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -498,8 +525,8 @@ object SparkEntry {
         |c AS (SELECT lang, est, sum(est) OVER (
         |    PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM d)
-        |SELECT lang, (cum - est) // 2048 AS bin,
-        |count(*) AS n_docs, sum(est) AS sum_est_tokens
+        |SELECT lang, CAST((cum - est) // 2048 AS BIGINT) AS bin,
+        |count(*) AS n_docs, CAST(sum(est) AS BIGINT) AS sum_est_tokens
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "contamination_check" ->
       """WITH d AS (SELECT doc_id, lang, text,
@@ -630,7 +657,7 @@ object SparkEntry {
         |SELECT CASE WHEN bucket < 80 THEN 'train'
         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
         |count(*) AS n_docs,
-        |sum(ceil(n_chars / 4.0)::BIGINT) AS sum_est_tokens
+        |CAST(sum(ceil(n_chars / 4.0)::BIGINT) AS BIGINT) AS sum_est_tokens
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -218,7 +218,8 @@ object Multimodal {
   def frameCounts(spark: SparkSession, sfDir: String, everyMs: Int = 1000): DataFrame =
     sampleFrames(mediaTable(spark, sfDir), everyMs)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_frames"), max("frame_ms").as("last_frame_ms"))
+      .agg(count(lit(1)).as("n_frames"),
+        max(col("frame_ms").cast("long")).as("last_frame_ms"))
       .orderBy("doc_id")
 
   /** Resize round-trip: resize all images to 224×224, decode, aggregate —

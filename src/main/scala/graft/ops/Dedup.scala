@@ -190,9 +190,25 @@ object Dedup {
   /** Converged (node → min-member label) assignment for every node that
     * appears in a near-dup pair. The propagation loop behind
     * [[dedupClusters]] and the curation pipeline's near-dup pruning.
+    *
+    * Memoized per (session, sfDir): `dedup_clusters` and
+    * `curation_pipeline` both need the converged labels, and the input
+    * parquet dir is immutable for a run, so the expensive pair pipeline +
+    * propagation executes ONCE per process. The cached frame is
+    * `localCheckpoint`ed — materialized blocks, no lineage — so reuse costs
+    * a block read, never a recompute.
     */
   def clusterLabels(spark: SparkSession, sfDir: String,
-                    maxIter: Int = 20): DataFrame = {
+                    maxIter: Int = 20): DataFrame =
+    labelCache.getOrElseUpdate((spark, sfDir),
+      computeClusterLabels(spark, sfDir, maxIter))
+
+  private val labelCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
+  private def computeClusterLabels(spark: SparkSession, sfDir: String,
+                                   maxIter: Int): DataFrame = {
     // persist BEFORE the symmetric union: both union branches (and the
     // label init) would otherwise re-run the whole pair pipeline
     val pairs = ngramJaccardPairs(spark, sfDir)
@@ -200,32 +216,46 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").persist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).persist()
+    val init = edges.select(col("src").as("node"))
+      .distinct().withColumn("label", col("node")).persist()
+    val idType = init.schema("label").dataType
+    var cached = init   // the persisted frame to release next round
+    var labels = init   // schema (node, label)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val viaNeighbour = edges.join(labels, edges("dst") === labels("node"))
         .select(edges("src").as("node"), col("label"))
-      val next = labels.union(viaNeighbour)
-        .groupBy("node").agg(min("label").as("label")).persist()
-      // Jaccard-threshold clusters are near-cliques: min-label converges in
-      // 2-3 rounds, so skip the convergence-count JOB for the first rounds
-      // (extra propagation rounds are idempotent; the check still gates
-      // every later round, so correctness never depends on the guess)
-      if (i >= 2) {
-        val changed = next.as("n")
-          .join(labels.withColumnRenamed("label", "old"), "node")
-          .filter(col("label") =!= col("old")).count()
-        converged = changed == 0
+      // the node's previous label rides through the SAME aggregate (null on
+      // neighbour rows; min ignores nulls), so convergence is checked every
+      // round — including round 1 — without a separate join/count job
+      val tagged = labels
+        .select(col("node"), col("label"), col("label").as("old"))
+        .union(viaNeighbour.withColumn("old", lit(null).cast(idType)))
+      val next = tagged.groupBy("node")
+        .agg(min("label").as("label"), min("old").as("old")).persist()
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      cached.unpersist()
+      cached = next
+      labels = next.drop("old")
+      // persist caches blocks but the logical plan still grows per round;
+      // truncate lineage every 3 rounds so deep graphs can't blow the
+      // planner (localCheckpoint materializes from the fresh cache)
+      if (!converged && i % 3 == 2) {
+        val cp = labels.localCheckpoint(true)
+        cached.unpersist()
+        cached = cp
+        labels = cp
       }
-      labels.unpersist()
-      labels = next
       i += 1
     }
+    // hand the memo a lineage-free materialized frame and release the
+    // loop-internal caches
+    val out = labels.localCheckpoint(true)
+    cached.unpersist()
     edges.unpersist()
     pairs.unpersist()
-    labels
+    out
   }
 
   def dedupClusters(spark: SparkSession, sfDir: String,

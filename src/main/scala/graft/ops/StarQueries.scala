@@ -123,6 +123,10 @@ object StarQueries {
     val daily = Tables.orders(spark, sfDir)
       .groupBy(to_date(col("o_orderdate")).as("date"))
       .agg(moneySum(col("o_totalprice")).as("revenue"))
+    // global (unpartitioned) window — single-partition by design, safe ONLY
+    // because its input is pre-aggregated to daily grain (one row per date,
+    // bounded by the calendar). Never feed this raw order rows; PlanSpec
+    // pins the window input to the post-aggregate exchange.
     val w = Window.orderBy("date")
     daily
       .withColumn("prev_revenue", lag("revenue", 1).over(w))
@@ -202,6 +206,30 @@ object StarQueries {
       .select(col("c_mktsegment"),
         coalesce(col("n_with_big_order"), lit(0L)).as("n_with_big_order"),
         coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Left-outer join surface (right-outer is the mirror — spec-asserted
+    * row-identical): per-segment customer/order stats INCLUDING customers
+    * with no orders (the rows an inner join would drop). Orders are
+    * pre-aggregated per custkey BEFORE the join — aggregate-before-join
+    * keeps the outer join dimension×dimension sized at any scale instead
+    * of fanning the fact table through the join.
+    */
+  def outerJoinOrderStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
+    val perCust = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_o"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("rev_d"))
+    c.join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(coalesce(col("n_o"), lit(0L))).as("n_orders"),
+        count(when(col("o_custkey").isNull, 1)).as("n_customers_no_orders"),
+        sum(col("rev_d")).cast("double").as("revenue"))
       .orderBy("c_mktsegment")
   }
 

@@ -226,6 +226,52 @@ object StreamAssembly {
         sum("partial_revenue").as("total_revenue"),
         sum("partial_quantity").as("total_quantity"))
 
+  /** The A3 partials path exercised END-TO-END at correctness scale, as an
+    * oracle-checked query: the events table is re-staged as N parquet files,
+    * streamed back one file per micro-batch (`Trigger.AvailableNow`), each
+    * micro-batch appends its block-local partial aggregate (exactly what
+    * [[startHourlyPartialsSink]] does for orders), and the result is the
+    * read-side compaction of those partials. Deterministic regardless of
+    * how rows land in micro-batches: counts are integers and revenue is
+    * summed as DECIMAL(18,6) — additive and order-independent — so the
+    * compacted totals equal the batch rollup bit-for-bit.
+    */
+  def streamPartialsHourly(spark: SparkSession, sfDir: String,
+                           nFiles: Int = 8): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_stream_partials").toString
+    val srcDir = s"$tmp/src"
+    val partialsDir = s"$tmp/partials"
+    val ckptDir = s"$tmp/ckpt"
+    val events = graft.Tables.events(spark, sfDir)
+    events.repartition(nFiles).write.parquet(srcDir)
+    val stream = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val query = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.filter(col("event_type") === "purchase")
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(
+            count(lit(1)).as("pc"),
+            sum(col("value").cast("decimal(18,6)")).as("pv"))
+          .write.mode("append").parquet(partialsDir)
+        ()
+      }
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(partialsDir)
+      .groupBy("hour", "event_type")
+      .agg(
+        sum("pc").as("order_count"),
+        round(sum("pv").cast("double"), 2).as("total_revenue"))
+      .orderBy("hour", "event_type")
+  }
+
   /** S3 (`sales_producer.py:160-165`): orders → JSON → Kafka sink
     * (connector jar required at runtime).
     */

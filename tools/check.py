@@ -59,6 +59,15 @@ def main(sf_dir, out_dir):
             continue
         s = spark_df[s_cols]
         o = ora_df[o_cols]
+        # Strict dtype parity: the driver hashes byte encodings, so a DuckDB
+        # HUGEINT (int128, surfaced as 'object'/'float64' by fetchdf) against
+        # a Spark BIGINT is a hash FAIL even when values are equal.
+        dt_diff = [(c, str(s[c].dtype), str(o[c].dtype)) for c in s_cols
+                   if str(s[c].dtype) != str(o[c].dtype)]
+        if dt_diff:
+            print(f"FAIL {name}: dtype mismatch (spark vs oracle): {dt_diff}")
+            n_fail += 1
+            continue
         s_rows = sorted([tuple(norm(v) for v in r) for r in s.itertuples(index=False)],
                         key=repr)
         o_rows = sorted([tuple(norm(v) for v in r) for r in o.itertuples(index=False)],
