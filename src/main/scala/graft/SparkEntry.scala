@@ -315,6 +315,9 @@ object SparkEntry {
         |FROM sigs s, q WHERE s.vec_id <> 0
         |  AND bit_count(xor(s.sig, q.q_sig)) <= 1
         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // banded LSH: 63 planes in 21 bands of 3; a candidate pair agrees on
+    // at least one 3-bit band (the Spark side emits each such pair exactly
+    // once, so the single any-band-agrees join is set-identical)
     "dedup_embedding_lsh" ->
       """WITH sigs AS (SELECT vec_id, embedding,
         |  list_sum([
@@ -323,8 +326,8 @@ object SparkEntry {
         |        (i-1)::VARCHAR), 1, 2))::INT & 1) = 0
         |      THEN embedding[i]::DOUBLE ELSE -embedding[i]::DOUBLE END
         |      for i in range(1, 65)]) > 0
-        |    THEN (1 << p) ELSE 0 END
-        |    for p in range(0, 8)])::BIGINT AS sig,
+        |    THEN (1::BIGINT << p) ELSE 0 END
+        |    for p in range(0, 63)])::BIGINT AS sig,
         |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
         |                 for i in range(1, 65)])) AS nrm
         |  FROM embeddings)
@@ -332,7 +335,8 @@ object SparkEntry {
         |list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
         |          for i in range(1, 65)]) / (a.nrm * b.nrm) AS cosine
         |FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
-        |  AND bit_count(xor(a.sig, b.sig)) <= 1
+        |  AND list_sum([CASE WHEN ((xor(a.sig, b.sig) >> (3*t)) & 7) = 0
+        |                THEN 1 ELSE 0 END for t in range(0, 21)]) > 0
         |WHERE list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
         |                for i in range(1, 65)]) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,

@@ -98,9 +98,24 @@ object Dedup {
     * quadratic-risk join runs on rare-by-construction prefix shingles, and
     * every stage is a standard shuffle — this is the published scale-out
     * algorithm, not a heuristic cap, so recall is exactly 1.
+    *
+    * Memoized per (session, sfDir, threshold) like [[clusterLabels]]: the
+    * pair list feeds both the `dedup_ngram_jaccard` query and the
+    * clustering behind `dedup_clusters`/`curation_pipeline`, and the input
+    * parquet dir is immutable for a run — so the prefix-filter pipeline
+    * executes once per process, and reuse reads materialized blocks.
     */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String,
-                        threshold: Double = 0.8): DataFrame = {
+                        threshold: Double = 0.8): DataFrame =
+    pairCache.getOrElseUpdate((spark, sfDir, threshold),
+      computeNgramJaccardPairs(spark, sfDir, threshold).localCheckpoint(true))
+
+  private val pairCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Double), DataFrame]
+
+  private def computeNgramJaccardPairs(spark: SparkSession, sfDir: String,
+                                       threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
     // set size n rides along row-locally from the shingle array — no
@@ -209,10 +224,10 @@ object Dedup {
 
   private def computeClusterLabels(spark: SparkSession, sfDir: String,
                                    maxIter: Int): DataFrame = {
-    // persist BEFORE the symmetric union: both union branches (and the
-    // label init) would otherwise re-run the whole pair pipeline
+    // pairs arrive memoized + localCheckpointed from ngramJaccardPairs —
+    // the union branches and label init read materialized blocks
     val pairs = ngramJaccardPairs(spark, sfDir)
-      .select("doc_a", "doc_b").persist()
+      .select("doc_a", "doc_b")
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").persist()
@@ -254,7 +269,6 @@ object Dedup {
     val out = labels.localCheckpoint(true)
     cached.unpersist()
     edges.unpersist()
-    pairs.unpersist()
     out
   }
 
@@ -340,41 +354,61 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** The 100 TB path for embedding near-dup: LSH-bucketed candidate join
-    * instead of the all-pairs cross product. Signatures are the same
-    * deterministic hyperplane scheme as [[Similarity.lshSignature]]
+  /** The 100 TB path for embedding near-dup: banded-LSH candidate join
+    * instead of the all-pairs cross product. Signatures are the
+    * deterministic hyperplane scheme of [[Similarity.lshSignature]]
     * (md5-parity plane signs, dim-ordered folds — bit-identical in the
-    * oracle); candidates are pairs within Hamming ≤ 1 of each other's
-    * signature (multi-probe), verified by exact cosine. Recall vs the
-    * exact variant is a documented property of the banding scheme —
-    * vectors similar at `threshold` collide with high probability on
-    * 8 hyperplanes; both operators ship, the exact one for bucketable
-    * corpora, this one for scale.
+    * oracle), cut into `nBands` independent tables of `bandBits` planes;
+    * candidates are pairs agreeing on at least one band, emitted exactly
+    * once (at their lowest agreeing band — no pair-set distinct), then
+    * verified by exact cosine.
+    *
+    * Parameter discipline (the standard (b, L) banding calculus): a pair
+    * at angle θ disagrees per plane with p = θ/π, collides per band with
+    * (1-p)^b, and is missed with (1-(1-p)^b)^L. The defaults are tuned to
+    * THIS corpus's density — exact pairs live at cosine 0.4–0.55
+    * (p ≈ 0.31–0.37), so b=3, L=21 gives recall ≥ 1-(1-0.63³)²¹ ≈ 0.998
+    * at the threshold (asserted ≥ 0.95 against the exact variant in
+    * TrainingSetsSpec). At such a loose threshold the bands are
+    * necessarily coarse (8 buckets each) — pruning is weak because
+    * θ→66° pairs are barely more collision-prone than random, which is
+    * exactly why the exact sibling is the right tool on a bucketable
+    * corpus. At production near-dup thresholds (cosine ≥ 0.8, p ≤ 0.2)
+    * the SAME machinery with b≈8, L≈17 gives 0.95+ recall with
+    * 256-bucket selectivity per table — b grows with log(n) to keep
+    * buckets small, L restores recall.
     */
   def embeddingNearDupsLsh(spark: SparkSession, sfDir: String,
-                           threshold: Double = 0.4, nPlanes: Int = 8): DataFrame = {
+                           threshold: Double = 0.4, bandBits: Int = 3,
+                           nBands: Int = 21): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    val nPlanes = bandBits * nBands
+    require(nPlanes <= 64, "signature is one 64-bit word")
+    val mask = (1L << bandBits) - 1
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         Similarity.norm2(col("embedding")).as("nrm"),
         Similarity.lshSignature(col("embedding"), dim = 64, nPlanes = nPlanes)
           .as("sig"))
-    // multi-probe across buckets: band on (plane-dropped signature) so a
-    // Hamming-1 pair shares at least one band without an O(n²) compare
     val banded = e.select(col("vec_id"), col("sig"),
-        explode(sequence(lit(0), lit(nPlanes - 1))).as("drop"))
-      .withColumn("bucket",
-        expr(s"sig & ~(CAST(1 AS BIGINT) << drop)"))
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("bucket", expr(s"(sig >> (band * $bandBits)) & $mask"))
+    // emit each pair only at its lowest agreeing band: every lower band's
+    // bits of the xor must be non-zero, so no distinct() over the pair set
+    val firstAgreeingBand = (0 until nBands - 1).map(j =>
+        col("x.band") <= j ||
+          (shiftright(col("x.sig").bitwiseXOR(col("y.sig")), j * bandBits)
+            .bitwiseAND(mask) =!= 0))
+      .reduce(_ && _)
     val candidates = banded.as("x")
       .join(banded.as("y"),
-        col("x.drop") === col("y.drop") && col("x.bucket") === col("y.bucket") &&
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
+      .filter(firstAgreeingBand)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
     candidates
       .join(e.as("a"), col("vec_a") === col("a.vec_id"))
       .join(e.as("b"), col("vec_b") === col("b.vec_id"))
-      .filter(expr("bit_count(a.sig ^ b.sig)") <= 1)
       .select(col("vec_a"), col("vec_b"),
         (Similarity.dot(col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm"))).as("cosine"))

@@ -237,7 +237,7 @@ object StreamAssembly {
     * compacted totals equal the batch rollup bit-for-bit.
     */
   def streamPartialsHourly(spark: SparkSession, sfDir: String,
-                           nFiles: Int = 8): DataFrame = {
+                           nFiles: Int = 4): DataFrame = {
     import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft_stream_partials").toString
     val srcDir = s"$tmp/src"
@@ -259,6 +259,9 @@ object StreamAssembly {
           .agg(
             count(lit(1)).as("pc"),
             sum(col("value").cast("decimal(18,6)")).as("pv"))
+          // partials are a few hundred rows/batch: one output file per
+          // micro-batch, not one per shuffle partition
+          .coalesce(1)
           .write.mode("append").parquet(partialsDir)
         ()
       }

@@ -50,4 +50,18 @@ class TrainingSetsSpec extends SparkSpec {
       .filter(col("n_contaminated") > col("n_test")).count()
     assert(r === 0)
   }
+
+  test("embedding LSH near-dup recalls >= 95% of the exact pairs") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col(df.columns(0)), col(df.columns(1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(graft.ops.Dedup.embeddingNearDups(spark, sf))
+    val lsh = pairSet(graft.ops.Dedup.embeddingNearDupsLsh(spark, sf))
+    // every LSH pair is exact-cosine verified, so precision is 1 by
+    // construction; recall is the banding-scheme property under test
+    assert(lsh.subsetOf(exact))
+    assert(exact.nonEmpty)
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH recall $recall < 0.95 (${lsh.size}/${exact.size})")
+  }
 }
