@@ -75,6 +75,11 @@ object SparkEntry {
     "sliding_trend" -> (Rollups.slidingTrend _),
     "pivot_daily_revenue" -> (Rollups.pivotDailyRevenue _),
     "salted_user_counts" -> ((s, d) => Skew.saltedUserCounts(s, d)),
+    "text_repetition" -> (TextAnalysis.repetitionSignals _),
+    "length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d)),
+    "funnel_conversion" -> ((s, d) => Analytics.funnelConversion(s, d)),
+    "cohort_retention" -> (Analytics.cohortRetention _),
+    "exists_late_ship" -> (StarQueries.existsLateShipPriority _),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "curation_pipeline" -> (TrainingSets.curationPipeline _),
     // rows-only (approx sketches aren't cross-engine comparable; accuracy
@@ -597,6 +602,62 @@ object SparkEntry {
       """SELECT e.user_id, count(*) AS n_pairs,
         |round(sum(o.o_totalprice), 2) AS sum_price
         |FROM events e JOIN orders o ON e.user_id = o.o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Spark's argmax = min(struct(-count, gram)): count DESC, gram ASC —
+    // mirrored here by the row_number ordering
+    "text_repetition" ->
+      """WITH sized AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (SELECT doc_id, n_tokens, n_distinct,
+        |  unnest(list_transform(range(1, n_tokens),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS g
+        |  FROM sized),
+        |c AS (SELECT doc_id, n_tokens, n_distinct, g, count(*) AS c
+        |  FROM g GROUP BY 1, 2, 3, 4),
+        |top AS (SELECT *, row_number() OVER
+        |  (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM c)
+        |SELECT doc_id, n_tokens, g AS top_2gram,
+        |CAST(c AS BIGINT) AS top_2gram_n,
+        |CAST(c AS DOUBLE) / (n_tokens - 1) AS top_2gram_share,
+        |CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_word_fraction
+        |FROM top WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "length_histogram" ->
+      """SELECT (n_chars // 50) * 50 AS bucket, count(*) AS n_docs,
+        |min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "funnel_conversion" ->
+      """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |    AND e.ts >= v.tv AND e.ts <= v.tv + INTERVAL 12 HOUR
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |    AND e.ts >= c.tc AND e.ts <= c.tc + INTERVAL 12 HOUR
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |(SELECT count(*) FROM c) AS n_view_click,
+        |(SELECT count(*) FROM p) AS n_full_funnel,
+        |CAST((SELECT count(*) FROM c) AS DOUBLE) /
+        |  (SELECT count(*) FROM v) AS click_through,
+        |CAST((SELECT count(*) FROM p) AS DOUBLE) /
+        |  (SELECT count(*) FROM c) AS purchase_through""".stripMargin,
+    "cohort_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |ch AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY 1)
+        |SELECT cohort, CAST(datediff('day', cohort, day) AS BIGINT)
+        |  AS day_offset, count(*) AS n_users
+        |FROM ud JOIN ch ON ud.user_id = ch.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "exists_late_ship" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // transitive closure via recursive CTE mirrors the engine's iterative
     // min-label propagation (identical fixpoint: cluster = min member id)

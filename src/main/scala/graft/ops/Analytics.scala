@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Behavioral analytics over the `events` stream — the funnel and cohort
+  * views a realtime dashboard (the reference's Metabase surface, SURVEY.md
+  * §3 EP3) serves next after the rollup tiles. Both are deterministic
+  * integer-count programs: stage membership is defined by min-timestamps
+  * (a pure function of the event set), ratios are double quotients of
+  * exact counts.
+  */
+object Analytics {
+
+  /** view → click → purchase funnel: a user advances a stage when the
+    * stage's event occurs within `window` after their entry into the
+    * previous stage (entry = the MIN qualifying timestamp, so membership
+    * is order-independent and engine-portable). One row out: stage counts
+    * + conversion ratios. The 12-hour default is tuned to the fixture's
+    * event density so each stage is genuinely selective (150 → 37 → 7 at
+    * sf0.01), not a vacuous all-pass.
+    *
+    * Scale shape: three user-keyed partial-min aggregates and two
+    * user-keyed joins — everything shuffles on user_id once per stage and
+    * the stage frames shrink monotonically; no window over the raw event
+    * stream, no cross-stage re-scan beyond the per-stage filters.
+    */
+  def funnelConversion(spark: SparkSession, sfDir: String,
+                       window: String = "12 hours"): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val win = expr(s"INTERVAL $window")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") >= col("t_view") && col("ts") <= col("t_view") + win)
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") >= col("t_click") && col("ts") <= col("t_click") + win)
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+      .select(col("n_view"), col("n_view_click"), col("n_full_funnel"),
+        (col("n_view_click").cast("double") / col("n_view"))
+          .as("click_through"),
+        (col("n_full_funnel").cast("double") / col("n_view_click"))
+          .as("purchase_through"))
+  }
+
+  /** Cohort retention: users grouped by first-activity day (their cohort),
+    * counted on each later active day as an offset from the cohort day —
+    * the classic retention triangle. The (user, day) frame is
+    * pre-distincted so the final count is a plain count; cohort assignment
+    * is a user-keyed min. Two shuffles total (user_id, then
+    * (cohort, offset)), both with map-side combine.
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = ud.groupBy("user_id").agg(min("day").as("cohort"))
+    ud.join(cohorts, "user_id")
+      .groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
+}

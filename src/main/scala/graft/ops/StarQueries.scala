@@ -266,4 +266,24 @@ object StarQueries {
         col("total_revenue"),
         (col("promo_revenue") * 100.0 / col("total_revenue")).as("promo_pct"))
   }
+
+  /** TPC-H Q4-shaped correlated EXISTS: orders with any line item shipped
+    * more than 90 days after the order date, counted per priority. The
+    * EXISTS is a left-semi hash join on orderkey (what Catalyst's
+    * RewritePredicateSubquery produces for the SQL form) with the
+    * non-equi lateness predicate evaluated inside the join — the fact
+    * tables each shuffle once on the key; no pair enumeration, no
+    * per-order subquery re-scan.
+    */
+  def existsLateShipPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate")
+    o.join(l,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
 }

@@ -81,6 +81,56 @@ object TextAnalysis {
       .orderBy("lang", "predicted")
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, app. A1.1): the
+    * share of a document occupied by its most frequent word 2-gram, plus
+    * the duplicate-word fraction — high values flag boilerplate and spam
+    * for quality filtering. The top gram is argmax by count with a
+    * lexicographic tiebreak (min over struct(-count, gram)), so the result
+    * is a pure function of the text. Per-doc gram fan-out is row-local;
+    * the (doc, gram) count and per-doc argmax are each one doc-keyed
+    * shuffle with map-side partial aggregation — the standard two-stage
+    * count/argmax at any scale.
+    */
+  def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
+    val sized = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), toks(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n_tokens"),
+        size(array_distinct(col("ws"))).as("n_distinct"), col("ws"))
+      .filter(col("n_tokens") >= 2)
+    val grams = sized.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+      explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))"))
+        .as("g"))
+    val counts = grams.groupBy("doc_id", "g")
+      .agg(first("n_tokens").as("n_tokens"), first("n_distinct").as("n_distinct"),
+        count(lit(1)).as("c"))
+    counts.groupBy("doc_id")
+      .agg(first("n_tokens").as("n_tokens"), first("n_distinct").as("n_distinct"),
+        min(struct((-col("c")).as("nc"), col("g").as("g"))).as("top"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("top.g").as("top_2gram"), (-col("top.nc")).as("top_2gram_n"),
+        ((-col("top.nc")).cast("double") / (col("n_tokens") - 1))
+          .as("top_2gram_share"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+          .as("dup_word_fraction"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus length histogram: document counts and char mass per
+    * fixed-width n_chars bucket — the length-distribution profile every
+    * curation run reports before choosing min/max-length gates. One
+    * group-by on a derived bucket key; bucket cardinality is bounded by
+    * max(n_chars)/width regardless of corpus size.
+    */
+  def lengthHistogram(spark: SparkSession, sfDir: String,
+                      bucketWidth: Int = 50): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(expr(s"(n_chars div $bucketWidth) * $bucketWidth").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("bucket")
+
   /** Document fingerprinting: canonical md5 over normalized tokens (lower,
     * collapse whitespace) — duplicate fingerprints = normalized dups. The
     * 64-bit rolling-hash variant (a native Catalyst expression with

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structural invariants of the behavioral-analytics ops (values are
+  * oracle-checked; these pin the semantics that make the numbers
+  * meaningful).
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("funnel stages shrink monotonically and ratios stay in [0,1]") {
+    val r = graft.ops.Analytics.funnelConversion(spark, sf).head
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p && p >= 0)
+    assert(v > c, "funnel window should be selective on this fixture")
+    assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
+    assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1)
+  }
+
+  test("cohort retention: offset-0 count equals cohort size and no " +
+       "offset exceeds it") {
+    val ret = graft.ops.Analytics.cohortRetention(spark, sf)
+      .groupBy("cohort")
+      .agg(
+        max(when(col("day_offset") === 0, col("n_users"))).as("day0"),
+        max("n_users").as("peak"))
+    assert(ret.filter(col("day0").isNull || col("peak") > col("day0"))
+      .count() === 0)
+  }
+
+  test("repetition signals: shares within (0,1], top gram count consistent") {
+    val rep = graft.ops.TextAnalysis.repetitionSignals(spark, sf)
+    assert(rep.filter(
+      col("top_2gram_share") <= 0 || col("top_2gram_share") > 1 ||
+        col("dup_word_fraction") < 0 || col("dup_word_fraction") >= 1 ||
+        col("top_2gram_n") < 1).count() === 0)
+    assert(rep.count() === Tables.documents(spark, sf).count())
+  }
+
+  test("length histogram partitions the corpus exactly") {
+    val h = graft.ops.TextAnalysis.lengthHistogram(spark, sf)
+      .agg(sum("n_docs"), sum("sum_chars")).head
+    val d = Tables.documents(spark, sf)
+      .agg(count(lit(1)), sum("n_chars")).head
+    assert(h.getLong(0) === d.getLong(0))
+    assert(h.getLong(1) === d.getLong(1))
+  }
+}
