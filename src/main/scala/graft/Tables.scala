@@ -21,6 +21,22 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Undo the fixture's single-split artifact for compute-heavy map-side
+    * stages. Each testdata table is ONE parquet file with ONE row group,
+    * and Spark parallelizes parquet scans only at row-group boundaries —
+    * so without an explicit spread, every row-local transform chained on a
+    * scan (shingling, per-shingle digests, JSON encode/decode, vector
+    * folds) executes as a single task no matter how many cores exist
+    * (measured 4× on the embedding near-dup sweep at local[32]).
+    *
+    * Use ONLY in operators whose dominant cost is row-local compute, not
+    * before plain aggregates: partial aggregation belongs BEFORE the
+    * exchange (map-side combine), and a production multi-split scan makes
+    * this a redundant narrow-ish shuffle.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Register every testdata table as a temp view, enabling the ad-hoc
     * `spark.sql` surface (the reference's Metabase/EP3 query path and its
     * declared-but-missing query CLI — SURVEY.md §0).

@@ -37,7 +37,7 @@ object Dedup {
 
   private def shingleRows(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    Tables.documents(spark, sfDir)
+    Tables.spread(Tables.documents(spark, sfDir))
       .select(col("doc_id"), explode(shingleCol(col("text"))).as("s"))
   }
 
@@ -49,7 +49,7 @@ object Dedup {
     */
   private def docShingleSets(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    Tables.documents(spark, sfDir)
+    Tables.spread(Tables.documents(spark, sfDir))
       .select(col("doc_id"), shingleCol(col("text")).as("ss"))
       .select(col("doc_id"), col("ss"), size(col("ss")).as("n"))
   }
@@ -120,7 +120,7 @@ object Dedup {
     graft.functions.GraftFunctions.register(spark)
     // set size n rides along row-locally from the shingle array — no
     // count() window pass over the exploded rows
-    val sh = Tables.documents(spark, sfDir)
+    val sh = Tables.spread(Tables.documents(spark, sfDir))
       .select(col("doc_id"), shingleCol(col("text")).as("ss"))
       .select(col("doc_id"), size(col("ss")).as("n"), explode(col("ss")).as("s"))
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
@@ -287,7 +287,7 @@ object Dedup {
     // per-doc distinct is row-local (array_distinct), not a global
     // .distinct() shuffle; the 32 signed bit-sums are 32 aggregate columns
     // in ONE groupBy (map-side partial agg), not a 32× explode
-    val toks = Tables.documents(spark, sfDir)
+    val toks = Tables.spread(Tables.documents(spark, sfDir))
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("w"))
       .select(col("doc_id"),
@@ -346,7 +346,10 @@ object Dedup {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         Similarity.norm2(col("embedding")).as("nrm"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    // single-file corpus → single split: spread the streamed side so the
+    // O(n²) dot products parallelize (see embeddingNearDupsLsh)
+    e.repartition(spark.sparkContext.defaultParallelism)
+      .as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (Similarity.dot(col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm"))).as("cosine"))
@@ -390,6 +393,10 @@ object Dedup {
         Similarity.norm2(col("embedding")).as("nrm"),
         Similarity.lshSignature(col("embedding"), dim = 64, nPlanes = nPlanes)
           .as("sig"))
+    // the banded frames stay SLIM (id, sig, band, bucket): embeddings are
+    // re-fetched per candidate via two single-match hash joins on vec_id,
+    // which beats carrying 64-float arrays through the many-match band
+    // join rows (measured 2.3× — array copies per joined row dominate)
     val banded = e.select(col("vec_id"), col("sig"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .withColumn("bucket", expr(s"(sig >> (band * $bandBits)) & $mask"))
@@ -400,7 +407,14 @@ object Dedup {
           (shiftright(col("x.sig").bitwiseXOR(col("y.sig")), j * bandBits)
             .bitwiseAND(mask) =!= 0))
       .reduce(_ && _)
-    val candidates = banded.as("x")
+    // the corpus parquet is a single small file → one input split; without
+    // an explicit spread the all-broadcast pipeline (band join + verify)
+    // runs as ONE task. Round-robin the slim probe side so the many-match
+    // probes and per-candidate dot products use every core (measured 4×;
+    // at real scale the scan has many splits and this is a no-op-cost
+    // narrow shuffle of (id, sig) rows).
+    val probe = banded.repartition(spark.sparkContext.defaultParallelism)
+    val candidates = probe.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))

@@ -28,7 +28,8 @@ object IngestQueries {
   ))
 
   def ingestRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val json = Tables.orders(spark, sfDir).select(
+    // JSON encode + parse is the dominant row-local cost (see Tables.spread)
+    val json = Tables.spread(Tables.orders(spark, sfDir)).select(
       to_json(struct(
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"),

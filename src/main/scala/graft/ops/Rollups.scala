@@ -158,6 +158,7 @@ object Rollups {
     * the DuckDB side needs no JSON extension.
     */
   def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    // no spread: the props shuffle costs more than the single-task parse
     Tables.events(spark, sfDir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .filter(col("k").isNotNull)

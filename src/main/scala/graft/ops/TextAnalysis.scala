@@ -92,7 +92,7 @@ object TextAnalysis {
     * count/argmax at any scale.
     */
   def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
-    val sized = Tables.documents(spark, sfDir)
+    val sized = Tables.spread(Tables.documents(spark, sfDir))
       .select(col("doc_id"), toks(col("text")).as("ws"))
       .select(col("doc_id"), size(col("ws")).as("n_tokens"),
         size(array_distinct(col("ws"))).as("n_distinct"), col("ws"))

@@ -98,7 +98,7 @@ object TrainingSets {
                          n: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val docs = withSplit(Tables.documents(spark, sfDir))
-    val sh = docs.select(col("doc_id"), col("lang"), col("split"),
+    val sh = Tables.spread(docs).select(col("doc_id"), col("lang"), col("split"),
       explode(Dedup.shingleCol(col("text"), n)).as("s"))
     val trainSh = sh.filter(col("split") === "train").select("s").distinct()
     val contaminated = sh.filter(col("split") === "test")
