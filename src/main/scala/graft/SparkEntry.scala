@@ -76,6 +76,9 @@ object SparkEntry {
     "pivot_daily_revenue" -> (Rollups.pivotDailyRevenue _),
     "salted_user_counts" -> ((s, d) => Skew.saltedUserCounts(s, d)),
     "text_repetition" -> (TextAnalysis.repetitionSignals _),
+    "text_rarity" -> ((s, d) => TextAnalysis.unigramRarity(s, d)),
+    "session_windows" -> ((s, d) => Sessions.sessionWindows(s, d)),
+    "dedup_rate_by_source" -> (Dedup.dedupRateBySource _),
     "length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d)),
     "funnel_conversion" -> ((s, d) => Analytics.funnelConversion(s, d)),
     "cohort_retention" -> (Analytics.cohortRetention _),
@@ -602,6 +605,61 @@ object SparkEntry {
       """SELECT e.user_id, count(*) AS n_pairs,
         |round(sum(o.o_totalprice), 2) AS sum_price
         |FROM events e JOIN orders o ON e.user_id = o.o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_rarity" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |dfr AS (SELECT w, count(*) AS df FROM t GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |CAST(sum(df) AS DOUBLE) / count(*) AS avg_token_df,
+        |CAST(min(df) AS BIGINT) AS min_token_df
+        |FROM t JOIN dfr ON t.w = dfr.w
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // session_window's half-open [ts, last+gap) windows: an event exactly
+    // `gap` after the previous one opens a NEW session, hence >= here
+    "session_windows" ->
+      """WITH o AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    OR epoch(ts) - epoch(lag(ts) OVER
+        |      (PARTITION BY user_id ORDER BY ts)) >= 1800
+        |  THEN 1 ELSE 0 END AS new_s FROM events),
+        |s AS (SELECT user_id, ts, value, sum(new_s) OVER
+        |  (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, min(ts)::TIMESTAMP AS session_start,
+        |(max(ts) + INTERVAL 30 MINUTE)::TIMESTAMP AS session_end,
+        |count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "dedup_rate_by_source" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |   for i in range(1, len(ws)-1)])) AS s
+        |  FROM tok WHERE len(ws) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b
+        |  FROM shared JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |lab AS (SELECT a AS node, least(a, min(b)) AS label
+        |  FROM reach GROUP BY a),
+        |drops AS (SELECT node AS doc_id FROM lab WHERE node <> label)
+        |SELECT source, count(*) AS n_docs,
+        |CAST(sum(CASE WHEN drops.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_near_dup,
+        |CAST(sum(CASE WHEN drops.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |  AS DOUBLE) / count(*) AS near_dup_rate
+        |FROM documents d LEFT JOIN drops ON d.doc_id = drops.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Spark's argmax = min(struct(-count, gram)): count DESC, gram ASC —
     // mirrored here by the row_number ordering

@@ -83,6 +83,27 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("content_hash")
 
+  /** Per-source near-dup-rate report: how much of each source would be
+    * dropped by near-dup pruning (cluster members that are not their
+    * cluster's min-id representative) — the triage view that decides
+    * which sources get curation attention first. Reuses the memoized
+    * converged labels, so the report costs one broadcast join + a
+    * source-keyed aggregate on top of clustering already paid elsewhere.
+    */
+  def dedupRateBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val drops = clusterLabels(spark, sfDir)
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"), lit(1L).as("is_dup"))
+    Tables.documents(spark, sfDir)
+      .join(drops, Seq("doc_id"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_near_dup"))
+      .select(col("source"), col("n_docs"), col("n_near_dup"),
+        (col("n_near_dup").cast("double") / col("n_docs")).as("near_dup_rate"))
+      .orderBy("source")
+  }
+
   /** n-gram Jaccard near-dup pairs — EXACT at the threshold, via prefix
     * filtering (the AllPairs/PPJoin family, Bayardo et al. WWW'07): sort
     * each doc's shingles by ascending global document frequency and index

@@ -35,4 +35,24 @@ object Sessions {
         round(sum("value"), 2).as("total_value"))
       .orderBy("user_id", "sid")
   }
+
+  /** The same sessionization via Spark's built-in `session_window`
+    * (dynamic-gap event-time windows, usable identically in batch and
+    * Structured Streaming): one hash aggregate that MERGES overlapping
+    * [ts, ts+gap) windows per key — no lag/cumsum window pass at all, and
+    * in streaming the state store holds one entry per open session.
+    * Window end = last event + gap (half-open, so an event landing
+    * exactly `gap` after the previous one opens a NEW session — the
+    * oracle mirrors with `>=`).
+    */
+  def sessionWindows(spark: SparkSession, sfDir: String,
+                     gapMinutes: Int = 30): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
 }

@@ -116,6 +116,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Unigram-rarity quality signal (the deterministic core of CCNet-style
+    * LM filtering, Wenzek et al. 2019): score each document by how common
+    * its tokens are corpus-wide. Instead of a log-probability (libm `ln`
+    * differs in the last ulp across engines), the signals are exact
+    * integer statistics: the mean corpus occurrence count of the doc's
+    * tokens and the count of its rarest token (the OOV-proxy a rarity
+    * gate thresholds on). Two shuffles: the global frequency count and
+    * the doc re-aggregation; the frequency table joins back
+    * broadcast-size for any real vocabulary (heavy-tail cutoffs would
+    * bound it further at 100 TB).
+    */
+  def unigramRarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.spread(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    val dfreq = t.groupBy("w").agg(count(lit(1)).as("df"))
+    t.join(dfreq, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("df").as("sum_df"),
+        min("df").as("min_token_df"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sum_df").cast("double") / col("n_tokens")).as("avg_token_df"),
+        col("min_token_df"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus length histogram: document counts and char mass per
     * fixed-width n_chars bucket — the length-distribution profile every
     * curation run reports before choosing min/max-length gates. One
