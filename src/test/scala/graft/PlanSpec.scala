@@ -117,4 +117,18 @@ class PlanSpec extends SparkSpec {
     assert(semis.nonEmpty)
     assert(!plan.exists(_.getClass.getSimpleName.contains("Cartesian")))
   }
+
+  test("EXISTS lateness query is a left-semi hash join on the order key") {
+    val plan = planOf("exists_late_ship")
+    assert(plan.exists(_.toString.contains("LeftSemi")))
+    assert(!plan.exists(_.getClass.getSimpleName.contains("Cartesian")))
+    assert(!plan.exists(_.getClass.getSimpleName.contains("BroadcastNestedLoop")))
+  }
+
+  test("session_windows is one session aggregate — no lag/cumsum window pass") {
+    val plan = planOf("session_windows")
+    assert(!plan.exists(_.getClass.getSimpleName.contains("Window")))
+    // session merge + presentation sort; no extra exchanges
+    assert(plan.collect { case s: ShuffleExchangeExec => s }.size <= 2)
+  }
 }

@@ -72,4 +72,30 @@ class SessionizeSpec extends SparkSpec {
       assert(got.exceptAll(want).count() === 0)
     } finally q.stop()
   }
+
+  test("streaming session_window aggregate == batch session_window") {
+    implicit val sqlCtx = spark.sqlContext
+    def sessionAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("total_value"))
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val q = sessionAgg(stream.toDF().toDF("user_id", "ts", "value"))
+      .writeStream
+      .format("memory").queryName("sw_out")
+      .outputMode("complete")
+      .start()
+    try {
+      val (b1, b2) = events.sortBy(_._2.getTime).splitAt(5)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      val got = spark.table("sw_out")
+      val want = sessionAgg(events.toDF("user_id", "ts", "value"))
+      assert(got.count() === 4)
+      assert(got.exceptAll(want).count() === 0)
+      // and both agree with the lag/cumsum formulation
+      assert(got.exceptAll(batchSessions).count() === 0)
+    } finally q.stop()
+  }
 }
