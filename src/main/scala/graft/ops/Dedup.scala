@@ -60,8 +60,15 @@ object Dedup {
     * intersection), so oracles mirroring that formulation hold unchanged.
     */
   private def verifyJaccard(spark: SparkSession, sfDir: String,
-                            candidates: DataFrame, threshold: Double): DataFrame = {
-    val sets = docShingleSets(spark, sfDir)
+                            candidates: DataFrame, threshold: Double): DataFrame =
+    verifyJaccardWith(docShingleSets(spark, sfDir), candidates, threshold)
+
+  /** As [[verifyJaccard]], but against a caller-provided (and typically
+    * persisted) sets frame, so candidate generation and verification can
+    * share one shingling pass.
+    */
+  private def verifyJaccardWith(sets: DataFrame, candidates: DataFrame,
+                                threshold: Double): DataFrame = {
     candidates
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -129,7 +136,7 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, sfDir: String,
                         threshold: Double = 0.8): DataFrame =
     pairCache.getOrElseUpdate((spark, sfDir, threshold),
-      computeNgramJaccardPairs(spark, sfDir, threshold).localCheckpoint(true))
+      computeNgramJaccardPairs(spark, sfDir, threshold))
 
   private val pairCache =
     scala.collection.concurrent.TrieMap
@@ -139,11 +146,14 @@ object Dedup {
                                        threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
+    // one logical shingle frame feeds candidate generation AND
+    // verification (recomputed per consumer — the native kernel is
+    // cheaper than columnar-caching string arrays, measured both ways);
+    // the memo result is localCheckpointed HERE, eagerly materialized
+    val sets = docShingleSets(spark, sfDir)
     // set size n rides along row-locally from the shingle array — no
     // count() window pass over the exploded rows
-    val sh = Tables.spread(Tables.documents(spark, sfDir))
-      .select(col("doc_id"), shingleCol(col("text")).as("ss"))
-      .select(col("doc_id"), size(col("ss")).as("n"), explode(col("ss")).as("s"))
+    val sh = sets.select(col("doc_id"), col("n"), explode(col("ss")).as("s"))
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy("doc_id")
     val ranked = sh.join(dfreq, "s")
@@ -157,7 +167,7 @@ object Dedup {
           col("a.n") >= col("b.n") * threshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(spark, sfDir, candidates, threshold)
+    verifyJaccardWith(sets, candidates, threshold).localCheckpoint(true)
   }
 
   /** MinHash+LSH near-dup pairs: shingle → k=12 min-wise hashes → 6 bands ×
@@ -177,7 +187,10 @@ object Dedup {
     */
   def minhashPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.8,
                    k: Int = 12, rowsPerBand: Int = 2): DataFrame = {
-    val sh = shingleRows(spark, sfDir)
+    // the same logical shingle frame serves signature generation and
+    // verification (recomputing the native kernel beats caching arrays)
+    val sets = docShingleSets(spark, sfDir)
+    val sh = sets.select(col("doc_id"), explode(col("ss")).as("s"))
     // k min-hashes as k aggregate columns in ONE doc-level groupBy: the
     // draws happen map-side per shingle row and combine via partial
     // min — no k× explode, no k× shuffle volume
@@ -210,7 +223,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(spark, sfDir, candidates, threshold)
+    verifyJaccardWith(sets, candidates, threshold)
   }
 
   /** Near-dup CLUSTERS from pair lists — the step that turns candidate
