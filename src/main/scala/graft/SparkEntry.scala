@@ -34,6 +34,8 @@ object SparkEntry {
     "q5_region_revenue" -> (StarQueries.q5RegionRevenue _),
     "top_orders" -> (StarQueries.topOrders _),
     "window_top_per_customer" -> (StarQueries.windowTopPerCustomer _),
+    "window_battery" -> (StarQueries.windowBattery _),
+    "cube_counts" -> (StarQueries.cubeCounts _),
     "window_daily_delta" -> (StarQueries.windowDailyDelta _),
     "set_ops_counts" -> (StarQueries.setOpsCounts _),
     "distinct_counts" -> (StarQueries.distinctCounts _),
@@ -79,6 +81,7 @@ object SparkEntry {
     "text_rarity" -> ((s, d) => TextAnalysis.unigramRarity(s, d)),
     "session_windows" -> ((s, d) => Sessions.sessionWindows(s, d)),
     "dedup_rate_by_source" -> (Dedup.dedupRateBySource _),
+    "heavy_hitter_tokens" -> ((s, d) => HeavyHitters.heavyHitterTokens(s, d)),
     "length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d)),
     "funnel_conversion" -> ((s, d) => Analytics.funnelConversion(s, d)),
     "cohort_retention" -> (Analytics.cohortRetention _),
@@ -179,6 +182,31 @@ object SparkEntry {
         |       ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
         |  FROM orders WHERE o_totalprice > 300000.0
         |) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "window_battery" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER win AS INT) AS rn,
+        |  CAST(rank() OVER win AS INT) AS rnk,
+        |  CAST(dense_rank() OVER win AS INT) AS drnk,
+        |  CAST(ntile(4) OVER win AS INT) AS quartile,
+        |  percent_rank() OVER win AS pct_rank,
+        |  cume_dist() OVER win AS cume,
+        |  lag(o_totalprice) OVER win AS prev_price,
+        |  lead(o_totalprice) OVER win AS next_price,
+        |  first_value(o_totalprice) OVER winf AS top_price,
+        |  last_value(o_totalprice) OVER winf AS bottom_price
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |  WINDOW win AS (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey),
+        |  winf AS (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "cube_counts" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "window_daily_delta" ->
       """SELECT date, revenue, prev_revenue, revenue - prev_revenue AS delta FROM (
         |  SELECT o_orderdate::DATE AS date,
@@ -606,6 +634,17 @@ object SparkEntry {
         |round(sum(o.o_totalprice), 2) AS sum_price
         |FROM events e JOIN orders o ON e.user_id = o.o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact two-pass heavy hitters: the MG sketch only gates candidates,
+    // so the oracle is the plain exact threshold query
+    "heavy_hitter_tokens" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS total FROM t)
+        |SELECT w AS token, count(*) AS n,
+        |CAST(count(*) AS DOUBLE) / total AS share
+        |FROM t, tot GROUP BY w, total
+        |HAVING count(*) * 1000 >= total * 34
+        |ORDER BY n DESC, token""".stripMargin,
     "text_rarity" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |  FROM documents),

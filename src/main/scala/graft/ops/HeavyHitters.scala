@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Exact distributed heavy hitters via the two-pass Misra-Gries scheme:
+  *
+  *   1. a bounded-memory MG sketch (k counters) over the stream — its
+  *      merge is a counter-sum followed by the MG decrement-trim, and the
+  *      classic guarantee survives arbitrary merge trees: every item with
+  *      true frequency > N/k is IN the surviving counter set, whatever
+  *      order partitions combine in (Misra & Gries 1982; Agarwal et al.,
+  *      "Mergeable Summaries", PODS'12);
+  *   2. an exact recount of ONLY the candidate set (a broadcast semi
+  *      filter, one aggregate over matching rows), which removes the
+  *      sketch's overestimates.
+  *
+  * Output = items with frequency ≥ `thresholdPerMille`/1000 of the total,
+  * with EXACT counts — deterministic even though intermediate sketch
+  * contents are partition-order dependent, because pass 2 recounts and
+  * the guarantee makes pass 1 a superset of the answer whenever
+  * k ≥ 1000/thresholdPerMille. At 100 TB this is the standard shape:
+  * the sketch shuffles k counters per partition instead of the full key
+  * space, and only candidates (≤ k) are ever recounted exactly.
+  */
+object HeavyHitters {
+
+  /** Misra-Gries sketch aggregator over String items: at most k surviving
+    * counters; reduce = increment-or-admit-or-decrement, merge =
+    * counter-sum then trim to the top-k by (count, key) with the
+    * (k+1)-th count subtracted — the mergeable-summaries form.
+    */
+  class MisraGries(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    private def trim(m: Map[String, Long]): Map[String, Long] =
+      if (m.size <= k) m
+      else {
+        // subtract the (k+1)-th largest count from everyone, drop <= 0
+        val cut = m.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        m.collect { case (w, c) if c - cut > 0 => w -> (c - cut) }
+      }
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], w: String): Map[String, Long] =
+      trim(b.updated(w, b.getOrElse(w, 0L) + 1L))
+    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
+      trim(y.foldLeft(x) { case (m, (w, c)) =>
+        m.updated(w, m.getOrElse(w, 0L) + c)
+      })
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] = bufferEncoder
+  }
+
+  /** Tokens covering ≥ thresholdPerMille/1000 of the corpus token mass,
+    * with exact counts and shares. The integer cross-multiplied threshold
+    * (c·1000 ≥ t·total) keeps the gate exact in both engines.
+    */
+  def heavyHitterTokens(spark: SparkSession, sfDir: String,
+                        thresholdPerMille: Long = 34L,
+                        k: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(k >= (1000L + thresholdPerMille - 1) / thresholdPerMille,
+      "MG guarantee needs k >= 1000/thresholdPerMille")
+    val toks = Tables.spread(Tables.documents(spark, sfDir))
+      .select(explode(split(col("text"), " ")).as("w"))
+    val sketch = toks.as[String]
+      .groupByKey(_ => 0) // one global sketch; partials merge map-side
+      .agg(new MisraGries(k).toColumn.name("mg"))
+      .flatMap { case (_, m) => m.keys }
+      .toDF("w")
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(broadcast(sketch), Seq("w"), "left_semi")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * 1000L >= col("total") * thresholdPerMille)
+      .select(col("w").as("token"), col("n"),
+        (col("n").cast("double") / col("total")).as("share"))
+      .orderBy(desc("n"), asc("token"))
+  }
+}

@@ -267,6 +267,49 @@ object StarQueries {
         (col("promo_revenue") * 100.0 / col("total_revenue")).as("promo_pct"))
   }
 
+  /** The full ranking/navigation window battery over one per-customer
+    * frame (SURVEY.md §2.5 extension): row_number / rank / dense_rank /
+    * ntile plus percent_rank / cume_dist (exact integer-quotient doubles)
+    * and lag / lead / first / last navigation. One window partitioning
+    * serves every function (a single user-keyed sort-shuffle); the frame
+    * for last_value is pinned to the full partition explicitly. The
+    * ordering (o_totalprice DESC, o_orderkey) is total, so every output
+    * is deterministic.
+    */
+  def windowBattery(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+      .withColumn("next_price", lead("o_totalprice", 1).over(w))
+      .withColumn("top_price", first("o_totalprice").over(wFull))
+      .withColumn("bottom_price", last("o_totalprice").over(wFull))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** CUBE over (returnflag, linestatus): all four grouping-set levels in
+    * one pass (Spark expands the sets before a single hash aggregate —
+    * same plan shape as the ROLLUP sibling with the extra marginal).
+    */
+  def cubeCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum("l_quantity").as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   /** TPC-H Q4-shaped correlated EXISTS: orders with any line item shipped
     * more than 90 days after the order date, counted per priority. The
     * EXISTS is a left-semi hash join on orderkey (what Catalyst's
