@@ -87,6 +87,7 @@ object SparkEntry {
     "cohort_retention" -> (Analytics.cohortRetention _),
     "exists_late_ship" -> (StarQueries.existsLateShipPriority _),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "dedup_clusters_star" -> (Dedup.dedupClustersStar _),
     "curation_pipeline" -> (TrainingSets.curationPipeline _),
     // rows-only (approx sketches aren't cross-engine comparable; accuracy
     // is spec-asserted in ApproxSpec, mirroring approx_distinct_users)
@@ -759,6 +760,31 @@ object SparkEntry {
     // transitive closure via recursive CTE mirrors the engine's iterative
     // min-label propagation (identical fixpoint: cluster = min member id)
     "dedup_clusters" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |   for i in range(1, len(ws)-1)])) AS s
+        |  FROM tok WHERE len(ws) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b
+        |  FROM shared JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |lab AS (SELECT a AS node, least(a, min(b)) AS label
+        |  FROM reach GROUP BY a)
+        |SELECT label AS cluster, count(*) AS n_members, max(node) AS max_doc
+        |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same fixpoint as dedup_clusters (star contraction == propagation)
+    "dedup_clusters_star" ->
       """WITH RECURSIVE tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(

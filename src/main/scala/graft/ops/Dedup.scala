@@ -313,6 +313,78 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"), max("node").as("max_doc"))
       .orderBy("cluster")
 
+  /** Connected components via alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the provably O(log n)-round alternative to
+    * min-label propagation for DEEP graphs. Each half-round is two plain
+    * shuffles (a per-node min aggregate + a join back), and each
+    * round at least halves long chains, where propagation pays one full
+    * round per hop of graph diameter. Near-dup clusters here are
+    * near-cliques (diameter ~2), so propagation wins on THIS workload;
+    * both ship because the choice is a graph-shape call, and the
+    * equivalence is spec-tested + oracle-checked (same fixpoint: every
+    * node labeled with its component minimum).
+    *
+    *   - large-star: for each node u, connect every LARGER neighbour to
+    *     m = min(Γ(u) ∪ u)
+    *   - small-star: orient edges large→small; connect u and its smaller
+    *     neighbours to their minimum
+    *
+    * Converged when the (canonically oriented) edge multiset fixes; the
+    * final edges ARE the (node → component-min) star.
+    */
+  def starContractionLabels(spark: SparkSession, sfDir: String,
+                            maxIter: Int = 30): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val mins = dir.groupBy("u").agg(min("v").as("m"))
+      dir.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var edges = ngramJaccardPairs(spark, sfDir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+      i += 1
+    }
+    // star edges (u → component min) + the roots labeling themselves
+    edges.select(col("u").as("node"), col("v").as("label"))
+      .union(edges.select(col("v")).distinct()
+        .select(col("v").as("node"), col("v").as("label")))
+      .distinct()
+  }
+
+  /** [[dedupClusters]] computed through the star-contraction labels —
+    * identical output (same fixpoint), oracle-checked against the same
+    * transitive-closure SQL.
+    */
+  def dedupClustersStar(spark: SparkSession, sfDir: String): DataFrame =
+    starContractionLabels(spark, sfDir)
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_members"), max("node").as("max_doc"))
+      .orderBy("cluster")
+
   /** 32-bit SimHash per document over distinct tokens: token hash =
     * first 8 md5 hex chars; each bit contributes ±1; fingerprint bit j set
     * iff the signed sum is > 0.
