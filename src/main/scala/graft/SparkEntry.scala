@@ -85,6 +85,7 @@ object SparkEntry {
     "length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d)),
     "funnel_conversion" -> ((s, d) => Analytics.funnelConversion(s, d)),
     "cohort_retention" -> (Analytics.cohortRetention _),
+    "rfm_segments" -> (Analytics.rfmSegments _),
     "exists_late_ship" -> (StarQueries.existsLateShipPriority _),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_clusters_star" -> (Dedup.dedupClustersStar _),
@@ -744,6 +745,23 @@ object SparkEntry {
         |  (SELECT count(*) FROM v) AS click_through,
         |CAST((SELECT count(*) FROM p) AS DOUBLE) /
         |  (SELECT count(*) FROM c) AS purchase_through""".stripMargin,
+    "rfm_segments" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |mx AS (SELECT max(ts::DATE) AS max_day FROM p),
+        |pu AS (SELECT user_id,
+        |  CAST(datediff('day', max(ts::DATE), (SELECT max_day FROM mx))
+        |    AS BIGINT) AS recency,
+        |  count(*) AS frequency,
+        |  sum(CAST(value AS DECIMAL(18,6))) AS monetary
+        |  FROM p GROUP BY user_id),
+        |seg AS (SELECT *,
+        |  CAST(ntile(4) OVER (ORDER BY recency, user_id) AS INT) AS r_q,
+        |  CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f_q,
+        |  CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS INT) AS m_q
+        |  FROM pu)
+        |SELECT r_q, f_q, m_q, count(*) AS n_users,
+        |round(CAST(sum(monetary) AS DOUBLE), 2) AS total_monetary
+        |FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "cohort_retention" ->
       """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
         |ch AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY 1)

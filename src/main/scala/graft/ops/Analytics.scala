@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -47,6 +48,43 @@ object Analytics {
           .as("click_through"),
         (col("n_full_funnel").cast("double") / col("n_view_click"))
           .as("purchase_through"))
+  }
+
+  /** RFM segmentation: each purchasing user scored by Recency (days since
+    * last purchase, vs the corpus max day), Frequency (purchase count),
+    * and Monetary (purchase value sum), each cut into quartiles — the
+    * classic CRM segmentation matrix. Quartile assignment is ntile(4)
+    * over a TOTAL order (metric + user_id tiebreak), so segments are a
+    * pure function of the data. The per-user aggregate is one user-keyed
+    * shuffle; the three ntiles share one global sort each over the
+    * (small) per-user frame — at scale, percentile cutpoints from
+    * approx_percentile would replace the global sorts.
+    */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+    val maxDay = p.agg(max(to_date(col("ts"))).as("max_day"))
+    // DECIMAL(18,6) money arithmetic: exact and associative, so per-user
+    // and per-segment sums are engine-identical regardless of fold order
+    val perUser = p.groupBy("user_id")
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(18,6)")).as("monetary"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        datediff(col("max_day"), col("last_day")).cast("long").as("recency"),
+        col("frequency"), col("monetary"))
+    val seg = perUser
+      .withColumn("r_q", ntile(4).over(
+        Window.orderBy(col("recency"), col("user_id"))))
+      .withColumn("f_q", ntile(4).over(
+        Window.orderBy(desc("frequency"), asc("user_id"))))
+      .withColumn("m_q", ntile(4).over(
+        Window.orderBy(desc("monetary"), asc("user_id"))))
+    seg.groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_users"),
+        round(sum("monetary").cast("double"), 2).as("total_monetary"))
+      .orderBy("r_q", "f_q", "m_q")
   }
 
   /** Cohort retention: users grouped by first-activity day (their cohort),
