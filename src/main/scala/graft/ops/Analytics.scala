@@ -74,6 +74,10 @@ object Analytics {
       .select(col("user_id"),
         datediff(col("max_day"), col("last_day")).cast("long").as("recency"),
         col("frequency"), col("monetary"))
+    // global (unpartitioned) ntile windows — single-partition by design,
+    // safe ONLY because the input is pre-aggregated to one row per user
+    // (bounded by user cardinality). Never feed these raw events; at
+    // corpus scale swap in approx_percentile cutpoints (see scaladoc).
     val seg = perUser
       .withColumn("r_q", ntile(4).over(
         Window.orderBy(col("recency"), col("user_id"))))
