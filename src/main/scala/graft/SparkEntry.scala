@@ -41,6 +41,7 @@ object SparkEntry {
     "distinct_counts" -> (StarQueries.distinctCounts _),
     "scalar_funcs" -> (StarQueries.scalarFuncs _),
     "ingest_roundtrip" -> (IngestQueries.ingestRoundtrip _),
+    "sales_etl_pipeline" -> (IngestQueries.salesEtlPipeline _),
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d)),
@@ -636,6 +637,19 @@ object SparkEntry {
         |round(sum(o.o_totalprice), 2) AS sum_price
         |FROM events e JOIN orders o ON e.user_id = o.o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the JSON wire round-trip is lossless, so the oracle computes the
+    // enrich+rollup+rank directly on the source tables
+    "sales_etl_pipeline" ->
+      """WITH reg AS (SELECT r_name AS region, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |  FROM orders o JOIN customer c ON o_custkey = c_custkey
+        |  JOIN nation n ON c_nationkey = n_nationkey
+        |  JOIN region r ON n_regionkey = r_regionkey
+        |  GROUP BY 1)
+        |SELECT region, n_orders, revenue,
+        |CAST(rank() OVER (ORDER BY revenue DESC, region) AS INT) AS rnk,
+        |revenue * 100.0 / sum(revenue) OVER () AS revenue_share_pct
+        |FROM reg ORDER BY rnk""".stripMargin,
     // exact two-pass heavy hitters: the MG sketch only gates candidates,
     // so the oracle is the plain exact threshold query
     "heavy_hitter_tokens" ->

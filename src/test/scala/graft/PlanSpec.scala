@@ -125,6 +125,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.exists(_.getClass.getSimpleName.contains("BroadcastNestedLoop")))
   }
 
+  test("composed sales ETL broadcasts all dims; fact shuffles once for the rollup") {
+    val plan = planOf("sales_etl_pipeline")
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size === 3) // customer, nation, region
+    assert(!plan.exists(_.isInstanceOf[SortMergeJoinExec]))
+    assert(!plan.exists(_.getClass.getSimpleName.contains("Cartesian")))
+  }
+
   test("session_windows is one session aggregate — no lag/cumsum window pass") {
     val plan = planOf("session_windows")
     assert(!plan.exists(_.getClass.getSimpleName.contains("Window")))
