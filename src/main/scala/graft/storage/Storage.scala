@@ -83,4 +83,34 @@ object Storage {
   /** Month id for an instant (UTC) — the partition a row lands in. */
   def monthOf(ts: Instant): String =
     LocalDate.ofInstant(ts, ZoneOffset.UTC).format(MonthFmt)
+
+  /** Small-file compaction for one month partition — the maintenance op
+    * every streaming-append layout needs (each micro-batch lands its own
+    * files; CK runs background merges for the same reason,
+    * `01_init.sql:27-31`). Reads ONLY the target partition (pruned scan),
+    * rewrites it as `targetFiles` sorted files, and swaps it atomically
+    * via dynamic partition overwrite — other months are never listed,
+    * read, or touched. At 100 TB this runs per-partition on whatever
+    * cadence write amplification warrants; cost is one local sort, no
+    * shuffle beyond the coalesce.
+    */
+  def compactMonth(spark: SparkSession, path: String, month: Int,
+                   targetFiles: Int = 1): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      spark.read.parquet(path)
+        .filter(col("month") === month)
+        .repartition(targetFiles)
+        .sortWithinPartitions("month", "order_timestamp", "order_id")
+        .write
+        .mode("overwrite")
+        .partitionBy("month")
+        .parquet(path)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

@@ -85,6 +85,53 @@ class StorageSpec extends SparkSpec {
     assert(after.select("month").distinct().count() === months.length - 1)
   }
 
+  test("compaction merges a month's small files in place; other months " +
+       "and row order survive") {
+    val dir = Files.createTempDirectory("compact").toString
+    // two appends = at least two files per touched partition
+    Storage.writeRaw(monthSpread(300), dir)
+    Storage.writeRaw(monthSpread(300), dir)
+    val before = Storage.readRaw(spark, dir)
+    val beforeTotal = before.count()
+    val months = before.select("month").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val target = months.head
+    def filesIn(m: Int) = new java.io.File(s"$dir/month=$m")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesIn(target) >= 2)
+    val otherFiles = months.tail.map(m => m -> filesIn(m)).toMap
+    Storage.compactMonth(spark, dir, target)
+    val after = Storage.readRaw(spark, dir)
+    assert(after.count() === beforeTotal)
+    assert(filesIn(target) === 1)
+    // untouched partitions keep their exact file layout
+    assert(months.tail.map(m => m -> filesIn(m)).toMap === otherFiles)
+    // within-file (ts, id) order holds in the compacted file
+    val w = Window.partitionBy(input_file_name())
+      .orderBy("order_timestamp", "order_id")
+    val disorder = after.filter(col("month") === target)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("expected",
+        row_number().over(Window.partitionBy(input_file_name())
+          .orderBy(monotonically_increasing_id())))
+      .filter(col("rn") =!= col("expected"))
+    assert(disorder.count() === 0)
+  }
+
+  test("schema evolution: a new column appends and old files read as null") {
+    val dir = Files.createTempDirectory("evolve").toString
+    val v1 = monthSpread(100)
+    Storage.writeRaw(v1, dir)
+    Storage.writeRaw(monthSpread(100)
+      .withColumn("coupon_code", concat(lit("CP-"), col("order_id"))), dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.contains("coupon_code"))
+    assert(merged.count() === 200)
+    // old rows surface the new column as null; new rows carry it
+    assert(merged.filter(col("coupon_code").isNull).count() === 100)
+    assert(merged.filter(col("coupon_code").startsWith("CP-")).count() === 100)
+  }
+
   test("retention is a no-op when nothing is expired, and on empty dirs") {
     val dir = Files.createTempDirectory("ttl2").toString
     Storage.writeRaw(monthSpread(100), dir)
