@@ -125,6 +125,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.exists(_.getClass.getSimpleName.contains("BroadcastNestedLoop")))
   }
 
+  test("q1 scan-to-partial-agg runs inside one WholeStageCodegen span") {
+    val plan = planOf("q1_pricing_summary")
+    val spans = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(spans.nonEmpty)
+    // at least one span fuses the scan-side pipeline: scan feeds a
+    // hash-aggregate without leaving generated code
+    assert(spans.exists { w =>
+      val s = w.toString
+      s.contains("HashAggregate") && s.contains("Scan parquet")
+    })
+  }
+
   test("composed sales ETL broadcasts all dims; fact shuffles once for the rollup") {
     val plan = planOf("sales_etl_pipeline")
     val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
