@@ -96,6 +96,43 @@ object SparkEntry {
     "approx_value_quantiles" -> ((s, d) => TrainingSets.approxValueQuantiles(s, d))
   )
 
+  /** Shared DuckDB CTE prefix: 3-gram shingles → exact-Jaccard-0.8 pairs →
+    * recursive transitive closure → (node, label=component min). Four
+    * oracles build on it (dedup_clusters, dedup_clusters_star,
+    * dedup_rate_by_source, curation_pipeline), so the near-dup definition
+    * lives in exactly one place.
+    */
+  private val nearDupLabelCte: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |   for i in range(1, len(ws)-1)])) AS s
+      |  FROM tok WHERE len(ws) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b
+      |  FROM shared JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (SELECT a, b FROM edges
+      |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |lab AS (SELECT a AS node, least(a, min(b)) AS label
+      |  FROM reach GROUP BY a)""".stripMargin
+
+  /** The cluster aggregate both CC algorithms must produce (same
+    * fixpoint, so star contraction reuses the propagation oracle).
+    */
+  private val clustersFromLabels: String = nearDupLabelCte +
+    """
+      |SELECT label AS cluster, count(*) AS n_members, max(node) AS max_doc
+      |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "rollup_hourly" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type,
@@ -443,7 +480,8 @@ object SparkEntry {
     "sessions" ->
       """WITH g AS (SELECT user_id, ts, value,
         |  CASE WHEN lag(ts) OVER w IS NULL
-        |       OR epoch(ts::TIMESTAMP) - epoch(lag(ts) OVER w::TIMESTAMP) > 1800
+        |       OR epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts) OVER w::TIMESTAMP)
+        |          > 1800000000
         |  THEN 1 ELSE 0 END AS new_s
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |s AS (SELECT user_id, ts, value,
@@ -675,8 +713,8 @@ object SparkEntry {
     "session_windows" ->
       """WITH o AS (SELECT user_id, ts, value,
         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |    OR epoch(ts) - epoch(lag(ts) OVER
-        |      (PARTITION BY user_id ORDER BY ts)) >= 1800
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER
+        |      (PARTITION BY user_id ORDER BY ts)) >= 1800000000
         |  THEN 1 ELSE 0 END AS new_s FROM events),
         |s AS (SELECT user_id, ts, value, sum(new_s) OVER
         |  (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
@@ -686,28 +724,8 @@ object SparkEntry {
         |count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
-    "dedup_rate_by_source" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(
-        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-        |   for i in range(1, len(ws)-1)])) AS s
-        |  FROM tok WHERE len(ws) >= 3),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    count(*) AS shared
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (SELECT doc_a, doc_b
-        |  FROM shared JOIN sizes sa ON doc_a = sa.doc_id
-        |  JOIN sizes sb ON doc_b = sb.doc_id
-        |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(a, b) AS (SELECT a, b FROM edges
-        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        |lab AS (SELECT a AS node, least(a, min(b)) AS label
-        |  FROM reach GROUP BY a),
+    "dedup_rate_by_source" -> (nearDupLabelCte +
+      """,
         |drops AS (SELECT node AS doc_id FROM lab WHERE node <> label)
         |SELECT source, count(*) AS n_docs,
         |CAST(sum(CASE WHEN drops.doc_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -715,7 +733,7 @@ object SparkEntry {
         |CAST(sum(CASE WHEN drops.doc_id IS NOT NULL THEN 1 ELSE 0 END)
         |  AS DOUBLE) / count(*) AS near_dup_rate
         |FROM documents d LEFT JOIN drops ON d.doc_id = drops.doc_id
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     // Spark's argmax = min(struct(-count, gram)): count DESC, gram ASC —
     // mirrored here by the row_number ordering
     "text_repetition" ->
@@ -791,77 +809,11 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // transitive closure via recursive CTE mirrors the engine's iterative
     // min-label propagation (identical fixpoint: cluster = min member id)
-    "dedup_clusters" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(
-        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-        |   for i in range(1, len(ws)-1)])) AS s
-        |  FROM tok WHERE len(ws) >= 3),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    count(*) AS shared
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (SELECT doc_a, doc_b
-        |  FROM shared JOIN sizes sa ON doc_a = sa.doc_id
-        |  JOIN sizes sb ON doc_b = sb.doc_id
-        |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(a, b) AS (SELECT a, b FROM edges
-        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        |lab AS (SELECT a AS node, least(a, min(b)) AS label
-        |  FROM reach GROUP BY a)
-        |SELECT label AS cluster, count(*) AS n_members, max(node) AS max_doc
-        |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_clusters" -> clustersFromLabels,
     // same fixpoint as dedup_clusters (star contraction == propagation)
-    "dedup_clusters_star" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(
-        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-        |   for i in range(1, len(ws)-1)])) AS s
-        |  FROM tok WHERE len(ws) >= 3),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    count(*) AS shared
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (SELECT doc_a, doc_b
-        |  FROM shared JOIN sizes sa ON doc_a = sa.doc_id
-        |  JOIN sizes sb ON doc_b = sb.doc_id
-        |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(a, b) AS (SELECT a, b FROM edges
-        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        |lab AS (SELECT a AS node, least(a, min(b)) AS label
-        |  FROM reach GROUP BY a)
-        |SELECT label AS cluster, count(*) AS n_members, max(node) AS max_doc
-        |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
-    "curation_pipeline" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(
-        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-        |   for i in range(1, len(ws)-1)])) AS s
-        |  FROM tok WHERE len(ws) >= 3),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    count(*) AS shared
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |prs AS (SELECT doc_a, doc_b
-        |  FROM shared JOIN sizes sa ON doc_a = sa.doc_id
-        |  JOIN sizes sb ON doc_b = sb.doc_id
-        |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
-        |  UNION SELECT doc_b, doc_a FROM prs),
-        |reach(a, b) AS (SELECT a, b FROM edges
-        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        |lab AS (SELECT a AS node, least(a, min(b)) AS label
-        |  FROM reach GROUP BY a),
+    "dedup_clusters_star" -> clustersFromLabels,
+    "curation_pipeline" -> (nearDupLabelCte +
+      """,
         |exact_keep AS (SELECT min(doc_id) AS doc_id
         |  FROM documents GROUP BY md5(text)),
         |kept AS (SELECT d.doc_id, d.n_chars,
@@ -878,6 +830,6 @@ object SparkEntry {
         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
         |count(*) AS n_docs,
         |CAST(sum(ceil(n_chars / 4.0)::BIGINT) AS BIGINT) AS sum_est_tokens
-        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

@@ -35,12 +35,6 @@ object Dedup {
   def shingleCol(textCol: Column, n: Int = 3): Column =
     call_function("word_shingles", textCol, lit(n))
 
-  private def shingleRows(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    Tables.spread(Tables.documents(spark, sfDir))
-      .select(col("doc_id"), explode(shingleCol(col("text"))).as("s"))
-  }
-
   /** Per-doc distinct shingle SET as a sorted array + its size — computed
     * row-local from `shingleCol` (no explode, no shuffle). Used for exact
     * Jaccard verification of candidate pairs via `array_intersect`, which
@@ -55,17 +49,11 @@ object Dedup {
   }
 
   /** Exact-Jaccard verification of (doc_a, doc_b) candidate pairs over the
-    * FULL shingle sets; emits pairs meeting `threshold`, ordered. Identical
-    * scores to the join-and-count formulation (set intersection is set
-    * intersection), so oracles mirroring that formulation hold unchanged.
-    */
-  private def verifyJaccard(spark: SparkSession, sfDir: String,
-                            candidates: DataFrame, threshold: Double): DataFrame =
-    verifyJaccardWith(docShingleSets(spark, sfDir), candidates, threshold)
-
-  /** As [[verifyJaccard]], but against a caller-provided (and typically
-    * persisted) sets frame, so candidate generation and verification can
-    * share one shingling pass.
+    * FULL shingle sets (caller-provided so candidate generation and
+    * verification share one shingling frame); emits pairs meeting
+    * `threshold`, ordered. Identical scores to the join-and-count
+    * formulation (set intersection is set intersection), so oracles
+    * mirroring that formulation hold unchanged.
     */
   private def verifyJaccardWith(sets: DataFrame, candidates: DataFrame,
                                 threshold: Double): DataFrame = {
@@ -359,12 +347,15 @@ object Dedup {
     var edges = ngramJaccardPairs(spark, sfDir)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .localCheckpoint(true)
+    var prevCount = edges.count()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      // carry the previous round's count — one count job per round, not two
+      val nextCount = next.count()
+      converged = nextCount == prevCount && next.exceptAll(edges).isEmpty
+      prevCount = nextCount
       edges = next
       i += 1
     }
@@ -512,7 +503,7 @@ object Dedup {
         col("x.band") <= j ||
           (shiftright(col("x.sig").bitwiseXOR(col("y.sig")), j * bandBits)
             .bitwiseAND(mask) =!= 0))
-      .reduce(_ && _)
+      .foldLeft(lit(true))(_ && _) // foldLeft: nBands=1 has no lower bands
     // the corpus parquet is a single small file → one input split; without
     // an explicit spread the all-broadcast pipeline (band join + verify)
     // runs as ONE task. Round-robin the slim probe side so the many-match

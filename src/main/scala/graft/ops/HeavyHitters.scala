@@ -68,12 +68,16 @@ object HeavyHitters {
       "MG guarantee needs k >= 1000/thresholdPerMille")
     val toks = Tables.spread(Tables.documents(spark, sfDir))
       .select(explode(split(col("text"), " ")).as("w"))
-    val sketch = toks.as[String]
+    // sketch AND total in ONE typed aggregate pass (two corpus scans per
+    // query total: this one + the exact recount); the 1-row result is
+    // persisted so its two readers don't re-run the pass
+    val pass1 = toks.as[String]
       .groupByKey(_ => 0) // one global sketch; partials merge map-side
-      .agg(new MisraGries(k).toColumn.name("mg"))
-      .flatMap { case (_, m) => m.keys }
-      .toDF("w")
-    val total = toks.agg(count(lit(1)).as("total"))
+      .agg(new MisraGries(k).toColumn.name("mg"),
+        count(lit(1)).as("total").as[Long])
+      .persist()
+    val sketch = pass1.flatMap { case (_, m, _) => m.keys }.toDF("w")
+    val total = pass1.map { case (_, _, t) => t }.toDF("total")
     toks.join(broadcast(sketch), Seq("w"), "left_semi")
       .groupBy("w").agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(total))

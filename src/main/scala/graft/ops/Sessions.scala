@@ -19,13 +19,16 @@ object Sessions {
   def sessionize(spark: SparkSession, sfDir: String,
                  gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts")
-    val gapSec = gapMinutes * 60L
+    // exact microsecond integers on both engines (unix_micros / epoch_us):
+    // unix_timestamp would truncate to whole seconds and disagree with a
+    // fractional-second oracle on gaps crossing the 1800 s boundary
+    val gapMicros = gapMinutes * 60L * 1000000L
     Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("value"))
       .withColumn("new_s",
         when(lag("ts", 1).over(byUser).isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(byUser))
-            > gapSec, 1L)
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(byUser))
+            > gapMicros, 1L)
           .otherwise(0L))
       .withColumn("sid", sum("new_s").over(byUser))
       .groupBy("user_id", "sid")
