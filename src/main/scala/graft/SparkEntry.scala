@@ -88,6 +88,7 @@ object SparkEntry {
     "cohort_retention" -> (Analytics.cohortRetention _),
     "rfm_segments" -> (Analytics.rfmSegments _),
     "exists_late_ship" -> (StarQueries.existsLateShipPriority _),
+    "scalar_subquery_big_orders" -> (StarQueries.scalarSubqueryBigOrders _),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_clusters_star" -> (Dedup.dedupClustersStar _),
     "curation_pipeline" -> (TrainingSets.curationPipeline _),
@@ -801,6 +802,15 @@ object SparkEntry {
         |  AS day_offset, count(*) AS n_users
         |FROM ud JOIN ch ON ud.user_id = ch.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "scalar_subquery_big_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_big
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,6)) *
+        |      (SELECT count(*) FROM orders o2
+        |       WHERE o2.o_custkey = o.o_custkey)
+        |    > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,6))) FROM orders o2
+        |       WHERE o2.o_custkey = o.o_custkey) * 1.5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "exists_late_ship" ->
       """SELECT o_orderpriority, count(*) AS n_orders FROM orders o
         |WHERE EXISTS (SELECT 1 FROM lineitem l

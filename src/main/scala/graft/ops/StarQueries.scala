@@ -310,6 +310,27 @@ object StarQueries {
         sum("l_quantity").as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** Correlated SCALAR subqueries through the `spark.sql` surface (EP3):
+    * orders priced above 1.5× their customer's average, counted per
+    * priority. Exercises Catalyst's RewriteCorrelatedScalarSubquery —
+    * each per-row subquery becomes one customer-keyed aggregate joined
+    * back, never a per-row re-scan. The predicate is cross-multiplied
+    * into exact DECIMAL arithmetic (price·count > sum·1.5) so the
+    * comparison is engine-identical with no double division.
+    */
+  def scalarSubqueryBigOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_big
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,6)) *
+        |      (SELECT count(*) FROM orders o2
+        |       WHERE o2.o_custkey = o.o_custkey)
+        |    > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,6))) FROM orders o2
+        |       WHERE o2.o_custkey = o.o_custkey) * 1.5
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** TPC-H Q4-shaped correlated EXISTS: orders with any line item shipped
     * more than 90 days after the order date, counted per priority. The
     * EXISTS is a left-semi hash join on orderkey (what Catalyst's
