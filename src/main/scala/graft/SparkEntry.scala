@@ -377,8 +377,8 @@ object SparkEntry {
         |        (i-1)::VARCHAR), 1, 2))::INT & 1) = 0
         |      THEN embedding[i]::DOUBLE ELSE -embedding[i]::DOUBLE END
         |      for i in range(1, 65)]) > 0
-        |    THEN (1 << p) ELSE 0 END
-        |    for p in range(0, 8)])::BIGINT AS sig
+        |    THEN (1::BIGINT << p) ELSE 0 END
+        |    for p in range(0, 63)])::BIGINT AS sig
         |  FROM embeddings),
         |q AS (SELECT embedding AS q_emb, sig AS q_sig,
         |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
@@ -390,7 +390,8 @@ object SparkEntry {
         |(sqrt(list_sum([s.embedding[i]::DOUBLE * s.embedding[i]::DOUBLE
         |                for i in range(1, 65)])) * q.q_nrm) AS cosine
         |FROM sigs s, q WHERE s.vec_id <> 0
-        |  AND bit_count(xor(s.sig, q.q_sig)) <= 1
+        |  AND list_sum([CASE WHEN ((xor(s.sig, q.q_sig) >> (3*t)) & 7) = 0
+        |                THEN 1 ELSE 0 END for t in range(0, 21)]) > 0
         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
     // banded LSH: 63 planes in 21 bands of 3; a candidate pair agrees on
     // at least one 3-bit band (the Spark side emits each such pair exactly

@@ -51,6 +51,16 @@ class TrainingSetsSpec extends SparkSpec {
     assert(r === 0)
   }
 
+  test("banded-LSH ANN top-k recalls >= 8 of the brute-force top-10") {
+    val exact = graft.ops.Similarity.bruteForceTopK(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ann = graft.ops.Similarity.annTopK(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(exact.size === 10)
+    assert((exact intersect ann).size >= 8,
+      s"ANN recall too low: ${(exact intersect ann).size}/10")
+  }
+
   test("embedding LSH near-dup recalls >= 95% of the exact pairs") {
     def pairSet(df: org.apache.spark.sql.DataFrame) = df
       .select(col(df.columns(0)), col(df.columns(1)))
