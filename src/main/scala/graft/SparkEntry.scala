@@ -368,7 +368,7 @@ object SparkEntry {
         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
     // LSH plane signs derive from md5("p,d") first-byte parity in BOTH
     // engines; per-plane dots fold in dim order, so signatures (and thus
-    // the multi-probe candidate set) are bit-identical.
+    // the banded any-band-agrees candidate set) are bit-identical.
     "sim_ann_lsh" ->
       """WITH sigs AS (SELECT vec_id, label, embedding,
         |  list_sum([
@@ -803,15 +803,8 @@ object SparkEntry {
         |  AS day_offset, count(*) AS n_users
         |FROM ud JOIN ch ON ud.user_id = ch.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "scalar_subquery_big_orders" ->
-      """SELECT o_orderpriority, count(*) AS n_big
-        |FROM orders o
-        |WHERE CAST(o_totalprice AS DECIMAL(18,6)) *
-        |      (SELECT count(*) FROM orders o2
-        |       WHERE o2.o_custkey = o.o_custkey)
-        |    > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,6))) FROM orders o2
-        |       WHERE o2.o_custkey = o.o_custkey) * 1.5
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the exact string Spark executes — parity by construction
+    "scalar_subquery_big_orders" -> StarQueries.scalarSubqueryBigOrdersSql,
     "exists_late_ship" ->
       """SELECT o_orderpriority, count(*) AS n_orders FROM orders o
         |WHERE EXISTS (SELECT 1 FROM lineitem l

@@ -69,13 +69,14 @@ object HeavyHitters {
     val toks = Tables.spread(Tables.documents(spark, sfDir))
       .select(explode(split(col("text"), " ")).as("w"))
     // sketch AND total in ONE typed aggregate pass (two corpus scans per
-    // query total: this one + the exact recount); the 1-row result is
-    // persisted so its two readers don't re-run the pass
+    // query total: this one + the exact recount). The 1-row result is
+    // eagerly localCheckpointed so its two readers never re-run the pass;
+    // the pinned state is a single row, not a cached dataset per call.
     val pass1 = toks.as[String]
       .groupByKey(_ => 0) // one global sketch; partials merge map-side
       .agg(new MisraGries(k).toColumn.name("mg"),
         count(lit(1)).as("total").as[Long])
-      .persist()
+      .localCheckpoint(true)
     val sketch = pass1.flatMap { case (_, m, _) => m.keys }.toDF("w")
     val total = pass1.map { case (_, _, t) => t }.toDF("total")
     toks.join(broadcast(sketch), Seq("w"), "left_semi")

@@ -318,17 +318,22 @@ object StarQueries {
     * into exact DECIMAL arithmetic (price·count > sum·1.5) so the
     * comparison is engine-identical with no double division.
     */
+  /** One ANSI string, executed verbatim by BOTH engines (Spark runs it,
+    * the oracle map reuses it) — parity holds by construction.
+    */
+  val scalarSubqueryBigOrdersSql: String =
+    """SELECT o_orderpriority, count(*) AS n_big
+      |FROM orders o
+      |WHERE CAST(o_totalprice AS DECIMAL(18,6)) *
+      |      (SELECT count(*) FROM orders o2
+      |       WHERE o2.o_custkey = o.o_custkey)
+      |    > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,6))) FROM orders o2
+      |       WHERE o2.o_custkey = o.o_custkey) * 1.5
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def scalarSubqueryBigOrders(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.registerAll(spark, sfDir)
-    spark.sql(
-      """SELECT o_orderpriority, count(*) AS n_big
-        |FROM orders o
-        |WHERE CAST(o_totalprice AS DECIMAL(18,6)) *
-        |      (SELECT count(*) FROM orders o2
-        |       WHERE o2.o_custkey = o.o_custkey)
-        |    > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,6))) FROM orders o2
-        |       WHERE o2.o_custkey = o.o_custkey) * 1.5
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+    spark.sql(scalarSubqueryBigOrdersSql)
   }
 
   /** TPC-H Q4-shaped correlated EXISTS: orders with any line item shipped

@@ -24,14 +24,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object SessionizeStream {
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)
-  case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+  case class SessionState(start: Timestamp, lastTs: Timestamp, n: Long,
+                          total: Double)
   case class Session(user_id: Long, session_start: Timestamp, n_events: Long,
                      total_value: Double)
+
+  /** Exact microseconds of a Timestamp — gap comparisons must match the
+    * batch form's unix_micros precision, not Timestamp.getTime's
+    * millisecond truncation (a 1800.0004 s gap would otherwise split in
+    * batch but merge here).
+    */
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   def sessionize(events: DataFrame, gapMinutes: Int = 30,
                  watermark: String = "1 hour"): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
+    val gapMicros = gapMinutes * 60L * 1000000L
     events
       .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
         col("value").cast("double"))
@@ -45,30 +54,31 @@ object SessionizeStream {
             // watermark passed last_ts + gap: the open session is final
             val s = state.get
             state.remove()
-            Iterator.single(
-              Session(user, new Timestamp(s.start), s.n, round2(s.total)))
+            Iterator.single(Session(user, s.start, s.n, round2(s.total)))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => micros(e.ts))
             var open = state.getOption
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               open match {
-                case Some(s) if t - s.lastTs <= gapMs =>
-                  open = Some(SessionState(s.start, math.max(s.lastTs, t),
+                case Some(s) if t - micros(s.lastTs) <= gapMicros =>
+                  open = Some(SessionState(s.start,
+                    if (t > micros(s.lastTs)) e.ts else s.lastTs,
                     s.n + 1, s.total + e.value))
                 case Some(s) =>
-                  closed += Session(user, new Timestamp(s.start), s.n,
-                    round2(s.total))
-                  open = Some(SessionState(t, t, 1L, e.value))
+                  closed += Session(user, s.start, s.n, round2(s.total))
+                  open = Some(SessionState(e.ts, e.ts, 1L, e.value))
                 case None =>
-                  open = Some(SessionState(t, t, 1L, e.value))
+                  open = Some(SessionState(e.ts, e.ts, 1L, e.value))
               }
             }
             open.foreach { s =>
               state.update(s)
-              // close the session once the watermark clears last_ts + gap
-              state.setTimeoutTimestamp(s.lastTs + gapMs)
+              // close once the watermark clears last_ts + gap; timeout is
+              // a ms API, so ceil the microsecond deadline
+              state.setTimeoutTimestamp(
+                Math.floorDiv(micros(s.lastTs) + gapMicros + 999L, 1000L))
             }
             closed.result().iterator
           }
