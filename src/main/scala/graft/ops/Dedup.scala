@@ -244,6 +244,20 @@ object Dedup {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), DataFrame]
 
+  /** Drop the per-process memo state (pair pipeline + converged labels) and
+    * release its materialized blocks. The bench calls this between timed
+    * passes so every pass pays the full cold cost — without it, pass 2 of
+    * the CC queries would read pass 1's checkpointed labels and report the
+    * memo-hit price instead of the operator's.
+    */
+  def clearMemo(): Unit = {
+    (pairCache.values ++ labelCache.values).foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    pairCache.clear()
+    labelCache.clear()
+  }
+
   private def computeClusterLabels(spark: SparkSession, sfDir: String,
                                    maxIter: Int): DataFrame = {
     // pairs arrive memoized + localCheckpointed from ngramJaccardPairs —
