@@ -92,6 +92,14 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_clusters_star" -> (Dedup.dedupClustersStar _),
     "curation_pipeline" -> (TrainingSets.curationPipeline _),
+    "q10_returned_items" -> (StarQueries.q10ReturnedItems _),
+    "q19_or_predicate" -> (StarQueries.q19OrPredicateRevenue _),
+    "dedup_latest" -> (Dedup.dedupLatest _),
+    "pii_redact" -> (Privacy.piiRedact _),
+    "k_anonymity" -> ((s, d) => Privacy.kAnonymity(s, d)),
+    "scd2_user_history" -> (Analytics.scd2UserHistory _),
+    "outlier_events" -> (Analytics.outlierEvents _),
+    "weighted_sample" -> (TrainingSets.weightedSample _),
     // rows-only (approx sketches aren't cross-engine comparable; accuracy
     // is spec-asserted in ApproxSpec, mirroring approx_distinct_users)
     "approx_value_quantiles" -> ((s, d) => TrainingSets.approxValueQuantiles(s, d))
@@ -810,6 +818,88 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM lineitem l
         |  WHERE l.l_orderkey = o.o_orderkey
         |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6)))
+        |  AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q19_or_predicate" ->
+      """SELECT count(*) AS n_lines,
+        |CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6)))
+        |  AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // keep-latest read of a ReplacingMergeTree: one row per key, max
+    // (ts, event_id) version — the row_number formulation is the oracle
+    // for the engine's single-pass max(struct(...)) argmax
+    "dedup_latest" ->
+      """SELECT user_id, ts::TIMESTAMP AS last_ts, event_id AS last_event_id,
+        |event_type AS last_event_type, round(value, 2) AS last_value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "pii_redact" ->
+      """SELECT 'cust_' || substr(md5(c_custkey::VARCHAR), 1, 12) AS pseudonym,
+        |regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+        |(floor(c_acctbal / 500.0) * 500.0)::DOUBLE AS acctbal_band,
+        |c_nationkey, c_mktsegment
+        |FROM customer ORDER BY pseudonym""".stripMargin,
+    "k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |(floor(c_acctbal / 500.0) * 500.0)::DOUBLE AS acctbal_band,
+        |count(*) AS n,
+        |CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS under_k
+        |FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "scd2_user_history" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(event_type) OVER w IS NULL
+        |    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |i AS (SELECT user_id, event_type, ts,
+        |  CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg_id FROM m),
+        |g AS (SELECT user_id, seg_id, min(event_type) AS state,
+        |  min(ts) AS valid_from, count(*) AS n_events
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, seg_id, state, valid_from::TIMESTAMP AS valid_from,
+        |lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg_id)::TIMESTAMP
+        |  AS valid_to,
+        |n_events
+        |FROM g ORDER BY user_id, seg_id""".stripMargin,
+    // exact interpolated quartiles (quantile_cont ≡ Spark percentile, the
+    // parity value_quantiles already proves); fences are deterministic
+    // IEEE arithmetic on them, outlier min/max are selections
+    "outlier_events" ->
+      """WITH q AS (SELECT event_type, quantile_cont(value, 0.25) AS q1,
+        |  quantile_cont(value, 0.75) AS q3 FROM events GROUP BY 1),
+        |f AS (SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo_fence,
+        |  q3 + (q3 - q1) * 1.5 AS hi_fence FROM q)
+        |SELECT e.event_type, count(*) AS n_outliers,
+        |min(e.value) AS min_outlier, max(e.value) AS max_outlier,
+        |min(f.lo_fence) AS lo_fence, min(f.hi_fence) AS hi_fence
+        |FROM events e JOIN f ON e.event_type = f.event_type
+        |WHERE e.value < f.lo_fence OR e.value > f.hi_fence
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "weighted_sample" ->
+      """SELECT lang, count(*) AS n_sampled,
+        |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000
+        |      < n_chars
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // transitive closure via recursive CTE mirrors the engine's iterative
     // min-label propagation (identical fixpoint: cluster = min member id)

@@ -108,4 +108,64 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort", "day_offset")
   }
+
+  /** SCD type-2 history: collapse each user's event stream into validity
+    * intervals of consecutive equal states (gaps-and-islands), each island
+    * carrying valid_from / valid_to (the next island's start; null = the
+    * open current version) — how a warehouse versions a slowly-changing
+    * dimension from a change stream. Island ids come from a running sum of
+    * change markers; ties on ts break on event_id, so intervals are a pure
+    * function of the event set.
+    *
+    * Scale shape: two window passes over the SAME user_id partitioning
+    * (lag + running sum — one shuffle, one sort, both windows ride it),
+    * one island groupBy, then a lead over the (much smaller) island frame.
+    */
+  def scd2UserHistory(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val prev = lag("event_type", 1).over(byUser)
+    val marked = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type")
+      .withColumn("chg",
+        when(prev.isNull || prev =!= col("event_type"), 1).otherwise(0))
+    val islands = marked
+      .withColumn("seg_id", sum("chg").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "seg_id")
+      .agg(min("event_type").as("state"), // constant within an island
+        min("ts").as("valid_from"), count(lit(1)).as("n_events"))
+    islands
+      .withColumn("valid_to", lead("valid_from", 1).over(
+        Window.partitionBy("user_id").orderBy("seg_id")))
+      .select("user_id", "seg_id", "state", "valid_from", "valid_to",
+        "n_events")
+      .orderBy("user_id", "seg_id")
+  }
+
+  /** Anomaly report: Tukey-fence outliers per event_type (value outside
+    * [q1 - 1.5·IQR, q3 + 1.5·IQR]). Quartiles are exact interpolated
+    * percentiles (≡ DuckDB quantile_cont, the same parity already proven
+    * by value_quantiles); fences are deterministic IEEE arithmetic on
+    * them; outlier min/max are selections, not arithmetic. Shape: one
+    * tiny per-type aggregate broadcast back over the scan — two passes,
+    * zero fact shuffles.
+    */
+  def outlierEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val q = ev.groupBy("event_type").agg(
+      expr("percentile(value, 0.25)").as("q1"),
+      expr("percentile(value, 0.75)").as("q3"))
+    val lo = col("q1") - (col("q3") - col("q1")) * 1.5
+    val hi = col("q3") + (col("q3") - col("q1")) * 1.5
+    ev.join(broadcast(q), "event_type")
+      .withColumn("lo_fence", lo)
+      .withColumn("hi_fence", hi)
+      .filter(col("value") < col("lo_fence") ||
+        col("value") > col("hi_fence"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_outliers"),
+        min("value").as("min_outlier"), max("value").as("max_outlier"),
+        min("lo_fence").as("lo_fence"), min("hi_fence").as("hi_fence"))
+      .orderBy("event_type")
+  }
 }

@@ -78,6 +78,31 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("content_hash")
 
+  /** Keep-latest dedup — the read-side semantics of ClickHouse's
+    * ReplacingMergeTree (the dedup sibling of the reference's
+    * SummingMergeTree, `clickhouse/init/01_init.sql:44`): one surviving
+    * row per key, the one with the highest version. Version here is
+    * (ts, event_id) — event_id breaks timestamp ties deterministically.
+    *
+    * Implemented as a single argmax aggregate: `max(struct(version…,
+    * payload…))` compares lexicographically on the version prefix, so the
+    * whole operator is ONE partial-aggregating shuffle on the key — no
+    * window sort, no per-key row_number pass; map-side combine keeps one
+    * candidate row per key per partition, which is what makes it hold at
+    * 100 TB (state ∝ distinct keys, not rows).
+    */
+  def dedupLatest(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("last"))
+      .select(col("user_id"),
+        col("last.ts").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_event_type"),
+        round(col("last.value"), 2).as("last_value"))
+      .orderBy("user_id")
+
   /** Per-source near-dup-rate report: how much of each source would be
     * dropped by near-dup pruning (cluster members that are not their
     * cluster's min-id representative) — the triage view that decides

@@ -355,4 +355,61 @@ object StarQueries {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
   }
+
+  /** TPC-H Q10-shape: top-20 customers by revenue from returned items in
+    * one quarter. The date filter prunes orders at the scan; lineitem is
+    * pre-filtered to returnflag='R' before the join; customer and nation
+    * broadcast, so only orders⋈lineitem shuffles (on the order key) and
+    * the top-20 runs as TakeOrderedAndProject.
+    */
+  def q10ReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-04-01"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val c = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val n = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q19-shape: revenue under an OR-of-ANDs predicate spanning both
+    * join sides (brand/size on part, quantity on lineitem). The textbook
+    * optimization is done explicitly: each table gets the predicate's
+    * per-table projection pushed to its scan (the brand/size disjunction
+    * prunes part to a handful of rows → broadcast; the quantity envelope
+    * [1,30] prunes lineitem), and the full cross-table disjunction is
+    * evaluated once after the join.
+    */
+  def q19OrPredicateRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val armP = Seq(
+      (col("p_brand") === "Brand#12") && col("p_size").between(1, 5),
+      (col("p_brand") === "Brand#23") && col("p_size").between(1, 10),
+      (col("p_brand") === "Brand#3") && col("p_size").between(1, 15))
+    val armQ = Seq(
+      col("l_quantity").between(1, 11),
+      col("l_quantity").between(10, 20),
+      col("l_quantity").between(20, 30))
+    val p = Tables.part(spark, sfDir)
+      .select("p_partkey", "p_brand", "p_size")
+      .filter(armP.reduce(_ || _))
+    val l = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .filter(col("l_quantity").between(1, 30))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(armP.zip(armQ).map { case (bp, bq) => bp && bq }.reduce(_ || _))
+      .agg(count(lit(1)).as("n_lines"),
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+  }
 }

@@ -53,6 +53,21 @@ object TrainingSets {
       .agg(count(lit(1)).as("n_sampled"), sum("n_chars").as("sum_chars"))
       .orderBy("lang")
 
+  /** Importance sampling ∝ document size: accept doc i with probability
+    * n_chars/1000 via the same md5 coin, here mod 1000 (corpus n_chars
+    * tops out at ~600, so every weight is a real probability < 1). This
+    * is token-budget-proportional selection — the sampler a corpus-mixing
+    * run uses when the budget is counted in tokens, not documents. Like
+    * every sampler here it is a row-local filter: a scan, not a job.
+    */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long"), lit(1000)) < col("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+
   /** Per-group quota: keep at most `cap` docs per lang, chosen by md5
     * order (deterministic, unbiased by doc_id assignment order). The
     * window shuffles on lang — bounded-cardinality keys; at scale the

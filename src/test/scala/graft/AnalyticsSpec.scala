@@ -30,6 +30,44 @@ class AnalyticsSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("scd2 history: intervals tile each user's stream exactly") {
+    val ev = Tables.events(spark, sf)
+    val hist = graft.ops.Analytics.scd2UserHistory(spark, sf).cache()
+    // conservation: island sizes sum back to the user's event count
+    val perUser = hist.groupBy("user_id")
+      .agg(sum("n_events").as("n"),
+        sum(when(col("valid_to").isNull, 1).otherwise(0)).as("n_open"))
+    val evCounts = ev.groupBy("user_id").agg(count(lit(1)).as("n_ev"))
+    assert(perUser.join(evCounts, "user_id")
+      .filter(col("n") =!= col("n_ev") || col("n_open") =!= 1)
+      .count() === 0, "each user: islands tile the stream, one open version")
+    // adjacency: valid_to equals the NEXT island's valid_from
+    val nxt = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("seg_id")
+    assert(hist.withColumn("nf", lead("valid_from", 1).over(nxt))
+      .filter(!(col("valid_to") <=> col("nf"))).count() === 0)
+    // no two adjacent islands share a state (else they'd be one island)
+    assert(hist.withColumn("ns", lead("state", 1).over(nxt))
+      .filter(col("ns").isNotNull && col("ns") === col("state"))
+      .count() === 0)
+    hist.unpersist()
+  }
+
+  test("tukey outliers: fences ordered, counts partition the stream") {
+    val out = graft.ops.Analytics.outlierEvents(spark, sf)
+    assert(out.filter(col("lo_fence") >= col("hi_fence")).count() === 0)
+    val ev = Tables.events(spark, sf)
+    val inFence = ev.join(out.select("event_type", "lo_fence", "hi_fence"),
+        "event_type")
+      .filter(col("value") >= col("lo_fence") &&
+        col("value") <= col("hi_fence"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_in"))
+    val total = ev.groupBy("event_type").agg(count(lit(1)).as("n_all"))
+    assert(out.join(inFence, "event_type").join(total, "event_type")
+      .filter(col("n_outliers") + col("n_in") =!= col("n_all"))
+      .count() === 0)
+  }
+
   test("repetition signals: shares within (0,1], top gram count consistent") {
     val rep = graft.ops.TextAnalysis.repetitionSignals(spark, sf)
     assert(rep.filter(
