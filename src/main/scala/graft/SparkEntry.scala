@@ -100,6 +100,9 @@ object SparkEntry {
     "scd2_user_history" -> (Analytics.scd2UserHistory _),
     "outlier_events" -> (Analytics.outlierEvents _),
     "weighted_sample" -> (TrainingSets.weightedSample _),
+    "corpus_rebalance" -> (TrainingSets.corpusRebalance _),
+    "data_profile" -> (Quality.dataProfile _),
+    "q21_waiting_suppliers" -> (StarQueries.q21WaitingSuppliers _),
     // rows-only (approx sketches aren't cross-engine comparable; accuracy
     // is spec-asserted in ApproxSpec, mirroring approx_distinct_users)
     "approx_value_quantiles" -> ((s, d) => TrainingSets.approxValueQuantiles(s, d))
@@ -901,6 +904,46 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000
         |      < n_chars
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "corpus_rebalance" ->
+      """WITH c AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY 1),
+        |m AS (SELECT min(n_before) AS n_min FROM c)
+        |SELECT d.lang, c.n_before, count(*) AS n_after,
+        |CAST(count(*) AS DOUBLE) / c.n_before AS keep_rate
+        |FROM documents d JOIN c ON d.lang = c.lang, m
+        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+        |      % c.n_before < m.n_min
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "data_profile" ->
+      """SELECT * FROM (
+        |SELECT 'event_id' AS "column", count(*) AS n_rows,
+        |  count(*) - count(event_id) AS n_nulls,
+        |  count(DISTINCT event_id) AS n_distinct,
+        |  min(event_id)::DOUBLE AS min_num, max(event_id)::DOUBLE AS max_num
+        |  FROM events
+        |UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id),
+        |  count(DISTINCT user_id), min(user_id)::DOUBLE, max(user_id)::DOUBLE
+        |  FROM events
+        |UNION ALL SELECT 'event_type', count(*), count(*) - count(event_type),
+        |  count(DISTINCT event_type), NULL::DOUBLE, NULL::DOUBLE FROM events
+        |UNION ALL SELECT 'value', count(*), count(*) - count(value),
+        |  count(DISTINCT value), min(value), max(value) FROM events
+        |UNION ALL SELECT 'props', count(*), count(*) - count(props),
+        |  count(DISTINCT props), NULL::DOUBLE, NULL::DOUBLE FROM events
+        |) ORDER BY "column"""".stripMargin,
+    // EXISTS/NOT-EXISTS formulation here vs the engine's aggregate
+    // rewrite: the hash check doubles as an equivalence proof
+    "q21_waiting_suppliers" ->
+      """WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM l
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late t JOIN supplier ON t.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = t.l_orderkey
+        |    AND l2.l_suppkey <> t.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late u
+        |    WHERE u.l_orderkey = t.l_orderkey AND u.l_suppkey <> t.l_suppkey)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     // transitive closure via recursive CTE mirrors the engine's iterative
     // min-label propagation (identical fixpoint: cluster = min member id)
     "dedup_clusters" -> clustersFromLabels,

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Dataset profiling — the validation pass a pipeline runs before trusting
+  * an input drop: per-column row/null/distinct counts plus numeric ranges,
+  * one row per profiled column (what Deequ calls a column profile).
+  *
+  * Shape: ONE wide aggregate over a single scan produces every metric,
+  * then the 1×N row is unpivoted row-locally into the report. The exact
+  * distinct counts plan as one Expand(×columns) pass — the honest cost of
+  * exactness; at 100 TB swap `countDistinct` for `approx_count_distinct`
+  * (same plan minus the expand) and keep the report schema.
+  */
+object Quality {
+
+  private case class Prof(name: String, c: Column, numeric: Boolean)
+
+  def dataProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val cols = Seq(
+      Prof("event_id", col("event_id"), numeric = true),
+      Prof("user_id", col("user_id"), numeric = true),
+      Prof("event_type", col("event_type"), numeric = false),
+      Prof("value", col("value"), numeric = true),
+      Prof("props", col("props"), numeric = false))
+    val aggs = cols.flatMap { p =>
+      Seq(
+        count(p.c).as(s"${p.name}__nn"),
+        countDistinct(p.c).as(s"${p.name}__nd")) ++
+        (if (p.numeric)
+           Seq(min(p.c).cast("double").as(s"${p.name}__mn"),
+             max(p.c).cast("double").as(s"${p.name}__mx"))
+         else Seq.empty)
+    }
+    val wide = ev.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = cols.map { p =>
+      struct(
+        lit(p.name).as("column"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"${p.name}__nn")).as("n_nulls"),
+        col(s"${p.name}__nd").as("n_distinct"),
+        (if (p.numeric) col(s"${p.name}__mn")
+         else lit(null).cast("double")).as("min_num"),
+        (if (p.numeric) col(s"${p.name}__mx")
+         else lit(null).cast("double")).as("max_num"))
+    }
+    wide.select(explode(array(rows: _*)).as("r"))
+      .select("r.*")
+      .orderBy("column")
+  }
+}

@@ -412,4 +412,37 @@ object StarQueries {
         moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
   }
+
+  /** TPC-H Q21-shape: suppliers who were the SOLE late shipper in
+    * multi-supplier orders. The classic form is a correlated EXISTS plus
+    * NOT EXISTS on the same fact table (two extra fact-fact joins); here
+    * everything collapses into ONE order-keyed aggregate — n_suppliers ≥ 2
+    * replaces the EXISTS, n_late_suppliers = 1 the NOT EXISTS, and a
+    * conditional max recovers the sole late supplier (well-defined exactly
+    * when n_late = 1) — so lineitem is scanned once and shuffled once. The
+    * oracle keeps the EXISTS formulation, making the hash check an
+    * independent equivalence proof of the rewrite.
+    */
+  def q21WaitingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val lateSupp = when(
+      col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+      col("l_suppkey"))
+    val perOrder = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(lateSupp).as("n_late"),
+        max(lateSupp).as("sole_late_supp"))
+    perOrder
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select("s_suppkey", "s_name")),
+        col("sole_late_supp") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), asc("s_name"))
+      .limit(20)
+  }
 }

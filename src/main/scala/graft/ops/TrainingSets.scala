@@ -68,6 +68,31 @@ object TrainingSets {
       .agg(count(lit(1)).as("n_sampled"), sum("n_chars").as("sum_chars"))
       .orderBy("lang")
 
+  /** Corpus rebalancing to a uniform language mix: downsample every lang
+    * to the minority lang's size via a per-lang md5 acceptance coin
+    * (accept doc iff md5 mod n_lang < n_min — rate n_min/n_lang). Two
+    * aggregates frame a row-local filter: per-lang counts (tiny, broadcast
+    * back), then the coin; no shuffle of the corpus itself. The per-lang
+    * report carries before/after counts — realized counts are binomial
+    * around n_min, which is the documented property of coin-based mixing
+    * at corpus scale (exact-count capping is [[groupCap]]).
+    */
+  def corpusRebalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+    val nMin = min("n_before")
+    val withMin = counts.crossJoin(
+      broadcast(counts.agg(nMin.as("n_min"))))
+    docs.join(broadcast(withMin), "lang")
+      .filter(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long"), col("n_before")) < col("n_min"))
+      .groupBy("lang", "n_before")
+      .agg(count(lit(1)).as("n_after"))
+      .select(col("lang"), col("n_before"), col("n_after"),
+        (col("n_after").cast("double") / col("n_before")).as("keep_rate"))
+      .orderBy("lang")
+  }
+
   /** Per-group quota: keep at most `cap` docs per lang, chosen by md5
     * order (deterministic, unbiased by doc_id assignment order). The
     * window shuffles on lang — bounded-cardinality keys; at scale the
