@@ -103,6 +103,14 @@ object SparkEntry {
     "corpus_rebalance" -> (TrainingSets.corpusRebalance _),
     "data_profile" -> (Quality.dataProfile _),
     "q21_waiting_suppliers" -> (StarQueries.q21WaitingSuppliers _),
+    "q7_nation_volume" -> ((s, d) => StarQueries.q7NationVolume(s, d)),
+    "q8_market_share" -> ((s, d) => StarQueries.q8MarketShare(s, d)),
+    "q13_custdist" -> (StarQueries.q13CustDist _),
+    "q17_small_quantity" -> ((s, d) => StarQueries.q17SmallQuantityRevenue(s, d)),
+    "q22_idle_rich_customers" ->
+      ((s, d) => StarQueries.q22IdleRichCustomers(s, d)),
+    "shard_assignment" -> ((s, d) => TrainingSets.shardAssignment(s, d)),
+    "target_mix_sample" -> ((s, d) => TrainingSets.targetMixSample(s, d)),
     // rows-only (approx sketches aren't cross-engine comparable; accuracy
     // is spec-asserted in ApproxSpec, mirroring approx_distinct_users)
     "approx_value_quantiles" -> ((s, d) => TrainingSets.approxValueQuantiles(s, d))
@@ -944,6 +952,105 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM late u
         |    WHERE u.l_orderkey = t.l_orderkey AND u.l_suppkey <> t.l_suppkey)
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |  AS DOUBLE) AS volume
+        |FROM (SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INT) AS l_year,
+        |    l_extendedprice, l_discount
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  WHERE (nc.n_name = 'NATION_2' AND ns.n_name = 'NATION_7')
+        |     OR (nc.n_name = 'NATION_7' AND ns.n_name = 'NATION_2'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // share = quotient of the two exact decimal sums (never a rounded
+    // ratio) — both engines divide identical doubles
+    "q8_market_share" ->
+      """WITH f AS (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    l_extendedprice * (1 - l_discount) AS volume,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |    WHERE r_name = 'AFRICA'))
+        |SELECT o_year, nation_volume, total_volume,
+        |  nation_volume / total_volume AS mkt_share
+        |FROM (SELECT o_year,
+        |  CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_2' THEN volume
+        |    ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS nation_volume,
+        |  CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS total_volume
+        |  FROM f GROUP BY 1)
+        |ORDER BY o_year""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // decorrelated CTE form with the engine's exact-operand threshold
+    // arithmetic (decimal sum + count, never an order-dependent avg)
+    "q17_small_quantity" ->
+      """WITH l AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#12'),
+        |agg AS (SELECT l_partkey AS agg_partkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+        |    count(*) AS cnt_qty
+        |  FROM l GROUP BY 1)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    / 7.0 AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM l JOIN agg ON l_partkey = agg_partkey
+        |WHERE CAST(l_quantity AS DECIMAL(18,6)) * 5 * cnt_qty
+        |      < sum_qty""".stripMargin,
+    "q22_idle_rich_customers" ->
+      """WITH t AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))
+        |    AS DOUBLE) / count(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT n_name, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey, t
+        |WHERE c_acctbal > t.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "shard_assignment" ->
+      """SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16
+        |  AS shard,
+        |count(*) AS n_docs,
+        |CAST(sum(ceil(n_chars / 4.0)::BIGINT) AS BIGINT) AS sum_est_tokens,
+        |min(md5(doc_id::VARCHAR)) AS md5_lo,
+        |max(md5(doc_id::VARCHAR)) AS md5_hi
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // weights forced to DOUBLE: DuckDB's 0.4 literal is DECIMAL, and
+    // decimal vs double division diverges at floor boundaries (25/0.2 is
+    // 125 exact but 124.99... in binary) — both engines must floor the
+    // same IEEE doubles
+    "target_mix_sample" ->
+      """WITH w(source, weight) AS (VALUES
+        |  ('src0', 0.4::DOUBLE), ('src1', 0.3::DOUBLE),
+        |  ('src2', 0.2::DOUBLE), ('src3', 0.1::DOUBLE)),
+        |c AS (SELECT d.source, count(*) AS n_avail FROM documents d
+        |  GROUP BY 1),
+        |j AS (SELECT c.source, n_avail, weight FROM c JOIN w USING (source)),
+        |n AS (SELECT min(CAST(floor(n_avail / weight) AS BIGINT)) AS n_star
+        |  FROM j),
+        |q AS (SELECT source, n_avail,
+        |  CAST(floor(weight * n_star) AS BIGINT) AS n_keep FROM j, n)
+        |SELECT d.source, q.n_avail, q.n_keep, count(*) AS n_kept,
+        |  CAST(sum(ceil(n_chars / 4.0)::BIGINT) AS BIGINT) AS sum_est_tokens
+        |FROM documents d JOIN q ON d.source = q.source
+        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+        |      % q.n_avail < q.n_keep
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     // transitive closure via recursive CTE mirrors the engine's iterative
     // min-label propagation (identical fixpoint: cluster = min member id)
     "dedup_clusters" -> clustersFromLabels,

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.ops.Num.moneySum
@@ -444,5 +445,160 @@ object StarQueries {
       .agg(count(lit(1)).as("numwait"))
       .orderBy(desc("numwait"), asc("s_name"))
       .limit(20)
+  }
+
+  /** TPC-H Q7-shape: bilateral shipping volume between two customer/
+    * supplier nations by ship year. Both nation-tagged key maps
+    * (customer→nation, supplier→nation) are filtered to the two nations
+    * BEFORE the fact join and broadcast, so the only shuffle is
+    * orders⋈lineitem on the order key; the cross-nation disjunction
+    * runs post-join on the two tiny dictionary columns.
+    */
+  def q7NationVolume(spark: SparkSession, sfDir: String,
+                     nationA: String = "NATION_2",
+                     nationB: String = "NATION_7"): DataFrame = {
+    val n = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+      .filter(col("n_name").isin(nationA, nationB))
+    val custNation = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey")
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val suppNation = Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_nationkey")
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .filter((col("cust_nation") === nationA && col("supp_nation") === nationB) ||
+        (col("cust_nation") === nationB && col("supp_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("volume"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8-shape: one supplier nation's market share of a region's
+    * customer market by order year. Share = conditional exact decimal sum /
+    * total exact decimal sum — a deterministic double quotient of exact
+    * operands (never a rounded ratio), computed in ONE aggregate pass
+    * rather than a join of two aggregations. Customer keys are pre-filtered
+    * to the region and broadcast; supplier carries its nation tag broadcast
+    * too, so again only the fact-fact join shuffles.
+    */
+  def q8MarketShare(spark: SparkSession, sfDir: String,
+                    regionName: String = "AFRICA",
+                    nationName: String = "NATION_2"): DataFrame = {
+    val regionCust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey")
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === regionName),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val suppNation = Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_nationkey")
+      .join(Tables.nation(spark, sfDir).select(
+        col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val volume = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(regionCust), col("o_custkey") === col("c_custkey"),
+        "left_semi")
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        moneySum(when(col("supp_nation") === nationName, volume)
+          .otherwise(lit(0.0))).as("nation_volume"),
+        moneySum(volume).as("total_volume"))
+      .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q13-shape (custdist): the distribution of per-customer order
+    * counts, with a predicate INSIDE the outer-join condition (orders that
+    * are not urgent still leave order-less customers with count 0 — a WHERE
+    * would wrongly drop them). Two shuffles: customer⋈orders on custkey
+    * (AQE may broadcast customer at small sf), then the tiny histogram
+    * re-aggregation on c_count.
+    */
+  def q13CustDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select("c_custkey")
+    val o = Tables.orders(spark, sfDir).select("o_custkey", "o_orderkey",
+      "o_orderpriority")
+    c.join(o, col("c_custkey") === col("o_custkey") &&
+        col("o_orderpriority") =!= "1-URGENT", "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** TPC-H Q17-shape: revenue lost to small-quantity orders of one brand.
+    * The textbook correlated subquery (`l_quantity < 0.2 * avg per part`)
+    * is decorrelated into a per-part aggregate joined back to the fact —
+    * Catalyst does the same rewrite for the SQL form. Parity discipline:
+    * the threshold compare uses only exact operands (decimal quantity sum,
+    * row count) with an explicit association order both engines evaluate
+    * identically — never a floating avg whose accumulation order differs.
+    * part is filtered to one brand and broadcast; lineitem aggregates
+    * per-partkey (one shuffle) and joins back to itself semi-broadcast
+    * via the brand filter.
+    */
+  def q17SmallQuantityRevenue(spark: SparkSession, sfDir: String,
+                              brand: String = "Brand#12"): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === brand).select("p_partkey")
+    val l = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val perPart = l.groupBy(col("l_partkey").as("agg_partkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 6))).as("sum_qty"),
+        count(lit(1)).as("cnt_qty"))
+    l.join(broadcast(perPart), col("l_partkey") === col("agg_partkey"))
+      .filter(col("l_quantity").cast(DecimalType(18, 6)) * lit(5) * col("cnt_qty")
+        < col("sum_qty"))
+      .agg((moneySum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q22-shape: well-funded customers with no RECENT orders (every
+    * fixture customer has ordered at least once, so the textbook "never
+    * ordered" would be vacuous — the shape is preserved against a
+    * date-filtered orders side). The global "average positive balance"
+    * scalar lands as a one-row broadcast cross join (what Catalyst builds
+    * for an uncorrelated scalar subquery); the NOT EXISTS is a left-anti
+    * hash join on custkey — orders is date-pruned at the scan and
+    * projected to the single join column, so the anti join's build side
+    * is as small as it can be. The threshold itself is the deterministic
+    * double quotient of an exact decimal sum and a count.
+    */
+  def q22IdleRichCustomers(spark: SparkSession, sfDir: String,
+                           since: String = "1999-01-01"): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val threshold = c.filter(col("c_acctbal") > 0.0)
+      .agg((moneySum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+    c.join(Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= lit(since)).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(threshold))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"),
+        moneySum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("n_name")
   }
 }

@@ -221,4 +221,67 @@ object TrainingSets {
         expr("percentile(value, 0.99)").as("p99_exact"),
         count(lit(1)).as("n"))
       .orderBy("event_type")
+
+  /** Deterministic training-shard assignment: shard = first md5 byte-pairs
+    * of the doc id mod nShards — the "global shuffle" a training run needs,
+    * done as a row-local hash instead of a sort (a total order over 100 TB
+    * is a global sort; a keyed-hash shard is a scan). Within a shard the
+    * read order is the md5 itself, so the report carries each shard's
+    * md5-range endpoints alongside its size and token budget. Mirrors how
+    * production pipelines shard: content-stable, partition-independent,
+    * and balanced by the uniformity of the hash (the spec asserts bounds).
+    */
+  def shardAssignment(spark: SparkSession, sfDir: String,
+                      nShards: Int = 16): DataFrame = {
+    val coin = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    Tables.documents(spark, sfDir)
+      .withColumn("shard", pmod(coin, lit(nShards.toLong)))
+      .withColumn("est", ceil(col("n_chars") / 4.0).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("est").as("sum_est_tokens"),
+        min(md5(col("doc_id").cast("string"))).as("md5_lo"),
+        max(md5(col("doc_id").cast("string"))).as("md5_hi"))
+      .orderBy("shard")
+  }
+
+  /** Weighted data mixing: downsample each source to hit target mixture
+    * proportions exactly at the largest achievable corpus size. With
+    * target weight w_s and available count c_s, the binding source
+    * maximizes N = min_s floor(c_s / w_s); each source then keeps docs
+    * whose md5 coin lands under its quota n_s = floor(w_s * N) — the same
+    * deterministic acceptance trick as [[corpusRebalance]] (≈ n_s kept;
+    * exact-count selection would be [[groupCap]]'s ranked window) but
+    * against an arbitrary mixture instead of the uniform one. Plan shape:
+    * two tiny aggregates
+    * (per-source counts, global argmin) broadcast around one row-local
+    * filter of the corpus — no corpus shuffle at any step.
+    */
+  def targetMixSample(spark: SparkSession, sfDir: String,
+                      weights: Seq[(String, Double)] =
+                        Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2,
+                          "src3" -> 0.1)): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val w = weights.toDF("source", "weight")
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_avail"))
+      .join(broadcast(w), "source")
+    // N*: the largest total size every target share can be served at.
+    val nStar = counts
+      .select(floor(col("n_avail") / col("weight")).as("cap"))
+      .agg(min("cap").as("n_star"))
+    val quota = counts.crossJoin(broadcast(nStar))
+      .select(col("source"), col("n_avail"),
+        floor(col("weight") * col("n_star")).as("n_keep"))
+    val coin = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long"), col("n_avail"))
+    docs.join(broadcast(quota), "source")
+      .filter(coin < col("n_keep"))
+      .withColumn("est", ceil(col("n_chars") / 4.0).cast("long"))
+      .groupBy("source", "n_avail", "n_keep")
+      .agg(count(lit(1)).as("n_kept"), sum("est").as("sum_est_tokens"))
+      .orderBy("source")
+  }
 }

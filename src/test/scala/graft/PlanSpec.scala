@@ -28,8 +28,8 @@ class PlanSpec extends SparkSpec {
     p +: (p.children ++ p.subqueries ++ nested).flatMap(flatten)
   }
 
-  private def planOf(name: String): Seq[SparkPlan] = {
-    val df = SparkEntry.queries(name)(spark, sf)
+  private def planOf(name: String, dir: String = sf): Seq[SparkPlan] = {
+    val df = SparkEntry.queries(name)(spark, dir)
     df.collect()
     flatten(df.queryExecution.executedPlan)
   }
@@ -152,5 +152,66 @@ class PlanSpec extends SparkSpec {
     assert(!plan.exists(_.getClass.getSimpleName.contains("Window")))
     // session merge + presentation sort; no extra exchanges
     assert(plan.collect { case s: ShuffleExchangeExec => s }.size <= 2)
+  }
+
+  test("q7 broadcasts both nation-tagged key maps; no cartesian") {
+    // sf0.01: the nation pair has no trade rows at sf0.001 and AQE's
+    // empty-relation propagation would erase the joins under test
+    val plan = planOf("q7_nation_volume", "/root/testdata/sf0.01")
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    // cust→nation and supp→nation maps broadcast (+ their inner nation
+    // joins, which AQE may also broadcast); never a cartesian product
+    assert(bhj.size >= 2)
+    assert(!plan.exists(_.getClass.getSimpleName.contains("Cartesian")))
+  }
+
+  test("q8 keeps the region membership a semi-join and the share one agg pass") {
+    val plan = planOf("q8_market_share")
+    assert(plan.exists(_.toString.contains("LeftSemi")))
+    assert(!plan.exists(_.getClass.getSimpleName.contains("Cartesian")))
+    // conditional-sum share: exactly one aggregate exchange over the fact
+    // (plus the presentation sort) — NOT two joined aggregations
+    val aggExchanges = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(aggExchanges.size <= 3)
+  }
+
+  test("q17's correlated-avg decorrelates to one per-part aggregate, " +
+       "broadcast back — no per-row re-scan, no cartesian") {
+    val plan = planOf("q17_small_quantity")
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.size >= 2)
+    assert(!plan.exists(_.getClass.getSimpleName.contains("Cartesian")))
+    assert(!plan.exists(_.isInstanceOf[SortMergeJoinExec]))
+  }
+
+  test("q22's never-ordered check is a left-anti join with a date-pruned " +
+       "build side") {
+    val plan = planOf("q22_idle_rich_customers")
+    assert(plan.exists(_.toString.contains("LeftAnti")))
+    // orders scan must carry the date pushdown, not filter post-join
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.exists(_.metadata("PushedFilters")
+      .contains("GreaterThanOrEqual(o_orderdate")))
+  }
+
+  test("shard assignment is a row-local hash + one aggregate exchange — " +
+       "a scan, not a sort") {
+    val plan = planOf("shard_assignment")
+    assert(!plan.exists(_.getClass.getSimpleName.contains("Window")))
+    // agg exchange + presentation sort only; a global-sort implementation
+    // would add a range-partitioning exchange
+    assert(plan.collect { case s: ShuffleExchangeExec => s }.size <= 2)
+  }
+
+  test("target mix sampling never shuffles the corpus: quota lands by " +
+       "broadcast, filter is row-local") {
+    val plan = planOf("target_mix_sample")
+    val corpusShuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    // the only exchanges aggregate tiny per-source frames (the counts
+    // branch twice — it feeds both N* and the quota —, the global argmin,
+    // the final report, and the presentation sort); the documents scan
+    // itself feeds the row-local filter map-side, never a corpus exchange
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+    assert(!plan.exists(_.isInstanceOf[SortMergeJoinExec]))
+    assert(corpusShuffles.size <= 5)
   }
 }

@@ -74,4 +74,41 @@ class TrainingSetsSpec extends SparkSpec {
     val recall = (exact intersect lsh).size.toDouble / exact.size
     assert(recall >= 0.95, s"LSH recall $recall < 0.95 (${lsh.size}/${exact.size})")
   }
+
+  test("shard assignment partitions the corpus exactly, roughly evenly") {
+    val shards = graft.ops.TrainingSets.shardAssignment(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(shards.map(_.getAs[Long]("n_docs")).sum === total) // a partition
+    assert(shards.length === 16)                              // none empty
+    // md5 uniformity: no shard more than 3x the ideal share (5000/16)
+    val ideal = total.toDouble / 16
+    shards.foreach { r =>
+      assert(r.getAs[Long]("n_docs") <= ideal * 3,
+        s"shard ${r.getAs[Long]("shard")} over-filled")
+      assert(r.getAs[String]("md5_lo") <= r.getAs[String]("md5_hi"))
+    }
+  }
+
+  test("target mix sampling approaches the target proportions and is " +
+       "a deterministic subset") {
+    val mix = graft.ops.TrainingSets.targetMixSample(spark, sf)
+    val rows = mix.collect()
+    val kept = rows.map(r =>
+      r.getAs[String]("source") -> r.getAs[Long]("n_kept")).toMap
+    val total = kept.values.sum.toDouble
+    val target = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2,
+      "src3" -> 0.1)
+    assert(kept.keySet === target.keySet) // unweighted sources dropped
+    target.foreach { case (s, w) =>
+      val achieved = kept(s) / total
+      assert(math.abs(achieved - w) < 0.08,
+        s"$s mix $achieved vs target $w")
+    }
+    rows.foreach { r => // never keeps more than exist, never over quota
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_avail"))
+    }
+    // deterministic: identical report on a second evaluation
+    assert(mix.collect().map(_.toString).sorted
+      === rows.map(_.toString).sorted)
+  }
 }
