@@ -110,6 +110,7 @@ object SparkEntry {
     "q22_idle_rich_customers" ->
       ((s, d) => StarQueries.q22IdleRichCustomers(s, d)),
     "shard_assignment" -> ((s, d) => TrainingSets.shardAssignment(s, d)),
+    "gapfill_locf" -> (Analytics.gapfillLocf _),
     "target_mix_sample" -> ((s, d) => TrainingSets.targetMixSample(s, d)),
     // rows-only (approx sketches aren't cross-engine comparable; accuracy
     // is spec-asserted in ApproxSpec, mirroring approx_distinct_users)
@@ -1022,6 +1023,24 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "gapfill_locf" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (SELECT event_type,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT event_type, min(h) AS lo, max(h) AS hi
+        |    FROM hourly GROUP BY 1))
+        |SELECT s.event_type, s.h,
+        |  coalesce(n_events, 0) AS n_events,
+        |  CASE WHEN revenue IS NULL THEN 1 ELSE 0 END AS is_gap,
+        |  last_value(revenue IGNORE NULLS) OVER (
+        |    PARTITION BY s.event_type ORDER BY s.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS revenue_locf
+        |FROM spine s LEFT JOIN hourly USING (event_type, h)
+        |ORDER BY 1, 2""".stripMargin,
     "shard_assignment" ->
       """SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16
         |  AS shard,

@@ -168,4 +168,37 @@ object Analytics {
         min("lo_fence").as("lo_fence"), min("hi_fence").as("hi_fence"))
       .orderBy("event_type")
   }
+
+  /** Time-series resampling with LOCF (last observation carried forward):
+    * regularize each event type's hourly revenue series onto a complete
+    * hourly spine, carrying the last seen value across the ~7% of hours
+    * with no events. The spine is generated per key from its own
+    * [min, max] hour range (`sequence` + explode — rows materialize
+    * map-side, never on the driver), the actual series left-joins onto it,
+    * and the carry-forward is one `last(_, ignoreNulls)` pass over the
+    * per-key hour order.
+    *
+    * Scale shape: the spine is |keys| × hours — tiny next to the event
+    * scan; everything shuffles once on the (bounded-cardinality) type key,
+    * and the window runs inside that same partitioning. At 100 TB you'd
+    * gap-fill per (key, day) partition exactly the same way.
+    */
+  def gapfillLocf(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.ops.Num.moneySum(col("value")).as("revenue"))
+    val spine = hourly.groupBy("event_type")
+      .agg(min("h").as("lo"), max("h").as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "h"), "left_outer")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        when(col("revenue").isNull, lit(1)).otherwise(lit(0)).as("is_gap"),
+        last(col("revenue"), ignoreNulls = true).over(w).as("revenue_locf"))
+      .orderBy("event_type", "h")
+  }
 }

@@ -425,17 +425,24 @@ object StarQueries {
     * independent equivalence proof of the rewrite.
     */
   def q21WaitingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
-    val lateSupp = when(
-      col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
-      col("l_suppkey"))
-    val perOrder = Tables.lineitem(spark, sfDir)
+    // two-level aggregate instead of two countDistincts: the distinct
+    // aggregation would Expand every joined row 2x before the shuffle;
+    // collapsing to (order, supplier) pairs first shuffles each row once
+    // and the second aggregate runs over the far smaller pair frame
+    val perPair = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_suppkey", "l_shipdate")
       .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        lit(1)).otherwise(lit(0))).as("is_late"))
+    val perOrder = perPair
       .groupBy("l_orderkey")
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(lateSupp).as("n_late"),
-        max(lateSupp).as("sole_late_supp"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("is_late")).cast("long").as("n_late"),
+        max(when(col("is_late") === 1, col("l_suppkey")))
+          .as("sole_late_supp"))
     perOrder
       .filter(col("n_supp") >= 2 && col("n_late") === 1)
       .join(broadcast(Tables.supplier(spark, sfDir)

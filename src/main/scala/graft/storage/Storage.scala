@@ -4,7 +4,7 @@ import java.time.{Instant, LocalDate, ZoneOffset}
 import java.time.format.DateTimeFormatter
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The engine's at-rest layout for the raw orders table — the Spark-native
@@ -94,6 +94,65 @@ object Storage {
     * cadence write amplification warrants; cost is one local sort, no
     * shuffle beyond the coalesce.
     */
+  /** Bit-spread for Z-value interleaving: the low 16 bits of `c` spaced
+    * out to even positions (classic magic-mask doubling — 5 shift/mask
+    * steps, all codegen'd integer ops).
+    */
+  private def spread16(c: Column): Column = {
+    def step(x: Column, shift: Int, mask: Long): Column =
+      (x.bitwiseOR(shiftleft(x, shift))).bitwiseAND(lit(mask))
+    val x0 = c.bitwiseAND(lit(0xFFFFL))
+    val x1 = step(x0, 8, 0x00FF00FFL)
+    val x2 = step(x1, 4, 0x0F0F0F0FL)
+    val x3 = step(x2, 2, 0x33333333L)
+    step(x3, 1, 0x55555555L)
+  }
+
+  /** Z-order (Morton) value of two columns, each min/max-normalized to a
+    * 16-bit domain via the broadcast `stats` row (`a_min/a_max/b_min/
+    * b_max`). Interleaving the bits makes ranges of the z-value small
+    * hyper-rectangles in (a, b) space — the multi-dimensional
+    * generalization of the MergeTree compound sort key ([[writeRaw]]):
+    * a single-column sort gives perfect skipping on the leading key and
+    * none on the second, the z-curve gives ~sqrt skipping on BOTH.
+    */
+  def zvalue(a: Column, b: Column, stats: Column): Column = {
+    def norm(c: Column, lo: Column, hi: Column): Column =
+      when(hi > lo, ((c - lo) * lit(65535.0) / (hi - lo)).cast("long"))
+        .otherwise(lit(0L))
+    shiftleft(spread16(norm(a, stats("a_min"), stats("a_max"))), 1)
+      .bitwiseOR(spread16(norm(b, stats("b_min"), stats("b_max"))))
+  }
+
+  /** Write `df` clustered on the z-curve of two numeric columns:
+    * range-partition by z-value into `nFiles` files, sort within each —
+    * so every file owns a compact z-range = a small rectangle in both
+    * dimensions, and parquet footer min/max stats prune scans filtered on
+    * EITHER column. At 100 TB this is the layout for tables queried along
+    * two independent axes (user and time, key and date); the one-row
+    * stats aggregate is a broadcast, the range partitioning is the only
+    * shuffle, and the local sort is spill-safe.
+    */
+  def zorderWrite(df: DataFrame, colA: String, colB: String, path: String,
+                  nFiles: Int): Unit = {
+    val stats = df.agg(
+      min(col(colA).cast("double")).as("a_min"),
+      max(col(colA).cast("double")).as("a_max"),
+      min(col(colB).cast("double")).as("b_min"),
+      max(col(colB).cast("double")).as("b_max"))
+      .select(struct(col("a_min"), col("a_max"), col("b_min"), col("b_max"))
+        .as("s"))
+    val z = zvalue(col(colA).cast("double"), col(colB).cast("double"),
+      col("s"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("z", z)
+      .drop("s")
+      .repartitionByRange(nFiles, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   def compactMonth(spark: SparkSession, path: String, month: Int,
                    targetFiles: Int = 1): Unit = {
     val key = "spark.sql.sources.partitionOverwriteMode"

@@ -85,4 +85,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(h.getLong(0) === d.getLong(0))
     assert(h.getLong(1) === d.getLong(1))
   }
+
+  test("gapfill: complete hourly spine, counts conserved, LOCF never null") {
+    val g = graft.ops.Analytics.gapfillLocf(spark, sf)
+    // spine completeness: per type, rows == hours between its min and max
+    val spine = g.groupBy("event_type")
+      .agg(count(lit(1)).as("rows"),
+        ((unix_timestamp(max("h")) - unix_timestamp(min("h"))) / 3600 + 1)
+          .as("hours")).collect()
+    spine.foreach(r => assert(r.getAs[Long]("rows").toDouble
+      === r.getAs[Double]("hours")))
+    // event mass conserved; fills marked and non-null after the first hour
+    val total = g.agg(sum("n_events")).head.getLong(0)
+    assert(total === Tables.events(spark, sf).count())
+    assert(g.filter(col("revenue_locf").isNull).count() === 0)
+    assert(g.filter(col("is_gap") === 1 && col("n_events") =!= 0)
+      .count() === 0)
+  }
 }

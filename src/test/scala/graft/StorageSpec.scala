@@ -140,4 +140,37 @@ class StorageSpec extends SparkSpec {
     assert(Storage.applyRetention(spark, "/tmp/does-not-exist-xyz", 365,
       Instant.now()).isEmpty)
   }
+
+  test("z-order layout yields compact per-file ranges on BOTH dimensions; " +
+       "a single-key sort only on its leading key") {
+    val dir = Files.createTempDirectory("zorder").toString
+    val lin = Files.createTempDirectory("linear").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("user_id").cast("double").as("u"),
+        unix_timestamp(col("ts")).cast("double").as("t"))
+    Storage.zorderWrite(ev, "u", "t", dir, 16)
+    ev.repartitionByRange(16, col("t")).sortWithinPartitions("t")
+      .write.mode("overwrite").parquet(lin)
+
+    // per-file (max-min) width of each dimension, as a fraction of the
+    // global range — what parquet footer min/max pruning actually sees
+    def widths(path: String): (Double, Double) = {
+      val g = ev.agg(max("u") - min("u"), max("t") - min("t")).head
+      val (gu, gt) = (g.getDouble(0), g.getDouble(1))
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max("u") - min("u")).as("wu"), (max("t") - min("t")).as("wt"))
+        .agg(avg("wu"), avg("wt")).head
+      (perFile.getDouble(0) / gu, perFile.getDouble(1) / gt)
+    }
+    val (zu, zt) = widths(dir)
+    val (lu, lt) = widths(lin)
+    // z-curve: both dimensions compact (each file a small rectangle)
+    assert(zu < 0.6, s"z-order user width $zu")
+    assert(zt < 0.6, s"z-order time width $zt")
+    // time-sorted layout: time tight but user unclustered (full range)
+    assert(lt < 0.2, s"linear time width $lt")
+    assert(lu > 0.9, s"linear user width $lu — events would have to " +
+      "arrive user-clustered for this to fail")
+  }
 }
