@@ -111,6 +111,8 @@ object SparkEntry {
       ((s, d) => StarQueries.q22IdleRichCustomers(s, d)),
     "shard_assignment" -> ((s, d) => TrainingSets.shardAssignment(s, d)),
     "gapfill_locf" -> (Analytics.gapfillLocf _),
+    "q6_forecast_revenue" -> (StarQueries.q6ForecastRevenue _),
+    "q15_top_supplier" -> (StarQueries.q15TopSupplier _),
     "target_mix_sample" -> ((s, d) => TrainingSets.targetMixSample(s, d)),
     // rows-only (approx sketches aren't cross-engine comparable; accuracy
     // is spec-asserted in ApproxSpec, mirroring approx_distinct_users)
@@ -1023,6 +1025,29 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    // view + scalar max subquery; revenue equality is exact (decimal sum)
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no,
+        |  (SELECT max(total_revenue) AS m FROM rev) t
+        |WHERE total_revenue = t.m
+        |ORDER BY s_suppkey""".stripMargin,
     "gapfill_locf" ->
       """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
         |    count(*) AS n_events,

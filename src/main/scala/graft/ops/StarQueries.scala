@@ -608,4 +608,45 @@ object StarQueries {
         moneySum(col("c_acctbal")).as("totacctbal"))
       .orderBy("n_name")
   }
+
+  /** TPC-H Q6-shape: forecast revenue change — a pure scan-side query.
+    * All three predicates push into the parquet scan (footer min/max
+    * skipping at scale), the projection reads 4 columns of 11, and the
+    * whole plan is one codegen span: scan → filter → partial agg →
+    * single-row final agg. The baseline every storage layout decision
+    * ([[graft.storage.Storage]] sort keys / z-order) is judged against.
+    */
+  def q6ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(moneySum(col("l_extendedprice") * col("l_discount"))
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q15-shape: the top supplier(s) by one quarter's revenue. The
+    * classic form is a view + scalar `max` subquery over it; here the
+    * per-supplier revenue aggregates once (one shuffle on the supplier
+    * key), its global max lands as a one-row broadcast, and the equality
+    * filter is exact because revenue is the decimal-exact money sum —
+    * double equality on identically-derived values, deterministic in both
+    * engines. supplier broadcasts for the final name lookup.
+    */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("total_revenue"))
+    rev.crossJoin(broadcast(rev.agg(max("total_revenue").as("m"))))
+      .filter(col("total_revenue") === col("m"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select("s_suppkey", "s_name")),
+        col("supplier_no") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
 }
