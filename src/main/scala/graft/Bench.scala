@@ -25,7 +25,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional local-iteration subset (comma-separated names); the driver
+    // never sets it, so its runs always time the full set
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
     // noop write materializes every result expression; .count() would let
     // Catalyst prune unreferenced projections and understate per-query cost
     def run(name: String, dir: String): Unit =

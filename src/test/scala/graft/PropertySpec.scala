@@ -65,4 +65,37 @@ class PropertySpec extends SparkSpec {
         .count() == 0L
     }, cases = 3)
   }
+
+  test("z-value interleave is a bijection on the 16-bit grid: " +
+       "de-interleaving recovers both coordinates exactly") {
+    // drive the production zvalue column over arbitrary grid points and
+    // invert the Morton code in plain Scala — any mask/shift slip in the
+    // spread would break exact recovery
+    val pts = Gen.listOfN(64, for {
+      a <- Gen.choose(0, 65535); b <- Gen.choose(0, 65535)
+    } yield (a, b))
+    check(Prop.forAll(pts) { ps =>
+      val spark2 = spark
+      import spark2.implicits._
+      val df = ps.toDF("a", "b")
+        .select(col("a"), col("b"),
+          graft.storage.Storage.zvalue(
+            col("a").cast("double"), col("b").cast("double"),
+            struct(lit(0.0).as("a_min"), lit(65535.0).as("a_max"),
+              lit(0.0).as("b_min"), lit(65535.0).as("b_max"))).as("z"))
+      def compact(z: Long): Int = {
+        var x = z & 0x5555555555555555L
+        x = (x | (x >> 1)) & 0x3333333333333333L
+        x = (x | (x >> 2)) & 0x0F0F0F0F0F0F0F0FL
+        x = (x | (x >> 4)) & 0x00FF00FF00FF00FFL
+        x = (x | (x >> 8)) & 0x0000FFFF0000FFFFL
+        x.toInt
+      }
+      df.collect().forall { r =>
+        val z = r.getAs[Long]("z")
+        compact(z >> 1) == r.getAs[Int]("a") &&
+          compact(z) == r.getAs[Int]("b")
+      }
+    }, cases = 3)
+  }
 }
