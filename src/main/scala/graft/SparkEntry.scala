@@ -861,7 +861,7 @@ object SparkEntry {
     // for the engine's single-pass max(struct(...)) argmax
     "dedup_latest" ->
       """SELECT user_id, ts::TIMESTAMP AS last_ts, event_id AS last_event_id,
-        |event_type AS last_event_type, round(value, 2) AS last_value
+        |event_type AS last_event_type, value AS last_value
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id
         |  ORDER BY ts DESC, event_id DESC) = 1

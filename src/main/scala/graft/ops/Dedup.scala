@@ -100,7 +100,10 @@ object Dedup {
         col("last.ts").as("last_ts"),
         col("last.event_id").as("last_event_id"),
         col("last.event_type").as("last_event_type"),
-        round(col("last.value"), 2).as("last_value"))
+        // unrounded pass-through: round() diverges between engines at .xx5
+        // decimal boundaries (Num.scala parity rule); the raw parquet double
+        // is byte-identical in both
+        col("last.value").as("last_value"))
       .orderBy("user_id")
 
   /** Per-source near-dup-rate report: how much of each source would be

@@ -141,15 +141,17 @@ object Storage {
       min(col(colB).cast("double")).as("b_min"),
       max(col(colB).cast("double")).as("b_max"))
       .select(struct(col("a_min"), col("a_max"), col("b_min"), col("b_max"))
-        .as("s"))
+        .as("__zorder_stats"))
     val z = zvalue(col(colA).cast("double"), col(colB).cast("double"),
-      col("s"))
+      col("__zorder_stats"))
+    // dunder-prefixed internal names: a user column literally named "s" or
+    // "z" must survive the write unscathed
     df.crossJoin(broadcast(stats))
-      .withColumn("z", z)
-      .drop("s")
-      .repartitionByRange(nFiles, col("z"))
-      .sortWithinPartitions("z")
-      .drop("z")
+      .withColumn("__zorder_z", z)
+      .drop("__zorder_stats")
+      .repartitionByRange(nFiles, col("__zorder_z"))
+      .sortWithinPartitions("__zorder_z")
+      .drop("__zorder_z")
       .write.mode("overwrite").parquet(path)
   }
 
