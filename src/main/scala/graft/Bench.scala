@@ -64,12 +64,18 @@ object Bench {
     }
     val (p1, p2) = (timedPass(), timedPass())
     val results = names.map(n => n -> math.min(p1(n), p2(n)))
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which under
+    // e.g. de_DE emits "0,252" and breaks the JSON (ADVICE r5)
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // subset runs carry the NAMES, not just a count — two different subsets of
+    // equal size must be distinguishable in the output (ADVICE r5)
     val onlyField =
-      if (only.isEmpty) "" else s""""only":${names.size},"""
+      if (only.isEmpty) ""
+      else names.map("\"" + _ + "\"").mkString(""""only":[""", ",", "],")
     // "value" LAST: the harness keeps a 2000-char stdout tail and this line
     // exceeds it — key order makes the headline number truncation-proof.
     val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir",$onlyField""" +
@@ -78,8 +84,14 @@ object Bench {
       s""""pass1":${qmap(names.map(n => n -> p1(n)))},""" +
       s""""pass2":${qmap(names.map(n => n -> p2(n)))},""" +
       s""""queries":${qmap(results)},"value":${fmt(total)}}"""
-    try Files.writeString(Paths.get("BENCH_LAST.json"), full + "\n")
-    catch { case _: Throwable => () }
+    // anchor the path (cwd may differ from the repo root under the driver) and
+    // surface write failures instead of silently dropping the two-pass spread
+    val benchPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")
+    try Files.writeString(Paths.get(benchPath), full + "\n")
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] WARN: could not write $benchPath: ${e.getMessage}")
+    }
     println(line)
     spark.stop()
   }

@@ -114,6 +114,17 @@ object SparkEntry {
     "q6_forecast_revenue" -> (StarQueries.q6ForecastRevenue _),
     "q15_top_supplier" -> (StarQueries.q15TopSupplier _),
     "target_mix_sample" -> ((s, d) => TrainingSets.targetMixSample(s, d)),
+    "q18_large_volume" -> ((s, d) => StarQueries.q18LargeVolume(s, d)),
+    "q9_product_profit" -> ((s, d) => StarQueries.q9ProductProfit(s, d)),
+    "q11_important_parts" -> ((s, d) => StarQueries.q11ImportantParts(s, d)),
+    "q12_ship_lag" -> (StarQueries.q12ShipLagPriority _),
+    "q16_supplier_counts" -> (StarQueries.q16SupplierCounts _),
+    "q2_min_cost_supplier" -> ((s, d) => StarQueries.q2MinCostSupplier(s, d)),
+    "q20_excess_shippers" -> ((s, d) => StarQueries.q20ExcessShippers(s, d)),
+    "dedup_survivors" -> (Dedup.dedupSurvivors _),
+    "token_zipf" -> (CorpusStats.tokenZipf _),
+    "text_bigram_lm" -> ((s, d) => CorpusStats.bigramLm(s, d)),
+    "embedding_quantize" -> (Similarity.embeddingQuantize _),
     // rows-only (approx sketches aren't cross-engine comparable; accuracy
     // is spec-asserted in ApproxSpec, mirroring approx_distinct_users)
     "approx_value_quantiles" -> ((s, d) => TrainingSets.approxValueQuantiles(s, d))
@@ -1048,6 +1059,159 @@ object SparkEntry {
         |  (SELECT max(total_revenue) AS m FROM rev) t
         |WHERE total_revenue = t.m
         |ORDER BY s_suppkey""".stripMargin,
+    // quantities are whole-number doubles: their sums are exact in both
+    // engines, no decimal cast needed; o_orderkey completes the tie-break
+    "q18_large_volume" ->
+      """WITH big AS (SELECT l_orderkey AS big_okey,
+        |    sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250.0)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  sum_qty
+        |FROM orders JOIN big ON o_orderkey = big_okey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    - 0.6 * p_retailprice * l_quantity AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    // HAVING against a scalar fraction of the global total: both engines
+    // compare the same exact decimal-sum doubles
+    "q11_important_parts" ->
+      """WITH v AS (SELECT l_partkey,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS value
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_3')
+        |  GROUP BY 1)
+        |SELECT l_partkey, value
+        |FROM v, (SELECT CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |  AS t FROM v)
+        |WHERE value > 0.002 * t
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q12_ship_lag" ->
+      """SELECT CASE
+        |    WHEN datediff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) <= 30 THEN 'FAST'
+        |    WHEN datediff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) <= 90 THEN 'NORMAL'
+        |    ELSE 'SLOW' END AS ship_bucket,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 9, 17, 25, 33, 41, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |    WHERE s_name LIKE '%7')
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // the correlated min subquery in decorrelated form; the min-equality
+    // compares bit-identical row-local double divisions
+    "q2_min_cost_supplier" ->
+      """WITH p AS (SELECT p_partkey, p_name FROM part
+        |  WHERE p_type = 'LARGE'),
+        |rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'AFRICA'),
+        |offers AS (SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS supp_cost
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM p)
+        |    AND l_suppkey IN (SELECT s_suppkey FROM rs)
+        |  GROUP BY 1, 2),
+        |mc AS (SELECT l_partkey AS mc_partkey, min(supp_cost) AS min_cost
+        |  FROM offers GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey2, p_name,
+        |  supp_cost
+        |FROM offers JOIN mc ON l_partkey = mc_partkey
+        |  AND supp_cost = min_cost
+        |JOIN rs ON l_suppkey = s_suppkey
+        |JOIN p ON l_partkey = p_partkey
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey2
+        |LIMIT 100""".stripMargin,
+    "q20_excess_shippers" ->
+      """WITH p AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+        |l97 AS (SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND l_partkey IN (SELECT p_partkey FROM p)),
+        |ps AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+        |  FROM l97 GROUP BY 1, 2),
+        |pp AS (SELECT l_partkey AS pp_partkey, sum(supp_qty) AS part_qty
+        |  FROM ps GROUP BY 1),
+        |ex AS (SELECT DISTINCT l_suppkey FROM ps
+        |  JOIN pp ON l_partkey = pp_partkey
+        |  WHERE supp_qty > 0.3 * part_qty)
+        |SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_5'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM ex)
+        |ORDER BY s_name""".stripMargin,
+    "token_zipf" ->
+      """WITH c AS (SELECT token, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  WHERE length(token) > 0 GROUP BY 1),
+        |r AS (SELECT CAST(row_number() OVER (ORDER BY freq DESC, token)
+        |    AS INT) AS rank, token, freq FROM c)
+        |SELECT rank, token, freq, freq * rank AS freq_rank
+        |FROM r ORDER BY rank""".stripMargin,
+    // integer log2 floors via binary-string length: exact in both engines
+    "text_bigram_lm" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |bi AS (SELECT doc_id, unnest(
+        |    [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bg
+        |  FROM tok WHERE len(ws) >= 2),
+        |m12 AS (SELECT bg, count(*) AS cbg FROM bi GROUP BY 1),
+        |m1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS cw
+        |  FROM bi GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum((length(bin(cbg)) - 1) - (length(bin(cw)) - 1))
+        |    AS BIGINT) AS lp2_sum,
+        |  CAST(sum(CASE WHEN cbg <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_rare
+        |FROM bi JOIN m12 USING (bg)
+        |JOIN m1 ON split_part(bg, ' ', 1) = m1.w1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // floor-based round-half-up (round() ties break differently across
+    // engines); folds are left-to-right double sums = Spark's aggregate
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, label, embedding,
+        |    list_max([abs(embedding[i]::DOUBLE) for i in range(1, 65)])
+        |      AS max_abs
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, label, embedding, max_abs,
+        |    [CAST(floor(embedding[i]::DOUBLE * (127.0 / max_abs) + 0.5)
+        |      AS BIGINT) for i in range(1, 65)] AS qv
+        |  FROM e)
+        |SELECT vec_id, label, max_abs,
+        |  CAST(list_sum([abs(qv[i]) for i in range(1, 65)]) AS BIGINT)
+        |    AS sum_q_abs,
+        |  list_sum([(embedding[i]::DOUBLE - (qv[i] * max_abs) / 127.0)
+        |            * (embedding[i]::DOUBLE - (qv[i] * max_abs) / 127.0)
+        |            for i in range(1, 65)]) / len(embedding) AS mse
+        |FROM q ORDER BY vec_id""".stripMargin,
     "gapfill_locf" ->
       """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
         |    count(*) AS n_events,
@@ -1098,6 +1262,20 @@ object SparkEntry {
     // transitive closure via recursive CTE mirrors the engine's iterative
     // min-label propagation (identical fixpoint: cluster = min member id)
     "dedup_clusters" -> clustersFromLabels,
+    // survivor selection over the same label fixpoint: best doc (longest,
+    // doc_id tie-break) kept per cluster, dropped chars accounted
+    "dedup_survivors" -> (nearDupLabelCte +
+      """,
+        |d AS (SELECT label, node, n_chars,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY n_chars DESC, node) AS rn
+        |  FROM lab JOIN documents ON node = doc_id)
+        |SELECT label AS cluster, count(*) AS n_members,
+        |  max(CASE WHEN rn = 1 THEN node END) AS survivor_doc,
+        |  max(CASE WHEN rn = 1 THEN n_chars END) AS chars_kept,
+        |  CAST(sum(CASE WHEN rn <> 1 THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS chars_dropped
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
     // same fixpoint as dedup_clusters (star contraction == propagation)
     "dedup_clusters_star" -> clustersFromLabels,
     "curation_pipeline" -> (nearDupLabelCte +

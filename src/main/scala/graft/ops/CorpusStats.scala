@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-level statistical operators for training-data curation: Zipf
+  * rank/frequency profiling and count-based bigram language-model scoring
+  * (the KenLM-style perplexity filter of LLM data pipelines, re-expressed
+  * with exact integer arithmetic so the DuckDB gate can hash-check it).
+  *
+  * Reference tie-in: the reference corpus profile lives in dashboards
+  * (`Sample_Dashboard.png`); these are the text-corpus analogues of its
+  * revenue histograms.
+  */
+object CorpusStats {
+
+  /** Zipf profile of the token distribution: every token with its corpus
+    * frequency, rank (1 = most frequent), and the rank×frequency product
+    * (flat ⇔ Zipfian; Zipf, 1949 — public knowledge). The fixture vocab
+    * is 31 tokens, so the global rank window is a single tiny partition
+    * by construction — the heavy work is the token count, a map-side
+    * partial aggregate over the exploded token stream. At 100 TB the
+    * vocab of a whitespace corpus stays bounded (≪ shuffle partition
+    * size); a byte-BPE vocab is likewise ≤ ~256k rows. All columns are
+    * integers — exact in both engines.
+    */
+  def tokenZipf(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+    // global window over the vocab-sized frame only (31 rows here; ≤ 256k
+    // for a BPE vocab) — never over the token stream itself
+    val w = Window.orderBy(desc("freq"), asc("token"))
+    counts
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("token"), col("freq"),
+        (col("freq") * col("rank")).as("freq_rank"))
+      .orderBy("rank")
+  }
+
+  /** Count-based bigram LM scoring per document — the shape of a
+    * perplexity quality filter: build the corpus bigram model (counts),
+    * score every document's bigrams against it, flag improbable text. To
+    * stay hash-identical across engines the log-probability is computed
+    * in INTEGER arithmetic: floor(log2 c) = bitlength(c) − 1 via the
+    * binary string length (`bin`), so
+    * `lp2 = Σ (floorlog2 c(w1,w2) − floorlog2 c(w1))` is an exact
+    * whole-bit log-likelihood (a production filter would use float
+    * log-probs + a KenLM model; the plumbing — n-gram explode, model
+    * join, per-doc re-aggregate — is identical). `n_rare` counts bigrams
+    * seen ≤ `rareMax` times corpus-wide (median fixture bigram count is
+    * 29).
+    *
+    * Scale posture: the bigram model is vocab² ≤ tiny (961 here; ≤ a few
+    * M for real vocabs) — it BROADCASTS, so scoring is one map-side join
+    * per bigram occurrence plus the per-doc re-aggregate on doc_id; the
+    * model build itself is a map-side partial count. Bigram extraction
+    * runs in the [[graft.functions.WordNgrams]] codegen kernel
+    * (multiplicity kept — the interpreted HOF formulation pays the
+    * per-element boxing pathology documented in TextExpressions).
+    */
+  def bigramLm(spark: SparkSession, sfDir: String,
+               rareMax: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docBi = Tables.spread(Tables.documents(spark, sfDir))
+      .select(col("doc_id"),
+        explode(call_function("word_ngrams", col("text"), lit(2))).as("bg"))
+    def floorLog2(c: org.apache.spark.sql.Column) =
+      (length(bin(c)) - lit(1)).cast("long")
+    val c12 = docBi.groupBy(col("bg").as("m_bg"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = docBi
+      .groupBy(substring_index(col("bg"), " ", 1).as("m_w1"))
+      .agg(count(lit(1)).as("c1"))
+    docBi
+      .join(broadcast(c12), col("bg") === col("m_bg"))
+      .join(broadcast(c1), substring_index(col("bg"), " ", 1) === col("m_w1"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(floorLog2(col("c12")) - floorLog2(col("c1"))).cast("long")
+          .as("lp2_sum"),
+        sum(when(col("c12") <= rareMax, lit(1)).otherwise(lit(0)))
+          .cast("long").as("n_rare"))
+      .orderBy("doc_id")
+  }
+}

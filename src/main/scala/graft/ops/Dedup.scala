@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -342,6 +343,36 @@ object Dedup {
       .groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_members"), max("node").as("max_doc"))
       .orderBy("cluster")
+
+  /** Survivor selection — the step that turns near-dup clusters into a
+    * dedup DECISION: per cluster keep the best document (longest, doc_id
+    * tie-break) and account for what the dedup drops. This is the
+    * "keep one representative" policy of published pipeline dedup stages
+    * (e.g. the C4/RefinedWeb exact+fuzzy dedup write-ups — public
+    * knowledge). Reuses the memoized converged labels, joins document
+    * metadata (a broadcast at this cardinality — labels ∝ duplicated docs
+    * only, never the corpus), and aggregates per cluster; the window runs
+    * per-cluster over dup-doc rows only.
+    */
+  def dedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = clusterLabels(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "n_chars")
+    val labeled = labels
+      .join(docs, col("node") === col("doc_id"))
+      .select(col("label"), col("node"), col("n_chars"))
+    val w = Window.partitionBy("label")
+      .orderBy(desc("n_chars"), asc("node"))
+    labeled
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("label").as("cluster"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("node"))).as("survivor_doc"),
+        max(when(col("rn") === 1, col("n_chars"))).as("chars_kept"),
+        sum(when(col("rn") =!= 1, col("n_chars")).otherwise(lit(0L)))
+          .cast("long").as("chars_dropped"))
+      .orderBy("cluster")
+  }
 
   /** Connected components via alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce and

@@ -147,4 +147,40 @@ object Similarity {
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
   }
+
+  /** Symmetric int8 quantization of the embedding column with
+    * reconstruction-error accounting — the storage-compression step of a
+    * vector index build (8× smaller than float32, the standard ANN-index
+    * memory trade; public knowledge, e.g. the FAISS SQ8 design). Per
+    * vector: scale = 127/max|v|, qᵢ = ⌊vᵢ·scale + 0.5⌋ (floor-based
+    * round-half-up — `round()` ties break differently across engines,
+    * floor on identical doubles cannot), and MSE against the
+    * dequantized vector.
+    *
+    * Row-local — a scan, not a job: no shuffle, scales embarrassingly.
+    * The fold sums run left-to-right in double (same order as DuckDB's
+    * list_sum → bit-identical, no rounding needed). HOFs here are
+    * interpreted, but the op is O(dim) per row with no data movement —
+    * at index-build scale the natural extension is a codegen kernel like
+    * [[graft.functions.DotProduct]].
+    */
+  def embeddingQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = Tables.embeddings(spark, sfDir)
+      .withColumn("max_abs",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+    val scale = lit(127.0) / col("max_abs")
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * scale + lit(0.5)).cast("long"))
+    val err = zip_with(col("embedding"), col("qv"), (a, b) => {
+      val d = a.cast("double") - (b.cast("double") * col("max_abs")) / lit(127.0)
+      d * d
+    })
+    v.withColumn("qv", q)
+      .select(col("vec_id"), col("label"), col("max_abs"),
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + abs(x))
+          .as("sum_q_abs"),
+        (aggregate(err, lit(0.0), (acc, x) => acc + x) /
+          size(col("embedding"))).as("mse"))
+      .orderBy("vec_id")
+  }
 }

@@ -649,4 +649,239 @@ object StarQueries {
       .select("s_suppkey", "s_name", "total_revenue")
       .orderBy("s_suppkey")
   }
+
+  /** TPC-H Q18-shape: large-volume orders (per-order quantity above a
+    * threshold) with their customers. The classic IN-subquery on an
+    * aggregated lineitem decorrelates to a single per-order aggregate
+    * (one shuffle on the order key) whose HAVING filter runs BEFORE the
+    * joins — at 100 TB the threshold passes a few thousand orders, so the
+    * orders join probes a tiny broadcast side instead of re-scanning
+    * lineitem as the textbook's second join does. Quantities are
+    * whole-number doubles, so their sum is exact and hash-stable. The
+    * LIMIT carries a full tie-break (o_orderkey is unique) so top-100 is
+    * deterministic in both engines.
+    */
+  def q18LargeVolume(spark: SparkSession, sfDir: String,
+                     minQty: Double = 250.0): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity")
+      .groupBy(col("l_orderkey").as("big_okey"))
+      .agg(sum("l_quantity").as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .join(broadcast(big), col("o_orderkey") === col("big_okey"))
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+        "o_totalprice", "sum_qty")
+      .orderBy(desc("o_totalprice"), asc("o_orderdate"), asc("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q9-shape: profit by supplier nation and order year for one
+    * part-name family. The reference corpus has no partsupp table, so
+    * supply cost is modeled as 60% of the part's retail price — the PLAN
+    * shape (fact ⋈ filtered part ⋈ supplier→nation ⋈ orders, grouped by
+    * nation × year) is the point, and it matches Q9's exactly: both
+    * dimension sides broadcast after their filters, so the only shuffle
+    * is lineitem⋈orders on the order key plus the final small aggregate.
+    * Profit sums as DECIMAL(18,6) (exact, order-independent).
+    */
+  def q9ProductProfit(spark: SparkSession, sfDir: String,
+                      nameWord: String = "gear"): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_name").contains(nameWord))
+      .select("p_partkey", "p_retailprice")
+    val sn = Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_nationkey")
+      .join(Tables.nation(spark, sfDir).select("n_nationkey", "n_name"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      lit(0.6) * col("p_retailprice") * col("l_quantity")
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(moneySum(profit).as("sum_profit"))
+      .orderBy(asc("nation"), desc("o_year"))
+  }
+
+  /** TPC-H Q11-shape: parts carrying an outsized share of one nation's
+    * shipped value — a grouped aggregate HAVING-compared against a scalar
+    * fraction of the GLOBAL total (the only TPC-H query whose threshold is
+    * itself an aggregate over the same frame). Without partsupp, value is
+    * shipped revenue from that nation's suppliers. The per-part aggregate
+    * computes once, its global total re-aggregates from the per-part frame
+    * (tiny — never a second fact scan) and lands as a one-row broadcast.
+    * Threshold compare multiplies the exact decimal-sum doubles — both
+    * engines evaluate `value > fraction * total` on identical operands.
+    */
+  def q11ImportantParts(spark: SparkSession, sfDir: String,
+                        nationName: String = "NATION_3",
+                        fraction: Double = 0.002): DataFrame = {
+    val supps = Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .filter(col("n_name") === nationName).select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val perPart = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(supps), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .groupBy("l_partkey")
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("value"))
+    perPart
+      .crossJoin(broadcast(perPart.agg(moneySum(col("value")).as("total"))))
+      .filter(col("value") > lit(fraction) * col("total"))
+      .select("l_partkey", "value")
+      .orderBy(desc("value"), asc("l_partkey"))
+  }
+
+  /** TPC-H Q12-shape: shipping-lag service classes × order priority. The
+    * corpus lineitem has no shipmode/commitdate, so the Q12 "mode" becomes
+    * a derived ship-lag bucket (days between order and ship date) — the
+    * aggregation shape is Q12's verbatim: conditional sums splitting
+    * high-priority from low-priority lines per class. One fact-fact join
+    * (lineitem is date-pruned at the scan first), one 3-row aggregate.
+    */
+  def q12ShipLagPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val highPrio = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val lag = datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select("l_orderkey", "l_shipdate")
+      .join(Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(when(lag <= 30, "FAST").when(lag <= 90, "NORMAL")
+        .otherwise("SLOW").as("ship_bucket"))
+      .agg(
+        sum(when(highPrio, lit(1)).otherwise(lit(0))).cast("long")
+          .as("high_line_count"),
+        sum(when(highPrio, lit(0)).otherwise(lit(1))).cast("long")
+          .as("low_line_count"))
+      .orderBy("ship_bucket")
+  }
+
+  /** TPC-H Q16-shape: how many distinct suppliers ship each surviving
+    * (brand, type, size) part family, excluding one brand, one type, a
+    * size whitelist, and "complaint" suppliers (NOT IN → left-anti against
+    * a tiny broadcast). The supplier relation is derived from lineitem
+    * (the corpus has no partsupp). Single-distinct aggregate: Spark plans
+    * count(DISTINCT l_suppkey) as a two-level aggregate — (group, supp)
+    * pairs first, then count — no Expand, one fact shuffle.
+    */
+  def q16SupplierCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 9, 17, 25, 33, 41, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val complaints = Tables.supplier(spark, sfDir)
+      .filter(col("s_name").endsWith("7")).select("s_suppkey")
+    Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
+        asc("p_size"))
+  }
+
+  /** TPC-H Q2-shape: the cheapest supplier per part within one region.
+    * The textbook correlated `= (SELECT min(ps_supplycost) …)` subquery
+    * decorrelates into a per-part min aggregate joined back on equality —
+    * the same rewrite Catalyst performs for the SQL form. Supply cost is
+    * derived from lineitem (min observed unit price per part/supplier;
+    * the corpus has no partsupp): a row-local double division, so the
+    * min-equality compares bit-identical values in both engines. Region
+    * suppliers and the part filter broadcast; lineitem shuffles once on
+    * (part, supplier).
+    */
+  def q2MinCostSupplier(spark: SparkSession, sfDir: String,
+                        regionName: String = "AFRICA",
+                        partType: String = "LARGE"): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_type") === partType).select("p_partkey", "p_name")
+    val regionSupp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select("n_nationkey", "n_name", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)
+        .filter(col("r_name") === regionName).select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val offers = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      .join(broadcast(p.select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(regionSupp.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min("unit_cost").as("supp_cost"))
+    val minCost = offers.groupBy(col("l_partkey").as("mc_partkey"))
+      .agg(min("supp_cost").as("min_cost"))
+    offers
+      .join(broadcast(minCost), col("l_partkey") === col("mc_partkey") &&
+        col("supp_cost") === col("min_cost"))
+      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey2"), col("p_name"), col("supp_cost"))
+      .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"),
+        asc("p_partkey2"))
+      .limit(100)
+  }
+
+  /** TPC-H Q20-shape: suppliers who dominated a part family's shipments —
+    * the nested quantity-threshold semi-join chain (part name scope →
+    * per-(supplier, part) aggregate compared against a per-part aggregate
+    * → DISTINCT supplier keys → semi join to one nation's suppliers).
+    * Without partsupp, "excess stock" becomes "shipped more than `share`
+    * of the part's yearly volume". Both aggregates come off ONE date+name
+    * pruned lineitem pass; quantity sums are whole-number doubles (exact),
+    * and the share compare multiplies identically-derived values.
+    */
+  def q20ExcessShippers(spark: SparkSession, sfDir: String,
+                        namePrefix: String = "red",
+                        nationName: String = "NATION_5",
+                        share: Double = 0.3): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_name").startsWith(namePrefix)).select("p_partkey")
+    val l97 = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+    val perSupp = l97.groupBy("l_partkey", "l_suppkey")
+      .agg(sum("l_quantity").as("supp_qty"))
+    // per-part totals re-aggregate from the (part, supplier) frame — no
+    // second lineitem scan, and the partial aggregate reuses the shuffle
+    val perPart = perSupp.groupBy(col("l_partkey").as("pp_partkey"))
+      .agg(sum("supp_qty").as("part_qty"))
+    val excess = perSupp
+      .join(broadcast(perPart), col("l_partkey") === col("pp_partkey"))
+      .filter(col("supp_qty") > lit(share) * col("part_qty"))
+      .select("l_suppkey").distinct()
+    Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .filter(col("n_name") === nationName).select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_name", "s_acctbal")
+      .orderBy("s_name")
+  }
 }
