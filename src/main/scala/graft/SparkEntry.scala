@@ -122,6 +122,8 @@ object SparkEntry {
     "q2_min_cost_supplier" -> ((s, d) => StarQueries.q2MinCostSupplier(s, d)),
     "q20_excess_shippers" -> ((s, d) => StarQueries.q20ExcessShippers(s, d)),
     "dedup_survivors" -> (Dedup.dedupSurvivors _),
+    "fuzzy_name_pairs" -> ((s, d) => Dedup.fuzzyNamePairs(s, d)),
+    "dedup_source_matrix" -> (Dedup.dedupSourceMatrix _),
     "token_zipf" -> (CorpusStats.tokenZipf _),
     "text_bigram_lm" -> ((s, d) => CorpusStats.bigramLm(s, d)),
     "embedding_quantize" -> (Similarity.embeddingQuantize _),
@@ -1262,6 +1264,28 @@ object SparkEntry {
     // transitive closure via recursive CTE mirrors the engine's iterative
     // min-label propagation (identical fixpoint: cluster = min member id)
     "dedup_clusters" -> clustersFromLabels,
+    // cross-source matrix over the shared near-dup pair definition (the
+    // recursive-closure tail of the CTE goes unreferenced — DuckDB only
+    // evaluates the CTEs the final select reaches)
+    "dedup_source_matrix" -> (nearDupLabelCte +
+      """,
+        |m AS (SELECT least(da.source, db.source) AS source_x,
+        |    greatest(da.source, db.source) AS source_y
+        |  FROM pairs JOIN documents da ON doc_a = da.doc_id
+        |  JOIN documents db ON doc_b = db.doc_id)
+        |SELECT source_x, source_y, count(*) AS n_pairs
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // blocked edit-distance fuzzy match: block key = last name token, so
+    // the quadratic verify runs within blocks only
+    "fuzzy_name_pairs" ->
+      """WITH n AS (SELECT DISTINCT p_name,
+        |    split_part(p_name, ' ', -1) AS block
+        |  FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+        |FROM n a JOIN n b ON a.block = b.block AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
     // survivor selection over the same label fixpoint: best doc (longest,
     // doc_id tie-break) kept per cluster, dropped chars accounted
     "dedup_survivors" -> (nearDupLabelCte +

@@ -128,6 +128,29 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Cross-source near-dup matrix: which source pairs duplicate each
+    * other — the "crawl A re-scraped crawl B" report a corpus audit reads
+    * before deciding what to drop. One pair row per verified near-dup
+    * pair, source-tagged from a broadcast doc→source map (sources ≪
+    * corpus), keyed symmetric (least/greatest) so each unordered source
+    * pair counts once. Costs two broadcast joins + a tiny aggregate on
+    * top of the memoized pair pipeline.
+    */
+  def dedupSourceMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir).select("doc_id", "source")
+    val sa = src.toDF("da", "source_a")
+    val sb = src.toDF("db", "source_b")
+    ngramJaccardPairs(spark, sfDir)
+      .select("doc_a", "doc_b")
+      .join(broadcast(sa), col("doc_a") === col("da"))
+      .join(broadcast(sb), col("doc_b") === col("db"))
+      .select(least(col("source_a"), col("source_b")).as("source_x"),
+        greatest(col("source_a"), col("source_b")).as("source_y"))
+      .groupBy("source_x", "source_y")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_x", "source_y")
+  }
+
   /** n-gram Jaccard near-dup pairs — EXACT at the threshold, via prefix
     * filtering (the AllPairs/PPJoin family, Bayardo et al. WWW'07): sort
     * each doc's shingles by ascending global document frequency and index
@@ -343,6 +366,32 @@ object Dedup {
       .groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_members"), max("node").as("max_doc"))
       .orderBy("cluster")
+
+  /** Blocked edit-distance fuzzy match over the distinct part-name
+    * dictionary — the entity-resolution primitive (same-entity variant
+    * detection) that record-linkage pipelines run before merging catalogs.
+    * The standard blocking discipline (Christen, "Data Matching", 2012 —
+    * public knowledge): candidates are generated per BLOCK (here the name's
+    * last token; swap in phonetic/length keys per domain), so the quadratic
+    * verify runs within blocks only — never all-pairs — and `levenshtein`
+    * (codegen built-in) verifies candidates exactly. At 100 TB the
+    * dictionary is distinct-aggregated first (names ≪ rows) and the block
+    * join is an equi-shuffle on the block key; a skewed mega-block would
+    * salt like any skewed join.
+    */
+  def fuzzyNamePairs(spark: SparkSession, sfDir: String,
+                     maxDist: Int = 2): DataFrame = {
+    val names = Tables.part(spark, sfDir).select("p_name").distinct()
+      .withColumn("block", substring_index(col("p_name"), " ", -1))
+    names.as("a")
+      .join(names.as("b"),
+        col("a.block") === col("b.block") &&
+          col("a.p_name") < col("b.p_name"))
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        levenshtein(col("a.p_name"), col("b.p_name")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+      .orderBy("name_a", "name_b")
+  }
 
   /** Survivor selection — the step that turns near-dup clusters into a
     * dedup DECISION: per cluster keep the best document (longest, doc_id

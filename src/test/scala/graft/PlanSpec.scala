@@ -214,4 +214,52 @@ class PlanSpec extends SparkSpec {
     assert(!plan.exists(_.isInstanceOf[SortMergeJoinExec]))
     assert(corpusShuffles.size <= 5)
   }
+
+  test("q18's HAVING aggregate filters before the joins — both join sides " +
+       "broadcast, top-100 is TakeOrdered, no sort-merge join") {
+    val plan = planOf("q18_large_volume", "/root/testdata/sf0.01")
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.size >= 2)
+    assert(!plan.exists(_.isInstanceOf[SortMergeJoinExec]))
+    assert(plan.exists(_.getClass.getSimpleName.contains("TakeOrdered")))
+  }
+
+  test("q2's decorrelated min joins back by broadcast — no cartesian, " +
+       "no sort-merge join") {
+    val plan = planOf("q2_min_cost_supplier", "/root/testdata/sf0.01")
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.size >= 3)
+    assert(!plan.exists(_.getClass.getSimpleName.contains("Cartesian")))
+    assert(!plan.exists(_.isInstanceOf[SortMergeJoinExec]))
+  }
+
+  test("q16 runs the single-distinct count without an Expand and keeps the " +
+       "complaint exclusion a broadcast anti join") {
+    val plan = planOf("q16_supplier_counts", "/root/testdata/sf0.01")
+    assert(!plan.exists(_.getClass.getSimpleName.contains("Expand")))
+    assert(plan.exists(_.toString.contains("LeftAnti")))
+    assert(!plan.exists(_.isInstanceOf[SortMergeJoinExec]))
+  }
+
+  test("q20's nested quantity thresholds reuse one pruned scan — semi " +
+       "joins, date pushdown, no sort-merge join") {
+    val plan = planOf("q20_excess_shippers", "/root/testdata/sf0.01")
+    assert(plan.exists(_.toString.contains("LeftSemi")))
+    assert(!plan.exists(_.isInstanceOf[SortMergeJoinExec]))
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.exists(_.metadata("PushedFilters")
+      .contains("GreaterThanOrEqual(l_shipdate")))
+  }
+
+  test("bigram LM scoring broadcasts the model both ways — the token " +
+       "stream joins map-side, one per-doc aggregate exchange") {
+    val plan = planOf("text_bigram_lm")
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.size === 2)
+    assert(!plan.exists(_.isInstanceOf[SortMergeJoinExec]))
+  }
+
+  test("embedding quantization is a row-local scan — the only exchange is " +
+       "the presentation sort") {
+    val plan = planOf("embedding_quantize")
+    assert(plan.collect { case s: ShuffleExchangeExec => s }.size <= 1)
+    assert(!plan.exists(_.getClass.getSimpleName.contains("Window")))
+  }
 }

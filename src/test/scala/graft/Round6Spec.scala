@@ -126,6 +126,39 @@ class Round6Spec extends SparkSpec {
     assert(out(2) === Seq.empty)
   }
 
+  test("fuzzy_name_pairs: blocking loses nothing vs the all-pairs scan") {
+    val blocked = graft.ops.Dedup.fuzzyNamePairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // ground truth: unblocked quadratic verify over the tiny dictionary
+    val names = Tables.part(spark, sf).select("p_name").distinct()
+      .collect().map(_.getString(0))
+    val exact = (for {
+      a <- names; b <- names if a < b
+      if levenshteinDist(a, b) <= 2
+    } yield (a, b)).toSet
+    assert(blocked === exact)
+    assert(blocked.nonEmpty)
+  }
+
+  /** Reference Wagner-Fischer for the spec's ground truth. */
+  private def levenshteinDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("dedup_source_matrix accounts every near-dup pair exactly once") {
+    val totalPairs = graft.ops.Dedup.ngramJaccardPairs(spark, sf).count()
+    val m = graft.ops.Dedup.dedupSourceMatrix(spark, sf).collect()
+    assert(m.map(_.getLong(2)).sum === totalPairs)
+    // symmetric keying: x <= y always, so no unordered pair splits in two
+    assert(m.forall(r => r.getString(0) <= r.getString(1)))
+  }
+
   test("embedding_quantize: int8 range respected, reconstruction is close") {
     val r = graft.ops.Similarity.embeddingQuantize(spark, sf).collect()
     assert(r.length === 500)
