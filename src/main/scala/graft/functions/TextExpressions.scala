@@ -65,6 +65,50 @@ object TextOps {
     }
     new GenericArrayData(out)
   }
+
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** k MinHash draws over a shingle array, row-local in one pass — no
+    * explode, no aggregation shuffle. Bit-identical to the relational
+    * formulation the oracle mirrors: per shingle, h1/h2 are the two
+    * unsigned 48-bit halves of md5 (h2 forced odd; Kirsch-Mitzenmacher
+    * double hashing), draw_i = h1 + i·h2 (< 12·2^48 < 2^52 — exact in
+    * DuckDB's integer arithmetic AND in a double, so either engine can
+    * mirror it), signature_i = min over shingles. Empty input → empty
+    * array (callers must drop shingle-less docs BEFORE banding; a
+    * sentinel signature would bucket all empty docs together).
+    */
+  def minhashSig(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val mins = Array.fill(k)(Long.MaxValue)
+    val md = md5Local.get()
+    var i = 0
+    while (i < n) {
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      // first/second 6 bytes as unsigned 48-bit ints = the first/second
+      // 12 hex chars of the digest string (conv(substring(hex,…),16,10))
+      var h1 = 0L
+      var h2 = 0L
+      var b = 0
+      while (b < 6) {
+        h1 = (h1 << 8) | (d(b) & 0xffL)
+        h2 = (h2 << 8) | (d(b + 6) & 0xffL)
+        b += 1
+      }
+      h2 |= 1L
+      var j = 0
+      while (j < k) {
+        val draw = h1 + j * h2
+        if (draw < mins(j)) mins(j) = draw
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(Long.box(_): AnyRef))
+  }
 }
 
 /** word_shingles(text, n): distinct word n-gram shingle array. The
@@ -117,5 +161,32 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
       s"${ev.value} = graft.functions.TextOps.wordNgrams($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+/** minhash_sig(shingles, k): the k-draw MinHash signature as ARRAY<LONG>,
+  * computed row-local (see [[TextOps.minhashSig]]). Replaces an
+  * explode → md5 → hex-conv → k-column min-aggregate pipeline — same
+  * values, no shuffle, one digest per shingle.
+  */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig expects an array<string> column, got ${t.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(s: Any): Any =
+    TextOps.minhashSig(s.asInstanceOf[ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextOps.minhashSig($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }

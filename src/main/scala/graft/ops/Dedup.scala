@@ -230,26 +230,24 @@ object Dedup {
     // the same logical shingle frame serves signature generation and
     // verification (recomputing the native kernel beats caching arrays)
     val sets = docShingleSets(spark, sfDir)
-    val sh = sets.select(col("doc_id"), explode(col("ss")).as("s"))
-    // k min-hashes as k aggregate columns in ONE doc-level groupBy: the
-    // draws happen map-side per shingle row and combine via partial
-    // min — no k× explode, no k× shuffle volume
-    val hashed = sh
-      .withColumn("hx", md5(col("s")))
+    // the whole k-draw signature computes ROW-LOCAL in the minhash_sig
+    // codegen kernel (one md5 per shingle, k running mins in-register) —
+    // the former explode → md5 → hex-conv → k-column min-aggregate spent
+    // its time materializing 3.1M exploded rows and a doc-keyed exchange
+    // for values a single pass over the shingle array already determines.
+    // Shingle-less docs are dropped BEFORE banding (their sentinel
+    // signature would otherwise bucket them all together).
+    val sig = sets.filter(col("n") > 0)
       .select(col("doc_id"),
-        conv(substring(col("hx"), 1, 12), 16, 10).cast("long").as("h1"),
-        conv(substring(col("hx"), 13, 12), 16, 10).cast("long")
-          .bitwiseOR(1L).as("h2"))
-    val minCols = (0 until k).map(i =>
-      min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
-    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+        call_function("minhash_sig", col("ss"), lit(k)).as("sig"))
     // band signature = the band's min-hashes joined in i order — equality
     // of the concat is equality of the tuple, same candidate set as the
     // oracle's md5-of-joined-minhashes formulation
     val nBands = k / rowsPerBand
     val bandSigs = (0 until nBands).map { b =>
       concat_ws("|",
-        (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
+        (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => element_at(col("sig"), i + 1)): _*)
         .as(s"b$b")
     }
     val banded = sig.select(col("doc_id") +: bandSigs: _*)

@@ -151,6 +151,33 @@ class Round6Spec extends SparkSpec {
     d(a.length)(b.length)
   }
 
+  test("minhash_sig kernel is bit-identical to the relational md5 pipeline") {
+    graft.functions.GraftFunctions.register(spark)
+    val k = 12
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        call_function("word_shingles", col("text"), lit(3)).as("ss"))
+      .filter(size(col("ss")) > 0)
+    val kernel = docs
+      .select(col("doc_id"),
+        call_function("minhash_sig", col("ss"), lit(k)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // the formulation the kernel replaced (and the oracle still mirrors)
+    val hashed = docs
+      .select(col("doc_id"), explode(col("ss")).as("s"))
+      .withColumn("hx", md5(col("s")))
+      .select(col("doc_id"),
+        conv(substring(col("hx"), 1, 12), 16, 10).cast("long").as("h1"),
+        conv(substring(col("hx"), 13, 12), 16, 10).cast("long")
+          .bitwiseOR(1L).as("h2"))
+    val minCols = (0 until k).map(i =>
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
+    val relational = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong(_))).toMap
+    assert(kernel.keySet === relational.keySet)
+    kernel.foreach { case (d, sig) => assert(sig === relational(d), s"doc $d") }
+  }
+
   test("dedup_source_matrix accounts every near-dup pair exactly once") {
     val totalPairs = graft.ops.Dedup.ngramJaccardPairs(spark, sf).count()
     val m = graft.ops.Dedup.dedupSourceMatrix(spark, sf).collect()
