@@ -74,9 +74,12 @@ object CorpusStats {
       (length(bin(c)) - lit(1)).cast("long")
     val c12 = docBi.groupBy(col("bg").as("m_bg"))
       .agg(count(lit(1)).as("c12"))
-    val c1 = docBi
-      .groupBy(substring_index(col("bg"), " ", 1).as("m_w1"))
-      .agg(count(lit(1)).as("c1"))
+    // context counts re-aggregate from the vocab²-sized model — every
+    // bigram starting with w1 was already counted there, so a second pass
+    // over the corpus bigram stream would recount what c12 knows
+    val c1 = c12
+      .groupBy(substring_index(col("m_bg"), " ", 1).as("m_w1"))
+      .agg(sum(col("c12")).as("c1"))
     docBi
       .join(broadcast(c12), col("bg") === col("m_bg"))
       .join(broadcast(c1), substring_index(col("bg"), " ", 1) === col("m_w1"))
