@@ -196,7 +196,13 @@ object Dedup {
     val sh = sets.select(col("doc_id"), col("n"), explode(col("ss")).as("s"))
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy("doc_id")
-    val ranked = sh.join(dfreq, "s")
+    // df attaches by broadcast — the df table is bounded by the distinct
+    // shingle vocabulary, tiny next to the exploded stream. AQE picks this
+    // plan on its own at fixture scale (A/B measured no delta); the
+    // explicit hint pins it so the exploded stream is never shuffled on
+    // `s` merely to tag rows. For an open-vocabulary corpus where df
+    // outgrows the broadcast threshold, drop the hint and AQE shuffles.
+    val ranked = sh.join(broadcast(dfreq), "s")
       .withColumn("rk", row_number().over(byDoc.orderBy("df", "s")))
     val pfx = ranked.filter(
       col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
