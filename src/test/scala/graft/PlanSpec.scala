@@ -249,6 +249,19 @@ class PlanSpec extends SparkSpec {
       .contains("GreaterThanOrEqual(l_shipdate")))
   }
 
+  test("q11's global total reuses the per-part aggregate exchange — " +
+       "lineitem is never scanned twice") {
+    val plan = planOf("q11_important_parts", "/root/testdata/sf0.01")
+    val lineitemScans = plan.collect {
+      case f: FileSourceScanExec
+        if f.metadata("Location").contains("lineitem") => f
+    }
+    // flatten descends into ReusedExchangeExec children, so a reused scan
+    // appears twice in the flattened list but only once with distinct ids
+    assert(lineitemScans.map(_.id).distinct.size <= 1 ||
+      plan.exists(_.isInstanceOf[ReusedExchangeExec]))
+  }
+
   test("bigram LM scoring broadcasts the model both ways — the token " +
        "stream joins map-side, one per-doc aggregate exchange") {
     val plan = planOf("text_bigram_lm")
