@@ -127,6 +127,16 @@ object SparkEntry {
     "token_zipf" -> (CorpusStats.tokenZipf _),
     "text_bigram_lm" -> ((s, d) => CorpusStats.bigramLm(s, d)),
     "embedding_quantize" -> (Similarity.embeddingQuantize _),
+    "doc_chunks" -> ((s, d) => TrainingSets.docChunks(s, d)),
+    "contamination_fraction" ->
+      ((s, d) => TrainingSets.contaminationFraction(s, d)),
+    "dedup_incremental" -> (Dedup.dedupIncremental _),
+    "embedding_contamination" ->
+      ((s, d) => Similarity.embeddingContamination(s, d)),
+    "array_funcs" -> (TextAnalysis.arrayFuncs _),
+    "collect_sources" -> (TextAnalysis.collectSources _),
+    "stream_join_followups" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamJoinFollowups(s, d)),
     // rows-only (approx sketches aren't cross-engine comparable; accuracy
     // is spec-asserted in ApproxSpec, mirroring approx_distinct_users)
     "approx_value_quantiles" -> ((s, d) => TrainingSets.approxValueQuantiles(s, d))
@@ -138,8 +148,8 @@ object SparkEntry {
     * dedup_rate_by_source, curation_pipeline), so the near-dup definition
     * lives in exactly one place.
     */
-  private val nearDupLabelCte: String =
-    """WITH RECURSIVE tok AS (
+  private val nearDupPairsBody: String =
+    """tok AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(
       |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -153,7 +163,12 @@ object SparkEntry {
       |pairs AS (SELECT doc_a, doc_b
       |  FROM shared JOIN sizes sa ON doc_a = sa.doc_id
       |  JOIN sizes sb ON doc_b = sb.doc_id
-      |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8),
+      |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8)"""
+      .stripMargin
+
+  private val nearDupLabelCte: String =
+    "WITH RECURSIVE " + nearDupPairsBody +
+    """,
       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
       |  UNION SELECT doc_b, doc_a FROM pairs),
       |reach(a, b) AS (SELECT a, b FROM edges
@@ -1214,6 +1229,103 @@ object SparkEntry {
         |            * (embedding[i]::DOUBLE - (qv[i] * max_abs) / 127.0)
         |            for i in range(1, 65)]) / len(embedding) AS mse
         |FROM q ORDER BY vec_id""".stripMargin,
+    "doc_chunks" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    greatest(ceil(n_chars / 4.0)::BIGINT, 1) AS est FROM documents),
+        |ch AS (SELECT doc_id, lang, est, unnest(range(0, est, 96)) AS start
+        |  FROM d)
+        |SELECT lang, count(*) AS n_chunks,
+        |CAST(sum(least(128, est - start)) AS BIGINT) AS sum_chunk_tokens,
+        |count(DISTINCT doc_id) AS n_docs,
+        |CAST(max(least(128, est - start)) AS BIGINT) AS max_chunk_len
+        |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
+    "contamination_fraction" ->
+      """WITH d AS (SELECT doc_id, lang, text,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents),
+        |sp AS (SELECT doc_id, lang,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  string_split(text, ' ') AS ws FROM d),
+        |sh AS (SELECT doc_id, lang, split, unnest(list_distinct(
+        |  [ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
+        |   ||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]
+        |   for i in range(1, len(ws) - 6)])) AS s
+        |  FROM sp WHERE len(ws) >= 8),
+        |tr AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
+        |te AS (SELECT h.doc_id, h.lang, count(*) AS n_total,
+        |    count(t.s) AS shared
+        |  FROM sh h LEFT JOIN tr t ON h.s = t.s
+        |  WHERE h.split = 'test' GROUP BY 1, 2)
+        |SELECT lang,
+        |CAST(least(9, (shared * 10) // n_total) AS BIGINT) AS decile,
+        |count(*) AS n_docs
+        |FROM te GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dedup_incremental" -> ("WITH " + nearDupPairsBody +
+      """,
+        |k AS (SELECT (max(doc_id) * 4) // 5 AS k FROM documents),
+        |hist AS (SELECT DISTINCT md5(text) AS h FROM documents, k
+        |  WHERE doc_id < k.k),
+        |batch AS (SELECT doc_id, source, md5(text) AS h FROM documents, k
+        |  WHERE doc_id >= k.k),
+        |nd AS (SELECT DISTINCT doc_b AS doc_id FROM pairs, k
+        |  WHERE doc_a < k.k AND doc_b >= k.k)
+        |SELECT source, count(*) AS n_new,
+        |CAST(sum(CASE WHEN h IN (SELECT h FROM hist) THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_exact_dup,
+        |CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM nd) THEN 1 ELSE 0
+        |  END) AS BIGINT) AS n_near_dup
+        |FROM batch GROUP BY 1 ORDER BY 1""".stripMargin),
+    "embedding_contamination" ->
+      """WITH e AS (SELECT vec_id, label, embedding,
+        |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                 for i in range(1, 65)])) AS nrm,
+        |  ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 100 AS bk
+        |  FROM embeddings),
+        |tr AS (SELECT embedding AS t_emb, nrm AS t_nrm FROM e WHERE bk < 80),
+        |te AS (SELECT vec_id, label, embedding, nrm FROM e WHERE bk >= 80),
+        |leak AS (SELECT DISTINCT a.vec_id FROM te a JOIN tr b
+        |  ON list_sum([a.embedding[i]::DOUBLE * b.t_emb[i]::DOUBLE
+        |      for i in range(1, 65)]) / (a.nrm * b.t_nrm) >= 0.4)
+        |SELECT label, count(*) AS n_test,
+        |CAST(sum(CASE WHEN vec_id IN (SELECT vec_id FROM leak) THEN 1
+        |  ELSE 0 END) AS BIGINT) AS n_leaked
+        |FROM te GROUP BY 1 ORDER BY 1""".stripMargin,
+    "array_funcs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents)
+        |SELECT doc_id,
+        |CAST(len(ws) AS INT) AS n_tokens,
+        |CAST(len(list_distinct(ws)) AS INT) AS n_distinct,
+        |list_sort(ws)[1] AS first_sorted,
+        |list_sort(ws)[len(ws)] AS last_sorted,
+        |CAST(coalesce(list_position(ws, 'the'), 0) AS BIGINT) AS pos_the,
+        |CAST(list_contains(ws, 'data') AS INT) AS has_data,
+        |array_to_string(ws[2:4], '_') AS mid3,
+        |CAST(len(list_distinct([x for x in ws
+        |  if x NOT IN ('the', 'a', 'of')])) AS INT) AS n_except_stop,
+        |CAST(len(list_distinct([x for x in ws
+        |  if x IN ('the', 'a', 'of')])) AS INT) AS n_stop_kinds
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "collect_sources" ->
+      """WITH ds AS (SELECT DISTINCT lang, source FROM documents),
+        |a1 AS (SELECT lang, count(*) AS n_sources,
+        |    string_agg(source, ',' ORDER BY source) AS sources_csv
+        |  FROM ds GROUP BY 1),
+        |a2 AS (SELECT lang, count(*) AS n_docs,
+        |    array_to_string(list_sort(list(doc_id))[1:3], ',')
+        |      AS first_doc_ids
+        |  FROM documents GROUP BY 1)
+        |SELECT a1.lang, n_sources, sources_csv, first_doc_ids, n_docs
+        |FROM a1 JOIN a2 ON a1.lang = a2.lang ORDER BY a1.lang""".stripMargin,
+    "stream_join_followups" ->
+      """SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |count(*) AS n_pairs, count(DISTINCT a.user_id) AS n_users
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND epoch_us(b.ts::TIMESTAMP) > epoch_us(a.ts::TIMESTAMP)
+        |  AND epoch_us(b.ts::TIMESTAMP)
+        |      <= epoch_us(a.ts::TIMESTAMP) + 1800000000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "gapfill_locf" ->
       """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
         |    count(*) AS n_events,

@@ -427,6 +427,46 @@ object Dedup {
       .orderBy("cluster")
   }
 
+  /** Incremental dedup — the daily-ingest shape: treat the newest 20% of
+    * doc_ids as the arriving batch and everything before as the indexed
+    * historical corpus, then report per source how much of the batch is
+    * (a) an exact copy of history (md5 semi-join against the historical
+    * digest set) and (b) a near-dup of history (boundary-crossing pairs
+    * from the memoized prefix-filter pipeline). This is how a crawl
+    * pipeline runs dedup in production — new data against the index, never
+    * all-pairs over the union — and both probes are hash/equi-joins, so
+    * the incremental step stays a fraction of a full-corpus dedup at any
+    * scale. The 80/20 boundary is itself computed from the data
+    * ((max(doc_id)·4) div 5, a 1-row broadcast), keeping the query a pure
+    * function of the input.
+    */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val kRow = docs.agg(expr("(max(doc_id) * 4) div 5").as("k"))
+    val tagged = docs.crossJoin(broadcast(kRow))
+    val histHashes = tagged.filter(col("doc_id") < col("k"))
+      .select(md5(col("text")).as("h")).distinct()
+    val batch = tagged.filter(col("doc_id") >= col("k"))
+    val exactDup = batch.withColumn("h", md5(col("text")))
+      .join(histHashes, Seq("h"), "left_semi")
+      .select(col("doc_id")).withColumn("is_exact", lit(1L))
+    val nearDup = ngramJaccardPairs(spark, sfDir)
+      .select("doc_a", "doc_b").crossJoin(broadcast(kRow))
+      // pairs are oriented doc_a < doc_b, so "crosses the boundary" is
+      // exactly doc_a in history ∧ doc_b in batch
+      .filter(col("doc_a") < col("k") && col("doc_b") >= col("k"))
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_near", lit(1L))
+    batch
+      .join(exactDup, Seq("doc_id"), "left_outer")
+      .join(nearDup, Seq("doc_id"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_new"),
+        sum(coalesce(col("is_exact"), lit(0L))).cast("long").as("n_exact_dup"),
+        sum(coalesce(col("is_near"), lit(0L))).cast("long").as("n_near_dup"))
+      .orderBy("source")
+  }
+
   /** Connected components via alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14) — the provably O(log n)-round alternative to

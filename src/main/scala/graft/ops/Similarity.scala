@@ -148,6 +148,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** Semantic train/test leakage — decontamination by embedding similarity
+    * rather than n-gram overlap (the "semantic dedup" complement of
+    * [[graft.ops.TrainingSets.contaminationCheck]]): a held-out vector is
+    * leaked if some training vector sits within cosine ≥ `threshold`.
+    * Split is the same deterministic md5-bucket coin as the text split
+    * (80/20 on vec_id). The probe here is the exact broadcast scan — the
+    * train side streams against the broadcast-size test side at fixture
+    * scale; at index scale the identical predicate runs through the banded
+    * LSH machinery of [[graft.ops.Dedup.embeddingNearDupsLsh]] (same
+    * signature scheme, train side bucketed) — the plan swap changes
+    * recall, not semantics. Reported per label: held-out count and how
+    * many leak.
+    */
+  def embeddingContamination(spark: SparkSession, sfDir: String,
+                             threshold: Double = 0.4): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm2(col("embedding")).as("nrm"),
+        pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(100)).as("bk"))
+    val train = e.filter(col("bk") < 80)
+      .select(col("embedding").as("t_emb"), col("nrm").as("t_nrm"))
+    val test = e.filter(col("bk") >= 80)
+    // single-file corpus → one input split; spread the probe side so the
+    // O(test×train) dot products use every core (no-op at real scale)
+    val leaked = test.repartition(spark.sparkContext.defaultParallelism)
+      .as("a")
+      .join(broadcast(train),
+        dot(col("a.embedding"), col("t_emb")) /
+          (col("a.nrm") * col("t_nrm")) >= threshold)
+      .select(col("a.vec_id")).distinct()
+      .withColumn("hit", lit(1L))
+    test.join(leaked, Seq("vec_id"), "left_outer")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_test"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_leaked"))
+      .orderBy("label")
+  }
+
   /** Symmetric int8 quantization of the embedding column with
     * reconstruction-error accounting — the storage-compression step of a
     * vector index build (8× smaller than float32, the standard ANN-index

@@ -14,6 +14,51 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** Array-function battery over the token array — the collection-typed
+    * scalar surface (§2.8 sibling of `scalar_funcs`): distinct, sort,
+    * slice, join, position, membership, and set-difference/intersection
+    * sizes, all row-local and integer/string-valued so every value is
+    * engine-exact. Set-op outputs are SIZES (element order inside
+    * array_except/intersect differs across engines; cardinality doesn't).
+    */
+  def arrayFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val stop = array(Seq("the", "a", "of").map(lit(_)): _*)
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(ws).as("n_tokens"),
+        size(array_distinct(ws)).as("n_distinct"),
+        element_at(array_sort(ws), 1).as("first_sorted"),
+        element_at(array_sort(ws), size(ws)).as("last_sorted"),
+        array_position(ws, "the").cast("long").as("pos_the"),
+        array_contains(ws, "data").cast("int").as("has_data"),
+        array_join(slice(ws, 2, 3), "_").as("mid3"),
+        size(array_except(ws, stop)).as("n_except_stop"),
+        size(array_intersect(array_distinct(ws), stop)).as("n_stop_kinds"))
+      .orderBy("doc_id")
+  }
+
+  /** Ordered collection aggregates — collect_set / collect_list with a
+    * deterministic presentation (sorted, then joined): per lang the sorted
+    * distinct source list as CSV and the three smallest doc_ids. This is
+    * the LISTAGG/string_agg surface; sorting before joining is what makes
+    * a set-valued aggregate oracle-checkable (collect order is
+    * partition-dependent, the sorted projection is not).
+    */
+  def collectSources(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy("lang")
+      .agg(
+        countDistinct("source").as("n_sources"),
+        array_join(array_sort(collect_set(col("source"))), ",")
+          .as("sources_csv"),
+        array_join(
+          transform(slice(array_sort(collect_list(col("doc_id"))), 1, 3),
+            _.cast("string")), ",").as("first_doc_ids"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
   private def toks(textCol: Column): Column = split(textCol, " ")
 
   /** Token counting: whitespace tokens plus a BPE-ish subword estimate

@@ -153,6 +153,61 @@ object TrainingSets {
       .orderBy("lang")
   }
 
+  /** Context-window chunking with overlap: each doc is cut into windows of
+    * `window` estimated tokens starting every `stride` tokens (overlap =
+    * window - stride) — the chunking step that prepares long documents for
+    * a fixed-context model (retrieval indexing / training-window prep).
+    * Chunk starts explode row-locally from a `sequence`; no shuffle until
+    * the per-lang accounting aggregate, so at 100 TB the chunker is a scan.
+    * All arithmetic is integer (est = ceil(chars/4), len = min(window,
+    * est-start)) — engine-portable by construction.
+    */
+  def docChunks(spark: SparkSession, sfDir: String,
+                window: Int = 128, stride: Int = 96): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("est", greatest(ceil(col("n_chars") / 4.0).cast("long"), lit(1L)))
+      .select(col("doc_id"), col("lang"), col("est"),
+        explode(sequence(lit(0L), col("est") - 1, lit(stride.toLong)))
+          .as("start"))
+      .withColumn("chunk_len",
+        least(lit(window.toLong), col("est") - col("start")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum("chunk_len").cast("long").as("sum_chunk_tokens"),
+        countDistinct("doc_id").as("n_docs"),
+        max("chunk_len").as("max_chunk_len"))
+      .orderBy("lang")
+
+  /** Graded contamination: per-lang decile histogram of each test doc's
+    * 8-gram overlap fraction with the train shingle set — the triage view
+    * behind [[contaminationCheck]]'s binary verdict (how contaminated, not
+    * just whether). Decile = (10·shared) div total, capped at 9, so the
+    * bucketing is pure integer arithmetic. Docs shorter than 8 words have
+    * no shingles and drop out on both engines identically. Same plan shape
+    * as the binary check: one distinct-shingle build for train, one
+    * left join tagging test shingles, one doc-level then lang-level
+    * aggregate — no pair enumeration at any point.
+    */
+  def contaminationFraction(spark: SparkSession, sfDir: String,
+                            n: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = withSplit(Tables.documents(spark, sfDir))
+    val sh = Tables.spread(docs).select(col("doc_id"), col("lang"),
+      col("split"), explode(Dedup.shingleCol(col("text"), n)).as("s"))
+    val trainSh = sh.filter(col("split") === "train")
+      .select("s").distinct().withColumn("hit", lit(1L))
+    sh.filter(col("split") === "test")
+      .join(trainSh, Seq("s"), "left_outer")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_total"), count(col("hit")).as("shared"))
+      .withColumn("decile",
+        least(lit(9L), expr("(shared * 10) div n_total")))
+      .groupBy("lang", "decile")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "decile")
+  }
+
   /** Exact quantiles of event value per type (percentile with linear
     * interpolation — the same definition as the oracle's quantile_cont,
     * so interpolated doubles match bit-for-bit).

@@ -286,6 +286,69 @@ object StreamAssembly {
     scala.collection.concurrent.TrieMap
       .empty[(org.apache.spark.sql.SparkSession, String, Int), String]
 
+  /** The stream-stream JOIN exercised end-to-end at correctness scale, as
+    * an oracle-checked query (the join sibling of [[streamPartialsHourly]]):
+    * the events table streams back one staged file per micro-batch, and the
+    * stream inner-joins ITSELF — same user, a later event within `tolMin`
+    * minutes (the followup-action shape of [[followupJoinStream]]) — with
+    * each micro-batch's new pairs appended to a parquet sink and the final
+    * per-(type,type) accounting read back from it.
+    *
+    * Correctness mode runs WITHOUT a watermark: an unwatermarked inner
+    * stream-stream join buffers both sides indefinitely and therefore emits
+    * EXACTLY the batch join result regardless of how rows land in
+    * micro-batches — that unbounded state is the price of exactness, and
+    * bounding it is precisely what [[followupJoinStream]]'s watermarked
+    * variant demonstrates (state eviction at the cost of late-pair drops,
+    * spec-tested). Symmetric-hash join state is keyed on user_id, so at
+    * scale state ∝ active users in the retention horizon, not total rows.
+    */
+  def streamJoinFollowups(spark: SparkSession, sfDir: String,
+                          nFiles: Int = 4, tolMin: Int = 30): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_stream_join").toString
+    val pairsDir = s"$tmp/pairs"
+    val ckptDir = s"$tmp/ckpt"
+    val events = graft.Tables.events(spark, sfDir)
+    val srcDir = stagedSrcCache.getOrElseUpdate((spark, sfDir, nFiles), {
+      val d = s"$tmp/src"
+      events.repartition(nFiles).write.parquet(d)
+      d
+    })
+    val stream = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val a = stream.select(col("event_id").as("event_a"),
+      col("user_id").as("user_a"), col("ts").as("ts_a"),
+      col("event_type").as("type_a"))
+    val b = stream.select(col("event_id").as("event_b"),
+      col("user_id").as("user_b"), col("ts").as("ts_b"),
+      col("event_type").as("type_b"))
+    val joined = a.join(b,
+      col("user_a") === col("user_b") &&
+        col("ts_b") > col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $tolMin MINUTES"))
+    val query = joined.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // a micro-batch's new pairs are few thousand rows: one file per
+        // batch, not one per shuffle partition
+        batch.select("type_a", "type_b", "user_a")
+          .coalesce(1).write.mode("append").parquet(pairsDir)
+        ()
+      }
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(pairsDir)
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("user_a").as("n_users"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** S3 (`sales_producer.py:160-165`): orders → JSON → Kafka sink
     * (connector jar required at runtime).
     */

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Properties of the round-6 additions: chunking, graded contamination,
+  * incremental dedup, semantic leakage, the array/collect batteries, and
+  * the stream-stream join's stream≡batch equivalence.
+  */
+class IncrementalCurationSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.01"
+
+  test("doc_chunks: per-lang totals match a row-level recompute") {
+    val r = graft.ops.TrainingSets.docChunks(spark, sf)
+      .collect().map(x => (x.getString(0), (x.getLong(1), x.getLong(2))))
+      .toMap
+    // brute-force from the raw table: starts 0, 96, 192, … while < est
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), ceil(col("n_chars") / 4.0).cast("long").as("est"))
+      .collect().map(x => (x.getString(0), math.max(x.getLong(1), 1L)))
+    val expect = docs.groupBy(_._1).map { case (lang, rows) =>
+      val chunks = rows.flatMap { case (_, est) =>
+        (0L until est by 96L).map(s => math.min(128L, est - s))
+      }
+      lang -> ((chunks.length.toLong, chunks.sum))
+    }
+    assert(r === expect)
+  }
+
+  test("contamination_fraction: deciles bounded, totals = eligible test docs") {
+    val rows = graft.ops.TrainingSets.contaminationFraction(spark, sf).collect()
+    assert(rows.forall(x => x.getLong(1) >= 0 && x.getLong(1) <= 9))
+    // every test doc with >= 8 words appears in exactly one decile
+    graft.functions.GraftFunctions.register(spark)
+    val eligible = Tables.documents(spark, sf)
+      .filter(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long"), lit(100)) >= 90)
+      .filter(size(split(col("text"), " ")) >= 8)
+      .count()
+    assert(rows.map(_.getLong(2)).sum === eligible)
+  }
+
+  test("dedup_incremental: exact-dup count matches a text-equality probe") {
+    val r = graft.ops.Dedup.dedupIncremental(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    val k = (docs.map(_._1).max * 4) / 5
+    val hist = docs.filter(_._1 < k).map(_._2).toSet
+    val expectExact = docs.filter(_._1 >= k).count(d => hist(d._2))
+    assert(r.map(_.getLong(2)).sum === expectExact)
+    // near-dups counted per doc at most once, never exceeding the batch
+    assert(r.forall(x => x.getLong(3) <= x.getLong(1)))
+  }
+
+  test("embedding_contamination: totals partition the held-out set; " +
+    "tightening the threshold can only shrink leakage") {
+    val loose = graft.ops.Similarity
+      .embeddingContamination(spark, sf, threshold = 0.4).collect()
+    val tight = graft.ops.Similarity
+      .embeddingContamination(spark, sf, threshold = 0.9).collect()
+    val nTest = Tables.embeddings(spark, sf)
+      .filter(pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 8),
+        16, 10).cast("long"), lit(100)) >= 80)
+      .count()
+    assert(loose.map(_.getLong(1)).sum === nTest)
+    assert(loose.forall(x => x.getLong(2) <= x.getLong(1)))
+    val looseLeaks = loose.map(x => x.getInt(0) -> x.getLong(2)).toMap
+    assert(tight.forall(x => x.getLong(2) <= looseLeaks(x.getInt(0))))
+  }
+
+  test("array_funcs: row-level internal consistency") {
+    val rows = graft.ops.TextAnalysis.arrayFuncs(spark, sf).collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    rows.foreach { x =>
+      val (nTok, nDis) = (x.getInt(1), x.getInt(2))
+      assert(nDis >= 1 && nDis <= nTok)
+      assert(x.getLong(5) >= 0 && x.getLong(5) <= nTok) // pos_the
+      assert(x.getInt(6) == 0 || x.getInt(6) == 1)      // has_data
+      assert(x.getInt(8) + x.getInt(9) >= nDis ||
+        x.getInt(8) <= nDis)                            // except+stop cover
+    }
+  }
+
+  test("collect_sources: csv fields agree with the counts") {
+    val rows = graft.ops.TextAnalysis.collectSources(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { x =>
+      val srcs = x.getString(2).split(",")
+      assert(srcs.length === x.getLong(1))
+      assert(srcs.sorted.sameElements(srcs), "sources_csv must be sorted")
+      val firsts = x.getString(3).split(",").map(_.toLong)
+      assert(firsts.length <= 3 && firsts.sorted.sameElements(firsts))
+    }
+  }
+
+  test("stream-stream join ≡ batch join (exact, unwatermarked)") {
+    val sfSmall = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamAssembly
+      .streamJoinFollowups(spark, sfSmall).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val e = Tables.events(spark, sfSmall)
+    val a = e.select(col("user_id").as("ua"), col("ts").as("ta"),
+      col("event_type").as("type_a"))
+    val b = e.select(col("user_id").as("ub"), col("ts").as("tb"),
+      col("event_type").as("type_b"))
+    val batch = a.join(b, col("ua") === col("ub") &&
+        col("tb") > col("ta") &&
+        col("tb") <= col("ta") + expr("INTERVAL 30 MINUTES"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct("ua").as("n_users"))
+      .collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(streamed.sameElements(batch))
+  }
+}
