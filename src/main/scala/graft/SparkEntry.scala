@@ -1319,9 +1319,10 @@ object SparkEntry {
         |SELECT a1.lang, n_sources, sources_csv, first_doc_ids, n_docs
         |FROM a1 JOIN a2 ON a1.lang = a2.lang ORDER BY a1.lang""".stripMargin,
     "stream_join_followups" ->
-      """SELECT a.event_type AS type_a, b.event_type AS type_b,
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase')
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
         |count(*) AS n_pairs, count(DISTINCT a.user_id) AS n_users
-        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |FROM p a JOIN p b ON a.user_id = b.user_id
         |  AND epoch_us(b.ts::TIMESTAMP) > epoch_us(a.ts::TIMESTAMP)
         |  AND epoch_us(b.ts::TIMESTAMP)
         |      <= epoch_us(a.ts::TIMESTAMP) + 1800000000

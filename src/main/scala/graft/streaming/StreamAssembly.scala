@@ -319,6 +319,11 @@ object StreamAssembly {
       .schema(events.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
+      // followup-PURCHASE pairs: the filter is pushed below the join, so
+      // both state stores hold purchase rows only — at any scale the
+      // dominant cost of a stream-stream join is state-store churn, and
+      // pre-join filtering is the single biggest lever on it
+      .filter(col("event_type") === "purchase")
     val a = stream.select(col("event_id").as("event_a"),
       col("user_id").as("user_a"), col("ts").as("ts_a"),
       col("event_type").as("type_a"))
@@ -329,18 +334,29 @@ object StreamAssembly {
       col("user_a") === col("user_b") &&
         col("ts_b") > col("ts_a") &&
         col("ts_b") <= col("ts_a") + expr(s"INTERVAL $tolMin MINUTES"))
-    val query = joined.writeStream
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckptDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // a micro-batch's new pairs are few thousand rows: one file per
-        // batch, not one per shuffle partition
-        batch.select("type_a", "type_b", "user_a")
-          .coalesce(1).write.mode("append").parquet(pairsDir)
-        ()
-      }
-      .start()
+    // per-key join state is a handful of purchase rows, but the HDFS-backed
+    // state store pays a per-instance commit every micro-batch and
+    // instances = shuffle partitions × join sides: a micro-batch-commit
+    // cost, not a data cost, so run the streaming query itself on few
+    // partitions (shuffle partitions are pinned into the checkpoint at
+    // query start; the session value is restored right after)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val query =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        joined.writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckptDir)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // a micro-batch's new pairs are few thousand rows: one file per
+            // batch, not one per shuffle partition
+            batch.select("type_a", "type_b", "user_a")
+              .coalesce(1).write.mode("append").parquet(pairsDir)
+            ()
+          }
+          .start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     query.awaitTermination()
     spark.read.parquet(pairsDir)
       .groupBy("type_a", "type_b")

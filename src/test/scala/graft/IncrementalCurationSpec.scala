@@ -100,6 +100,7 @@ class IncrementalCurationSpec extends SparkSpec {
       .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3)))
       .sortBy(t => (t._1, t._2))
     val e = Tables.events(spark, sfSmall)
+      .filter(col("event_type") === "purchase")
     val a = e.select(col("user_id").as("ua"), col("ts").as("ta"),
       col("event_type").as("type_a"))
     val b = e.select(col("user_id").as("ub"), col("ts").as("tb"),
