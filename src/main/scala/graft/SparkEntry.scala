@@ -137,6 +137,8 @@ object SparkEntry {
     "collect_sources" -> (TextAnalysis.collectSources _),
     "stream_join_followups" ->
       ((s, d) => graft.streaming.StreamAssembly.streamJoinFollowups(s, d)),
+    "robust_stats" -> (Analytics.robustStats _),
+    "tfidf_terms" -> ((s, d) => CorpusStats.tfidfTerms(s, d)),
     // rows-only (approx sketches aren't cross-engine comparable; accuracy
     // is spec-asserted in ApproxSpec, mirroring approx_distinct_users)
     "approx_value_quantiles" -> ((s, d) => TrainingSets.approxValueQuantiles(s, d))
@@ -1327,6 +1329,39 @@ object SparkEntry {
         |  AND epoch_us(b.ts::TIMESTAMP)
         |      <= epoch_us(a.ts::TIMESTAMP) + 1800000000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "robust_stats" ->
+      """WITH e AS (SELECT event_type, value,
+        |    CAST(floor(value / 10.0) AS BIGINT) AS bucket FROM events),
+        |m AS (SELECT event_type, bucket, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |md AS (SELECT event_type, bucket AS mode_bucket, cnt AS mode_count
+        |  FROM (SELECT event_type, bucket, cnt, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY cnt DESC, bucket ASC) AS rk
+        |    FROM m)
+        |  WHERE rk = 1),
+        |r AS (SELECT event_type, value, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY value) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |mm AS (SELECT event_type, max(n) AS n,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS median_disc
+        |  FROM r GROUP BY 1)
+        |SELECT md.event_type, n, mode_bucket, mode_count, median_disc
+        |FROM md JOIN mm ON md.event_type = mm.event_type
+        |ORDER BY md.event_type""".stripMargin,
+    "tfidf_terms" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |t2 AS (SELECT * FROM toks WHERE length(term) > 0),
+        |dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM t2 GROUP BY 1),
+        |tfr AS (SELECT lang, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n_total FROM documents),
+        |s AS (SELECT lang, term, tf, df,
+        |    tf * ((1000 * n_total) // df) AS score
+        |  FROM tfr JOIN dfr USING (term), n)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, term, tf, df,
+        |CAST(score AS BIGINT) AS score
+        |FROM (SELECT lang, term, tf, df, score, row_number() OVER (
+        |  PARTITION BY lang ORDER BY score DESC, term ASC) AS rk FROM s)
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
     "gapfill_locf" ->
       """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
         |    count(*) AS n_events,

@@ -15,6 +15,42 @@ import graft.Tables
   */
 object Analytics {
 
+  /** Robust per-type value statistics via ORDER statistics rather than
+    * moments: the mode of the coarse value bucket (floor(value/10), ties
+    * to the LOWEST bucket — an explicit argmax over (count, -bucket), so
+    * the tie policy is part of the definition, not an engine accident) and
+    * the discrete median (the element at position (n+1) div 2 of the
+    * sorted multiset — percentile_disc semantics, defined identically on
+    * both engines via row_number so no interpolation ever runs). Mode is
+    * two partial-aggregating shuffles on bounded keys; the median window
+    * partitions by event_type — fine for bounded type cardinality, and at
+    * unbounded-key scale the same statistic comes from the mergeable
+    * sketch path (`approx_value_quantiles`).
+    */
+  def robustStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"),
+        floor(col("value") / 10.0).cast("long").as("bucket"))
+    val mode = e.groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("event_type")
+      .agg(max(struct(col("cnt"), (-col("bucket")).as("nb"))).as("best"))
+      .select(col("event_type"), (-col("best.nb")).as("mode_bucket"),
+        col("best.cnt").as("mode_count"))
+    val w = Window.partitionBy("event_type").orderBy("value")
+    val med = e
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(max("n").as("n"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("value")))
+          .as("median_disc"))
+    mode.join(med, "event_type")
+      .select(col("event_type"), col("n"), col("mode_bucket"),
+        col("mode_count"), col("median_disc"))
+      .orderBy("event_type")
+  }
+
   /** view → click → purchase funnel: a user advances a stage when the
     * stage's event occurs within `window` after their entry into the
     * previous stage (entry = the MIN qualifying timestamp, so membership

@@ -43,6 +43,39 @@ object CorpusStats {
       .orderBy("rank")
   }
 
+  /** TF-IDF-style salient terms per language — the corpus-signature view
+    * (which terms characterize each language slice). Weighting is the
+    * integer surrogate score = tf × ((1000·N) div df): the idf factor is
+    * a milli-precision rational of exact integers instead of ln(N/df), so
+    * the ranking is engine-exact (same monotone ordering for the fixture's
+    * frequency range; a float-idf variant would differ only in weighting,
+    * not plumbing). Plan: one corpus-wide df aggregate (vocab-sized,
+    * broadcast back), one per-(lang, term) tf aggregate, and a top-k rank
+    * window over the vocab×lang frame — the token stream shuffles once.
+    */
+  def tfidfTerms(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.agg(count(lit(1)).as("n_total"))
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val df = toks.groupBy("term")
+      .agg(countDistinct("doc_id").as("df"))
+    val tf = toks.groupBy("lang", "term")
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("lang")
+      .orderBy(desc("score"), asc("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * expr("(1000 * n_total) div df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy("lang", "rk")
+  }
+
   /** Count-based bigram LM scoring per document — the shape of a
     * perplexity quality filter: build the corpus bigram model (counts),
     * score every document's bigrams against it, flag improbable text. To

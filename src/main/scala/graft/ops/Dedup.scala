@@ -179,8 +179,7 @@ object Dedup {
       computeNgramJaccardPairs(spark, sfDir, threshold))
 
   private val pairCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String, Double), DataFrame]
+    Memo.registry[(SparkSession, String, Double)]
 
   private def computeNgramJaccardPairs(spark: SparkSession, sfDir: String,
                                        threshold: Double): DataFrame = {
@@ -297,22 +296,16 @@ object Dedup {
       computeClusterLabels(spark, sfDir, maxIter))
 
   private val labelCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), DataFrame]
+    Memo.registry[(SparkSession, String)]
 
-  /** Drop the per-process memo state (pair pipeline + converged labels) and
-    * release its materialized blocks. The bench calls this between timed
-    * passes so every pass pays the full cold cost — without it, pass 2 of
-    * the CC queries would read pass 1's checkpointed labels and report the
-    * memo-hit price instead of the operator's.
+  /** Drop ALL per-process memo state (pair pipeline, converged labels,
+    * shingle frames — every [[Memo]]-registered cache) and release the
+    * materialized blocks. The bench calls this between timed passes so
+    * every pass pays the full cold cost — without it, pass 2 of a memoized
+    * query would read pass 1's checkpointed blocks and report the memo-hit
+    * price instead of the operator's.
     */
-  def clearMemo(): Unit = {
-    (pairCache.values ++ labelCache.values).foreach { df =>
-      try df.unpersist(blocking = false) catch { case _: Throwable => () }
-    }
-    pairCache.clear()
-    labelCache.clear()
-  }
+  def clearMemo(): Unit = Memo.clearAll()
 
   private def computeClusterLabels(spark: SparkSession, sfDir: String,
                                    maxIter: Int): DataFrame = {

@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Registry of per-process DataFrame memos (materialized, localCheckpointed
+  * frames keyed by (session, input dir, params)). Operators register their
+  * cache here so the bench can drop ALL memo state between timed passes
+  * with one call — otherwise pass 2 of a memoized query reads pass 1's
+  * checkpointed blocks and reports the memo-hit price instead of the
+  * operator's ([[Dedup.clearMemo]] semantics, now shared).
+  */
+object Memo {
+  private val caches =
+    scala.collection.mutable.Buffer
+      .empty[scala.collection.concurrent.TrieMap[_, DataFrame]]
+
+  /** A fresh TrieMap cache enrolled for [[clearAll]]. Call once per
+    * operator at object-init time.
+    */
+  def registry[K]: scala.collection.concurrent.TrieMap[K, DataFrame] =
+    caches.synchronized {
+      val m = scala.collection.concurrent.TrieMap.empty[K, DataFrame]
+      caches += m
+      m
+    }
+
+  /** Unpersist every memoized frame and empty every registered cache. */
+  def clearAll(): Unit = caches.synchronized {
+    caches.foreach { m =>
+      m.values.foreach { df =>
+        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      }
+      m.clear()
+    }
+  }
+}

@@ -128,6 +128,24 @@ object TrainingSets {
       .orderBy("lang", "bin")
   }
 
+  /** Split-tagged exploded 8-gram frame feeding BOTH contamination queries
+    * (binary check + decile fraction) — memoized per (session, sfDir, n)
+    * and localCheckpointed like [[Dedup.ngramJaccardPairs]]: the shingle
+    * explode is the dominant cost of either query and the input dir is
+    * immutable for a run, so it materializes once per process.
+    */
+  private val shingleCache = Memo.registry[(SparkSession, String, Int)]
+
+  private def splitShingles(spark: SparkSession, sfDir: String,
+                            n: Int): DataFrame =
+    shingleCache.getOrElseUpdate((spark, sfDir, n), {
+      graft.functions.GraftFunctions.register(spark)
+      val docs = withSplit(Tables.documents(spark, sfDir))
+      Tables.spread(docs).select(col("doc_id"), col("lang"), col("split"),
+        explode(Dedup.shingleCol(col("text"), n)).as("s"))
+        .localCheckpoint(true)
+    })
+
   /** Train/test contamination check: a test doc is contaminated if it
     * shares any word 8-gram with any train doc (the published n-gram
     * decontamination rule, GPT-3 appendix C). Implementation is a
@@ -136,10 +154,8 @@ object TrainingSets {
     */
   def contaminationCheck(spark: SparkSession, sfDir: String,
                          n: Int = 8): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
     val docs = withSplit(Tables.documents(spark, sfDir))
-    val sh = Tables.spread(docs).select(col("doc_id"), col("lang"), col("split"),
-      explode(Dedup.shingleCol(col("text"), n)).as("s"))
+    val sh = splitShingles(spark, sfDir, n)
     val trainSh = sh.filter(col("split") === "train").select("s").distinct()
     val contaminated = sh.filter(col("split") === "test")
       .join(trainSh, Seq("s"), "left_semi")
@@ -191,10 +207,7 @@ object TrainingSets {
     */
   def contaminationFraction(spark: SparkSession, sfDir: String,
                             n: Int = 8): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val docs = withSplit(Tables.documents(spark, sfDir))
-    val sh = Tables.spread(docs).select(col("doc_id"), col("lang"),
-      col("split"), explode(Dedup.shingleCol(col("text"), n)).as("s"))
+    val sh = splitShingles(spark, sfDir, n)
     val trainSh = sh.filter(col("split") === "train")
       .select("s").distinct().withColumn("hit", lit(1L))
     sh.filter(col("split") === "test")

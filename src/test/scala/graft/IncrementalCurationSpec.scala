@@ -93,6 +93,38 @@ class IncrementalCurationSpec extends SparkSpec {
     }
   }
 
+  test("robust_stats: mode is the true argmax; median is an order statistic") {
+    val r = graft.ops.Analytics.robustStats(spark, sf).collect()
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)))
+    r.foreach { x =>
+      val vals = byType(x.getString(0))
+      assert(x.getLong(1) === vals.length)
+      val buckets = vals.groupBy(v => math.floor(v / 10.0).toLong)
+        .view.mapValues(_.length)
+      val best = buckets.toSeq.maxBy { case (b, c) => (c, -b) }
+      assert((x.getLong(2), x.getLong(3)) === ((best._1, best._2.toLong)))
+      val sorted = vals.sorted
+      assert(x.getDouble(4) === sorted(((vals.length + 1) / 2) - 1))
+    }
+  }
+
+  test("tfidf_terms: top-k per lang, scores recompute") {
+    val r = graft.ops.CorpusStats.tfidfTerms(spark, sf).collect()
+    val nTotal = Tables.documents(spark, sf).count()
+    assert(r.groupBy(_.getString(0)).values.forall(_.length == 5))
+    r.foreach { x =>
+      val (tf, df, score) = (x.getLong(3), x.getLong(4), x.getLong(5))
+      assert(score === tf * ((1000 * nTotal) / df))
+    }
+    // rank order: scores non-increasing within a lang
+    r.groupBy(_.getString(0)).values.foreach { rows =>
+      val byRk = rows.sortBy(_.getLong(1)).map(_.getLong(5))
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("stream-stream join ≡ batch join (exact, unwatermarked)") {
     val sfSmall = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamAssembly
