@@ -28,8 +28,13 @@ object StarQueries {
     * exact operands (decimal-sum-as-double / count): never round a ratio.
     */
   def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
-    val l = Tables.lineitem(spark, sfDir)
-      .filter(col("l_shipdate") <= lit("2000-12-01"))
+    // spread: the single-split fixture scan serializes the 8-column
+    // decimal partial aggregate (measured 1.8 → 1.1 s at sf0.1). The
+    // predicate is pushed below the repartition, so only surviving rows
+    // shuffle. On a production multi-split scan the partial agg is already
+    // parallel and this repartition should be dropped (see Tables.spread).
+    val l = Tables.spread(Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("2000-12-01")))
     val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     val charge = discPrice * (lit(1.0) + col("l_tax"))
     l.groupBy(col("l_returnflag"), col("l_linestatus"))

@@ -256,24 +256,32 @@ object StreamAssembly {
       .schema(events.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
-    val query = stream.writeStream
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckptDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.filter(col("event_type") === "purchase")
-          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-          .agg(
-            count(lit(1)).as("pc"),
-            sum(col("value").cast("decimal(18,6)")).as("pv"))
-          // partials are a few hundred rows/batch: one output file per
-          // micro-batch, not one per shuffle partition
-          .coalesce(1)
-          .write.mode("append").parquet(partialsDir)
-        ()
-      }
-      .start()
-    query.awaitTermination()
+    // few-hundred-row per-batch aggregates don't need 32 reducers: run the
+    // micro-batch jobs on 4 shuffle partitions. foreachBatch plans read the
+    // session conf at BATCH time, so the conf stays lowered until the
+    // AvailableNow query drains, then is restored.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val query = stream.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.filter(col("event_type") === "purchase")
+            .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+            .agg(
+              count(lit(1)).as("pc"),
+              sum(col("value").cast("decimal(18,6)")).as("pv"))
+            // partials are a few hundred rows/batch: one output file per
+            // micro-batch, not one per shuffle partition
+            .coalesce(1)
+            .write.mode("append").parquet(partialsDir)
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.read.parquet(partialsDir)
       .groupBy("hour", "event_type")
       .agg(
@@ -338,26 +346,26 @@ object StreamAssembly {
     // state store pays a per-instance commit every micro-batch and
     // instances = shuffle partitions × join sides: a micro-batch-commit
     // cost, not a data cost, so run the streaming query itself on few
-    // partitions (shuffle partitions are pinned into the checkpoint at
-    // query start; the session value is restored right after)
+    // partitions (the count is pinned into the checkpoint at first start;
+    // the conf stays lowered until the AvailableNow query drains so the
+    // per-batch incremental plans see it too, then is restored)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val query =
-      try {
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        joined.writeStream
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ckptDir)
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            // a micro-batch's new pairs are few thousand rows: one file per
-            // batch, not one per shuffle partition
-            batch.select("type_a", "type_b", "user_a")
-              .coalesce(1).write.mode("append").parquet(pairsDir)
-            ()
-          }
-          .start()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    query.awaitTermination()
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val query = joined.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // a micro-batch's new pairs are few thousand rows: one file per
+          // batch, not one per shuffle partition
+          batch.select("type_a", "type_b", "user_a")
+            .coalesce(1).write.mode("append").parquet(pairsDir)
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.read.parquet(pairsDir)
       .groupBy("type_a", "type_b")
       .agg(count(lit(1)).as("n_pairs"),
