@@ -139,6 +139,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamAssembly.streamJoinFollowups(s, d)),
     "robust_stats" -> (Analytics.robustStats _),
     "tfidf_terms" -> ((s, d) => CorpusStats.tfidfTerms(s, d)),
+    "window_range_frame" -> (Analytics.windowRangeFrame _),
+    "equidepth_histogram" -> ((s, d) => Analytics.equidepthHistogram(s, d)),
     // rows-only (approx sketches aren't cross-engine comparable; accuracy
     // is spec-asserted in ApproxSpec, mirroring approx_distinct_users)
     "approx_value_quantiles" -> ((s, d) => TrainingSets.approxValueQuantiles(s, d))
@@ -1362,6 +1364,25 @@ object SparkEntry {
         |FROM (SELECT lang, term, tf, df, score, row_number() OVER (
         |  PARTITION BY lang ORDER BY score DESC, term ASC) AS rk FROM s)
         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+    "window_range_frame" ->
+      """SELECT event_id, user_id,
+        |count(*) OVER w AS n_trailing_hour,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 2)
+        |  AS sum_trailing_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY epoch_us(ts::TIMESTAMP)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "equidepth_histogram" ->
+      """WITH r AS (SELECT event_type, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM events)
+        |SELECT event_type, CAST((4 * (rn - 1)) // n AS BIGINT) AS bucket,
+        |count(*) AS n_rows, min(value) AS vmin, max(value) AS vmax,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |  AS sum_value
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "gapfill_locf" ->
       """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
         |    count(*) AS n_events,

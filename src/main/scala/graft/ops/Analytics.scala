@@ -51,6 +51,52 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** RANGE-frame window battery — the value-based frame type the rest of
+    * the window surface doesn't exercise (rows frames in `window_battery`,
+    * unbounded in `share_of_total`): per event, activity in the TRAILING
+    * HOUR of the same user via `rangeBetween` over exact epoch
+    * MICROSECONDS (`unix_micros` ≡ the oracle's `epoch_us` — whole-second
+    * truncation would disagree on sub-second gaps). Peers (equal
+    * timestamps) are all in-frame by RANGE semantics, so the result is
+    * deterministic under ties. One user-keyed exchange; frame evaluation
+    * is the standard sliding two-pointer over each partition.
+    */
+  def windowRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(spark, sfDir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_trailing_hour"),
+        round(sum(col("value").cast("decimal(18,6)")).over(w)
+          .cast("double"), 2).as("sum_trailing_hour"))
+      .orderBy("event_id")
+  }
+
+  /** Equi-depth (quantile-bucketed) histogram of value per event type:
+    * bucket = (k·(rn−1)) div n over the value-ordered row_number — row
+    * assignment among EQUAL values is arbitrary, but swapping equal values
+    * across a boundary leaves every bucket's multiset unchanged, so
+    * count/min/max/sum are all deterministic. The complement of
+    * `length_histogram`'s equi-width buckets; sums fold as DECIMAL
+    * (order-independent) before the 2-decimal present.
+    */
+  def equidepthHistogram(spark: SparkSession, sfDir: String,
+                         k: Int = 4): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("value")
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("bucket", expr(s"($k * (rn - 1)) div n"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("value").as("vmin"),
+        max("value").as("vmax"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+          .as("sum_value"))
+      .orderBy("event_type", "bucket")
+  }
+
   /** view → click → purchase funnel: a user advances a stage when the
     * stage's event occurs within `window` after their entry into the
     * previous stage (entry = the MIN qualifying timestamp, so membership

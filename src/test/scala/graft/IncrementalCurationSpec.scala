@@ -125,6 +125,39 @@ class IncrementalCurationSpec extends SparkSpec {
     }
   }
 
+  test("window_range_frame: every event counts itself; frame recomputes") {
+    val sfSmall = "/root/testdata/sf0.001"
+    val r = graft.ops.Analytics.windowRangeFrame(spark, sfSmall).collect()
+    assert(r.forall(_.getLong(2) >= 1))
+    // brute-force one frame: trailing-hour count per event of one user
+    val ev = Tables.events(spark, sfSmall)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val u = ev.head._1
+    val mine = ev.filter(_._1 == u)
+    val expect = mine.map { case (_, id, t) =>
+      id -> mine.count(e => e._3 >= t - 3600000000L && e._3 <= t).toLong
+    }.toMap
+    r.filter(x => expect.contains(x.getLong(0)))
+      .foreach(x => assert(x.getLong(2) === expect(x.getLong(0))))
+  }
+
+  test("equidepth_histogram: buckets partition each type, sizes within 1") {
+    val r = graft.ops.Analytics.equidepthHistogram(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    assert(r.map(_.getLong(2)).sum === total)
+    r.groupBy(_.getString(0)).values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(Array(0L, 1L, 2L, 3L)))
+      val sizes = rows.map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1)
+      // bucket value ranges must not overlap (vmax_b <= vmin_{b+1})
+      val byB = rows.sortBy(_.getLong(1))
+      byB.zip(byB.tail).foreach { case (lo, hi) =>
+        assert(lo.getDouble(4) <= hi.getDouble(3))
+      }
+    }
+  }
+
   test("stream-stream join ≡ batch join (exact, unwatermarked)") {
     val sfSmall = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamAssembly

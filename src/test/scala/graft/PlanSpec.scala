@@ -275,4 +275,25 @@ class PlanSpec extends SparkSpec {
     assert(plan.collect { case s: ShuffleExchangeExec => s }.size <= 1)
     assert(!plan.exists(_.getClass.getSimpleName.contains("Window")))
   }
+
+  test("incremental dedup probes history by hash joins — no cartesian, " +
+       "exact probe is a semi join") {
+    val df = SparkEntry.queries("dedup_incremental")(spark, sf)
+    df.collect()
+    assert(!flatten(df.queryExecution.executedPlan)
+      .exists(_.getClass.getSimpleName.contains("Cartesian")))
+    // the semi is asserted on the optimized logical plan: AQE stage
+    // re-planning moves the physical node between broadcast stages
+    val logicalJoins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.joinType
+    }
+    assert(logicalJoins.exists(_.toString == "LeftSemi"))
+  }
+
+  test("tfidf broadcasts the vocab-sized df table — the token stream " +
+       "shuffles only for the (lang, term) aggregate") {
+    val plan = planOf("tfidf_terms")
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty)
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+  }
 }
