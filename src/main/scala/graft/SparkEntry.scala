@@ -141,6 +141,8 @@ object SparkEntry {
     "tfidf_terms" -> ((s, d) => CorpusStats.tfidfTerms(s, d)),
     "window_range_frame" -> (Analytics.windowRangeFrame _),
     "equidepth_histogram" -> ((s, d) => Analytics.equidepthHistogram(s, d)),
+    "dedup_triangles" -> (Dedup.dedupTriangles _),
+    "table_checksum" -> (Quality.tableChecksum _),
     // rows-only (approx sketches aren't cross-engine comparable; accuracy
     // is spec-asserted in ApproxSpec, mirroring approx_distinct_users)
     "approx_value_quantiles" -> ((s, d) => TrainingSets.approxValueQuantiles(s, d))
@@ -1331,6 +1333,28 @@ object SparkEntry {
         |  AND epoch_us(b.ts::TIMESTAMP)
         |      <= epoch_us(a.ts::TIMESTAMP) + 1800000000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dedup_triangles" -> ("WITH " + nearDupPairsBody +
+      """,
+        |w AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        |  FROM pairs e1 JOIN pairs e2 ON e1.doc_b = e2.doc_a),
+        |tri AS (SELECT a, b, c FROM w
+        |  WHERE EXISTS (SELECT 1 FROM pairs e3
+        |    WHERE e3.doc_a = w.a AND e3.doc_b = w.c)),
+        |tn AS (SELECT count(DISTINCT n) AS n_tri_nodes FROM (
+        |  SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)),
+        |nd AS (SELECT count(DISTINCT n) AS n_nodes FROM (
+        |  SELECT doc_a AS n FROM pairs UNION ALL SELECT doc_b FROM pairs))
+        |SELECT (SELECT count(*) FROM tri) AS n_triangles,
+        |(SELECT n_tri_nodes FROM tn) AS n_tri_nodes,
+        |(SELECT count(*) FROM pairs) AS n_edges,
+        |(SELECT n_nodes FROM nd) AS n_nodes""".stripMargin),
+    "table_checksum" ->
+      """SELECT source, count(*) AS n_rows,
+        |CAST(sum(('0x' || substr(md5(doc_id::VARCHAR || '|' || text),
+        |  1, 8))::BIGINT) AS BIGINT) AS checksum,
+        |min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "robust_stats" ->
       """WITH e AS (SELECT event_type, value,
         |    CAST(floor(value / 10.0) AS BIGINT) AS bucket FROM events),

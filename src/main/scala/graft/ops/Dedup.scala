@@ -460,6 +460,40 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Triangle census of the near-dup graph — the graph-analytics summary a
+    * dedup audit reads to tell CHAINS (A≈B≈C but A≉C: border-case pairs,
+    * risky to transitively merge) from CLIQUES (all three pairwise similar:
+    * safe merges). Algorithm: the id-ordered edge list (doc_a < doc_b
+    * already) joined to itself to enumerate wedges a<b<c, then a semi-join
+    * against the edge list to close them — each triangle counted exactly
+    * once at its smallest vertex. This is the standard two-shuffle
+    * map-reduce triangle enumeration; at scale the orientation should be
+    * by DEGREE, not id (Suri & Vassilvitskii, WWW'11 — bounds the wedge
+    * fan-out at high-degree vertices), an orientation swap that changes no
+    * other part of the plan. Near-dup graphs are near-cliques, so the
+    * wedge set stays ∝ triangle count here.
+    */
+  def dedupTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = ngramJaccardPairs(spark, sfDir).select("doc_a", "doc_b")
+    val wedges = e.as("e1")
+      .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
+        col("e2.doc_b").as("c"))
+    val triangles = wedges
+      .join(e.as("e3"),
+        col("a") === col("e3.doc_a") && col("c") === col("e3.doc_b"),
+        "left_semi")
+    val nodes = e.select(col("doc_a").as("n"))
+      .union(e.select(col("doc_b").as("n"))).distinct()
+    val triNodes = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
+      .distinct()
+    triangles.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(triNodes.agg(count(lit(1)).as("n_tri_nodes")))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(nodes.agg(count(lit(1)).as("n_nodes")))
+  }
+
   /** Connected components via alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14) — the provably O(log n)-round alternative to

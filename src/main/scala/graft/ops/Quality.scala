@@ -1,5 +1,6 @@
 package graft.ops
 
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -52,4 +53,26 @@ object Quality {
       .select("r.*")
       .orderBy("column")
   }
+
+  /** Content checksums per source partition — the anti-entropy primitive a
+    * replicated store uses to verify replicas/backups without moving data
+    * (ClickHouse checksums parts the same way; here it is an order-
+    * independent ADDITIVE digest, so partial checksums merge). Each row
+    * contributes the first 32 bits of md5(key || '|' || payload); the sum
+    * (exact in both engines, cast back to BIGINT) plus row count and key
+    * range identify a divergent partition in one scan — then only the
+    * mismatched partition needs a row-level diff. Row-local + one
+    * partial-aggregating shuffle on the partition key.
+    */
+  def tableChecksum(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(conv(substring(md5(concat_ws("|", col("doc_id").cast("string"),
+          col("text"))), 1, 8), 16, 10).cast("long"))
+          .cast("long").as("checksum"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .orderBy("source")
 }

@@ -92,6 +92,18 @@ object StreamAssembly {
       .select(col("order_a"), col("order_b"), col("cust_a").as("customer_id"))
   }
 
+  /** Stream-static enrichment: the order stream joined against a STATIC
+    * dimension frame (J1's streaming form). Stateless — unlike a
+    * stream-stream join there is no join state at all; the static side is
+    * broadcast and re-resolved per micro-batch, so a dim refresh (e.g. a
+    * re-read parquet dim) is picked up at the next trigger. Left-outer so
+    * unknown keys pass through (dead-letter policy belongs to ingest, not
+    * enrichment).
+    */
+  def enrichStream(orders: DataFrame, dim: DataFrame,
+                   key: String = "category"): DataFrame =
+    orders.join(broadcast(dim), Seq(key), "left_outer")
+
   /** A1 streaming: hourly × category rollup over completed orders.
     * Update-mode state keeps exact per-key totals — the "eager exact"
     * superset of SummingMergeTree's eventual merge (SURVEY.md §2.4 A3

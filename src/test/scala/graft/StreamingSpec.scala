@@ -77,6 +77,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join == batch left join (stateless)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("electronics", "high"), ("clothing", "mid"),
+      ("books", "low")).toDF("category", "tier")
+    val stream = MemoryStream[String]
+    val enriched = StreamAssembly.enrichStream(
+      StreamAssembly.ingest(stream.toDF()), dim)
+    val q = enriched.writeStream
+      .format("memory").queryName("enrich_state")
+      .outputMode("append")
+      .start()
+    try {
+      jsonBatches(300, 3).foreach { b =>
+        stream.addData(b); q.processAllAvailable()
+      }
+      val o = graft.ingest.Ingest.ingestSalesOrders(SalesGen.ordersJson(spark, 300))
+      // _ingested_at is wall-clock audit metadata — necessarily differs
+      // between the streaming run and the batch recompute
+      val want = o.join(dim, Seq("category"), "left_outer")
+        .drop("_ingested_at")
+      val got = spark.table("enrich_state").drop("_ingested_at")
+      assert(got.count() === want.count())
+      // every known category carries its tier; unknown categories survive
+      assert(got.filter(col("category").isin("electronics", "clothing",
+        "books") && col("tier").isNull).count() === 0)
+      assert(got.exceptAll(want).count() === 0)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == batch self-join on the same orders") {
     implicit val sqlCtx = spark.sqlContext
     val sl = MemoryStream[String]
