@@ -479,10 +479,14 @@ object Dedup {
       .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
       .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
         col("e2.doc_b").as("c"))
+    // materialized: two aggregates (count + participating-node distinct)
+    // read the triangle set, and the wedge enumeration is the dominant
+    // cost — without this it would execute twice
     val triangles = wedges
       .join(e.as("e3"),
         col("a") === col("e3.doc_a") && col("c") === col("e3.doc_b"),
         "left_semi")
+      .localCheckpoint(true)
     val nodes = e.select(col("doc_a").as("n"))
       .union(e.select(col("doc_b").as("n"))).distinct()
     val triNodes = triangles

@@ -69,8 +69,11 @@ object Quality {
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_rows"),
-        sum(conv(substring(md5(concat_ws("|", col("doc_id").cast("string"),
-          col("text"))), 1, 8), 16, 10).cast("long"))
+        // concat (NOT concat_ws): null-propagating like the oracle's `||`,
+        // so a NULL payload nulls the row digest in BOTH engines instead
+        // of silently dropping the separator on one side only
+        sum(conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("|"), col("text"))), 1, 8), 16, 10).cast("long"))
           .cast("long").as("checksum"),
         min("doc_id").as("min_doc"),
         max("doc_id").as("max_doc"))

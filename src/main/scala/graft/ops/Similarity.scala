@@ -153,11 +153,12 @@ object Similarity {
     * [[graft.ops.TrainingSets.contaminationCheck]]): a held-out vector is
     * leaked if some training vector sits within cosine ≥ `threshold`.
     * Split is the same deterministic md5-bucket coin as the text split
-    * (80/20 on vec_id). The probe here is the exact broadcast scan — the
-    * train side streams against the broadcast-size test side at fixture
-    * scale; at index scale the identical predicate runs through the banded
-    * LSH machinery of [[graft.ops.Dedup.embeddingNearDupsLsh]] (same
-    * signature scheme, train side bucketed) — the plan swap changes
+    * ([[TrainingSets.bucket100]], 80/20 on vec_id). The probe is the exact
+    * broadcast scan with the SMALL (held-out, 20%) side broadcast and the
+    * train side streaming — the side that grows with the corpus is never
+    * shipped; at index scale the identical predicate runs through the
+    * banded LSH machinery of [[graft.ops.Dedup.embeddingNearDupsLsh]]
+    * (same signature scheme, train side bucketed) — the plan swap changes
     * recall, not semantics. Reported per label: held-out count and how
     * many leak.
     */
@@ -167,19 +168,20 @@ object Similarity {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), col("embedding"),
         norm2(col("embedding")).as("nrm"),
-        pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
-          .cast("long"), lit(100)).as("bk"))
+        TrainingSets.bucket100(col("vec_id")).as("bk"))
     val train = e.filter(col("bk") < 80)
       .select(col("embedding").as("t_emb"), col("nrm").as("t_nrm"))
     val test = e.filter(col("bk") >= 80)
-    // single-file corpus → one input split; spread the probe side so the
-    // O(test×train) dot products use every core (no-op at real scale)
-    val leaked = test.repartition(spark.sparkContext.defaultParallelism)
-      .as("a")
-      .join(broadcast(train),
-        dot(col("a.embedding"), col("t_emb")) /
-          (col("a.nrm") * col("t_nrm")) >= threshold)
-      .select(col("a.vec_id")).distinct()
+    val testSlim = test.select(col("vec_id").as("t_id"),
+      col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    // single-file corpus → one input split; spread the streamed train side
+    // so the O(train×test) dot products use every core (no-op at real
+    // scale), and broadcast the held-out slice (the bounded side)
+    val leaked = train.repartition(spark.sparkContext.defaultParallelism)
+      .join(broadcast(testSlim),
+        dot(col("t_emb"), col("q_emb")) /
+          (col("t_nrm") * col("q_nrm")) >= threshold)
+      .select(col("t_id").as("vec_id")).distinct()
       .withColumn("hit", lit(1L))
     test.join(leaked, Seq("vec_id"), "left_outer")
       .groupBy("label")

@@ -45,19 +45,35 @@ object TextAnalysis {
     * the LISTAGG/string_agg surface; sorting before joining is what makes
     * a set-valued aggregate oracle-checkable (collect order is
     * partition-dependent, the sorted projection is not).
+    *
+    * Both collected sets are BOUNDED before collection — collect_set over
+    * the small source vocabulary, collect_list only over rank ≤ 3 rows
+    * (a row_number window, early-stoppable) — never an unbounded
+    * collect-then-slice, which would buffer every doc_id per group at
+    * corpus scale.
     */
-  def collectSources(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+  def collectSources(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val first3 = docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy("doc_id")))
+      .filter(col("rk") <= 3)
       .groupBy("lang")
+      .agg(array_join(
+        transform(array_sort(collect_list(col("doc_id"))), _.cast("string")),
+        ",").as("first_doc_ids"))
+    docs.groupBy("lang")
       .agg(
         countDistinct("source").as("n_sources"),
         array_join(array_sort(collect_set(col("source"))), ",")
           .as("sources_csv"),
-        array_join(
-          transform(slice(array_sort(collect_list(col("doc_id"))), 1, 3),
-            _.cast("string")), ",").as("first_doc_ids"),
         count(lit(1)).as("n_docs"))
+      .join(first3, "lang")
+      .select(col("lang"), col("n_sources"), col("sources_csv"),
+        col("first_doc_ids"), col("n_docs"))
       .orderBy("lang")
+  }
 
   private def toks(textCol: Column): Column = split(textCol, " ")
 

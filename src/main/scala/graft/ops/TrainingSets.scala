@@ -19,9 +19,12 @@ import graft.Tables
 object TrainingSets {
 
   /** md5-derived bucket in [0, 100): the deterministic coin every split /
-    * sample decision uses. First 8 hex chars < 2^32, exact in both engines.
+    * sample decision uses — text AND embedding splits alike
+    * ([[Similarity.embeddingContamination]] reuses it), so the split rule
+    * lives in exactly one place. First 8 hex chars < 2^32, exact in both
+    * engines.
     */
-  private def bucket100(idCol: org.apache.spark.sql.Column) =
+  private[ops] def bucket100(idCol: org.apache.spark.sql.Column) =
     pmod(conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
       .cast("long"), lit(100))
 

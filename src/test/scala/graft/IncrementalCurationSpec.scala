@@ -76,8 +76,8 @@ class IncrementalCurationSpec extends SparkSpec {
       assert(nDis >= 1 && nDis <= nTok)
       assert(x.getLong(5) >= 0 && x.getLong(5) <= nTok) // pos_the
       assert(x.getInt(6) == 0 || x.getInt(6) == 1)      // has_data
-      assert(x.getInt(8) + x.getInt(9) >= nDis ||
-        x.getInt(8) <= nDis)                            // except+stop cover
+      // non-stop kinds + stop kinds partition the distinct tokens exactly
+      assert(x.getInt(8) + x.getInt(9) === nDis)
     }
   }
 

@@ -125,18 +125,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.exists(_.getClass.getSimpleName.contains("BroadcastNestedLoop")))
   }
 
-  test("q1 scan-to-partial-agg runs inside one WholeStageCodegen span") {
+  test("q1: codegen'd partial agg above the spread; filter still reaches " +
+       "the scan below it") {
     val plan = planOf("q1_pricing_summary")
     val spans = plan.collect {
       case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
     }
     assert(spans.nonEmpty)
-    // at least one span fuses the scan-side pipeline: scan feeds a
-    // hash-aggregate without leaving generated code
-    assert(spans.exists { w =>
-      val s = w.toString
-      s.contains("HashAggregate") && s.contains("Scan parquet")
-    })
+    // the partial HashAggregate must be codegen-LOCAL to a span (direct
+    // child chain, not merely printed through an exchange boundary)
+    def localChain(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.getClass.getSimpleName +: (p match {
+        case _: org.apache.spark.sql.execution.InputAdapter => Nil
+        case _ => p.children.flatMap(localChain)
+      })
+    assert(spans.exists(w => localChain(w.child).exists(_.contains("HashAggregate"))))
+    // and the date predicate is pushed into the parquet scan even though a
+    // round-robin spread sits between scan and aggregate
+    val scan = plan.collectFirst { case f: FileSourceScanExec => f }.get
+    assert(scan.metadata("PushedFilters").contains("l_shipdate"))
+    assert(plan.exists(_.toString.contains("RoundRobinPartitioning")))
   }
 
   test("composed sales ETL broadcasts all dims; fact shuffles once for the rollup") {
