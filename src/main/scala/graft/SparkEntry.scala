@@ -143,6 +143,8 @@ object SparkEntry {
     "equidepth_histogram" -> ((s, d) => Analytics.equidepthHistogram(s, d)),
     "dedup_triangles" -> (Dedup.dedupTriangles _),
     "table_checksum" -> (Quality.tableChecksum _),
+    "token_cooccurrence" -> ((s, d) => CorpusStats.tokenCooccurrence(s, d)),
+    "dup_degree_histogram" -> (Dedup.dupDegreeHistogram _),
     // rows-only (approx sketches aren't cross-engine comparable; accuracy
     // is spec-asserted in ApproxSpec, mirroring approx_distinct_users)
     "approx_value_quantiles" -> ((s, d) => TrainingSets.approxValueQuantiles(s, d))
@@ -1349,6 +1351,24 @@ object SparkEntry {
         |(SELECT n_tri_nodes FROM tn) AS n_tri_nodes,
         |(SELECT count(*) FROM pairs) AS n_edges,
         |(SELECT n_nodes FROM nd) AS n_nodes""".stripMargin),
+    "token_cooccurrence" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_distinct(
+        |    string_split(text, ' '))) AS w FROM documents),
+        |t2 AS (SELECT * FROM toks WHERE length(w) > 0),
+        |p AS (SELECT a.w AS w1, b.w AS w2, count(*) AS n_docs
+        |  FROM t2 a JOIN t2 b ON a.doc_id = b.doc_id AND a.w < b.w
+        |  GROUP BY 1, 2)
+        |SELECT CAST(rank AS BIGINT) AS rank, w1, w2, n_docs
+        |FROM (SELECT w1, w2, n_docs, row_number() OVER (
+        |  ORDER BY n_docs DESC, w1 ASC, w2 ASC) AS rank FROM p)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "dup_degree_histogram" -> ("WITH " + nearDupPairsBody +
+      """,
+        |deg AS (SELECT n, count(*) AS degree FROM (
+        |  SELECT doc_a AS n FROM pairs
+        |  UNION ALL SELECT doc_b FROM pairs) GROUP BY 1)
+        |SELECT degree, count(*) AS n_nodes
+        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin),
     "table_checksum" ->
       """SELECT source, count(*) AS n_rows,
         |CAST(sum(('0x' || substr(md5(doc_id::VARCHAR || '|' || text),

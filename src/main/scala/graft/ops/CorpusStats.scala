@@ -43,6 +43,35 @@ object CorpusStats {
       .orderBy("rank")
   }
 
+  /** Token co-occurrence pairs — the association-mining / PMI-table shape
+    * (which terms appear in the same documents): per-doc DISTINCT tokens
+    * self-joined on doc_id (w1 < w2 orients each unordered pair once),
+    * counted across the corpus, top-k by document count with a full
+    * deterministic tie-break. Per-doc fan-out is bounded by the distinct
+    * token count per document, and the pair frame is vocab²-bounded — the
+    * same discipline as [[tokenZipf]]; an open-vocabulary corpus would cap
+    * the per-doc token set by document frequency first (the prefix-filter
+    * trick of [[Dedup.ngramJaccardPairs]]).
+    */
+  def tokenCooccurrence(spark: SparkSession, sfDir: String,
+                        k: Int = 20): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .filter(length(col("w")) > 0)
+    val pairs = toks.as("a")
+      .join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+      .agg(count(lit(1)).as("n_docs"))
+    // global top-k window over the vocab²-bounded pair frame only
+    val w = Window.orderBy(desc("n_docs"), asc("w1"), asc("w2"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("w1"), col("w2"), col("n_docs"))
+      .orderBy("rank")
+  }
+
   /** TF-IDF-style salient terms per language — the corpus-signature view
     * (which terms characterize each language slice). Weighting is the
     * integer surrogate score = tf × ((1000·N) div df): the idf factor is

@@ -498,6 +498,22 @@ object Dedup {
       .crossJoin(nodes.agg(count(lit(1)).as("n_nodes")))
   }
 
+  /** Degree histogram of the near-dup graph — the shape diagnostic read
+    * next to [[dedupTriangles]]: a dup graph of isolated pairs peaks at
+    * degree 1, near-cliques push mass to high degrees, and a heavy tail
+    * flags hub documents (boilerplate that near-matches everything — the
+    * usual skew risk for any pairwise stage). Two bounded aggregates over
+    * the memoized pair list: per-node degree, then nodes per degree.
+    */
+  def dupDegreeHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = ngramJaccardPairs(spark, sfDir).select("doc_a", "doc_b")
+    e.select(col("doc_a").as("n"))
+      .union(e.select(col("doc_b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
   /** Connected components via alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14) — the provably O(log n)-round alternative to

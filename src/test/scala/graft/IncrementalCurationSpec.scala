@@ -158,6 +158,23 @@ class IncrementalCurationSpec extends SparkSpec {
     }
   }
 
+  test("token_cooccurrence: oriented pairs, doc-count bounded, full rank") {
+    val r = graft.ops.CorpusStats.tokenCooccurrence(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(r.length === 20)
+    assert(r.map(_.getLong(0)).sameElements(1L to 20L))
+    r.foreach { x =>
+      assert(x.getString(1) < x.getString(2))
+      assert(x.getLong(3) >= 1 && x.getLong(3) <= nDocs)
+    }
+  }
+
+  test("degree histogram mass equals twice the edge count") {
+    val hist = graft.ops.Dedup.dupDegreeHistogram(spark, sf).collect()
+    val nEdges = graft.ops.Dedup.ngramJaccardPairs(spark, sf).count()
+    assert(hist.map(x => x.getLong(0) * x.getLong(1)).sum === 2 * nEdges)
+  }
+
   test("stream-stream join ≡ batch join (exact, unwatermarked)") {
     val sfSmall = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamAssembly
