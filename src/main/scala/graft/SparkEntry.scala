@@ -150,11 +150,12 @@ object SparkEntry {
     "approx_value_quantiles" -> ((s, d) => TrainingSets.approxValueQuantiles(s, d))
   )
 
-  /** Shared DuckDB CTE prefix: 3-gram shingles → exact-Jaccard-0.8 pairs →
-    * recursive transitive closure → (node, label=component min). Four
-    * oracles build on it (dedup_clusters, dedup_clusters_star,
-    * dedup_rate_by_source, curation_pipeline), so the near-dup definition
-    * lives in exactly one place.
+  /** Shared DuckDB CTE body: 3-gram shingles → exact-Jaccard-0.8 pairs.
+    * The pair definition lives in exactly one place: the label CTE extends
+    * it with the recursive transitive closure (dedup_clusters,
+    * dedup_clusters_star, dedup_rate_by_source, curation_pipeline), and
+    * the pair-level oracles (dedup_incremental, dedup_triangles,
+    * dup_degree_histogram) use it directly.
     */
   private val nearDupPairsBody: String =
     """tok AS (
