@@ -145,6 +145,11 @@ object SparkEntry {
     "table_checksum" -> (Quality.tableChecksum _),
     "token_cooccurrence" -> ((s, d) => CorpusStats.tokenCooccurrence(s, d)),
     "dup_degree_histogram" -> (Dedup.dupDegreeHistogram _),
+    "kmeans_clusters" -> ((s, d) => Similarity.kmeansClusters(s, d)),
+    "leakage_safe_split" -> (TrainingSets.leakageSafeSplit _),
+    "kfold_assignment" -> ((s, d) => TrainingSets.kfoldAssignment(s, d)),
+    "text_clean" -> (TextAnalysis.textClean _),
+    "dup_pagerank" -> ((s, d) => Dedup.dupPageRank(s, d)),
     // rows-only (approx sketches aren't cross-engine comparable; accuracy
     // is spec-asserted in ApproxSpec, mirroring approx_distinct_users)
     "approx_value_quantiles" -> ((s, d) => TrainingSets.approxValueQuantiles(s, d))
@@ -1370,6 +1375,106 @@ object SparkEntry {
         |  UNION ALL SELECT doc_b FROM pairs) GROUP BY 1)
         |SELECT degree, count(*) AS n_nodes
         |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin),
+    // iterative float k-means made engine-portable: distances are the same
+    // left-to-right double folds as everywhere else, centroid means and the
+    // WCSS report sum in DECIMAL (exact, order-free) — see
+    // Similarity.kmeansClusters scaladoc
+    "kmeans_clusters" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |  list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |            for i in range(1, 65)]) AS sq
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, embedding AS cemb, sq AS csq
+        |  FROM e WHERE vec_id < 8),
+        |d1 AS (SELECT e.vec_id, c.cid,
+        |  e.sq + c.csq - 2 * list_sum([e.embedding[i]::DOUBLE *
+        |    c.cemb[i]::DOUBLE for i in range(1, 65)]) AS dist
+        |  FROM e, c0 c),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM d1) WHERE rn = 1),
+        |m1 AS (SELECT a1.cid, g.i AS pos,
+        |  CAST(SUM(CAST(e.embedding[g.i]::DOUBLE AS DECIMAL(30,15)))
+        |    AS DOUBLE) / COUNT(*) AS comp
+        |  FROM a1 JOIN e USING (vec_id), range(1, 65) g(i)
+        |  GROUP BY a1.cid, g.i),
+        |c1 AS (SELECT cid, list(comp ORDER BY pos) AS cemb
+        |  FROM m1 GROUP BY cid),
+        |c1s AS (SELECT cid, cemb,
+        |  list_sum([cemb[i] * cemb[i] for i in range(1, 65)]) AS csq
+        |  FROM c1),
+        |d2 AS (SELECT e.vec_id, c.cid,
+        |  e.sq + c.csq - 2 * list_sum([e.embedding[i]::DOUBLE * c.cemb[i]
+        |                               for i in range(1, 65)]) AS dist
+        |  FROM e, c1s c),
+        |a2 AS (SELECT vec_id, cid, dist FROM (
+        |  SELECT vec_id, cid, dist,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM d2) WHERE rn = 1)
+        |SELECT cid AS cluster, COUNT(*) AS n,
+        |  SUM(CAST(dist AS DECIMAL(30,12))) AS wcss
+        |FROM a2 GROUP BY cid ORDER BY cluster""".stripMargin,
+    // group-aware split: the coin is drawn on the near-dup cluster label
+    // (nearDupLabelCte's fixpoint), so components never straddle splits
+    "leakage_safe_split" -> (nearDupLabelCte +
+      """,
+        |g AS (SELECT d.doc_id, d.n_chars,
+        |    coalesce(lab.label, d.doc_id) AS grp
+        |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.node)
+        |SELECT CASE
+        |  WHEN ('0x' || substr(md5(grp::VARCHAR), 1, 8))::BIGINT % 100 < 80
+        |    THEN 'train'
+        |  WHEN ('0x' || substr(md5(grp::VARCHAR), 1, 8))::BIGINT % 100 < 90
+        |    THEN 'val'
+        |  ELSE 'test' END AS split,
+        |count(*) AS n_docs, count(DISTINCT grp) AS n_groups,
+        |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin),
+    "kfold_assignment" ->
+      """SELECT ('0x' || substr(md5(doc_id::VARCHAR || ':fold'), 1, 8))::BIGINT
+        |    % 5 AS fold,
+        |count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+        |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_clean" ->
+      """WITH c AS (SELECT lang, text,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS cleaned
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |CAST(sum(CASE WHEN cleaned <> text THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_changed,
+        |CAST(sum(length(text)) AS BIGINT) AS sum_len_raw,
+        |CAST(sum(length(cleaned)) AS BIGINT) AS sum_len_clean,
+        |CAST(sum(len(string_split(cleaned, ' '))) AS BIGINT)
+        |  AS sum_tokens_clean
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // integer PageRank (micro-units, floor division) — exact, associative,
+    // parallelism-independent; see Dedup.dupPageRank scaladoc
+    "dup_pagerank" -> ("WITH " + nearDupPairsBody +
+      """,
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+        |r0 AS (SELECT node, deg, CAST(1000000 AS BIGINT) AS rank FROM deg),
+        |r1 AS (SELECT d.node, d.deg,
+        |    150000 + (85 * CAST(coalesce(sum(r.rank // r.deg), 0)
+        |      AS BIGINT)) // 100 AS rank
+        |  FROM deg d LEFT JOIN edges e ON e.dst = d.node
+        |  LEFT JOIN r0 r ON r.node = e.src GROUP BY d.node, d.deg),
+        |r2 AS (SELECT d.node, d.deg,
+        |    150000 + (85 * CAST(coalesce(sum(r.rank // r.deg), 0)
+        |      AS BIGINT)) // 100 AS rank
+        |  FROM deg d LEFT JOIN edges e ON e.dst = d.node
+        |  LEFT JOIN r1 r ON r.node = e.src GROUP BY d.node, d.deg),
+        |r3 AS (SELECT d.node, d.deg,
+        |    150000 + (85 * CAST(coalesce(sum(r.rank // r.deg), 0)
+        |      AS BIGINT)) // 100 AS rank
+        |  FROM deg d LEFT JOIN edges e ON e.dst = d.node
+        |  LEFT JOIN r2 r ON r.node = e.src GROUP BY d.node, d.deg)
+        |SELECT node, deg, rank FROM r3 ORDER BY rank DESC, node"""
+        .stripMargin),
     "table_checksum" ->
       """SELECT source, count(*) AS n_rows,
         |CAST(sum(('0x' || substr(md5(doc_id::VARCHAR || '|' || text),

@@ -364,6 +364,52 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"), max("node").as("max_doc"))
       .orderBy("cluster")
 
+  /** PageRank over the near-dup graph — centrality-based canonical-document
+    * selection: within a duplicate component, the highest-rank member is
+    * the most-connected ("most representative") variant, a standard
+    * survivor-selection signal next to [[dedupSurvivors]]'s quality rule
+    * (PageRank: Brin & Page 1998; public knowledge).
+    *
+    * INTEGER PageRank for engine portability: float PageRank sums
+    * contributions in partition-merge order, so no two runs (let alone two
+    * engines) agree bitwise. Here ranks live in integer micro-units
+    * (1e6 = 1.0), contributions are floor-divided (`rank div deg`), and
+    * the damping step is integer `(85 · Σ) div 100` — every operation is
+    * exact and associative, so the result is independent of parallelism
+    * and byte-identical to the single-threaded oracle. Determinism over
+    * the last ulp of float precision: the right trade for a gate that
+    * hashes bytes.
+    *
+    * Scale shape: pairs arrive memoized from the one prefix-filtered pair
+    * computation per run; each iteration is one equi-join (edges ⋈ ranks
+    * on src) + one aggregate (sum per dst) — the standard map-reduce
+    * PageRank round, O(|E|) shuffled per round, no driver-side graph.
+    */
+  def dupPageRank(spark: SparkSession, sfDir: String,
+                  iters: Int = 3): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, sfDir).select("doc_a", "doc_b")
+    // pairs is memoized + localCheckpointed, so the per-iteration re-reads
+    // of edges/deg below replay materialized blocks, not the pair pipeline;
+    // a fixed 3 iterations keeps lineage shallow with no checkpoint needed
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    var rank = deg.withColumn("rank", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+      rank = deg
+        .join(contrib.groupBy("node").agg(sum("c").as("s")),
+          Seq("node"), "left_outer")
+        .select(col("node"), col("deg"),
+          (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+    }
+    rank.orderBy(desc("rank"), asc("node"))
+  }
+
   /** Blocked edit-distance fuzzy match over the distinct part-name
     * dictionary — the entity-resolution primitive (same-entity variant
     * detection) that record-linkage pipelines run before merging catalogs.

@@ -190,6 +190,70 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Lloyd's k-means over the embedding corpus — the offline trainer for
+    * the [[ivfTopK]] coarse quantizer (reference's ANN role; clustering is
+    * standard IVF index construction, public knowledge e.g. the FAISS
+    * IVF-train step). Two assignment rounds with one centroid update in
+    * between, seeded from the first `k` vec_ids; returns per-cluster size
+    * and within-cluster sum of squared distances (the k-means objective).
+    *
+    * Engine-portable determinism (what makes an ITERATIVE float algorithm
+    * oracle-checkable at all):
+    *   - distances use the expansion ‖x‖² + ‖c‖² − 2·x·c where each term is
+    *     a left-to-right double fold (`vec_dot` ≡ DuckDB `list_sum`) — same
+    *     operation order, bit-identical scores;
+    *   - argmin ties break to the lowest centroid id via `min(struct)`;
+    *   - the centroid update and the WCSS report sum in DECIMAL, which is
+    *     exact and associative — float sums depend on partition merge
+    *     order, decimal sums cannot, so the result is independent of
+    *     parallelism (the property that keeps a 1000-executor run and the
+    *     single-threaded oracle byte-identical).
+    *
+    * Scale shape: centroids are a k-row broadcast; assignment is one scan
+    * with a map-side partial `min(struct)` (the shuffle carries one row per
+    * vector); the update is a posexplode + (cluster, dim) partial-agg —
+    * k·dim result rows. No step materializes a pairwise matrix, so the
+    * plan is the one you'd run at 100 TB (more Lloyd rounds = repeat the
+    * same two exchanges).
+    */
+  def kmeansClusters(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("sq"))
+    val c0 = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("sq").as("csq"))
+    // one Lloyd assignment: argmin over the broadcast centroid axis
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("dist",
+          col("sq") + col("csq") - lit(2.0) * dot(col("embedding"), col("cemb")))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("best"),
+          first("embedding").as("embedding"))
+        .select(col("vec_id"), col("best.cid").as("cid"),
+          col("best.dist").as("dist"), col("embedding"))
+    val a1 = assign(c0)
+    // centroid update: exact decimal mean per (cluster, dim) — order-free
+    val m1 = a1.select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg((sum(col("v").cast("double").cast("decimal(30,15)")).cast("double") /
+        count(lit(1))).as("comp"))
+    val c1 = m1.groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+        x => x.getField("comp")).as("cemb"))
+      .withColumn("csq", dot(col("cemb"), col("cemb")))
+    assign(c1)
+      .groupBy("cid")
+      // sum of decimal(30,12) → decimal(38,12), exact in both engines; no
+      // downcast — DuckDB truncates decimal→decimal while Spark rounds
+      .agg(count(lit(1)).as("n"),
+        sum(col("dist").cast("decimal(30,12)")).as("wcss"))
+      .select(col("cid").as("cluster"), col("n"), col("wcss"))
+      .orderBy("cluster")
+  }
+
   /** Symmetric int8 quantization of the embedding column with
     * reconstruction-error accounting — the storage-compression step of a
     * vector index build (8× smaller than float32, the standard ANN-index

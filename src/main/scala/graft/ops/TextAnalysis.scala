@@ -218,6 +218,32 @@ object TextAnalysis {
         sum("n_chars").as("sum_chars"))
       .orderBy("bucket")
 
+  /** Text normalization battery — the cleaning pass a pretraining pipeline
+    * runs before tokenization: lowercase, strip non-alphanumerics to
+    * spaces, collapse whitespace runs, trim. Reports per-lang how much the
+    * corpus changes under normalization (docs touched, char mass before /
+    * after, token count after) — the "what did cleaning cost us"
+    * accounting. Row-local string kernels only (codegen built-ins): a
+    * scan, not a job, at any corpus size. Regex classes are pure-ASCII
+    * (`[^a-z0-9 ]`, `" +"`) so Java and RE2 semantics coincide — the
+    * corpus is ASCII (checked), and a unicode corpus would swap in ICU
+    * forms on both sides.
+    */
+  def textClean(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("cleaned",
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cleaned") =!= col("text"), 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(length(col("text"))).as("sum_len_raw"),
+        sum(length(col("cleaned"))).as("sum_len_clean"),
+        sum(size(split(col("cleaned"), " "))).as("sum_tokens_clean"))
+      .orderBy("lang")
+
   /** Document fingerprinting: canonical md5 over normalized tokens (lower,
     * collapse whitespace) — duplicate fingerprints = normalized dups. The
     * 64-bit rolling-hash variant (a native Catalyst expression with

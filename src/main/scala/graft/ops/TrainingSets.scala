@@ -44,6 +44,59 @@ object TrainingSets {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
       .orderBy("split", "lang")
 
+  /** Leakage-safe (group-aware) train/val/test split: the unit of
+    * assignment is the NEAR-DUP CLUSTER, not the document — every member
+    * of a connected near-dup component draws one shared md5 coin (its
+    * converged cluster label from [[Dedup.clusterLabels]]; singletons are
+    * their own group), so no near-duplicate pair can ever straddle the
+    * train/held-out boundary. This closes the evaluation hole a
+    * per-document split leaves open (near-dups of training docs landing
+    * in test — the dedup-aware split discipline described for large LM
+    * corpora, e.g. the C4/GPT-3 decontamination write-ups; public
+    * knowledge). Returns per-split doc/group/char accounting; the
+    * zero-crossing-pairs property itself is asserted in the spec suite.
+    *
+    * Scale shape: labels arrive memoized from the one CC computation per
+    * run (shared with dedup_clusters et al.); the join is label-keyed on
+    * the pair-member subset only (pairs ≪ corpus), everything after is a
+    * row-local coin plus one aggregate — the same plan at 100 TB.
+    */
+  def leakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = Dedup.clusterLabels(spark, sfDir)
+      .select(col("node").as("doc_id"), col("label"))
+    Tables.documents(spark, sfDir)
+      .join(labels, Seq("doc_id"), "left_outer")
+      .withColumn("grp", coalesce(col("label"), col("doc_id")))
+      .withColumn("bucket", bucket100(col("grp")))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_groups"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("split")
+  }
+
+  /** Deterministic k-fold cross-validation assignment: fold = md5 coin of
+    * the doc id under a fold-specific salt (independent of the train/test
+    * split coin — the same doc draws different buckets for different
+    * decisions). Per-fold accounting proves the folds are total, disjoint,
+    * and balanced. Row-local: a scan, not a job.
+    */
+  def kfoldAssignment(spark: SparkSession, sfDir: String,
+                      k: Int = 5): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("fold",
+        pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":fold"))), 1, 8), 16, 10).cast("long"), lit(k)))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("fold")
+
   /** Stratified 20% sample: an independent md5 coin per doc, reported per
     * stratum (lang). Rows never shuffle for the sampling itself — the
     * filter is row-local, so at 100 TB this is a scan, not a job.

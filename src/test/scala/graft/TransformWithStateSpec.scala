@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.RunningTotalsState
+
+/** `transformWithState` running totals ≡ batch aggregation over the same
+  * input — the stream's final per-key state must equal the one-shot
+  * groupBy, and intermediate emissions must be monotone running values.
+  * Runs on the RocksDB state store provider (required by the API, and the
+  * store we'd run at scale).
+  */
+class TransformWithStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("running totals across micro-batches equal the batch aggregate") {
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = conf.getOption(key)
+    conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val stream = MemoryStream[(Long, Double)]
+      val q = RunningTotalsState.runningTotals(stream.toDS())
+        .toDF("user_id", "n", "total")
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      val batch1 = Seq((1L, 10.0), (2L, 5.0), (1L, 2.5))
+      val batch2 = Seq((2L, 1.0), (3L, 7.0), (2L, 2.0), (1L, 0.5))
+      try {
+        stream.addData(batch1); q.processAllAvailable()
+        stream.addData(batch2); q.processAllAvailable()
+      } finally q.stop()
+      // last emission per key == batch groupBy over the union
+      val finalRows = spark.table("tws_out")
+        .groupBy("user_id")
+        .agg(max(struct(col("n"), col("total"))).as("last"))
+        .select(col("user_id"), col("last.n"), col("last.total"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (u, n, t) => u -> (n, t) }.toMap
+      val expected = (batch1 ++ batch2).groupBy(_._1).map {
+        case (u, rows) => u -> (rows.size.toLong, rows.map(_._2).sum) }
+      assert(finalRows.keySet === expected.keySet)
+      expected.foreach { case (u, (n, t)) =>
+        val (gn, gt) = finalRows(u)
+        assert(gn === n)
+        assert(math.abs(gt - t) < 1e-9)
+      }
+      // keys seen in both batches emitted twice, with non-decreasing counts
+      val u1 = spark.table("tws_out").filter(col("user_id") === 1L)
+        .orderBy("n").as[(Long, Long, Double)].collect()
+      assert(u1.length === 2 && u1(0)._2 === 2L && u1(1)._2 === 3L)
+    } finally {
+      saved match {
+        case Some(v) => conf.set(key, v)
+        case None => conf.unset(key)
+      }
+    }
+  }
+}
