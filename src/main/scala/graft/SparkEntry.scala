@@ -150,6 +150,7 @@ object SparkEntry {
     "kfold_assignment" -> ((s, d) => TrainingSets.kfoldAssignment(s, d)),
     "text_clean" -> (TextAnalysis.textClean _),
     "dup_pagerank" -> ((s, d) => Dedup.dupPageRank(s, d)),
+    "global_rank_docs" -> ((s, d) => Analytics.globalRankDocs(s, d)),
     // rows-only (approx sketches aren't cross-engine comparable; accuracy
     // is spec-asserted in ApproxSpec, mirroring approx_distinct_users)
     "approx_value_quantiles" -> ((s, d) => TrainingSets.approxValueQuantiles(s, d))
@@ -1475,6 +1476,19 @@ object SparkEntry {
         |  LEFT JOIN r2 r ON r.node = e.src GROUP BY d.node, d.deg)
         |SELECT node, deg, rank FROM r3 ORDER BY rank DESC, node"""
         .stripMargin),
+    // the oracle uses the single-partition global window the operator
+    // exists to avoid — fine single-node, the thing that dies at 100 TB
+    "global_rank_docs" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY n_chars, doc_id) AS global_rank
+        |  FROM documents)
+        |SELECT (10 * (global_rank - 1))
+        |    // (SELECT count(*) FROM documents) AS decile,
+        |count(*) AS n_docs,
+        |min(global_rank) AS min_rank, max(global_rank) AS max_rank,
+        |CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "table_checksum" ->
       """SELECT source, count(*) AS n_rows,
         |CAST(sum(('0x' || substr(md5(doc_id::VARCHAR || '|' || text),

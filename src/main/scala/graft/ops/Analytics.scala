@@ -97,6 +97,54 @@ object Analytics {
       .orderBy("event_type", "bucket")
   }
 
+  /** Distributed global ranking — dense total order over the whole corpus
+    * WITHOUT a single-partition global window (the standard
+    * `row_number() OVER (ORDER BY …)` funnels every row through one task;
+    * at 100 TB that is the job that never finishes). Two-phase
+    * bucket-offset ranking instead, the external-sort discipline:
+    *
+    *   1. bucket rows by the ORDER key's coarse value (here `n_chars` —
+    *      bounded cardinality; any range-bucketing of the key works);
+    *      count per bucket; prefix-sum the counts into bucket offsets
+    *      (the cumsum window runs over BUCKET-COUNT rows, not data rows —
+    *      safe on one partition at any corpus size);
+    *   2. broadcast the offsets back and rank locally WITHIN each bucket
+    *      (window partitioned by bucket — parallel across buckets, each
+    *      bounded); global_rank = bucket offset + local rank.
+    *
+    * Reported as a per-decile digest (count, id checksum, char mass) so
+    * the oracle pins every rank without shipping 100 TB of ranked rows;
+    * the full ranked frame is the pre-aggregation interior. Tie order is
+    * total and explicit: (n_chars, doc_id).
+    */
+  def globalRankDocs(spark: SparkSession, sfDir: String,
+                     deciles: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val offsets = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum("cnt").over(
+          Window.orderBy("n_chars").rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+    // corpus total rides out of the same bucket-count frame as a 1-row
+    // broadcast — no driver-side count() action in the query path
+    val total = offsets.agg(max(col("offset") + col("cnt")).as("total"))
+    val ranked = docs
+      .join(broadcast(offsets.select(col("n_chars"), col("offset"))),
+        Seq("n_chars"))
+      .withColumn("local_rank", row_number().over(
+        Window.partitionBy("n_chars").orderBy("doc_id")).cast("long"))
+      .withColumn("global_rank", col("offset") + col("local_rank"))
+    ranked
+      .crossJoin(broadcast(total))
+      .withColumn("decile",
+        expr(s"($deciles * (global_rank - 1)) div total"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min("global_rank").as("min_rank"), max("global_rank").as("max_rank"),
+        sum("doc_id").as("id_sum"), sum("n_chars").as("sum_chars"))
+      .orderBy("decile")
+  }
+
   /** view → click → purchase funnel: a user advances a stage when the
     * stage's event occurs within `window` after their entry into the
     * previous stage (entry = the MIN qualifying timestamp, so membership

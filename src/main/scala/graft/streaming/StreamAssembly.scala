@@ -66,6 +66,19 @@ object StreamAssembly {
     wm.dropDuplicates("order_id", "order_timestamp")
   }
 
+  /** Watermark-bounded dedup on the BUSINESS key alone
+    * (`dropDuplicatesWithinWatermark`, SPARK-42931): unlike
+    * [[dedupStream]], the event-time column is NOT part of the key, so a
+    * retried order restamped with a slightly different timestamp (the
+    * at-least-once producer reality, reference
+    * `producers/sales_producer.py` retries=3) still dedups — while state
+    * is evicted by watermark, bounded like any keyed state at scale.
+    */
+  def dedupWithinWatermarkStream(orders: DataFrame,
+                                 watermark: String = "1 day"): DataFrame =
+    orders.withWatermark("order_timestamp", watermark)
+      .dropDuplicatesWithinWatermark("order_id")
+
   /** Stream-stream interval join: orders by the same customer within
     * `tol` of each other (follow-up purchases), both sides watermarked so
     * the join state is range-bounded and evicted as event time advances —

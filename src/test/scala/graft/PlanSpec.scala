@@ -304,4 +304,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty)
     assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
   }
+
+  test("kmeans broadcasts the centroid axis — never a cartesian or " +
+       "sort-merge join; the corpus shuffles only for argmin/update aggs") {
+    val plan = planOf("kmeans_clusters")
+    assert(!plan.exists(_.getClass.getSimpleName.contains("Cartesian")))
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty)
+    // both assignment rounds join centroids via a broadcast nested loop
+    // (k-row build side under a crossJoin hint)
+    assert(plan.exists(_.getClass.getSimpleName
+      .contains("BroadcastNestedLoopJoin")))
+  }
+
+  test("global rank never funnels data rows through one partition: the " +
+       "only single-partition exchanges carry bucket counts, and the " +
+       "data-row window is partitioned by bucket") {
+    val df = SparkEntry.queries("global_rank_docs")(spark, sf)
+    df.collect()
+    val plan = flatten(df.queryExecution.executedPlan)
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // the per-bucket local-rank window (over data rows) is partitioned;
+    // only the bucket-count cumsum window may be global
+    assert(windows.exists(_.partitionSpec.nonEmpty))
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      // global window input must be the aggregated bucket frame, i.e.
+      // its output carries the count column, not document payloads
+      assert(w.output.map(_.name).contains("cnt"))
+    }
+  }
 }

@@ -100,6 +100,21 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("global rank: deciles tile 1..N contiguously with no gaps") {
+    val out = graft.ops.Analytics.globalRankDocs(spark, sf).collect()
+    val corpus = Tables.documents(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum === corpus)
+    assert(out.head.getLong(2) === 1L)          // first decile starts at 1
+    assert(out.last.getLong(3) === corpus)      // last decile ends at N
+    // rank ranges are contiguous across deciles (a permutation of 1..N)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) === a.getLong(3) + 1)
+    }
+    out.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) + 1 === r.getLong(1))
+    }
+  }
+
   test("pagerank: node set, handshake degree, rank floor, determinism") {
     val out = graft.ops.Dedup.dupPageRank(spark, sf)
     val rows = out.collect()

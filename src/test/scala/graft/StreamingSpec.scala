@@ -77,6 +77,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups retried orders whose " +
+       "timestamps were restamped (key excludes event time)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val deduped = StreamAssembly.dedupWithinWatermarkStream(
+      StreamAssembly.ingest(stream.toDF()))
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_wm_state")
+      .outputMode("append")
+      .start()
+    try {
+      val batches = jsonBatches(400, 2)
+      // a producer retry restamps the timestamp: shift batch 0's tail by
+      // +1s and replay it — same order_id, different event time. The
+      // (order_id, ts)-keyed dedupStream would keep both; the
+      // within-watermark variant must not.
+      val restamped = batches(0).takeRight(50).map(
+        _.replaceFirst(":\\d\\dZ", ":59Z"))
+      Seq(batches(0), restamped, batches(1))
+        .foreach { b => stream.addData(b); q.processAllAvailable() }
+      val want = graft.ingest.Ingest
+        .ingestSalesOrders(SalesGen.ordersJson(spark, 400))
+        .dropDuplicates("order_id")
+        .count()
+      assert(spark.table("dedup_wm_state").count() === want)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join == batch left join (stateless)") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("electronics", "high"), ("clothing", "mid"),
