@@ -59,4 +59,61 @@ class TransformWithStateSpec extends SparkSpec {
       }
     }
   }
+
+  test("timer-based transformWithState sessions == window-function " +
+       "batch sessions") {
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = conf.getOption(key)
+    conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      import java.sql.Timestamp
+      import org.apache.spark.sql.expressions.Window
+      val events = Seq(
+        (1L, 0, 10.0), (1L, 10, 20.0), (1L, 25, 5.0),   // session A
+        (1L, 70, 7.5), (1L, 80, 2.5),                   // session B (gap 45)
+        (2L, 5, 1.0), (2L, 30, 2.0), (2L, 55, 3.0),     // chained ≤30-min
+        (3L, 40, 99.0)
+      ).map { case (u, m, v) =>
+        (u, new Timestamp(1700000000000L + m * 60000L), v) }
+      implicit val sqlCtx = spark.sqlContext
+      val stream = MemoryStream[(Long, Timestamp, Double)]
+      val q = graft.streaming.SessionizeTws.sessionize(
+          stream.toDF().toDF("user_id", "ts", "value"), gapMinutes = 30)
+        .writeStream.format("memory").queryName("tws_sessions")
+        .outputMode("append").start()
+      try {
+        val (b1, b2) = events.sortBy(_._2.getTime).splitAt(5)
+        stream.addData(b1); q.processAllAvailable()
+        stream.addData(b2); q.processAllAvailable()
+        // watermark-advancing sentinel closes every open session via timers
+        stream.addData(Seq((99L,
+          new Timestamp(1700000000000L + 100L * 3600000L), 0.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val byUser = Window.partitionBy("user_id").orderBy("ts")
+      val want = events.toDF("user_id", "ts", "value")
+        .withColumn("new_s",
+          when(lag("ts", 1).over(byUser).isNull ||
+            unix_timestamp(col("ts")) -
+              unix_timestamp(lag("ts", 1).over(byUser)) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum("new_s").over(byUser))
+        .groupBy("user_id", "sid")
+        .agg(min("ts").as("session_start"), count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"))
+        .select("user_id", "session_start", "n_events", "total_value")
+      val got = spark.table("tws_sessions")
+        .filter(col("user_id") =!= 99L)
+        .select("user_id", "session_start", "n_events", "total_value")
+      assert(got.count() === want.count())
+      assert(got.exceptAll(want).count() === 0)
+    } finally {
+      saved match {
+        case Some(v) => conf.set(key, v)
+        case None => conf.unset(key)
+      }
+    }
+  }
 }
