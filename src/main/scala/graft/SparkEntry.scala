@@ -151,6 +151,7 @@ object SparkEntry {
     "text_clean" -> (TextAnalysis.textClean _),
     "dup_pagerank" -> ((s, d) => Dedup.dupPageRank(s, d)),
     "global_rank_docs" -> ((s, d) => Analytics.globalRankDocs(s, d)),
+    "hybrid_search" -> ((s, d) => Similarity.hybridSearch(s, d)),
     // rows-only (approx sketches aren't cross-engine comparable; accuracy
     // is spec-asserted in ApproxSpec, mirroring approx_distinct_users)
     "approx_value_quantiles" -> ((s, d) => TrainingSets.approxValueQuantiles(s, d))
@@ -1476,6 +1477,23 @@ object SparkEntry {
         |  LEFT JOIN r2 r ON r.node = e.src GROUP BY d.node, d.deg)
         |SELECT node, deg, rank FROM r3 ORDER BY rank DESC, node"""
         .stripMargin),
+    // two-stage retrieve-then-rerank; reuses the shared shingle CTE (only
+    // the CTEs the final select reaches are evaluated)
+    "hybrid_search" -> ("WITH " + nearDupPairsBody +
+      """,
+        |qs AS (SELECT s FROM sh WHERE doc_id = 7),
+        |cand AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM sh JOIN qs USING (s) WHERE sh.doc_id <> 7 GROUP BY 1),
+        |e AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                 for i in range(1, 65)])) AS nrm
+        |  FROM embeddings),
+        |qe AS (SELECT embedding AS qemb, nrm AS qnrm FROM e WHERE vec_id = 7)
+        |SELECT c.doc_id, n_shared,
+        |list_sum([e.embedding[i]::DOUBLE * qe.qemb[i]::DOUBLE
+        |          for i in range(1, 65)]) / (e.nrm * qe.qnrm) AS cosine
+        |FROM cand c JOIN e ON e.vec_id = c.doc_id, qe
+        |ORDER BY cosine DESC, c.doc_id LIMIT 10""".stripMargin),
     // the oracle uses the single-partition global window the operator
     // exists to avoid — fine single-node, the thing that dies at 100 TB
     "global_rank_docs" ->

@@ -254,6 +254,46 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** Hybrid retrieval — the two-stage sparse→dense search every modern
+    * retrieval pipeline runs (BM25/n-gram candidates reranked by embedding
+    * similarity; public knowledge, e.g. the standard retrieve-then-rerank
+    * architecture): stage 1 generates candidates as documents sharing ≥1
+    * 3-gram shingle with the query document (set-overlap, the sparse
+    * signal); stage 2 reranks candidates by exact embedding cosine and
+    * keeps the top-k.
+    *
+    * Scale shape: the query's shingle set is a tiny broadcast, so
+    * candidate generation is a map-side semi-join over the corpus shingle
+    * stream (one aggregate exchange for the per-candidate overlap count);
+    * the rerank joins the SMALL candidate id set (broadcast) against the
+    * embedding table and ends in TakeOrderedAndProject. The corpus is
+    * never pairwise-joined and embeddings are only read for candidates —
+    * at index scale stage 1 is an inverted-list lookup and stage 2 an ANN
+    * probe ([[annTopK]]), same split of roles.
+    */
+  def hybridSearch(spark: SparkSession, sfDir: String, queryId: Long = 7L,
+                   k: Int = 10): DataFrame = {
+    GraftFunctions.register(spark)
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(Dedup.shingleCol(col("text"))).as("s"))
+    val qSh = sh.filter(col("doc_id") === queryId).select(col("s"))
+    val cands = sh.filter(col("doc_id") =!= queryId)
+      .join(broadcast(qSh), Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qemb"), col("nrm").as("qnrm"))
+    e.join(broadcast(cands), e("vec_id") === cands("doc_id"))
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"), col("n_shared"),
+        (dot(col("embedding"), col("qemb")) /
+          (col("nrm") * col("qnrm"))).as("cosine"))
+      .orderBy(desc("cosine"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Symmetric int8 quantization of the embedding column with
     * reconstruction-error accounting — the storage-compression step of a
     * vector index build (8× smaller than float32, the standard ANN-index

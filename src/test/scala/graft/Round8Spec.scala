@@ -115,6 +115,30 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("hybrid search: every hit truly shares a shingle with the query, " +
+       "ranked by non-increasing cosine") {
+    val out = graft.ops.Similarity.hybridSearch(spark, sf).collect()
+    assert(out.length === 10)
+    assert(out.forall(_.getLong(1) >= 1L))   // sparse gate is real
+    val cosines = out.map(_.getDouble(2))
+    assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    // recompute the sparse gate independently via set intersection
+    val docs = Tables.documents(spark, sf)
+    val qSet = docs.filter(col("doc_id") === 7L)
+      .select(graft.ops.Dedup.shingleCol(col("text")).as("qs"))
+    val shared = docs
+      .filter(col("doc_id").isin(out.map(_.getLong(0)): _*))
+      .crossJoin(broadcast(qSet))
+      .select(col("doc_id"),
+        size(array_intersect(
+          graft.ops.Dedup.shingleCol(col("text")), col("qs"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      assert(shared(r.getLong(0)) === r.getLong(1).toInt,
+        s"overlap mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
   test("pagerank: node set, handshake degree, rank floor, determinism") {
     val out = graft.ops.Dedup.dupPageRank(spark, sf)
     val rows = out.collect()
