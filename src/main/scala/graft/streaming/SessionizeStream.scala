@@ -34,7 +34,7 @@ object SessionizeStream {
     * millisecond truncation (a 1800.0004 s gap would otherwise split in
     * batch but merge here).
     */
-  private def micros(t: Timestamp): Long =
+  private[streaming] def micros(t: Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   def sessionize(events: DataFrame, gapMinutes: Int = 30,
@@ -85,5 +85,6 @@ object SessionizeStream {
       }
   }
 
-  private def round2(v: Double): Double = math.round(v * 100.0) / 100.0
+  private[streaming] def round2(v: Double): Double =
+    math.round(v * 100.0) / 100.0
 }

@@ -1,13 +1,11 @@
 package graft.streaming
 
-import java.sql.Timestamp
-
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
   StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
-import SessionizeStream.{Event, Session, SessionState}
+import SessionizeStream.{micros, round2, Event, Session, SessionState}
 
 /** Sessionization on the Spark-4 `transformWithState` API — the same
   * semantics as [[SessionizeStream]] (gap-closed data-driven sessions)
@@ -26,13 +24,6 @@ import SessionizeStream.{Event, Session, SessionState}
   * here.
   */
 object SessionizeTws {
-
-  private def micros(t: Timestamp): Long =
-    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-
-  private def round2(v: Double): Double =
-    new java.math.BigDecimal(v)
-      .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Gap-closed session processor: ValueState holds the open session; a
     * single event-time timer per key (re-armed on every extension) closes
@@ -53,12 +44,18 @@ object SessionizeTws {
       var out = List.empty[Session]
       var cur = if (open.exists()) Some(open.get()) else None
       sorted.foreach { e =>
+        val t = micros(e.ts)
         cur = cur match {
-          case Some(s) if micros(e.ts) - micros(s.lastTs) > gapMicros =>
+          case Some(s) if t - micros(s.lastTs) > gapMicros =>
             out ::= Session(user, s.start, s.n, round2(s.total))
             Some(SessionState(e.ts, e.ts, 1L, e.value))
           case Some(s) =>
-            Some(SessionState(s.start, e.ts, s.n + 1, s.total + e.value))
+            // lastTs never regresses: a late-but-in-watermark event from a
+            // later micro-batch must not rewind the session clock (the
+            // batch form sorts globally; the max-guard is its equivalent)
+            Some(SessionState(s.start,
+              if (t > micros(s.lastTs)) e.ts else s.lastTs,
+              s.n + 1, s.total + e.value))
           case None =>
             Some(SessionState(e.ts, e.ts, 1L, e.value))
         }
@@ -66,10 +63,13 @@ object SessionizeTws {
       cur.foreach { s =>
         open.update(s)
         // one live close-timer per key: drop the stale one, re-arm at the
-        // new idle deadline (timer resolution is ms — the gap check on
-        // expiry stays exact in handleInputRows' micros arithmetic)
+        // new idle deadline; timers are a ms API, so CEIL the microsecond
+        // deadline — flooring would close up to 999 µs early and split a
+        // gap that is exactly gapMicros (same discipline as
+        // SessionizeStream's setTimeoutTimestamp)
         getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
-        getHandle.registerTimer(s.lastTs.getTime + gapMicros / 1000L)
+        getHandle.registerTimer(
+          Math.floorDiv(micros(s.lastTs) + gapMicros + 999L, 1000L))
       }
       out.reverseIterator
     }

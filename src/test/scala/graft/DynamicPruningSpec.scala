@@ -20,7 +20,6 @@ class DynamicPruningSpec extends SparkSpec {
   test("partitioned fact scan carries a dynamicpruning filter from the " +
        "dim side and reads fewer partitions") {
     val dir = Files.createTempDirectory("graft_dpp").toFile
-    dir.deleteOnExit()
     val path = dir.getAbsolutePath + "/events_by_type"
     Tables.events(spark, sf)
       .write.partitionBy("event_type").mode("overwrite").parquet(path)
@@ -45,5 +44,12 @@ class DynamicPruningSpec extends SparkSpec {
     val direct = Tables.events(spark, sf)
       .filter(col("event_type") === "purchase").count()
     assert(n === direct)
+    // deleteOnExit is a no-op on non-empty directories — remove the two
+    // parquet datasets for real so repeated runs don't accumulate temp data
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(dir)
   }
 }
