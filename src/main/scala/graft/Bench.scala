@@ -93,6 +93,14 @@ object Bench {
         System.err.println(s"[bench] WARN: could not write $benchPath: ${e.getMessage}")
     }
     println(line)
+    // BENCH_r06 recorded "parsed": null — the full contract line above is
+    // >2000 chars at 128 queries, so the driver's stdout TAIL cut off the
+    // line's head and nothing parsed. Print a compact, self-contained JSON
+    // line LAST: short enough that tail-truncation always preserves it
+    // whole, with the per-query map reachable via BENCH_LAST.json.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
+      s""""n_queries":${names.size},"bench_last":"$benchPath",""" +
+      s""""value":${fmt(total)}}""")
     spark.stop()
   }
 }

@@ -61,6 +61,11 @@ object SparkEntry {
     "outer_join_order_stats" -> (StarQueries.outerJoinOrderStats _),
     "stream_partials_hourly" ->
       ((s, d) => graft.streaming.StreamAssembly.streamPartialsHourly(s, d)),
+    "stream_sessions_tws" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamSessionsTws(s, d)),
+    "stream_join_wm_evicting" ->
+      ((s, d) =>
+        graft.streaming.StreamAssembly.streamJoinFollowupsWatermarked(s, d)),
     "rollup_grouping_sets" -> (StarQueries.rollupGroupingSets _),
     "part_promo_share" -> (StarQueries.partPromoShare _),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d)),
@@ -581,6 +586,39 @@ object SparkEntry {
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the watermarked (state-EVICTING) stream-stream join replays the
+    // events table in time order, so no row is late, correct eviction only
+    // drops unmatchable state (2 h delay > 30 min tolerance), and the
+    // batch join is the exact oracle — this pins the eviction machinery
+    // itself to values (the unwatermarked sibling pins join semantics)
+    "stream_join_wm_evicting" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase')
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |CAST(a.user_id % 16 AS BIGINT) AS user_bucket,
+        |count(*) AS n_pairs, count(DISTINCT a.user_id) AS n_users
+        |FROM p a JOIN p b ON a.user_id = b.user_id
+        |  AND epoch_us(b.ts::TIMESTAMP) > epoch_us(a.ts::TIMESTAMP)
+        |  AND epoch_us(b.ts::TIMESTAMP)
+        |      <= epoch_us(a.ts::TIMESTAMP) + 1800000000
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // the transformWithState timer sessionizer drains deterministically
+    // (watermark wider than the fixture span + far-future sentinel fires
+    // every close timer), so the batch window-function sessionization IS
+    // its oracle — this pins the Spark-4 stateful API's late-event merge
+    // semantics to values, not just specs
+    "stream_sessions_tws" ->
+      """WITH g AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts) OVER w::TIMESTAMP)
+        |          > 1800000000
+        |  THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, value,
+        |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+        |    AS sid FROM g)
+        |SELECT user_id, min(ts)::TIMESTAMP AS session_start,
+        |count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     // the streaming micro-batch partials path compacts to exactly the batch
     // hourly rollup (counts + DECIMAL(18,6) sums are additive), so the batch
     // SQL IS its oracle
@@ -1379,15 +1417,18 @@ object SparkEntry {
         |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin),
     // iterative float k-means made engine-portable: distances are the same
     // left-to-right double folds as everywhere else, centroid means and the
-    // WCSS report sum in DECIMAL (exact, order-free) — see
-    // Similarity.kmeansClusters scaladoc
+    // WCSS report sum in DECIMAL (exact, order-free); the reported wcss is
+    // quantized to 6 places on BOTH sides so an oracle-engine list_sum fold
+    // difference (double noise) cannot flip the hash — see
+    // Similarity.kmeansClusters scaladoc. k is interpolated from
+    // Similarity.KmeansK so operator and oracle cannot drift.
     "kmeans_clusters" ->
-      """WITH e AS (SELECT vec_id, embedding,
+      s"""WITH e AS (SELECT vec_id, embedding,
         |  list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
         |            for i in range(1, 65)]) AS sq
         |  FROM embeddings),
         |c0 AS (SELECT vec_id AS cid, embedding AS cemb, sq AS csq
-        |  FROM e WHERE vec_id < 8),
+        |  FROM e WHERE vec_id < ${ops.Similarity.KmeansK}),
         |d1 AS (SELECT e.vec_id, c.cid,
         |  e.sq + c.csq - 2 * list_sum([e.embedding[i]::DOUBLE *
         |    c.cemb[i]::DOUBLE for i in range(1, 65)]) AS dist
@@ -1415,7 +1456,8 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
         |  FROM d2) WHERE rn = 1)
         |SELECT cid AS cluster, COUNT(*) AS n,
-        |  SUM(CAST(dist AS DECIMAL(30,12))) AS wcss
+        |  CAST(round(SUM(CAST(dist AS DECIMAL(30,12))), 6)
+        |       AS DECIMAL(38,6)) AS wcss
         |FROM a2 GROUP BY cid ORDER BY cluster""".stripMargin,
     // group-aware split: the coin is drawn on the near-dup cluster label
     // (nearDupLabelCte's fixpoint), so components never straddle splits

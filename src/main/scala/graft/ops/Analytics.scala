@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -183,12 +183,23 @@ object Analytics {
   /** RFM segmentation: each purchasing user scored by Recency (days since
     * last purchase, vs the corpus max day), Frequency (purchase count),
     * and Monetary (purchase value sum), each cut into quartiles — the
-    * classic CRM segmentation matrix. Quartile assignment is ntile(4)
-    * over a TOTAL order (metric + user_id tiebreak), so segments are a
-    * pure function of the data. The per-user aggregate is one user-keyed
-    * shuffle; the three ntiles share one global sort each over the
-    * (small) per-user frame — at scale, percentile cutpoints from
-    * approx_percentile would replace the global sorts.
+    * classic CRM segmentation matrix. Quartile semantics are EXACTLY
+    * `ntile(4)` over a total order (metric + user_id tiebreak) — the
+    * registered oracle keeps the ntile form, so the hash proves the
+    * distributed rewrite below.
+    *
+    * Scale shape: NO unpartitioned window ever touches the per-user frame
+    * (`ntile` over all users funnels the corpus' entire user population
+    * through one task — the job that never finishes at 100 TB). Instead,
+    * each metric gets a [[globalRankDocs]]-style bucket-offset global
+    * rank: bucket by the metric's coarse value (recency day / frequency
+    * count / floor(monetary) — all bounded-cardinality), prefix-sum the
+    * per-bucket counts into offsets (a window over BUCKET-COUNT rows
+    * only), broadcast the offsets back, rank locally within each bucket
+    * in parallel, and map global_rank → quartile with ntile's exact
+    * bucket arithmetic (`rem = N mod 4` leading buckets get
+    * `ceil(N/4)` rows). Three bucket-keyed exchanges replace three
+    * global sorts.
     */
   def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
     val p = Tables.events(spark, sfDir)
@@ -204,17 +215,44 @@ object Analytics {
       .select(col("user_id"),
         datediff(col("max_day"), col("last_day")).cast("long").as("recency"),
         col("frequency"), col("monetary"))
-    // global (unpartitioned) ntile windows — single-partition by design,
-    // safe ONLY because the input is pre-aggregated to one row per user
-    // (bounded by user cardinality). Never feed these raw events; at
-    // corpus scale swap in approx_percentile cutpoints (see scaladoc).
-    val seg = perUser
-      .withColumn("r_q", ntile(4).over(
-        Window.orderBy(col("recency"), col("user_id"))))
-      .withColumn("f_q", ntile(4).over(
-        Window.orderBy(desc("frequency"), asc("user_id"))))
-      .withColumn("m_q", ntile(4).over(
-        Window.orderBy(desc("monetary"), asc("user_id"))))
+    // ntile(4)'s exact bucket split as rank arithmetic: the first
+    // (N mod 4) tiles hold ceil(N/4) rows, the rest floor(N/4)
+    def ntile4(rank: String, total: String): Column = expr(
+      s"""CASE WHEN $rank <= ($total % 4) * (($total div 4) + 1)
+         |  THEN ($rank - 1) div (($total div 4) + 1) + 1
+         |  ELSE ($total % 4) +
+         |    ($rank - ($total % 4) * (($total div 4) + 1) - 1)
+         |      div ($total div 4) + 1 END""".stripMargin).cast("int")
+    // one bucket-offset global rank per metric; `asc` flips the bucket
+    // prefix-sum and the in-bucket order together so rank 1 is the best
+    def quartile(df: DataFrame, bucket: String, asc: Boolean,
+                 inBucket: Seq[Column], out: String): DataFrame = {
+      val bOrd = if (asc) col(bucket).asc else col(bucket).desc
+      val offsets = df.groupBy(bucket).agg(count(lit(1)).as("cnt"))
+        .withColumn("offset", coalesce(sum("cnt").over(
+          Window.orderBy(bOrd).rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+      val total = offsets
+        .agg(max(col("offset") + col("cnt")).as("total"))
+      df.join(broadcast(offsets.select(col(bucket), col("offset"))),
+          Seq(bucket))
+        .withColumn("lr", row_number().over(
+          Window.partitionBy(bucket).orderBy(inBucket: _*)).cast("long"))
+        .crossJoin(broadcast(total))
+        .withColumn(out, ntile4("(offset + lr)", "total"))
+        .drop("offset", "lr", "total")
+    }
+    val withM = perUser
+      .withColumn("m_bucket", floor(col("monetary")).cast("long"))
+    val seg =
+      quartile(
+        quartile(
+          quartile(withM, "recency", asc = true,
+            Seq(col("user_id").asc), "r_q"),
+          "frequency", asc = false,
+          Seq(col("user_id").asc), "f_q"),
+        "m_bucket", asc = false,
+        Seq(col("monetary").desc, col("user_id").asc), "m_q")
     seg.groupBy("r_q", "f_q", "m_q")
       .agg(count(lit(1)).as("n_users"),
         round(sum("monetary").cast("double"), 2).as("total_monetary"))

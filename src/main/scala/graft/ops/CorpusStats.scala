@@ -64,10 +64,17 @@ object CorpusStats {
         col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
       .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
       .agg(count(lit(1)).as("n_docs"))
-    // global top-k window over the vocab²-bounded pair frame only
-    val w = Window.orderBy(desc("n_docs"), asc("w1"), asc("w2"))
-    pairs.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    // top-k via sort-limit → TakeOrderedAndProject: per-partition
+    // partial top-k, k rows to the driver-side merge — the pair frame
+    // (which grows with corpus breadth) never funnels through a
+    // single-partition global window. The rank window below runs over
+    // the k-row RESULT only (constant-bounded), never the pair frame.
+    val top = pairs
+      .orderBy(desc("n_docs"), asc("w1"), asc("w2"))
+      .limit(k)
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("n_docs"), asc("w1"), asc("w2"))).cast("long"))
       .select(col("rank"), col("w1"), col("w2"), col("n_docs"))
       .orderBy("rank")
   }

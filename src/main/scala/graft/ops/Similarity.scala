@@ -216,7 +216,14 @@ object Similarity {
     * plan is the one you'd run at 100 TB (more Lloyd rounds = repeat the
     * same two exchanges).
     */
-  def kmeansClusters(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
+  /** Cluster count shared by [[kmeansClusters]] and its registered DuckDB
+    * oracle (SparkEntry interpolates this constant into the SQL) — a
+    * parameter here with a hardcoded oracle let the two silently drift.
+    */
+  val KmeansK: Int = 8
+
+  def kmeansClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = KmeansK
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
@@ -246,10 +253,18 @@ object Similarity {
       .withColumn("csq", dot(col("cemb"), col("cemb")))
     assign(c1)
       .groupBy("cid")
-      // sum of decimal(30,12) → decimal(38,12), exact in both engines; no
-      // downcast — DuckDB truncates decimal→decimal while Spark rounds
+      // sum of decimal(30,12) → decimal(38,12), exact in both engines.
+      // The REPORT is quantized to 6 places (decimal round = HALF_UP in
+      // both Spark and DuckDB for positive values, verified) because the
+      // per-row `dist` is a double BEFORE the decimal cast: an oracle
+      // engine folding `list_sum` in a different order can move the sum by
+      // ~1 ulp, which a full-scale decimal hash would surface. 6 decimal
+      // digits sit far above double noise and far below the signal.
+      // Round-then-upcast — a direct decimal downcast would truncate in
+      // DuckDB but round in Spark.
       .agg(count(lit(1)).as("n"),
-        sum(col("dist").cast("decimal(30,12)")).as("wcss"))
+        round(sum(col("dist").cast("decimal(30,12)")), 6)
+          .cast("decimal(38,6)").as("wcss"))
       .select(col("cid").as("cluster"), col("n"), col("wcss"))
       .orderBy("cluster")
   }

@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
 import SessionizeStream.{micros, round2, Event, Session, SessionState}
 
@@ -14,74 +14,102 @@ import SessionizeStream.{micros, round2, Event, Session, SessionState}
   * (`registerTimer`/`handleExpiredTimer`) close idle sessions when the
   * watermark passes last_ts + gap, replacing `GroupStateTimeout`.
   *
-  * Why the new API matters at 100 TB: per-variable RocksDB state instead
-  * of one opaque heap blob, explicit timer management (one close timer
-  * per key, deleted and re-armed as the session extends), and declarative
-  * TTL — state stays ∝ concurrently-active users with spill-safe storage.
+  * Emission is FULLY DEFERRED to the timer: `handleInputRows` only folds
+  * events into a buffered list of pending session aggregates; nothing is
+  * emitted until the watermark STRICTLY passes a session's
+  * `last_ts + gap`, at which point no in-watermark late event can bridge
+  * its trailing gap (any accepted future event has ts ≥ watermark
+  * > last_ts + gap). Eager mid-batch emission is wrong in append mode: a
+  * late-but-in-watermark event in a later micro-batch may bridge a gap the
+  * current batch saw, merging what looked like two sessions into one —
+  * exactly the case the batch window-function form handles by sorting
+  * globally, and the case the spec's user-4 scenario pins.
+  *
+  * The state is a list of pending session AGGREGATES, not raw events:
+  * late events can only MERGE sessions (extra events never increase a
+  * gap), never split them, so (start, last_ts, n, sum) per pending
+  * session is sufficient — folding a batch is an interval-merge over
+  * (pending ++ incoming-as-singletons) sorted by start. State per key is
+  * therefore ∝ sessions inside the watermark delay, not events — with
+  * per-variable RocksDB storage, explicit timer management (one close
+  * timer per key, re-armed as sessions extend), this is the 100 TB
+  * posture: state ∝ concurrently-active users, spill-safe, and
+  * late-data-correct.
   *
   * Batch equivalence (against [[graft.ops.Sessions]]'s window-function
-  * form) is spec-tested on identical input, like every streaming operator
-  * here.
+  * form) is spec-tested on identical input, including a cross-batch
+  * in-watermark late event that bridges two provisional sessions.
   */
 object SessionizeTws {
 
-  /** Gap-closed session processor: ValueState holds the open session; a
-    * single event-time timer per key (re-armed on every extension) closes
-    * it once the watermark passes last_ts + gap.
+  /** Gap-closed session processor: ListState holds pending session
+    * aggregates (sorted by start, pairwise gaps > gap); a single
+    * event-time timer per key fires when the watermark clears the
+    * earliest pending session's close deadline.
     */
   class SessionProcessor(gapMicros: Long)
       extends StatefulProcessor[Long, Event, Session] {
-    @transient private var open: ValueState[SessionState] = _
+    @transient private var pending: ListState[SessionState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      open = getHandle.getValueState[SessionState](
-        "open", Encoders.product[SessionState], TTLConfig.NONE)
+      pending = getHandle.getListState[SessionState](
+        "pending", Encoders.product[SessionState], TTLConfig.NONE)
+
+    /** Interval-merge: sort by start, fold left, merging whenever the next
+      * session starts within `gapMicros` of the running session's last
+      * event — the exact partition the batch form's global sort produces,
+      * because every intra-session event chain already has gaps ≤ gap.
+      */
+    private def mergeSorted(ss: Seq[SessionState]): List[SessionState] =
+      ss.sortBy(s => (micros(s.start), micros(s.lastTs)))
+        .foldLeft(List.empty[SessionState]) {
+          case (prev :: rest, s)
+              if micros(s.start) - micros(prev.lastTs) <= gapMicros =>
+            SessionState(prev.start,
+              if (micros(s.lastTs) > micros(prev.lastTs)) s.lastTs
+              else prev.lastTs,
+              prev.n + s.n, prev.total + s.total) :: rest
+          case (acc, s) => s :: acc
+        }.reverse
+
+    /** First ms tick STRICTLY after last_ts + gap: timers are a ms API, so
+      * when this fires the watermark (≥ the timer) exceeds last_ts + gap
+      * by at least 1 µs — an event exactly AT last_ts + gap (which still
+      * merges, the batch split condition is strict >) can no longer be
+      * admitted, so the session is final.
+      */
+    private def closeDeadlineMs(s: SessionState): Long =
+      Math.floorDiv(micros(s.lastTs) + gapMicros, 1000L) + 1L
 
     override def handleInputRows(
         user: Long, rows: Iterator[Event],
         timerValues: TimerValues): Iterator[Session] = {
-      val sorted = rows.toSeq.sortBy(e => micros(e.ts))
-      var out = List.empty[Session]
-      var cur = if (open.exists()) Some(open.get()) else None
-      sorted.foreach { e =>
-        val t = micros(e.ts)
-        cur = cur match {
-          case Some(s) if t - micros(s.lastTs) > gapMicros =>
-            out ::= Session(user, s.start, s.n, round2(s.total))
-            Some(SessionState(e.ts, e.ts, 1L, e.value))
-          case Some(s) =>
-            // lastTs never regresses: a late-but-in-watermark event from a
-            // later micro-batch must not rewind the session clock (the
-            // batch form sorts globally; the max-guard is its equivalent)
-            Some(SessionState(s.start,
-              if (t > micros(s.lastTs)) e.ts else s.lastTs,
-              s.n + 1, s.total + e.value))
-          case None =>
-            Some(SessionState(e.ts, e.ts, 1L, e.value))
-        }
-      }
-      cur.foreach { s =>
-        open.update(s)
-        // one live close-timer per key: drop the stale one, re-arm at the
-        // new idle deadline; timers are a ms API, so CEIL the microsecond
-        // deadline — flooring would close up to 999 µs early and split a
-        // gap that is exactly gapMicros (same discipline as
-        // SessionizeStream's setTimeoutTimestamp)
+      val incoming =
+        rows.map(e => SessionState(e.ts, e.ts, 1L, e.value)).toSeq
+      if (incoming.nonEmpty) {
+        val merged = mergeSorted(pending.get().toSeq ++ incoming)
+        pending.put(merged.toArray)
+        // one live close-timer per key, armed at the EARLIEST pending
+        // deadline; later sessions get their timers re-armed as earlier
+        // ones flush
         getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
-        getHandle.registerTimer(
-          Math.floorDiv(micros(s.lastTs) + gapMicros + 999L, 1000L))
+        getHandle.registerTimer(merged.map(closeDeadlineMs).min)
       }
-      out.reverseIterator
+      Iterator.empty
     }
 
     override def handleExpiredTimer(
         user: Long, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] =
-      if (open.exists()) {
-        val s = open.get()
-        open.clear()
-        Iterator.single(Session(user, s.start, s.n, round2(s.total)))
-      } else Iterator.empty
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] = {
+      val wmMicros = timerValues.getCurrentWatermarkInMs() * 1000L
+      val all = pending.get().toSeq
+      val (closed, still) =
+        all.partition(s => micros(s.lastTs) + gapMicros < wmMicros)
+      if (still.isEmpty) pending.clear() else pending.put(still.toArray)
+      if (still.nonEmpty) getHandle.registerTimer(
+        still.map(closeDeadlineMs).min)
+      closed.iterator.map(s => Session(user, s.start, s.n, round2(s.total)))
+    }
   }
 
   def sessionize(events: DataFrame, gapMinutes: Int = 30,

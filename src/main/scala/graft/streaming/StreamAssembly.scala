@@ -398,6 +398,204 @@ object StreamAssembly {
       .orderBy("type_a", "type_b")
   }
 
+  /** The WATERMARKED stream-stream join exercised end-to-end at
+    * correctness scale, as an oracle-checked query — the state-EVICTING
+    * sibling of [[streamJoinFollowups]] (which buys exactness with
+    * unbounded state). Both join inputs carry a 2-hour watermark, so
+    * Structured Streaming derives per-side state watermarks from the
+    * bounded time condition and EVICTS buffered rows as event time
+    * advances — state ∝ rows inside (watermark delay + tolerance), the
+    * 100 TB posture for a stream-stream join.
+    *
+    * What makes the batch join SQL a true oracle for the evicting run:
+    * the staging replays the events table in TIME ORDER (each chunk file
+    * covers a contiguous ts range, stamped with strictly-increasing
+    * mtimes so the file source drains them oldest-first). Then no input
+    * row is ever late (a batch's rows are always ≥ the watermark, which
+    * trails the previous chunks by 2 h), and correct eviction can only
+    * drop state that no future in-watermark row can match (delay 2 h >
+    * tolerance 30 min). So the streamed output must equal the batch join
+    * EXACTLY — an eviction bug that drops still-needed state (or an
+    * off-by-one in the derived state watermark) flips the driver's hash.
+    * The unwatermarked sibling pins join semantics; this one pins the
+    * eviction machinery.
+    */
+  def streamJoinFollowupsWatermarked(spark: SparkSession, sfDir: String,
+                                     nChunks: Int = 4, tolMin: Int = 30,
+                                     delay: String = "2 hours"): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_wm_join").toString
+    val pairsDir = s"$tmp/pairs"
+    val ckptDir = s"$tmp/ckpt"
+    val events = graft.Tables.events(spark, sfDir)
+    // fixture SCAFFOLDING (memoized): time-range chunk files written
+    // SEQUENTIALLY with increasing mtimes — the one driver-side action
+    // (min/max ts) sizes the chunk ranges, once per (session, dir, N)
+    val srcDir = wmJoinSrcCache.getOrElseUpdate((spark, sfDir, nChunks), {
+      val d = s"$tmp/src"
+      val mm = events.agg(min("ts"), max("ts")).first()
+      val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+      val step = (t1 - t0) / nChunks + 1
+      val dir = new java.io.File(d)
+      def parts() = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      var seen = Set.empty[String]
+      var stamp = System.currentTimeMillis()
+      (0 until nChunks).foreach { i =>
+        val lo = new java.sql.Timestamp(t0 + i.toLong * step)
+        val hi = new java.sql.Timestamp(t0 + (i + 1).toLong * step)
+        events.filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+          .coalesce(1).write.mode("append").parquet(d)
+        stamp += 60000L
+        parts().filterNot(f => seen(f.getPath)).foreach { f =>
+          f.setLastModified(stamp); seen += f.getPath
+        }
+      }
+      d
+    })
+    val stream = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      // filter below the join: both state stores hold purchase rows only
+      .filter(col("event_type") === "purchase")
+    val a = stream.select(col("event_id").as("event_a"),
+        col("user_id").as("user_a"), col("ts").as("ts_a"),
+        col("event_type").as("type_a"))
+      .withWatermark("ts_a", delay)
+    val b = stream.select(col("event_id").as("event_b"),
+        col("user_id").as("user_b"), col("ts").as("ts_b"),
+        col("event_type").as("type_b"))
+      .withWatermark("ts_b", delay)
+    val joined = a.join(b,
+      col("user_a") === col("user_b") &&
+        col("ts_b") > col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $tolMin MINUTES"))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val query = joined.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select("type_a", "type_b", "user_a")
+            .coalesce(1).write.mode("append").parquet(pairsDir)
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.read.parquet(pairsDir)
+      // bucketed accounting (16 user buckets) so the oracle pins pair
+      // placement across the key space, not one corpus-wide row
+      .groupBy(col("type_a"), col("type_b"),
+        (col("user_a") % 16).cast("long").as("user_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("user_a").as("n_users"))
+      .orderBy("type_a", "type_b", "user_bucket")
+  }
+
+  private val wmJoinSrcCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String, Int), String]
+
+  /** The Spark-4 `transformWithState` timer sessionizer exercised
+    * END-TO-END at correctness scale, as an oracle-checked query (the
+    * stateful-API sibling of [[streamPartialsHourly]]): the events table
+    * re-staged as N parquet files streams back one file per micro-batch
+    * through [[SessionizeTws.sessionize]], and the emitted sessions are
+    * compared against the batch window-function sessionization SQL.
+    *
+    * Determinism despite arbitrary file/batch boundaries comes from two
+    * choices: (1) the watermark delay (40 days) exceeds the fixture's full
+    * 30-day time span, so no row is ever dropped as late no matter which
+    * file it landed in — every event is "in-watermark" and the processor's
+    * deferred, timer-gated emission guarantees output ≡ the batch global
+    * sort; (2) a single far-future SENTINEL row (user −1, staged as the
+    * strictly-newest file so the file source reads it last) pushes the
+    * final watermark past every session's `last_ts + gap` close deadline,
+    * firing all remaining timers before the AvailableNow drain stops. At
+    * deployment scale the same operator runs with a tight watermark and
+    * state ∝ active users; the wide watermark here is a fixture choice
+    * that maximizes the late-data stress, not a semantic change.
+    */
+  def streamSessionsTws(spark: SparkSession, sfDir: String,
+                        nFiles: Int = 4, gapMinutes: Int = 30): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_stream_tws").toString
+    val outDir = s"$tmp/sessions"
+    val ckptDir = s"$tmp/ckpt"
+    val events = graft.Tables.events(spark, sfDir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("value").cast("double").as("value"))
+    // fixture SCAFFOLDING (memoized like stagedSrcCache): N-file re-stage
+    // plus the sentinel file; the one driver-side action (max ts) sizes
+    // the sentinel and runs once per (session, dir, N)
+    val srcDir = twsSrcCache.getOrElseUpdate((spark, sfDir, nFiles), {
+      val d = s"$tmp/src"
+      events.repartition(nFiles).write.parquet(d)
+      val dir = new java.io.File(d)
+      def parts() = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      val staged = parts().map(_.getPath).toSet
+      val maxTs = events.agg(max("ts")).first().getTimestamp(0)
+      val sentinelTs = new java.sql.Timestamp(
+        maxTs.getTime + 41L * 86400000L + gapMinutes * 60000L)
+      import spark.implicits._
+      Seq((-1L, sentinelTs, 0.0)).toDF("user_id", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(d)
+      // the file source orders by modification time: make the sentinel
+      // strictly newest so its watermark push arrives after all data
+      val newest = parts().map(_.lastModified).max + 60000L
+      parts().filterNot(f => staged(f.getPath))
+        .foreach(_.setLastModified(newest))
+      d
+    })
+    val stream = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    // transformWithState requires the RocksDB provider (also the store
+    // we'd run at scale); per-batch state commits dominate at fixture
+    // size, so run the drain on few shuffle partitions — both confs are
+    // restored after the query drains
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val query = SessionizeTws
+        .sessionize(stream, gapMinutes, watermark = "40 days")
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.coalesce(1).write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+    spark.read.parquet(outDir)
+      .filter(col("user_id") >= 0)
+      .select("user_id", "session_start", "n_events", "total_value")
+      .orderBy("user_id", "session_start")
+  }
+
+  private val twsSrcCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String, Int), String]
+
   /** S3 (`sales_producer.py:160-165`): orders → JSON → Kafka sink
     * (connector jar required at runtime).
     */

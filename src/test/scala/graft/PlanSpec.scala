@@ -334,4 +334,36 @@ class PlanSpec extends SparkSpec {
       assert(w.output.map(_.name).contains("cnt"))
     }
   }
+
+  test("rfm quartiles never run an unpartitioned window over the " +
+       "per-user frame — no ntile; global windows see bucket counts only") {
+    val plan = planOf("rfm_segments")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(!windows.exists(_.windowExpression.mkString.contains("ntile")))
+    // per-metric local ranks are bucket-partitioned (parallel);
+    // any global window is the bucket-count prefix sum
+    assert(windows.count(_.partitionSpec.nonEmpty) === 3)
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.output.map(_.name).contains("cnt"))
+      assert(!w.output.map(_.name).contains("monetary"))
+    }
+  }
+
+  test("token co-occurrence top-k is a sort-limit (TakeOrderedAndProject)" +
+       " — the pair frame never feeds a global row_number window") {
+    val plan = planOf("token_cooccurrence")
+    assert(plan.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.TakeOrderedAndProjectExec]))
+    // the only window (rank-over-result) runs above the k-row limit
+    plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach { w =>
+      assert(flatten(w).exists(p =>
+        p.isInstanceOf[
+          org.apache.spark.sql.execution.TakeOrderedAndProjectExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.GlobalLimitExec]))
+    }
+  }
 }

@@ -90,11 +90,24 @@ class StreamingSpec extends SparkSpec {
     try {
       val batches = jsonBatches(400, 2)
       // a producer retry restamps the timestamp: shift batch 0's tail by
-      // +1s and replay it — same order_id, different event time. The
-      // (order_id, ts)-keyed dedupStream would keep both; the
-      // within-watermark variant must not.
-      val restamped = batches(0).takeRight(50).map(
-        _.replaceFirst(":\\d\\dZ", ":59Z"))
+      // a real +1s (parse the ISO instant, add a second) and replay it —
+      // same order_id, different event time on EVERY replayed row (a
+      // seconds-field rewrite would leave rows already at the target
+      // value byte-identical). The (order_id, ts)-keyed dedupStream would
+      // keep both; the within-watermark variant must not.
+      val tsRe = """"order_timestamp":"([^"]+)"""".r
+      val restamped = batches(0).takeRight(50).map { line =>
+        tsRe.replaceAllIn(line, m => {
+          val shifted = java.time.Instant.parse(m.group(1)).plusSeconds(1)
+          val s = java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+            .withZone(java.time.ZoneOffset.UTC).format(shifted)
+          s""""order_timestamp":"$s""""
+        })
+      }
+      assert(batches(0).takeRight(50).zip(restamped)
+        .forall { case (a, b) => a != b },
+        "restamp must change every replayed row's event time")
       Seq(batches(0), restamped, batches(1))
         .foreach { b => stream.addData(b); q.processAllAvailable() }
       val want = graft.ingest.Ingest
