@@ -150,6 +150,8 @@ object SparkEntry {
     "table_checksum" -> (Quality.tableChecksum _),
     "token_cooccurrence" -> ((s, d) => CorpusStats.tokenCooccurrence(s, d)),
     "dup_degree_histogram" -> (Dedup.dupDegreeHistogram _),
+    "ngram_novelty" -> ((s, d) => Dedup.ngramNovelty(s, d)),
+    "value_drift" -> ((s, d) => Analytics.valueDrift(s, d)),
     "kmeans_clusters" -> ((s, d) => Similarity.kmeansClusters(s, d)),
     "leakage_safe_split" -> (TrainingSets.leakageSafeSplit _),
     "kfold_assignment" -> ((s, d) => TrainingSets.kfoldAssignment(s, d)),
@@ -1415,6 +1417,50 @@ object SparkEntry {
         |  UNION ALL SELECT doc_b FROM pairs) GROUP BY 1)
         |SELECT degree, count(*) AS n_nodes
         |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin),
+    // corpus-internal duplicated-shingle profile; integer decile buckets
+    // ((10·n_dup) div n_sh) keep the gate float-free
+    "ngram_novelty" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |   for i in range(1, len(ws)-1)])) AS s
+        |  FROM tok WHERE len(ws) >= 3),
+        |perdoc AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |dup AS (SELECT s FROM (
+        |  SELECT s, count(*) AS df FROM sh GROUP BY 1) WHERE df >= 2),
+        |dupdoc AS (SELECT doc_id, count(*) AS n_dup FROM sh
+        |  WHERE s IN (SELECT s FROM dup) GROUP BY 1),
+        |j AS (SELECT p.doc_id, p.n_sh, coalesce(d.n_dup, 0) AS n_dup
+        |  FROM perdoc p LEFT JOIN dupdoc d ON p.doc_id = d.doc_id)
+        |SELECT (10 * n_dup) // n_sh AS bin, count(*) AS n_docs,
+        |CAST(sum(n_sh) AS BIGINT) AS total_shingles,
+        |CAST(sum(n_dup) AS BIGINT) AS dup_shingles
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // early/late drift scored as the exact integer cross-multiplied
+    // proportion difference — no float ratio in the gate
+    "value_drift" ->
+      """WITH mid AS (SELECT (CAST(epoch_us(min(ts)::TIMESTAMP) AS BIGINT)
+        |    + CAST(epoch_us(max(ts)::TIMESTAMP) AS BIGINT)) // 2 AS mid
+        |  FROM events),
+        |b AS (SELECT event_type,
+        |  CAST(floor(value / 10.0) AS BIGINT) AS bin,
+        |  CASE WHEN CAST(epoch_us(ts::TIMESTAMP) AS BIGINT)
+        |    > (SELECT mid FROM mid) THEN 1 ELSE 0 END AS late
+        |  FROM events),
+        |g AS (SELECT event_type, bin,
+        |  CAST(sum(1 - late) AS BIGINT) AS n_early,
+        |  CAST(sum(late) AS BIGINT) AS n_late
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT event_type,
+        |  CAST(sum(n_early) AS BIGINT) AS total_early,
+        |  CAST(sum(n_late) AS BIGINT) AS total_late
+        |  FROM g GROUP BY 1)
+        |SELECT g.event_type, g.bin, n_early, n_late,
+        |CAST(n_early * total_late - n_late * total_early AS BIGINT)
+        |  AS drift_scaled
+        |FROM g JOIN t ON g.event_type = t.event_type
+        |ORDER BY 1, 2""".stripMargin,
     // iterative float k-means made engine-portable: distances are the same
     // left-to-right double folds as everywhere else, centroid means and the
     // WCSS report sum in DECIMAL (exact, order-free); the reported wcss is

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -64,6 +64,38 @@ object TextOps {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** |distinct(a) ∩ distinct(b)| over two string arrays WITHOUT
+    * materializing the intersection array — hash-set build over the
+    * smaller side, destructive probe over the larger (remove-on-hit
+    * makes the count distinct). Exactly `size(array_intersect(a, b))`,
+    * including the null-element contract: two null elements compare
+    * equal and contribute at most one to the count.
+    */
+  def intersectSize(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0) return 0
+    val (small, ns, large, nl) =
+      if (na <= nb) (a, na, b, nb) else (b, nb, a, na)
+    val set = new java.util.HashSet[UTF8String](ns * 2)
+    var smallHasNull = false
+    var i = 0
+    while (i < ns) {
+      if (small.isNullAt(i)) smallHasNull = true
+      else set.add(small.getUTF8String(i))
+      i += 1
+    }
+    var cnt = 0
+    i = 0
+    while (i < nl && (!set.isEmpty || smallHasNull)) {
+      if (large.isNullAt(i)) {
+        if (smallHasNull) { cnt += 1; smallHasNull = false }
+      } else if (set.remove(large.getUTF8String(i))) cnt += 1
+      i += 1
+    }
+    cnt
   }
 
   private val md5Local =
@@ -162,6 +194,74 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): WordNgrams =
     copy(child = newChild)
+}
+
+/** intersect_size(a, b): `size(array_intersect(a, b))` fused into one
+  * hash-probe count — no intermediate distinct-intersection array is
+  * allocated per row, which matters on the exact-Jaccard verify path
+  * where this runs once per candidate PAIR over full shingle sets.
+  * Installed two ways: as a callable function, and via
+  * [[RewriteIntersectSize]], the optimizer rule that rewrites the
+  * composed form wherever it appears (so query code keeps the
+  * declarative `size(array_intersect(...))` and still gets the kernel).
+  *
+  * `legacySizeOfNull` mirrors `Size`'s contract exactly (−1 vs NULL on a
+  * null input), so the rewrite is semantics-preserving under either
+  * setting of `spark.sql.legacy.sizeOfNull`.
+  */
+case class IntersectSize(left: Expression, right: Expression,
+                         legacySizeOfNull: Boolean)
+    extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+
+  private def checkSide(e: Expression): TypeCheckResult = e.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"intersect_size expects an array<string> column, " +
+        s"got ${t.catalogString}")
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(checkSide(left), checkSide(right))
+      .find(_ != TypeCheckResult.TypeCheckSuccess)
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+
+  override def nullable: Boolean =
+    if (legacySizeOfNull) false else left.nullable || right.nullable
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "intersect_size"
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    val r = right.eval(input)
+    if (l == null || r == null) { if (legacySizeOfNull) -1 else null }
+    else TextOps.intersectSize(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val le = left.genCode(ctx)
+    val re = right.genCode(ctx)
+    val onNull =
+      if (legacySizeOfNull) s"${ev.value} = -1;"
+      else s"${ev.isNull} = true;"
+    ev.copy(code =
+      code"""
+        ${le.code}
+        ${re.code}
+        boolean ${ev.isNull} = false;
+        int ${ev.value} = 0;
+        if (${le.isNull} || ${re.isNull}) {
+          $onNull
+        } else {
+          ${ev.value} = graft.functions.TextOps.intersectSize(
+            ${le.value}, ${re.value});
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectSize =
+    copy(left = newLeft, right = newRight)
 }
 
 /** minhash_sig(shingles, k): the k-draw MinHash signature as ARRAY<LONG>,

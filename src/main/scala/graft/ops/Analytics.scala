@@ -223,32 +223,44 @@ object Analytics {
          |  ELSE ($total % 4) +
          |    ($rank - ($total % 4) * (($total div 4) + 1) - 1)
          |      div ($total div 4) + 1 END""".stripMargin).cast("int")
-    // one bucket-offset global rank per metric; `asc` flips the bucket
-    // prefix-sum and the in-bucket order together so rank 1 is the best
-    def quartile(df: DataFrame, bucket: String, asc: Boolean,
-                 inBucket: Seq[Column], out: String): DataFrame = {
-      val bOrd = if (asc) col(bucket).asc else col(bucket).desc
-      val offsets = df.groupBy(bucket).agg(count(lit(1)).as("cnt"))
-        .withColumn("offset", coalesce(sum("cnt").over(
-          Window.orderBy(bOrd).rowsBetween(
-            Window.unboundedPreceding, -1)), lit(0L)))
-      val total = offsets
-        .agg(max(col("offset") + col("cnt")).as("total"))
-      df.join(broadcast(offsets.select(col(bucket), col("offset"))),
-          Seq(bucket))
-        .withColumn("lr", row_number().over(
-          Window.partitionBy(bucket).orderBy(inBucket: _*)).cast("long"))
-        .crossJoin(broadcast(total))
-        .withColumn(out, ntile4("(offset + lr)", "total"))
-        .drop("offset", "lr", "total")
-    }
     val withM = perUser
       .withColumn("m_bucket", floor(col("monetary")).cast("long"))
+    val metrics = Seq("recency", "frequency", "m_bucket")
+    // ONE grouping-sets aggregate yields all three metrics' bucket-count
+    // frames through a single (reusable) exchange — three separate
+    // groupBys would each recompute the per-user subtree
+    val sets = withM.groupingSets(metrics.map(m => Seq(col(m))),
+        metrics.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    // bucket offsets per metric: the prefix-sum window runs over the
+    // BUCKET-COUNT slice only; `asc` flips it so rank 1 is the best
+    def offsetsFor(bucket: String, asc: Boolean): DataFrame = {
+      val b = col(bucket)
+      sets.filter(metrics.map(m =>
+          if (m == bucket) col(m).isNotNull else col(m).isNull)
+          .reduce(_ && _))
+        .withColumn("offset", coalesce(sum("cnt").over(
+          Window.orderBy(if (asc) b.asc else b.desc).rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+        .select(b, col("offset"))
+    }
+    // N is the same for every metric: one tiny agg over one slice
+    val total = sets.filter(col("recency").isNotNull)
+      .agg(sum("cnt").cast("long").as("total"))
+    // broadcast the offsets back; rank locally WITHIN each bucket
+    // (parallel across buckets); global rank = offset + local rank
+    def quartile(df: DataFrame, bucket: String, asc: Boolean,
+                 inBucket: Seq[Column], out: String): DataFrame =
+      df.join(broadcast(offsetsFor(bucket, asc)), Seq(bucket))
+        .withColumn("lr", row_number().over(
+          Window.partitionBy(bucket).orderBy(inBucket: _*)).cast("long"))
+        .withColumn(out, ntile4("(offset + lr)", "total"))
+        .drop("offset", "lr")
     val seg =
       quartile(
         quartile(
-          quartile(withM, "recency", asc = true,
-            Seq(col("user_id").asc), "r_q"),
+          quartile(withM.crossJoin(broadcast(total)),
+            "recency", asc = true, Seq(col("user_id").asc), "r_q"),
           "frequency", asc = false,
           Seq(col("user_id").asc), "f_q"),
         "m_bucket", asc = false,
@@ -368,5 +380,53 @@ object Analytics {
         when(col("revenue").isNull, lit(1)).otherwise(lit(0)).as("is_gap"),
         last(col("revenue"), ignoreNulls = true).over(w).as("revenue_locf"))
       .orderBy("event_type", "h")
+  }
+
+  /** Distribution drift between the first and second half of the event
+    * timeline — the train/serve skew check every production pipeline runs
+    * before trusting a model on fresh data. Each event lands in an early/
+    * late half (split at the midpoint of the observed time range) and a
+    * fixed-width value bin; the report compares the two halves' bin
+    * histograms per event type.
+    *
+    * Drift is scored ENGINE-EXACTLY without a single float ratio: the
+    * per-bin score is the cross-multiplied proportion difference
+    * `n_early·total_late − n_late·total_early` (the numerator of
+    * p_early − p_late over a common denominator) — pure BIGINT
+    * arithmetic, so the sign and relative magnitude carry the PSI-style
+    * signal while the hash stays portable. (A PSI with `ln` would hang
+    * the gate on libm rounding.)
+    *
+    * Scale shape: one scan → one (type, bin) aggregate with both halves
+    * as conditional sums (map-side combine); per-type totals re-aggregate
+    * the tiny binned frame and broadcast back. Nothing ever shuffles on
+    * more than the (type, bin) key space.
+    */
+  def valueDrift(spark: SparkSession, sfDir: String,
+                 binWidth: Int = 10): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("value"))
+    val mid = ev.agg(((min(unix_micros(col("ts"))) +
+      max(unix_micros(col("ts")))).cast("long")).as("mn_mx"))
+      .select(expr("mn_mx div 2").as("mid"))
+    val binned = ev.crossJoin(broadcast(mid))
+      .withColumn("late",
+        (unix_micros(col("ts")) > col("mid")).cast("int"))
+      .withColumn("bin",
+        floor(col("value") / lit(binWidth.toDouble)).cast("long"))
+      .groupBy("event_type", "bin")
+      .agg(sum(lit(1) - col("late")).as("n_early"),
+        sum(col("late")).as("n_late"))
+    val totals = binned.groupBy("event_type")
+      .agg(sum("n_early").as("total_early"),
+        sum("n_late").as("total_late"))
+    binned.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("bin"),
+        col("n_early").cast("long").as("n_early"),
+        col("n_late").cast("long").as("n_late"),
+        (col("n_early") * col("total_late") -
+          col("n_late") * col("total_early")).cast("long")
+          .as("drift_scaled"))
+      .orderBy("event_type", "bin")
   }
 }

@@ -560,6 +560,45 @@ object Dedup {
       .orderBy("degree")
   }
 
+  /** Corpus-internal n-gram duplication profile — the "memorization risk"
+    * histogram LLM data work reads before training (how much of each
+    * document is boilerplate shared with the rest of the corpus; public
+    * method, e.g. the duplicated-n-gram accounting of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL'22):
+    * each document's distinct 3-gram shingles are scored against corpus
+    * document frequency; a shingle with df ≥ 2 is "duplicated"; docs are
+    * bucketed by the integer decile of their duplicated fraction
+    * (`(bins·n_dup) div n_sh` — exact integer arithmetic, engine-safe).
+    *
+    * Scale shape: the inverted-index discipline end to end. One
+    * shingle-keyed aggregate builds the df table, filtered to the
+    * duplicated subset BEFORE the probe; the per-doc duplicated count is
+    * a shingle-keyed left-semi join (never a pairwise doc join) and two
+    * doc-keyed aggregates. Every join/agg is a plain hash shuffle on a
+    * high-cardinality key — no global window, no all-pairs, nothing
+    * single-partition.
+    */
+  def ngramNovelty(spark: SparkSession, sfDir: String,
+                   bins: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(shingleCol(col("text"))).as("s"))
+    val dup = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("s")
+    val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val dupPerDoc = sh.join(dup, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("bin", expr(s"($bins * n_dup) div n_sh"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_sh").as("total_shingles"),
+        sum("n_dup").as("dup_shingles"))
+      .orderBy("bin")
+  }
+
   /** Connected components via alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14) — the provably O(log n)-round alternative to

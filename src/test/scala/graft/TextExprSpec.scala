@@ -60,4 +60,48 @@ class TextExprSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
+
+  test("intersect_size == size(array_intersect) on varied set shapes, " +
+       "and the optimizer rule fuses the composed form") {
+    val docs = Seq(
+      ("a b c", "b c d"),        // partial overlap
+      ("a a b", "a b b"),        // duplicates — count stays distinct
+      ("a b", "c d"),            // disjoint
+      ("", "a"),                 // empty side
+      ("x y z", "x y z"),        // identical
+      ("สวัสดี ครับ", "ครับ ผม")  // unicode
+    ).toDF("ta", "tb")
+      .select(split(col("ta"), " ").as("a"), split(col("tb"), " ").as("b"))
+    val both = docs.select(
+      call_function("intersect_size", col("a"), col("b")).as("kernel"),
+      size(array_intersect(col("a"), col("b"))).as("composed"))
+    assert(both.filter(col("kernel") =!= col("composed")).count() === 0)
+    // null input follows the non-legacy Size contract for the direct call
+    val nulls = Seq((Some(Seq("a")), Option.empty[Seq[String]]))
+      .toDF("a", "b")
+      .select(call_function("intersect_size", col("a"), col("b")))
+    assert(nulls.head().isNullAt(0))
+    // null ELEMENTS follow array_intersect's equality contract: null
+    // matches null, contributing at most once
+    val nullElems = Seq(1).toDF("i").select(
+      call_function("intersect_size",
+        array(lit("a"), lit(null).cast("string"), lit(null).cast("string")),
+        array(lit(null).cast("string"), lit("b"))).as("kernel"),
+      size(array_intersect(
+        array(lit("a"), lit(null).cast("string"), lit(null).cast("string")),
+        array(lit(null).cast("string"), lit("b")))).as("composed"))
+    val ne = nullElems.head()
+    assert(ne.getInt(0) === 1 && ne.getInt(1) === 1)
+    // the rewrite fires on a parquet-backed plan (a LocalRelation frame
+    // constant-folds away, and the memoized Jaccard frames are opaque
+    // LogicalRDDs): the COMPOSED size(array_intersect(…)) carries the
+    // kernel in the optimized plan — the same shape the Jaccard-verify
+    // hot path (Dedup.verifyJaccardWith) executes per candidate pair
+    val opt = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(size(array_intersect(
+        split(col("text"), " "), array(col("lang")))).as("n"))
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("intersect_size"),
+      s"RewriteIntersectSize did not fire:\n$opt")
+  }
 }
