@@ -66,6 +66,8 @@ object SparkEntry {
     "stream_join_wm_evicting" ->
       ((s, d) =>
         graft.streaming.StreamAssembly.streamJoinFollowupsWatermarked(s, d)),
+    "stream_session_windows" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamSessionWindows(s, d)),
     "rollup_grouping_sets" -> (StarQueries.rollupGroupingSets _),
     "part_promo_share" -> (StarQueries.partPromoShare _),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d)),
@@ -103,6 +105,7 @@ object SparkEntry {
     "pii_redact" -> (Privacy.piiRedact _),
     "k_anonymity" -> ((s, d) => Privacy.kAnonymity(s, d)),
     "scd2_user_history" -> (Analytics.scd2UserHistory _),
+    "pit_state_lookup" -> ((s, d) => Analytics.pitStateLookup(s, d)),
     "outlier_events" -> (Analytics.outlierEvents _),
     "weighted_sample" -> (TrainingSets.weightedSample _),
     "corpus_rebalance" -> (TrainingSets.corpusRebalance _),
@@ -149,6 +152,7 @@ object SparkEntry {
     "dedup_triangles" -> (Dedup.dedupTriangles _),
     "table_checksum" -> (Quality.tableChecksum _),
     "token_cooccurrence" -> ((s, d) => CorpusStats.tokenCooccurrence(s, d)),
+    "vocab_coverage" -> (CorpusStats.vocabCoverage _),
     "dup_degree_histogram" -> (Dedup.dupDegreeHistogram _),
     "ngram_novelty" -> ((s, d) => Dedup.ngramNovelty(s, d)),
     "value_drift" -> ((s, d) => Analytics.valueDrift(s, d)),
@@ -588,6 +592,24 @@ object SparkEntry {
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the built-in streaming session_window aggregate drains the same
+    // sentinel-flushed staged stream as stream_sessions_tws; its oracle is
+    // the SAME window-function SQL the batch session_windows query checks
+    // against (>= split mirrors the half-open window contract)
+    "stream_session_windows" ->
+      """WITH o AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER
+        |      (PARTITION BY user_id ORDER BY ts)) >= 1800000000
+        |  THEN 1 ELSE 0 END AS new_s FROM events),
+        |s AS (SELECT user_id, ts, value, sum(new_s) OVER
+        |  (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, min(ts)::TIMESTAMP AS session_start,
+        |(max(ts) + INTERVAL 30 MINUTE)::TIMESTAMP AS session_end,
+        |count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     // the watermarked (state-EVICTING) stream-stream join replays the
     // events table in time order, so no row is late, correct eviction only
     // drops unmatchable state (2 h delay > 30 min tolerance), and the
@@ -978,6 +1000,34 @@ object SparkEntry {
         |  AS valid_to,
         |n_events
         |FROM g ORDER BY user_id, seg_id""".stripMargin,
+    // PIT lookup against the SCD2 intervals: the probe instant is
+    // ts - 1 hour; intervals partition each user's timeline so the left
+    // join matches at most one version row per purchase
+    "pit_state_lookup" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(event_type) OVER w IS NULL
+        |    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |i AS (SELECT user_id, event_type, ts,
+        |  CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg_id FROM m),
+        |g AS (SELECT user_id, seg_id, min(event_type) AS state,
+        |  min(ts) AS valid_from, count(*) AS n_events
+        |  FROM i GROUP BY 1, 2),
+        |hist AS (SELECT user_id AS h_user, state, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg_id)
+        |    AS valid_to FROM g),
+        |p AS (SELECT user_id, value, ts - INTERVAL 1 HOUR AS at
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT coalesce(h.state, 'none') AS prior_state,
+        |count(*) AS n_purchases,
+        |count(DISTINCT p.user_id) AS n_users,
+        |round(CAST(sum(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |  AS total_value
+        |FROM p LEFT JOIN hist h ON p.user_id = h.h_user
+        |  AND p.at >= h.valid_from
+        |  AND (h.valid_to IS NULL OR p.at < h.valid_to)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact interpolated quartiles (quantile_cont ≡ Spark percentile, the
     // parity value_quantiles already proves); fences are deterministic
     // IEEE arithmetic on them, outlier min/max are selections
@@ -1410,6 +1460,21 @@ object SparkEntry {
         |FROM (SELECT w1, w2, n_docs, row_number() OVER (
         |  ORDER BY n_docs DESC, w1 ASC, w2 ASC) AS rank FROM p)
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // coverage thresholds compare cum·100 >= total·pct in exact integers
+    "vocab_coverage" ->
+      """WITH c AS (SELECT w AS token, count(*) AS freq FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM c),
+        |r AS (SELECT token, freq,
+        |  CAST(row_number() OVER o AS BIGINT) AS rank,
+        |  CAST(sum(freq) OVER (o ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM c WINDOW o AS (ORDER BY freq DESC, token ASC))
+        |SELECT max(rank) AS vocab_size, max(cum) AS total_tokens,
+        |min(CASE WHEN cum * 100 >= total * 50 THEN rank END) AS r50,
+        |min(CASE WHEN cum * 100 >= total * 90 THEN rank END) AS r90,
+        |min(CASE WHEN cum * 100 >= total * 99 THEN rank END) AS r99
+        |FROM r, t""".stripMargin,
     "dup_degree_histogram" -> ("WITH " + nearDupPairsBody +
       """,
         |deg AS (SELECT n, count(*) AS degree FROM (

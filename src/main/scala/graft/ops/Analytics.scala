@@ -322,6 +322,42 @@ object Analytics {
       .orderBy("user_id", "seg_id")
   }
 
+  /** Point-in-time (PIT) state lookup — the feature-store join every
+    * leakage-aware training pipeline needs: for each purchase, find the
+    * user's [[scd2UserHistory]] state that was valid one hour BEFORE the
+    * purchase timestamp (a training feature must come from the version
+    * valid at lookup time, never a later one — the temporal analogue of
+    * the leakage-safe split). Purchases whose lookup instant precedes the
+    * user's first island report state 'none'.
+    *
+    * Scale shape: the SCD2 interval frame is islands-per-user (small);
+    * the PIT join is a user-keyed equi-join with a row-local interval
+    * containment filter — one shuffle per side, never an interval×event
+    * cross product, because intervals within a user partition the
+    * timeline so each probe matches AT MOST one version row.
+    */
+  def pitStateLookup(spark: SparkSession, sfDir: String,
+                     lag: String = "1 hour"): DataFrame = {
+    val hist = scd2UserHistory(spark, sfDir)
+      .select(col("user_id").as("h_user"), col("state"),
+        col("valid_from"), col("valid_to"))
+    val probes = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value"),
+        (col("ts") - expr(s"INTERVAL $lag")).as("at"))
+    probes.join(hist,
+        col("user_id") === col("h_user") &&
+          col("at") >= col("valid_from") &&
+          (col("valid_to").isNull || col("at") < col("valid_to")),
+        "left_outer")
+      .groupBy(coalesce(col("state"), lit("none")).as("prior_state"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct("user_id").as("n_users"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+          .as("total_value"))
+      .orderBy("prior_state")
+  }
+
   /** Anomaly report: Tukey-fence outliers per event_type (value outside
     * [q1 - 1.5·IQR, q3 + 1.5·IQR]). Quartiles are exact interpolated
     * percentiles (≡ DuckDB quantile_cont, the same parity already proven

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -41,6 +41,36 @@ object CorpusStats {
       .select(col("rank"), col("token"), col("freq"),
         (col("freq") * col("rank")).as("freq_rank"))
       .orderBy("rank")
+  }
+
+  /** Vocabulary coverage quantiles — the tokenizer-sizing statistic (how
+    * many distinct tokens cover 50/90/99% of corpus token mass; the
+    * curve every vocab/BPE-size decision reads). Tokens rank by
+    * frequency desc; the cumulative-mass window runs over the
+    * VOCAB-bounded frame only (same discipline as [[tokenZipf]]); the
+    * coverage thresholds compare `cum·100 ≥ total·pct` in exact integer
+    * arithmetic — no float division anywhere in the gate.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+    val total = counts.agg(sum("freq").cast("long").as("total"))
+    val w = Window.orderBy(desc("freq"), asc("token"))
+    val ranked = counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("freq").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+    def covered(pct: Int): Column =
+      min(when(col("cum") * 100 >= col("total") * pct, col("rank")))
+    ranked.crossJoin(broadcast(total))
+      .agg(max("rank").as("vocab_size"),
+        max("cum").as("total_tokens"),
+        covered(50).as("r50"), covered(90).as("r90"),
+        covered(99).as("r99"))
   }
 
   /** Token co-occurrence pairs — the association-mining / PMI-table shape

@@ -525,34 +525,9 @@ object StreamAssembly {
     val tmp = Files.createTempDirectory("graft_stream_tws").toString
     val outDir = s"$tmp/sessions"
     val ckptDir = s"$tmp/ckpt"
-    val events = graft.Tables.events(spark, sfDir)
-      .select(col("user_id").cast("long").as("user_id"),
-        col("ts").cast("timestamp").as("ts"),
-        col("value").cast("double").as("value"))
-    // fixture SCAFFOLDING (memoized like stagedSrcCache): N-file re-stage
-    // plus the sentinel file; the one driver-side action (max ts) sizes
-    // the sentinel and runs once per (session, dir, N)
-    val srcDir = twsSrcCache.getOrElseUpdate((spark, sfDir, nFiles), {
-      val d = s"$tmp/src"
-      events.repartition(nFiles).write.parquet(d)
-      val dir = new java.io.File(d)
-      def parts() = dir.listFiles().filter(_.getName.endsWith(".parquet"))
-      val staged = parts().map(_.getPath).toSet
-      val maxTs = events.agg(max("ts")).first().getTimestamp(0)
-      val sentinelTs = new java.sql.Timestamp(
-        maxTs.getTime + 41L * 86400000L + gapMinutes * 60000L)
-      import spark.implicits._
-      Seq((-1L, sentinelTs, 0.0)).toDF("user_id", "ts", "value")
-        .coalesce(1).write.mode("append").parquet(d)
-      // the file source orders by modification time: make the sentinel
-      // strictly newest so its watermark push arrives after all data
-      val newest = parts().map(_.lastModified).max + 60000L
-      parts().filterNot(f => staged(f.getPath))
-        .foreach(_.setLastModified(newest))
-      d
-    })
+    val srcDir = stageUserEventsWithSentinel(spark, sfDir, nFiles, gapMinutes)
     val stream = spark.readStream
-      .schema(events.schema)
+      .schema(userEventSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
     // transformWithState requires the RocksDB provider (also the store
@@ -595,6 +570,101 @@ object StreamAssembly {
   private val twsSrcCache =
     scala.collection.concurrent.TrieMap
       .empty[(org.apache.spark.sql.SparkSession, String, Int), String]
+
+  private def userEventSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+
+  /** Fixture SCAFFOLDING shared by the stateful-session streaming queries
+    * (memoized like stagedSrcCache): the events table re-staged as N
+    * (user_id, ts, value) parquet files plus one far-future SENTINEL row
+    * (user −1) staged as the strictly-newest file, so the file source
+    * reads it last and its event time pushes the final watermark past
+    * every session's close deadline. The one driver-side action (max ts)
+    * sizes the sentinel and runs once per (session, dir, N).
+    */
+  private def stageUserEventsWithSentinel(spark: SparkSession, sfDir: String,
+                                          nFiles: Int,
+                                          gapMinutes: Int): String =
+    twsSrcCache.getOrElseUpdate((spark, sfDir, nFiles), {
+      val events = graft.Tables.events(spark, sfDir)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("ts").cast("timestamp").as("ts"),
+          col("value").cast("double").as("value"))
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_tws_src").toString
+      events.repartition(nFiles).write.mode("overwrite").parquet(d)
+      val dir = new java.io.File(d)
+      def parts() = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      val staged = parts().map(_.getPath).toSet
+      val maxTs = events.agg(max("ts")).first().getTimestamp(0)
+      val sentinelTs = new java.sql.Timestamp(
+        maxTs.getTime + 41L * 86400000L + gapMinutes * 60000L)
+      import spark.implicits._
+      Seq((-1L, sentinelTs, 0.0)).toDF("user_id", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(d)
+      val newest = parts().map(_.lastModified).max + 60000L
+      parts().filterNot(f => staged(f.getPath))
+        .foreach(_.setLastModified(newest))
+      d
+    })
+
+  /** The BUILT-IN `session_window` aggregate exercised in STREAMING mode
+    * as an oracle-checked query — the engine-native sibling of
+    * [[streamSessionsTws]] (same staged drain, same sentinel flush):
+    * where the TWS processor hand-manages pending sessions and timers,
+    * this is one `groupBy(user, session_window(ts, gap))` whose state
+    * store MERGES overlapping [ts, ts+gap) windows per key and emits a
+    * session only when the watermark passes its end. Batch and streaming
+    * share the identical declarative form; the DuckDB oracle is the same
+    * window-function SQL the batch `session_windows` query is checked
+    * against — so Spark's native streaming session-merge machinery sits
+    * behind the hash gate, alongside the custom-state implementation.
+    */
+  def streamSessionWindows(spark: SparkSession, sfDir: String,
+                           nFiles: Int = 4,
+                           gapMinutes: Int = 30): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_stream_sw").toString
+    val outDir = s"$tmp/sessions"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = stageUserEventsWithSentinel(spark, sfDir, nFiles, gapMinutes)
+    val stream = spark.readStream
+      .schema(userEventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val query = stream
+        .withWatermark("ts", "40 days")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"),
+          col("total_value"))
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.coalesce(1).write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.read.parquet(outDir)
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "session_start")
+  }
 
   /** S3 (`sales_producer.py:160-165`): orders → JSON → Kafka sink
     * (connector jar required at runtime).
