@@ -106,6 +106,9 @@ object SparkEntry {
     "k_anonymity" -> ((s, d) => Privacy.kAnonymity(s, d)),
     "scd2_user_history" -> (Analytics.scd2UserHistory _),
     "pit_state_lookup" -> ((s, d) => Analytics.pitStateLookup(s, d)),
+    "rolling_active_users" -> (Analytics.rollingActiveUsers _),
+    "event_transitions" -> (Analytics.eventTransitions _),
+    "conversion_latency" -> (Analytics.conversionLatency _),
     "outlier_events" -> (Analytics.outlierEvents _),
     "weighted_sample" -> (TrainingSets.weightedSample _),
     "corpus_rebalance" -> (TrainingSets.corpusRebalance _),
@@ -1000,6 +1003,46 @@ object SparkEntry {
         |  AS valid_to,
         |n_events
         |FROM g ORDER BY user_id, seg_id""".stripMargin,
+    // from→to transition matrix; shares as integer ppm (n·1e6 div total)
+    "event_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |g AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS from_total
+        |  FROM g GROUP BY 1)
+        |SELECT g.from_type, g.to_type, CAST(n AS BIGINT) AS n,
+        |CAST(n * 1000000 // from_total AS BIGINT) AS ppm
+        |FROM g JOIN t ON g.from_type = t.from_type
+        |ORDER BY 1, 2""".stripMargin,
+    // first-view → first-purchase latency histogram in exact integer
+    // microsecond floor-division
+    "conversion_latency" ->
+      """WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT user_id, min(ts) AS first_purchase FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST((epoch_us(first_purchase::TIMESTAMP)
+        |  - epoch_us(first_view::TIMESTAMP)) // 86400000000 AS BIGINT)
+        |  AS days_to_convert, count(*) AS n_users
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |WHERE first_purchase >= first_view
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DAU/WAU/MAU: one fanned (user-day × day-spine) frame, three
+    // conditional distinct counts — all exact integers
+    "rolling_active_users" ->
+      """WITH ud AS (SELECT DISTINCT ts::DATE AS uday, user_id FROM events),
+        |days AS (SELECT DISTINCT uday AS wday FROM ud),
+        |f AS (SELECT d.wday, u.user_id, u.uday FROM days d JOIN ud u
+        |  ON u.uday <= d.wday AND u.uday >= d.wday - INTERVAL 29 DAY)
+        |SELECT wday AS day,
+        |count(DISTINCT CASE WHEN uday = wday THEN user_id END) AS dau,
+        |count(DISTINCT CASE WHEN uday >= wday - INTERVAL 6 DAY
+        |  THEN user_id END) AS wau,
+        |count(DISTINCT user_id) AS mau
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     // PIT lookup against the SCD2 intervals: the probe instant is
     // ts - 1 hour; intervals partition each user's timeline so the left
     // join matches at most one version row per purchase

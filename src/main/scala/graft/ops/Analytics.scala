@@ -322,6 +322,93 @@ object Analytics {
       .orderBy("user_id", "seg_id")
   }
 
+  /** Event transition matrix — the user-flow analysis behind every
+    * product funnel dashboard: consecutive event pairs per user (by event
+    * time, event_id tiebreak), counted into a from→to matrix with the
+    * transition share reported in exact integer parts-per-million
+    * (`n·1e6 div from_total` — a float probability would hang the hash
+    * on division rounding).
+    *
+    * Scale shape: one user-keyed window pass (lead — single shuffle +
+    * sort), one (from, to) aggregate over the bounded type×type frame,
+    * per-from totals re-aggregated from that tiny frame and broadcast
+    * back.
+    */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type")
+      .agg(sum("n").cast("long").as("from_total"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n").cast("long").as("n"),
+        expr("(n * 1000000) div from_total").as("ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Conversion latency distribution: for each user with a purchase after
+    * their first view, full days between first view and first purchase,
+    * bucketed — the time-to-convert histogram. All arithmetic is exact
+    * integer microsecond differences; two user-keyed min-aggregates and
+    * one bounded histogram aggregate.
+    */
+  def conversionLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    def firstOf(t: String, out: String) =
+      ev.filter(col("event_type") === t)
+        .groupBy("user_id").agg(min("ts").as(out))
+    firstOf("view", "first_view")
+      .join(firstOf("purchase", "first_purchase"), Seq("user_id"))
+      .filter(col("first_purchase") >= col("first_view"))
+      // integer div, not `/`: Spark's `/` is double division, and a
+      // quotient landing a hair under a day boundary would truncate
+      // differently than the oracle's integer floor-div
+      .select((unix_micros(col("first_purchase")) -
+        unix_micros(col("first_view"))).as("us"))
+      .select(expr("us div 86400000000").as("days_to_convert"))
+      .groupBy("days_to_convert")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("days_to_convert")
+  }
+
+  /** Rolling active users — the DAU/WAU/MAU engagement report: for every
+    * observed day, the distinct users active that day, in the trailing 7
+    * days, and in the trailing 30 days. The (user, day) frame joins a
+    * BROADCAST day spine (bounded: one row per distinct day) on the
+    * 30-day containment condition; the three horizons are conditional
+    * distinct counts over that one fanned frame — never three separate
+    * scans.
+    *
+    * Scale shape: the fan-out is |user-days| × ≤30 with a broadcast
+    * nested-loop against the tiny spine (non-equi by nature, build side
+    * = days only); one aggregate exchange on day. The exact multi-
+    * distinct aggregate expands ×3 pre-shuffle — at corpus scale the
+    * standard swap is per-day HLL sketches merged across the window
+    * (approx_count_distinct, mergeable = the scale path), keeping the
+    * identical spine-join shape.
+    */
+  def rollingActiveUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("uday"), col("user_id"))
+      .distinct()
+    val days = ud.select(col("uday").as("wday")).distinct()
+    ud.join(broadcast(days),
+        col("uday") <= col("wday") &&
+          col("uday") >= date_sub(col("wday"), 29))
+      .groupBy(col("wday").as("day"))
+      .agg(
+        countDistinct(when(col("uday") === col("wday"), col("user_id")))
+          .as("dau"),
+        countDistinct(when(col("uday") >= date_sub(col("wday"), 6),
+          col("user_id"))).as("wau"),
+        countDistinct(col("user_id")).as("mau"))
+      .orderBy("day")
+  }
+
   /** Point-in-time (PIT) state lookup — the feature-store join every
     * leakage-aware training pipeline needs: for each purchase, find the
     * user's [[scd2UserHistory]] state that was valid one hour BEFORE the

@@ -50,6 +50,35 @@ class Round9Spec extends SparkSpec {
     assert(total === Tables.events(spark, sf).count())
   }
 
+  test("vocab coverage: thresholds are monotone and accounting is exact") {
+    val r = graft.ops.CorpusStats.vocabCoverage(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (vocab, total) = (row.getLong(0), row.getLong(1))
+    val (r50, r90, r99) = (row.getLong(2), row.getLong(3), row.getLong(4))
+    assert(r50 <= r90 && r90 <= r99 && r99 <= vocab)
+    assert(r50 >= 1L)
+    // totals match an independent recompute of the token stream
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+    assert(total === toks.count())
+    assert(vocab === toks.distinct().count())
+  }
+
+  test("rolling active users: DAU <= WAU <= MAU, day spine complete") {
+    val out = graft.ops.Analytics.rollingActiveUsers(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(3))
+    }
+    val users = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(out.forall(_.getLong(3) <= users))
+    val days = Tables.events(spark, sf)
+      .select(to_date(col("ts"))).distinct().count()
+    assert(out.length.toLong === days)
+  }
+
   test("stream TWS sessions == batch sessionization on the full fixture") {
     val got = graft.streaming.StreamAssembly
       .streamSessionsTws(spark, sf)
