@@ -166,6 +166,12 @@ object SparkEntry {
     "dup_pagerank" -> ((s, d) => Dedup.dupPageRank(s, d)),
     "global_rank_docs" -> ((s, d) => Analytics.globalRankDocs(s, d)),
     "hybrid_search" -> ((s, d) => Similarity.hybridSearch(s, d)),
+    "bpe_pair_counts" -> ((s, d) => CorpusStats.bpePairCounts(s, d)),
+    "vocab_growth" -> ((s, d) => CorpusStats.vocabGrowth(s, d)),
+    "attribution_last_touch" ->
+      ((s, d) => Analytics.attributionLastTouch(s, d)),
+    "stream_dedup_replay" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamDedupReplay(s, d)),
     // rows-only (approx sketches aren't cross-engine comparable; accuracy
     // is spec-asserted in ApproxSpec, mirroring approx_distinct_users)
     "approx_value_quantiles" -> ((s, d) => TrainingSets.approxValueQuantiles(s, d))
@@ -1867,6 +1873,69 @@ object SparkEntry {
         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
         |count(*) AS n_docs,
         |CAST(sum(ceil(n_chars / 4.0)::BIGINT) AS BIGINT) AS sum_est_tokens
-        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin),
+    // first BPE merge iteration: integer pair counts, deterministic
+    // (n DESC, pair ASC) tiebreak
+    "bpe_pair_counts" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |p AS (SELECT pair, count(*) AS n FROM (
+        |  SELECT unnest([substring(w, i, 2) for i in range(1, length(w))])
+        |    AS pair
+        |  FROM w WHERE length(w) >= 2) GROUP BY 1),
+        |r AS (SELECT pair, n, CAST(row_number() OVER (
+        |  ORDER BY n DESC, pair ASC) AS BIGINT) AS rank FROM p)
+        |SELECT rank, pair, n FROM r WHERE rank <= 25
+        |ORDER BY rank""".stripMargin,
+    // Heaps'-law growth: all integers; bucket = (doc_id*10) div n_total,
+    // clamped so the max doc_id lands in the last bucket
+    "vocab_growth" ->
+      """WITH nd AS (SELECT count(*) AS n_total FROM documents),
+        |tok AS (SELECT doc_id, w AS token FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents) WHERE length(w) > 0),
+        |vol AS (SELECT least((doc_id * 10) // n_total, 9) AS bucket,
+        |  count(*) AS n_tokens, count(DISTINCT doc_id) AS n_docs
+        |  FROM tok, nd GROUP BY 1),
+        |fo AS (SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+        |nt AS (SELECT least((first_doc * 10) // n_total, 9) AS bucket,
+        |  count(*) AS new_types FROM fo, nd GROUP BY 1)
+        |SELECT CAST(v.bucket AS BIGINT) AS bucket,
+        |CAST(n_docs AS BIGINT) AS n_docs,
+        |CAST(n_tokens AS BIGINT) AS n_tokens,
+        |CAST(coalesce(new_types, 0) AS BIGINT) AS new_types,
+        |CAST(sum(n_tokens) OVER (ORDER BY v.bucket
+        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY v.bucket
+        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+        |FROM vol v LEFT JOIN nt ON v.bucket = nt.bucket
+        |ORDER BY 1""".stripMargin,
+    // last-touch credit over the (ts, event_id) total order; revenue in
+    // DECIMAL then rounded, per the float-parity rules
+    "attribution_last_touch" ->
+      """WITH t AS (SELECT user_id, ts, event_id, event_type, value,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+        |    IGNORE NULLS) OVER w AS touch_ts,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |    IGNORE NULLS) OVER w AS touch_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT CASE WHEN touch_ts IS NOT NULL
+        |  AND epoch_us(ts::TIMESTAMP) - epoch_us(touch_ts::TIMESTAMP)
+        |      <= 1800000000
+        |  THEN touch_type ELSE 'direct' END AS channel,
+        |count(*) AS n_purchases,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |  AS revenue
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the staged stream replays every event twice; a leaky dedup doubles
+    // every count, so the plain batch aggregate IS the oracle
+    "stream_dedup_replay" ->
+      """SELECT event_type, count(*) AS n_events,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |  AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -552,4 +552,44 @@ object Analytics {
           .as("drift_scaled"))
       .orderBy("event_type", "bin")
   }
+
+  /** Last-touch attribution: every purchase is credited to the user's most
+    * recent NON-purchase event within `windowMin` minutes (the channel
+    * that "drove" it), or to `direct` if none. The deterministic total
+    * order is (ts, event_id) — ties in event time resolve identically in
+    * both engines, so the credited row is a pure function of the event
+    * set. Revenue sums in DECIMAL(18,6) then rounds, per the float-parity
+    * rules. Plan shape: one per-user window pass (a single keyed shuffle
+    * on user_id, the same partitioning every per-user analytic here
+    * shares) carrying a running `last(..., ignoreNulls)` over the
+    * 1-PRECEDING frame — no self-join, no per-purchase probe; then a
+    * bounded-key (≤ #event types + 1) aggregate. At 100 TB the window
+    * partitions by user (millions of keys, bounded per-user rows) — never
+    * a global window.
+    */
+  def attributionLastTouch(spark: SparkSession, sfDir: String,
+                           windowMin: Int = 30): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = events
+      .withColumn("touch_ts",
+        last(when(col("event_type") =!= "purchase", col("ts")),
+          ignoreNulls = true).over(w))
+      .withColumn("touch_type",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+    touched
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("touch_ts").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("touch_ts")) <=
+            windowMin * 60000000L,
+          col("touch_type")).otherwise(lit("direct")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+          .as("revenue"))
+      .orderBy("channel")
+  }
 }

@@ -191,4 +191,84 @@ object CorpusStats {
           .cast("long").as("n_rare"))
       .orderBy("doc_id")
   }
+
+  /** The first iteration of BPE tokenizer training (Sennrich et al. 2016,
+    * public knowledge): corpus-wide frequencies of adjacent character
+    * pairs within whitespace words — the statistic whose argmax picks the
+    * first merge. Counts weight every word OCCURRENCE (a tokenizer trains
+    * on the corpus distribution, not the vocabulary), all integers, so the
+    * gate is exact. Plan shape: the pair stream is row-local
+    * (split → explode → `transform(sequence(...))` explode, all inside
+    * whole-stage codegen), then ONE partial-aggregating shuffle on the
+    * pair key (alphabet²-bounded ≤ a few k keys) and a sort-limit
+    * (TakeOrderedAndProject) for the top-k — nothing funnels through a
+    * single partition, so the plan is 100 TB-shaped; full BPE = iterate
+    * this with the winning pair folded in.
+    */
+  def bpePairCounts(spark: SparkSession, sfDir: String,
+                    k: Int = 25): DataFrame = {
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+    val pairs = words
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+    val top = pairs.orderBy(desc("n"), asc("pair")).limit(k)
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("n"), asc("pair"))).cast("long"))
+      .select(col("rank"), col("pair"), col("n"))
+      .orderBy("rank")
+  }
+
+  /** Heaps'-law vocabulary growth curve: the corpus in doc_id order cut
+    * into `nBuckets` equal prefixes, per bucket the token volume and the
+    * count of NEW types (tokens whose corpus-wide first occurrence — the
+    * min doc_id holding them — lands in that bucket), plus running
+    * cumulatives. Sublinear cum_types growth is the Heaps signature; a
+    * flat new_types tail is the classic "more data stops adding vocab"
+    * curation signal. All integers. Plan shape: first occurrence is ONE
+    * min-aggregate over the exploded token stream (map-side partial, one
+    * shuffle on the vocab-bounded token key); bucketing re-aggregates the
+    * vocab-sized frame to `nBuckets` rows, and the cumulative window runs
+    * over those `nBuckets` rows only — never over the corpus.
+    */
+  def vocabGrowth(spark: SparkSession, sfDir: String,
+                  nBuckets: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.agg(count(lit(1)).as("n_total"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    // token volume per bucket
+    val vol = toks.crossJoin(broadcast(nDocs))
+      .withColumn("bucket",
+        least(expr(s"(doc_id * $nBuckets) DIV n_total"),
+          lit(nBuckets - 1).cast("long")).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct("doc_id").as("n_docs"))
+    // corpus-wide first occurrence per type, re-bucketed
+    val firstOcc = toks.groupBy("token")
+      .agg(min("doc_id").as("first_doc"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("bucket",
+        least(expr(s"(first_doc * $nBuckets) DIV n_total"),
+          lit(nBuckets - 1).cast("long")).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vol.join(firstOcc, Seq("bucket"), "left_outer")
+      .na.fill(0L, Seq("new_types"))
+      .select(col("bucket"), col("n_docs").cast("long").as("n_docs"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("new_types").cast("long").as("new_types"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w).cast("long"))
+      .withColumn("cum_types", sum("new_types").over(w).cast("long"))
+      .orderBy("bucket")
+  }
 }

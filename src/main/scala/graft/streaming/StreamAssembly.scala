@@ -667,6 +667,101 @@ object StreamAssembly {
       .orderBy("user_id", "session_start")
   }
 
+  private val replaySrcCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String, Int), String]
+
+  /** Fixture scaffolding for [[streamDedupReplay]]: the events table
+    * staged as `nFiles` parquet files and then the SAME rows staged AGAIN
+    * as `nFiles` strictly-newer files — an at-least-once transport's
+    * crash-replay, which the reference's consumer genuinely produces
+    * (`consumers/kafka_to_clickhouse.py` re-polls uncommitted offsets
+    * after a crash and re-inserts). Every row therefore arrives exactly
+    * twice, in different micro-batches.
+    */
+  private def stageEventsWithReplay(spark: SparkSession, sfDir: String,
+                                    nFiles: Int): String =
+    replaySrcCache.getOrElseUpdate((spark, sfDir, nFiles), {
+      val events = graft.Tables.events(spark, sfDir)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("ts").cast("timestamp").as("ts"),
+          col("event_type").cast("string").as("event_type"),
+          col("value").cast("double").as("value"))
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_replay_src").toString
+      events.repartition(nFiles).write.mode("overwrite").parquet(d)
+      val dir = new java.io.File(d)
+      def parts() = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      val staged = parts().map(_.getPath).toSet
+      events.repartition(nFiles).write.mode("append").parquet(d)
+      val newest = parts().map(_.lastModified).max + 60000L
+      parts().filterNot(f => staged(f.getPath))
+        .foreach(_.setLastModified(newest))
+      d
+    })
+
+  private def replayEventSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+
+  /** Streaming exact-once dedup as an ORACLE-CHECKED query: the staged
+    * stream delivers every event TWICE (cross-batch replay, the
+    * at-least-once failure mode), `dropDuplicatesWithinWatermark` on the
+    * business key drops the replays, and the drained output aggregates to
+    * per-type counts and revenue. The DuckDB oracle is the same aggregate
+    * over the UNduplicated events table — a failed or leaky dedup would
+    * exactly double every count, so the hash gate pins the
+    * watermark-bounded dedup state machine (T4's exactly-once shape) to
+    * values, upgrading it from spec-only coverage. The 40-day watermark
+    * delay exceeds the fixture's 30-day span, so no replay is ever
+    * late-dropped and no state is evicted before its replay arrives —
+    * dedup semantics, not timing, decide the answer. At scale the same
+    * query runs with a realistic delay (state is evicted as the watermark
+    * advances; a replay storm is always near-tail by construction).
+    */
+  def streamDedupReplay(spark: SparkSession, sfDir: String,
+                        nFiles: Int = 3): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_stream_dedup").toString
+    val outDir = s"$tmp/deduped"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = stageEventsWithReplay(spark, sfDir, nFiles)
+    val stream = spark.readStream
+      .schema(replayEventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val query = stream
+        .withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.coalesce(1).write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.read.parquet(outDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+          .as("total_value"))
+      .orderBy("event_type")
+  }
+
   /** S3 (`sales_producer.py:160-165`): orders → JSON → Kafka sink
     * (connector jar required at runtime).
     */
