@@ -366,4 +366,41 @@ class PlanSpec extends SparkSpec {
         p.isInstanceOf[org.apache.spark.sql.execution.GlobalLimitExec]))
     }
   }
+
+  test("bpe pair top-k is a sort-limit — the pair-count frame never feeds" +
+       " a global row_number window") {
+    val plan = planOf("bpe_pair_counts")
+    assert(plan.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.TakeOrderedAndProjectExec]))
+    plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach { w =>
+      assert(flatten(w).exists(p =>
+        p.isInstanceOf[
+          org.apache.spark.sql.execution.TakeOrderedAndProjectExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.GlobalLimitExec]))
+    }
+  }
+
+  test("last-touch attribution windows partition by user — no " +
+       "unpartitioned window anywhere in the plan") {
+    val plan = planOf("attribution_last_touch")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty))
+  }
+
+  test("vocab growth's only global window consumes the nBuckets-row " +
+       "bucket frame, never the token stream") {
+    val plan = planOf("vocab_growth")
+    plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val names = w.output.map(_.name)
+      assert(names.contains("n_tokens") || names.contains("new_types"))
+      assert(!names.contains("token"))
+    }
+  }
 }
