@@ -166,6 +166,8 @@ object SparkEntry {
     "dup_pagerank" -> ((s, d) => Dedup.dupPageRank(s, d)),
     "global_rank_docs" -> ((s, d) => Analytics.globalRankDocs(s, d)),
     "hybrid_search" -> ((s, d) => Similarity.hybridSearch(s, d)),
+    "knn_label_purity" -> (Similarity.knnLabelPurity _),
+    "label_centroid_affinity" -> (Similarity.labelCentroidAffinity _),
     "bpe_pair_counts" -> ((s, d) => CorpusStats.bpePairCounts(s, d)),
     "vocab_growth" -> ((s, d) => CorpusStats.vocabGrowth(s, d)),
     "attribution_last_touch" ->
@@ -1874,6 +1876,60 @@ object SparkEntry {
         |count(*) AS n_docs,
         |CAST(sum(ceil(n_chars / 4.0)::BIGINT) AS BIGINT) AS sum_est_tokens
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin),
+    // per-label integer centroid sums and their pairwise dots — all BIGINT
+    "label_centroid_affinity" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_max([abs(embedding[i]::DOUBLE) for i in range(1, 65)])
+        |      AS max_abs, embedding
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, label,
+        |    [CAST(floor(embedding[i]::DOUBLE * (127.0 / max_abs) + 0.5)
+        |      AS BIGINT) for i in range(1, 65)] AS qv
+        |  FROM e),
+        |x AS (SELECT label, i AS pos, CAST(sum(qv[i]) AS BIGINT) AS s
+        |  FROM q, (SELECT unnest(range(1, 65)) AS i) GROUP BY 1, 2),
+        |n AS (SELECT label, count(*) AS n FROM q GROUP BY 1)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |na.n AS n_a, nb.n AS n_b,
+        |CAST(sum(a.s * b.s) AS BIGINT) AS dot_q
+        |FROM x a JOIN x b ON a.pos = b.pos AND a.label <= b.label
+        |JOIN n na ON na.label = a.label
+        |JOIN n nb ON nb.label = b.label
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin,
+    // 1-NN over int8-quantized vectors; the rank key sign(d)·d²/n is ONE
+    // IEEE division of exact BIGINTs — engine-identical, no fold order
+    "knn_label_purity" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_max([abs(embedding[i]::DOUBLE) for i in range(1, 65)])
+        |      AS max_abs, embedding
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, label,
+        |    [CAST(floor(embedding[i]::DOUBLE * (127.0 / max_abs) + 0.5)
+        |      AS BIGINT) for i in range(1, 65)] AS qv
+        |  FROM e),
+        |qn AS (SELECT vec_id, label, qv,
+        |    CAST(list_sum([qv[i] * qv[i] for i in range(1, 65)]) AS BIGINT)
+        |      AS nq
+        |  FROM q),
+        |p AS (SELECT a.vec_id AS a_id, a.label AS a_label,
+        |    b.vec_id AS b_id, b.label AS b_label, b.nq AS b_nq,
+        |    CAST(list_sum([a.qv[i] * b.qv[i] for i in range(1, 65)])
+        |      AS BIGINT) AS d
+        |  FROM qn a JOIN qn b ON a.vec_id <> b.vec_id),
+        |s AS (SELECT a_id, a_label, b_label,
+        |    CASE WHEN d >= 0
+        |      THEN CAST(d * d AS DOUBLE) / CAST(b_nq AS DOUBLE)
+        |      ELSE -(CAST(d * d AS DOUBLE) / CAST(b_nq AS DOUBLE)) END
+        |      AS score, b_id
+        |  FROM p),
+        |nn AS (SELECT a_label, b_label FROM (SELECT a_label, b_label,
+        |    row_number() OVER (PARTITION BY a_id
+        |      ORDER BY score DESC, b_id ASC) AS rn FROM s)
+        |  WHERE rn = 1)
+        |SELECT a_label AS label, count(*) AS n_vecs,
+        |CAST(sum(CASE WHEN a_label = b_label THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_nn_match
+        |FROM nn GROUP BY 1 ORDER BY 1""".stripMargin,
     // first BPE merge iteration: integer pair counts, deterministic
     // (n DESC, pair ASC) tiebreak
     "bpe_pair_counts" ->

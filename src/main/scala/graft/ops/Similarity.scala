@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -343,5 +344,96 @@ object Similarity {
         (aggregate(err, lit(0.0), (acc, x) => acc + x) /
           size(col("embedding"))).as("mse"))
       .orderBy("vec_id")
+  }
+
+  /** Embedding-space label purity: each vector's 1-nearest-neighbor (by
+    * cosine over the int8-QUANTIZED vectors, self excluded) and the
+    * per-label count of neighbors that agree — the standard embedding
+    * quality audit before trusting vectors for dedup/curation (a noisy
+    * space shows low 1-NN purity). All similarity arithmetic is exact:
+    * integer dot `d` and integer norm² `n`, ranked by the cosine-monotone
+    * key sign(d)·d²/n — d² and n are exact BIGINTs below 2⁵³, so the ONE
+    * double division is a single IEEE op both engines evaluate
+    * identically (no fold-order exposure, unlike a float dot), with
+    * vec_id as the deterministic tiebreak.
+    *
+    * Scale posture: the candidate generator here is the labeled
+    * small-corpus brute force (broadcast nested loop, like
+    * [[bruteForceTopK]]); at index scale the same scoring runs over
+    * LSH-band candidates (`vec_lsh_sig`, the [[annTopK]] path) — the
+    * ranking key and the purity aggregate are unchanged.
+    */
+  def knnLabelPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir)
+      .withColumn("max_abs",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .withColumn("qv", transform(col("embedding"),
+        x => floor(x.cast("double") * (lit(127.0) / col("max_abs")) +
+          lit(0.5)).cast("long")))
+      .withColumn("nq",
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
+    val a = base.select(col("vec_id").as("a_id"),
+      col("label").as("a_label"), col("qv").as("a_qv"))
+    val b = base.select(col("vec_id").as("b_id"),
+      col("label").as("b_label"), col("qv").as("b_qv"),
+      col("nq").as("b_nq"))
+    val d = aggregate(zip_with(col("a_qv"), col("b_qv"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy("a_id").orderBy(desc("score"), asc("b_id"))
+    a.join(broadcast(b), col("a_id") =!= col("b_id"))
+      .withColumn("d", d)
+      .withColumn("score",
+        when(col("d") >= 0,
+          (col("d") * col("d")).cast("double") / col("b_nq").cast("double"))
+          .otherwise(-(col("d") * col("d")).cast("double") /
+            col("b_nq").cast("double")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("a_label").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("a_label") === col("b_label"), lit(1L))
+          .otherwise(lit(0L))).cast("long").as("n_nn_match"))
+      .orderBy("label")
+  }
+
+  /** Inter-label affinity matrix over the quantized embedding space: the
+    * element-wise integer SUM vector per label (the unnormalized
+    * centroid) and the pairwise dot products between those sums — high
+    * off-diagonal affinity relative to the diagonals flags label pairs
+    * whose embedding clusters overlap (merge candidates / labeling noise).
+    * Sums of int8 components and their products stay far below 2⁶³, so
+    * every cell is an exact BIGINT and the gate is float-free.
+    *
+    * Plan shape: ONE posexplode + (label, dim)-keyed partial aggregate
+    * over the corpus — the same map-side-combining shuffle as the k-means
+    * centroid update — then all pairwise work happens on the
+    * (labels × dims)-sized frame (640 rows here; ≤ k·dim always), joined
+    * to itself on the dim key with the label-pair aggregate on top. The
+    * corpus is touched exactly once regardless of k.
+    */
+  def labelCentroidAffinity(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir)
+      .withColumn("max_abs",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .withColumn("qv", transform(col("embedding"),
+        x => floor(x.cast("double") * (lit(127.0) / col("max_abs")) +
+          lit(0.5)).cast("long")))
+    val x = base
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum("v").as("s"))
+    val n = base.groupBy("label").agg(count(lit(1)).as("n"))
+    x.as("a")
+      .join(broadcast(x.as("b")),
+        col("a.pos") === col("b.pos") && col("a.label") <= col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(col("a.s") * col("b.s")).cast("long").as("dot_q"))
+      .join(broadcast(n).withColumnRenamed("label", "label_a")
+        .withColumnRenamed("n", "n_a"), Seq("label_a"))
+      .join(broadcast(n).withColumnRenamed("label", "label_b")
+        .withColumnRenamed("n", "n_b"), Seq("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a").cast("long"),
+        col("n_b").cast("long"), col("dot_q"))
+      .orderBy("label_a", "label_b")
   }
 }
