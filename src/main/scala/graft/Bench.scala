@@ -53,12 +53,22 @@ object Bench {
       try run(n, "/root/testdata/sf0.001")
       catch { case _: Throwable => () }
     }
+    // a query that THROWS must not masquerade as a fast pass (a broken
+    // query returns in ms and would "win" the bench) — track failures and
+    // surface them in the JSON + stderr
+    val failed = scala.collection.mutable.SortedSet.empty[String]
     def timedPass(): Map[String, Double] = {
       graft.ops.Dedup.clearMemo()
       names.map { name =>
         val t0 = System.nanoTime()
         try run(name, sfDir)
-        catch { case _: Throwable => () }
+        catch {
+          case e: Throwable =>
+            failed += name
+            System.err.println(
+              s"[bench] FAIL $name: ${e.getClass.getSimpleName}: " +
+                String.valueOf(e.getMessage).take(200))
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }
@@ -76,11 +86,14 @@ object Bench {
     val onlyField =
       if (only.isEmpty) ""
       else names.map("\"" + _ + "\"").mkString(""""only":[""", ",", "],")
+    val errField =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""""errors":[""", ",", "],")
     // "value" LAST: the harness keeps a 2000-char stdout tail and this line
     // exceeds it — key order makes the headline number truncation-proof.
     val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir",$onlyField""" +
-      s""""queries":${qmap(results)},"value":${fmt(total)}}"""
-    val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir",$onlyField""" +
+      s"""$errField"queries":${qmap(results)},"value":${fmt(total)}}"""
+    val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir",$onlyField$errField""" +
       s""""pass1":${qmap(names.map(n => n -> p1(n)))},""" +
       s""""pass2":${qmap(names.map(n => n -> p2(n)))},""" +
       s""""queries":${qmap(results)},"value":${fmt(total)}}"""
@@ -99,7 +112,8 @@ object Bench {
     // line LAST: short enough that tail-truncation always preserves it
     // whole, with the per-query map reachable via BENCH_LAST.json.
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
-      s""""n_queries":${names.size},"bench_last":"$benchPath",""" +
+      s""""n_queries":${names.size},"n_failed":${failed.size},""" +
+      s""""bench_last":"$benchPath",""" +
       s""""value":${fmt(total)}}""")
     spark.stop()
   }

