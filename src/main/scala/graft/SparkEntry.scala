@@ -174,6 +174,8 @@ object SparkEntry {
       ((s, d) => Analytics.attributionLastTouch(s, d)),
     "stream_dedup_replay" ->
       ((s, d) => graft.streaming.StreamAssembly.streamDedupReplay(s, d)),
+    "stream_late_drop" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamLateDrop(s, d)),
     // rows-only (approx sketches aren't cross-engine comparable; accuracy
     // is spec-asserted in ApproxSpec, mirroring approx_distinct_users)
     "approx_value_quantiles" -> ((s, d) => TrainingSets.approxValueQuantiles(s, d))
@@ -1992,6 +1994,17 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         |round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
         |  AS total_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the globally-oldest event arrives after the watermark passed it and
+    // MUST be dropped — the oracle aggregates events excluding exactly it
+    "stream_late_drop" ->
+      """WITH excl AS (SELECT event_id FROM events
+        |  ORDER BY ts, event_id LIMIT 1)
+        |SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type,
+        |count(*) AS n_events,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |  AS total_value
+        |FROM events WHERE event_id NOT IN (SELECT event_id FROM excl)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

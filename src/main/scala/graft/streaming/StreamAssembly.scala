@@ -762,6 +762,124 @@ object StreamAssembly {
       .orderBy("event_type")
   }
 
+  private val lateSrcCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String, Int), String]
+
+  /** Fixture scaffolding for [[streamLateDrop]]: the events table minus
+    * its globally-OLDEST event (min (ts, event_id) — a deterministic
+    * choice both engines can name in SQL) staged as `nFiles`
+    * TIME-ORDERED chunk files (chunk k+1's event times all follow chunk
+    * k's, so the REAL watermark delay never makes an on-time row late —
+    * the round-robin staging the no-late fixtures use would mass-drop
+    * here); then that oldest event staged as a strictly-newer file (it
+    * arrives AFTER the watermark has advanced ~29 days past its event
+    * time); then the far-future sentinel staged newest of all (flushes
+    * every pending window before Trigger.AvailableNow stops).
+    */
+  private def stageEventsWithLateStraggler(spark: SparkSession, sfDir: String,
+                                           nFiles: Int): String =
+    lateSrcCache.getOrElseUpdate((spark, sfDir, nFiles), {
+      import org.apache.spark.sql.expressions.Window
+      val events = graft.Tables.events(spark, sfDir)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("ts").cast("timestamp").as("ts"),
+          col("event_type").cast("string").as("event_type"),
+          col("value").cast("double").as("value"))
+      val oldest = events.orderBy(col("ts"), col("event_id"))
+        .select(col("event_id")).first().getLong(0)
+      val maxTs = events.agg(max("ts")).first().getTimestamp(0)
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_late_src").toString
+      val dir = new java.io.File(d)
+      def parts() = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      def bumpNewerThan(prev: Set[String], offset: Long): Unit = {
+        val newest =
+          (0L +: parts().map(_.lastModified)).max + offset
+        parts().filterNot(f => prev(f.getPath))
+          .foreach(_.setLastModified(newest))
+      }
+      // fixture scaffolding only: the global ntile runs once over the
+      // staged fixture, never inside a registered query plan
+      val chunked = events.filter(col("event_id") =!= oldest)
+        .withColumn("chunk", ntile(nFiles).over(
+          Window.orderBy(col("ts"), col("event_id"))))
+      (1 to nFiles).foreach { c =>
+        val prev = parts().map(_.getPath).toSet
+        chunked.filter(col("chunk") === c).drop("chunk")
+          .coalesce(1).write.mode("append").parquet(d)
+        bumpNewerThan(prev, 60000L)
+      }
+      val withChunks = parts().map(_.getPath).toSet
+      events.filter(col("event_id") === oldest)
+        .coalesce(1).write.mode("append").parquet(d)
+      bumpNewerThan(withChunks, 60000L)
+      val withLate = parts().map(_.getPath).toSet
+      val sentinelTs = new java.sql.Timestamp(
+        maxTs.getTime + 41L * 86400000L)
+      import spark.implicits._
+      Seq((-1L, sentinelTs, "sentinel", 0.0))
+        .toDF("event_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(d)
+      bumpNewerThan(withLate, 60000L)
+      d
+    })
+
+  /** Watermark LATE-DATA DROP as an oracle-checked query (T3's other
+    * half): an hourly×type windowed aggregate with a 1-day watermark
+    * delay drains a staged stream whose globally-oldest event arrives
+    * LAST (after the watermark has advanced ~29 days beyond its event
+    * time) — the row must be discarded, and every other row must not be.
+    * The DuckDB oracle aggregates the events table EXCLUDING exactly that
+    * event (`min (ts, event_id)` names it deterministically), so the hash
+    * gate pins both drop and no-drop sides of the watermark contract to
+    * values. The sentinel-flush and in-watermark-merge siblings
+    * ([[streamSessionsTws]], [[streamDedupReplay]]) pin the opposite
+    * regime (nothing late, nothing dropped); together the two regimes
+    * bracket T3. The sentinel's own far-future window is cut by the
+    * `hour <= max real hour` filter on the drained output.
+    */
+  def streamLateDrop(spark: SparkSession, sfDir: String,
+                     nFiles: Int = 3): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_stream_late").toString
+    val outDir = s"$tmp/rollup"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = stageEventsWithLateStraggler(spark, sfDir, nFiles)
+    val maxHour = graft.Tables.events(spark, sfDir)
+      .agg(date_trunc("hour", max(col("ts").cast("timestamp"))))
+      .first().getTimestamp(0)
+    val stream = spark.readStream
+      .schema(replayEventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val query = stream
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+            .as("total_value"))
+        .select(col("window.start").as("hour"), col("event_type"),
+          col("n_events"), col("total_value"))
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.coalesce(1).write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.read.parquet(outDir)
+      .filter(col("hour") <= lit(maxHour))
+      .orderBy("hour", "event_type")
+  }
+
   /** S3 (`sales_producer.py:160-165`): orders → JSON → Kafka sink
     * (connector jar required at runtime).
     */
