@@ -168,6 +168,7 @@ object SparkEntry {
     "hybrid_search" -> ((s, d) => Similarity.hybridSearch(s, d)),
     "knn_label_purity" -> (Similarity.knnLabelPurity _),
     "label_centroid_affinity" -> (Similarity.labelCentroidAffinity _),
+    "minhash_recall_eval" -> ((s, d) => Dedup.minhashRecallEval(s, d)),
     "bpe_pair_counts" -> ((s, d) => CorpusStats.bpePairCounts(s, d)),
     "vocab_growth" -> ((s, d) => CorpusStats.vocabGrowth(s, d)),
     "attribution_last_touch" ->
@@ -1878,6 +1879,45 @@ object SparkEntry {
         |count(*) AS n_docs,
         |CAST(sum(ceil(n_chars / 4.0)::BIGINT) AS BIGINT) AS sum_est_tokens
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin),
+    // LSH banding audit: candidates vs exact ground truth, all-integer
+    // confusion counts (same banding + verification CTEs as dedup_minhash
+    // and dedup_ngram_jaccard)
+    "minhash_recall_eval" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |   for i in range(1, len(ws)-1)])) AS s
+        |  FROM tok WHERE len(ws) >= 3),
+        |hx AS (SELECT doc_id,
+        |  ('0x' || substr(md5(s), 1, 12))::BIGINT AS h1,
+        |  (('0x' || substr(md5(s), 13, 12))::BIGINT | 1) AS h2 FROM sh),
+        |h AS (SELECT doc_id, i, min(h1 + i * h2) AS minh
+        |  FROM hx, range(0, 12) t(i) GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, (i // 2) AS band,
+        |  string_agg(minh::VARCHAR, '|' ORDER BY i) AS bsig
+        |  FROM h GROUP BY doc_id, (i // 2)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bs a JOIN bs b ON a.band = b.band AND a.bsig = b.bsig
+        |  AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |allp AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+        |  count(*) AS shared FROM sh sa
+        |  JOIN sh sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id
+        |  GROUP BY 1, 2),
+        |exact AS (SELECT doc_a, doc_b FROM allp
+        |  JOIN sizes za ON doc_a = za.doc_id
+        |  JOIN sizes zb ON doc_b = zb.doc_id
+        |  WHERE CAST(shared AS DOUBLE) / (za.n + zb.n - shared) >= 0.8),
+        |ne AS (SELECT count(*) AS n_exact FROM exact),
+        |nc AS (SELECT count(*) AS n_cand FROM cand),
+        |ntp AS (SELECT count(*) AS tp FROM cand c
+        |  JOIN exact e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b)
+        |SELECT CAST(n_exact AS BIGINT) AS n_exact,
+        |CAST(n_cand AS BIGINT) AS n_cand, CAST(tp AS BIGINT) AS tp,
+        |CAST(n_exact - tp AS BIGINT) AS fn,
+        |CAST(n_cand - tp AS BIGINT) AS fp
+        |FROM ne, nc, ntp""".stripMargin,
     // per-label integer centroid sums and their pairwise dots — all BIGINT
     "label_centroid_affinity" ->
       """WITH e AS (SELECT vec_id, label,

@@ -235,6 +235,16 @@ object Dedup {
     // the same logical shingle frame serves signature generation and
     // verification (recomputing the native kernel beats caching arrays)
     val sets = docShingleSets(spark, sfDir)
+    verifyJaccardWith(sets,
+      minhashCandidates(sets, k, rowsPerBand), threshold)
+  }
+
+  /** The banding CANDIDATE stage of [[minhashPairs]], exposed so
+    * [[minhashRecallEval]] can audit the un-verified candidate set —
+    * callers that want dedup pairs use [[minhashPairs]], which verifies.
+    */
+  private[graft] def minhashCandidates(sets: DataFrame, k: Int,
+                                       rowsPerBand: Int): DataFrame = {
     // the whole k-draw signature computes ROW-LOCAL in the minhash_sig
     // codegen kernel (one md5 per shingle, k running mins in-register) —
     // the former explode → md5 → hex-conv → k-column min-aggregate spent
@@ -260,13 +270,39 @@ object Dedup {
         explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band"), col(s"b$b").as("bsig"))): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
-    val candidates = banded.as("a")
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccardWith(sets, candidates, threshold)
+  }
+
+  /** LSH banding QUALITY audit: the MinHash candidate set measured
+    * against the exact-Jaccard ground truth (the prefix-filtered exact
+    * pair op, which is lossless at the threshold) — candidate count,
+    * true positives, missed pairs (fn: banding recall gaps, expected
+    * ≈0.2% at j=0.8 with r=2,b=6) and sub-threshold candidates (fp:
+    * wasted verification work). The counts every production LSH rollout
+    * is tuned by, and the gate is all-integer: tp is a semi-join between
+    * two deterministic pair sets, fn/fp are arithmetic. Plan shape:
+    * reuses the MEMOIZED exact pair frame (shared with dedup_ngram /
+    * clusters / curation) plus one banding pass; the three single-row
+    * counts broadcast-combine via cross joins — no driver .count() loop.
+    */
+  def minhashRecallEval(spark: SparkSession, sfDir: String,
+                        threshold: Double = 0.8, k: Int = 12,
+                        rowsPerBand: Int = 2): DataFrame = {
+    val exact = ngramJaccardPairs(spark, sfDir, threshold)
+      .select("doc_a", "doc_b")
+    val cand = minhashCandidates(docShingleSets(spark, sfDir), k, rowsPerBand)
+    val tp = cand.join(exact, Seq("doc_a", "doc_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(tp.agg(count(lit(1)).as("tp")))
+      .select(col("n_exact"), col("n_cand"), col("tp"),
+        (col("n_exact") - col("tp")).as("fn"),
+        (col("n_cand") - col("tp")).as("fp"))
   }
 
   /** Near-dup CLUSTERS from pair lists — the step that turns candidate
