@@ -74,6 +74,7 @@ object SparkEntry {
     "approx_distinct_users" -> (Rollups.approxDistinctUsers _),
     "topk_per_segment" -> ((s, d) => TopK.topOrdersPerSegment(s, d)),
     "asof_events_orders" -> (AsOf.eventsAsOfOrders _),
+    "asof_custom_plan" -> (AsOf.eventsAsOfOrdersCustom _),
     "range_join_pairs" -> ((s, d) => RangeJoin.eventPairsWithin(s, d)),
     "train_test_split" -> (TrainingSets.trainTestSplit _),
     "value_quantiles" -> (TrainingSets.valueQuantiles _),
@@ -225,7 +226,12 @@ object SparkEntry {
       |SELECT label AS cluster, count(*) AS n_members, max(node) AS max_doc
       |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // the custom-plan as-of runs against the IDENTICAL oracle as the
+    // composed form — one SQL text, two engine implementations behind it
+    ("asof_custom_plan" -> oracleSqlBase("asof_events_orders"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "rollup_hourly" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type,
         |count(*) AS order_count, round(sum(value), 2) AS total_revenue

@@ -47,6 +47,10 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(RewriteIntersectSize))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteIntersectSize
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 }
 
@@ -80,5 +84,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => RewriteIntersectSize)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

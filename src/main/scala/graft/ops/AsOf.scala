@@ -71,4 +71,35 @@ object AsOf {
         col("event_type"), col("asof_orderkey"), col("asof_price"))
       .orderBy("event_id")
   }
+
+  /** The SAME as-of query through the custom plan node
+    * ([[graft.plans.AsOfJoin]] → [[graft.plans.AsOfJoinExec]], preference
+    * tier (c)): no union, no window — each side shuffles once in its own
+    * schema and the sorted per-partition streams merge with an O(1)
+    * forward pointer. Registered against the IDENTICAL DuckDB ASOF-JOIN
+    * oracle as [[eventsAsOfOrders]], so the hash gate proves the custom
+    * physical operator equivalent to both the composed form and the
+    * native reference semantics.
+    */
+  def eventsAsOfOrdersCustom(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark) // installs the strategy
+    val orders = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max_by(
+        struct(col("o_orderkey"), col("o_totalprice")), col("o_orderkey"))
+        .as("o"))
+      .select(col("o_custkey").as("key"),
+        col("o_orderdate").cast("timestamp").as("t"),
+        col("o.o_orderkey").as("o_orderkey"),
+        col("o.o_totalprice").as("o_totalprice"))
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+    graft.plans.AsOfJoinApi
+      .asofJoin(events, orders, "user_id", "key", "ts", "t")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("o_orderkey").as("asof_orderkey"),
+        col("o_totalprice").as("asof_price"))
+      .orderBy("event_id")
+  }
 }

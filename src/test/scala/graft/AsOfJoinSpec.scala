@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+
+import graft.plans.AsOfJoinApi.asofJoin
+
+/** Semantics of the custom as-of plan node (graft.plans.AsOfJoin):
+  * inclusive time match, latest-wins, null-extension on miss, null keys
+  * never match — plus exact equivalence with the composed union+window
+  * form on the real fixture (both are also hash-gated against the same
+  * DuckDB ASOF JOIN oracle; this spec pins the edge semantics the fixture
+  * may not exercise).
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val right = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 101L),
+      (2L, ts("2024-01-01 11:00:00"), 200L)
+    ).toDF("rkey", "rt", "payload")
+  }
+
+  private def run(leftRows: Seq[(Long, Timestamp, String)]) = {
+    import spark.implicits._
+    val left = leftRows.toDF("lkey", "lt", "tag")
+    asofJoin(left, right, "lkey", "rkey", "lt", "rt")
+      .select("tag", "payload").collect().map(r =>
+        r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+  }
+
+  test("latest at-or-before right row wins; equal timestamps match " +
+       "inclusively; misses null-extend") {
+    val out = run(Seq(
+      (1L, ts("2024-01-01 09:00:00"), "before_all"),
+      (1L, ts("2024-01-01 10:00:00"), "tie_inclusive"),
+      (1L, ts("2024-01-01 11:59:59"), "between"),
+      (1L, ts("2024-01-01 13:00:00"), "after_all"),
+      (2L, ts("2024-01-01 11:00:00"), "other_key_tie"),
+      (3L, ts("2024-01-01 23:00:00"), "no_right_rows")))
+    assert(out("before_all") === -1L)
+    assert(out("tie_inclusive") === 100L)
+    assert(out("between") === 100L)
+    assert(out("after_all") === 101L)
+    assert(out("other_key_tie") === 200L)
+    assert(out("no_right_rows") === -1L)
+  }
+
+  test("null left keys and null left times never match") {
+    import spark.implicits._
+    val left = Seq(
+      (Some(1L), Some(ts("2024-01-01 13:00:00")), "ok"),
+      (None, Some(ts("2024-01-01 13:00:00")), "null_key"),
+      (Some(1L), None, "null_time")
+    ).toDF("lkey", "lt", "tag")
+    val out = asofJoin(left, right, "lkey", "rkey", "lt", "rt")
+      .select("tag", "payload").collect().map(r =>
+        r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out("ok") === 101L)
+    assert(out("null_key") === -1L)
+    assert(out("null_time") === -1L)
+  }
+
+  test("custom plan node and composed union+window form agree row-for-row " +
+       "on the fixture") {
+    val sf = "/root/testdata/sf0.001"
+    val a = ops.AsOf.eventsAsOfOrders(spark, sf).collect().toSeq
+    val b = ops.AsOf.eventsAsOfOrdersCustom(spark, sf).collect().toSeq
+    assert(a.size === b.size)
+    a.zip(b).foreach { case (x: Row, y: Row) => assert(x === y) }
+  }
+
+  test("the physical plan is AsOfJoinExec fed by one exchange+sort per " +
+       "side — no window, no union") {
+    val df = ops.AsOf.eventsAsOfOrdersCustom(spark, "/root/testdata/sf0.001")
+    df.collect()
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val nested = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange
+            .ReusedExchangeExec => Seq(r.child)
+        case _ => Nil
+      }
+      p +: (p.children ++ nested).flatMap(flatten)
+    }
+    val plan = flatten(df.queryExecution.executedPlan)
+    assert(plan.exists(_.isInstanceOf[graft.plans.AsOfJoinExec]))
+    assert(!plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+    assert(!plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.UnionExec]))
+  }
+}
