@@ -170,6 +170,8 @@ object SparkEntry {
     "knn_label_purity" -> (Similarity.knnLabelPurity _),
     "label_centroid_affinity" -> (Similarity.labelCentroidAffinity _),
     "minhash_recall_eval" -> ((s, d) => Dedup.minhashRecallEval(s, d)),
+    "fk_integrity" -> (Quality.fkIntegrity _),
+    "pareto_concentration" -> (Analytics.paretoConcentration _),
     "bpe_pair_counts" -> ((s, d) => CorpusStats.bpePairCounts(s, d)),
     "vocab_growth" -> ((s, d) => CorpusStats.vocabGrowth(s, d)),
     "attribution_last_touch" ->
@@ -1885,6 +1887,58 @@ object SparkEntry {
         |count(*) AS n_docs,
         |CAST(sum(ceil(n_chars / 4.0)::BIGINT) AS BIGINT) AS sum_est_tokens
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin),
+    // top-decile revenue share; cents are exact BIGINTs, share in ppm by
+    // integer floor division, the /100.0 display divisions single IEEE ops
+    "pareto_concentration" ->
+      """WITH rev AS (SELECT o_custkey,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT count(*) AS n_customers FROM rev),
+        |r AS (SELECT rev, row_number() OVER (
+        |  ORDER BY rev DESC, o_custkey ASC) AS rk FROM rev),
+        |agg AS (SELECT
+        |  CAST(sum(CASE WHEN rk <= (SELECT (n_customers + 9) // 10 FROM n)
+        |    THEN rev ELSE 0 END) * 100 AS BIGINT) AS top_cents,
+        |  CAST(sum(rev) * 100 AS BIGINT) AS total_cents FROM r)
+        |SELECT (SELECT n_customers FROM n) AS n_customers,
+        |(SELECT (n_customers + 9) // 10 FROM n) AS top_n,
+        |CAST(top_cents AS DOUBLE) / 100 AS top_revenue,
+        |CAST(total_cents AS DOUBLE) / 100 AS total_revenue,
+        |top_cents * 1000000 // total_cents AS share_ppm
+        |FROM agg""".stripMargin,
+    // per-relation anti-join orphan counts, all integers
+    "fk_integrity" ->
+      """WITH r1 AS (SELECT 'lineitem.orderkey->orders' AS relation,
+        |  count(*) AS n_child,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dangling,
+        |  count(DISTINCT CASE WHEN o_orderkey IS NULL
+        |    THEN l_orderkey END) AS n_dangling_keys
+        |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey),
+        |r2 AS (SELECT 'lineitem.partkey->part', count(*),
+        |  CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  count(DISTINCT CASE WHEN p_partkey IS NULL THEN l_partkey END)
+        |  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey),
+        |r3 AS (SELECT 'lineitem.suppkey->supplier', count(*),
+        |  CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  count(DISTINCT CASE WHEN s_suppkey IS NULL THEN l_suppkey END)
+        |  FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey),
+        |r4 AS (SELECT 'orders.custkey->customer', count(*),
+        |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  count(DISTINCT CASE WHEN c_custkey IS NULL THEN o_custkey END)
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey),
+        |r5 AS (SELECT 'customer.nationkey->nation', count(*),
+        |  CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  count(DISTINCT CASE WHEN n_nationkey IS NULL
+        |    THEN c_nationkey END)
+        |  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+        |UNION ALL SELECT * FROM r5 ORDER BY 1""".stripMargin,
     // LSH banding audit: candidates vs exact ground truth, all-integer
     // confusion counts (same banding + verification CTEs as dedup_minhash
     // and dedup_ngram_jaccard)

@@ -553,6 +553,50 @@ object Analytics {
       .orderBy("event_type", "bin")
   }
 
+  /** Revenue concentration (Pareto view): how much of total order revenue
+    * the top decile of customers carries. The global descending rank over
+    * per-customer revenue uses the bucket-offset two-phase pattern
+    * ([[globalRankDocs]]) — bucket counts broadcast as prefix offsets,
+    * ranks assigned inside bucket-partitioned windows — so the
+    * per-customer frame NEVER funnels through a single partition (the
+    * rfm-ntile mistake this repo already retired). All gate values are
+    * exact: revenue sums in DECIMAL (2-decimal fixture prices), the share
+    * as integer cents cross-multiplied to ppm with floor division. The
+    * ×1e6 ppm arithmetic stays far below 2⁶³ at fixture scale; a
+    * web-scale ledger would widen to DECIMAL for the ppm step.
+    */
+  def paretoConcentration(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("rev"))
+    val bucketed = rev.withColumn("bucket",
+      floor(col("rev") / lit(10000)).cast("long"))
+    val offsets = bucketed.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum("cnt").over(
+          Window.orderBy(desc("bucket")).rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+    val total = offsets.agg(max(col("offset") + col("cnt")).as("n_customers"))
+    bucketed
+      .join(broadcast(offsets.select("bucket", "offset")), Seq("bucket"))
+      .withColumn("local_rank", row_number().over(
+        Window.partitionBy("bucket")
+          .orderBy(desc("rev"), asc("o_custkey"))).cast("long"))
+      .withColumn("global_rank", col("offset") + col("local_rank"))
+      .crossJoin(broadcast(total))
+      .withColumn("top_n", expr("(n_customers + 9) div 10"))
+      .agg(
+        max("n_customers").as("n_customers"),
+        max("top_n").as("top_n"),
+        (sum(when(col("global_rank") <= col("top_n"), col("rev"))
+          .otherwise(lit(0))) * 100).cast("long").as("top_cents"),
+        (sum(col("rev")) * 100).cast("long").as("total_cents"))
+      .select(col("n_customers"), col("top_n"),
+        (col("top_cents").cast("double") / 100).as("top_revenue"),
+        (col("total_cents").cast("double") / 100).as("total_revenue"),
+        expr("top_cents * 1000000 div total_cents").as("share_ppm"))
+  }
+
   /** Last-touch attribution: every purchase is credited to the user's most
     * recent NON-purchase event within `windowMin` minutes (the channel
     * that "drove" it), or to `direct` if none. The deterministic total

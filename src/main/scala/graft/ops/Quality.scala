@@ -78,4 +78,46 @@ object Quality {
         min("doc_id").as("min_doc"),
         max("doc_id").as("max_doc"))
       .orderBy("source")
+
+  /** Referential-integrity audit across the star schema: for each
+    * FK-relation, the child row count, the count of child rows whose key
+    * dangles (no parent — a LEFT ANTI join), and the distinct dangling
+    * key count. The load-validation pass a warehouse runs after every
+    * ingest; all integers. Plan shape: one anti join per relation — the
+    * parent key columns are small (keys only, projected before the join)
+    * so every build side broadcasts; child tables are scanned once per
+    * relation with only the FK column read (columnar pruning). At 100 TB
+    * the same audit runs with the big-parent relations falling back to
+    * shuffled anti joins — semantics unchanged.
+    */
+  def fkIntegrity(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val part = Tables.part(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+    def rel(name: String, child: DataFrame, fk: String,
+            parent: DataFrame, pk: String): DataFrame = {
+      val keys = child.select(col(fk).as("k"))
+      val dangling = keys.join(
+        broadcast(parent.select(col(pk).as("k")).distinct()),
+        Seq("k"), "left_anti")
+      keys.agg(count(lit(1)).as("n_child"))
+        .crossJoin(dangling.agg(count(lit(1)).as("n_dangling"),
+          countDistinct(col("k")).as("n_dangling_keys")))
+        .select(lit(name).as("relation"), col("n_child"),
+          col("n_dangling"), col("n_dangling_keys"))
+    }
+    rel("lineitem.orderkey->orders", li, "l_orderkey", orders, "o_orderkey")
+      .unionByName(rel("lineitem.partkey->part", li, "l_partkey",
+        part, "p_partkey"))
+      .unionByName(rel("lineitem.suppkey->supplier", li, "l_suppkey",
+        supp, "s_suppkey"))
+      .unionByName(rel("orders.custkey->customer", orders, "o_custkey",
+        cust, "c_custkey"))
+      .unionByName(rel("customer.nationkey->nation", cust, "c_nationkey",
+        nat, "n_nationkey"))
+      .orderBy("relation")
+  }
 }

@@ -392,6 +392,19 @@ class PlanSpec extends SparkSpec {
     assert(windows.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("pareto concentration ranks via bucket offsets — any global " +
+       "window sees only bucket counts, never the per-customer frame") {
+    val plan = planOf("pareto_concentration")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty))
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.output.map(_.name).contains("cnt"))
+      assert(!w.output.map(_.name).contains("rev"))
+    }
+  }
+
   test("vocab growth's only global window consumes the nBuckets-row " +
        "bucket frame, never the token stream") {
     val plan = planOf("vocab_growth")
