@@ -76,6 +76,37 @@ class AsOfJoinSpec extends SparkSpec {
     a.zip(b).foreach { case (x: Row, y: Row) => assert(x === y) }
   }
 
+  test("custom as-of agrees with an in-memory reference on randomized " +
+       "data (fixed seed, 8 keys, duplicate times, missing keys)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val leftRows = (1 to 300).map { i =>
+      (rnd.nextInt(8).toLong,
+        new Timestamp(rnd.nextInt(100000).toLong * 1000L), s"L$i")
+    }
+    // right side keys 0..5 only (6,7 always miss); dedup per (key, time)
+    // keep-max-payload — the documented right-side contract
+    val rawRight = (1 to 200).map { i =>
+      (rnd.nextInt(6).toLong,
+        new Timestamp(rnd.nextInt(100000).toLong * 1000L), i.toLong)
+    }
+    val dedupR = rawRight.groupBy(r => (r._1, r._2))
+      .map { case (_, g) => g.maxBy(_._3) }.toSeq
+    def expected(l: (Long, Timestamp, String)): Long =
+      dedupR.filter(r => r._1 == l._1 && !r._2.after(l._2)) match {
+        case s if s.isEmpty => -1L
+        case ms => ms.maxBy(_._2.getTime)._3
+      }
+    val left = leftRows.toDF("lkey", "lt", "tag")
+    val right = dedupR.toDF("rkey", "rt", "payload")
+    val got = asofJoin(left, right, "lkey", "rkey", "lt", "rt")
+      .select("tag", "payload").collect().map(r =>
+        r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    leftRows.foreach { l =>
+      assert(got(l._3) === expected(l), s"row ${l._3} key ${l._1} t ${l._2}")
+    }
+  }
+
   test("the physical plan is AsOfJoinExec fed by one exchange+sort per " +
        "side — no window, no union") {
     val df = ops.AsOf.eventsAsOfOrdersCustom(spark, "/root/testdata/sf0.001")
