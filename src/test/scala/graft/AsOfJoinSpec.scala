@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 
 import graft.plans.AsOfJoinApi.asofJoin
 
@@ -105,6 +106,49 @@ class AsOfJoinSpec extends SparkSpec {
     leftRows.foreach { l =>
       assert(got(l._3) === expected(l), s"row ${l._3} key ${l._1} t ${l._2}")
     }
+  }
+
+  test("over bucketed tables the as-of join runs EXCHANGE-FREE — the " +
+       "co-location win the window-over-union form cannot express") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    graft.functions.GraftFunctions.register(spark)
+    Seq("asof_b_events", "asof_b_orders").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists())
+        dir.listFiles().foreach(_.delete())
+      dir.delete()
+    }
+    val sf = "/root/testdata/sf0.001"
+    Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"))
+      .write.bucketBy(8, "user_id").sortBy("user_id", "ts")
+      .mode("overwrite").saveAsTable("asof_b_events")
+    Tables.orders(spark, sf)
+      .groupBy(col("o_custkey").as("okey"))
+      .agg(max(col("o_orderdate").cast("timestamp")).as("ot"),
+        max("o_orderkey").as("okeymax"))
+      .write.bucketBy(8, "okey").sortBy("okey", "ot")
+      .mode("overwrite").saveAsTable("asof_b_orders")
+    val df = graft.plans.AsOfJoinApi.asofJoin(
+      spark.table("asof_b_events"), spark.table("asof_b_orders"),
+      "user_id", "okey", "ts", "ot")
+    df.collect()
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val nested = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => Seq(q.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ nested).flatMap(flatten)
+    }
+    val plan = flatten(df.queryExecution.executedPlan)
+    assert(plan.exists(_.isInstanceOf[graft.plans.AsOfJoinExec]))
+    assert(plan.count(_.isInstanceOf[ShuffleExchangeExec]) === 0)
   }
 
   test("the physical plan is AsOfJoinExec fed by one exchange+sort per " +
