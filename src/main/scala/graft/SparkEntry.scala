@@ -172,6 +172,7 @@ object SparkEntry {
     "minhash_recall_eval" -> ((s, d) => Dedup.minhashRecallEval(s, d)),
     "fk_integrity" -> (Quality.fkIntegrity _),
     "pareto_concentration" -> (Analytics.paretoConcentration _),
+    "dataset_card" -> (Quality.datasetCard _),
     "bpe_pair_counts" -> ((s, d) => CorpusStats.bpePairCounts(s, d)),
     "vocab_growth" -> ((s, d) => CorpusStats.vocabGrowth(s, d)),
     "attribution_last_touch" ->
@@ -1887,6 +1888,26 @@ object SparkEntry {
         |count(*) AS n_docs,
         |CAST(sum(ceil(n_chars / 4.0)::BIGINT) AS BIGINT) AS sum_est_tokens
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin),
+    // one-row corpus card; near-dup membership from the recursive-CTE
+    // label fixpoint (same lab CTE as the cluster oracles)
+    "dataset_card" -> (nearDupLabelCte +
+      """,
+        |base AS (SELECT count(*) AS n_docs,
+        |  count(DISTINCT source) AS n_sources,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+        |    AS exact_dup_docs,
+        |  CAST(sum(ceil(n_chars / 4.0)::BIGINT) AS BIGINT) AS est_tokens
+        |  FROM documents),
+        |tk AS (SELECT count(*) AS total_tokens,
+        |  count(DISTINCT t) AS vocab_size FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE length(t) > 0),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS near_dup_docs
+        |  FROM lab WHERE node <> label)
+        |SELECT n_docs, n_sources, n_langs, total_tokens, vocab_size,
+        |est_tokens, exact_dup_docs, near_dup_docs
+        |FROM base, tk, nd""".stripMargin),
     // top-decile revenue share; cents are exact BIGINTs, share in ppm by
     // integer floor division, the /100.0 display divisions single IEEE ops
     "pareto_concentration" ->

@@ -120,4 +120,39 @@ object Quality {
         nat, "n_nationkey"))
       .orderBy("relation")
   }
+
+  /** The one-row DATASET CARD a curation pipeline publishes with a
+    * training corpus (the HF dataset-card / Datasheets-for-Datasets
+    * summary, re-expressed as a query): corpus size, source/language
+    * breadth, token volume and vocabulary, exact-duplicate and
+    * near-duplicate document counts, and the chars/4 token estimate the
+    * packing planner budgets with. All integers; near-dup membership
+    * comes from the MEMOIZED connected-component labels (shared with
+    * dedup_clusters / curation_pipeline — the expensive pair pipeline
+    * runs once per process), so the card costs two corpus scans (field
+    * profile + token explode) plus three broadcast-combined scalars.
+    */
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct("source").as("n_sources"),
+      countDistinct("lang").as("n_langs"),
+      (count(lit(1)) - countDistinct(md5(col("text"))))
+        .as("exact_dup_docs"),
+      sum(ceil(col("n_chars") / 4.0).cast("long")).cast("long")
+        .as("est_tokens"))
+    val tok = toks.agg(count(lit(1)).as("total_tokens"),
+      countDistinct("t").as("vocab_size"))
+    val nd = Dedup.clusterLabels(spark, sfDir)
+      .filter(col("node") =!= col("label"))
+      .agg(count(lit(1)).as("near_dup_docs"))
+    base.crossJoin(tok).crossJoin(nd)
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("total_tokens"), col("vocab_size"), col("est_tokens"),
+        col("exact_dup_docs"), col("near_dup_docs"))
+  }
 }

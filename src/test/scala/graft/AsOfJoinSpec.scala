@@ -108,6 +108,27 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("string keys order correctly through the interpreted ordering " +
+       "(UTF8String comparisons, not just longs)") {
+    import spark.implicits._
+    val left = Seq(
+      ("alpha", ts("2024-01-01 12:00:00"), "a_mid"),
+      ("beta", ts("2024-01-01 09:00:00"), "b_early"),
+      ("gamma", ts("2024-01-01 12:00:00"), "c_missing"))
+      .toDF("lkey", "lt", "tag")
+    val right = Seq(
+      ("alpha", ts("2024-01-01 10:00:00"), 1L),
+      ("alpha", ts("2024-01-01 11:00:00"), 2L),
+      ("beta", ts("2024-01-01 10:00:00"), 3L))
+      .toDF("rkey", "rt", "payload")
+    val out = asofJoin(left, right, "lkey", "rkey", "lt", "rt")
+      .select("tag", "payload").collect().map(r =>
+        r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out("a_mid") === 2L)
+    assert(out("b_early") === -1L)
+    assert(out("c_missing") === -1L)
+  }
+
   test("over bucketed tables the as-of join runs EXCHANGE-FREE — the " +
        "co-location win the window-over-union form cannot express") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
