@@ -173,6 +173,7 @@ object SparkEntry {
     "fk_integrity" -> (Quality.fkIntegrity _),
     "pareto_concentration" -> (Analytics.paretoConcentration _),
     "dataset_card" -> (Quality.datasetCard _),
+    "session_pattern_counts" -> ((s, d) => Sessions.sessionPatternCounts(s, d)),
     "bpe_pair_counts" -> ((s, d) => CorpusStats.bpePairCounts(s, d)),
     "vocab_growth" -> ((s, d) => CorpusStats.vocabGrowth(s, d)),
     "attribution_last_touch" ->
@@ -1888,6 +1889,33 @@ object SparkEntry {
         |count(*) AS n_docs,
         |CAST(sum(ceil(n_chars / 4.0)::BIGINT) AS BIGINT) AS sum_est_tokens
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin),
+    // MATCH_RECOGNIZE-lite: ordered per-session initial strings +
+    // subsequence LIKE scans; (ts, event_id) order is deterministic
+    "session_pattern_counts" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |  substr(event_type, 1, 1) AS i,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts) OVER w::TIMESTAMP)
+        |          > 1800000000
+        |  THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, event_id, i,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |strs AS (SELECT user_id, sid,
+        |  string_agg(i, '' ORDER BY ts, event_id) AS es
+        |  FROM s GROUP BY 1, 2)
+        |SELECT count(*) AS n_sessions,
+        |CAST(sum(CASE WHEN es LIKE '%v%' THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_view,
+        |CAST(sum(CASE WHEN es LIKE '%v%c%' THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_view_click,
+        |CAST(sum(CASE WHEN es LIKE '%v%c%p%' THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_view_click_purchase,
+        |CAST(sum(CASE WHEN es LIKE 'p%' THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_purchase_first
+        |FROM strs""".stripMargin,
     // one-row corpus card; near-dup membership from the recursive-CTE
     // label fixpoint (same lab CTE as the cluster oracles)
     "dataset_card" -> (nearDupLabelCte +

@@ -365,7 +365,7 @@ object Similarity {
   def knnLabelPurity(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
     // qv stays array<double> so the hot pairwise dot runs through the
-    // codegen'd vec_dot kernel (26 s → ~1 s at sf0.1 vs interpreted
+    // codegen'd vec_dot kernel (26 s → 2.5 s at sf0.1 vs interpreted
     // zip_with/aggregate HOFs); components are small INTEGERS carried in
     // doubles, and every product/sum stays < 2⁵³, so double accumulation
     // is exact regardless of order — the cast to long loses nothing
