@@ -1028,7 +1028,7 @@ object SparkEntry {
     "event_transitions" ->
       """WITH p AS (SELECT event_type AS from_type,
         |  lead(event_type) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id) AS to_type
+        |    ORDER BY ts::TIMESTAMP, event_id) AS to_type
         |  FROM events),
         |g AS (SELECT from_type, to_type, count(*) AS n FROM p
         |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
@@ -1049,7 +1049,7 @@ object SparkEntry {
         |  - epoch_us(first_view::TIMESTAMP)) // 86400000000 AS BIGINT)
         |  AS days_to_convert, count(*) AS n_users
         |FROM v JOIN p ON v.user_id = p.user_id
-        |WHERE first_purchase >= first_view
+        |WHERE first_purchase::TIMESTAMP >= first_view::TIMESTAMP
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // DAU/WAU/MAU: one fanned (user-day × day-spine) frame, three
     // conditional distinct counts — all exact integers

@@ -350,9 +350,10 @@ object Analytics {
       .orderBy("from_type", "to_type")
   }
 
-  /** Conversion latency distribution: for each user with a purchase after
-    * their first view, full days between first view and first purchase,
-    * bucketed — the time-to-convert histogram. All arithmetic is exact
+  /** Conversion latency distribution: for each user whose first purchase
+    * is AT or after their first view (>= — a same-instant conversion
+    * lands in bucket 0, matching the oracle), full days between first
+    * view and first purchase, bucketed. All arithmetic is exact
     * integer microsecond differences; two user-keyed min-aggregates and
     * one bounded histogram aggregate.
     */
