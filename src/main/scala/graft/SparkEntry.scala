@@ -174,6 +174,7 @@ object SparkEntry {
     "pareto_concentration" -> (Analytics.paretoConcentration _),
     "dataset_card" -> (Quality.datasetCard _),
     "session_pattern_counts" -> ((s, d) => Sessions.sessionPatternCounts(s, d)),
+    "seasonal_profile" -> (Rollups.seasonalProfile _),
     "bpe_pair_counts" -> ((s, d) => CorpusStats.bpePairCounts(s, d)),
     "vocab_growth" -> ((s, d) => CorpusStats.vocabGrowth(s, d)),
     "attribution_last_touch" ->
@@ -1889,6 +1890,23 @@ object SparkEntry {
         |count(*) AS n_docs,
         |CAST(sum(ceil(n_chars / 4.0)::BIGINT) AS BIGINT) AS sum_est_tokens
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin),
+    // dow/hour from engine-neutral integer epoch arithmetic (native
+    // dayofweek() numbering differs between engines)
+    "seasonal_profile" ->
+      """WITH c AS (SELECT
+        |  ((epoch_us(ts::TIMESTAMP) // 86400000000) + 4) % 7 AS dow,
+        |  (epoch_us(ts::TIMESTAMP) % 86400000000) // 3600000000 AS hour,
+        |  value
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT dow, hour, count(*) AS n_orders,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |    AS revenue
+        |  FROM c GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total_orders FROM g)
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+        |n_orders, revenue,
+        |n_orders * 1000000 // total_orders AS share_ppm
+        |FROM g, t ORDER BY 1, 2""".stripMargin,
     // MATCH_RECOGNIZE-lite: ordered per-session initial strings +
     // subsequence LIKE scans; (ts, event_id) order is deterministic
     "session_pattern_counts" ->

@@ -207,4 +207,33 @@ object Rollups {
           round(sum(when(col("event_type") === t, col("value"))), 2).as(t)): _*)
       .orderBy("date")
   }
+
+  /** Seasonality profile: purchase volume by (day-of-week × hour-of-day) —
+    * the periodic view next to the chronological A7 trend (staffing/alert
+    * baselines read this shape). Both period keys are ENGINE-NEUTRAL
+    * integer arithmetic on epoch microseconds — `dow = (days + 4) % 7`
+    * (0 = Sunday; 1970-01-01 was a Thursday) and
+    * `hour = (µs mod day) div hour` — because the engines' native
+    * dayofweek() disagree on numbering (Spark 1=Sunday, DuckDB
+    * 0=Sunday). share_ppm is integer count cross-division. One
+    * partial-aggregating shuffle on ≤168 keys.
+    */
+  def seasonalProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val cell = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("dow",
+        expr("((unix_micros(ts) div 86400000000) + 4) % 7"))
+      .withColumn("hour",
+        expr("(unix_micros(ts) % 86400000000) div 3600000000"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+          .as("revenue"))
+    val total = cell.agg(sum("n_orders").as("total_orders"))
+    cell.crossJoin(broadcast(total))
+      .select(col("dow").cast("long").as("dow"), col("hour"),
+        col("n_orders"), col("revenue"),
+        expr("n_orders * 1000000 div total_orders").as("share_ppm"))
+      .orderBy("dow", "hour")
+  }
 }

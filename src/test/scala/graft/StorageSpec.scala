@@ -132,6 +132,25 @@ class StorageSpec extends SparkSpec {
     assert(merged.filter(col("coupon_code").startsWith("CP-")).count() === 100)
   }
 
+  test("ORC round-trip: the raw order frame survives the second columnar " +
+       "format byte-identically (schema + every value)") {
+    // format breadth (S5/S6): same frame written parquet AND orc, read
+    // back, and compared value-for-value — both formats are first-class
+    // Spark sinks, so switching costs exactly `.format("orc")`
+    val dir = Files.createTempDirectory("orc_rt").toString
+    val src = SalesGen.orders(spark, 500L).drop("_gen_id")
+    src.write.mode("overwrite").parquet(s"$dir/p")
+    src.write.mode("overwrite").orc(s"$dir/o")
+    val p = spark.read.parquet(s"$dir/p")
+    val o = spark.read.orc(s"$dir/o")
+    assert(o.schema === p.schema)
+    val ordCols = p.columns.map(col)
+    val a = p.orderBy(ordCols: _*).collect()
+    val b = o.orderBy(ordCols: _*).collect()
+    assert(a.length === 500 && b.length === 500)
+    a.zip(b).foreach { case (x, y) => assert(x === y) }
+  }
+
   test("retention is a no-op when nothing is expired, and on empty dirs") {
     val dir = Files.createTempDirectory("ttl2").toString
     Storage.writeRaw(monthSpread(100), dir)
