@@ -166,16 +166,29 @@ object AsOfJoinApi {
                leftTime: String, rightTime: String): DataFrame = {
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
+    // honor the session's resolution mode — Spark resolves column names
+    // case-insensitively by default, and this API should not be stricter
+    val caseSensitive = left.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    def canon(n: String) = if (caseSensitive) n else n.toLowerCase
     def attr(plan: LogicalPlan, name: String) =
-      plan.output.find(_.name == name).getOrElse(
+      plan.output.find(a => canon(a.name) == canon(name)).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not found in ${plan.output.map(_.name)}"))
-    require(lPlan.output.map(_.name).toSet
-      .intersect(rPlan.output.map(_.name).toSet).isEmpty,
+    require(lPlan.output.map(a => canon(a.name)).toSet
+      .intersect(rPlan.output.map(a => canon(a.name)).toSet).isEmpty,
       "asofJoin children must have disjoint column names")
+    val (lk, rk) = (attr(lPlan, leftKey), attr(rPlan, rightKey))
+    val (lt, rt) = (attr(lPlan, leftTime), attr(rPlan, rightTime))
+    // the exec compares values through ONE interpreted ordering built
+    // from the LEFT side's types — mismatched sides would sort fine on
+    // their own types and then ClassCastException inside the merge, so
+    // reject them at construction instead
+    require(lk.dataType == rk.dataType,
+      s"asofJoin key types differ: ${lk.dataType} vs ${rk.dataType}")
+    require(lt.dataType == rt.dataType,
+      s"asofJoin time types differ: ${lt.dataType} vs ${rt.dataType}")
     GraftPlanBridge.ofRows(left.sparkSession,
-      AsOfJoin(lPlan, rPlan,
-        attr(lPlan, leftKey), attr(rPlan, rightKey),
-        attr(lPlan, leftTime), attr(rPlan, rightTime)))
+      AsOfJoin(lPlan, rPlan, lk, rk, lt, rt))
   }
 }

@@ -156,8 +156,10 @@ object StreamAssembly {
 
   /** A8 (`sales_producer.py:172-188`, `kafka_to_clickhouse.py:131-149`):
     * running ingest metrics via `observe` — per-micro-batch row count,
-    * revenue, error count (rows whose timestamp fell back). Read from a
-    * `StreamingQueryListener`'s `QueryProgressEvent.progress.observedMetrics`.
+    * revenue, and the count of rows whose order_id DEFAULTED to empty
+    * (the P3 fallback — the consumer's per-batch error tally analogue).
+    * Read from a `StreamingQueryListener`'s
+    * `QueryProgressEvent.progress.observedMetrics`.
     */
   def withIngestMetrics(orders: DataFrame): DataFrame =
     orders.observe("ingest_metrics",
@@ -170,6 +172,38 @@ object StreamAssembly {
     * time trigger + maxOffsetsPerTrigger reproduce both bounds.
     */
   val defaultTrigger: Trigger = Trigger.ProcessingTime("5 seconds")
+
+  /** Serializes the streaming drains' session-conf mutation (lowered
+    * shuffle partitions while an AvailableNow query drains): the conf is
+    * SESSION-global, so two concurrent fixture drains on one session
+    * would race the save/restore and could leave the session pinned at 2
+    * partitions (test suites share one JVM/session). The lock spans the
+    * whole drain — streaming fixtures serialize against each other; batch
+    * queries on other threads are unaffected (they never take the lock).
+    * `extra` carries drain-scoped confs (e.g. the RocksDB state-store
+    * provider), restored — or unset — alongside.
+    */
+  private val drainLock = new Object
+  private def withDrainConf[T](spark: SparkSession,
+                               extra: Map[String, String] = Map.empty)
+                              (body: => T): T =
+    drainLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      val prevExtra = extra.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      try {
+        spark.conf.set(key, "2")
+        extra.foreach { case (k, v) => spark.conf.set(k, v) }
+        body
+      } finally {
+        spark.conf.set(key, prev)
+        prevExtra.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
+    }
+
 
   /** Raw-table sink (S5 analogue): append micro-batches as yyyyMM-
     * partitioned parquet — the engine's MergeTree. Exactly-once:
@@ -203,6 +237,11 @@ object StreamAssembly {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // IDEMPOTENT per-batch commit: each micro-batch OVERWRITES its own
+        // batch=<id> partition dir, so a replay after a crash between the
+        // parquet write and the checkpoint commit rewrites the same
+        // partials instead of appending a duplicate set (a plain append
+        // here would silently double compacted totals on recovery)
         batch.filter(col("order_status") === "completed")
           .groupBy(date_trunc("hour", col("order_timestamp")).as("hour"),
             col("category"))
@@ -210,7 +249,7 @@ object StreamAssembly {
             count(lit(1)).as("partial_count"),
             sum("total_amount").as("partial_revenue"),
             sum("quantity").as("partial_quantity"))
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ()
       }
       .start()
@@ -218,9 +257,14 @@ object StreamAssembly {
   /** T6 end-to-end: one streaming pass that routes parsed orders to the
     * partitioned raw store and malformed payloads to a dead-letter
     * directory (raw value + rejection time) — the quarantine the reference
-    * lacks (it silently skips, `kafka_to_clickhouse.py:175-178`). Both
-    * writes happen inside one foreachBatch, so a micro-batch commits rows
-    * and rejects together.
+    * lacks (it silently skips, `kafka_to_clickhouse.py:175-178`). Each
+    * write lands in the batch's OWN batch=<id> dir with overwrite, so a
+    * replay after a partial failure (good rows committed, dead-letter
+    * write lost) rewrites both sides instead of double-appending the
+    * good rows — per-batch idempotence, the strongest contract a
+    * two-destination foreachBatch can give without a transactional sink.
+    * The source micro-batch is persisted so the good/dead split reads it
+    * once, not once per destination.
     */
   def startIngestWithDeadLetter(raw: DataFrame, outDir: String,
                                 deadDir: String, checkpointDir: String,
@@ -230,13 +274,20 @@ object StreamAssembly {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (good, dead) = Ingest.ingestWithDeadLetter(batch)
-        good
-          .withColumn("month",
-            date_format(col("order_timestamp"), "yyyyMM").cast("int"))
-          .write.mode("append").partitionBy("month").parquet(outDir)
-        dead.write.mode("append").parquet(deadDir)
-        ()
+        batch.persist()
+        try {
+          val (good, dead) = Ingest.ingestWithDeadLetter(batch)
+          // skip empty frames: an overwritten EMPTY batch dir would hold
+          // no parquet footers and break schema discovery on read
+          if (!good.isEmpty)
+            good
+              .withColumn("month",
+                date_format(col("order_timestamp"), "yyyyMM").cast("int"))
+              .write.mode("overwrite").partitionBy("month")
+              .parquet(s"$outDir/batch=$batchId")
+          if (!dead.isEmpty)
+            dead.write.mode("overwrite").parquet(s"$deadDir/batch=$batchId")
+        } finally { batch.unpersist(); () }
       }
       .start()
 
@@ -286,9 +337,7 @@ object StreamAssembly {
     // partitions × batches; 4→2 measured −11% across the streaming tier).
     // foreachBatch plans read the session conf at BATCH time, so the conf
     // stays lowered until the AvailableNow query drains, then is restored.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "2")
+    withDrainConf(spark) {
       val query = stream.writeStream
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
@@ -307,7 +356,7 @@ object StreamAssembly {
         }
         .start()
       query.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     spark.read.parquet(partialsDir)
       .groupBy("hour", "event_type")
       .agg(
@@ -375,9 +424,7 @@ object StreamAssembly {
     // partitions (the count is pinned into the checkpoint at first start;
     // the conf stays lowered until the AvailableNow query drains so the
     // per-batch incremental plans see it too, then is restored)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "2")
+    withDrainConf(spark) {
       val query = joined.writeStream
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
@@ -391,7 +438,7 @@ object StreamAssembly {
         }
         .start()
       query.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     spark.read.parquet(pairsDir)
       .groupBy("type_a", "type_b")
       .agg(count(lit(1)).as("n_pairs"),
@@ -471,9 +518,7 @@ object StreamAssembly {
       col("user_a") === col("user_b") &&
         col("ts_b") > col("ts_a") &&
         col("ts_b") <= col("ts_a") + expr(s"INTERVAL $tolMin MINUTES"))
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "2")
+    withDrainConf(spark) {
       val query = joined.writeStream
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
@@ -485,7 +530,7 @@ object StreamAssembly {
         }
         .start()
       query.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     spark.read.parquet(pairsDir)
       // bucketed accounting (16 user buckets) so the oracle pins pair
       // placement across the key space, not one corpus-wide row
@@ -536,12 +581,9 @@ object StreamAssembly {
     // size, so run the drain on few shuffle partitions — both confs are
     // restored after the query drains
     val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = spark.conf.getOption(provKey)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider")
-      spark.conf.set("spark.sql.shuffle.partitions", "2")
+    withDrainConf(spark, Map(provKey ->
+      ("org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider"))) {
       val query = SessionizeTws
         .sessionize(stream, gapMinutes, watermark = "40 days")
         .toDF()
@@ -555,12 +597,6 @@ object StreamAssembly {
         }
         .start()
       query.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      prevProv match {
-        case Some(v) => spark.conf.set(provKey, v)
-        case None => spark.conf.unset(provKey)
-      }
     }
     spark.read.parquet(outDir)
       .filter(col("user_id") >= 0)
@@ -570,7 +606,7 @@ object StreamAssembly {
 
   private val twsSrcCache =
     scala.collection.concurrent.TrieMap
-      .empty[(org.apache.spark.sql.SparkSession, String, Int), String]
+      .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), String]
 
   private def userEventSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(
@@ -592,7 +628,10 @@ object StreamAssembly {
   private def stageUserEventsWithSentinel(spark: SparkSession, sfDir: String,
                                           nFiles: Int,
                                           gapMinutes: Int): String =
-    twsSrcCache.getOrElseUpdate((spark, sfDir, nFiles), {
+    // gapMinutes shapes the staged SENTINEL timestamp, so it must be part
+    // of the cache key — a cache hit staged for a smaller gap could leave
+    // a larger gap's final sessions unflushed
+    twsSrcCache.getOrElseUpdate((spark, sfDir, nFiles, gapMinutes), {
       val events = graft.Tables.events(spark, sfDir)
         .select(col("user_id").cast("long").as("user_id"),
           col("ts").cast("timestamp").as("ts"),
@@ -639,9 +678,7 @@ object StreamAssembly {
       .schema(userEventSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "2")
+    withDrainConf(spark) {
       val query = stream
         .withWatermark("ts", "40 days")
         .groupBy(col("user_id"),
@@ -661,7 +698,7 @@ object StreamAssembly {
         }
         .start()
       query.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     spark.read.parquet(outDir)
       .filter(col("user_id") >= 0)
       .orderBy("user_id", "session_start")
@@ -737,9 +774,7 @@ object StreamAssembly {
       .schema(replayEventSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "2")
+    withDrainConf(spark) {
       val query = stream
         .withWatermark("ts", "40 days")
         .dropDuplicatesWithinWatermark("event_id")
@@ -753,7 +788,7 @@ object StreamAssembly {
         }
         .start()
       query.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     spark.read.parquet(outDir)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
@@ -786,8 +821,11 @@ object StreamAssembly {
           col("ts").cast("timestamp").as("ts"),
           col("event_type").cast("string").as("event_type"),
           col("value").cast("double").as("value"))
-      val oldest = events.orderBy(col("ts"), col("event_id"))
-        .select(col("event_id")).first().getLong(0)
+      // min(struct(ts, event_id)): same deterministic oldest event as a
+      // global ORDER BY ... LIMIT 1, via one aggregate instead of a sort
+      val oldest = events
+        .agg(min(struct(col("ts"), col("event_id"))).as("m"))
+        .select(col("m.event_id")).first().getLong(0)
       val maxTs = events.agg(max("ts")).first().getTimestamp(0)
       val d = java.nio.file.Files
         .createTempDirectory("graft_late_src").toString
@@ -853,9 +891,7 @@ object StreamAssembly {
       .schema(replayEventSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "2")
+    withDrainConf(spark) {
       val query = stream
         .withWatermark("ts", "1 day")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -874,7 +910,7 @@ object StreamAssembly {
         }
         .start()
       query.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     spark.read.parquet(outDir)
       .filter(col("hour") <= lit(maxHour))
       .orderBy("hour", "event_type")
