@@ -170,6 +170,7 @@ object SparkEntry {
     "knn_label_purity" -> (Similarity.knnLabelPurity _),
     "label_centroid_affinity" -> (Similarity.labelCentroidAffinity _),
     "minhash_recall_eval" -> ((s, d) => Dedup.minhashRecallEval(s, d)),
+    "lsh_recall_eval" -> ((s, d) => Dedup.lshRecallEval(s, d)),
     "fk_integrity" -> (Quality.fkIntegrity _),
     "pareto_concentration" -> (Analytics.paretoConcentration _),
     "dataset_card" -> (Quality.datasetCard _),
@@ -2006,6 +2007,38 @@ object SparkEntry {
         |SELECT * FROM r1 UNION ALL SELECT * FROM r2
         |UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
         |UNION ALL SELECT * FROM r5 ORDER BY 1""".stripMargin,
+    // hyperplane-LSH banding audit: same sigs CTE as dedup_embedding_lsh,
+    // exact set from the brute-force cosine, integer confusion counts
+    "lsh_recall_eval" ->
+      """WITH sigs AS (SELECT vec_id, embedding,
+        |  list_sum([
+        |    CASE WHEN list_sum([
+        |      CASE WHEN (('0x' || substr(md5(p::VARCHAR || ',' ||
+        |        (i-1)::VARCHAR), 1, 2))::INT & 1) = 0
+        |      THEN embedding[i]::DOUBLE ELSE -embedding[i]::DOUBLE END
+        |      for i in range(1, 65)]) > 0
+        |    THEN (1::BIGINT << p) ELSE 0 END
+        |    for p in range(0, 63)])::BIGINT AS sig,
+        |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                 for i in range(1, 65)])) AS nrm
+        |  FROM embeddings),
+        |cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+        |  AND list_sum([CASE WHEN ((xor(a.sig, b.sig) >> (3*t)) & 7) = 0
+        |                THEN 1 ELSE 0 END for t in range(0, 21)]) > 0),
+        |exact AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+        |  WHERE list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |                  for i in range(1, 65)]) / (a.nrm * b.nrm) >= 0.4),
+        |ne AS (SELECT count(*) AS n_exact FROM exact),
+        |nc AS (SELECT count(*) AS n_cand FROM cand),
+        |ntp AS (SELECT count(*) AS tp FROM cand c
+        |  JOIN exact e ON c.vec_a = e.vec_a AND c.vec_b = e.vec_b)
+        |SELECT CAST(n_exact AS BIGINT) AS n_exact,
+        |CAST(n_cand AS BIGINT) AS n_cand, CAST(tp AS BIGINT) AS tp,
+        |CAST(n_exact - tp AS BIGINT) AS fn,
+        |CAST(n_cand - tp AS BIGINT) AS fp
+        |FROM ne, nc, ntp""".stripMargin,
     // LSH banding audit: candidates vs exact ground truth, all-integer
     // confusion counts (same banding + verification CTEs as dedup_minhash
     // and dedup_ngram_jaccard)

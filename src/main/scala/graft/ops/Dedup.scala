@@ -860,4 +860,51 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
+
+  /** The hyperplane-LSH banding audited against the exact-cosine ground
+    * truth — the embedding-space sibling of [[minhashRecallEval]], and
+    * the measurement behind [[embeddingNearDupsLsh]]'s documented
+    * (b, L) recall calculus: candidate count, true positives, missed
+    * pairs (fn) and sub-threshold candidates (fp), all integer. The
+    * candidate set is recomputed from the SAME banding expressions as
+    * the production op (one shared private builder would be tidier, but
+    * the two frames differ in probe-spread plumbing; the oracle pins
+    * both to identical values), the ground truth is the brute-force
+    * cosine op — honest at audit scale, with the audit itself the tool
+    * that licenses trusting the banded path at corpus scale.
+    */
+  def lshRecallEval(spark: SparkSession, sfDir: String,
+                    threshold: Double = 0.4, bandBits: Int = 3,
+                    nBands: Int = 21): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val nPlanes = bandBits * nBands
+    val mask = (1L << bandBits) - 1
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        Similarity.lshSignature(col("embedding"), dim = 64, nPlanes = nPlanes)
+          .as("sig"))
+    val banded = e.select(col("vec_id"), col("sig"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("bucket", expr(s"(sig >> (band * $bandBits)) & $mask"))
+    val firstAgreeingBand = (0 until nBands - 1).map(j =>
+        col("x.band") <= j ||
+          (shiftright(col("x.sig").bitwiseXOR(col("y.sig")), j * bandBits)
+            .bitwiseAND(mask) =!= 0))
+      .foldLeft(lit(true))(_ && _)
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .filter(firstAgreeingBand)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+    val exact = embeddingNearDups(spark, sfDir, threshold)
+      .select("vec_a", "vec_b")
+    val tp = cand.join(exact, Seq("vec_a", "vec_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(tp.agg(count(lit(1)).as("tp")))
+      .select(col("n_exact"), col("n_cand"), col("tp"),
+        (col("n_exact") - col("tp")).as("fn"),
+        (col("n_cand") - col("tp")).as("fp"))
+  }
 }
