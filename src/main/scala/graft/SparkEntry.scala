@@ -171,6 +171,7 @@ object SparkEntry {
     "label_centroid_affinity" -> (Similarity.labelCentroidAffinity _),
     "minhash_recall_eval" -> ((s, d) => Dedup.minhashRecallEval(s, d)),
     "lsh_recall_eval" -> ((s, d) => Dedup.lshRecallEval(s, d)),
+    "ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
     "fk_integrity" -> (Quality.fkIntegrity _),
     "pareto_concentration" -> (Analytics.paretoConcentration _),
     "dataset_card" -> (Quality.datasetCard _),
@@ -2007,6 +2008,41 @@ object SparkEntry {
         |SELECT * FROM r1 UNION ALL SELECT * FROM r2
         |UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
         |UNION ALL SELECT * FROM r5 ORDER BY 1""".stripMargin,
+    // IVF∩BF top-k overlap; both sets deterministic, recall in ppm
+    "ivf_recall" ->
+      """WITH nrm AS (SELECT vec_id, label, embedding,
+        |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                 for i in range(1, 65)])) AS nrm
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, embedding AS c_emb, nrm AS c_nrm
+        |  FROM nrm WHERE vec_id < 16),
+        |scored AS (SELECT n.vec_id, n.embedding, n.nrm, c.cid,
+        |  list_sum([n.embedding[i]::DOUBLE * c.c_emb[i]::DOUBLE
+        |            for i in range(1, 65)]) / (n.nrm * c.c_nrm) AS ccos
+        |  FROM nrm n, cents c),
+        |assigned AS (SELECT vec_id, embedding, nrm, cid AS cell FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |qcells AS (SELECT cid FROM scored WHERE vec_id = 0
+        |  ORDER BY ccos DESC, cid ASC LIMIT 4),
+        |qv AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM nrm
+        |  WHERE vec_id = 0),
+        |ivf AS (SELECT a.vec_id FROM assigned a, qv q
+        |  WHERE a.vec_id <> 0 AND a.cell IN (SELECT cid FROM qcells)
+        |  ORDER BY list_sum([a.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE
+        |    for i in range(1, 65)]) / (a.nrm * q.q_nrm) DESC, a.vec_id ASC
+        |  LIMIT 10),
+        |bf AS (SELECT e.vec_id FROM nrm e, qv q WHERE e.vec_id <> 0
+        |  ORDER BY list_sum([e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE
+        |    for i in range(1, 65)]) / (e.nrm * q.q_nrm) DESC, e.vec_id ASC
+        |  LIMIT 10),
+        |ov AS (SELECT count(*) AS n_overlap FROM ivf
+        |  JOIN bf ON ivf.vec_id = bf.vec_id)
+        |SELECT CAST(10 AS BIGINT) AS k,
+        |CAST(n_overlap AS BIGINT) AS n_overlap,
+        |CAST(n_overlap * 1000000 // 10 AS BIGINT) AS recall_ppm
+        |FROM ov""".stripMargin,
     // hyperplane-LSH banding audit: same sigs CTE as dedup_embedding_lsh,
     // exact set from the brute-force cosine, integer confusion counts
     "lsh_recall_eval" ->

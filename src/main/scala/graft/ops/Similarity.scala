@@ -345,6 +345,26 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** IVF top-k recall against the brute-force ground truth — completing
+    * the approximation-audit trilogy ([[graft.ops.Dedup.minhashRecallEval]]
+    * for Jaccard banding, [[graft.ops.Dedup.lshRecallEval]] for
+    * hyperplane banding, this for cell probing): |IVF∩BF| over the same
+    * (queryId, k), with recall as integer ppm. Both top-k sets are
+    * deterministic (exact-cosine scores, vec_id tiebreak), so the
+    * overlap is a pure function of the corpus and the gate is
+    * integer-exact. The nProbe/nCells trade this measures is THE tuning
+    * loop of a production IVF deployment.
+    */
+  def ivfRecall(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                k: Int = 10): DataFrame = {
+    val bf = bruteForceTopK(spark, sfDir, queryId, k).select("vec_id")
+    val ivf = ivfTopK(spark, sfDir, queryId, k).select("vec_id")
+    ivf.join(bf, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(k.toLong).as("k"), col("n_overlap"),
+        expr(s"n_overlap * 1000000 div $k").as("recall_ppm"))
+  }
+
   /** Embedding-space label purity: each vector's 1-nearest-neighbor (by
     * cosine over the int8-QUANTIZED vectors, self excluded) and the
     * per-label count of neighbors that agree — the standard embedding
