@@ -75,6 +75,7 @@ object SparkEntry {
     "topk_per_segment" -> ((s, d) => TopK.topOrdersPerSegment(s, d)),
     "asof_events_orders" -> (AsOf.eventsAsOfOrders _),
     "asof_custom_plan" -> (AsOf.eventsAsOfOrdersCustom _),
+    "asof_last_view" -> (AsOf.purchasesAsOfViews _),
     "range_join_pairs" -> ((s, d) => RangeJoin.eventPairsWithin(s, d)),
     "train_test_split" -> (TrainingSets.trainTestSplit _),
     "value_quantiles" -> (TrainingSets.valueQuantiles _),
@@ -721,6 +722,20 @@ object SparkEntry {
         |  ON e.user_id = o.o_custkey
         |  AND e.ts::TIMESTAMP >= o.o_orderdate::TIMESTAMP
         |ORDER BY event_id""".stripMargin,
+    // self-table as-of via the custom node; view side deduped per
+    // (user, ts) with max event_id so ties are definitional
+    "asof_last_view" ->
+      """WITH vd AS (SELECT user_id AS v_user, ts AS v_ts,
+        |  max(event_id) AS view_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts::TIMESTAMP AS ts,
+        |vd.view_event_id, vd.v_ts::TIMESTAMP AS view_ts
+        |FROM p ASOF LEFT JOIN vd
+        |  ON p.user_id = vd.v_user
+        |  AND p.ts::TIMESTAMP >= vd.v_ts::TIMESTAMP
+        |ORDER BY p.event_id""".stripMargin,
     "range_join_pairs" ->
       """SELECT a.event_id AS event_a, b.event_id AS event_b,
         |abs(epoch_us(a.ts::TIMESTAMP) - epoch_us(b.ts::TIMESTAMP)) AS delta_us

@@ -102,4 +102,30 @@ object AsOf {
         col("o_totalprice").as("asof_price"))
       .orderBy("event_id")
   }
+
+  /** Self-table as-of through the custom node: each PURCHASE joined to the
+    * same user's latest at-or-before VIEW — the exact-join sibling of the
+    * windowed last-touch attribution (which buckets and aggregates; this
+    * emits the matched row pair itself, the shape a feature-store
+    * backfill writes). Right side deduped to one view per (user, ts)
+    * with the max event_id, so tie handling is part of the definition.
+    * Same DuckDB ASOF LEFT JOIN oracle discipline as
+    * [[eventsAsOfOrders]].
+    */
+  def purchasesAsOfViews(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val ev = Tables.events(spark, sfDir)
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"),
+        col("ts").cast("timestamp").as("v_ts"))
+      .agg(max("event_id").as("view_event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp").as("ts"))
+    graft.plans.AsOfJoinApi
+      .asofJoin(purchases, views, "user_id", "v_user", "ts", "v_ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("view_event_id"), col("v_ts").as("view_ts"))
+      .orderBy("event_id")
+  }
 }

@@ -392,6 +392,27 @@ class PlanSpec extends SparkSpec {
     assert(windows.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("session pattern matching windows partition by user — no " +
+       "unpartitioned window over the event stream") {
+    val plan = planOf("session_pattern_counts")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty))
+  }
+
+  test("fk integrity audits via broadcast anti joins — no sort-merge " +
+       "join anywhere in the plan") {
+    val plan = planOf("fk_integrity")
+    assert(!plan.exists(_.isInstanceOf[SortMergeJoinExec]))
+    assert(plan.exists(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins
+        .BroadcastHashJoinExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec]))
+  }
+
   test("pareto concentration ranks via bucket offsets — any global " +
        "window sees only bucket counts, never the per-customer frame") {
     val plan = planOf("pareto_concentration")
