@@ -178,6 +178,10 @@ object SparkEntry {
     "dataset_card" -> (Quality.datasetCard _),
     "session_pattern_counts" -> ((s, d) => Sessions.sessionPatternCounts(s, d)),
     "seasonal_profile" -> (Rollups.seasonalProfile _),
+    "daily_value_percentiles" -> (Analytics.dailyValuePercentiles _),
+    "error_burst_hours" -> ((s, d) => Analytics.errorBurstHours(s, d)),
+    "new_vs_returning" -> (Analytics.newVsReturning _),
+    "basket_affinity" -> ((s, d) => Analytics.basketAffinity(s, d)),
     "bpe_pair_counts" -> ((s, d) => CorpusStats.bpePairCounts(s, d)),
     "vocab_growth" -> ((s, d) => CorpusStats.vocabGrowth(s, d)),
     "attribution_last_touch" ->
@@ -1907,6 +1911,59 @@ object SparkEntry {
         |count(*) AS n_docs,
         |CAST(sum(ceil(n_chars / 4.0)::BIGINT) AS BIGINT) AS sum_est_tokens
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin),
+    // "new" = a purchase on its user's min purchase day — order-free
+    "new_vs_returning" ->
+      """WITH p AS (SELECT ts::DATE AS day, user_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, min(day) AS first_day FROM p GROUP BY 1)
+        |SELECT day, count(*) AS n_purchases,
+        |CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_new,
+        |CAST(sum(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_returning,
+        |count(DISTINCT CASE WHEN day = first_day THEN p.user_id END)
+        |  AS n_new_users
+        |FROM p JOIN f ON p.user_id = f.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-order distinct brand pairs; deterministic (support, a, b) rank
+    "basket_affinity" ->
+      """WITH bk AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS b
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |p AS (SELECT a.b AS brand_a, b.b AS brand_b, count(*) AS support
+        |  FROM bk a JOIN bk b ON a.okey = b.okey AND a.b < b.b
+        |  GROUP BY 1, 2),
+        |r AS (SELECT brand_a, brand_b, support,
+        |  CAST(row_number() OVER (ORDER BY support DESC,
+        |    brand_a ASC, brand_b ASC) AS BIGINT) AS rank FROM p)
+        |SELECT rank, brand_a, brand_b, support FROM r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // order statistics: the reported percentile IS an element of the
+    // day's multiset — no arithmetic, no rounding needed
+    "daily_value_percentiles" ->
+      """WITH r AS (SELECT ts::DATE AS day, value,
+        |  CAST(row_number() OVER (PARTITION BY ts::DATE ORDER BY value)
+        |    AS BIGINT) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY ts::DATE) AS BIGINT) AS n
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT day, max(n) AS n_purchases,
+        |max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+        |max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // alert threshold in exact cross-multiplied integers — no float ratio
+    "error_burst_hours" ->
+      """WITH h AS (SELECT date_trunc('hour', ts)::TIMESTAMP AS hour,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_err,
+        |  count(*) AS n_tot
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT CAST(sum(n_err) AS BIGINT) AS err_total,
+        |  CAST(sum(n_tot) AS BIGINT) AS all_total FROM h)
+        |SELECT hour, n_err, n_tot,
+        |CAST(n_err * all_total * 2 - err_total * n_tot * 3 AS BIGINT)
+        |  AS excess_scaled
+        |FROM h, g
+        |WHERE n_err * all_total * 2 - err_total * n_tot * 3 >= 0
+        |ORDER BY hour""".stripMargin,
     // dow/hour from engine-neutral integer epoch arithmetic (native
     // dayofweek() numbering differs between engines)
     "seasonal_profile" ->

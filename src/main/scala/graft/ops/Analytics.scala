@@ -554,6 +554,115 @@ object Analytics {
       .orderBy("event_type", "bin")
   }
 
+  /** Per-day discrete value percentiles of purchases (p50/p90) — the
+    * daily-SLA percentile dashboard. Order statistics, not interpolation:
+    * the reported number is an actual element of the day's multiset
+    * (position (n+1) div 2 resp. ceil(9n/10) of the sorted values), so
+    * both engines surface the IDENTICAL stored double and the gate needs
+    * no rounding at all — no arithmetic ever touches the value. One
+    * day-partitioned window (bounded per-day rows) + one aggregate; at
+    * unbounded per-key cardinality the sketch path
+    * (`approx_value_quantiles`) is the stated swap.
+    */
+  def dailyValuePercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("day").orderBy("value")
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"), col("value"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("day"))
+        .cast("long"))
+      .groupBy("day")
+      .agg(max("n").as("n_purchases"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("value")))
+          .as("p50"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("value")))
+          .as("p90"))
+      .orderBy("day")
+  }
+
+  /** Error-burst detection: hours whose error share exceeds the corpus
+    * error share by ≥ `factorNum/factorDen` (default 1.5×), compared in
+    * EXACT cross-multiplied integers — `n_err·T·den ≥ num·E·n_tot` — so
+    * the alert threshold carries no float ratio. The excess is reported
+    * scaled by the same products. One bounded hourly aggregate plus a
+    * broadcast 1-row global; the alerting shape of a rate-anomaly
+    * monitor (the value-outlier sibling is [[outlierEvents]]).
+    */
+  def errorBurstHours(spark: SparkSession, sfDir: String,
+                      factorNum: Int = 3, factorDen: Int = 2): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(when(col("event_type") === "error", lit(1L))
+        .otherwise(lit(0L))).as("n_err"),
+        count(lit(1)).as("n_tot"))
+    val glob = hourly.agg(sum("n_err").as("err_total"),
+      sum("n_tot").as("all_total"))
+    hourly.crossJoin(broadcast(glob))
+      .withColumn("excess_scaled",
+        (col("n_err") * col("all_total") * factorDen -
+          col("err_total") * col("n_tot") * factorNum).cast("long"))
+      .filter(col("excess_scaled") >= 0)
+      .select(col("hour"), col("n_err").cast("long").as("n_err"),
+        col("n_tot").cast("long").as("n_tot"), col("excess_scaled"))
+      .orderBy("hour")
+  }
+
+  /** New-vs-returning purchase split per day — the acquisition/retention
+    * dashboard tile: a purchase is "new" when it lands on its user's
+    * FIRST purchase day (min day per user — a pure function of the event
+    * set, order-independent), "returning" after it. One user-keyed
+    * min-aggregate broadcast back onto the purchase stream, then one
+    * bounded daily aggregate; all integers.
+    */
+  def newVsReturning(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val first = p.groupBy("user_id").agg(min("day").as("first_day"))
+    p.join(broadcast(first), Seq("user_id"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("day") === col("first_day"), lit(1L)).otherwise(lit(0L)))
+          .cast("long").as("n_new"),
+        sum(when(col("day") > col("first_day"), lit(1L)).otherwise(lit(0L)))
+          .cast("long").as("n_returning"),
+        countDistinct(when(col("day") === col("first_day"), col("user_id")))
+          .as("n_new_users"))
+      .orderBy("day")
+  }
+
+  /** Market-basket affinity: support counts of BRAND pairs co-purchased
+    * inside one order (the association-rule support statistic, the first
+    * stage of any basket/recommendation miner). Per-order distinct
+    * brands are bounded by the order's line count (≤7 in TPC-H shape),
+    * so the pair fan-out is a constant ≤21 per order — linear in orders,
+    * never corpus-quadratic — and the top-k is a sort-limit
+    * (TakeOrderedAndProject), the same discipline as the token-pair
+    * miners. All integers.
+    */
+  def basketAffinity(spark: SparkSession, sfDir: String,
+                     k: Int = 20): DataFrame = {
+    val baskets = Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("b"))
+      .distinct()
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.okey") === col("b.okey") && col("a.b") < col("b.b"))
+      .groupBy(col("a.b").as("brand_a"), col("b.b").as("brand_b"))
+      .agg(count(lit(1)).as("support"))
+    pairs.orderBy(desc("support"), asc("brand_a"), asc("brand_b"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("support"), asc("brand_a"), asc("brand_b")))
+        .cast("long"))
+      .select(col("rank"), col("brand_a"), col("brand_b"), col("support"))
+      .orderBy("rank")
+  }
+
   /** Revenue concentration (Pareto view): how much of total order revenue
     * the top decile of customers carries. The global descending rank over
     * per-customer revenue uses the bucket-offset two-phase pattern
