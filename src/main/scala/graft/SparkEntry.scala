@@ -181,6 +181,10 @@ object SparkEntry {
     "daily_value_percentiles" -> (Analytics.dailyValuePercentiles _),
     "error_burst_hours" -> ((s, d) => Analytics.errorBurstHours(s, d)),
     "new_vs_returning" -> (Analytics.newVsReturning _),
+    "mom_growth" -> (Analytics.momGrowth _),
+    "rank_correlation" -> (CorpusStats.rankCorrelation _),
+    "user_activity_histogram" -> (Analytics.userActivityHistogram _),
+    "purchase_gap_histogram" -> (Analytics.purchaseGapHistogram _),
     "basket_affinity" -> ((s, d) => Analytics.basketAffinity(s, d)),
     "bpe_pair_counts" -> ((s, d) => CorpusStats.bpePairCounts(s, d)),
     "vocab_growth" -> ((s, d) => CorpusStats.vocabGrowth(s, d)),
@@ -1911,6 +1915,49 @@ object SparkEntry {
         |count(*) AS n_docs,
         |CAST(sum(ceil(n_chars / 4.0)::BIGINT) AS BIGINT) AS sum_est_tokens
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin),
+    // Spearman over deterministic (metric, doc_id) ranks; ρ as exact ppm
+    "rank_correlation" ->
+      """WITH m AS (SELECT doc_id, n_chars,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |    AS n_types
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+        |    AS r_chars,
+        |  CAST(row_number() OVER (ORDER BY n_types, doc_id) AS BIGINT)
+        |    AS r_types
+        |  FROM m)
+        |SELECT count(*) AS n,
+        |CAST(sum((r_chars - r_types) * (r_chars - r_types)) AS BIGINT)
+        |  AS sum_d2,
+        |CAST(1000000 - (6 * CAST(sum((r_chars - r_types) *
+        |  (r_chars - r_types)) AS BIGINT) * 1000000)
+        |  // (count(*) * (count(*) * count(*) - 1)) AS BIGINT) AS rho_ppm
+        |FROM r""".stripMargin,
+    "user_activity_histogram" ->
+      """SELECT n_events, count(*) AS n_users FROM (
+        |  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // month deltas in exact integer cents; lag over the month frame only
+    "mom_growth" ->
+      """WITH m AS (SELECT date_trunc('month', ts)::TIMESTAMP AS month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT month, n_orders,
+        |CAST(cents AS DOUBLE) / 100 AS revenue,
+        |CAST(cents - lag(cents) OVER (ORDER BY month) AS BIGINT)
+        |  AS delta_cents
+        |FROM m ORDER BY month""".stripMargin,
+    // whole-day gaps between consecutive distinct purchase days per user
+    "purchase_gap_histogram" ->
+      """WITH d AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events
+        |  WHERE event_type = 'purchase'),
+        |g AS (SELECT CAST(day - lag(day) OVER (PARTITION BY user_id
+        |  ORDER BY day) AS BIGINT) AS gap_days FROM d)
+        |SELECT gap_days, count(*) AS n_gaps FROM g
+        |WHERE gap_days IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // "new" = a purchase on its user's min purchase day — order-free
     "new_vs_returning" ->
       """WITH p AS (SELECT ts::DATE AS day, user_id FROM events

@@ -608,6 +608,62 @@ object Analytics {
       .orderBy("hour")
   }
 
+  /** User activity histogram: users bucketed by their total event count —
+    * the engagement-depth distribution (its long tail is what justifies
+    * the skew handling elsewhere). Two bounded aggregates, all integers.
+    */
+  def userActivityHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("n_events")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("n_events")
+
+  /** Month-over-month revenue growth: monthly purchase totals with the
+    * previous month's delta in EXACT integer cents (decimal sums ×100 —
+    * no float ratio in the gate; a growth percentage is the reader's
+    * division). The lag window is global but runs over the MONTH frame
+    * only (≤ tens of rows at any horizon) — the same bounded-frame
+    * discipline as the Zipf rank window, never over the event stream.
+    */
+  def momGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("month", col("ts")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("value").cast("decimal(18,6)")) * 100).cast("long")
+          .as("cents"))
+    val w = Window.orderBy("month")
+    monthly
+      .withColumn("prev_cents", lag("cents", 1).over(w))
+      .select(col("month"), col("n_orders"),
+        (col("cents").cast("double") / 100).as("revenue"),
+        (col("cents") - col("prev_cents")).as("delta_cents"))
+      .orderBy("month")
+  }
+
+  /** Inter-purchase gap histogram: the distribution of whole-day gaps
+    * between a user's CONSECUTIVE distinct purchase days — the
+    * frequency/renewal profile behind repurchase-cycle dashboards. One
+    * user-partitioned lag window over distinct (user, day) rows and a
+    * bounded histogram aggregate; all integers.
+    */
+  def purchaseGapHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("gap_days",
+        datediff(col("day"), lag("day", 1).over(w)).cast("long"))
+      .filter(col("gap_days").isNotNull)
+      .groupBy("gap_days")
+      .agg(count(lit(1)).as("n_gaps"))
+      .orderBy("gap_days")
+  }
+
   /** New-vs-returning purchase split per day — the acquisition/retention
     * dashboard tile: a purchase is "new" when it lands on its user's
     * FIRST purchase day (min day per user — a pure function of the event

@@ -224,6 +224,36 @@ object CorpusStats {
       .orderBy("rank")
   }
 
+  /** Spearman rank correlation between document length (n_chars) and
+    * vocabulary richness (distinct token count) — the corpus-diagnostic
+    * correlation ("are longer docs just repetitive?"), with the ENTIRE
+    * gate in exact integers: ranks are row_numbers over the deterministic
+    * (metric, doc_id) order, Σd² is a BIGINT, and ρ is reported as the
+    * exact ppm floor of 1 − 6Σd²/(n(n²−1)). The two rank windows are
+    * global but this op is a CORPUS-LEVEL diagnostic the analyst runs on
+    * a sample/stratum; at full-corpus scale the same Σd² computes from
+    * bucket-offset ranks ([[graft.ops.Analytics.globalRankDocs]]'s
+    * pattern) and the n³ term moves to DECIMAL.
+    */
+  def rankCorrelation(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        size(array_distinct(split(col("text"), " "))).cast("long")
+          .as("n_types"))
+    val ranked = m
+      .withColumn("r_chars", row_number().over(
+        Window.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+      .withColumn("r_types", row_number().over(
+        Window.orderBy(col("n_types"), col("doc_id"))).cast("long"))
+    ranked.agg(
+      count(lit(1)).as("n"),
+      sum((col("r_chars") - col("r_types")) *
+        (col("r_chars") - col("r_types"))).cast("long").as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        expr("1000000 - (6 * sum_d2 * 1000000) div (n * (n * n - 1))")
+          .as("rho_ppm"))
+  }
+
   /** Heaps'-law vocabulary growth curve: the corpus in doc_id order cut
     * into `nBuckets` equal prefixes, per bucket the token volume and the
     * count of NEW types (tokens whose corpus-wide first occurrence — the
