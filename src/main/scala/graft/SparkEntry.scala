@@ -183,6 +183,8 @@ object SparkEntry {
     "new_vs_returning" -> (Analytics.newVsReturning _),
     "mom_growth" -> (Analytics.momGrowth _),
     "rank_correlation" -> (CorpusStats.rankCorrelation _),
+    "fulfilment_span" -> (StarQueries.fulfilmentSpan _),
+    "discount_bands" -> (StarQueries.discountBands _),
     "user_activity_histogram" -> (Analytics.userActivityHistogram _),
     "purchase_gap_histogram" -> (Analytics.purchaseGapHistogram _),
     "basket_affinity" -> ((s, d) => Analytics.basketAffinity(s, d)),
@@ -1915,6 +1917,28 @@ object SparkEntry {
         |count(*) AS n_docs,
         |CAST(sum(ceil(n_chars / 4.0)::BIGINT) AS BIGINT) AS sum_est_tokens
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin),
+    // exact integer day sums; the mean is the reader's division
+    "fulfilment_span" ->
+      """WITH po AS (SELECT l_orderkey, min(l_shipdate) AS first_ship,
+        |  max(l_shipdate) AS last_ship FROM lineitem GROUP BY 1)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |CAST(sum(first_ship::DATE - o_orderdate::DATE) AS BIGINT)
+        |  AS sum_start_lag_days,
+        |CAST(sum(last_ship::DATE - first_ship::DATE) AS BIGINT)
+        |  AS sum_span_days,
+        |CAST(max(last_ship::DATE - first_ship::DATE) AS BIGINT)
+        |  AS max_span_days
+        |FROM orders JOIN po ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // band = floor(d·100 + 0.5); revenue per q1's row-cast discipline
+    "discount_bands" ->
+      """SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+        |  AS discount_pct,
+        |count(*) AS n_lines,
+        |CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |  AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // Spearman over deterministic (metric, doc_id) ranks; ρ as exact ppm
     "rank_correlation" ->
       """WITH m AS (SELECT doc_id, n_chars,

@@ -889,4 +889,48 @@ object StarQueries {
       .select("s_name", "s_acctbal")
       .orderBy("s_name")
   }
+
+  /** Order fulfilment span per order status: each order reduces to its
+    * FIRST and LAST line-ship dates, then per status the order count and
+    * the EXACT integer day sums of order→first-ship lag and
+    * first→last-ship span (means are the reader's division — no float
+    * ratio in the gate) plus the worst span. Two partial-aggregating
+    * shuffles (orderkey, then the bounded status key) — the operational
+    * fulfilment-SLA view next to q12's lateness buckets.
+    */
+  def fulfilmentSpan(spark: SparkSession, sfDir: String): DataFrame = {
+    val perOrder = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(min("l_shipdate").as("first_ship"),
+        max("l_shipdate").as("last_ship"))
+    Tables.orders(spark, sfDir)
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(datediff(col("first_ship"), col("o_orderdate")))
+          .cast("long").as("sum_start_lag_days"),
+        sum(datediff(col("last_ship"), col("first_ship")))
+          .cast("long").as("sum_span_days"),
+        max(datediff(col("last_ship"), col("first_ship")))
+          .cast("long").as("max_span_days"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Discount-band effectiveness: line volume, quantity, and discounted
+    * revenue per whole-percent discount level — the elasticity view
+    * behind q6's what-if. The band is floor(d·100 + 0.5) (floor-based
+    * round-half-up: identical on identical doubles in both engines,
+    * the [[graft.ops.Similarity.embeddingQuantize]] precedent); revenue
+    * follows q1's per-row-multiply-then-DECIMAL discipline. One
+    * bounded-key (≤ 11 bands) aggregate, one scan.
+    */
+  def discountBands(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+        .as("discount_pct"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("long")).cast("long").as("sum_qty"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast("double"), 2).as("revenue"))
+      .orderBy("discount_pct")
 }
