@@ -184,6 +184,9 @@ object SparkEntry {
     "mom_growth" -> (Analytics.momGrowth _),
     "rank_correlation" -> (CorpusStats.rankCorrelation _),
     "fulfilment_span" -> (StarQueries.fulfilmentSpan _),
+    "order_size_histogram" -> (StarQueries.orderSizeHistogram _),
+    "customer_recency_histogram" ->
+      (StarQueries.customerRecencyHistogram _),
     "discount_bands" -> (StarQueries.discountBands _),
     "user_activity_histogram" -> (Analytics.userActivityHistogram _),
     "purchase_gap_histogram" -> (Analytics.purchaseGapHistogram _),
@@ -1917,6 +1920,18 @@ object SparkEntry {
         |count(*) AS n_docs,
         |CAST(sum(ceil(n_chars / 4.0)::BIGINT) AS BIGINT) AS sum_est_tokens
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin),
+    "order_size_histogram" ->
+      """SELECT n_lines, count(*) AS n_orders FROM (
+        |  SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // recency vs the corpus max order date — no wall clock in the gate
+    "customer_recency_histogram" ->
+      """WITH l AS (SELECT o_custkey, max(o_orderdate::DATE) AS last_order
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT max(last_order) AS anchor FROM l)
+        |SELECT CAST((anchor - last_order) // 30 AS BIGINT) AS recency_bin,
+        |count(*) AS n_customers
+        |FROM l, a GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact integer day sums; the mean is the reader's division
     "fulfilment_span" ->
       """WITH po AS (SELECT l_orderkey, min(l_shipdate) AS first_ship,

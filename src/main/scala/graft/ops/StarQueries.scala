@@ -916,6 +916,38 @@ object StarQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** Order-size distribution: orders bucketed by line count — the basket
+    * breadth histogram (its shape sizes the per-order fan-out bounds the
+    * basket miner relies on). Two bounded aggregates, all integers.
+    */
+  def orderSizeHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"))
+      .groupBy("n_lines")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("n_lines")
+
+  /** Customer recency histogram: customers bucketed by 30-day bins of
+    * days since their LAST order, measured against the corpus max order
+    * date (a pure function of the dataset — no wall clock in the gate).
+    * The recency axis of RFM as its own distribution view; one
+    * customer-keyed max-aggregate, a broadcast 1-row anchor, a bounded
+    * histogram. All integers.
+    */
+  def customerRecencyHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val last = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(max(col("o_orderdate").cast("date")).as("last_order"))
+    val anchor = last.agg(max("last_order").as("anchor"))
+    last.crossJoin(broadcast(anchor))
+      .withColumn("recency_bin",
+        expr("datediff(anchor, last_order) div 30").cast("long"))
+      .groupBy("recency_bin")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("recency_bin")
+  }
+
   /** Discount-band effectiveness: line volume, quantity, and discounted
     * revenue per whole-percent discount level — the elasticity view
     * behind q6's what-if. The band is floor(d·100 + 0.5) (floor-based
