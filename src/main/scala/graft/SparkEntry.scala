@@ -199,6 +199,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamAssembly.streamDedupReplay(s, d)),
     "stream_late_drop" ->
       ((s, d) => graft.streaming.StreamAssembly.streamLateDrop(s, d)),
+    "dsv2_ingest_rollup" ->
+      ((s, d) => graft.sources.LogPipeline.dsv2IngestRollup(s, d)),
     // rows-only (approx sketches aren't cross-engine comparable; accuracy
     // is spec-asserted in ApproxSpec, mirroring approx_distinct_users)
     "approx_value_quantiles" -> ((s, d) => TrainingSets.approxValueQuantiles(s, d))
@@ -2399,6 +2401,15 @@ object SparkEntry {
         |round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
         |  AS total_value
         |FROM events WHERE event_id NOT IN (SELECT event_id FROM excl)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // every record crosses the custom DSv2 source (offset-ranged admission-
+    // bounded micro-batches) and sink (manifest-committed epochs); a lost
+    // or doubled batch, or a leaked uncommitted attempt file, flips counts
+    "dsv2_ingest_rollup" ->
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type,
+        |count(*) AS n_events,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |  AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
