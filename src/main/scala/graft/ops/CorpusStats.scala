@@ -17,15 +17,38 @@ import graft.Tables
   */
 object CorpusStats {
 
+  /** Frequency-bucket offsets for rank/cumsum over a (token, freq) vocab
+    * frame WITHOUT an unpartitioned window over it — the
+    * [[Analytics.globalRankDocs]] bucket-offset discipline applied to the
+    * vocabulary: bucket = the freq value itself (rank order is
+    * freq desc, token asc, so equal-freq tokens form one bucket); the
+    * prefix-sum windows run over the DISTINCT-freq bucket-count frame
+    * only (⌈log-ish⌉ rows — power-law corpora have few distinct
+    * frequencies relative to vocab size), and the per-token local rank is
+    * freq-partitioned, parallel across buckets. `offset` is the rank
+    * offset, `mass_before` the cumulative token mass of strictly more
+    * frequent buckets.
+    */
+  private def freqBucketOffsets(counts: DataFrame): DataFrame = {
+    val wDesc = Window.orderBy(desc("freq"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts.groupBy("freq").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum("cnt").over(wDesc), lit(0L)).cast("long"))
+      .withColumn("mass_before",
+        coalesce(sum(col("freq") * col("cnt")).over(wDesc), lit(0L))
+          .cast("long"))
+  }
+
   /** Zipf profile of the token distribution: every token with its corpus
     * frequency, rank (1 = most frequent), and the rank×frequency product
-    * (flat ⇔ Zipfian; Zipf, 1949 — public knowledge). The fixture vocab
-    * is 31 tokens, so the global rank window is a single tiny partition
-    * by construction — the heavy work is the token count, a map-side
-    * partial aggregate over the exploded token stream. At 100 TB the
-    * vocab of a whitespace corpus stays bounded (≪ shuffle partition
-    * size); a byte-BPE vocab is likewise ≤ ~256k rows. All columns are
-    * integers — exact in both engines.
+    * (flat ⇔ Zipfian; Zipf, 1949 — public knowledge). The heavy work is
+    * the token count, a map-side partial aggregate over the exploded
+    * token stream; the global rank is bucket-offset
+    * ([[freqBucketOffsets]]): rank = bucket offset + freq-partitioned
+    * local rank, so NO unpartitioned window ever consumes the vocab frame
+    * — an open (BPE/byte-ngram) vocabulary ranks in parallel. All columns
+    * are integers — exact in both engines.
     */
   def tokenZipf(spark: SparkSession, sfDir: String): DataFrame = {
     val counts = Tables.documents(spark, sfDir)
@@ -33,11 +56,11 @@ object CorpusStats {
       .filter(length(col("token")) > 0)
       .groupBy("token")
       .agg(count(lit(1)).as("freq"))
-    // global window over the vocab-sized frame only (31 rows here; ≤ 256k
-    // for a BPE vocab) — never over the token stream itself
-    val w = Window.orderBy(desc("freq"), asc("token"))
-    counts
-      .withColumn("rank", row_number().over(w))
+    val offsets = freqBucketOffsets(counts).select("freq", "offset")
+    counts.join(broadcast(offsets), Seq("freq"))
+      .withColumn("rank",
+        (col("offset") + row_number().over(
+          Window.partitionBy("freq").orderBy("token"))).cast("int"))
       .select(col("rank"), col("token"), col("freq"),
         (col("freq") * col("rank")).as("freq_rank"))
       .orderBy("rank")
@@ -57,13 +80,22 @@ object CorpusStats {
       .filter(length(col("token")) > 0)
       .groupBy("token")
       .agg(count(lit(1)).as("freq"))
-    val total = counts.agg(sum("freq").cast("long").as("total"))
-    val w = Window.orderBy(desc("freq"), asc("token"))
+    val offsets = freqBucketOffsets(counts)
+    // corpus total rides out of the bucket-count frame (its last
+    // cumulative), not a second pass over the token stream
+    val total = offsets
+      .agg(max(col("mass_before") + col("freq") * col("cnt")).as("total"))
+    // rank = offset + freq-local rank; cum follows in closed form (every
+    // token in a freq bucket adds exactly `freq`), so BOTH the rank and
+    // the running-mass window are bucket-offset — no unpartitioned window
+    // touches the vocab frame
     val ranked = counts
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("cum", sum("freq").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long"))
+      .join(broadcast(offsets.select("freq", "offset", "mass_before")),
+        Seq("freq"))
+      .withColumn("local_rn", row_number().over(
+        Window.partitionBy("freq").orderBy("token")).cast("long"))
+      .withColumn("rank", col("offset") + col("local_rn"))
+      .withColumn("cum", col("mass_before") + col("freq") * col("local_rn"))
     def covered(pct: Int): Column =
       min(when(col("cum") * 100 >= col("total") * pct, col("rank")))
     ranked.crossJoin(broadcast(total))
@@ -115,11 +147,22 @@ object CorpusStats {
     * a milli-precision rational of exact integers instead of ln(N/df), so
     * the ranking is engine-exact (same monotone ordering for the fixture's
     * frequency range; a float-idf variant would differ only in weighting,
-    * not plumbing). Plan: one corpus-wide df aggregate (vocab-sized,
-    * broadcast back), one per-(lang, term) tf aggregate, and a top-k rank
-    * window over the vocab×lang frame — the token stream shuffles once.
+    * not plumbing).
+    *
+    * Scale posture (no vocab-sized broadcast, no vocab-sized window
+    * partition): tf ⋈ df is a SHUFFLE join on the term key — an open
+    * (BPE/byte-ngram) vocabulary's df table outgrows any broadcast
+    * threshold, and both vocab-keyed aggregates hash-partition on term
+    * anyway, so the join co-locates without a broadcast build. The
+    * per-lang top-k is two-phase salted: a first rank window partitioned
+    * by (lang, salt(term)) keeps every window partition
+    * vocab/`salts`-bounded (size the salt count to the executor at
+    * deployment), and since a language's true top-k terms are each top-k
+    * within their own salt bucket, the ≤ salts·k survivors per lang feed
+    * the exact final rank — a constant-bounded frame.
     */
-  def tfidfTerms(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+  def tfidfTerms(spark: SparkSession, sfDir: String, k: Int = 5,
+                 salts: Int = 16): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val nDocs = docs.agg(count(lit(1)).as("n_total"))
     val toks = docs
@@ -130,12 +173,19 @@ object CorpusStats {
       .agg(countDistinct("doc_id").as("df"))
     val tf = toks.groupBy("lang", "term")
       .agg(count(lit(1)).as("tf"))
-    val w = Window.partitionBy("lang")
-      .orderBy(desc("score"), asc("term"))
-    tf.join(broadcast(df), "term")
+    val scored = tf.join(df.hint("shuffle_hash"), "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", col("tf") * expr("(1000 * n_total) div df"))
-      .withColumn("rk", row_number().over(w).cast("long"))
+    val cand = scored
+      .withColumn("salt", pmod(crc32(col("term")), lit(salts)))
+      .withColumn("rk1", row_number().over(
+        Window.partitionBy("lang", "salt")
+          .orderBy(desc("score"), asc("term"))))
+      .filter(col("rk1") <= k)
+    cand
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("score"), asc("term")))
+        .cast("long"))
       .filter(col("rk") <= k)
       .select(col("lang"), col("rk"), col("term"), col("tf"), col("df"),
         col("score"))
@@ -229,22 +279,36 @@ object CorpusStats {
     * correlation ("are longer docs just repetitive?"), with the ENTIRE
     * gate in exact integers: ranks are row_numbers over the deterministic
     * (metric, doc_id) order, Σd² is a BIGINT, and ρ is reported as the
-    * exact ppm floor of 1 − 6Σd²/(n(n²−1)). The two rank windows are
-    * global but this op is a CORPUS-LEVEL diagnostic the analyst runs on
-    * a sample/stratum; at full-corpus scale the same Σd² computes from
-    * bucket-offset ranks ([[graft.ops.Analytics.globalRankDocs]]'s
-    * pattern) and the n³ term moves to DECIMAL.
+    * exact ppm floor of 1 − 6Σd²/(n(n²−1)). BOTH ranks are bucket-offset
+    * ([[graft.ops.Analytics.globalRankDocs]]'s pattern): bucket by the
+    * metric value (bounded cardinality — char lengths and type counts),
+    * prefix-sum the bucket counts (a window over bucket-count rows only),
+    * then rank locally within each bucket partition — identical ranks to
+    * a global `row_number` by construction, with no unpartitioned window
+    * over the document frame. At full-corpus scale the n³ ppm term moves
+    * to DECIMAL.
     */
   def rankCorrelation(spark: SparkSession, sfDir: String): DataFrame = {
     val m = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("n_chars"),
         size(array_distinct(split(col("text"), " "))).cast("long")
           .as("n_types"))
-    val ranked = m
-      .withColumn("r_chars", row_number().over(
-        Window.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
-      .withColumn("r_types", row_number().over(
-        Window.orderBy(col("n_types"), col("doc_id"))).cast("long"))
+    // rank by (metric, doc_id) = bucket offset + doc_id-ordered local rank
+    def bucketRank(df: DataFrame, metric: String, out: String): DataFrame = {
+      val offsets = df.groupBy(metric).agg(count(lit(1)).as("cnt"))
+        .withColumn("offset",
+          coalesce(sum("cnt").over(
+            Window.orderBy(metric).rowsBetween(
+              Window.unboundedPreceding, -1)), lit(0L)).cast("long"))
+        .select(col(metric), col("offset"))
+      df.join(broadcast(offsets), Seq(metric))
+        .withColumn(out,
+          col("offset") + row_number().over(
+            Window.partitionBy(metric).orderBy("doc_id")).cast("long"))
+        .drop("offset")
+    }
+    val ranked = bucketRank(bucketRank(m, "n_chars", "r_chars"),
+      "n_types", "r_types")
     ranked.agg(
       count(lit(1)).as("n"),
       sum((col("r_chars") - col("r_types")) *

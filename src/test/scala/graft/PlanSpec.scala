@@ -298,11 +298,52 @@ class PlanSpec extends SparkSpec {
     assert(logicalJoins.exists(_.toString == "LeftSemi"))
   }
 
-  test("tfidf broadcasts the vocab-sized df table — the token stream " +
-       "shuffles only for the (lang, term) aggregate") {
+  test("tfidf joins tf⋈df WITHOUT broadcasting the vocab-sized df table " +
+       "(open-vocab posture) and every rank window is partitioned") {
     val plan = planOf("tfidf_terms")
-    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty)
-    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+    // the term-keyed join is a shuffle join (shuffled-hash per hint); the
+    // only broadcast is the 1-row corpus total
+    assert(plan.exists(_.getClass.getSimpleName.contains("ShuffledHashJoin")))
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "no unpartitioned window over the vocab×lang frame")
+    // phase-1 salted window partitions by (lang, salt) — 2 keys
+    assert(windows.exists(_.partitionSpec.length == 2))
+  }
+
+  test("token_zipf / vocab_coverage rank the vocab via bucket offsets — " +
+       "global windows see only the distinct-freq bucket-count frame") {
+    Seq("token_zipf", "vocab_coverage").foreach { q =>
+      val plan = planOf(q)
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.exists(_.partitionSpec.nonEmpty),
+        s"$q: per-token local rank window is freq-partitioned")
+      // global windows may consume the distinct-freq bucket frame only —
+      // never a frame carrying per-token rows (cnt may be pruned away)
+      windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+        assert(!w.output.map(_.name).contains("token"),
+          s"$q: global window consumed the token frame: ${w.output.map(_.name)}")
+      }
+    }
+  }
+
+  test("rank_correlation ranks both metrics via bucket offsets — no " +
+       "unpartitioned window consumes the document frame") {
+    val plan = planOf("rank_correlation")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.count(_.partitionSpec.nonEmpty) >= 2,
+      "both local-rank windows are metric-bucket-partitioned")
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.output.map(_.name).contains("cnt"))
+      assert(!w.output.map(_.name).contains("doc_id"),
+        "global prefix-sum windows see bucket counts, never documents")
+    }
   }
 
   test("kmeans broadcasts the centroid axis — never a cartesian or " +
