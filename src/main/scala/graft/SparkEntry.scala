@@ -201,6 +201,10 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamAssembly.streamLateDrop(s, d)),
     "dsv2_ingest_rollup" ->
       ((s, d) => graft.sources.LogPipeline.dsv2IngestRollup(s, d)),
+    "mm_bmp_luminance" ->
+      ((s, d) => graft.multimodal.Multimodal.bmpLuminance(s, d)),
+    "mm_wav_energy" ->
+      ((s, d) => graft.multimodal.Multimodal.wavEnergy(s, d)),
     // rows-only (approx sketches aren't cross-engine comparable; accuracy
     // is spec-asserted in ApproxSpec, mirroring approx_distinct_users)
     "approx_value_quantiles" -> ((s, d) => TrainingSets.approxValueQuantiles(s, d))
@@ -2410,6 +2414,36 @@ object SparkEntry {
         |count(*) AS n_events,
         |round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
         |  AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the Spark side decodes REAL BMP bytes (bottom-up BGR rows + padding);
+    // the oracle recomputes each pixel arithmetically from doc_id
+    "mm_bmp_luminance" ->
+      """WITH img AS (SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT doc_id,
+        |    (doc_id * 3 + rr.r + cc.c) % 256 AS red,
+        |    (doc_id * 2 + rr.r + cc.c) % 256 AS green,
+        |    (doc_id + rr.r + cc.c) % 256 AS blue
+        |  FROM img, range(0, 11) rr(r), range(0, 17) cc(c)
+        |  WHERE rr.r < h AND cc.c < w)
+        |SELECT CAST(doc_id % 10 AS BIGINT) AS bucket,
+        |  count(DISTINCT doc_id) AS n_images,
+        |  CAST(count(*) AS BIGINT) AS sum_pixels,
+        |  CAST(sum(299 * red + 587 * green + 114 * blue) AS BIGINT)
+        |    AS sum_luma_milli
+        |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the Spark side walks REAL RIFF chunks back to int16 samples; sum_rate
+    // pins the fmt-chunk parse (8000 Hz per clip)
+    "mm_wav_energy" ->
+      """WITH au AS (SELECT doc_id, 64 + doc_id % 100 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT doc_id, (doc_id * 31 + ii.i * 7) % 65536 - 32768 AS v
+        |  FROM au, range(0, 164) ii(i) WHERE ii.i < n)
+        |SELECT CAST(doc_id % 10 AS BIGINT) AS bucket,
+        |  count(DISTINCT doc_id) AS n_clips,
+        |  CAST(count(*) AS BIGINT) AS sum_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_energy,
+        |  CAST(count(DISTINCT doc_id) * 8000 AS BIGINT) AS sum_rate
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

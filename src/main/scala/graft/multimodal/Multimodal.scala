@@ -12,23 +12,30 @@ import graft.Tables
   * iterator (batch) shape — the Scala analogue of an Arrow-batched
   * `mapInPandas` stage.
   *
-  * The container has no image/audio codecs, so the DECODE INNARDS ARE A
-  * DETERMINISTIC FAKE (documented stub): payloads carry a real 24-byte
-  * header that [[decode]] genuinely parses byte-by-byte, and a pseudo-random
-  * body standing in for compressed media. Everything Spark-side — schemas,
-  * binary round-trip, partition-streaming iterator shape, explode of
-  * sampled frames, feature vectors feeding the similarity operators — is
-  * real and tested. Swapping the stub for a codec changes only the body
-  * functions, not the plumbing.
+  * Two codec tiers:
   *
-  * Header layout (little-endian): magic int ('GMM0'), media_type byte
-  * (0=image 1=audio 2=video), width int, height int, channels byte,
+  *   - REAL CODECS, pure-JVM byte parsing (no library): 24-bit
+  *     uncompressed BMP ([[encodeBmp]]/[[decodeBmp]] — BITMAPFILEHEADER +
+  *     BITMAPINFOHEADER, bottom-up rows, BGR byte order, 4-byte row
+  *     padding) and PCM-16 mono WAV ([[encodeWav]]/[[decodeWav]] — RIFF
+  *     chunk walk tolerating unknown chunks). Real pixels/samples decode
+  *     to real features (integer BT.601 luminance mass, sample energy),
+  *     oracle-checked end-to-end from deterministically generated
+  *     payloads ([[bmpLuminance]], [[wavEnergy]]).
+  *   - A documented deterministic FAKE for VIDEO only (the container has
+  *     no video codec): payloads carry a real 24-byte header that
+  *     [[decode]] genuinely parses byte-by-byte and a pseudo-random body
+  *     standing in for compressed frames. Swapping the stub for a codec
+  *     changes only the body functions, not the plumbing.
+  *
+  * Stub header layout (little-endian): magic int ('GMM0'), media_type
+  * byte (0=image 1=audio 2=video), width int, height int, channels byte,
   * duration_ms int, body_len int, pad to 24.
   *
-  * Metadata fields derive arithmetically from doc_id (width =
-  * 64+32*(id%16), …), so the DuckDB oracle can verify the Spark-side
-  * encode→decode round-trip from the `documents` table without seeing any
-  * bytes.
+  * Metadata (and, for BMP/WAV, every pixel/sample value) derive
+  * arithmetically from doc_id, so the DuckDB oracle can verify the
+  * Spark-side encode→decode round-trip from the `documents` table without
+  * seeing any bytes — while the Spark side genuinely parses them.
   */
 object Multimodal {
 
@@ -194,6 +201,161 @@ object Multimodal {
     }).toDF("doc_id", "frame_ms", "frame")
   }
 
+  // ---- real codecs: BMP (24-bit uncompressed) and WAV (PCM-16 mono) ----
+
+  /** Fixture image dims — small (≤16×10) so the per-pixel oracle stays
+    * cheap; the decode path is identical at any size.
+    */
+  def bmpWidthOf(id: Long): Int = 8 + (id % 9).toInt
+  def bmpHeightOf(id: Long): Int = 4 + (id % 7).toInt
+
+  /** Deterministic pixel channels (each mod-256 of an affine form the SQL
+    * oracle reproduces): blue/green/red vary per (row, col).
+    */
+  def pixelOf(id: Long, r: Int, c: Int): (Int, Int, Int) = (
+    ((id * 3 + r + c) % 256).toInt, // red
+    ((id * 2 + r + c) % 256).toInt, // green
+    ((id + r + c) % 256).toInt) // blue
+
+  /** A REAL 24-bit uncompressed BMP: 14-byte BITMAPFILEHEADER + 40-byte
+    * BITMAPINFOHEADER + bottom-up pixel rows in BGR order, each row padded
+    * to a 4-byte boundary (the format as published; decodable by any image
+    * viewer).
+    */
+  def encodeBmp(id: Long): Array[Byte] = {
+    val w = bmpWidthOf(id); val h = bmpHeightOf(id)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dataSize).putShort(0).putShort(0).putInt(54) // file header
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0) // info header
+    var fileRow = 0
+    while (fileRow < h) {
+      val r = h - 1 - fileRow // bottom-up: first stored row is the last
+      var c = 0
+      while (c < w) {
+        val (red, green, blue) = pixelOf(id, r, c)
+        buf.put(blue.toByte).put(green.toByte).put(red.toByte)
+        c += 1
+      }
+      var pad = w * 3
+      while (pad < rowSize) { buf.put(0.toByte); pad += 1 }
+      fileRow += 1
+    }
+    buf.array()
+  }
+
+  final case class BmpImage(width: Int, height: Int,
+                            pixels: Array[Int] /* row-major 0xRRGGBB */)
+
+  /** Parse a 24-bit uncompressed BMP byte-by-byte: honors the pixel-data
+    * offset field, positive (bottom-up) or negative (top-down) height,
+    * BGR order, and row padding. Returns row-major top-down pixels.
+    */
+  def decodeBmp(payload: Array[Byte]): Option[BmpImage] = {
+    if (payload == null || payload.length < 54) return None
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    if (buf.get(0) != 'B' || buf.get(1) != 'M') return None
+    val offset = buf.getInt(10)
+    val w = buf.getInt(18)
+    val rawH = buf.getInt(22)
+    val bpp = buf.getShort(28)
+    val compression = buf.getInt(30)
+    if (bpp != 24 || compression != 0 || w <= 0 || rawH == 0) return None
+    val bottomUp = rawH > 0
+    val h = math.abs(rawH)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    if (payload.length < offset + rowSize * h) return None
+    val px = new Array[Int](w * h)
+    var r = 0
+    while (r < h) {
+      val fileRow = if (bottomUp) h - 1 - r else r
+      var base = offset + fileRow * rowSize
+      var c = 0
+      while (c < w) {
+        val blue = payload(base) & 0xff
+        val green = payload(base + 1) & 0xff
+        val red = payload(base + 2) & 0xff
+        px(r * w + c) = (red << 16) | (green << 8) | blue
+        base += 3
+        c += 1
+      }
+      r += 1
+    }
+    Some(BmpImage(w, h, px))
+  }
+
+  /** Fixture audio length — ≤163 samples for oracle cost; real clips just
+    * take longer to walk.
+    */
+  def wavSamplesOf(id: Long): Int = 64 + (id % 100).toInt
+
+  /** Deterministic PCM-16 sample i (full int16 range, SQL-reproducible). */
+  def sampleOf(id: Long, i: Int): Int =
+    ((id * 31 + i.toLong * 7) % 65536).toInt - 32768
+
+  /** A REAL PCM-16 mono WAV: RIFF header, canonical fmt chunk (PCM,
+    * 1 channel, 8 kHz, 16-bit), data chunk of little-endian int16 samples.
+    */
+  def encodeWav(id: Long): Array[Byte] = {
+    val n = wavSamplesOf(id)
+    val dataLen = 2 * n
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) { buf.putShort(sampleOf(id, i).toShort); i += 1 }
+    buf.array()
+  }
+
+  final case class WavClip(sampleRate: Int, samples: Array[Int])
+
+  /** Walk the RIFF chunk list (skipping unknown chunks — the tolerance a
+    * real-world WAV needs for LIST/INFO metadata), require canonical
+    * PCM-16 mono, return the decoded samples.
+    */
+  def decodeWav(payload: Array[Byte]): Option[WavClip] = {
+    if (payload == null || payload.length < 12) return None
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(at: Int): String =
+      new String(payload.slice(at, at + 4), "US-ASCII")
+    if (fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
+    var pos = 12
+    var sampleRate = 0
+    var pcm16Mono = false
+    while (pos + 8 <= payload.length) {
+      val id = fourcc(pos)
+      val len = buf.getInt(pos + 4)
+      if (len < 0 || pos + 8 + len > payload.length) return None
+      id match {
+        case "fmt " =>
+          if (len < 16) return None
+          val audioFormat = buf.getShort(pos + 8)
+          val channels = buf.getShort(pos + 10)
+          sampleRate = buf.getInt(pos + 12)
+          val bits = buf.getShort(pos + 22)
+          pcm16Mono = audioFormat == 1 && channels == 1 && bits == 16
+        case "data" =>
+          if (!pcm16Mono) return None
+          val n = len / 2
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) { out(i) = buf.getShort(pos + 8 + 2 * i).toInt; i += 1 }
+          return Some(WavClip(sampleRate, out))
+        case _ => // skip unknown chunk (word-aligned)
+      }
+      pos += 8 + len + (len & 1)
+    }
+    None
+  }
+
   // ---- oracle-checked query surface ----
 
   /** Decode round-trip stats: encode → decode on the Spark side; the
@@ -233,4 +395,61 @@ object Multimodal {
         sum("width").as("sum_width"),
         sum("height").as("sum_height"))
       .orderBy("media_type")
+
+  /** REAL image decode end-to-end: every image doc encodes to a genuine
+    * 24-bit BMP whose bytes the decoder re-reads (offset field, bottom-up
+    * rows, BGR channel order, 4-byte row padding), reduced to the integer
+    * BT.601 luminance mass Σ(299R+587G+114B). The DuckDB oracle computes
+    * the same bucketed sums arithmetically per pixel — a decoder that
+    * misreads row order, channel order, padding, or the offset flips the
+    * hash. Encode+decode are row-local (partition-streaming map, no
+    * shuffle until the bucket rollup), the 100 TB decode-stage shape.
+    */
+  def bmpLuminance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.documents(spark, sfDir).select(col("doc_id")))
+      .filter(col("doc_id") % 3 === 0)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val img = decodeBmp(encodeBmp(id)).get
+        var luma = 0L
+        img.pixels.foreach { p =>
+          luma += 299L * ((p >> 16) & 0xff) +
+            587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+        }
+        (id % 10, img.width.toLong * img.height, luma)
+      })
+      .toDF("bucket", "px", "luma")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_images"),
+        sum("px").as("sum_pixels"),
+        sum("luma").as("sum_luma_milli"))
+      .orderBy("bucket")
+  }
+
+  /** REAL audio decode end-to-end: every audio doc encodes to a genuine
+    * PCM-16 mono WAV whose RIFF chunks the decoder walks back (fmt parse,
+    * unknown-chunk skip, int16 little-endian samples), reduced to exact
+    * integer energy Σ s² and the fmt-read sample rate. Same oracle
+    * discipline and plan shape as [[bmpLuminance]].
+    */
+  def wavEnergy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.documents(spark, sfDir).select(col("doc_id")))
+      .filter(col("doc_id") % 3 === 1)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val clip = decodeWav(encodeWav(id)).get
+        var sq = 0L
+        clip.samples.foreach(s => sq += s.toLong * s)
+        (id % 10, clip.samples.length.toLong, sq, clip.sampleRate.toLong)
+      })
+      .toDF("bucket", "n", "sq", "rate")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_clips"),
+        sum("n").as("sum_samples"),
+        sum("sq").as("sum_energy"),
+        sum("rate").as("sum_rate"))
+      .orderBy("bucket")
+  }
 }

@@ -78,4 +78,63 @@ class MultimodalSpec extends SparkSpec {
     // nothing dropped: decode succeeded for every resized payload
     assert(resized.count() === Multimodal.mediaTable(spark, sf).count())
   }
+
+  test("BMP codec: bottom-up rows, BGR order, and 4-byte padding decode " +
+       "back to the exact encoded pixels") {
+    // id=5 → w=13 (13*3=39, padded to 40 — exercises real padding), h=9
+    val id = 5L
+    val img = Multimodal.decodeBmp(Multimodal.encodeBmp(id)).get
+    assert(img.width === Multimodal.bmpWidthOf(id))
+    assert(img.height === Multimodal.bmpHeightOf(id))
+    for (r <- 0 until img.height; c <- 0 until img.width) {
+      val (red, green, blue) = Multimodal.pixelOf(id, r, c)
+      val p = img.pixels(r * img.width + c)
+      assert(((p >> 16) & 0xff) === red, s"red at ($r,$c)")
+      assert(((p >> 8) & 0xff) === green, s"green at ($r,$c)")
+      assert((p & 0xff) === blue, s"blue at ($r,$c)")
+    }
+    // a hand-built TOP-DOWN bmp (negative height) decodes identically
+    val bu = Multimodal.encodeBmp(id)
+    val rowSize = (img.width * 3 + 3) / 4 * 4
+    val td = bu.clone()
+    val hBytes = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-img.height).array()
+    System.arraycopy(hBytes, 0, td, 22, 4)
+    for (r <- 0 until img.height) // reverse the stored row order
+      System.arraycopy(bu, 54 + (img.height - 1 - r) * rowSize,
+        td, 54 + r * rowSize, rowSize)
+    assert(Multimodal.decodeBmp(td).get.pixels.toSeq === img.pixels.toSeq)
+    // corrupt magic / truncated payloads are rejected, not mis-decoded
+    assert(Multimodal.decodeBmp("XX".getBytes ++ bu.drop(2)).isEmpty)
+    assert(Multimodal.decodeBmp(bu.dropRight(1)).isEmpty)
+  }
+
+  test("WAV codec: RIFF chunk walk survives an inserted unknown chunk and " +
+       "recovers exact int16 samples + fmt sample rate") {
+    val id = 7L
+    val wav = Multimodal.encodeWav(id)
+    val clip = Multimodal.decodeWav(wav).get
+    assert(clip.sampleRate === 8000)
+    assert(clip.samples.length === Multimodal.wavSamplesOf(id))
+    clip.samples.zipWithIndex.foreach { case (s, i) =>
+      assert(s === Multimodal.sampleOf(id, i), s"sample $i")
+    }
+    // splice an unknown odd-length chunk between fmt and data (word-aligned
+    // skip): decode must step over it
+    val junk = java.nio.ByteBuffer.allocate(8 + 5 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    junk.put("LIST".getBytes("US-ASCII")).putInt(5)
+      .put(Array[Byte](1, 2, 3, 4, 5, 0))
+    val spliced = wav.take(36) ++ junk.array() ++ wav.drop(36)
+    val buf2 = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf2.putInt(4, spliced.length - 8) // fix RIFF size
+    assert(Multimodal.decodeWav(spliced).get.samples.toSeq
+      === clip.samples.toSeq)
+    // stereo/8-bit fmt is rejected (decoder requires canonical PCM-16 mono)
+    val stereo = wav.clone()
+    java.nio.ByteBuffer.wrap(stereo)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(22, 2.toShort)
+    assert(Multimodal.decodeWav(stereo).isEmpty)
+  }
 }
