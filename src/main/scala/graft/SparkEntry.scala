@@ -71,7 +71,7 @@ object SparkEntry {
     "rollup_grouping_sets" -> (StarQueries.rollupGroupingSets _),
     "part_promo_share" -> (StarQueries.partPromoShare _),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d)),
-    "approx_distinct_users" -> (Rollups.approxDistinctUsers _),
+    "approx_distinct_users" -> (Rollups.approxDistinctUsersGated _),
     "topk_per_segment" -> ((s, d) => TopK.topOrdersPerSegment(s, d)),
     "asof_events_orders" -> (AsOf.eventsAsOfOrders _),
     "asof_custom_plan" -> (AsOf.eventsAsOfOrdersCustom _),
@@ -109,6 +109,7 @@ object SparkEntry {
     "scd2_user_history" -> (Analytics.scd2UserHistory _),
     "pit_state_lookup" -> ((s, d) => Analytics.pitStateLookup(s, d)),
     "rolling_active_users" -> (Analytics.rollingActiveUsers _),
+    "rolling_active_users_hll" -> (Analytics.rollingActiveUsersHll _),
     "event_transitions" -> (Analytics.eventTransitions _),
     "conversion_latency" -> (Analytics.conversionLatency _),
     "outlier_events" -> (Analytics.outlierEvents _),
@@ -205,9 +206,10 @@ object SparkEntry {
       ((s, d) => graft.multimodal.Multimodal.bmpLuminance(s, d)),
     "mm_wav_energy" ->
       ((s, d) => graft.multimodal.Multimodal.wavEnergy(s, d)),
-    // rows-only (approx sketches aren't cross-engine comparable; accuracy
-    // is spec-asserted in ApproxSpec, mirroring approx_distinct_users)
-    "approx_value_quantiles" -> ((s, d) => TrainingSets.approxValueQuantiles(s, d))
+    // hash-gated via the error contract (exact values + bounded-error
+    // booleans); raw-sketch accuracy additionally spec-asserted (ApproxSpec)
+    "approx_value_quantiles" ->
+      ((s, d) => TrainingSets.approxValueQuantilesGated(s, d))
   )
 
   /** Shared DuckDB CTE body: 3-gram shingles → exact-Jaccard-0.8 pairs.
@@ -1100,6 +1102,20 @@ object SparkEntry {
         |count(DISTINCT CASE WHEN uday >= wday - INTERVAL 6 DAY
         |  THEN user_id END) AS wau,
         |count(DISTINCT user_id) AS mau
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the sketch arm (per-day HLLs union-merged over the spine) is pinned
+    // via the error contract: exact counts + in-bound booleans
+    "rolling_active_users_hll" ->
+      """WITH ud AS (SELECT DISTINCT ts::DATE AS uday, user_id FROM events),
+        |days AS (SELECT DISTINCT uday AS wday FROM ud),
+        |f AS (SELECT d.wday, u.user_id, u.uday FROM days d JOIN ud u
+        |  ON u.uday <= d.wday AND u.uday >= d.wday - INTERVAL 29 DAY)
+        |SELECT wday AS day,
+        |count(DISTINCT CASE WHEN uday = wday THEN user_id END) AS dau,
+        |count(DISTINCT CASE WHEN uday >= wday - INTERVAL 6 DAY
+        |  THEN user_id END) AS wau,
+        |count(DISTINCT user_id) AS mau,
+        |TRUE AS dau_ok, TRUE AS wau_ok, TRUE AS mau_ok
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     // PIT lookup against the SCD2 intervals: the probe instant is
     // ts - 1 hour; intervals partition each user's timeline so the left
@@ -2432,6 +2448,15 @@ object SparkEntry {
         |  CAST(sum(299 * red + 587 * green + 114 * blue) AS BIGINT)
         |    AS sum_luma_milli
         |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the hash pins the sketch ERROR CONTRACT: exact count + in-bound
+    // boolean (sketch estimates themselves aren't cross-engine comparable)
+    "approx_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |TRUE AS approx_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "approx_value_quantiles" ->
+      """SELECT event_type, count(*) AS n, TRUE AS p50_ok, TRUE AS p99_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the Spark side walks REAL RIFF chunks back to int16 samples; sum_rate
     // pins the fmt-chunk parse (8000 Hz per clip)
     "mm_wav_energy" ->

@@ -410,6 +410,48 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** The 100 TB form of [[rollingActiveUsers]]: per-day MERGEABLE HLL
+    * sketches (Datasketches `hll_sketch_agg`) union-merged over the same
+    * broadcast 30-day spine. The sketch frame entering the spine join has
+    * ONE ROW PER DAY (a few KB each) — at any corpus size the fan-out is
+    * days×30 sketch merges, not user-days×30 row replays, which is why
+    * engagement tiers at scale run on sketches. Hash-gated via the error
+    * contract ([[graft.ops.Rollups.approxDistinctUsersGated]]'s pattern):
+    * the emitted dau/wau/mau are the EXACT counts, each alongside a
+    * boolean pinning the sketch estimate within 5%+5 of it (Datasketches
+    * HLL at lgK=12 is ~1.6% rsd; the slack absorbs small-count modes), so
+    * the oracle is the exact SQL plus literal TRUEs and an out-of-bound
+    * sketch flips the hash. At deployment the exact arm drops away and
+    * only the sketch arm runs (per-day sketches persist and re-merge for
+    * any horizon without rescanning history).
+    */
+  def rollingActiveUsersHll(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("uday"), col("user_id"))
+      .groupBy("uday")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val days = daily.select(col("uday").as("wday"))
+    val est = daily.join(broadcast(days),
+        col("uday") <= col("wday") &&
+          col("uday") >= date_sub(col("wday"), 29))
+      .groupBy(col("wday"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(
+          when(col("uday") === col("wday"), col("sk")))).as("dau_est"),
+        hll_sketch_estimate(hll_union_agg(
+          when(col("uday") >= date_sub(col("wday"), 6), col("sk"))))
+          .as("wau_est"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("mau_est"))
+      .withColumnRenamed("wday", "day")
+    def ok(est: String, exact: String): Column =
+      (abs(col(est) - col(exact)) <=
+        col(exact).cast("double") * 0.05 + 5).as(s"${exact}_ok")
+    rollingActiveUsers(spark, sfDir).join(est, "day")
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        ok("dau_est", "dau"), ok("wau_est", "wau"), ok("mau_est", "mau"))
+      .orderBy("day")
+  }
+
   /** Point-in-time (PIT) state lookup — the feature-store join every
     * leakage-aware training pipeline needs: for each purchase, find the
     * user's [[scd2UserHistory]] state that was valid one hour BEFORE the

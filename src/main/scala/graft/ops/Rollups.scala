@@ -156,6 +156,21 @@ object Rollups {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  /** The HASH-GATED surface of [[approxDistinctUsers]]: sketch internals
+    * aren't cross-engine comparable, but the ERROR CONTRACT is — emit the
+    * exact count plus the 3·rsd bounded-error boolean, so the DuckDB
+    * oracle (exact count, literal TRUE) pins "the estimate exists and
+    * lands in bound" to values. A sketch drifting out of bound flips the
+    * boolean and fails the hash; ApproxSpec still asserts the tighter
+    * distributional claim on the raw estimates.
+    */
+  def approxDistinctUsersGated(spark: SparkSession, sfDir: String): DataFrame =
+    approxDistinctUsers(spark, sfDir)
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users").cast("double") * (3 * 0.015)).as("approx_ok"))
+      .orderBy("event_type")
+
   /** F14 / events.props: JSON field extraction. Uses get_json_object
     * (codegen'd path over the string column); the oracle uses a regexp so
     * the DuckDB side needs no JSON extension.

@@ -346,6 +346,24 @@ object TrainingSets {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** The HASH-GATED surface of [[approxValueQuantiles]]: exact percentile
+    * doubles can't be hashed cross-engine (interpolation float parity) and
+    * sketch outputs differ by design — but the ERROR CONTRACT hashes fine:
+    * per type, the exact row count plus a 5%-relative-error boolean per
+    * quantile (the same bound ApproxSpec asserts). The DuckDB oracle emits
+    * the count and literal TRUEs, so an out-of-bound sketch flips a
+    * boolean and fails the driver's hash.
+    */
+  def approxValueQuantilesGated(spark: SparkSession,
+                                sfDir: String): DataFrame =
+    approxValueQuantiles(spark, sfDir)
+      .select(col("event_type"), col("n"),
+        (abs(col("p50_approx") - col("p50_exact")) <=
+          abs(col("p50_exact")) * 0.05).as("p50_ok"),
+        (abs(col("p99_approx") - col("p99_exact")) <=
+          abs(col("p99_exact")) * 0.05).as("p99_ok"))
+      .orderBy("event_type")
+
   /** Deterministic training-shard assignment: shard = first md5 byte-pairs
     * of the doc id mod nShards — the "global shuffle" a training run needs,
     * done as a row-local hash instead of a sort (a total order over 100 TB

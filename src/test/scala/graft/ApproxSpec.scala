@@ -29,4 +29,13 @@ class ApproxSpec extends SparkSpec {
     assert(r.count() > 0)
     assert(r.filter(col("err") > 3 * 0.015).count() === 0)
   }
+
+  test("per-day HLL sketches merged over the 30-day spine stay in bound " +
+       "on every horizon (the gated booleans never go false)") {
+    val r = graft.ops.Analytics
+      .rollingActiveUsersHll(spark, "/root/testdata/sf0.01")
+    assert(r.count() > 0)
+    assert(r.filter(!col("dau_ok") || !col("wau_ok") || !col("mau_ok"))
+      .count() === 0)
+  }
 }
