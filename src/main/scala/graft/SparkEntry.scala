@@ -77,6 +77,8 @@ object SparkEntry {
     "asof_custom_plan" -> (AsOf.eventsAsOfOrdersCustom _),
     "asof_last_view" -> (AsOf.purchasesAsOfViews _),
     "range_join_pairs" -> ((s, d) => RangeJoin.eventPairsWithin(s, d)),
+    "range_join_custom_plan" ->
+      ((s, d) => RangeJoin.eventPairsWithinCustom(s, d)),
     "train_test_split" -> (TrainingSets.trainTestSplit _),
     "value_quantiles" -> (TrainingSets.valueQuantiles _),
     "stratified_sample" -> ((s, d) => TrainingSets.stratifiedSample(s, d)),
@@ -758,6 +760,16 @@ object SparkEntry {
         |  AND p.ts::TIMESTAMP >= vd.v_ts::TIMESTAMP
         |ORDER BY p.event_id""".stripMargin,
     "range_join_pairs" ->
+      """SELECT a.event_id AS event_a, b.event_id AS event_b,
+        |abs(epoch_us(a.ts::TIMESTAMP) - epoch_us(b.ts::TIMESTAMP)) AS delta_us
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND a.event_id < b.event_id
+        |  AND abs(epoch_us(a.ts::TIMESTAMP) - epoch_us(b.ts::TIMESTAMP))
+        |      <= 3600000000
+        |ORDER BY 1, 2""".stripMargin,
+    // the custom band-join plan node, gated against the IDENTICAL oracle
+    // as its composed (bucket-fan-out) sibling
+    "range_join_custom_plan" ->
       """SELECT a.event_id AS event_a, b.event_id AS event_b,
         |abs(epoch_us(a.ts::TIMESTAMP) - epoch_us(b.ts::TIMESTAMP)) AS delta_us
         |FROM events a JOIN events b ON a.user_id = b.user_id

@@ -51,6 +51,10 @@ object GraftFunctions {
         .contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.RangeJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.RangeJoinStrategy
   }
 }
 
@@ -85,5 +89,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => RewriteIntersectSize)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }
 }

@@ -52,4 +52,33 @@ object RangeJoin {
         abs(col("us_a") - col("us_b")).as("delta_us"))
       .orderBy("event_a", "event_b")
   }
+
+  /** The SAME pairs through the custom [[graft.plans.RangeJoinExec]] band
+    * join — preference tier (c): both sides shuffle ONCE on the bare user
+    * key (no 3× bucket fan-out, no post-filter) and the per-partition
+    * sliding-window merge emits each in-band pair exactly once. Registered
+    * against the IDENTICAL DuckDB oracle as [[eventPairsWithin]], so the
+    * hash gate proves the physical operator equivalent to the composed
+    * form; the exchange-elision and co-partition contracts are
+    * spec-asserted (RangeJoinSpec).
+    */
+  def eventPairsWithinCustom(spark: SparkSession, sfDir: String,
+                             tolSeconds: Long = 3600L): DataFrame = {
+    graft.functions.GraftFunctions.register(spark) // installs the strategy
+    val tolUs = tolSeconds * 1000000L
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    val a = base.select(col("event_id").as("event_a"),
+      col("user_id"), col("us").as("us_a"))
+    val b = base.select(col("event_id").as("event_b"),
+      col("user_id").as("uid_b"), col("us").as("us_b"))
+    graft.plans.RangeJoinApi
+      .rangeJoin(a, b, "user_id", "uid_b", "us_a", "us_b", tolUs)
+      // unordered pairs once: the band join emits both orientations
+      .filter(col("event_a") < col("event_b"))
+      .select(col("event_a"), col("event_b"),
+        abs(col("us_a") - col("us_b")).as("delta_us"))
+      .orderBy("event_a", "event_b")
+  }
 }

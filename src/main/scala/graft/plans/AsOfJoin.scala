@@ -100,7 +100,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rightOut = right.output
     val outAttrs = output
     val (lkE, ltE, rkE, rtE) = (leftKey, leftTime, rightKey, rightTime)
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    // zipPartitions throws an opaque error on mismatched counts; fail with
+    // the contract instead (EnsureRequirements guarantees this normally —
+    // a direct construction or a requirement change would surface here)
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      s"AsOfJoinExec children must be co-partitioned: " +
+        s"${lRdd.getNumPartitions} vs ${rRdd.getNumPartitions} partitions")
+    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val lk = BindReferences.bindReference(lkE, leftOut)
       val lt = BindReferences.bindReference(ltE, leftOut)
       val rk = BindReferences.bindReference(rkE, rightOut)
@@ -188,6 +196,14 @@ object AsOfJoinApi {
       s"asofJoin key types differ: ${lk.dataType} vs ${rk.dataType}")
     require(lt.dataType == rt.dataType,
       s"asofJoin time types differ: ${lt.dataType} vs ${rt.dataType}")
+    // the merge orders keys/times through interpreted orderings — an
+    // unorderable type (e.g. map) would pass construction and only fail
+    // inside TypeUtils.getInterpretedOrdering on executors
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
+    require(RowOrdering.isOrderable(lk.dataType),
+      s"asofJoin key type ${lk.dataType} is not orderable")
+    require(RowOrdering.isOrderable(lt.dataType),
+      s"asofJoin time type ${lt.dataType} is not orderable")
     GraftPlanBridge.ofRows(left.sparkSession,
       AsOfJoin(lPlan, rPlan, lk, rk, lt, rt))
   }
