@@ -91,7 +91,12 @@ object Bench {
       else failed.map("\"" + _ + "\"").mkString(""""errors":[""", ",", "],")
     // "value" LAST: the harness keeps a 2000-char stdout tail and this line
     // exceeds it — key order makes the headline number truncation-proof.
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir",$onlyField""" +
+    // both stdout lines keep "metric":"total" (the driver may match on it)
+    // but carry a "line" discriminator: consumers that saw the round-6
+    // head-truncation should select "line":"compact" — equivalently, take
+    // the LAST "metric":"total" match, which is always the compact line
+    val line = s"""{"metric":"total","line":"contract","unit":"sec",""" +
+      s""""sf":"$sfDir",$onlyField""" +
       s"""$errField"queries":${qmap(results)},"value":${fmt(total)}}"""
     val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir",$onlyField$errField""" +
       s""""pass1":${qmap(names.map(n => n -> p1(n)))},""" +
@@ -111,7 +116,8 @@ object Bench {
     // line's head and nothing parsed. Print a compact, self-contained JSON
     // line LAST: short enough that tail-truncation always preserves it
     // whole, with the per-query map reachable via BENCH_LAST.json.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
+    println(s"""{"metric":"total","line":"compact","unit":"sec",""" +
+      s""""sf":"$sfDir",""" +
       s""""n_queries":${names.size},"n_failed":${failed.size},""" +
       s""""bench_last":"$benchPath",""" +
       s""""value":${fmt(total)}}""")

@@ -1614,7 +1614,7 @@ object SparkEntry {
     // corpus-internal duplicated-shingle profile; integer decile buckets
     // ((10·n_dup) div n_sh) keep the gate float-free
     "ngram_novelty" ->
-      """WITH tok AS (
+      ("""WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(
         |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -1627,18 +1627,21 @@ object SparkEntry {
         |  WHERE s IN (SELECT s FROM dup) GROUP BY 1),
         |j AS (SELECT p.doc_id, p.n_sh, coalesce(d.n_dup, 0) AS n_dup
         |  FROM perdoc p LEFT JOIN dupdoc d ON p.doc_id = d.doc_id)
-        |SELECT (10 * n_dup) // n_sh AS bin, count(*) AS n_docs,
+        |SELECT (""".stripMargin + s"${ops.Dedup.NgramNoveltyBins}" +
+      """ * n_dup) // n_sh AS bin, count(*) AS n_docs,
         |CAST(sum(n_sh) AS BIGINT) AS total_shingles,
         |CAST(sum(n_dup) AS BIGINT) AS dup_shingles
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin),
     // early/late drift scored as the exact integer cross-multiplied
     // proportion difference — no float ratio in the gate
     "value_drift" ->
-      """WITH mid AS (SELECT (CAST(epoch_us(min(ts)::TIMESTAMP) AS BIGINT)
+      ("""WITH mid AS (SELECT (CAST(epoch_us(min(ts)::TIMESTAMP) AS BIGINT)
         |    + CAST(epoch_us(max(ts)::TIMESTAMP) AS BIGINT)) // 2 AS mid
         |  FROM events),
         |b AS (SELECT event_type,
-        |  CAST(floor(value / 10.0) AS BIGINT) AS bin,
+        |  CAST(floor(value / """.stripMargin +
+      s"${ops.Analytics.ValueDriftBinWidth}.0" +
+      """) AS BIGINT) AS bin,
         |  CASE WHEN CAST(epoch_us(ts::TIMESTAMP) AS BIGINT)
         |    > (SELECT mid FROM mid) THEN 1 ELSE 0 END AS late
         |  FROM events),
@@ -1654,7 +1657,7 @@ object SparkEntry {
         |CAST(n_early * total_late - n_late * total_early AS BIGINT)
         |  AS drift_scaled
         |FROM g JOIN t ON g.event_type = t.event_type
-        |ORDER BY 1, 2""".stripMargin,
+        |ORDER BY 1, 2""".stripMargin),
     // iterative float k-means made engine-portable: distances are the same
     // left-to-right double folds as everywhere else, centroid means and the
     // WCSS report sum in DECIMAL (exact, order-free); the reported wcss is

@@ -568,8 +568,13 @@ object Analytics {
     * the tiny binned frame and broadcast back. Nothing ever shuffles on
     * more than the (type, bin) key space.
     */
+  /** Bin width shared with the registered DuckDB oracle (interpolated into
+    * the SQL — the KmeansK pattern — so operator and oracle cannot drift).
+    */
+  val ValueDriftBinWidth: Int = 10
+
   def valueDrift(spark: SparkSession, sfDir: String,
-                 binWidth: Int = 10): DataFrame = {
+                 binWidth: Int = ValueDriftBinWidth): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), col("ts"), col("value"))
     val mid = ev.agg(((min(unix_micros(col("ts"))) +

@@ -614,8 +614,13 @@ object Dedup {
     * high-cardinality key — no global window, no all-pairs, nothing
     * single-partition.
     */
+  /** Bin count shared with the registered DuckDB oracle (interpolated into
+    * the SQL — the KmeansK pattern — so operator and oracle cannot drift).
+    */
+  val NgramNoveltyBins: Int = 10
+
   def ngramNovelty(spark: SparkSession, sfDir: String,
-                   bins: Int = 10): DataFrame = {
+                   bins: Int = NgramNoveltyBins): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val sh = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(shingleCol(col("text"))).as("s"))

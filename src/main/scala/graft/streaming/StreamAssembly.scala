@@ -173,36 +173,26 @@ object StreamAssembly {
     */
   val defaultTrigger: Trigger = Trigger.ProcessingTime("5 seconds")
 
-  /** Serializes the streaming drains' session-conf mutation (lowered
-    * shuffle partitions while an AvailableNow query drains): the conf is
-    * SESSION-global, so two concurrent fixture drains on one session
-    * would race the save/restore and could leave the session pinned at 2
-    * partitions (test suites share one JVM/session). The lock spans the
-    * whole drain — streaming fixtures serialize against each other; batch
-    * queries on other threads are unaffected (they never take the lock).
-    * `extra` carries drain-scoped confs (e.g. the RocksDB state-store
-    * provider), restored — or unset — alongside.
+  /** Runs a drain on a CLONED session (`newSession()`: shared
+    * SparkContext/caches, ISOLATED SQLConf) with the drain-scoped confs —
+    * lowered shuffle partitions, plus `extra` (e.g. the RocksDB
+    * state-store provider). Because the clone owns its conf, the mutation
+    * is invisible to every other thread — batch queries planned
+    * concurrently on the original session never see partitions=2 (the
+    * previous save/restore-under-lock serialized drains against each
+    * other but still leaked the lowered conf to concurrent BATCH plans on
+    * other threads; a clone closes that hole) — and nothing needs
+    * restoring. The body must build its streaming frames FROM the clone
+    * so the per-micro-batch incremental plans read the drain confs.
     */
-  private val drainLock = new Object
   private def withDrainConf[T](spark: SparkSession,
                                extra: Map[String, String] = Map.empty)
-                              (body: => T): T =
-    drainLock.synchronized {
-      val key = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.get(key)
-      val prevExtra = extra.keys.map(k => k -> spark.conf.getOption(k)).toMap
-      try {
-        spark.conf.set(key, "2")
-        extra.foreach { case (k, v) => spark.conf.set(k, v) }
-        body
-      } finally {
-        spark.conf.set(key, prev)
-        prevExtra.foreach {
-          case (k, Some(v)) => spark.conf.set(k, v)
-          case (k, None) => spark.conf.unset(k)
-        }
-      }
-    }
+                              (body: SparkSession => T): T = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    extra.foreach { case (k, v) => s.conf.set(k, v) }
+    body(s)
+  }
 
 
   /** Raw-table sink (S5 analogue): append micro-batches as yyyyMM-
@@ -328,16 +318,16 @@ object StreamAssembly {
       events.repartition(nFiles).write.parquet(d)
       d
     })
-    val stream = spark.readStream
-      .schema(events.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(srcDir)
     // few-hundred-row per-batch aggregates don't need 32 reducers: run the
     // micro-batch jobs on 2 shuffle partitions (state-store commit cost ∝
-    // partitions × batches; 4→2 measured −11% across the streaming tier).
-    // foreachBatch plans read the session conf at BATCH time, so the conf
-    // stays lowered until the AvailableNow query drains, then is restored.
-    withDrainConf(spark) {
+    // partitions × batches; 4→2 measured −11% across the streaming tier);
+    // the stream is built FROM the drain clone so its per-batch plans see
+    // the lowered conf
+    withDrainConf(spark) { ds =>
+      val stream = ds.readStream
+        .schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
       val query = stream.writeStream
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
@@ -398,33 +388,33 @@ object StreamAssembly {
       events.repartition(nFiles).write.parquet(d)
       d
     })
-    val stream = spark.readStream
-      .schema(events.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(srcDir)
-      // followup-PURCHASE pairs: the filter is pushed below the join, so
-      // both state stores hold purchase rows only — at any scale the
-      // dominant cost of a stream-stream join is state-store churn, and
-      // pre-join filtering is the single biggest lever on it
-      .filter(col("event_type") === "purchase")
-    val a = stream.select(col("event_id").as("event_a"),
-      col("user_id").as("user_a"), col("ts").as("ts_a"),
-      col("event_type").as("type_a"))
-    val b = stream.select(col("event_id").as("event_b"),
-      col("user_id").as("user_b"), col("ts").as("ts_b"),
-      col("event_type").as("type_b"))
-    val joined = a.join(b,
-      col("user_a") === col("user_b") &&
-        col("ts_b") > col("ts_a") &&
-        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $tolMin MINUTES"))
     // per-key join state is a handful of purchase rows, but the HDFS-backed
     // state store pays a per-instance commit every micro-batch and
     // instances = shuffle partitions × join sides: a micro-batch-commit
     // cost, not a data cost, so run the streaming query itself on few
     // partitions (the count is pinned into the checkpoint at first start;
-    // the conf stays lowered until the AvailableNow query drains so the
-    // per-batch incremental plans see it too, then is restored)
-    withDrainConf(spark) {
+    // the stream is built FROM the drain clone so the per-batch
+    // incremental plans see the lowered conf)
+    withDrainConf(spark) { ds =>
+      val stream = ds.readStream
+        .schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        // followup-PURCHASE pairs: the filter is pushed below the join, so
+        // both state stores hold purchase rows only — at any scale the
+        // dominant cost of a stream-stream join is state-store churn, and
+        // pre-join filtering is the single biggest lever on it
+        .filter(col("event_type") === "purchase")
+      val a = stream.select(col("event_id").as("event_a"),
+        col("user_id").as("user_a"), col("ts").as("ts_a"),
+        col("event_type").as("type_a"))
+      val b = stream.select(col("event_id").as("event_b"),
+        col("user_id").as("user_b"), col("ts").as("ts_b"),
+        col("event_type").as("type_b"))
+      val joined = a.join(b,
+        col("user_a") === col("user_b") &&
+          col("ts_b") > col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr(s"INTERVAL $tolMin MINUTES"))
       val query = joined.writeStream
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
@@ -500,25 +490,25 @@ object StreamAssembly {
       }
       d
     })
-    val stream = spark.readStream
-      .schema(events.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(srcDir)
-      // filter below the join: both state stores hold purchase rows only
-      .filter(col("event_type") === "purchase")
-    val a = stream.select(col("event_id").as("event_a"),
-        col("user_id").as("user_a"), col("ts").as("ts_a"),
-        col("event_type").as("type_a"))
-      .withWatermark("ts_a", delay)
-    val b = stream.select(col("event_id").as("event_b"),
-        col("user_id").as("user_b"), col("ts").as("ts_b"),
-        col("event_type").as("type_b"))
-      .withWatermark("ts_b", delay)
-    val joined = a.join(b,
-      col("user_a") === col("user_b") &&
-        col("ts_b") > col("ts_a") &&
-        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $tolMin MINUTES"))
-    withDrainConf(spark) {
+    withDrainConf(spark) { ds =>
+      val stream = ds.readStream
+        .schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        // filter below the join: both state stores hold purchase rows only
+        .filter(col("event_type") === "purchase")
+      val a = stream.select(col("event_id").as("event_a"),
+          col("user_id").as("user_a"), col("ts").as("ts_a"),
+          col("event_type").as("type_a"))
+        .withWatermark("ts_a", delay)
+      val b = stream.select(col("event_id").as("event_b"),
+          col("user_id").as("user_b"), col("ts").as("ts_b"),
+          col("event_type").as("type_b"))
+        .withWatermark("ts_b", delay)
+      val joined = a.join(b,
+        col("user_a") === col("user_b") &&
+          col("ts_b") > col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr(s"INTERVAL $tolMin MINUTES"))
       val query = joined.writeStream
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
@@ -572,18 +562,18 @@ object StreamAssembly {
     val outDir = s"$tmp/sessions"
     val ckptDir = s"$tmp/ckpt"
     val srcDir = stageUserEventsWithSentinel(spark, sfDir, nFiles, gapMinutes)
-    val stream = spark.readStream
-      .schema(userEventSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(srcDir)
     // transformWithState requires the RocksDB provider (also the store
     // we'd run at scale); per-batch state commits dominate at fixture
-    // size, so run the drain on few shuffle partitions — both confs are
-    // restored after the query drains
+    // size, so run the drain on few shuffle partitions — both confs live
+    // on the drain clone only
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     withDrainConf(spark, Map(provKey ->
       ("org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider"))) {
+        "state.RocksDBStateStoreProvider"))) { ds =>
+      val stream = ds.readStream
+        .schema(userEventSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
       val query = SessionizeTws
         .sessionize(stream, gapMinutes, watermark = "40 days")
         .toDF()
@@ -674,11 +664,11 @@ object StreamAssembly {
     val outDir = s"$tmp/sessions"
     val ckptDir = s"$tmp/ckpt"
     val srcDir = stageUserEventsWithSentinel(spark, sfDir, nFiles, gapMinutes)
-    val stream = spark.readStream
-      .schema(userEventSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(srcDir)
-    withDrainConf(spark) {
+    withDrainConf(spark) { ds =>
+      val stream = ds.readStream
+        .schema(userEventSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
       val query = stream
         .withWatermark("ts", "40 days")
         .groupBy(col("user_id"),
@@ -770,11 +760,11 @@ object StreamAssembly {
     val outDir = s"$tmp/deduped"
     val ckptDir = s"$tmp/ckpt"
     val srcDir = stageEventsWithReplay(spark, sfDir, nFiles)
-    val stream = spark.readStream
-      .schema(replayEventSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(srcDir)
-    withDrainConf(spark) {
+    withDrainConf(spark) { ds =>
+      val stream = ds.readStream
+        .schema(replayEventSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
       val query = stream
         .withWatermark("ts", "40 days")
         .dropDuplicatesWithinWatermark("event_id")
@@ -887,11 +877,11 @@ object StreamAssembly {
     val maxHour = graft.Tables.events(spark, sfDir)
       .agg(date_trunc("hour", max(col("ts").cast("timestamp"))))
       .first().getTimestamp(0)
-    val stream = spark.readStream
-      .schema(replayEventSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(srcDir)
-    withDrainConf(spark) {
+    withDrainConf(spark) { ds =>
+      val stream = ds.readStream
+        .schema(replayEventSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
       val query = stream
         .withWatermark("ts", "1 day")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
