@@ -204,6 +204,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamAssembly.streamLateDrop(s, d)),
     "dsv2_ingest_rollup" ->
       ((s, d) => graft.sources.LogPipeline.dsv2IngestRollup(s, d)),
+    "dsv2_batch_read" ->
+      ((s, d) => graft.sources.LogPipeline.dsv2BatchRead(s, d)),
     "mm_bmp_luminance" ->
       ((s, d) => graft.multimodal.Multimodal.bmpLuminance(s, d)),
     "mm_wav_energy" ->
@@ -2446,6 +2448,16 @@ object SparkEntry {
         |round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
         |  AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the BATCH read path of the custom topic: the digest pins the
+    // user_id-keyed partition assignment AND dense per-partition offsets
+    "dsv2_batch_read" ->
+      """SELECT CAST(user_id % 4 AS INT) AS partition,
+        |count(*) AS n_records,
+        |CAST(count(*) - 1 AS BIGINT) AS max_offset,
+        |count(DISTINCT user_id) AS n_users,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |  AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the Spark side decodes REAL BMP bytes (bottom-up BGR rows + padding);
     // the oracle recomputes each pixel arithmetically from doc_id
     "mm_bmp_luminance" ->

@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -80,8 +80,8 @@ private[graft] class GraftLogTable extends Table
   // READ schema (partition/offset/value) — same asymmetry as Kafka; the
   // write builder does its own validation
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
-      TableCapability.ACCEPT_ANY_SCHEMA).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -92,6 +92,22 @@ private[graft] class GraftLogTable extends Table
             GraftLog.requirePath(options),
             Option(options.get("maxRecordsPerTrigger")).map(_.toLong),
             Option(options.get("minPartitions")).map(_.toInt).getOrElse(1))
+        // batch backfill over the same topic (the Kafka `spark.read
+        // .format("kafka")` analogue): a snapshot of the current segment
+        // list planned as the same offset-ranged partitions the stream
+        // reads — one history-replay path, two trigger disciplines
+        override def toBatch(): Batch = {
+          val stream = new GraftLogMicroBatchStream(
+            GraftLog.requirePath(options), None,
+            Option(options.get("minPartitions")).map(_.toInt).getOrElse(1))
+          new Batch {
+            override def planInputPartitions(): Array[InputPartition] =
+              stream.planInputPartitions(
+                stream.initialOffset(), stream.latestOffset())
+            override def createReaderFactory(): PartitionReaderFactory =
+              new LogReaderFactory
+          }
+        }
         override def description(): String = "graftlog"
       }
     }

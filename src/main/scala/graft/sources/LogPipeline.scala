@@ -43,6 +43,30 @@ object LogPipeline {
       (d, events.count())
     })
 
+  /** The BATCH read of the same topic (Kafka's `spark.read.format("kafka")`
+    * backfill analogue — capability BATCH_READ on the same table): one
+    * scan over the snapshot segment list through the same offset-ranged
+    * readers the stream uses. The per-partition digest pins the
+    * key-partitioned staging (partition = user_id mod nParts), the DENSE
+    * offset assignment (max_offset = n_records − 1), and the payload
+    * values — so a batch/stream read-path divergence flips the hash.
+    */
+  def dsv2BatchRead(spark: SparkSession, sfDir: String,
+                    nParts: Int = 4): DataFrame = {
+    val (topicDir, _) = stagedTopic(spark, sfDir, nParts)
+    spark.read.format(GraftLog.format).option("path", topicDir).load()
+      .select(col("partition"), col("offset"),
+        from_json(col("value"), eventJsonSchema,
+          Map("timestampFormat" -> GraftLog.timestampFormat)).as("e"))
+      .groupBy(col("partition"))
+      .agg(count(lit(1)).as("n_records"),
+        max("offset").as("max_offset"),
+        countDistinct(col("e.user_id")).as("n_users"),
+        round(sum(col("e.value").cast("decimal(18,6)")).cast("double"), 2)
+          .as("total_value"))
+      .orderBy("partition")
+  }
+
   /** Source → ingest → sink → read-back, aggregated to the hourly×type
     * rollup: `maxRecordsPerTrigger` forces ~`nBatches` admission-bounded
     * micro-batches; every record crosses the custom source's offset-ranged

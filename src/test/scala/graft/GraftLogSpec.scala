@@ -118,6 +118,23 @@ class GraftLogSpec extends SparkSpec {
     }
   }
 
+  test("batch read returns every staged record once with dense " +
+       "per-partition offsets (BATCH_READ over the same topic)") {
+    val topic = tmp("gl_topic6")
+    stageRange(topic, 0 until 50, nParts = 3)
+    val df = spark.read.format("graftlog").option("path", topic).load()
+    val rows = df.select(col("partition"), col("offset"),
+        get_json_object(col("value"), "$.id").cast("long").as("id"))
+      .collect()
+    assert(rows.map(_.getLong(2)).sorted.toSeq == (0L until 50L).toSeq,
+      "every record exactly once through the batch path")
+    // offsets are dense 0..n-1 within each topic partition
+    rows.groupBy(_.getInt(0)).foreach { case (_, rs) =>
+      val offs = rs.map(_.getLong(1)).sorted.toSeq
+      assert(offs == (0L until rs.length.toLong).toSeq)
+    }
+  }
+
   test("uncommitted and aborted sink attempts are invisible to readers") {
     val out = tmp("gl_out5")
     val factory = graft.sources.LogWriterFactory(out)
