@@ -68,6 +68,8 @@ object SparkEntry {
         graft.streaming.StreamAssembly.streamJoinFollowupsWatermarked(s, d)),
     "stream_session_windows" ->
       ((s, d) => graft.streaming.StreamAssembly.streamSessionWindows(s, d)),
+    "stream_join_left_outer" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamJoinLeftOuter(s, d)),
     "rollup_grouping_sets" -> (StarQueries.rollupGroupingSets _),
     "part_promo_share" -> (StarQueries.partPromoShare _),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d)),
@@ -210,6 +212,8 @@ object SparkEntry {
       ((s, d) => graft.multimodal.Multimodal.bmpLuminance(s, d)),
     "mm_wav_energy" ->
       ((s, d) => graft.multimodal.Multimodal.wavEnergy(s, d)),
+    "mm_avi_frames" ->
+      ((s, d) => graft.multimodal.Multimodal.aviFrameLuminance(s, d)),
     // hash-gated via the error contract (exact values + bounded-error
     // booleans); raw-sketch accuracy additionally spec-asserted (ApproxSpec)
     "approx_value_quantiles" ->
@@ -678,6 +682,24 @@ object SparkEntry {
         |  AND epoch_us(b.ts::TIMESTAMP)
         |      <= epoch_us(a.ts::TIMESTAMP) + 1800000000
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // the LEFT OUTER stream-stream join: null rows may only emit once the
+    // watermark proves no match can arrive; the sentinel-flushed drain
+    // makes the batch LEFT JOIN exact (tolerance interpolated from
+    // StreamAssembly.JoinTolMin — operator and oracle share the constant)
+    "stream_join_left_outer" ->
+      s"""WITH p AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT a.user_id AS user_a, b.event_id AS event_b
+        |  FROM p a LEFT JOIN p b ON a.user_id = b.user_id
+        |    AND epoch_us(b.ts::TIMESTAMP) > epoch_us(a.ts::TIMESTAMP)
+        |    AND epoch_us(b.ts::TIMESTAMP) <= epoch_us(a.ts::TIMESTAMP)
+        |      + ${graft.streaming.StreamAssembly.JoinTolMin * 60000000L})
+        |SELECT CAST(user_a % 16 AS BIGINT) AS user_bucket,
+        |  count(*) AS n_rows,
+        |  CAST(count(event_b) AS BIGINT) AS n_matched,
+        |  CAST(count(*) - count(event_b) AS BIGINT) AS n_unmatched,
+        |  count(DISTINCT user_a) AS n_users
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // the transformWithState timer sessionizer drains deterministically
     // (watermark wider than the fixture span + far-future sentinel fires
     // every close timer), so the batch window-function sessionization IS
@@ -2496,6 +2518,32 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS sum_samples,
         |  CAST(sum(v * v) AS BIGINT) AS sum_energy,
         |  CAST(count(DISTINCT doc_id) * 8000 AS BIGINT) AS sum_rate
-        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the Spark side walks a REAL RIFF AVI back (avih header, strf gate,
+    // '00db' DIB frames) and samples every AviSampleStep-th frame; the
+    // oracle recomputes each sampled frame's pixels AND the avih-derived
+    // timestamp sum arithmetically from doc_id
+    "mm_avi_frames" ->
+      s"""WITH vid AS (SELECT doc_id, 8 + doc_id % 5 AS w, 4 + doc_id % 4 AS h,
+        |    2 + doc_id % 5 AS nf, 20 + doc_id % 30 AS ms_pf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT doc_id, w, h, ms_pf, ff.f AS f
+        |  FROM vid, range(0, 7) ff(f)
+        |  WHERE ff.f < nf
+        |    AND ff.f % ${graft.multimodal.Multimodal.AviSampleStep} = 0),
+        |pf AS (SELECT doc_id, f, min(ms_pf * f) AS frame_ms,
+        |    count(*) AS npx,
+        |    sum(299 * ((doc_id * 3 + f * 5 + rr.r + cc.c) % 256)
+        |      + 587 * ((doc_id * 2 + f * 3 + rr.r + cc.c) % 256)
+        |      + 114 * ((doc_id + f + rr.r + cc.c) % 256)) AS luma
+        |  FROM fr, range(0, 8) rr(r), range(0, 13) cc(c)
+        |  WHERE rr.r < h AND cc.c < w GROUP BY 1, 2)
+        |SELECT CAST(doc_id % 10 AS BIGINT) AS bucket,
+        |  count(DISTINCT doc_id) AS n_videos,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(frame_ms) AS BIGINT) AS sum_frame_ms,
+        |  CAST(sum(npx) AS BIGINT) AS sum_pixels,
+        |  CAST(sum(luma) AS BIGINT) AS sum_luma_milli
+        |FROM pf GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -14,19 +14,25 @@ import graft.Tables
   *
   * Two codec tiers:
   *
-  *   - REAL CODECS, pure-JVM byte parsing (no library): 24-bit
-  *     uncompressed BMP ([[encodeBmp]]/[[decodeBmp]] — BITMAPFILEHEADER +
-  *     BITMAPINFOHEADER, bottom-up rows, BGR byte order, 4-byte row
-  *     padding) and PCM-16 mono WAV ([[encodeWav]]/[[decodeWav]] — RIFF
-  *     chunk walk tolerating unknown chunks). Real pixels/samples decode
-  *     to real features (integer BT.601 luminance mass, sample energy),
-  *     oracle-checked end-to-end from deterministically generated
-  *     payloads ([[bmpLuminance]], [[wavEnergy]]).
-  *   - A documented deterministic FAKE for VIDEO only (the container has
-  *     no video codec): payloads carry a real 24-byte header that
-  *     [[decode]] genuinely parses byte-by-byte and a pseudo-random body
-  *     standing in for compressed frames. Swapping the stub for a codec
-  *     changes only the body functions, not the plumbing.
+  *   - REAL CODECS, pure-JVM byte parsing (no library), one per media
+  *     type: 24-bit uncompressed BMP ([[encodeBmp]]/[[decodeBmp]] —
+  *     BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows, BGR byte
+  *     order, 4-byte row padding), PCM-16 mono WAV
+  *     ([[encodeWav]]/[[decodeWav]] — RIFF chunk walk tolerating unknown
+  *     chunks), and uncompressed AVI video ([[encodeAvi]]/[[decodeAvi]] —
+  *     RIFF 'AVI ' tree: avih/strh/strf headers, '00db' DIB frames,
+  *     idx1 index). Real pixels/samples/frames decode to real features
+  *     (integer BT.601 luminance mass, sample energy, per-frame sampled
+  *     luminance), oracle-checked end-to-end from deterministically
+  *     generated payloads ([[bmpLuminance]], [[wavEnergy]],
+  *     [[aviFrameLuminance]]).
+  *   - A documented deterministic FAKE tier for the generic metadata
+  *     plumbing ([[mediaTable]]/[[decode]]/[[resize]]/[[sampleFrames]]):
+  *     payloads carry a real 24-byte header that [[decode]] genuinely
+  *     parses byte-by-byte and a pseudo-random body standing in for a
+  *     compressed payload of arbitrary format — the schema/iterator
+  *     shape a mixed-codec 100 TB corpus needs when some formats have
+  *     no JVM decoder.
   *
   * Stub header layout (little-endian): magic int ('GMM0'), media_type
   * byte (0=image 1=audio 2=video), width int, height int, channels byte,
@@ -356,6 +362,177 @@ object Multimodal {
     None
   }
 
+  // ---- real video: uncompressed AVI ('00db' DIB frames) ----
+
+  /** Fixture video geometry — small dims / few frames so the per-pixel
+    * oracle stays cheap; the container walk is identical at any size.
+    */
+  def aviWidthOf(id: Long): Int = 8 + (id % 5).toInt
+  def aviHeightOf(id: Long): Int = 4 + (id % 4).toInt
+  def aviFramesOf(id: Long): Int = 2 + (id % 5).toInt
+
+  /** Per-video frame period in ms (avih dwMicroSecPerFrame / 1000; kept a
+    * whole ms so frame timestamps stay integer-exact for the oracle).
+    */
+  def aviMsPerFrameOf(id: Long): Int = 20 + (id % 30).toInt
+
+  /** Deterministic frame pixel (id, frame, row, col) → (R, G, B); affine
+    * mod-256 forms the SQL oracle reproduces. Varies per FRAME so a
+    * decoder that misorders or repeats frames flips the hash.
+    */
+  def framePixelOf(id: Long, f: Int, r: Int, c: Int): (Int, Int, Int) = (
+    ((id * 3 + f * 5 + r + c) % 256).toInt, // red
+    ((id * 2 + f * 3 + r + c) % 256).toInt, // green
+    ((id + f + r + c) % 256).toInt) // blue
+
+  /** A REAL uncompressed AVI (the format as published; plays in any
+    * player): RIFF 'AVI ' with a LIST hdrl (avih main header + LIST strl
+    * holding a 'vids'/'DIB ' strh and a BITMAPINFOHEADER strf), a LIST
+    * movi of one '00db' chunk per frame (bottom-up BGR DIB rows, 4-byte
+    * row padding — the BMP pixel layout inside a video container), and a
+    * trailing idx1 index the decoder must tolerate.
+    */
+  def encodeAvi(id: Long): Array[Byte] = {
+    val w = aviWidthOf(id); val h = aviHeightOf(id)
+    val nf = aviFramesOf(id); val msPf = aviMsPerFrameOf(id)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val frameSize = rowSize * h
+    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val moviSize = 4 + nf * (8 + frameSize)
+    val idx1Size = 16 * nf
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+    val buf = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); buf.putInt(riffSize); fourcc("AVI ")
+    fourcc("LIST"); buf.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(msPf * 1000) // dwMicroSecPerFrame
+      .putInt(frameSize * 1000 / msPf) // dwMaxBytesPerSec
+      .putInt(0).putInt(0x10) // padding, AVIF_HASINDEX
+      .putInt(nf).putInt(0).putInt(1).putInt(frameSize) // frames, initial, streams, bufsize
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0) // reserved
+    fourcc("LIST"); buf.putInt(4 + 64 + 48); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    buf.putInt(0).putShort(0).putShort(0).putInt(0) // flags, prio, lang, initial
+      .putInt(msPf).putInt(1000) // dwScale/dwRate: fps = rate/scale... (rate=1000, scale=msPf)
+      .putInt(0).putInt(nf).putInt(frameSize).putInt(-1).putInt(0) // start, length, bufsize, quality, samplesize
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+    fourcc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(frameSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0) // BITMAPINFOHEADER, BI_RGB
+    fourcc("LIST"); buf.putInt(moviSize); fourcc("movi")
+    val frameOffsets = new Array[Int](nf)
+    var f = 0
+    while (f < nf) {
+      // idx1 offsets are measured from the 'movi' fourcc (first frame = 4)
+      frameOffsets(f) = buf.position() - (12 + 8 + hdrlSize + 8)
+      fourcc("00db"); buf.putInt(frameSize)
+      var fileRow = 0
+      while (fileRow < h) {
+        val r = h - 1 - fileRow // bottom-up like BMP
+        var c = 0
+        while (c < w) {
+          val (red, green, blue) = framePixelOf(id, f, r, c)
+          buf.put(blue.toByte).put(green.toByte).put(red.toByte)
+          c += 1
+        }
+        var pad = w * 3
+        while (pad < rowSize) { buf.put(0.toByte); pad += 1 }
+        fileRow += 1
+      }
+      f += 1
+    }
+    fourcc("idx1"); buf.putInt(idx1Size)
+    f = 0
+    while (f < nf) {
+      fourcc("00db")
+      buf.putInt(0x10).putInt(frameOffsets(f)).putInt(frameSize) // AVIIF_KEYFRAME
+      f += 1
+    }
+    buf.array()
+  }
+
+  final case class AviClip(width: Int, height: Int, msPerFrame: Int,
+                           frames: Array[Array[Int]] /* row-major 0xRRGGBB */)
+
+  /** Walk a RIFF AVI back: verify the 'AVI ' form, find LIST hdrl and read
+    * the avih main header (frame period, declared frame count, dims),
+    * require an uncompressed 24-bit strf, then iterate the LIST movi
+    * '00db'/'00dc' chunks decoding each DIB frame (bottom-up BGR, padded
+    * rows). Unknown chunks (idx1, JUNK, INFO) are skipped word-aligned —
+    * the same tolerance discipline as [[decodeWav]].
+    */
+  def decodeAvi(payload: Array[Byte]): Option[AviClip] = {
+    if (payload == null || payload.length < 12) return None
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(at: Int): String =
+      new String(payload.slice(at, at + 4), "US-ASCII")
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    var w = 0; var h = 0; var msPf = 0; var declaredFrames = -1
+    var fmtOk = false
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    def decodeFrame(at: Int, len: Int): Option[Array[Int]] = {
+      val rowSize = (w * 3 + 3) / 4 * 4
+      if (w <= 0 || h <= 0 || len < rowSize * h) return None
+      val px = new Array[Int](w * h)
+      var r = 0
+      while (r < h) {
+        var base = at + (h - 1 - r) * rowSize
+        var c = 0
+        while (c < w) {
+          val blue = payload(base) & 0xff
+          val green = payload(base + 1) & 0xff
+          val red = payload(base + 2) & 0xff
+          px(r * w + c) = (red << 16) | (green << 8) | blue
+          base += 3
+          c += 1
+        }
+        r += 1
+      }
+      Some(px)
+    }
+    // walk one chunk run [from, until); returns false on a malformed chunk
+    def walk(from: Int, until: Int): Boolean = {
+      var pos = from
+      while (pos + 8 <= until) {
+        val id = fourcc(pos)
+        val len = buf.getInt(pos + 4)
+        if (len < 0 || pos + 8 + len > until) return false
+        id match {
+          case "LIST" if len >= 4 =>
+            val listType = fourcc(pos + 8)
+            if (listType == "hdrl" || listType == "strl" || listType == "movi") {
+              if (!walk(pos + 12, pos + 8 + len)) return false
+            } // other list types (INFO…) skipped
+          case "avih" if len >= 40 =>
+            msPf = buf.getInt(pos + 8) / 1000
+            declaredFrames = buf.getInt(pos + 24)
+            w = buf.getInt(pos + 40)
+            h = buf.getInt(pos + 44)
+          case "strf" if len >= 40 =>
+            // BITMAPINFOHEADER: require uncompressed 24-bit (BI_RGB)
+            fmtOk = buf.getShort(pos + 8 + 14) == 24 && buf.getInt(pos + 8 + 16) == 0
+          case "00db" | "00dc" =>
+            if (!fmtOk) return false
+            decodeFrame(pos + 8, len) match {
+              case Some(px) => frames += px
+              case None => return false
+            }
+          case _ => // skip unknown chunk (strh, idx1, JUNK, …)
+        }
+        pos += 8 + len + (len & 1)
+      }
+      true
+    }
+    if (!walk(12, payload.length)) return None
+    if (w <= 0 || h <= 0 || frames.isEmpty) return None
+    if (declaredFrames >= 0 && declaredFrames != frames.length) return None
+    Some(AviClip(w, h, msPf, frames.toArray))
+  }
+
   // ---- oracle-checked query surface ----
 
   /** Decode round-trip stats: encode → decode on the Spark side; the
@@ -422,6 +599,50 @@ object Multimodal {
       .toDF("bucket", "px", "luma")
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_images"),
+        sum("px").as("sum_pixels"),
+        sum("luma").as("sum_luma_milli"))
+      .orderBy("bucket")
+  }
+
+  /** Every `AviSampleStep`-th frame is kept by [[aviFrameLuminance]];
+    * interpolated into the oracle SQL so the two sides cannot drift.
+    */
+  val AviSampleStep: Int = 2
+
+  /** REAL video decode end-to-end: every video doc encodes to a genuine
+    * uncompressed AVI whose RIFF tree the decoder walks back (avih frame
+    * period + declared frame count, strf format gate, per-'00db' DIB
+    * decode, idx1 skipped), then samples every [[AviSampleStep]]-th frame
+    * — the frame-sampling stage of a video-curation pipeline — reducing
+    * each to integer BT.601 luminance mass. The oracle recomputes every
+    * sampled frame's pixels arithmetically AND the avih-derived timestamp
+    * sum, so frame order, frame count, frame period, and pixel layout are
+    * all pinned. Encode+decode+sample are row-local (partition-streaming
+    * flatMap, no shuffle until the bucket rollup).
+    */
+  def aviFrameLuminance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.documents(spark, sfDir).select(col("doc_id")))
+      .filter(col("doc_id") % 3 === 2)
+      .as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val clip = decodeAvi(encodeAvi(id)).get
+        clip.frames.iterator.zipWithIndex
+          .filter(_._2 % AviSampleStep == 0)
+          .map { case (fpx, f) =>
+            var luma = 0L
+            fpx.foreach { p =>
+              luma += 299L * ((p >> 16) & 0xff) +
+                587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+            }
+            (id, f.toLong * clip.msPerFrame, fpx.length.toLong, luma)
+          }
+      })
+      .toDF("doc_id", "frame_ms", "px", "luma")
+      .groupBy((col("doc_id") % 10).cast("long").as("bucket"))
+      .agg(countDistinct(col("doc_id")).as("n_videos"),
+        count(lit(1)).as("n_frames"),
+        sum("frame_ms").as("sum_frame_ms"),
         sum("px").as("sum_pixels"),
         sum("luma").as("sum_luma_milli"))
       .orderBy("bucket")

@@ -535,6 +535,141 @@ object StreamAssembly {
     scala.collection.concurrent.TrieMap
       .empty[(org.apache.spark.sql.SparkSession, String, Int), String]
 
+  /** Followup-pair tolerance (minutes) shared by the stream-stream join
+    * queries; interpolated into the left-outer oracle SQL so operator and
+    * oracle cannot drift.
+    */
+  val JoinTolMin: Int = 30
+
+  /** The stream-stream LEFT OUTER join exercised end-to-end as an
+    * oracle-checked query — the null-emitting sibling of
+    * [[streamJoinFollowupsWatermarked]]. Inner results stream out as
+    * matches arrive; a left row with NO followup within the tolerance is
+    * held in state and emitted with nulls only once the watermark proves
+    * no matching right row can still arrive — the semantics a funnel
+    * "purchased but never repurchased" stage needs from a stream.
+    *
+    * What makes the batch LEFT JOIN SQL a true oracle: (1) time-ordered
+    * chunk staging (no row is ever late, eviction can only drop
+    * unneeded state — the [[streamJoinFollowupsWatermarked]] argument);
+    * (2) a far-future SENTINEL purchase (user −1, staged strictly
+    * newest) pushes the final watermark past every left row's
+    * `ts + tolerance` no-match deadline, so every pending null-emission
+    * flushes before the AvailableNow drain stops. The sentinel itself
+    * can match no real user and its own null row never fires (the
+    * watermark never passes it) — the readback filters user −1 out
+    * anyway. A join that emits a null row early (match still possible),
+    * late (never), or drops one flips the driver's hash.
+    */
+  def streamJoinLeftOuter(spark: SparkSession, sfDir: String,
+                          nChunks: Int = 4, tolMin: Int = JoinTolMin,
+                          delay: String = "2 hours"): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_lo_join").toString
+    val pairsDir = s"$tmp/pairs"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = stagePurchaseChunksWithSentinel(
+      spark, sfDir, nChunks, tolMin, delayMs = 2 * 3600000L)
+    withDrainConf(spark) { ds =>
+      val stream = ds.readStream
+        .schema(purchaseSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val a = stream.select(col("event_id").as("event_a"),
+          col("user_id").as("user_a"), col("ts").as("ts_a"))
+        .withWatermark("ts_a", delay)
+      val b = stream.select(col("event_id").as("event_b"),
+          col("user_id").as("user_b"), col("ts").as("ts_b"))
+        .withWatermark("ts_b", delay)
+      val joined = a.join(b,
+        col("user_a") === col("user_b") &&
+          col("ts_b") > col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr(s"INTERVAL $tolMin MINUTES"),
+        "leftOuter")
+      val query = joined.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // idempotent per-batch commit (crash-replay overwrites itself)
+          batch.select("user_a", "event_a", "event_b")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$pairsDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(pairsDir)
+      .filter(col("user_a") >= 0)
+      .groupBy((col("user_a") % 16).cast("long").as("user_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("event_b")).as("n_matched"),
+        sum(when(col("event_b").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        countDistinct("user_a").as("n_users"))
+      .orderBy("user_bucket")
+  }
+
+  private def purchaseSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+
+  private val loJoinSrcCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), String]
+
+  /** Fixture SCAFFOLDING for the left-outer join drain: PURCHASE events
+    * re-staged as time-ordered chunk files (contiguous ts ranges,
+    * strictly-increasing mtimes — the no-late-rows argument) plus one
+    * far-future sentinel purchase (user −1) staged strictly newest, far
+    * enough out (delay + tolerance + slack) that the final watermark
+    * passes every real left row's no-match deadline. One driver-side
+    * min/max action, once per (session, dir, chunks, tol).
+    */
+  private def stagePurchaseChunksWithSentinel(spark: SparkSession,
+                                              sfDir: String, nChunks: Int,
+                                              tolMin: Int,
+                                              delayMs: Long): String =
+    loJoinSrcCache.getOrElseUpdate((spark, sfDir, nChunks, tolMin), {
+      val purchases = graft.Tables.events(spark, sfDir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          col("ts").cast("timestamp").as("ts"))
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_lo_src").toString
+      val mm = purchases.agg(min("ts"), max("ts")).first()
+      val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+      val step = (t1 - t0) / nChunks + 1
+      val dir = new java.io.File(d)
+      def parts() = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      var seen = Set.empty[String]
+      var stamp = System.currentTimeMillis()
+      (0 until nChunks).foreach { i =>
+        val lo = new java.sql.Timestamp(t0 + i.toLong * step)
+        val hi = new java.sql.Timestamp(t0 + (i + 1).toLong * step)
+        purchases.filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+          .coalesce(1).write.mode("append").parquet(d)
+        stamp += 60000L
+        parts().filterNot(f => seen(f.getPath)).foreach { f =>
+          f.setLastModified(stamp); seen += f.getPath
+        }
+      }
+      import spark.implicits._
+      val sentinelTs = new java.sql.Timestamp(
+        t1 + delayMs + tolMin * 60000L + 86400000L)
+      Seq((-1L, -1L, sentinelTs)).toDF("event_id", "user_id", "ts")
+        .coalesce(1).write.mode("append").parquet(d)
+      stamp += 60000L
+      parts().filterNot(f => seen(f.getPath)).foreach(_.setLastModified(stamp))
+      d
+    })
+
   /** The Spark-4 `transformWithState` timer sessionizer exercised
     * END-TO-END at correctness scale, as an oracle-checked query (the
     * stateful-API sibling of [[streamPartialsHourly]]): the events table

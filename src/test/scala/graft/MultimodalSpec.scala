@@ -137,4 +137,61 @@ class MultimodalSpec extends SparkSpec {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(22, 2.toShort)
     assert(Multimodal.decodeWav(stereo).isEmpty)
   }
+
+  test("AVI codec: RIFF tree walk recovers exact per-frame pixels, frame " +
+       "period, and declared frame count; idx1/JUNK skipped") {
+    for (id <- Seq(2L, 5L, 11L, 12344L)) {
+      val avi = Multimodal.encodeAvi(id)
+      val clip = Multimodal.decodeAvi(avi).get
+      assert(clip.width === Multimodal.aviWidthOf(id))
+      assert(clip.height === Multimodal.aviHeightOf(id))
+      assert(clip.msPerFrame === Multimodal.aviMsPerFrameOf(id))
+      assert(clip.frames.length === Multimodal.aviFramesOf(id))
+      for (f <- clip.frames.indices; r <- 0 until clip.height;
+           c <- 0 until clip.width) {
+        val (red, green, blue) = Multimodal.framePixelOf(id, f, r, c)
+        val p = clip.frames(f)(r * clip.width + c)
+        assert(((p >> 16) & 0xff) === red, s"R f=$f r=$r c=$c")
+        assert(((p >> 8) & 0xff) === green, s"G f=$f r=$r c=$c")
+        assert((p & 0xff) === blue, s"B f=$f r=$r c=$c")
+      }
+    }
+  }
+
+  test("AVI decoder tolerates an inserted JUNK chunk and rejects " +
+       "compressed strf, frame-count mismatch, truncation") {
+    val id = 8L
+    val avi = Multimodal.encodeAvi(id)
+    val base = Multimodal.decodeAvi(avi).get
+    // splice a JUNK chunk between hdrl and movi (top-level unknown chunk)
+    val hdrlLen = java.nio.ByteBuffer.wrap(avi)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(16)
+    val at = 12 + 8 + hdrlLen
+    val junk = java.nio.ByteBuffer.allocate(8 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    junk.put("JUNK".getBytes("US-ASCII")).putInt(6)
+      .put(Array[Byte](9, 9, 9, 9, 9, 9))
+    val spliced = avi.take(at) ++ junk.array() ++ avi.drop(at)
+    java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(4, spliced.length - 8)
+    val re = Multimodal.decodeAvi(spliced).get
+    assert(re.frames.length === base.frames.length)
+    assert(re.frames.head.toSeq === base.frames.head.toSeq)
+    // compressed strf (biCompression != 0) is rejected before any frame
+    val compressed = avi.clone()
+    // strf data begins after RIFF(12) + LIST hdr(8+4) + avih(8+56) +
+    // LIST strl hdr(8+4) + strh(8+56) + strf hdr(8): biCompression at +16
+    val strfData = 12 + 12 + 64 + 12 + 64 + 8
+    java.nio.ByteBuffer.wrap(compressed)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(strfData + 16, 1)
+    assert(Multimodal.decodeAvi(compressed).isEmpty)
+    // declared-frame-count mismatch is rejected (avih dwTotalFrames)
+    val mismatched = avi.clone()
+    java.nio.ByteBuffer.wrap(mismatched)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(12 + 12 + 8 + 16, Multimodal.aviFramesOf(id) + 1)
+    assert(Multimodal.decodeAvi(mismatched).isEmpty)
+    assert(Multimodal.decodeAvi(avi.take(40)).isEmpty)
+    assert(Multimodal.decodeAvi(null).isEmpty)
+  }
 }
