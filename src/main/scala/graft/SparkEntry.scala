@@ -70,6 +70,12 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamAssembly.streamSessionWindows(s, d)),
     "stream_join_left_outer" ->
       ((s, d) => graft.streaming.StreamAssembly.streamJoinLeftOuter(s, d)),
+    "stream_join_full_outer" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamJoinFullOuter(s, d)),
+    "stream_update_upsert" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamUpdateUpsert(s, d)),
+    "stream_dedup_window" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamDedupWindow(s, d)),
     "rollup_grouping_sets" -> (StarQueries.rollupGroupingSets _),
     "part_promo_share" -> (StarQueries.partPromoShare _),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d)),
@@ -700,6 +706,44 @@ object SparkEntry {
         |  CAST(count(*) - count(event_b) AS BIGINT) AS n_unmatched,
         |  count(DISTINCT user_a) AS n_users
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the FULL OUTER stream-stream join: null rows on BOTH sides are
+    // watermark-gated; the sentinel flush makes the batch FULL JOIN exact
+    "stream_join_full_outer" ->
+      s"""WITH p AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT a.user_id AS user_a, a.event_id AS event_a,
+        |    b.user_id AS user_b, b.event_id AS event_b
+        |  FROM p a FULL JOIN p b ON a.user_id = b.user_id
+        |    AND epoch_us(b.ts::TIMESTAMP) > epoch_us(a.ts::TIMESTAMP)
+        |    AND epoch_us(b.ts::TIMESTAMP) <= epoch_us(a.ts::TIMESTAMP)
+        |      + ${graft.streaming.StreamAssembly.JoinTolMin * 60000000L})
+        |SELECT CAST(coalesce(user_a, user_b) % 16 AS BIGINT) AS user_bucket,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN event_a IS NOT NULL AND event_b IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(sum(CASE WHEN event_b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_no_followup,
+        |  CAST(sum(CASE WHEN event_a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_no_prior
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // update-mode running totals upserted into a keyed sink; the
+    // keep-latest readback must equal the plain batch aggregate
+    "stream_update_upsert" ->
+      """SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+        |count(*) AS n_events,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |  AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // chained stateful pipeline: replayed-twice events deduped then
+    // day-windowed in ONE streaming query; DISTINCT → GROUP BY is exact
+    "stream_dedup_window" ->
+      """WITH d AS (SELECT DISTINCT event_id, ts, event_type, value
+        |  FROM events)
+        |SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+        |count(*) AS n_events,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |  AS total_value
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the transformWithState timer sessionizer drains deterministically
     // (watermark wider than the fixture span + far-future sentinel fires
     // every close timer), so the batch window-function sessionization IS

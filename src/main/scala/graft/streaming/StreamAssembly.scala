@@ -670,6 +670,243 @@ object StreamAssembly {
       d
     })
 
+  /** The stream-stream FULL OUTER join exercised end-to-end — the
+    * symmetric completion of the join-mode family ([[streamJoinFollowupsWatermarked]]
+    * inner, [[streamJoinWatermarkEvicting]] evicting-inner,
+    * [[streamJoinLeftOuter]] left): BOTH sides hold unmatched rows in
+    * state and emit them with nulls only once the watermark proves no
+    * partner can still arrive. A left row is "purchase with no followup
+    * within the tolerance"; a right row is "purchase with no prior
+    * purchase within the tolerance" — the two funnel edges a single
+    * full-outer pass answers together. Shares the
+    * [[stagePurchaseChunksWithSentinel]] fixture (time-ordered chunks ⇒
+    * no late rows; the far-future sentinel pushes the final watermark
+    * past every row's no-match deadline on BOTH sides, so every pending
+    * null row flushes before the AvailableNow drain stops; the sentinel's
+    * own rows never emit — the watermark never passes them — and are
+    * filtered on readback regardless).
+    */
+  def streamJoinFullOuter(spark: SparkSession, sfDir: String,
+                          nChunks: Int = 4, tolMin: Int = JoinTolMin,
+                          delay: String = "2 hours"): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_fo_join").toString
+    val pairsDir = s"$tmp/pairs"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = stagePurchaseChunksWithSentinel(
+      spark, sfDir, nChunks, tolMin, delayMs = 2 * 3600000L)
+    withDrainConf(spark) { ds =>
+      val stream = ds.readStream
+        .schema(purchaseSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val a = stream.select(col("event_id").as("event_a"),
+          col("user_id").as("user_a"), col("ts").as("ts_a"))
+        .withWatermark("ts_a", delay)
+      val b = stream.select(col("event_id").as("event_b"),
+          col("user_id").as("user_b"), col("ts").as("ts_b"))
+        .withWatermark("ts_b", delay)
+      val joined = a.join(b,
+        col("user_a") === col("user_b") &&
+          col("ts_b") > col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr(s"INTERVAL $tolMin MINUTES"),
+        "fullOuter")
+      val query = joined.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // idempotent per-batch commit (crash-replay overwrites itself)
+          batch.select("user_a", "event_a", "user_b", "event_b")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$pairsDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(pairsDir)
+      .filter(coalesce(col("user_a"), col("user_b")) >= 0)
+      .groupBy((coalesce(col("user_a"), col("user_b")) % 16).cast("long")
+        .as("user_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("event_a").isNotNull && col("event_b").isNotNull, 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when(col("event_b").isNull, 1L).otherwise(0L))
+          .as("n_no_followup"),
+        sum(when(col("event_a").isNull, 1L).otherwise(0L))
+          .as("n_no_prior"))
+      .orderBy("user_bucket")
+  }
+
+  /** UPDATE-mode streaming aggregation with an UPSERT sink — the third
+    * output mode exercised end-to-end (append: every other drain; update:
+    * here; complete: intentionally absent — it rewrites the world each
+    * batch and cannot scale). The running per-(day, event_type) totals
+    * re-emit ONLY the keys each micro-batch changed
+    * (`StateStoreSave(Update)`); the sink upserts them into a keyed store
+    * the way a mutable serving table would (batch-stamped rows, idempotent
+    * per-batch overwrite; read side resolves each key to its LATEST
+    * version via one `max(struct(batch, …))` argmax — the
+    * ReplacingMergeTree read discipline from [[graft.ops.Dedup.keepLatest]]).
+    * Because a key's state accumulates monotonically and its state is
+    * never evicted (no watermark here; deployments bound keys by windowing
+    * them), its final emission carries its complete total, so the
+    * upserted view must equal the batch aggregate bit-for-bit (counts are
+    * integers; revenue sums as DECIMAL(18,6), additive and
+    * order-independent). Emitting too few keys (a missed update), stale
+    * values, or non-changed keys re-emitted with wrong values all flip
+    * the hash.
+    */
+  def streamUpdateUpsert(spark: SparkSession, sfDir: String,
+                         nFiles: Int = 4): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_upsert").toString
+    val upsertDir = s"$tmp/upserts"
+    val ckptDir = s"$tmp/ckpt"
+    val events = graft.Tables.events(spark, sfDir)
+    val srcDir = stagedSrcCache.getOrElseUpdate((spark, sfDir, nFiles), {
+      val d = s"$tmp/src"
+      events.repartition(nFiles).write.parquet(d)
+      d
+    })
+    withDrainConf(spark) { ds =>
+      val stream = ds.readStream
+        .schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val running = stream
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+      val query = running.writeStream
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // the batch=<id> dir doubles as the version stamp (partition
+          // discovery surfaces it as the `batch` column on readback)
+          batch.coalesce(1).write.mode("overwrite")
+            .parquet(s"$upsertDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(upsertDir)
+      .groupBy("day", "event_type")
+      .agg(max(struct(col("batch"), col("n_events"), col("sum_value")))
+        .as("latest"))
+      .select(col("day"), col("event_type"),
+        col("latest.n_events").as("n_events"),
+        round(col("latest.sum_value").cast("double"), 2).as("total_value"))
+      .orderBy("day", "event_type")
+  }
+
+  private val dedupWindowSrcCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String, Int), String]
+
+  /** Fixture scaffolding for [[streamDedupWindow]]: every event delivered
+    * TWICE ([[stageEventsWithReplay]]'s at-least-once shape) plus a
+    * far-future sentinel event (event_id −1) staged strictly newest. The
+    * sentinel pushes the final watermark past every real event's day
+    * window, so the downstream APPEND-mode window aggregate closes and
+    * emits every real window before the AvailableNow drain stops; staged
+    * last, it also cannot advance the watermark before any replay arrives
+    * (the dedup state sees both copies of every event first).
+    */
+  private def stageEventsReplaySentinel(spark: SparkSession, sfDir: String,
+                                        nFiles: Int): String =
+    dedupWindowSrcCache.getOrElseUpdate((spark, sfDir, nFiles), {
+      val events = graft.Tables.events(spark, sfDir)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("ts").cast("timestamp").as("ts"),
+          col("event_type").cast("string").as("event_type"),
+          col("value").cast("double").as("value"))
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_dedup_win_src").toString
+      events.repartition(nFiles).write.mode("overwrite").parquet(d)
+      val dir = new java.io.File(d)
+      def parts() = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      val firstWave = parts().map(_.getPath).toSet
+      events.repartition(nFiles).write.mode("append").parquet(d)
+      var stamp = parts().map(_.lastModified).max + 60000L
+      parts().filterNot(f => firstWave(f.getPath))
+        .foreach(_.setLastModified(stamp))
+      val secondWave = parts().map(_.getPath).toSet
+      import spark.implicits._
+      val maxTs = events.agg(max("ts")).first().getTimestamp(0)
+      // 41 days past the newest event: watermark (max − 40 d) ends past
+      // every real event, closing every real day window
+      val sentinelTs = new java.sql.Timestamp(
+        maxTs.getTime + 41L * 86400000L)
+      Seq((-1L, sentinelTs, "sentinel", 0.0))
+        .toDF("event_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(d)
+      stamp += 60000L
+      parts().filterNot(f => secondWave(f.getPath))
+        .foreach(_.setLastModified(stamp))
+      d
+    })
+
+  /** TWO stateful operators CHAINED in one streaming query — the
+    * multi-stateful pipeline (SPARK-42376) a real ingest topology needs:
+    * at-least-once delivery (every event replayed across batches) →
+    * `dropDuplicatesWithinWatermark` (exactly-once repair) → APPEND-mode
+    * tumbling day-window aggregate, with the watermark propagated THROUGH
+    * the dedup into the window operator. Each operator alone is covered
+    * elsewhere ([[streamDedupReplay]], [[streamPartialsHourly]]); this
+    * query gates their composition: the dedup must emit exactly-once rows
+    * carrying event time the downstream agg can window, and the window
+    * may only close once the watermark proves the deduped stream is
+    * complete for that day. The 40-day delay exceeds the fixture's 30-day
+    * span so no replay is dropped or evicted early; the staged sentinel
+    * (strictly last) then pushes the watermark past every real window.
+    * Batch `SELECT DISTINCT → GROUP BY day` is therefore the exact
+    * oracle: a leaky dedup doubles counts, a broken chain emits partial
+    * or duplicate windows — either flips the hash.
+    */
+  def streamDedupWindow(spark: SparkSession, sfDir: String,
+                        nFiles: Int = 3): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_dedup_window").toString
+    val outDir = s"$tmp/daily"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = stageEventsReplaySentinel(spark, sfDir, nFiles)
+    withDrainConf(spark) { ds =>
+      val stream = ds.readStream
+        .schema(replayEventSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val daily = stream
+        .withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+      val query = daily.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.select(col("window.start").as("day"), col("event_type"),
+              col("n_events"), col("sum_value"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(outDir)
+      .filter(col("event_type") =!= "sentinel")
+      .groupBy("day", "event_type")
+      .agg(sum("n_events").cast("long").as("n_events"),
+        round(sum("sum_value").cast("double"), 2).as("total_value"))
+      .orderBy("day", "event_type")
+  }
+
   /** The Spark-4 `transformWithState` timer sessionizer exercised
     * END-TO-END at correctness scale, as an oracle-checked query (the
     * stateful-API sibling of [[streamPartialsHourly]]): the events table
