@@ -76,6 +76,10 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamAssembly.streamUpdateUpsert(s, d)),
     "stream_dedup_window" ->
       ((s, d) => graft.streaming.StreamAssembly.streamDedupWindow(s, d)),
+    "stream_sliding_counts" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamSlidingCounts(s, d)),
+    "stream_static_enrich" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamStaticEnrich(s, d)),
     "rollup_grouping_sets" -> (StarQueries.rollupGroupingSets _),
     "part_promo_share" -> (StarQueries.partPromoShare _),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d)),
@@ -138,6 +142,7 @@ object SparkEntry {
     "q6_forecast_revenue" -> (StarQueries.q6ForecastRevenue _),
     "q15_top_supplier" -> (StarQueries.q15TopSupplier _),
     "target_mix_sample" -> ((s, d) => TrainingSets.targetMixSample(s, d)),
+    "dsir_importance" -> ((s, d) => TrainingSets.dsirImportance(s, d)),
     "q18_large_volume" -> ((s, d) => StarQueries.q18LargeVolume(s, d)),
     "q9_product_profit" -> ((s, d) => StarQueries.q9ProductProfit(s, d)),
     "q11_important_parts" -> ((s, d) => StarQueries.q11ImportantParts(s, d)),
@@ -744,6 +749,30 @@ object SparkEntry {
         |round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
         |  AS total_value
         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // sliding windows reconstructed exactly: Spark aligns slide
+    // boundaries to absolute epoch microseconds, so each event's 4
+    // overlapping 1-day/6-hour windows are floor(epoch_us/slide)·slide
+    // − k·slide for k in 0..3 — pure integer arithmetic in both engines
+    "stream_sliding_counts" ->
+      """WITH k(k) AS (VALUES (0), (1), (2), (3)),
+        |w AS (SELECT make_timestamp(
+        |    ((epoch_us(ts::TIMESTAMP) // 21600000000) - k) * 21600000000)
+        |      AS win_start,
+        |    event_type, value
+        |  FROM events, k)
+        |SELECT win_start, event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |    AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // stream-static enrichment: the per-batch broadcast join is
+    // stateless, so the batch join + aggregate is the exact oracle
+    "stream_static_enrich" ->
+      """SELECT date_trunc('day', e.ts)::TIMESTAMP AS day, c.c_mktsegment,
+        |  count(*) AS n_events,
+        |  round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |    AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the transformWithState timer sessionizer drains deterministically
     // (watermark wider than the fixture span + far-future sentinel fires
     // every close timer), so the batch window-function sessionization IS
@@ -1965,6 +1994,42 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
         |      % q.n_avail < q.n_keep
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    // DSIR n=1 estimator replayed in SQL: the per-bucket ln term is
+    // quantized to DECIMAL(18,6) at the source in BOTH engines, so every
+    // downstream product/sum/compare is exact decimal arithmetic.
+    // Bucket count and target-source set interpolate from the same
+    // constants the operator uses (TrainingSets.DsirBuckets /
+    // DsirTargetSources — the KmeansK anti-drift pattern).
+    "dsir_importance" -> {
+      val nB = ops.TrainingSets.DsirBuckets
+      val tgt = ops.TrainingSets.DsirTargetSources
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH tb AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(w), 1, 8))::BIGINT % $nB AS b
+        |  FROM (SELECT doc_id, source,
+        |      unnest(string_split(text, ' ')) AS w FROM documents)),
+        |model AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt_raw,
+        |    CAST(sum(CASE WHEN source IN ($tgt) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cnt_tgt
+        |  FROM tb GROUP BY b),
+        |tot AS (SELECT CAST(sum(cnt_raw) AS BIGINT) AS tot_raw,
+        |    CAST(sum(cnt_tgt) AS BIGINT) AS tot_tgt FROM model),
+        |term AS (SELECT b, CAST(round(ln(
+        |    ((cnt_tgt + 1) * (tot_raw + $nB))::DOUBLE /
+        |    ((cnt_raw + 1) * (tot_tgt + $nB))::DOUBLE), 6)
+        |    AS DECIMAL(18,6)) AS lw
+        |  FROM model, tot),
+        |db AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM tb GROUP BY 1, 2, 3),
+        |dw AS (SELECT doc_id, any_value(source) AS source,
+        |    CAST(sum(c * lw) AS DECIMAL(38,6)) AS logw
+        |  FROM db JOIN term USING (b) GROUP BY doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN logw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_upweighted,
+        |  CAST(sum(logw) AS DECIMAL(38,6)) AS total_logw
+        |FROM dw GROUP BY source ORDER BY source""".stripMargin
+    },
     // transitive closure via recursive CTE mirrors the engine's iterative
     // min-label propagation (identical fixpoint: cluster = min member id)
     "dedup_clusters" -> clustersFromLabels,

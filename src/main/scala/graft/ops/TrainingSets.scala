@@ -426,4 +426,78 @@ object TrainingSets {
       .agg(count(lit(1)).as("n_kept"), sum("est").as("sum_est_tokens"))
       .orderBy("source")
   }
+
+  /** Hash-bucket count for [[dsirImportance]]'s bag-of-tokens model —
+    * hoisted so operator and oracle SQL interpolate the SAME constant
+    * (the [[Similarity.KmeansK]] anti-drift discipline). */
+  val DsirBuckets: Int = 64
+
+  /** The target slice [[dsirImportance]] reweights toward — a named
+    * source set standing in for "the high-quality corpus". */
+  val DsirTargetSources: Seq[String] = Seq("src0", "src1", "src2", "src3")
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", arXiv:2302.03169 —
+    * public method): score every raw document by how strongly a
+    * hashed-bag-of-tokens model of a TARGET corpus slice up- or
+    * down-weights it relative to the raw corpus. Tokens hash into
+    * [[DsirBuckets]] md5 buckets; the bucket model is two Laplace-smoothed
+    * unigram distributions (target vs raw); a document's log importance
+    * weight is Σ_b c_db · ln(p_tgt(b)/p_raw(b)) — the exact DSIR n=1
+    * estimator. Reported per source: docs the model would UPWEIGHT
+    * (log w > 0) and the total log-weight mass, so the target sources'
+    * positive shift is visible in the output.
+    *
+    * Determinism discipline (why this hash-gates cleanly): the only
+    * float op is one `ln` per bucket — [[DsirBuckets]] values total,
+    * each the log of a correctly-rounded IEEE quotient of exact integer
+    * products — immediately quantized to DECIMAL(18,6) (round-then-cast,
+    * HALF_UP in both engines). Everything downstream is exact decimal
+    * arithmetic: c_db · term_b products and their sums are
+    * order-independent, so per-doc log-weights are bit-identical across
+    * engines and partitionings, and the `log w > 0` selection predicate
+    * compares exact decimals — no boundary noise.
+    *
+    * Scale shape: the token frame aggregates straight down to
+    * [[DsirBuckets]] rows (map-side combine; model + totals are a
+    * broadcast, never a shuffle), so the corpus is shuffled only by
+    * (doc_id, bucket) — the same discipline DSIR's published
+    * implementation needs at pretraining scale. Laplace smoothing keeps
+    * every bucket ratio finite even when the target slice misses a
+    * bucket entirely.
+    */
+  def dsirImportance(spark: SparkSession, sfDir: String): DataFrame = {
+    val nB = DsirBuckets
+    val docs = Tables.documents(spark, sfDir)
+    val tokBuckets = docs
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .withColumn("b", pmod(conv(substring(md5(col("w")), 1, 8), 16, 10)
+        .cast("long"), lit(nB)))
+    val isTgt = col("source").isin(DsirTargetSources: _*)
+    val model = tokBuckets.groupBy("b").agg(
+      count(lit(1)).as("cnt_raw"),
+      sum(when(isTgt, 1L).otherwise(0L)).as("cnt_tgt"))
+    val totals = model.agg(
+      sum("cnt_raw").cast("long").as("tot_raw"),
+      sum("cnt_tgt").cast("long").as("tot_tgt"))
+    // ln of one exact-integer-product quotient, quantized at the source:
+    // every downstream op on `lw` is exact decimal arithmetic.
+    val terms = model.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(log(((col("cnt_tgt") + 1L) * (col("tot_raw") + nB))
+          .cast("double") /
+          ((col("cnt_raw") + 1L) * (col("tot_tgt") + nB)).cast("double")), 6)
+          .cast("decimal(18,6)").as("lw"))
+    val docWeights = tokBuckets
+      .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("c"))
+      .join(broadcast(terms), "b")
+      .groupBy("doc_id", "source")
+      .agg(sum(col("c") * col("lw")).cast("decimal(38,6)").as("logw"))
+    docWeights.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("logw") > 0, 1L).otherwise(0L)).as("n_upweighted"),
+        sum("logw").cast("decimal(38,6)").as("total_logw"))
+      .orderBy("source")
+  }
 }

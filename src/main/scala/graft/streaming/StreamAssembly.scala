@@ -907,6 +907,166 @@ object StreamAssembly {
       .orderBy("day", "event_type")
   }
 
+  private val userEventSrcCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String, Int), String]
+
+  private def enrichEventSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+
+  /** Fixture scaffolding shared by [[streamSlidingCounts]] and
+    * [[streamStaticEnrich]]: the events table (WITH user_id, for the
+    * dimension join) staged as N files plus a far-future sentinel event
+    * (ids −1) staged strictly newest. The 41-day-out sentinel pushes the
+    * final watermark (delay 40 days) past every real event's windows, so
+    * every append-mode window downstream closes and emits before the
+    * AvailableNow drain stops. Memoized per (session, dir, N).
+    */
+  private def stageUserEventsSentinel(spark: SparkSession, sfDir: String,
+                                      nFiles: Int): String =
+    userEventSrcCache.getOrElseUpdate((spark, sfDir, nFiles), {
+      val events = graft.Tables.events(spark, sfDir)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          col("ts").cast("timestamp").as("ts"),
+          col("event_type").cast("string").as("event_type"),
+          col("value").cast("double").as("value"))
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_user_evt_src").toString
+      val dir = new java.io.File(d)
+      def parts() = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      events.repartition(nFiles).write.mode("overwrite").parquet(d)
+      val firstWave = parts().map(_.getPath).toSet
+      val maxTs = events.agg(max("ts")).first().getTimestamp(0)
+      val sentinelTs = new java.sql.Timestamp(
+        maxTs.getTime + 41L * 86400000L)
+      import spark.implicits._
+      Seq((-1L, -1L, sentinelTs, "sentinel", 0.0))
+        .toDF("event_id", "user_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(d)
+      val stamp = parts().map(_.lastModified).max + 60000L
+      parts().filterNot(f => firstWave(f.getPath))
+        .foreach(_.setLastModified(stamp))
+      d
+    })
+
+  /** SLIDING event-time windows drained end-to-end — the overlap
+    * completion of the window-shape family (T2 covers tumbling via
+    * [[streamPartialsHourly]]; session windows via
+    * [[streamSessionWindows]]): a 1-day window sliding every 6 hours
+    * assigns each event to exactly size/slide = 4 overlapping windows,
+    * and the append-mode aggregate may emit each window only once its
+    * END passes the watermark. Spark aligns slide boundaries to absolute
+    * epoch microseconds, so the batch oracle reconstructs the assignment
+    * exactly: window starts are `floor(epoch_us/slide)·slide − k·slide`
+    * for k < 4 — integer arithmetic, no float anywhere. The staged
+    * sentinel ([[stageUserEventsSentinel]]) closes every real window
+    * before the AvailableNow drain stops; its own far-future windows are
+    * cut on readback by event_type.
+    */
+  def streamSlidingCounts(spark: SparkSession, sfDir: String,
+                          nFiles: Int = 3): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_sliding").toString
+    val outDir = s"$tmp/sliding"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = stageUserEventsSentinel(spark, sfDir, nFiles)
+    withDrainConf(spark) { ds =>
+      val stream = ds.readStream
+        .schema(enrichEventSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val slid = stream
+        .withWatermark("ts", "40 days")
+        .groupBy(window(col("ts"), "1 day", "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+      val query = slid.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.select(col("window.start").as("win_start"),
+              col("event_type"), col("n_events"), col("sum_value"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(outDir)
+      .filter(col("event_type") =!= "sentinel")
+      .select(col("win_start"), col("event_type"),
+        col("n_events").cast("long").as("n_events"),
+        round(col("sum_value").cast("double"), 2).as("total_value"))
+      .orderBy("win_start", "event_type")
+  }
+
+  /** STREAM–STATIC dimension enrichment drained end-to-end — the most
+    * common production topology (a fact stream broadcast-joined to a dim
+    * table inside every micro-batch, then windowed): events stream →
+    * inner join to the static customer dim on user_id = c_custkey →
+    * day × market-segment aggregate. The static side is a per-batch
+    * BROADCAST (stateless — no join state, unlike the stream-stream
+    * family), so at scale the join costs one broadcast per micro-batch
+    * and zero state-store entries; the watermark node sits on the stream
+    * BEFORE the join, so the sentinel advances event time even though the
+    * join drops it (user −1 matches no customer) — exactly how a real
+    * deployment's heartbeat rows behave. Batch oracle: the same join +
+    * aggregate over the events table.
+    */
+  def streamStaticEnrich(spark: SparkSession, sfDir: String,
+                         nFiles: Int = 3): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_enrich").toString
+    val outDir = s"$tmp/enriched"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = stageUserEventsSentinel(spark, sfDir, nFiles)
+    withDrainConf(spark) { ds =>
+      val dim = broadcast(graft.Tables.customer(ds, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val stream = ds.readStream
+        .schema(enrichEventSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val enriched = stream
+        .withWatermark("ts", "40 days")
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(window(col("ts"), "1 day"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+      val query = enriched.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.select(col("window.start").as("day"),
+              col("c_mktsegment"), col("n_events"), col("sum_value"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(outDir)
+      .select(col("day"), col("c_mktsegment"),
+        col("n_events").cast("long").as("n_events"),
+        round(col("sum_value").cast("double"), 2).as("total_value"))
+      .orderBy("day", "c_mktsegment")
+  }
+
   /** The Spark-4 `transformWithState` timer sessionizer exercised
     * END-TO-END at correctness scale, as an oracle-checked query (the
     * stateful-API sibling of [[streamPartialsHourly]]): the events table
