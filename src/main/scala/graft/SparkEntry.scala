@@ -80,6 +80,13 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamAssembly.streamSlidingCounts(s, d)),
     "stream_static_enrich" ->
       ((s, d) => graft.streaming.StreamAssembly.streamStaticEnrich(s, d)),
+    "stream_join_left_semi" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamJoinLeftSemi(s, d)),
+    "stream_union_sources" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamUnionSources(s, d)),
+    "stream_sessions_dynamic_gap" ->
+      ((s, d) =>
+        graft.streaming.StreamAssembly.streamSessionsDynamicGap(s, d)),
     "rollup_grouping_sets" -> (StarQueries.rollupGroupingSets _),
     "part_promo_share" -> (StarQueries.partPromoShare _),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d)),
@@ -178,6 +185,7 @@ object SparkEntry {
     "ngram_novelty" -> ((s, d) => Dedup.ngramNovelty(s, d)),
     "value_drift" -> ((s, d) => Analytics.valueDrift(s, d)),
     "kmeans_clusters" -> ((s, d) => Similarity.kmeansClusters(s, d)),
+    "semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "leakage_safe_split" -> (TrainingSets.leakageSafeSplit _),
     "kfold_assignment" -> ((s, d) => TrainingSets.kfoldAssignment(s, d)),
     "text_clean" -> (TextAnalysis.textClean _),
@@ -255,6 +263,45 @@ object SparkEntry {
       |  JOIN sizes sb ON doc_b = sb.doc_id
       |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8)"""
       .stripMargin
+
+  /** The 2-round Lloyd assignment CTE (seed → assign → decimal-exact
+    * centroid mean → re-assign), shared by the kmeans_clusters and
+    * semdedup oracles — `a2` is (vec_id, cid, dist), `e` keeps the
+    * embeddings. Mirrors Similarity.kmeansAssign step for step.
+    */
+  private val kmeansAssignCte: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+      |  list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+      |            for i in range(1, 65)]) AS sq
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, embedding AS cemb, sq AS csq
+      |  FROM e WHERE vec_id < ${ops.Similarity.KmeansK}),
+      |d1 AS (SELECT e.vec_id, c.cid,
+      |  e.sq + c.csq - 2 * list_sum([e.embedding[i]::DOUBLE *
+      |    c.cemb[i]::DOUBLE for i in range(1, 65)]) AS dist
+      |  FROM e, c0 c),
+      |a1 AS (SELECT vec_id, cid FROM (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |  FROM d1) WHERE rn = 1),
+      |m1 AS (SELECT a1.cid, g.i AS pos,
+      |  CAST(SUM(CAST(e.embedding[g.i]::DOUBLE AS DECIMAL(30,15)))
+      |    AS DOUBLE) / COUNT(*) AS comp
+      |  FROM a1 JOIN e USING (vec_id), range(1, 65) g(i)
+      |  GROUP BY a1.cid, g.i),
+      |c1 AS (SELECT cid, list(comp ORDER BY pos) AS cemb
+      |  FROM m1 GROUP BY cid),
+      |c1s AS (SELECT cid, cemb,
+      |  list_sum([cemb[i] * cemb[i] for i in range(1, 65)]) AS csq
+      |  FROM c1),
+      |d2 AS (SELECT e.vec_id, c.cid,
+      |  e.sq + c.csq - 2 * list_sum([e.embedding[i]::DOUBLE * c.cemb[i]
+      |                               for i in range(1, 65)]) AS dist
+      |  FROM e, c1s c),
+      |a2 AS (SELECT vec_id, cid, dist FROM (
+      |  SELECT vec_id, cid, dist,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |  FROM d2) WHERE rn = 1)""".stripMargin
 
   private val nearDupLabelCte: String =
     "WITH RECURSIVE " + nearDupPairsBody +
@@ -749,6 +796,54 @@ object SparkEntry {
         |round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
         |  AS total_value
         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // dynamic-gap sessions: the session end is the running MAX of
+    // per-event ts + gap(event) deadlines; an event starting at or past
+    // that max opens a new session (the fixed-gap oracle's >= boundary)
+    "stream_sessions_dynamic_gap" -> {
+      val pUs = graft.streaming.StreamAssembly.DynGapPurchaseMin * 60000000L
+      val dUs = graft.streaming.StreamAssembly.DynGapDefaultMin * 60000000L
+      s"""WITH e AS (SELECT user_id, event_id, ts, value,
+        |    epoch_us(ts::TIMESTAMP) AS t,
+        |    CASE WHEN event_type = 'purchase' THEN $pUs
+        |      ELSE $dUs END AS gap_us
+        |  FROM events),
+        |m AS (SELECT *, max(t + gap_us) OVER (PARTITION BY user_id
+        |    ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM e),
+        |s AS (SELECT *, CAST(sum(CASE WHEN prev_end IS NULL
+        |      OR t >= prev_end THEN 1 ELSE 0 END) OVER (
+        |    PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts)::TIMESTAMP AS session_start,
+        |  count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |    AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
+    },
+    // LEFT SEMI stream-stream join: the batch EXISTS subquery mirrors
+    // the semi state's emit-once-iff-matched contract exactly
+    "stream_join_left_semi" ->
+      s"""WITH p AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |s AS (SELECT a.user_id, a.event_id FROM p a
+        |  WHERE EXISTS (SELECT 1 FROM p b WHERE b.user_id = a.user_id
+        |    AND epoch_us(b.ts::TIMESTAMP) > epoch_us(a.ts::TIMESTAMP)
+        |    AND epoch_us(b.ts::TIMESTAMP) <= epoch_us(a.ts::TIMESTAMP)
+        |      + ${graft.streaming.StreamAssembly.JoinTolMin * 60000000L}))
+        |SELECT CAST(user_id % 16 AS BIGINT) AS user_bucket,
+        |  count(*) AS n_rows, count(DISTINCT user_id) AS n_users
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // two disjoint staged sources union back to exactly the events
+    // table, so the plain batch aggregate is the oracle
+    "stream_union_sources" ->
+      """SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+        |count(*) AS n_events,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |  AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // sliding windows reconstructed exactly: Spark aligns slide
     // boundaries to absolute epoch microseconds, so each event's 4
     // overlapping 1-day/6-hour windows are floor(epoch_us/slide)·slide
@@ -1762,43 +1857,33 @@ object SparkEntry {
     // difference (double noise) cannot flip the hash — see
     // Similarity.kmeansClusters scaladoc. k is interpolated from
     // Similarity.KmeansK so operator and oracle cannot drift.
-    "kmeans_clusters" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
-        |  list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
-        |            for i in range(1, 65)]) AS sq
-        |  FROM embeddings),
-        |c0 AS (SELECT vec_id AS cid, embedding AS cemb, sq AS csq
-        |  FROM e WHERE vec_id < ${ops.Similarity.KmeansK}),
-        |d1 AS (SELECT e.vec_id, c.cid,
-        |  e.sq + c.csq - 2 * list_sum([e.embedding[i]::DOUBLE *
-        |    c.cemb[i]::DOUBLE for i in range(1, 65)]) AS dist
-        |  FROM e, c0 c),
-        |a1 AS (SELECT vec_id, cid FROM (
-        |  SELECT vec_id, cid,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        |  FROM d1) WHERE rn = 1),
-        |m1 AS (SELECT a1.cid, g.i AS pos,
-        |  CAST(SUM(CAST(e.embedding[g.i]::DOUBLE AS DECIMAL(30,15)))
-        |    AS DOUBLE) / COUNT(*) AS comp
-        |  FROM a1 JOIN e USING (vec_id), range(1, 65) g(i)
-        |  GROUP BY a1.cid, g.i),
-        |c1 AS (SELECT cid, list(comp ORDER BY pos) AS cemb
-        |  FROM m1 GROUP BY cid),
-        |c1s AS (SELECT cid, cemb,
-        |  list_sum([cemb[i] * cemb[i] for i in range(1, 65)]) AS csq
-        |  FROM c1),
-        |d2 AS (SELECT e.vec_id, c.cid,
-        |  e.sq + c.csq - 2 * list_sum([e.embedding[i]::DOUBLE * c.cemb[i]
-        |                               for i in range(1, 65)]) AS dist
-        |  FROM e, c1s c),
-        |a2 AS (SELECT vec_id, cid, dist FROM (
-        |  SELECT vec_id, cid, dist,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        |  FROM d2) WHERE rn = 1)
+    "kmeans_clusters" -> (kmeansAssignCte +
+      """
         |SELECT cid AS cluster, COUNT(*) AS n,
         |  CAST(round(SUM(CAST(dist AS DECIMAL(30,12))), 6)
         |       AS DECIMAL(38,6)) AS wcss
-        |FROM a2 GROUP BY cid ORDER BY cluster""".stripMargin,
+        |FROM a2 GROUP BY cid ORDER BY cluster""".stripMargin),
+    // SemDeDup over the SAME 2-round Lloyd assignment (kmeansAssignCte):
+    // within-cluster cosine ≥ tau against any lower vec_id drops a
+    // vector; the cosine is the same left-to-right list_sum fold both
+    // engines evaluate bit-identically
+    "semdedup" -> (kmeansAssignCte +
+      s""",
+        |v AS (SELECT a2.vec_id, a2.cid, e.embedding, sqrt(e.sq) AS nrm
+        |  FROM a2 JOIN e USING (vec_id)),
+        |dup AS (SELECT DISTINCT b.cid, b.vec_id FROM v a JOIN v b
+        |  ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  AND list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |               for i in range(1, 65)]) / (a.nrm * b.nrm)
+        |      >= ${ops.Similarity.SemDedupTau})
+        |SELECT v.cid AS cluster, count(*) AS n,
+        |  CAST(sum(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped,
+        |  CAST(count(*) - sum(CASE WHEN dup.vec_id IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM v LEFT JOIN dup
+        |  ON v.cid = dup.cid AND v.vec_id = dup.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     // group-aware split: the coin is drawn on the near-dup cluster label
     // (nearDupLabelCte's fixpoint), so components never straddle splits
     "leakage_safe_split" -> (nearDupLabelCte +

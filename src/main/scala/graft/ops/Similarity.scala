@@ -222,7 +222,14 @@ object Similarity {
     */
   val KmeansK: Int = 8
 
-  def kmeansClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The 2-round Lloyd assignment underlying [[kmeansClusters]] (and
+    * [[semDedup]]): (vec_id, cid, dist, embedding) after seed-assign →
+    * decimal-exact centroid update → re-assign. Factored out so the
+    * SemDeDup pruner runs on the SAME deterministic clustering the
+    * kmeans gate pins.
+    */
+  private[ops] def kmeansAssign(spark: SparkSession,
+                                sfDir: String): DataFrame = {
     val k = KmeansK
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
@@ -252,6 +259,10 @@ object Similarity {
         x => x.getField("comp")).as("cemb"))
       .withColumn("csq", dot(col("cemb"), col("cemb")))
     assign(c1)
+  }
+
+  def kmeansClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    kmeansAssign(spark, sfDir)
       .groupBy("cid")
       // sum of decimal(30,12) → decimal(38,12), exact in both engines.
       // The REPORT is quantized to 6 places (decimal round = HALF_UP in
@@ -463,5 +474,58 @@ object Similarity {
       .select(col("label_a"), col("label_b"), col("n_a").cast("long"),
         col("n_b").cast("long"), col("dot_q"))
       .orderBy("label_a", "label_b")
+  }
+
+  /** Cosine threshold for [[semDedup]] — hoisted so operator and oracle
+    * interpolate the SAME literal (the [[KmeansK]] discipline). */
+  val SemDedupTau: Double = 0.4
+
+  /** SemDeDup — semantic deduplication via clustered embeddings (Abbas
+    * et al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", arXiv:2303.09540 — public method): k-means
+    * the embedding space, then prune near-duplicates WITHIN each cluster
+    * only — the clustering is what makes semantic dedup tractable at
+    * scale, shrinking the O(n²) cosine matrix to Σ|cluster|², with
+    * cross-cluster pairs forfeited by design (the paper's trade). The
+    * keep rule is deterministic: a vector is dropped iff some
+    * lower-vec_id vector in the SAME cluster has cosine ≥
+    * [[SemDedupTau]] with it (keep-first, the common implementation of
+    * the paper's keep-one-representative step). Reported per cluster:
+    * size, dropped, kept.
+    *
+    * Why this hash-gates: the clustering is [[kmeansAssign]]'s
+    * engine-portable 2-round Lloyd (bit-identical argmin, decimal
+    * centroid means), and the cosine is the same left-to-right `vec_dot`
+    * fold both engines evaluate bit-identically (the
+    * `dedup_embedding_cosine` precedent).
+    *
+    * Scale shape: one broadcast-assign scan, one (cid)-keyed self-join
+    * whose quadratic work is bounded by the largest cluster (k chosen so
+    * clusters fit; the paper runs k ≈ √n), one distinct + count. At
+    * 100 TB the same plan holds — no global pair frame ever exists.
+    */
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = kmeansAssign(spark, sfDir)
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+    val a = v.select(col("cid"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = v.select(col("cid"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("vec_a") < col("vec_b") &&
+        dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))
+          >= lit(SemDedupTau))
+      .select(col("cid"), col("vec_b")).distinct()
+      .withColumn("is_dup", lit(1L))
+    v.join(dropped,
+        v("cid") === dropped("cid") && v("vec_id") === dropped("vec_b"),
+        "left")
+      .groupBy(v("cid").as("cluster"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dropped"),
+        (count(lit(1)) - sum(coalesce(col("is_dup"), lit(0L))))
+          .as("n_kept"))
+      .orderBy("cluster")
   }
 }

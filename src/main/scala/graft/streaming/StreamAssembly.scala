@@ -610,6 +610,164 @@ object StreamAssembly {
       .orderBy("user_bucket")
   }
 
+  /** The stream-stream LEFT SEMI join exercised end-to-end — the
+    * existence-test completion of the join-mode family (inner / evicting
+    * inner / left outer / full outer elsewhere): emit each left purchase
+    * AT MOST ONCE iff some followup purchase by the same user lands
+    * within the tolerance. Semi state marks a left row matched on first
+    * hit (later matches emit nothing — the dedup the EXISTS oracle
+    * mirrors), and unmatched rows are silently discarded once the
+    * watermark passes their match deadline. Shares
+    * [[streamJoinLeftOuter]]'s staged fixture and exactness argument
+    * (time-ordered chunks ⇒ nothing late; the sentinel flushes the final
+    * state); the batch `WHERE EXISTS` is the exact oracle — a semi join
+    * that emits a row twice, emits an unmatched row, or drops a matched
+    * one flips the hash.
+    */
+  def streamJoinLeftSemi(spark: SparkSession, sfDir: String,
+                         nChunks: Int = 4, tolMin: Int = JoinTolMin,
+                         delay: String = "2 hours"): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_semi_join").toString
+    val keptDir = s"$tmp/kept"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = stagePurchaseChunksWithSentinel(
+      spark, sfDir, nChunks, tolMin, delayMs = 2 * 3600000L)
+    withDrainConf(spark) { ds =>
+      val stream = ds.readStream
+        .schema(purchaseSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val a = stream.select(col("event_id").as("event_a"),
+          col("user_id").as("user_a"), col("ts").as("ts_a"))
+        .withWatermark("ts_a", delay)
+      val b = stream.select(col("event_id").as("event_b"),
+          col("user_id").as("user_b"), col("ts").as("ts_b"))
+        .withWatermark("ts_b", delay)
+      val joined = a.join(b,
+        col("user_a") === col("user_b") &&
+          col("ts_b") > col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr(s"INTERVAL $tolMin MINUTES"),
+        "leftSemi")
+      val query = joined.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.select("user_a", "event_a")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$keptDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(keptDir)
+      .filter(col("user_a") >= 0)
+      .groupBy((col("user_a") % 16).cast("long").as("user_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct("user_a").as("n_users"))
+      .orderBy("user_bucket")
+  }
+
+  private val unionSrcCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String, Int),
+        (String, String)]
+
+  /** Fixture scaffolding for [[streamUnionSources]]: the events table
+    * split by type into TWO independent staged sources (purchases vs
+    * everything else — two topics, in transport terms), EACH with its own
+    * far-future sentinel staged strictly newest. Both sources need a
+    * sentinel because the engine's global watermark is the MINIMUM over
+    * all watermark nodes: one source without a sentinel would hold the
+    * global watermark at its last real event and no downstream window
+    * could close — exactly the lagging-topic behavior the drain
+    * demonstrates the engine handles.
+    */
+  private def stageSplitEventsSentinel(spark: SparkSession, sfDir: String,
+                                       nFiles: Int): (String, String) =
+    unionSrcCache.getOrElseUpdate((spark, sfDir, nFiles), {
+      val events = graft.Tables.events(spark, sfDir)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          col("ts").cast("timestamp").as("ts"),
+          col("event_type").cast("string").as("event_type"),
+          col("value").cast("double").as("value"))
+      val maxTs = events.agg(max("ts")).first().getTimestamp(0)
+      val sentinelTs = new java.sql.Timestamp(
+        maxTs.getTime + 41L * 86400000L)
+      import spark.implicits._
+      def stage(slice: DataFrame, name: String): String = {
+        val d = java.nio.file.Files
+          .createTempDirectory(s"graft_union_$name").toString
+        val dir = new java.io.File(d)
+        def parts() = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        slice.repartition(nFiles).write.mode("overwrite").parquet(d)
+        val firstWave = parts().map(_.getPath).toSet
+        Seq((-1L, -1L, sentinelTs, "sentinel", 0.0))
+          .toDF("event_id", "user_id", "ts", "event_type", "value")
+          .coalesce(1).write.mode("append").parquet(d)
+        val stamp = parts().map(_.lastModified).max + 60000L
+        parts().filterNot(f => firstWave(f.getPath))
+          .foreach(_.setLastModified(stamp))
+        d
+      }
+      (stage(events.filter(col("event_type") === "purchase"), "a"),
+        stage(events.filter(col("event_type") =!= "purchase"), "b"))
+    })
+
+  /** TWO independent streaming sources UNIONED into one windowed
+    * aggregate — the multi-topic ingest topology (fan-in), and the
+    * engine surface it uniquely exercises: the global watermark is the
+    * MIN over both sources' watermark nodes, so a day window may close
+    * only once BOTH sources have advanced past it. Each source streams
+    * its own staged files ([[stageSplitEventsSentinel]]: purchases vs
+    * the rest — disjoint, their union is exactly the events table) with
+    * its own watermark; the union feeds one append-mode day × type
+    * aggregate. The batch aggregate over the whole events table is the
+    * exact oracle: a union that drops a source, double-reads one, or
+    * closes windows on one source's watermark alone flips the hash.
+    */
+  def streamUnionSources(spark: SparkSession, sfDir: String,
+                         nFiles: Int = 2): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_union_out").toString
+    val outDir = s"$tmp/daily"
+    val ckptDir = s"$tmp/ckpt"
+    val (dirA, dirB) = stageSplitEventsSentinel(spark, sfDir, nFiles)
+    withDrainConf(spark) { ds =>
+      def source(d: String) = ds.readStream
+        .schema(enrichEventSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withWatermark("ts", "40 days")
+      val daily = source(dirA).unionByName(source(dirB))
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+      val query = daily.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.select(col("window.start").as("day"), col("event_type"),
+              col("n_events"), col("sum_value"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(outDir)
+      .filter(col("event_type") =!= "sentinel")
+      .select(col("day"), col("event_type"),
+        col("n_events").cast("long").as("n_events"),
+        round(col("sum_value").cast("double"), 2).as("total_value"))
+      .orderBy("day", "event_type")
+  }
+
   private def purchaseSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id",
@@ -1210,6 +1368,64 @@ object StreamAssembly {
         .select(col("user_id"), col("w.start").as("session_start"),
           col("w.end").as("session_end"), col("n_events"),
           col("total_value"))
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.coalesce(1).write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(outDir)
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Per-type session gaps for [[streamSessionsDynamicGap]] — hoisted so
+    * the operator and its oracle SQL interpolate the SAME constants. A
+    * purchase keeps its session alive longer than a browse event. */
+  val DynGapPurchaseMin: Int = 45
+  val DynGapDefaultMin: Int = 30
+
+  /** Session windows with a DYNAMIC, per-event gap — the
+    * `session_window(ts, gapExpr)` engine surface ([[streamSessionWindows]]
+    * covers the fixed-gap form): each event extends its session by a gap
+    * chosen from its own attributes (purchases hold sessions open
+    * [[DynGapPurchaseMin]] minutes, everything else
+    * [[DynGapDefaultMin]]), so the session end is the running MAX of
+    * per-event deadlines, not last-event + constant. The batch oracle
+    * replays exactly that contract: a session breaks where an event's
+    * time reaches the running max of all previous `ts + gap(event)` in
+    * the user's timeline (same `>=` boundary the fixed-gap oracle pins).
+    * Same staged fixture + sentinel-flush exactness argument as the
+    * other session drains.
+    */
+  def streamSessionsDynamicGap(spark: SparkSession, sfDir: String,
+                               nFiles: Int = 3): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_dyn_gap").toString
+    val outDir = s"$tmp/sessions"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = stageUserEventsSentinel(spark, sfDir, nFiles)
+    withDrainConf(spark) { ds =>
+      val stream = ds.readStream
+        .schema(enrichEventSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val gap = when(col("event_type") === "purchase",
+        lit(s"$DynGapPurchaseMin minutes"))
+        .otherwise(lit(s"$DynGapDefaultMin minutes"))
+      val query = stream
+        .withWatermark("ts", "40 days")
+        .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("n_events"),
+          round(col("sum_value").cast("double"), 2).as("total_value"))
         .writeStream
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
