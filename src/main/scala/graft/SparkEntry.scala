@@ -643,34 +643,61 @@ object SparkEntry {
         |  AS fingerprint,
         |min(doc_id) AS first_doc, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-    // Multimodal stubs: metadata fields derive arithmetically from doc_id
-    // (graft.multimodal.Multimodal scaladoc), so the oracle verifies the
-    // Spark-side binary encode→decode round-trip without seeing bytes.
+    // Multimodal generic plumbing over the REAL codecs (BMP doc_id%3=0,
+    // WAV =1, AVI =2): dims / sample counts / frame geometry are affine
+    // mod forms of doc_id (Multimodal.bmpWidthOf etc.), so the oracle
+    // verifies the Spark-side encode→sniff→format-walk→decode round-trip
+    // without seeing bytes. image: w=8+id%9, h=4+id%7, ch=3, dur=0,
+    // body=rowSize(w)*h. audio: n=64+id%100 PCM-16 @8kHz → ch=1,
+    // dur=n//8 ms, body=2n. video: w=8+id%5, h=4+id%4, nf=2+id%5,
+    // msPf=20+id%30 → ch=3, dur=nf*msPf, body=nf*rowSize(w)*h.
     "mm_decode_stats" ->
-      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |  ELSE 'video' END AS media_type,
-        |count(*) AS n,
-        |CAST(sum(64 + 32*(doc_id % 16)) AS BIGINT) AS sum_width,
-        |CAST(sum(64 + 32*(doc_id % 9)) AS BIGINT) AS sum_height,
-        |CAST(sum(1 + (doc_id % 4)) AS BIGINT) AS sum_channels,
-        |CAST(sum(1000 + 500*(doc_id % 60)) AS BIGINT) AS sum_duration_ms,
-        |CAST(sum(16 + n_chars % 240) AS BIGINT) AS sum_body_len
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-    "mm_frame_counts" ->
-      """SELECT doc_id,
-        |CAST(ceil((1000 + 500*(doc_id % 60)) / 1000.0) AS BIGINT) AS n_frames,
-        |(CAST(ceil((1000 + 500*(doc_id % 60)) / 1000.0) AS BIGINT) - 1) * 1000
-        |  AS last_frame_ms
-        |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin,
+      """WITH m AS (SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS media_type,
+        |  CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 9 WHEN 1 THEN 0
+        |    ELSE 8 + doc_id % 5 END AS w,
+        |  CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 7 WHEN 1 THEN 0
+        |    ELSE 4 + doc_id % 4 END AS h,
+        |  CASE doc_id % 3 WHEN 1 THEN 1 ELSE 3 END AS ch,
+        |  CASE doc_id % 3 WHEN 0 THEN 0
+        |    WHEN 1 THEN (64 + doc_id % 100) // 8
+        |    ELSE (2 + doc_id % 5) * (20 + doc_id % 30) END AS dur,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN ((8 + doc_id % 9) * 3 + 3) // 4 * 4 * (4 + doc_id % 7)
+        |    WHEN 1 THEN 2 * (64 + doc_id % 100)
+        |    ELSE (2 + doc_id % 5) * (((8 + doc_id % 5) * 3 + 3) // 4 * 4)
+        |      * (4 + doc_id % 4) END AS bl
+        |  FROM documents)
+        |SELECT media_type, count(*) AS n,
+        |CAST(sum(w) AS BIGINT) AS sum_width,
+        |CAST(sum(h) AS BIGINT) AS sum_height,
+        |CAST(sum(ch) AS BIGINT) AS sum_channels,
+        |CAST(sum(dur) AS BIGINT) AS sum_duration_ms,
+        |CAST(sum(bl) AS BIGINT) AS sum_body_len
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // kept frames = ceil(nf/step), last ts = last kept index × msPf
+    "mm_frame_counts" -> {
+      val step = graft.multimodal.Multimodal.AviSampleStep
+      s"""SELECT doc_id,
+        |CAST(((2 + doc_id % 5) + $step - 1) // $step AS BIGINT) AS n_frames,
+        |CAST(((((2 + doc_id % 5) + $step - 1) // $step - 1) * $step)
+        |  * (20 + doc_id % 30) AS BIGINT) AS last_frame_ms
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin
+    },
     "mm_resize_stats" ->
-      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |  ELSE 'video' END AS media_type,
-        |count(*) AS n,
-        |CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 224
-        |  ELSE 64 + 32*(doc_id % 16) END) AS BIGINT) AS sum_width,
-        |CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 224
-        |  ELSE 64 + 32*(doc_id % 9) END) AS BIGINT) AS sum_height
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH m AS (SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS media_type,
+        |  CASE doc_id % 3 WHEN 0 THEN 224 WHEN 1 THEN 0
+        |    ELSE 8 + doc_id % 5 END AS w,
+        |  CASE doc_id % 3 WHEN 0 THEN 224 WHEN 1 THEN 0
+        |    ELSE 4 + doc_id % 4 END AS h
+        |  FROM documents)
+        |SELECT media_type, count(*) AS n,
+        |CAST(sum(w) AS BIGINT) AS sum_width,
+        |CAST(sum(h) AS BIGINT) AS sum_height
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "sessions" ->
       """WITH g AS (SELECT user_id, ts, value,
         |  CASE WHEN lag(ts) OVER w IS NULL
@@ -2079,16 +2106,23 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
         |      % q.n_avail < q.n_keep
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
-    // DSIR n=1 estimator replayed in SQL: the per-bucket ln term is
-    // quantized to DECIMAL(18,6) at the source in BOTH engines, so every
-    // downstream product/sum/compare is exact decimal arithmetic.
-    // Bucket count and target-source set interpolate from the same
-    // constants the operator uses (TrainingSets.DsirBuckets /
-    // DsirTargetSources — the KmeansK anti-drift pattern).
+    // DSIR n=1 estimator replayed in SQL: the per-bucket log term is
+    // PortableLn (same staged +-*/ pipeline both engines — a native ln
+    // differs across libms in the last ulp and flips round(_,6) at a
+    // boundary, the r8 driver-env hash-fail), quantized to
+    // DECIMAL(18,6) at the source in BOTH engines, so every downstream
+    // product/sum/compare is exact decimal arithmetic. Bucket count and
+    // target-source set interpolate from the same constants the
+    // operator uses (TrainingSets.DsirBuckets / DsirTargetSources — the
+    // KmeansK anti-drift pattern).
     "dsir_importance" -> {
       val nB = ops.TrainingSets.DsirBuckets
       val tgt = ops.TrainingSets.DsirTargetSources
         .map(s => s"'$s'").mkString(", ")
+      val (plCtes, plOut) = functions.PortableLn.sqlCtes(
+        "pl", "model, tot", Seq("b"),
+        s"((cnt_tgt + 1) * (tot_raw + $nB))::DOUBLE / " +
+          s"((cnt_raw + 1) * (tot_tgt + $nB))::DOUBLE", "lnx")
       s"""WITH tb AS (SELECT doc_id, source,
         |    ('0x' || substr(md5(w), 1, 8))::BIGINT % $nB AS b
         |  FROM (SELECT doc_id, source,
@@ -2099,20 +2133,18 @@ object SparkEntry {
         |  FROM tb GROUP BY b),
         |tot AS (SELECT CAST(sum(cnt_raw) AS BIGINT) AS tot_raw,
         |    CAST(sum(cnt_tgt) AS BIGINT) AS tot_tgt FROM model),
-        |term AS (SELECT b, CAST(round(ln(
-        |    ((cnt_tgt + 1) * (tot_raw + $nB))::DOUBLE /
-        |    ((cnt_raw + 1) * (tot_tgt + $nB))::DOUBLE), 6)
-        |    AS DECIMAL(18,6)) AS lw
-        |  FROM model, tot),
+        |$plCtes,
+        |term AS (SELECT b, CAST(floor(lnx * 1000000.0) AS BIGINT) AS lw
+        |  FROM $plOut),
         |db AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS c
         |  FROM tb GROUP BY 1, 2, 3),
         |dw AS (SELECT doc_id, any_value(source) AS source,
-        |    CAST(sum(c * lw) AS DECIMAL(38,6)) AS logw
+        |    CAST(sum(c * lw) AS BIGINT) AS logw
         |  FROM db JOIN term USING (b) GROUP BY doc_id)
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN logw > 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_upweighted,
-        |  CAST(sum(logw) AS DECIMAL(38,6)) AS total_logw
+        |  CAST(sum(logw) AS BIGINT) AS total_logw_micro
         |FROM dw GROUP BY source ORDER BY source""".stripMargin
     },
     // transitive closure via recursive CTE mirrors the engine's iterative

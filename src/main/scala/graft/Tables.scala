@@ -8,14 +8,22 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) which the Spark reader rejects
-    // ([PARQUET_TYPE_ILLEGAL]); read nanos as LONG and convert below.
+    // Older fixture generations wrote events.ts as parquet TIMESTAMP(NANOS),
+    // which the Spark reader rejects ([PARQUET_TYPE_ILLEGAL]) unless read as
+    // LONG; newer generations write TIMESTAMP(MICROS) without a timezone,
+    // which reads as TIMESTAMP_NTZ. Normalize both to session-TZ TimestampType
+    // (every entry point pins spark.sql.session.timeZone=UTC, so the NTZ→LTZ
+    // cast is instant-preserving and matches the old nanos-epoch semantics).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      // nanos since epoch → TimestampType (µs). `div` keeps integer math.
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // nanos since epoch → TimestampType (µs). `div` keeps integer math.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    } else df
   }
 
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",

@@ -12,41 +12,30 @@ import graft.Tables
   * iterator (batch) shape — the Scala analogue of an Arrow-batched
   * `mapInPandas` stage.
   *
-  * Two codec tiers:
+  * All payloads are REAL formats, pure-JVM byte parsing (no library),
+  * one per media type: 24-bit uncompressed BMP
+  * ([[encodeBmp]]/[[decodeBmp]] — BITMAPFILEHEADER + BITMAPINFOHEADER,
+  * bottom-up rows, BGR byte order, 4-byte row padding), PCM-16 mono WAV
+  * ([[encodeWav]]/[[decodeWav]] — RIFF chunk walk tolerating unknown
+  * chunks), and uncompressed AVI video ([[encodeAvi]]/[[decodeAvi]] —
+  * RIFF 'AVI ' tree: avih/strh/strf headers, '00db' DIB frames, idx1
+  * index). The generic plumbing ([[mediaTable]]/[[decode]]/[[resize]]/
+  * [[sampleFrames]]/[[extractFeatures]]) runs on the same real payloads:
+  * [[decode]] sniffs the container magic and walks the actual format,
+  * [[resize]] genuinely resamples pixels (nearest-neighbor) and
+  * re-encodes, [[sampleFrames]] decodes real AVI frames and emits each
+  * kept frame as a real BMP. Real pixels/samples/frames also reduce to
+  * oracle-checked features (integer BT.601 luminance mass, sample
+  * energy, per-frame sampled luminance: [[bmpLuminance]], [[wavEnergy]],
+  * [[aviFrameLuminance]]).
   *
-  *   - REAL CODECS, pure-JVM byte parsing (no library), one per media
-  *     type: 24-bit uncompressed BMP ([[encodeBmp]]/[[decodeBmp]] —
-  *     BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows, BGR byte
-  *     order, 4-byte row padding), PCM-16 mono WAV
-  *     ([[encodeWav]]/[[decodeWav]] — RIFF chunk walk tolerating unknown
-  *     chunks), and uncompressed AVI video ([[encodeAvi]]/[[decodeAvi]] —
-  *     RIFF 'AVI ' tree: avih/strh/strf headers, '00db' DIB frames,
-  *     idx1 index). Real pixels/samples/frames decode to real features
-  *     (integer BT.601 luminance mass, sample energy, per-frame sampled
-  *     luminance), oracle-checked end-to-end from deterministically
-  *     generated payloads ([[bmpLuminance]], [[wavEnergy]],
-  *     [[aviFrameLuminance]]).
-  *   - A documented deterministic FAKE tier for the generic metadata
-  *     plumbing ([[mediaTable]]/[[decode]]/[[resize]]/[[sampleFrames]]):
-  *     payloads carry a real 24-byte header that [[decode]] genuinely
-  *     parses byte-by-byte and a pseudo-random body standing in for a
-  *     compressed payload of arbitrary format — the schema/iterator
-  *     shape a mixed-codec 100 TB corpus needs when some formats have
-  *     no JVM decoder.
-  *
-  * Stub header layout (little-endian): magic int ('GMM0'), media_type
-  * byte (0=image 1=audio 2=video), width int, height int, channels byte,
-  * duration_ms int, body_len int, pad to 24.
-  *
-  * Metadata (and, for BMP/WAV, every pixel/sample value) derive
-  * arithmetically from doc_id, so the DuckDB oracle can verify the
-  * Spark-side encode→decode round-trip from the `documents` table without
-  * seeing any bytes — while the Spark side genuinely parses them.
+  * Every payload derives arithmetically from doc_id (dims, sample
+  * values, pixel channels are affine mod forms), so the DuckDB oracle
+  * can verify Spark-side encode→decode round-trips from the `documents`
+  * table without seeing any bytes — while the Spark side genuinely
+  * parses them byte-by-byte.
   */
 object Multimodal {
-
-  val Magic: Int = 0x474d4d30 // "GMM0"
-  val HeaderLen: Int = 24
 
   final case class Media(
       doc_id: Long,
@@ -64,70 +53,59 @@ object Multimodal {
 
   private val typeNames = Array("image", "audio", "video")
 
-  // --- deterministic metadata derivations (mirrored by the SQL oracle) ---
-  def widthOf(id: Long): Int = 64 + 32 * (id % 16).toInt
-  def heightOf(id: Long): Int = 64 + 32 * (id % 9).toInt
-  def channelsOf(id: Long): Int = 1 + (id % 4).toInt
-  def durationOf(id: Long): Int = 1000 + 500 * (id % 60).toInt
   def typeOf(id: Long): String = typeNames((id % 3).toInt)
-  def bodyLenOf(id: Long, nChars: Long): Int = (16 + nChars % 240).toInt
 
-  /** xorshift64* — deterministic body bytes standing in for compressed
-    * media (public-domain PRNG, Vigna 2016).
+  /** The real payload for a doc: BMP image (doc_id%3=0), PCM-16 WAV
+    * audio (=1), uncompressed AVI video (=2) — the same id→type mapping
+    * the codec-specific queries filter on.
     */
-  private def fakeBody(seed: Long, len: Int): Array[Byte] = {
-    val out = new Array[Byte](len)
-    var x = if (seed == 0) 0x9e3779b97f4a7c15L else seed
-    var i = 0
-    while (i < len) {
-      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
-      out(i) = ((x * 0x2545f4914f6cdd1dL) >>> 56).toByte
-      i += 1
-    }
-    out
+  def encodeOne(id: Long): Array[Byte] = (id % 3).toInt match {
+    case 0 => encodeBmp(id)
+    case 1 => encodeWav(id)
+    case _ => encodeAvi(id)
   }
 
-  def encodeOne(id: Long, nChars: Long): Array[Byte] = {
-    val bodyLen = bodyLenOf(id, nChars)
-    val buf = ByteBuffer.allocate(HeaderLen + bodyLen)
-      .order(ByteOrder.LITTLE_ENDIAN)
-    buf.putInt(Magic)
-    buf.put((id % 3).toByte)
-    buf.putInt(widthOf(id))
-    buf.putInt(heightOf(id))
-    buf.put(channelsOf(id).toByte)
-    buf.putInt(durationOf(id))
-    buf.putInt(bodyLen)
-    buf.put(0.toByte) // pad to 24
-    buf.put(fakeBody(id, bodyLen))
-    buf.array()
-  }
-
+  /** Sniff the container magic and parse the REAL format into typed
+    * metadata: BMP → dims + 3 channels + pixel-data mass; WAV → sample
+    * rate-derived duration + PCM byte mass; AVI → dims + frame-derived
+    * duration + frame byte mass. Unknown/corrupt bytes → None.
+    */
   def decodeOne(payload: Array[Byte]): Option[DecodedMeta] = {
-    if (payload == null || payload.length < HeaderLen) return None
-    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
-    if (buf.getInt() != Magic) return None
-    val t = buf.get()
-    val w = buf.getInt()
-    val h = buf.getInt()
-    val c = buf.get()
-    val d = buf.getInt()
-    val bl = buf.getInt()
-    if (payload.length != HeaderLen + bl) return None
-    Some(DecodedMeta(-1L, typeNames(t.toInt), w, h, c.toInt, d, bl))
+    if (payload == null || payload.length < 12) return None
+    def fourcc(at: Int): String =
+      new String(payload.slice(at, at + 4), "US-ASCII")
+    if (payload(0) == 'B' && payload(1) == 'M')
+      decodeBmp(payload).map { img =>
+        val rowSize = (img.width * 3 + 3) / 4 * 4
+        DecodedMeta(-1L, "image", img.width, img.height, 3, 0,
+          rowSize * img.height)
+      }
+    else if (fourcc(0) == "RIFF" && fourcc(8) == "WAVE")
+      decodeWav(payload).map { c =>
+        DecodedMeta(-1L, "audio", 0, 0, 1,
+          c.samples.length * 1000 / c.sampleRate, 2 * c.samples.length)
+      }
+    else if (fourcc(0) == "RIFF" && fourcc(8) == "AVI ")
+      decodeAvi(payload).map { c =>
+        val rowSize = (c.width * 3 + 3) / 4 * 4
+        DecodedMeta(-1L, "video", c.width, c.height, 3,
+          c.frames.length * c.msPerFrame,
+          c.frames.length * rowSize * c.height)
+      }
+    else None
   }
 
-  /** Synthesize the media table from `documents`: one binary payload per
-    * doc. Runs as a partition-streaming map (no shuffle; the encode is
+  /** Synthesize the media table from `documents`: one real binary payload
+    * per doc. Runs as a partition-streaming map (no shuffle; the encode is
     * embarrassingly parallel, exactly how a 100 TB decode stage must run).
     */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[Media] = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("n_chars"))
-      .as[(Long, Long)]
-      .mapPartitions(_.map { case (id, nChars) =>
-        Media(id, typeOf(id), encodeOne(id, nChars))
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        Media(id, typeOf(id), encodeOne(id))
       })
   }
 
@@ -142,7 +120,7 @@ object Multimodal {
     })
   }
 
-  /** Feature extraction stub: payload body → dim-length float vector
+  /** Feature extraction stub: payload bytes → dim-length float vector
     * (per-byte accumulation into banded sums, L2-normalized). Stands in for
     * an embedding model; output feeds the similarity/dedup operators
     * unchanged (same ARRAY<FLOAT> shape as the embeddings table).
@@ -150,7 +128,7 @@ object Multimodal {
   def extractFeatures(media: Dataset[Media], dim: Int = 16): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
-      val body = m.payload.drop(HeaderLen)
+      val body = m.payload
       val acc = new Array[Float](dim)
       var i = 0
       while (i < body.length) {
@@ -164,45 +142,56 @@ object Multimodal {
     }).toDF("doc_id", "media_type", "features")
   }
 
-  /** Resize stage: rewrites the header dims (the stub's stand-in for pixel
-    * resampling) and re-derives a body scaled to the new area — metadata
-    * and payload stay consistent, so a resize→decode round-trip is
-    * verifiable.
+  /** Resize stage: REAL nearest-neighbor pixel resampling for images —
+    * decode the BMP, sample source pixels at (r·h/newH, c·w/newW),
+    * re-encode. Audio/video pass through untouched. Row-local
+    * (partition-streaming map, no shuffle), and the output is a valid BMP
+    * any decoder re-reads — so a resize→decode round-trip is verifiable.
     */
   def resize(media: Dataset[Media], newWidth: Int, newHeight: Int): Dataset[Media] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
-      decodeOne(m.payload) match {
-        case Some(meta) if m.media_type == "image" =>
-          val buf = ByteBuffer.allocate(HeaderLen + meta.body_len)
-            .order(ByteOrder.LITTLE_ENDIAN)
-          buf.putInt(Magic).put(0.toByte)
-            .putInt(newWidth).putInt(newHeight)
-            .put(meta.channels.toByte)
-            .putInt(meta.duration_ms).putInt(meta.body_len).put(0.toByte)
-          buf.put(fakeBody(m.doc_id, meta.body_len))
-          m.copy(payload = buf.array())
-        case _ => m
+      if (m.media_type != "image") m
+      else decodeBmp(m.payload) match {
+        case Some(img) =>
+          val px = new Array[Int](newWidth * newHeight)
+          var r = 0
+          while (r < newHeight) {
+            val sr = r * img.height / newHeight
+            var c = 0
+            while (c < newWidth) {
+              val sc = c * img.width / newWidth
+              px(r * newWidth + c) = img.pixels(sr * img.width + sc)
+              c += 1
+            }
+            r += 1
+          }
+          m.copy(payload = encodeBmpFromPixels(newWidth, newHeight, px))
+        case None => m
       }
     })
   }
 
-  /** Frame sampling: one row per sampled frame of each video, frame
-    * timestamps every `everyMs`. The explode happens on the typed side
-    * (iterator flatMap), so a long video streams frames without
+  /** Frame sampling: decode each video's REAL AVI frames and keep every
+    * `step`-th one (the sampling stage of a video-curation pipeline),
+    * emitting the kept frame as a real BMP payload with its
+    * frame-period-derived timestamp. The explode happens on the typed
+    * side (iterator flatMap), so a long video streams frames without
     * materializing them all.
     */
-  def sampleFrames(media: Dataset[Media], everyMs: Int = 1000): DataFrame = {
+  def sampleFrames(media: Dataset[Media], step: Int = AviSampleStep): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { m =>
-      decodeOne(m.payload) match {
-        case Some(meta) if meta.media_type == "video" =>
-          (0 until meta.duration_ms by everyMs).iterator.map { t =>
-            // frame payload: a body slice keyed by (doc, t) — stub for a
-            // decoded frame image
-            (m.doc_id, t, fakeBody(m.doc_id ^ t.toLong, 32))
-          }
-        case _ => Iterator.empty
+      if (m.media_type != "video") Iterator.empty
+      else decodeAvi(m.payload) match {
+        case Some(clip) =>
+          clip.frames.iterator.zipWithIndex
+            .filter(_._2 % step == 0)
+            .map { case (fpx, f) =>
+              (m.doc_id, f * clip.msPerFrame,
+                encodeBmpFromPixels(clip.width, clip.height, fpx))
+            }
+        case None => Iterator.empty
       }
     }).toDF("doc_id", "frame_ms", "frame")
   }
@@ -230,6 +219,25 @@ object Multimodal {
     */
   def encodeBmp(id: Long): Array[Byte] = {
     val w = bmpWidthOf(id); val h = bmpHeightOf(id)
+    val px = new Array[Int](w * h)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        val (red, green, blue) = pixelOf(id, r, c)
+        px(r * w + c) = (red << 16) | (green << 8) | blue
+        c += 1
+      }
+      r += 1
+    }
+    encodeBmpFromPixels(w, h, px)
+  }
+
+  /** Serialize row-major top-down 0xRRGGBB pixels as a real 24-bit BMP
+    * (shared by [[encodeBmp]], [[resize]], and [[sampleFrames]]'s
+    * frame-image emission).
+    */
+  def encodeBmpFromPixels(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
     val rowSize = (w * 3 + 3) / 4 * 4
     val dataSize = rowSize * h
     val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
@@ -243,8 +251,9 @@ object Multimodal {
       val r = h - 1 - fileRow // bottom-up: first stored row is the last
       var c = 0
       while (c < w) {
-        val (red, green, blue) = pixelOf(id, r, c)
-        buf.put(blue.toByte).put(green.toByte).put(red.toByte)
+        val p = px(r * w + c)
+        buf.put((p & 0xff).toByte).put(((p >> 8) & 0xff).toByte)
+          .put(((p >> 16) & 0xff).toByte)
         c += 1
       }
       var pad = w * 3
@@ -535,9 +544,11 @@ object Multimodal {
 
   // ---- oracle-checked query surface ----
 
-  /** Decode round-trip stats: encode → decode on the Spark side; the
-    * oracle computes the same aggregates arithmetically from doc_id. Proves
-    * header serialization both ways.
+  /** Decode round-trip stats over the REAL codecs: encode → sniff →
+    * format-walk decode on the Spark side; the oracle computes the same
+    * aggregates arithmetically from doc_id (dims, sample counts, frame
+    * geometry are affine mod forms). Proves container serialization both
+    * ways for all three formats at once.
     */
   def decodeStats(spark: SparkSession, sfDir: String): DataFrame =
     decode(mediaTable(spark, sfDir))
@@ -551,18 +562,20 @@ object Multimodal {
         sum("body_len").as("sum_body_len"))
       .orderBy("media_type")
 
-  /** Sampled-frame counts per video: frame count = ceil(duration/everyMs),
-    * SQL-expressible for the oracle.
+  /** Sampled-frame counts per video over REAL AVI decode: kept frames =
+    * ceil(n_frames/step), last timestamp = last kept index × frame
+    * period — both affine in doc_id, SQL-expressible for the oracle.
     */
-  def frameCounts(spark: SparkSession, sfDir: String, everyMs: Int = 1000): DataFrame =
-    sampleFrames(mediaTable(spark, sfDir), everyMs)
+  def frameCounts(spark: SparkSession, sfDir: String, step: Int = AviSampleStep): DataFrame =
+    sampleFrames(mediaTable(spark, sfDir), step)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_frames"),
         max(col("frame_ms").cast("long")).as("last_frame_ms"))
       .orderBy("doc_id")
 
-  /** Resize round-trip: resize all images to 224×224, decode, aggregate —
-    * images report the new dims, audio/video pass through untouched.
+  /** Resize round-trip: nearest-neighbor-resample all images to 224×224,
+    * decode the re-encoded BMPs, aggregate — images report the new dims,
+    * audio/video pass through untouched.
     */
   def resizeStats(spark: SparkSession, sfDir: String): DataFrame =
     decode(resize(mediaTable(spark, sfDir), 224, 224))

@@ -512,16 +512,19 @@ object Similarity {
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val b = v.select(col("cid"), col("vec_id").as("vec_b"),
       col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    // `dropped` derives from `v`, so a direct self-join on shared column
+    // refs is ambiguous ([AMBIGUOUS_SELF_JOIN]); rename its join keys so
+    // the condition mentions only unambiguous names.
     val dropped = a.join(b, Seq("cid"))
       .filter(col("vec_a") < col("vec_b") &&
         dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))
           >= lit(SemDedupTau))
-      .select(col("cid"), col("vec_b")).distinct()
+      .select(col("cid").as("d_cid"), col("vec_b").as("d_vec")).distinct()
       .withColumn("is_dup", lit(1L))
     v.join(dropped,
-        v("cid") === dropped("cid") && v("vec_id") === dropped("vec_b"),
+        col("cid") === col("d_cid") && col("vec_id") === col("d_vec"),
         "left")
-      .groupBy(v("cid").as("cluster"))
+      .groupBy(col("cid").as("cluster"))
       .agg(count(lit(1)).as("n"),
         sum(coalesce(col("is_dup"), lit(0L))).as("n_dropped"),
         (count(lit(1)) - sum(coalesce(col("is_dup"), lit(0L))))

@@ -449,14 +449,18 @@ object TrainingSets {
     * positive shift is visible in the output.
     *
     * Determinism discipline (why this hash-gates cleanly): the only
-    * float op is one `ln` per bucket — [[DsirBuckets]] values total,
-    * each the log of a correctly-rounded IEEE quotient of exact integer
-    * products — immediately quantized to DECIMAL(18,6) (round-then-cast,
-    * HALF_UP in both engines). Everything downstream is exact decimal
-    * arithmetic: c_db · term_b products and their sums are
-    * order-independent, so per-doc log-weights are bit-identical across
-    * engines and partitionings, and the `log w > 0` selection predicate
-    * compares exact decimals — no boundary noise.
+    * float work is one log per bucket — [[DsirBuckets]] values total —
+    * and that log is [[graft.functions.PortableLn]], built from ONLY
+    * correctly-rounded IEEE `+ - * /` ops and exact power-of-two
+    * scaling, so its bits are identical on the JVM and in any DuckDB
+    * build (a native `ln` differs in the last ulp across libms, which
+    * flips `round(_, 6)` at a rounding boundary — the r8 driver-env
+    * hash-fail). The term is then floored to BIGINT micro-nats — a
+    * correctly-rounded ×1e6 on identical bits followed by an exact
+    * floor — so every gated value downstream is integer arithmetic:
+    * c_db · term_b products and their sums are order-independent and
+    * exact, and the `log w > 0` selection predicate compares exact
+    * integers — no boundary noise anywhere in the gate.
     *
     * Scale shape: the token frame aggregates straight down to
     * [[DsirBuckets]] rows (map-side combine; model + totals are a
@@ -481,23 +485,27 @@ object TrainingSets {
     val totals = model.agg(
       sum("cnt_raw").cast("long").as("tot_raw"),
       sum("cnt_tgt").cast("long").as("tot_tgt"))
-    // ln of one exact-integer-product quotient, quantized at the source:
-    // every downstream op on `lw` is exact decimal arithmetic.
-    val terms = model.crossJoin(broadcast(totals))
+    // portable ln of one exact-integer-product quotient, floored to
+    // BIGINT micro-nats at the source: ×1e6 (correctly rounded on
+    // identical input bits) then floor (exact) — every downstream op on
+    // `lw` is exact integer arithmetic, so the gate is float-free.
+    val termsX = model.crossJoin(broadcast(totals))
       .select(col("b"),
-        round(log(((col("cnt_tgt") + 1L) * (col("tot_raw") + nB))
-          .cast("double") /
-          ((col("cnt_raw") + 1L) * (col("tot_tgt") + nB)).cast("double")), 6)
-          .cast("decimal(18,6)").as("lw"))
+        (((col("cnt_tgt") + 1L) * (col("tot_raw") + nB)).cast("double") /
+          ((col("cnt_raw") + 1L) * (col("tot_tgt") + nB)).cast("double"))
+          .as("x"))
+    val terms = graft.functions.PortableLn.withLn(termsX, "x", "lnx")
+      .select(col("b"),
+        floor(col("lnx") * lit(1000000.0)).cast("long").as("lw"))
     val docWeights = tokBuckets
       .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("c"))
       .join(broadcast(terms), "b")
       .groupBy("doc_id", "source")
-      .agg(sum(col("c") * col("lw")).cast("decimal(38,6)").as("logw"))
+      .agg(sum(col("c") * col("lw")).cast("long").as("logw"))
     docWeights.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("logw") > 0, 1L).otherwise(0L)).as("n_upweighted"),
-        sum("logw").cast("decimal(38,6)").as("total_logw"))
+        sum("logw").cast("long").as("total_logw_micro"))
       .orderBy("source")
   }
 }

@@ -13,20 +13,38 @@ class MultimodalSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("encode→decode round-trips every header field") {
+  test("encode→sniff→decode round-trips typed metadata for all 3 real formats") {
     for (id <- Seq(0L, 1L, 2L, 17L, 59L, 12345L)) {
-      val m = Multimodal.decodeOne(Multimodal.encodeOne(id, 100)).get
+      val m = Multimodal.decodeOne(Multimodal.encodeOne(id)).get
       assert(m.media_type === Multimodal.typeOf(id))
-      assert(m.width === Multimodal.widthOf(id))
-      assert(m.height === Multimodal.heightOf(id))
-      assert(m.channels === Multimodal.channelsOf(id))
-      assert(m.duration_ms === Multimodal.durationOf(id))
-      assert(m.body_len === Multimodal.bodyLenOf(id, 100))
+      (id % 3).toInt match {
+        case 0 => // BMP
+          val w = Multimodal.bmpWidthOf(id); val h = Multimodal.bmpHeightOf(id)
+          assert(m.width === w)
+          assert(m.height === h)
+          assert(m.channels === 3)
+          assert(m.duration_ms === 0)
+          assert(m.body_len === (w * 3 + 3) / 4 * 4 * h)
+        case 1 => // WAV (PCM-16 mono @8kHz)
+          val n = Multimodal.wavSamplesOf(id)
+          assert(m.width === 0)
+          assert(m.channels === 1)
+          assert(m.duration_ms === n * 1000 / 8000)
+          assert(m.body_len === 2 * n)
+        case _ => // AVI
+          val w = Multimodal.aviWidthOf(id); val h = Multimodal.aviHeightOf(id)
+          val nf = Multimodal.aviFramesOf(id)
+          assert(m.width === w)
+          assert(m.height === h)
+          assert(m.channels === 3)
+          assert(m.duration_ms === nf * Multimodal.aviMsPerFrameOf(id))
+          assert(m.body_len === nf * ((w * 3 + 3) / 4 * 4) * h)
+      }
     }
   }
 
   test("corrupt payloads decode to None (bad magic, truncation, null)") {
-    val ok = Multimodal.encodeOne(7L, 50)
+    val ok = Multimodal.encodeOne(7L) // 7%3=1 → WAV
     assert(Multimodal.decodeOne(null).isEmpty)
     assert(Multimodal.decodeOne(Array[Byte](1, 2, 3)).isEmpty)
     assert(Multimodal.decodeOne(ok.take(ok.length - 1)).isEmpty)
@@ -36,11 +54,11 @@ class MultimodalSpec extends SparkSpec {
 
   test("corrupt rows are dropped by the decode stage, valid rows survive") {
     val ds = Seq(
-      Media(1L, "image", Multimodal.encodeOne(1L, 80)),
+      Media(0L, "image", Multimodal.encodeOne(0L)),
       Media(2L, "audio", Array[Byte](9, 9)),
       Media(3L, "video", null)).toDS()
     val out = Multimodal.decode(ds).collect()
-    assert(out.map(_.doc_id).toSeq === Seq(1L))
+    assert(out.map(_.doc_id).toSeq === Seq(0L))
   }
 
   test("features are unit-norm ARRAY<FLOAT> of the requested dim") {
@@ -54,29 +72,59 @@ class MultimodalSpec extends SparkSpec {
     assert(r.filter(abs(col("nrm") - 1.0) > 1e-5).count() === 0)
   }
 
-  test("frame sampling yields ceil(duration/interval) frames, videos only") {
+  test("frame sampling keeps every step-th REAL AVI frame as a decodable BMP") {
     val media = Multimodal.mediaTable(spark, sf)
-    val frames = Multimodal.sampleFrames(media, everyMs = 1000)
-    val joined = frames.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      .join(Multimodal.decode(media).toDF(), "doc_id")
-    assert(joined.filter(col("media_type") =!= "video").count() === 0)
-    assert(joined.filter(
-      col("n") =!= ceil(col("duration_ms") / 1000.0)).count() === 0)
+    val step = Multimodal.AviSampleStep
+    val frames = Multimodal.sampleFrames(media, step)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2)))
+    assert(frames.nonEmpty)
+    val byDoc = frames.groupBy(_._1)
+    byDoc.foreach { case (id, fs) =>
+      assert(id % 3 === 2, s"non-video doc $id emitted frames")
+      val nf = Multimodal.aviFramesOf(id)
+      val msPf = Multimodal.aviMsPerFrameOf(id)
+      assert(fs.length === (nf + step - 1) / step, s"doc $id frame count")
+      assert(fs.map(_._2).sorted.toSeq ===
+        (0 until nf by step).map(_ * msPf), s"doc $id timestamps")
+      // each emitted frame is a valid BMP with the clip dims and the
+      // exact per-frame pixels the AVI encoder wrote
+      val f0 = fs.minBy(_._2)
+      val img = Multimodal.decodeBmp(f0._3).get
+      assert(img.width === Multimodal.aviWidthOf(id))
+      assert(img.height === Multimodal.aviHeightOf(id))
+      val (red, green, blue) = Multimodal.framePixelOf(id, 0, 0, 0)
+      val p = img.pixels(0)
+      assert(((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff) === ((red, green, blue)))
+    }
   }
 
-  test("resize rewrites image dims only and keeps payloads decodable") {
+  test("resize nearest-neighbor-resamples images only; payloads stay decodable") {
     val resized = Multimodal.decode(
       Multimodal.resize(Multimodal.mediaTable(spark, sf), 224, 224))
     val images = resized.filter(_.media_type == "image")
     val others = resized.filter(_.media_type != "image")
     assert(images.filter(m => m.width != 224 || m.height != 224).count() === 0)
-    // non-images keep their ORIGINAL derived dims (some are natively
-    // 224×224 — 64+32·5 — so compare against the derivation, not 224)
-    assert(others.filter(m =>
-      m.width != Multimodal.widthOf(m.doc_id) ||
-      m.height != Multimodal.heightOf(m.doc_id)).count() === 0)
+    // non-images pass through with their ORIGINAL codec-derived dims
+    assert(others.filter(m => m.media_type == "video" &&
+      (m.width != Multimodal.aviWidthOf(m.doc_id) ||
+       m.height != Multimodal.aviHeightOf(m.doc_id))).count() === 0)
+    assert(others.filter(m => m.media_type == "audio" &&
+      (m.width != 0 || m.height != 0)).count() === 0)
     // nothing dropped: decode succeeded for every resized payload
     assert(resized.count() === Multimodal.mediaTable(spark, sf).count())
+  }
+
+  test("resize samples source pixels at (r·h/newH, c·w/newW)") {
+    val id = 3L // image: w=8+3%9=11, h=4+3%7=7
+    val ds = Seq(Media(id, "image", Multimodal.encodeBmp(id))).toDS()
+    val out = Multimodal.resize(ds, 5, 4).collect().head
+    val src = Multimodal.decodeBmp(Multimodal.encodeBmp(id)).get
+    val img = Multimodal.decodeBmp(out.payload).get
+    assert(img.width === 5 && img.height === 4)
+    for (r <- 0 until 4; c <- 0 until 5) {
+      val expected = src.pixels(r * src.height / 4 * src.width + c * src.width / 5)
+      assert(img.pixels(r * 5 + c) === expected, s"pixel ($r,$c)")
+    }
   }
 
   test("BMP codec: bottom-up rows, BGR order, and 4-byte padding decode " +
