@@ -84,6 +84,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamAssembly.streamJoinLeftSemi(s, d)),
     "stream_union_sources" ->
       ((s, d) => graft.streaming.StreamAssembly.streamUnionSources(s, d)),
+    "stream_dedup_probe" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamDedupProbe(s, d)),
     "stream_sessions_dynamic_gap" ->
       ((s, d) =>
         graft.streaming.StreamAssembly.streamSessionsDynamicGap(s, d)),
@@ -122,6 +124,8 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_clusters_star" -> (Dedup.dedupClustersStar _),
     "curation_pipeline" -> (TrainingSets.curationPipeline _),
+    "curation_pipeline_semantic" ->
+      (TrainingSets.curationPipelineSemantic _),
     "q10_returned_items" -> (StarQueries.q10ReturnedItems _),
     "q19_or_predicate" -> (StarQueries.q19OrPredicateRevenue _),
     "dedup_latest" -> (Dedup.dedupLatest _),
@@ -183,6 +187,7 @@ object SparkEntry {
     "vocab_coverage" -> (CorpusStats.vocabCoverage _),
     "dup_degree_histogram" -> (Dedup.dupDegreeHistogram _),
     "ngram_novelty" -> ((s, d) => Dedup.ngramNovelty(s, d)),
+    "dedup_exact_substring" -> ((s, d) => Dedup.exactSubstringSpans(s, d)),
     "value_drift" -> ((s, d) => Analytics.valueDrift(s, d)),
     "kmeans_clusters" -> ((s, d) => Similarity.kmeansClusters(s, d)),
     "semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
@@ -216,6 +221,7 @@ object SparkEntry {
     "purchase_gap_histogram" -> (Analytics.purchaseGapHistogram _),
     "basket_affinity" -> ((s, d) => Analytics.basketAffinity(s, d)),
     "bpe_pair_counts" -> ((s, d) => CorpusStats.bpePairCounts(s, d)),
+    "bpe_train_merges" -> ((s, d) => CorpusStats.bpeTrainMerges(s, d)),
     "vocab_growth" -> ((s, d) => CorpusStats.vocabGrowth(s, d)),
     "attribution_last_touch" ->
       ((s, d) => Analytics.attributionLastTouch(s, d)),
@@ -520,6 +526,28 @@ object SparkEntry {
         |JOIN sizes zb ON doc_b = zb.doc_id
         |WHERE CAST(shared AS DOUBLE) / (za.n + zb.n - shared) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // online probe: odd half streamed, even half is the static banded
+    // index; per-doc result independent of batch boundaries (stateless
+    // probe), so the batch band join IS the oracle
+    "stream_dedup_probe" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])) AS s
+        |  FROM tok WHERE len(ws) >= 3),
+        |hx AS (SELECT doc_id,
+        |  ('0x' || substr(md5(s), 1, 12))::BIGINT AS h1,
+        |  (('0x' || substr(md5(s), 13, 12))::BIGINT | 1) AS h2 FROM sh),
+        |h AS (SELECT doc_id, i, min(h1 + i * h2) AS minh
+        |  FROM hx, range(0, 12) t(i) GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, (i // 2) AS band,
+        |  string_agg(minh::VARCHAR, '|' ORDER BY i) AS bsig
+        |  FROM h GROUP BY doc_id, (i // 2))
+        |SELECT s.doc_id,
+        |  CAST(count(DISTINCT i.doc_id) AS BIGINT) AS n_index_matches,
+        |  CAST(min(i.doc_id) AS BIGINT) AS first_match
+        |FROM bs s JOIN bs i ON s.band = i.band AND s.bsig = i.bsig
+        |  AND s.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_simhash" ->
       """WITH tok AS (SELECT DISTINCT doc_id, w FROM
         |  (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)),
@@ -1851,6 +1879,33 @@ object SparkEntry {
         |CAST(sum(n_sh) AS BIGINT) AS total_shingles,
         |CAST(sum(n_dup) AS BIGINT) AS dup_shingles
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin),
+    // Lee-et-al exact-substring span coverage: a token position is
+    // duplicated iff some SpanK-window covering it appears verbatim in
+    // another doc; all outputs exact integer counts (float-free gate)
+    "dedup_exact_substring" -> {
+      val k = ops.Dedup.SpanK; val km1 = k - 1
+      s"""WITH tok AS (SELECT doc_id, source,
+        |    string_split(text, ' ') AS ws FROM documents),
+        |d AS (SELECT doc_id, source, len(ws) AS n_tok, ws
+        |  FROM tok WHERE len(ws) >= $k),
+        |g AS (SELECT doc_id, n_tok, u.i AS start,
+        |    array_to_string(ws[u.i : u.i + $km1], ' ') AS gram
+        |  FROM d, UNNEST(generate_series(1, n_tok - $km1)) AS u(i)),
+        |dup AS (SELECT gram FROM (
+        |  SELECT gram, count(DISTINCT doc_id) AS dn FROM g GROUP BY 1)
+        |  WHERE dn >= 2),
+        |cov AS (SELECT DISTINCT doc_id, v.p
+        |  FROM g, UNNEST(generate_series(start, start + $km1)) AS v(p)
+        |  WHERE gram IN (SELECT gram FROM dup)),
+        |per AS (SELECT doc_id, count(*) AS n_dup_tok FROM cov GROUP BY 1)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN coalesce(p.n_dup_tok, 0) > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_dup,
+        |  CAST(sum(coalesce(p.n_dup_tok, 0)) AS BIGINT) AS dup_tokens,
+        |  CAST(sum(d.n_tok) AS BIGINT) AS total_tokens
+        |FROM d LEFT JOIN per p ON d.doc_id = p.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // early/late drift scored as the exact integer cross-multiplied
     // proportion difference — no float ratio in the gate
     "value_drift" ->
@@ -2200,6 +2255,37 @@ object SparkEntry {
         |  JOIN tok t ON d.doc_id = t.doc_id
         |  WHERE d.doc_id NOT IN
         |      (SELECT node FROM lab WHERE node <> label)
+        |    AND len(t.ws) >= 5
+        |    AND len(list_distinct(t.ws))::DOUBLE / len(t.ws) >= 0.3)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |count(*) AS n_docs,
+        |CAST(sum(ceil(n_chars / 4.0)::BIGINT) AS BIGINT) AS sum_est_tokens
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin),
+    // curation with the semantic gate chained in: near-dup CC CTEs and
+    // the kmeans/SemDeDup CTEs share one WITH RECURSIVE (names disjoint);
+    // drop iff either gate fires
+    "curation_pipeline_semantic" -> (nearDupLabelCte + "," +
+      kmeansAssignCte.stripPrefix("WITH ") +
+      s""",
+        |v AS (SELECT a2.vec_id, a2.cid, e.embedding, sqrt(e.sq) AS nrm
+        |  FROM a2 JOIN e USING (vec_id)),
+        |sdup AS (SELECT DISTINCT b.vec_id FROM v a JOIN v b
+        |  ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  AND list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |               for i in range(1, 65)]) / (a.nrm * b.nrm)
+        |      >= ${ops.Similarity.SemDedupTau}),
+        |exact_keep AS (SELECT min(doc_id) AS doc_id
+        |  FROM documents GROUP BY md5(text)),
+        |kept AS (SELECT d.doc_id, d.n_chars,
+        |    ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 100
+        |      AS bucket
+        |  FROM documents d
+        |  JOIN exact_keep k ON d.doc_id = k.doc_id
+        |  JOIN tok t ON d.doc_id = t.doc_id
+        |  WHERE d.doc_id NOT IN
+        |      (SELECT node FROM lab WHERE node <> label)
+        |    AND d.doc_id NOT IN (SELECT vec_id FROM sdup)
         |    AND len(t.ws) >= 5
         |    AND len(list_distinct(t.ws))::DOUBLE / len(t.ws) >= 0.3)
         |SELECT CASE WHEN bucket < 80 THEN 'train'
@@ -2626,6 +2712,42 @@ object SparkEntry {
         |  ORDER BY n DESC, pair ASC) AS BIGINT) AS rank FROM p)
         |SELECT rank, pair, n FROM r WHERE rank <= 25
         |ORDER BY rank""".stripMargin,
+    // FULL BPE training replayed as unrolled CTE rounds (the 2-round
+    // Lloyd precedent): same delimiter-wrapped symbol strings, same
+    // greedy left-to-right replace, same (n DESC, l, r) argmax —
+    // generated from CorpusStats.BpeMergeRounds so the sides can't drift
+    "bpe_train_merges" -> {
+      val rounds = ops.CorpusStats.BpeMergeRounds
+      val b = new StringBuilder
+      // every w{i} is referenced twice (pair scan + next merge) — without
+      // MATERIALIZED DuckDB inlines the chain into a 2^rounds plan
+      b.append(
+        """WITH w0 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS cnt,
+          |  '|' || array_to_string(string_split(w, ''), '||') || '|' AS s
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+          |    FROM documents) WHERE len(w) >= 1 GROUP BY w)""".stripMargin)
+      for (i <- 1 to rounds) {
+        b.append(s""",
+          |p$i AS MATERIALIZED (SELECT syms[u.i] AS l, syms[u.i + 1] AS r,
+          |    CAST(sum(cnt) AS BIGINT) AS n
+          |  FROM (SELECT cnt, string_split(trim(s, '|'), '||') AS syms
+          |    FROM w${i - 1}) s$i,
+          |    UNNEST(generate_series(1, len(syms) - 1)) AS u(i)
+          |  GROUP BY 1, 2),
+          |b$i AS MATERIALIZED (
+          |  SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+          |w$i AS MATERIALIZED (SELECT cnt,
+          |  replace(s, '|' || b.l || '||' || b.r || '|',
+          |    '|' || b.l || b.r || '|') AS s FROM w${i - 1}, b$i b)"""
+          .stripMargin)
+      }
+      b.append("\nSELECT * FROM (")
+      b.append((1 to rounds).map { i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, l || ' ' || r AS pair, n FROM b$i"
+      }.mkString("\n  UNION ALL "))
+      b.append(") ORDER BY rank")
+      b.toString
+    },
     // Heaps'-law growth: all integers; bucket = (doc_id*10) div n_total,
     // clamped so the max doc_id lands in the last bucket
     "vocab_growth" ->

@@ -39,9 +39,14 @@ object PortableLn {
   /** Ladder step sizes; covers x ∈ [2^-63, 2^64). */
   private val Steps: Seq[Int] = Seq(32, 16, 8, 4, 2, 1)
 
-  /** Shortest decimal repr of the double nearest ln 2 — parses to
+  /** Shortest decimal repr of the double nearest ln 2. The SQL form uses
+    * e-notation because a bare fixed-point literal parses as DECIMAL in
+    * SQL engines (Spark SQL would then do DECIMAL division on the series
+    * constants — a 4e-10 error, caught by Round10Spec's replay test);
+    * e-notation is DOUBLE everywhere, and parses correctly rounded to
     * identical bits in every IEEE engine. */
   private val Ln2 = "0.6931471805599453"
+  private val Ln2Sql = "6.931471805599453e-1"
 
   /** Odd-series denominators for 2·artanh(s) = 2s·(1 + s²/3 + s⁴/5 + …). */
   private val SeriesDenoms: Seq[Int] = Seq(3, 5, 7, 9, 11, 13)
@@ -106,7 +111,7 @@ object PortableLn {
     b.append(s"${prefix}0 AS (SELECT $keepSel$xExpr AS x, 0 AS e FROM $fromSql)")
     var i = 0
     for (k <- Steps) { // large ladder
-      val p = s"${1L << k}.0"
+      val p = s"${1L << k}e0"
       b.append(s""",
         |${prefix}${i + 1} AS (SELECT $keepSel
         |  CASE WHEN x >= $p THEN x / $p ELSE x END AS x,
@@ -115,8 +120,8 @@ object PortableLn {
       i += 1
     }
     for (k <- Steps) { // small ladder
-      val thresh = s"(1.0 / ${1L << (k - 1)}.0)"
-      val p = s"${1L << k}.0"
+      val thresh = s"(1e0 / ${1L << (k - 1)}e0)"
+      val p = s"${1L << k}e0"
       b.append(s""",
         |${prefix}${i + 1} AS (SELECT $keepSel
         |  CASE WHEN x < $thresh THEN x * $p ELSE x END AS x,
@@ -125,16 +130,16 @@ object PortableLn {
       i += 1
     }
     val poly = SeriesDenoms.reverse.foldLeft(null: String) { (acc, d) =>
-      val c = s"(1.0 / $d.0)"
+      val c = s"(1e0 / ${d}e0)"
       if (acc == null) c else s"($c + (u * $acc))"
     }
     b.append(s""",
       |${prefix}_s AS (SELECT ${keepSel}e,
-      |  (x - 1.0) / (x + 1.0) AS s FROM ${prefix}$i),
+      |  (x - 1e0) / (x + 1e0) AS s FROM ${prefix}$i),
       |${prefix}_u AS (SELECT ${keepSel}e, s, s * s AS u FROM ${prefix}_s),
       |${prefix}_out AS (SELECT $keepSel
-      |  (CAST(e AS DOUBLE) * $Ln2) +
-      |    ((2.0 * s) * (1.0 + (u * $poly))) AS $out
+      |  (CAST(e AS DOUBLE) * $Ln2Sql) +
+      |    ((2e0 * s) * (1e0 + (u * $poly))) AS $out
       |  FROM ${prefix}_u)""".stripMargin)
     (b.toString, s"${prefix}_out")
   }

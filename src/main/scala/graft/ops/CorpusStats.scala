@@ -274,6 +274,74 @@ object CorpusStats {
       .orderBy("rank")
   }
 
+  /** Merge-round count for [[bpeTrainMerges]] — interpolated into the
+    * registered DuckDB oracle (unrolled CTE rounds) so operator and
+    * oracle cannot drift.
+    */
+  val BpeMergeRounds: Int = 24
+
+  /** FULL BPE tokenizer training (Sennrich et al. 2016, public method):
+    * [[BpeMergeRounds]] greedy merge rounds, each re-counting adjacent
+    * symbol pairs over the corpus word distribution, picking the argmax
+    * (ties broken lexicographically — deterministic in both engines),
+    * and folding the winning merge into every word before the next
+    * round. Output: the ordered merge table (rank, pair, count) — the
+    * artifact a tokenizer build ships.
+    *
+    * Words are held as delimiter-wrapped symbol strings (`|a||b||c|`),
+    * so the merge step is ONE non-overlapping left-to-right
+    * `replace(s, '|l||r|', '|lr|')` — the exact greedy-scan semantics
+    * BPE specifies, and bit-identical in Spark and DuckDB (the oracle
+    * unrolls the same rounds as generated CTEs over the same strings;
+    * safe because the corpus alphabet is [a-z0-9]). All counts integer —
+    * float-free gate.
+    *
+    * Scale shape: the iterative-driver-loop discipline of
+    * [[graft.ops.Dedup.starContractionLabels]]: state lives in a
+    * VOCABULARY-sized frame (distinct words × counts — corpus volume
+    * collapses in the first aggregate, the tokenizer-training shape at
+    * any corpus size), each round is one pair-keyed partial-agg shuffle
+    * + a 1-row sort-limit argmax broadcast back (never a driver
+    * collect of data), with `localCheckpoint` truncating lineage per
+    * round exactly like the CC loop.
+    */
+  def bpeTrainMerges(spark: SparkSession, sfDir: String,
+                     rounds: Int = BpeMergeRounds): DataFrame = {
+    var words = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), concat(lit("|"),
+        expr("array_join(transform(sequence(1, length(w))," +
+          " i -> substring(w, i, 1)), '||')"), lit("|")).as("s"))
+      .localCheckpoint(true)
+    val bests = Seq.newBuilder[DataFrame]
+    for (i <- 1 to rounds) {
+      val best = words
+        .select(col("cnt"), split(trim(col("s"), "|"), "\\|\\|").as("syms"))
+        // single-symbol words carry no pair; Spark's sequence(1, 0) would
+        // DESCEND ([1,0]) rather than return empty, so filter explicitly
+        // (DuckDB's generate_series(1, 0) is already empty)
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").cast("long").as("n"))
+        .orderBy(desc("n"), asc("l"), asc("r")).limit(1)
+        .localCheckpoint(true)
+      bests += best.select(lit(i.toLong).as("rank"),
+        concat_ws(" ", col("l"), col("r")).as("pair"), col("n"))
+      words = words
+        .crossJoin(broadcast(best.select(col("l").as("bl"), col("r").as("br"))))
+        .select(col("cnt"), expr(
+          "replace(s, concat('|', bl, '||', br, '|')," +
+            " concat('|', bl, br, '|'))").as("s"))
+        .localCheckpoint(true)
+    }
+    bests.result().reduce(_ unionByName _).orderBy("rank")
+  }
+
   /** Spearman rank correlation between document length (n_chars) and
     * vocabulary richness (distinct token count) — the corpus-diagnostic
     * correlation ("are longer docs just repetitive?"), with the ENTIRE

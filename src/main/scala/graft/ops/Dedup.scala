@@ -243,21 +243,24 @@ object Dedup {
     * [[minhashRecallEval]] can audit the un-verified candidate set —
     * callers that want dedup pairs use [[minhashPairs]], which verifies.
     */
-  private[graft] def minhashCandidates(sets: DataFrame, k: Int,
-                                       rowsPerBand: Int): DataFrame = {
-    // the whole k-draw signature computes ROW-LOCAL in the minhash_sig
-    // codegen kernel (one md5 per shingle, k running mins in-register) —
-    // the former explode → md5 → hex-conv → k-column min-aggregate spent
-    // its time materializing 3.1M exploded rows and a doc-keyed exchange
-    // for values a single pass over the shingle array already determines.
-    // Shingle-less docs are dropped BEFORE banding (their sentinel
-    // signature would otherwise bucket them all together).
+  /** The (doc_id, band, bsig) banded-signature frame shared by the batch
+    * candidate join and the streaming probe ([[graft.streaming
+    * .StreamAssembly.streamDedupProbe]]). The whole k-draw signature
+    * computes ROW-LOCAL in the minhash_sig codegen kernel (one md5 per
+    * shingle, k running mins in-register) — the former explode → md5 →
+    * hex-conv → k-column min-aggregate spent its time materializing 3.1M
+    * exploded rows and a doc-keyed exchange for values a single pass over
+    * the shingle array already determines. Shingle-less docs are dropped
+    * BEFORE banding (their sentinel signature would otherwise bucket them
+    * all together). Band signature = the band's min-hashes joined in i
+    * order — equality of the concat is equality of the tuple, same
+    * candidate set as the oracle's formulation.
+    */
+  private[graft] def bandedSignatures(sets: DataFrame, k: Int,
+                                      rowsPerBand: Int): DataFrame = {
     val sig = sets.filter(col("n") > 0)
       .select(col("doc_id"),
         call_function("minhash_sig", col("ss"), lit(k)).as("sig"))
-    // band signature = the band's min-hashes joined in i order — equality
-    // of the concat is equality of the tuple, same candidate set as the
-    // oracle's md5-of-joined-minhashes formulation
     val nBands = k / rowsPerBand
     val bandSigs = (0 until nBands).map { b =>
       concat_ws("|",
@@ -265,11 +268,17 @@ object Dedup {
           .map(i => element_at(col("sig"), i + 1)): _*)
         .as(s"b$b")
     }
-    val banded = sig.select(col("doc_id") +: bandSigs: _*)
+    sig.select(col("doc_id") +: bandSigs: _*)
       .select(col("doc_id"),
         explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band"), col(s"b$b").as("bsig"))): _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.bsig").as("bsig"))
+  }
+
+  private[graft] def minhashCandidates(sets: DataFrame, k: Int,
+                                       rowsPerBand: Int): DataFrame = {
+    val banded = bandedSignatures(sets, k, rowsPerBand)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
@@ -638,6 +647,71 @@ object Dedup {
         sum("n_sh").as("total_shingles"),
         sum("n_dup").as("dup_shingles"))
       .orderBy("bin")
+  }
+
+  /** Span length (in tokens) for [[exactSubstringSpans]] — interpolated
+    * into the registered DuckDB oracle so operator and oracle cannot
+    * drift (the KmeansK pattern).
+    */
+  val SpanK: Int = 5
+
+  /** Cross-document EXACT-substring span accounting — the other half of
+    * Lee et al. ACL'22 ("Deduplicating Training Data Makes Language
+    * Models Better"): their ExactSubstr dedup removes every ≥50-token
+    * span shared verbatim between documents (suffix-array driven in the
+    * paper). The distributed re-expression: a token position is
+    * DUPLICATED iff some [[SpanK]]-token window covering it appears
+    * verbatim in at least one OTHER document — exactly the union of
+    * cross-doc-duplicated k-gram spans, which equals the paper's
+    * ≥k-token shared-span coverage (any shared span of length L ≥ k is
+    * covered by its L−k+1 shared k-grams, and every shared k-gram is
+    * itself a shared span). Reported per source: docs, docs carrying any
+    * duplicated span, duplicated-token mass, total tokens — the
+    * memorization-risk layer a 100 TB text pipeline audits before
+    * training. Docs shorter than k tokens carry no window and are
+    * excluded (mirrored in the oracle).
+    *
+    * Scale shape: the inverted-index discipline, never a suffix array in
+    * memory and never a doc×doc join. One gram-keyed aggregate builds
+    * the cross-doc df table (map-side combined), filtered to df ≥ 2
+    * BEFORE the probe; the probe is a gram-keyed left-semi join; span
+    * coverage is a bounded ×k position explode then a (doc, pos)
+    * distinct — all hash shuffles on high-cardinality keys. The gate is
+    * float-free: every output is an exact integer count.
+    */
+  def exactSubstringSpans(spark: SparkSession, sfDir: String,
+                          k: Int = SpanK): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), col("source"), size(col("ws")).as("n_tok"),
+        col("ws"))
+    val grams = docs.select(col("doc_id"), col("n_tok"),
+        explode(expr(
+          s"""transform(sequence(1, size(ws) - ${k - 1}),
+             |  i -> struct(i AS start,
+             |              array_join(slice(ws, i, $k), ' ') AS gram))"""
+            .stripMargin)).as("g"))
+      .select(col("doc_id"), col("n_tok"),
+        col("g.start").as("start"), col("g.gram").as("gram"))
+    val dupGrams = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("dn"))
+      .filter(col("dn") >= 2).select("gram")
+    val dupTok = grams.join(dupGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + lit(k - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_tok"))
+    docs.select(col("doc_id"), col("source"), col("n_tok"))
+      .join(dupTok, Seq("doc_id"), "left_outer")
+      .withColumn("n_dup_tok", coalesce(col("n_dup_tok"), lit(0L)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_dup_tok") > 0, 1L).otherwise(0L))
+          .as("n_docs_with_dup"),
+        sum("n_dup_tok").as("dup_tokens"),
+        sum("n_tok").cast("long").as("total_tokens"))
+      .orderBy("source")
   }
 
   /** Connected components via alternating large-star / small-star

@@ -504,23 +504,39 @@ object Similarity {
     * clusters fit; the paper runs k ≈ √n), one distinct + count. At
     * 100 TB the same plan holds — no global pair frame ever exists.
     */
-  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = kmeansAssign(spark, sfDir)
-      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
-      .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+  /** The SemDeDup DROP SET — (d_cid, d_vec) pairs where d_vec is pruned
+    * because a lower-vec_id same-cluster vector is cosine-≥τ with it.
+    * Shared by [[semDedup]]'s per-cluster report and the composed
+    * curation pipeline ([[graft.ops.TrainingSets
+    * .curationPipelineSemantic]]). `dropped` derives from `v`, so a
+    * direct self-join on shared column refs is ambiguous
+    * ([AMBIGUOUS_SELF_JOIN]); the join keys are renamed so downstream
+    * conditions mention only unambiguous names.
+    */
+  private[graft] def semDedupDropped(v: DataFrame): DataFrame = {
     val a = v.select(col("cid"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val b = v.select(col("cid"), col("vec_id").as("vec_b"),
       col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    // `dropped` derives from `v`, so a direct self-join on shared column
-    // refs is ambiguous ([AMBIGUOUS_SELF_JOIN]); rename its join keys so
-    // the condition mentions only unambiguous names.
-    val dropped = a.join(b, Seq("cid"))
+    a.join(b, Seq("cid"))
       .filter(col("vec_a") < col("vec_b") &&
         dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))
           >= lit(SemDedupTau))
       .select(col("cid").as("d_cid"), col("vec_b").as("d_vec")).distinct()
-      .withColumn("is_dup", lit(1L))
+  }
+
+  /** The clustered-vector frame [[semDedupDropped]] consumes: 2-round
+    * Lloyd assignment + L2 norm per vector.
+    */
+  private[graft] def semDedupVectors(spark: SparkSession,
+                                     sfDir: String): DataFrame =
+    kmeansAssign(spark, sfDir)
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = semDedupVectors(spark, sfDir)
+    val dropped = semDedupDropped(v).withColumn("is_dup", lit(1L))
     v.join(dropped,
         col("cid") === col("d_cid") && col("vec_id") === col("d_vec"),
         "left")

@@ -328,6 +328,42 @@ object TrainingSets {
       .orderBy("split")
   }
 
+  /** [[curationPipeline]] with the SEMANTIC gate chained in — the
+    * published-pipeline composition (SemDeDup runs after exact/near-dup
+    * pruning in Abbas et al. 2023): a document is dropped iff EITHER the
+    * n-gram CC near-dup gate fires (non-representative cluster member)
+    * OR the clustered-embedding semantic gate fires (its vector — ids
+    * align with doc ids in the fixture — is cosine-≥τ redundant within
+    * its k-means cluster). Both drop sets reuse their memoized stages
+    * (shingle-pair frame; Lloyd assignment + within-cluster pair join),
+    * so the composition costs two left-anti hash joins on doc_id over
+    * what the components already pay — the 100 TB shape is unchanged.
+    */
+  def curationPipelineSemantic(spark: SparkSession,
+                               sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val exactKeep = docs
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val nearDupDrops = Dedup.clusterLabels(spark, sfDir)
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"))
+    val semDrops = Similarity
+      .semDedupDropped(Similarity.semDedupVectors(spark, sfDir))
+      .select(col("d_vec").as("doc_id"))
+    val ws = split(col("text"), " ")
+    withSplit(
+      docs.join(exactKeep, Seq("doc_id"), "left_semi")
+        .join(nearDupDrops, Seq("doc_id"), "left_anti")
+        .join(semDrops, Seq("doc_id"), "left_anti")
+        .filter(size(ws) >= 5 &&
+          size(array_distinct(ws)).cast("double") / size(ws) >= 0.3))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(ceil(col("n_chars") / 4.0).cast("long")).as("sum_est_tokens"))
+      .orderBy("split")
+  }
+
   /** Approximate quantiles (KLL/GK-style sketch, `percentile_approx`) —
     * the 100 TB path: mergeable fixed-size sketch instead of the exact
     * percentile's per-group sorted buffer. Exact values ride along for

@@ -1654,6 +1654,82 @@ object StreamAssembly {
       .orderBy("hour", "event_type")
   }
 
+  /** ONLINE near-dup PROBE drained end-to-end — the continuous-ingest
+    * dedup topology a production corpus pipeline runs (new documents
+    * checked against the already-curated corpus BEFORE admission): the
+    * odd-doc_id half of `documents` re-staged as N parquet files streams
+    * back one file per micro-batch; each batch MinHash-bands the
+    * incoming docs row-locally (the same `minhash_sig` codegen kernel
+    * and r=2/b=6 scheme as `dedup_minhash`) and probes them against the
+    * STATIC banded index of the even half via a per-batch broadcast
+    * join, reporting per incoming doc how many index docs share ≥1 band
+    * (and the first such match). The probe is STATELESS — no watermark,
+    * no state store, no sentinel: each incoming doc is scored exactly
+    * once regardless of file/batch boundaries, so the drained output is
+    * batch-boundary-independent by construction and the batch oracle is
+    * the same band join between the two halves.
+    *
+    * Scale shape: index build is one banding pass over the corpus half
+    * (amortized across all batches — here computed once and reused by
+    * every micro-batch); per batch the incoming docs are row-local
+    * signature work plus a band-keyed join. At 100 TB the index side is
+    * a bucketed table joined on (band, bsig) instead of a broadcast —
+    * the topology is unchanged.
+    */
+  def streamDedupProbe(spark: SparkSession, sfDir: String,
+                       nFiles: Int = 3): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_dedup_probe").toString
+    val outDir = s"$tmp/probe"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = s"$tmp/incoming"
+    graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(srcDir)
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    withDrainConf(spark) { ds =>
+      graft.functions.GraftFunctions.register(ds)
+      def bandsOf(docs: DataFrame): DataFrame =
+        graft.ops.Dedup.bandedSignatures(
+          docs.select(col("doc_id"),
+              graft.ops.Dedup.shingleCol(col("text")).as("ss"))
+            .withColumn("n", size(col("ss"))),
+          k = 12, rowsPerBand = 2)
+      val index = bandsOf(graft.Tables.documents(ds, sfDir)
+          .filter(col("doc_id") % 2 === 0))
+        .select(col("doc_id").as("index_doc"), col("band"), col("bsig"))
+      val stream = ds.readStream
+        .schema(docSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val query = stream.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          bandsOf(batch)
+            .join(broadcast(index), Seq("band", "bsig"))
+            .groupBy("doc_id")
+            .agg(countDistinct(col("index_doc")).as("n_index_matches"),
+              min(col("index_doc")).as("first_match"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(outDir)
+      .select(col("doc_id"), col("n_index_matches"), col("first_match"))
+      .orderBy("doc_id")
+  }
+
   /** S3 (`sales_producer.py:160-165`): orders → JSON → Kafka sink
     * (connector jar required at runtime).
     */
