@@ -222,6 +222,7 @@ object SparkEntry {
     "basket_affinity" -> ((s, d) => Analytics.basketAffinity(s, d)),
     "bpe_pair_counts" -> ((s, d) => CorpusStats.bpePairCounts(s, d)),
     "bpe_train_merges" -> ((s, d) => CorpusStats.bpeTrainMerges(s, d)),
+    "bpe_tokenize_stats" -> ((s, d) => CorpusStats.bpeTokenizeStats(s, d)),
     "vocab_growth" -> ((s, d) => CorpusStats.vocabGrowth(s, d)),
     "attribution_last_touch" ->
       ((s, d) => Analytics.attributionLastTouch(s, d)),
@@ -275,6 +276,36 @@ object SparkEntry {
     * semdedup oracles — `a2` is (vec_id, cid, dist), `e` keeps the
     * embeddings. Mirrors Similarity.kmeansAssign step for step.
     */
+  /** Unrolled BPE merge-round CTE chain shared by the training-table and
+    * tokenize-stats oracles. Every w{i} is referenced twice (pair scan +
+    * next merge) — without MATERIALIZED, DuckDB inlines the chain into a
+    * 2^rounds plan. Literal arithmetic stays integer/VARCHAR throughout.
+    */
+  private def bpeLoopCtes(rounds: Int): String = {
+    val b = new StringBuilder
+    b.append(
+      """WITH w0 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |  '|' || array_to_string(string_split(w, ''), '||') || '|' AS s
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |    FROM documents) WHERE len(w) >= 1 GROUP BY w)""".stripMargin)
+    for (i <- 1 to rounds) {
+      b.append(s""",
+        |p$i AS MATERIALIZED (SELECT syms[u.i] AS l, syms[u.i + 1] AS r,
+        |    CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM (SELECT cnt, string_split(trim(s, '|'), '||') AS syms
+        |    FROM w${i - 1}) s$i,
+        |    UNNEST(generate_series(1, len(syms) - 1)) AS u(i)
+        |  GROUP BY 1, 2),
+        |b$i AS MATERIALIZED (
+        |  SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+        |w$i AS MATERIALIZED (SELECT cnt,
+        |  replace(s, '|' || b.l || '||' || b.r || '|',
+        |    '|' || b.l || b.r || '|') AS s FROM w${i - 1}, b$i b)"""
+        .stripMargin)
+    }
+    b.toString
+  }
+
   private val kmeansAssignCte: String =
     s"""WITH e AS (SELECT vec_id, embedding,
       |  list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
@@ -2718,35 +2749,30 @@ object SparkEntry {
     // generated from CorpusStats.BpeMergeRounds so the sides can't drift
     "bpe_train_merges" -> {
       val rounds = ops.CorpusStats.BpeMergeRounds
-      val b = new StringBuilder
-      // every w{i} is referenced twice (pair scan + next merge) — without
-      // MATERIALIZED DuckDB inlines the chain into a 2^rounds plan
-      b.append(
-        """WITH w0 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS cnt,
-          |  '|' || array_to_string(string_split(w, ''), '||') || '|' AS s
-          |  FROM (SELECT unnest(string_split(text, ' ')) AS w
-          |    FROM documents) WHERE len(w) >= 1 GROUP BY w)""".stripMargin)
-      for (i <- 1 to rounds) {
-        b.append(s""",
-          |p$i AS MATERIALIZED (SELECT syms[u.i] AS l, syms[u.i + 1] AS r,
-          |    CAST(sum(cnt) AS BIGINT) AS n
-          |  FROM (SELECT cnt, string_split(trim(s, '|'), '||') AS syms
-          |    FROM w${i - 1}) s$i,
-          |    UNNEST(generate_series(1, len(syms) - 1)) AS u(i)
-          |  GROUP BY 1, 2),
-          |b$i AS MATERIALIZED (
-          |  SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
-          |w$i AS MATERIALIZED (SELECT cnt,
-          |  replace(s, '|' || b.l || '||' || b.r || '|',
-          |    '|' || b.l || b.r || '|') AS s FROM w${i - 1}, b$i b)"""
-          .stripMargin)
-      }
-      b.append("\nSELECT * FROM (")
-      b.append((1 to rounds).map { i =>
-        s"SELECT CAST($i AS BIGINT) AS rank, l || ' ' || r AS pair, n FROM b$i"
-      }.mkString("\n  UNION ALL "))
-      b.append(") ORDER BY rank")
-      b.toString
+      bpeLoopCtes(rounds) +
+        "\nSELECT * FROM (" +
+        (1 to rounds).map { i =>
+          s"SELECT CAST($i AS BIGINT) AS rank, l || ' ' || r AS pair, n FROM b$i"
+        }.mkString("\n  UNION ALL ") +
+        ") ORDER BY rank"
+    },
+    // the trained tokenizer applied back: tokens-per-word histogram over
+    // the post-merge word frame (chars = len(s) − 2·tokens)
+    "bpe_tokenize_stats" -> {
+      val rounds = ops.CorpusStats.BpeMergeRounds
+      bpeLoopCtes(rounds) +
+        s""",
+          |tw AS (SELECT cnt,
+          |  CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT)
+          |    AS tokens_per_word,
+          |  CAST(length(s) - 2 * len(string_split(trim(s, '|'), '||'))
+          |    AS BIGINT) AS n_chars
+          |  FROM w$rounds)
+          |SELECT tokens_per_word, count(*) AS n_words,
+          |CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+          |CAST(sum(cnt * n_chars) AS BIGINT) AS char_mass,
+          |CAST(sum(cnt * tokens_per_word) AS BIGINT) AS token_mass
+          |FROM tw GROUP BY 1 ORDER BY 1""".stripMargin
     },
     // Heaps'-law growth: all integers; bucket = (doc_id*10) div n_total,
     // clamped so the max doc_id lands in the last bucket

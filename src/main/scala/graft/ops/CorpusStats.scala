@@ -306,7 +306,44 @@ object CorpusStats {
     * round exactly like the CC loop.
     */
   def bpeTrainMerges(spark: SparkSession, sfDir: String,
-                     rounds: Int = BpeMergeRounds): DataFrame = {
+                     rounds: Int = BpeMergeRounds): DataFrame =
+    bpeLoop(spark, sfDir, rounds)._1.reduce(_ unionByName _).orderBy("rank")
+
+  /** The tokenizer APPLIED back to the corpus — the other half of the
+    * build loop ([[bpeTrainMerges]] produces the merge table; this
+    * reports what it does to the corpus): after [[BpeMergeRounds]]
+    * merges, the distribution of tokens-per-word across word
+    * OCCURRENCES, plus the symbol mass each bucket carries before (one
+    * symbol per char) and after merging — the compression accounting a
+    * tokenizer build signs off on. All integers; the oracle extends the
+    * same unrolled CTE chain with this final aggregate.
+    */
+  def bpeTokenizeStats(spark: SparkSession, sfDir: String,
+                       rounds: Int = BpeMergeRounds): DataFrame = {
+    val words = bpeLoop(spark, sfDir, rounds)._2
+    // s = "|t1||t2||…||tk|" ⇒ length(s) = chars + 2k, so chars =
+    // length(s) − 2·tokens (merges concatenate, never add/remove chars)
+    words
+      .select(col("cnt"),
+        size(split(trim(col("s"), "|"), "\\|\\|")).cast("long")
+          .as("tokens_per_word"),
+        (length(col("s")) -
+          lit(2) * size(split(trim(col("s"), "|"), "\\|\\|"))).cast("long")
+          .as("n_chars"))
+      .groupBy("tokens_per_word")
+      .agg(count(lit(1)).as("n_words"),
+        sum("cnt").cast("long").as("n_occurrences"),
+        sum(col("cnt") * col("n_chars")).cast("long").as("char_mass"),
+        sum(col("cnt") * col("tokens_per_word")).cast("long")
+          .as("token_mass"))
+      .orderBy("tokens_per_word")
+  }
+
+  /** The shared merge loop: returns (per-round 1-row best frames with
+    * rank/pair/n columns, the post-merge word frame (cnt, s)).
+    */
+  private def bpeLoop(spark: SparkSession, sfDir: String,
+                      rounds: Int): (Seq[DataFrame], DataFrame) = {
     var words = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 1)
@@ -339,7 +376,7 @@ object CorpusStats {
             " concat('|', bl, br, '|'))").as("s"))
         .localCheckpoint(true)
     }
-    bests.result().reduce(_ unionByName _).orderBy("rank")
+    (bests.result(), words)
   }
 
   /** Spearman rank correlation between document length (n_chars) and

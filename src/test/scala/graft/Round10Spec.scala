@@ -90,6 +90,23 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("BPE tokenize stats: merging conserves chars and only shrinks tokens") {
+    val stats = CorpusStats.bpeTokenizeStats(spark, sf, rounds = 8).collect()
+    assert(stats.nonEmpty)
+    val charMass = stats.map(_.getAs[Long]("char_mass")).sum
+    val tokenMass = stats.map(_.getAs[Long]("token_mass")).sum
+    // chars per occurrence are invariant under merging; with zero merges
+    // token mass would equal char mass, so 8 merges must strictly shrink
+    assert(tokenMass < charMass)
+    // cross-check char mass against the raw corpus (sum of word lengths)
+    val raw = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .agg(sum(length(col("w")))).first().getLong(0)
+    assert(charMass === raw)
+    stats.foreach(r => assert(r.getAs[Long]("tokens_per_word") >= 1L))
+  }
+
   test("streaming dedup probe equals the batch band join") {
     def half(parity: Int) = Tables.documents(spark, sf)
       .filter(col("doc_id") % 2 === parity)
