@@ -86,6 +86,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamAssembly.streamUnionSources(s, d)),
     "stream_dedup_probe" ->
       ((s, d) => graft.streaming.StreamAssembly.streamDedupProbe(s, d)),
+    "stream_ann_probe" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamAnnProbe(s, d)),
     "stream_sessions_dynamic_gap" ->
       ((s, d) =>
         graft.streaming.StreamAssembly.streamSessionsDynamicGap(s, d)),
@@ -1138,6 +1140,45 @@ object SparkEntry {
         |FROM assigned a, q
         |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cid FROM qcells)
         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // online IVF probe: odd half streamed, even half indexed; stateless
+    // per-batch probe ⇒ the batch IVF top-1 over the two halves is the
+    // oracle; cosine doubles hash via the vec_dot fold precedent
+    "stream_ann_probe" ->
+      """WITH nrm AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                 for i in range(1, 65)])) AS nrm
+        |  FROM embeddings),
+        |idx AS (SELECT * FROM nrm WHERE vec_id % 2 = 0),
+        |cents AS (SELECT vec_id AS cid, embedding AS c_emb, nrm AS c_nrm
+        |  FROM idx WHERE vec_id < 32),
+        |iscored AS (SELECT i.vec_id, i.embedding, i.nrm, c.cid,
+        |  list_sum([i.embedding[j]::DOUBLE * c.c_emb[j]::DOUBLE
+        |            for j in range(1, 65)]) / (i.nrm * c.c_nrm) AS ccos
+        |  FROM idx i, cents c),
+        |assigned AS (SELECT vec_id AS m_id, embedding AS m_emb,
+        |    nrm AS m_nrm, cid AS cell FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        |  FROM iscored) WHERE rn = 1),
+        |qs AS (SELECT * FROM nrm WHERE vec_id % 2 = 1),
+        |qscored AS (SELECT q.vec_id AS q_id, q.embedding AS q_emb,
+        |  q.nrm AS q_nrm, c.cid,
+        |  list_sum([q.embedding[j]::DOUBLE * c.c_emb[j]::DOUBLE
+        |            for j in range(1, 65)]) / (q.nrm * c.c_nrm) AS ccos
+        |  FROM qs q, cents c),
+        |qcells AS (SELECT q_id, q_emb, q_nrm, cid AS probe_cell FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY ccos DESC, cid ASC) AS rn
+        |  FROM qscored) WHERE rn <= 4),
+        |cand AS (SELECT qc.q_id, a.m_id,
+        |  list_sum([qc.q_emb[j]::DOUBLE * a.m_emb[j]::DOUBLE
+        |            for j in range(1, 65)]) / (qc.q_nrm * a.m_nrm) AS cosine
+        |  FROM qcells qc JOIN assigned a ON a.cell = qc.probe_cell)
+        |SELECT q_id AS vec_id, m_id AS match_id, cosine FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cosine DESC, m_id ASC) AS rn
+        |  FROM cand) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
     "sliding_trend" ->
       """WITH x AS (SELECT value, unnest([date_trunc('hour', ts),
         |  date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws

@@ -1730,6 +1730,105 @@ object StreamAssembly {
       .orderBy("doc_id")
   }
 
+  /** ONLINE ANN probe drained end-to-end — the similarity-search sibling
+    * of [[streamDedupProbe]] (continuous retrieval against a curated
+    * vector index: RAG ingestion, online contamination screening): the
+    * odd-vec_id half of `embeddings` streams back one file per
+    * micro-batch; the even half is the STATIC IVF index (first 16 even
+    * vectors as coarse centroids — the `sim_ivf` cell scheme — each
+    * index vector argmax-assigned once). Per batch, incoming vectors
+    * rank the centroids (bounded 16-row frame per query), probe the top
+    * `nProbe` cells, and take the exact-cosine top-1 among the cells'
+    * index vectors via a shuffle-free `max(struct)` argmax. Stateless —
+    * batch-boundary-independent by construction, so the batch IVF probe
+    * over the two halves is the oracle; cosines hash bit-identically via
+    * the `vec_dot` fold precedent.
+    *
+    * Scale shape: centroids broadcast once per batch; the cell probe is
+    * a (cell)-keyed join against the index (bucketed by cell at 100 TB);
+    * per-query work is bounded by nProbe cell sizes — never the corpus.
+    */
+  def streamAnnProbe(spark: SparkSession, sfDir: String, nFiles: Int = 3,
+                     nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import java.nio.file.Files
+    import graft.ops.Similarity.{dot, norm2}
+    val tmp = Files.createTempDirectory("graft_ann_probe").toString
+    val outDir = s"$tmp/matches"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = s"$tmp/incoming"
+    graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(srcDir)
+    withDrainConf(spark) { ds =>
+      graft.functions.GraftFunctions.register(ds)
+      val idx = graft.Tables.embeddings(ds, sfDir)
+        .filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id"), col("embedding"),
+          norm2(col("embedding")).as("nrm"))
+      val cents = idx.filter(col("vec_id") < nCells * 2)
+        .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm"))
+      // one-time static assignment: argmax over the centroid axis via
+      // max(struct) — ORDER BY ccos DESC, cid ASC without a window
+      val assigned = idx.crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+        .groupBy("vec_id")
+        .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"),
+          first("embedding").as("embedding"), first("nrm").as("nrm"))
+        .select(col("vec_id").as("m_id"), (-col("best.ncid")).as("cell"),
+          col("embedding").as("m_emb"), col("nrm").as("m_nrm"))
+      val embSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))
+      val stream = ds.readStream
+        .schema(embSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val query = stream.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val q = batch.select(col("vec_id").as("q_id"),
+            col("embedding").as("q_emb"),
+            norm2(col("embedding")).as("q_nrm"))
+          val qCells = q.crossJoin(broadcast(cents))
+            .withColumn("ccos", dot(col("q_emb"), col("c_emb")) /
+              (col("q_nrm") * col("c_nrm")))
+            .withColumn("rn", row_number().over(org.apache.spark.sql
+              .expressions.Window.partitionBy("q_id")
+              .orderBy(desc("ccos"), asc("cid"))))
+            .filter(col("rn") <= nProbe)
+            .select(col("q_id"), col("q_emb"), col("q_nrm"),
+              col("cid").as("probe_cell"))
+          qCells
+            .join(assigned, col("cell") === col("probe_cell"))
+            .withColumn("cosine", dot(col("q_emb"), col("m_emb")) /
+              (col("q_nrm") * col("m_nrm")))
+            .groupBy("q_id")
+            .agg(max(struct(col("cosine"), (-col("m_id")).as("nid")))
+              .as("best"))
+            .select(col("q_id").as("vec_id"),
+              (-col("best.nid")).as("match_id"),
+              col("best.cosine").as("cosine"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(outDir)
+      .select(col("vec_id"), col("match_id"), col("cosine"))
+      .orderBy("vec_id")
+  }
+
   /** S3 (`sales_producer.py:160-165`): orders → JSON → Kafka sink
     * (connector jar required at runtime).
     */

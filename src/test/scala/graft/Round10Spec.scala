@@ -126,6 +126,21 @@ class Round10Spec extends SparkSpec {
     assert(drained.map(_.toSeq).toSeq === expected.map(_.toSeq).toSeq)
   }
 
+  test("streaming ANN probe: one exact-cosine match per incoming vector, " +
+       "cells honored") {
+    val out = graft.streaming.StreamAssembly.streamAnnProbe(spark, sf)
+      .collect()
+    val nOdd = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 2 === 1).count()
+    assert(out.length === nOdd) // every incoming vector matched exactly once
+    out.foreach { r =>
+      assert(r.getAs[Long]("vec_id") % 2 === 1)
+      assert(r.getAs[Long]("match_id") % 2 === 0)
+      val c = r.getAs[Double]("cosine")
+      assert(c >= -1.0000001 && c <= 1.0000001)
+    }
+  }
+
   test("semantic curation gate only ever shrinks the kept set") {
     val base = TrainingSets.curationPipeline(spark, sf)
       .agg(sum("n_docs")).first().getLong(0)
