@@ -190,6 +190,8 @@ object SparkEntry {
     "dup_degree_histogram" -> (Dedup.dupDegreeHistogram _),
     "ngram_novelty" -> ((s, d) => Dedup.ngramNovelty(s, d)),
     "dedup_exact_substring" -> ((s, d) => Dedup.exactSubstringSpans(s, d)),
+    "dedup_span_histogram" ->
+      ((s, d) => Dedup.duplicatedSpanHistogram(s, d)),
     "value_drift" -> ((s, d) => Analytics.valueDrift(s, d)),
     "kmeans_clusters" -> ((s, d) => Similarity.kmeansClusters(s, d)),
     "semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
@@ -306,6 +308,28 @@ object SparkEntry {
         .stripMargin)
     }
     b.toString
+  }
+
+  /** Shared exact-substring CTE prefix: tokenized docs (≥ SpanK tokens),
+    * positioned k-grams, cross-doc-duplicated grams, and the DISTINCT
+    * (doc_id, p) covered-position frame — consumed by the span-coverage
+    * and run-histogram oracles.
+    */
+  private val substrCovCtes: String = {
+    val k = ops.Dedup.SpanK; val km1 = k - 1
+    s"""WITH tok AS (SELECT doc_id, source,
+      |    string_split(text, ' ') AS ws FROM documents),
+      |d AS (SELECT doc_id, source, len(ws) AS n_tok, ws
+      |  FROM tok WHERE len(ws) >= $k),
+      |g AS (SELECT doc_id, n_tok, u.i AS start,
+      |    array_to_string(ws[u.i : u.i + $km1], ' ') AS gram
+      |  FROM d, UNNEST(generate_series(1, n_tok - $km1)) AS u(i)),
+      |dup AS (SELECT gram FROM (
+      |  SELECT gram, count(DISTINCT doc_id) AS dn FROM g GROUP BY 1)
+      |  WHERE dn >= 2),
+      |cov AS (SELECT DISTINCT doc_id, v.p
+      |  FROM g, UNNEST(generate_series(start, start + $km1)) AS v(p)
+      |  WHERE gram IN (SELECT gram FROM dup))""".stripMargin
   }
 
   private val kmeansAssignCte: String =
@@ -1954,21 +1978,8 @@ object SparkEntry {
     // Lee-et-al exact-substring span coverage: a token position is
     // duplicated iff some SpanK-window covering it appears verbatim in
     // another doc; all outputs exact integer counts (float-free gate)
-    "dedup_exact_substring" -> {
-      val k = ops.Dedup.SpanK; val km1 = k - 1
-      s"""WITH tok AS (SELECT doc_id, source,
-        |    string_split(text, ' ') AS ws FROM documents),
-        |d AS (SELECT doc_id, source, len(ws) AS n_tok, ws
-        |  FROM tok WHERE len(ws) >= $k),
-        |g AS (SELECT doc_id, n_tok, u.i AS start,
-        |    array_to_string(ws[u.i : u.i + $km1], ' ') AS gram
-        |  FROM d, UNNEST(generate_series(1, n_tok - $km1)) AS u(i)),
-        |dup AS (SELECT gram FROM (
-        |  SELECT gram, count(DISTINCT doc_id) AS dn FROM g GROUP BY 1)
-        |  WHERE dn >= 2),
-        |cov AS (SELECT DISTINCT doc_id, v.p
-        |  FROM g, UNNEST(generate_series(start, start + $km1)) AS v(p)
-        |  WHERE gram IN (SELECT gram FROM dup)),
+    "dedup_exact_substring" -> (substrCovCtes +
+      """,
         |per AS (SELECT doc_id, count(*) AS n_dup_tok FROM cov GROUP BY 1)
         |SELECT d.source, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN coalesce(p.n_dup_tok, 0) > 0
@@ -1976,8 +1987,25 @@ object SparkEntry {
         |  CAST(sum(coalesce(p.n_dup_tok, 0)) AS BIGINT) AS dup_tokens,
         |  CAST(sum(d.n_tok) AS BIGINT) AS total_tokens
         |FROM d LEFT JOIN per p ON d.doc_id = p.doc_id
-        |GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // duplicated-run length distribution over the same covered positions
+    // (gaps-and-islands per doc: island = p − rank(p))
+    "dedup_span_histogram" -> (substrCovCtes +
+      """,
+        |runs AS (SELECT doc_id,
+        |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM cov),
+        |r2 AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS run_len
+        |  FROM runs GROUP BY 1, 2),
+        |perlen AS (SELECT run_len, count(*) AS n_runs
+        |  FROM r2 GROUP BY 1),
+        |perdoc AS (SELECT run_len, count(*) AS n_docs_longest FROM (
+        |  SELECT doc_id, max(run_len) AS run_len FROM r2 GROUP BY 1)
+        |  GROUP BY 1)
+        |SELECT run_len, CAST(n_runs AS BIGINT) AS n_runs,
+        |  CAST(coalesce(n_docs_longest, 0) AS BIGINT) AS n_docs_longest
+        |FROM perlen LEFT JOIN perdoc USING (run_len)
+        |ORDER BY run_len""".stripMargin),
     // early/late drift scored as the exact integer cross-multiplied
     // proportion difference — no float ratio in the gate
     "value_drift" ->

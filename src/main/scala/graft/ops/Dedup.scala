@@ -681,26 +681,8 @@ object Dedup {
     */
   def exactSubstringSpans(spark: SparkSession, sfDir: String,
                           k: Int = SpanK): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= k)
-      .select(col("doc_id"), col("source"), size(col("ws")).as("n_tok"),
-        col("ws"))
-    val grams = docs.select(col("doc_id"), col("n_tok"),
-        explode(expr(
-          s"""transform(sequence(1, size(ws) - ${k - 1}),
-             |  i -> struct(i AS start,
-             |              array_join(slice(ws, i, $k), ' ') AS gram))"""
-            .stripMargin)).as("g"))
-      .select(col("doc_id"), col("n_tok"),
-        col("g.start").as("start"), col("g.gram").as("gram"))
-    val dupGrams = grams.groupBy("gram")
-      .agg(countDistinct(col("doc_id")).as("dn"))
-      .filter(col("dn") >= 2).select("gram")
-    val dupTok = grams.join(dupGrams, Seq("gram"), "left_semi")
-      .select(col("doc_id"),
-        explode(sequence(col("start"), col("start") + lit(k - 1))).as("p"))
-      .distinct()
+    val docs = substrDocs(spark, sfDir, k)
+    val dupTok = duplicatedPositions(spark, sfDir, k)
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup_tok"))
     docs.select(col("doc_id"), col("source"), col("n_tok"))
       .join(dupTok, Seq("doc_id"), "left_outer")
@@ -712,6 +694,73 @@ object Dedup {
         sum("n_dup_tok").as("dup_tokens"),
         sum("n_tok").cast("long").as("total_tokens"))
       .orderBy("source")
+  }
+
+  /** The tokenized doc frame [[exactSubstringSpans]] and
+    * [[duplicatedSpanHistogram]] share: docs with ≥ k tokens.
+    */
+  private def substrDocs(spark: SparkSession, sfDir: String,
+                         k: Int): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), col("source"), size(col("ws")).as("n_tok"),
+        col("ws"))
+
+  /** The DISTINCT (doc_id, p) duplicated-position frame: token position p
+    * of a doc is covered by some cross-doc-duplicated k-gram window.
+    */
+  private def duplicatedPositions(spark: SparkSession, sfDir: String,
+                                  k: Int): DataFrame = {
+    val grams = substrDocs(spark, sfDir, k)
+      .select(col("doc_id"), col("n_tok"),
+        explode(expr(
+          s"""transform(sequence(1, size(ws) - ${k - 1}),
+             |  i -> struct(i AS start,
+             |              array_join(slice(ws, i, $k), ' ') AS gram))"""
+            .stripMargin)).as("g"))
+      .select(col("doc_id"), col("n_tok"),
+        col("g.start").as("start"), col("g.gram").as("gram"))
+    val dupGrams = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("dn"))
+      .filter(col("dn") >= 2).select("gram")
+    grams.join(dupGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + lit(k - 1))).as("p"))
+      .distinct()
+  }
+
+  /** Duplicated-RUN length distribution — the shape a Lee-et-al
+    * ExactSubstr pass reads to pick its cut threshold: maximal
+    * consecutive runs of duplicated token positions per doc
+    * (gaps-and-islands: island = p − rank(p) within the doc), rolled up
+    * to runs and longest-run-per-doc counts per length. Every run is ≥
+    * [[SpanK]] tokens by construction (each duplicated position sits in
+    * a full k-window whose k positions are all duplicated).
+    *
+    * Scale shape: the island window is PARTITIONED BY doc_id — per-doc
+    * frames bounded by doc token counts, the sessionization discipline,
+    * never a global window; the two rollups are plain hash aggregates.
+    * All-integer gate.
+    */
+  def duplicatedSpanHistogram(spark: SparkSession, sfDir: String,
+                              k: Int = SpanK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val runs = duplicatedPositions(spark, sfDir, k)
+      .withColumn("grp", col("p") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("p")))
+      .groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("run_len"))
+    val perLen = runs.groupBy("run_len")
+      .agg(count(lit(1)).as("n_runs"))
+    val perDocMax = runs.groupBy("doc_id")
+      .agg(max("run_len").as("run_len"))
+      .groupBy("run_len")
+      .agg(count(lit(1)).as("n_docs_longest"))
+    perLen.join(perDocMax, Seq("run_len"), "left_outer")
+      .select(col("run_len"), col("n_runs"),
+        coalesce(col("n_docs_longest"), lit(0L)).as("n_docs_longest"))
+      .orderBy("run_len")
   }
 
   /** Connected components via alternating large-star / small-star

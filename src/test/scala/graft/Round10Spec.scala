@@ -75,6 +75,22 @@ class Round10Spec extends SparkSpec {
     assert(r.map(_.getAs[Long]("dup_tokens")).sum > 0)
   }
 
+  test("span histogram: every run ≥ k, totals reconcile with span coverage") {
+    val hist = Dedup.duplicatedSpanHistogram(spark, sf).collect()
+    assert(hist.nonEmpty)
+    // every duplicated position sits in a full k-window of duplicated
+    // positions, so no maximal run can be shorter than SpanK
+    assert(hist.forall(_.getAs[Long]("run_len") >= Dedup.SpanK))
+    val runMass = hist.map(r =>
+      r.getAs[Long]("run_len") * r.getAs[Long]("n_runs")).sum
+    val dupTokens = Dedup.exactSubstringSpans(spark, sf)
+      .agg(sum("dup_tokens")).first().getLong(0)
+    assert(runMass === dupTokens) // islands partition the covered set
+    val docsWithDup = Dedup.exactSubstringSpans(spark, sf)
+      .agg(sum("n_docs_with_dup")).first().getLong(0)
+    assert(hist.map(_.getAs[Long]("n_docs_longest")).sum === docsWithDup)
+  }
+
   test("BPE merge loop: ranks dense, counts non-increasing, merged " +
        "symbols concatenate") {
     val merges = CorpusStats.bpeTrainMerges(spark, sf, rounds = 8).collect()
