@@ -478,4 +478,30 @@ class PlanSpec extends SparkSpec {
       assert(!names.contains("token"))
     }
   }
+
+  test("exact-substring dedup is inverted-index shaped: semi-join probe, " +
+       "no pair enumeration, no windows") {
+    val plan = planOf("dedup_exact_substring")
+    assert(!plan.exists(_.getClass.getSimpleName.contains("Cartesian")))
+    assert(!plan.exists(_.getClass.getSimpleName.contains("BroadcastNestedLoop")))
+    // the duplicated-gram probe is a LEFT SEMI join on the gram key
+    assert(plan.exists {
+      case j: BroadcastHashJoinExec => j.joinType.sql == "LEFT SEMI"
+      case j if j.getClass.getSimpleName.contains("ShuffledHashJoin") ||
+                j.isInstanceOf[SortMergeJoinExec] =>
+        j.asInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]
+          .joinType.sql == "LEFT SEMI"
+      case _ => false
+    })
+    assert(!plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+  }
+
+  test("span histogram's island window is doc-partitioned — never global") {
+    val plan = planOf("dedup_span_histogram")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+  }
 }
