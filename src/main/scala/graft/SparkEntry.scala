@@ -88,6 +88,7 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamAssembly.streamDedupProbe(s, d)),
     "stream_ann_probe" ->
       ((s, d) => graft.streaming.StreamAssembly.streamAnnProbe(s, d)),
+    "ann_probe_recall" -> ((s, d) => Similarity.annProbeRecall(s, d)),
     "stream_sessions_dynamic_gap" ->
       ((s, d) =>
         graft.streaming.StreamAssembly.streamSessionsDynamicGap(s, d)),
@@ -331,6 +332,47 @@ object SparkEntry {
       |  FROM g, UNNEST(generate_series(start, start + $km1)) AS v(p)
       |  WHERE gram IN (SELECT gram FROM dup))""".stripMargin
   }
+
+  /** Shared IVF-probe CTE bundle (stream_ann_probe / ann_probe_recall):
+    * even-half index + centroids, static cell assignment, odd-half
+    * queries, nProbe=4 cell ranking, and `ivf1` = the per-query
+    * exact-cosine top-1 within the probed cells.
+    */
+  private val annProbeCtes: String =
+    """WITH nrm AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+      |                 for i in range(1, 65)])) AS nrm
+      |  FROM embeddings),
+      |idx AS (SELECT * FROM nrm WHERE vec_id % 2 = 0),
+      |cents AS (SELECT vec_id AS cid, embedding AS c_emb, nrm AS c_nrm
+      |  FROM idx WHERE vec_id < 32),
+      |iscored AS (SELECT i.vec_id, i.embedding, i.nrm, c.cid,
+      |  list_sum([i.embedding[j]::DOUBLE * c.c_emb[j]::DOUBLE
+      |            for j in range(1, 65)]) / (i.nrm * c.c_nrm) AS ccos
+      |  FROM idx i, cents c),
+      |assigned AS (SELECT vec_id AS m_id, embedding AS m_emb,
+      |    nrm AS m_nrm, cid AS cell FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+      |  FROM iscored) WHERE rn = 1),
+      |qs AS (SELECT * FROM nrm WHERE vec_id % 2 = 1),
+      |qscored AS (SELECT q.vec_id AS q_id, q.embedding AS q_emb,
+      |  q.nrm AS q_nrm, c.cid,
+      |  list_sum([q.embedding[j]::DOUBLE * c.c_emb[j]::DOUBLE
+      |            for j in range(1, 65)]) / (q.nrm * c.c_nrm) AS ccos
+      |  FROM qs q, cents c),
+      |qcells AS (SELECT q_id, q_emb, q_nrm, cid AS probe_cell FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY ccos DESC, cid ASC) AS rn
+      |  FROM qscored) WHERE rn <= 4),
+      |cand AS (SELECT qc.q_id, a.m_id,
+      |  list_sum([qc.q_emb[j]::DOUBLE * a.m_emb[j]::DOUBLE
+      |            for j in range(1, 65)]) / (qc.q_nrm * a.m_nrm) AS cosine
+      |  FROM qcells qc JOIN assigned a ON a.cell = qc.probe_cell),
+      |ivf1 AS (SELECT q_id, m_id, cosine FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY cosine DESC, m_id ASC) AS rn
+      |  FROM cand) WHERE rn = 1)""".stripMargin
 
   private val kmeansAssignCte: String =
     s"""WITH e AS (SELECT vec_id, embedding,
@@ -1167,42 +1209,29 @@ object SparkEntry {
     // online IVF probe: odd half streamed, even half indexed; stateless
     // per-batch probe ⇒ the batch IVF top-1 over the two halves is the
     // oracle; cosine doubles hash via the vec_dot fold precedent
-    "stream_ann_probe" ->
-      """WITH nrm AS (SELECT vec_id, embedding,
-        |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
-        |                 for i in range(1, 65)])) AS nrm
-        |  FROM embeddings),
-        |idx AS (SELECT * FROM nrm WHERE vec_id % 2 = 0),
-        |cents AS (SELECT vec_id AS cid, embedding AS c_emb, nrm AS c_nrm
-        |  FROM idx WHERE vec_id < 32),
-        |iscored AS (SELECT i.vec_id, i.embedding, i.nrm, c.cid,
-        |  list_sum([i.embedding[j]::DOUBLE * c.c_emb[j]::DOUBLE
-        |            for j in range(1, 65)]) / (i.nrm * c.c_nrm) AS ccos
-        |  FROM idx i, cents c),
-        |assigned AS (SELECT vec_id AS m_id, embedding AS m_emb,
-        |    nrm AS m_nrm, cid AS cell FROM (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
-        |  FROM iscored) WHERE rn = 1),
-        |qs AS (SELECT * FROM nrm WHERE vec_id % 2 = 1),
-        |qscored AS (SELECT q.vec_id AS q_id, q.embedding AS q_emb,
-        |  q.nrm AS q_nrm, c.cid,
-        |  list_sum([q.embedding[j]::DOUBLE * c.c_emb[j]::DOUBLE
-        |            for j in range(1, 65)]) / (q.nrm * c.c_nrm) AS ccos
-        |  FROM qs q, cents c),
-        |qcells AS (SELECT q_id, q_emb, q_nrm, cid AS probe_cell FROM (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY q_id ORDER BY ccos DESC, cid ASC) AS rn
-        |  FROM qscored) WHERE rn <= 4),
-        |cand AS (SELECT qc.q_id, a.m_id,
-        |  list_sum([qc.q_emb[j]::DOUBLE * a.m_emb[j]::DOUBLE
-        |            for j in range(1, 65)]) / (qc.q_nrm * a.m_nrm) AS cosine
-        |  FROM qcells qc JOIN assigned a ON a.cell = qc.probe_cell)
-        |SELECT q_id AS vec_id, m_id AS match_id, cosine FROM (
+    "stream_ann_probe" -> (annProbeCtes +
+      "\nSELECT q_id AS vec_id, m_id AS match_id, cosine FROM ivf1 " +
+      "ORDER BY vec_id"),
+    // fleet-level probe recall: every odd query's IVF top-1 vs its exact
+    // brute-force top-1 over the even half; counts only
+    "ann_probe_recall" -> (annProbeCtes +
+      """,
+        |bfcand AS (SELECT q.vec_id AS q_id, a.m_id,
+        |  list_sum([q.embedding[j]::DOUBLE * a.m_emb[j]::DOUBLE
+        |            for j in range(1, 65)]) / (q.nrm * a.m_nrm) AS cosine
+        |  FROM qs q, assigned a),
+        |bf AS (SELECT q_id, m_id AS bf_id, cosine AS bf_cos FROM (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY q_id ORDER BY cosine DESC, m_id ASC) AS rn
-        |  FROM cand) WHERE rn = 1
-        |ORDER BY vec_id""".stripMargin,
+        |  FROM bfcand) WHERE rn = 1)
+        |SELECT count(*) AS n_queries,
+        |  CAST(sum(CASE WHEN i.m_id = b.bf_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_top1_match,
+        |  CAST(sum(CASE WHEN i.m_id <> b.bf_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_missed,
+        |  CAST(sum(CASE WHEN b.bf_cos - i.cosine <= 1e-2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_within_1pt
+        |FROM ivf1 i JOIN bf b USING (q_id)""".stripMargin),
     "sliding_trend" ->
       """WITH x AS (SELECT value, unnest([date_trunc('hour', ts),
         |  date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws

@@ -280,6 +280,103 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** The streaming ANN probe's STATIC side, shared with the batch recall
+    * audit ([[annProbeRecall]]) and [[graft.streaming.StreamAssembly
+    * .streamAnnProbe]]: the even-vec_id index half with norms, the first
+    * `nCells` even vectors as coarse centroids, and every index vector
+    * argmax-assigned to its cell (shuffle-free `max(struct)`).
+    * Returns (cents, assigned).
+    */
+  private[graft] def annProbeIndex(spark: SparkSession, sfDir: String,
+                                   nCells: Int = 16): (DataFrame, DataFrame) = {
+    GraftFunctions.register(spark)
+    val idx = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("nrm"))
+    val cents = idx.filter(col("vec_id") < nCells * 2)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val assigned = idx.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"),
+        first("embedding").as("embedding"), first("nrm").as("nrm"))
+      .select(col("vec_id").as("m_id"), (-col("best.ncid")).as("cell"),
+        col("embedding").as("m_emb"), col("nrm").as("m_nrm"))
+    (cents, assigned)
+  }
+
+  /** One IVF probe pass: queries `(q_id, q_emb, q_nrm)` rank the
+    * broadcast centroids (bounded per-query frame), probe their top
+    * `nProbe` cells, and take the exact-cosine top-1 among those cells'
+    * index vectors via a shuffle-free argmax.
+    * Returns (vec_id, match_id, cosine).
+    */
+  private[graft] def ivfProbeTop1(q: DataFrame, cents: DataFrame,
+                                  assigned: DataFrame,
+                                  nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qCells = q.crossJoin(broadcast(cents))
+      .withColumn("ccos", dot(col("q_emb"), col("c_emb")) /
+        (col("q_nrm") * col("c_nrm")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("ccos"), asc("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("cid").as("probe_cell"))
+    qCells
+      .join(assigned, col("cell") === col("probe_cell"))
+      .withColumn("cosine", dot(col("q_emb"), col("m_emb")) /
+        (col("q_nrm") * col("m_nrm")))
+      .groupBy("q_id")
+      .agg(max(struct(col("cosine"), (-col("m_id")).as("nid"))).as("best"))
+      .select(col("q_id").as("vec_id"), (-col("best.nid")).as("match_id"),
+        col("best.cosine").as("cosine"))
+  }
+
+  /** Corpus-level recall audit for the online ANN probe: EVERY incoming
+    * (odd) vector's IVF top-1 compared against its brute-force exact
+    * top-1 over the even index half — the probe-quality number an online
+    * retrieval deployment is tuned by (the `ivf_recall` audit measures
+    * one query; this measures the fleet). Reported: exact top-1 hits,
+    * misses, and near-misses (probe result within 0.01 cosine of the
+    * exact optimum — the distance-ratio view standard ANN evaluation
+    * pairs with recall@1, since on weakly-clustered vectors a "miss" is
+    * usually a near-tie). Counts only — the float compare runs on
+    * bit-identical doubles, so the gate is exact. The brute force is the
+    * audit's honest cost (like the recall-audit trilogy, documented
+    * sampled-stratum at scale); the probe side reuses the exact pipeline
+    * the streaming query drains.
+    */
+  def annProbeRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cents, assigned) = annProbeIndex(spark, sfDir)
+    val qs = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm2(col("embedding")).as("q_nrm"))
+    val ivf = ivfProbeTop1(qs, cents, assigned)
+      .select(col("vec_id").as("q_id"), col("match_id").as("ivf_id"),
+        col("cosine").as("ivf_cos"))
+    val bf = qs.crossJoin(broadcast(
+        assigned.select(col("m_id"), col("m_emb"), col("m_nrm"))))
+      .withColumn("cosine", dot(col("q_emb"), col("m_emb")) /
+        (col("q_nrm") * col("m_nrm")))
+      .groupBy("q_id")
+      .agg(max(struct(col("cosine"), (-col("m_id")).as("nid"))).as("best"))
+      .select(col("q_id"), (-col("best.nid")).as("bf_id"),
+        col("best.cosine").as("bf_cos"))
+    ivf.join(bf, Seq("q_id"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("ivf_id") === col("bf_id"), 1L).otherwise(0L))
+          .as("n_top1_match"),
+        sum(when(col("ivf_id") =!= col("bf_id"), 1L).otherwise(0L))
+          .as("n_missed"),
+        sum(when(col("bf_cos") - col("ivf_cos") <= lit(0.01), 1L)
+          .otherwise(0L)).as("n_within_1pt"))
+  }
+
   /** Hybrid retrieval — the two-stage sparse→dense search every modern
     * retrieval pipeline runs (BM25/n-gram candidates reranked by embedding
     * similarity; public knowledge, e.g. the standard retrieve-then-rerank

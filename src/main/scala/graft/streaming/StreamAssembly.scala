@@ -1751,7 +1751,7 @@ object StreamAssembly {
   def streamAnnProbe(spark: SparkSession, sfDir: String, nFiles: Int = 3,
                      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     import java.nio.file.Files
-    import graft.ops.Similarity.{dot, norm2}
+    import graft.ops.Similarity.norm2
     val tmp = Files.createTempDirectory("graft_ann_probe").toString
     val outDir = s"$tmp/matches"
     val ckptDir = s"$tmp/ckpt"
@@ -1762,24 +1762,9 @@ object StreamAssembly {
       .repartition(nFiles)
       .write.mode("overwrite").parquet(srcDir)
     withDrainConf(spark) { ds =>
-      graft.functions.GraftFunctions.register(ds)
-      val idx = graft.Tables.embeddings(ds, sfDir)
-        .filter(col("vec_id") % 2 === 0)
-        .select(col("vec_id"), col("embedding"),
-          norm2(col("embedding")).as("nrm"))
-      val cents = idx.filter(col("vec_id") < nCells * 2)
-        .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
-          col("nrm").as("c_nrm"))
-      // one-time static assignment: argmax over the centroid axis via
-      // max(struct) — ORDER BY ccos DESC, cid ASC without a window
-      val assigned = idx.crossJoin(broadcast(cents))
-        .withColumn("ccos",
-          dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-        .groupBy("vec_id")
-        .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"),
-          first("embedding").as("embedding"), first("nrm").as("nrm"))
-        .select(col("vec_id").as("m_id"), (-col("best.ncid")).as("cell"),
-          col("embedding").as("m_emb"), col("nrm").as("m_nrm"))
+      // one-time static side, shared with the batch recall audit
+      val (cents, assigned) =
+        graft.ops.Similarity.annProbeIndex(ds, sfDir, nCells)
       val embSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vec_id",
           org.apache.spark.sql.types.LongType),
@@ -1798,25 +1783,7 @@ object StreamAssembly {
           val q = batch.select(col("vec_id").as("q_id"),
             col("embedding").as("q_emb"),
             norm2(col("embedding")).as("q_nrm"))
-          val qCells = q.crossJoin(broadcast(cents))
-            .withColumn("ccos", dot(col("q_emb"), col("c_emb")) /
-              (col("q_nrm") * col("c_nrm")))
-            .withColumn("rn", row_number().over(org.apache.spark.sql
-              .expressions.Window.partitionBy("q_id")
-              .orderBy(desc("ccos"), asc("cid"))))
-            .filter(col("rn") <= nProbe)
-            .select(col("q_id"), col("q_emb"), col("q_nrm"),
-              col("cid").as("probe_cell"))
-          qCells
-            .join(assigned, col("cell") === col("probe_cell"))
-            .withColumn("cosine", dot(col("q_emb"), col("m_emb")) /
-              (col("q_nrm") * col("m_nrm")))
-            .groupBy("q_id")
-            .agg(max(struct(col("cosine"), (-col("m_id")).as("nid")))
-              .as("best"))
-            .select(col("q_id").as("vec_id"),
-              (-col("best.nid")).as("match_id"),
-              col("best.cosine").as("cosine"))
+          graft.ops.Similarity.ivfProbeTop1(q, cents, assigned, nProbe)
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/batch=$id")
           ()

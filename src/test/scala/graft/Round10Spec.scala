@@ -157,6 +157,14 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("ANN probe recall audit: partitions reconcile, near-miss ⊇ exact") {
+    val r = Similarity.annProbeRecall(spark, sf).collect().head
+    val n = r.getAs[Long]("n_queries")
+    assert(n > 0)
+    assert(r.getAs[Long]("n_top1_match") + r.getAs[Long]("n_missed") === n)
+    assert(r.getAs[Long]("n_within_1pt") >= r.getAs[Long]("n_top1_match"))
+  }
+
   test("semantic curation gate only ever shrinks the kept set") {
     val base = TrainingSets.curationPipeline(spark, sf)
       .agg(sum("n_docs")).first().getLong(0)
