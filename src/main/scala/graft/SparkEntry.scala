@@ -89,6 +89,8 @@ object SparkEntry {
     "stream_ann_probe" ->
       ((s, d) => graft.streaming.StreamAssembly.streamAnnProbe(s, d)),
     "ann_probe_recall" -> ((s, d) => Similarity.annProbeRecall(s, d)),
+    "stream_media_decode" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamMediaDecode(s, d)),
     "stream_sessions_dynamic_gap" ->
       ((s, d) =>
         graft.streaming.StreamAssembly.streamSessionsDynamicGap(s, d)),
@@ -332,6 +334,36 @@ object SparkEntry {
       |  FROM g, UNNEST(generate_series(start, start + $km1)) AS v(p)
       |  WHERE gram IN (SELECT gram FROM dup))""".stripMargin
   }
+
+  /** Real-codec decode totals recomputed arithmetically from doc_id —
+    * shared by the batch query and its streaming partial-fold sibling
+    * (identical output contract, so one oracle serves both).
+    */
+  private val mmDecodeStatsSql: String =
+    """WITH m AS (SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |    ELSE 'video' END AS media_type,
+      |  CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 9 WHEN 1 THEN 0
+      |    ELSE 8 + doc_id % 5 END AS w,
+      |  CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 7 WHEN 1 THEN 0
+      |    ELSE 4 + doc_id % 4 END AS h,
+      |  CASE doc_id % 3 WHEN 1 THEN 1 ELSE 3 END AS ch,
+      |  CASE doc_id % 3 WHEN 0 THEN 0
+      |    WHEN 1 THEN (64 + doc_id % 100) // 8
+      |    ELSE (2 + doc_id % 5) * (20 + doc_id % 30) END AS dur,
+      |  CASE doc_id % 3
+      |    WHEN 0 THEN ((8 + doc_id % 9) * 3 + 3) // 4 * 4 * (4 + doc_id % 7)
+      |    WHEN 1 THEN 2 * (64 + doc_id % 100)
+      |    ELSE (2 + doc_id % 5) * (((8 + doc_id % 5) * 3 + 3) // 4 * 4)
+      |      * (4 + doc_id % 4) END AS bl
+      |  FROM documents)
+      |SELECT media_type, count(*) AS n,
+      |CAST(sum(w) AS BIGINT) AS sum_width,
+      |CAST(sum(h) AS BIGINT) AS sum_height,
+      |CAST(sum(ch) AS BIGINT) AS sum_channels,
+      |CAST(sum(dur) AS BIGINT) AS sum_duration_ms,
+      |CAST(sum(bl) AS BIGINT) AS sum_body_len
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Shared IVF-probe CTE bundle (stream_ann_probe / ann_probe_recall):
     * even-half index + centroids, static cell assignment, odd-half
@@ -778,31 +810,10 @@ object SparkEntry {
     // body=rowSize(w)*h. audio: n=64+id%100 PCM-16 @8kHz → ch=1,
     // dur=n//8 ms, body=2n. video: w=8+id%5, h=4+id%4, nf=2+id%5,
     // msPf=20+id%30 → ch=3, dur=nf*msPf, body=nf*rowSize(w)*h.
-    "mm_decode_stats" ->
-      """WITH m AS (SELECT doc_id,
-        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |    ELSE 'video' END AS media_type,
-        |  CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 9 WHEN 1 THEN 0
-        |    ELSE 8 + doc_id % 5 END AS w,
-        |  CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 7 WHEN 1 THEN 0
-        |    ELSE 4 + doc_id % 4 END AS h,
-        |  CASE doc_id % 3 WHEN 1 THEN 1 ELSE 3 END AS ch,
-        |  CASE doc_id % 3 WHEN 0 THEN 0
-        |    WHEN 1 THEN (64 + doc_id % 100) // 8
-        |    ELSE (2 + doc_id % 5) * (20 + doc_id % 30) END AS dur,
-        |  CASE doc_id % 3
-        |    WHEN 0 THEN ((8 + doc_id % 9) * 3 + 3) // 4 * 4 * (4 + doc_id % 7)
-        |    WHEN 1 THEN 2 * (64 + doc_id % 100)
-        |    ELSE (2 + doc_id % 5) * (((8 + doc_id % 5) * 3 + 3) // 4 * 4)
-        |      * (4 + doc_id % 4) END AS bl
-        |  FROM documents)
-        |SELECT media_type, count(*) AS n,
-        |CAST(sum(w) AS BIGINT) AS sum_width,
-        |CAST(sum(h) AS BIGINT) AS sum_height,
-        |CAST(sum(ch) AS BIGINT) AS sum_channels,
-        |CAST(sum(dur) AS BIGINT) AS sum_duration_ms,
-        |CAST(sum(bl) AS BIGINT) AS sum_body_len
-        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mm_decode_stats" -> mmDecodeStatsSql,
+    // the SAME totals arrived at through the streaming path: per-batch
+    // real-codec decode partials folded on readback ⇒ identical oracle
+    "stream_media_decode" -> mmDecodeStatsSql,
     // kept frames = ceil(nf/step), last ts = last kept index × msPf
     "mm_frame_counts" -> {
       val step = graft.multimodal.Multimodal.AviSampleStep

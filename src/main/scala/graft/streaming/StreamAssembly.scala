@@ -1796,6 +1796,75 @@ object StreamAssembly {
       .orderBy("vec_id")
   }
 
+  /** STREAMING MULTIMODAL INGEST drained end-to-end — the continuous
+    * media-ingest topology (new binary assets decoded and profiled as
+    * they arrive): doc ids stream one file per micro-batch; each batch
+    * encodes the REAL payload (BMP/WAV/AVI by id), sniffs + format-walks
+    * it back ([[graft.multimodal.Multimodal.decodeOne]] — the same
+    * codecs the batch queries gate), and appends a per-batch PARTIAL
+    * decode rollup. The readback folds partials with a plain sum — the
+    * SummingMergeTree discipline ([[startHourlyPartialsSink]]) applied
+    * to the multimodal tier, so NO streaming state exists at any corpus
+    * size and the drained totals are batch-boundary-independent by
+    * additivity. Oracle: identical to `mm_decode_stats` (same totals,
+    * same contract).
+    */
+  def streamMediaDecode(spark: SparkSession, sfDir: String,
+                        nFiles: Int = 3): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_media_stream").toString
+    val outDir = s"$tmp/partials"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = s"$tmp/incoming"
+    graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(srcDir)
+    withDrainConf(spark) { ds =>
+      val idSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType)))
+      val stream = ds.readStream
+        .schema(idSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val query = stream.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          import batch.sparkSession.implicits._
+          batch.select(col("doc_id")).as[Long]
+            .mapPartitions(_.flatMap { docId =>
+              graft.multimodal.Multimodal
+                .decodeOne(graft.multimodal.Multimodal.encodeOne(docId))
+                .map(_.copy(doc_id = docId))
+            })
+            .groupBy("media_type")
+            .agg(count(lit(1)).as("n"),
+              sum("width").as("sum_width"),
+              sum("height").as("sum_height"),
+              sum("channels").as("sum_channels"),
+              sum("duration_ms").as("sum_duration_ms"),
+              sum("body_len").as("sum_body_len"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(outDir)
+      .groupBy("media_type")
+      .agg(sum("n").as("n"),
+        sum("sum_width").as("sum_width"),
+        sum("sum_height").as("sum_height"),
+        sum("sum_channels").as("sum_channels"),
+        sum("sum_duration_ms").as("sum_duration_ms"),
+        sum("sum_body_len").as("sum_body_len"))
+      .orderBy("media_type")
+  }
+
   /** S3 (`sales_producer.py:160-165`): orders → JSON → Kafka sink
     * (connector jar required at runtime).
     */
