@@ -307,7 +307,7 @@ object CorpusStats {
     */
   def bpeTrainMerges(spark: SparkSession, sfDir: String,
                      rounds: Int = BpeMergeRounds): DataFrame =
-    bpeLoop(spark, sfDir, rounds)._1.reduce(_ unionByName _).orderBy("rank")
+    bpeLoopCached(spark, sfDir, rounds)._1.orderBy("rank")
 
   /** The tokenizer APPLIED back to the corpus — the other half of the
     * build loop ([[bpeTrainMerges]] produces the merge table; this
@@ -320,7 +320,7 @@ object CorpusStats {
     */
   def bpeTokenizeStats(spark: SparkSession, sfDir: String,
                        rounds: Int = BpeMergeRounds): DataFrame = {
-    val words = bpeLoop(spark, sfDir, rounds)._2
+    val words = bpeLoopCached(spark, sfDir, rounds)._2
     // s = "|t1||t2||…||tk|" ⇒ length(s) = chars + 2k, so chars =
     // length(s) − 2·tokens (merges concatenate, never add/remove chars)
     words
@@ -338,6 +338,32 @@ object CorpusStats {
           .as("token_mass"))
       .orderBy("tokens_per_word")
   }
+
+  /** [[bpeLoop]] memoized per (session, sfDir, rounds) — the loop's
+    * checkpointed state serves both the merge-table and tokenize-stats
+    * queries, so within a bench pass the 24 iterative rounds run once
+    * (the [[graft.ops.Dedup.ngramJaccardPairs]] discipline; the two
+    * cached frames are the merge union and the post-merge word frame,
+    * both already materialized by `localCheckpoint`).
+    */
+  private def bpeLoopCached(spark: SparkSession, sfDir: String,
+                            rounds: Int): (DataFrame, DataFrame) = {
+    val key = (spark, sfDir, rounds)
+    (bpeMergeCache.get(key), bpeWordCache.get(key)) match {
+      case (Some(m), Some(w)) => (m, w)
+      case _ =>
+        val (bests, words) = bpeLoop(spark, sfDir, rounds)
+        val merges = bests.reduce(_ unionByName _)
+        bpeMergeCache.put(key, merges)
+        bpeWordCache.put(key, words)
+        (merges, words)
+    }
+  }
+
+  private val bpeMergeCache =
+    graft.ops.Memo.registry[(SparkSession, String, Int)]
+  private val bpeWordCache =
+    graft.ops.Memo.registry[(SparkSession, String, Int)]
 
   /** The shared merge loop: returns (per-round 1-row best frames with
     * rank/pair/n columns, the post-merge word frame (cnt, s)).
