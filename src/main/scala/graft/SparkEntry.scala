@@ -2303,10 +2303,12 @@ object SparkEntry {
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     // DSIR n=1 estimator replayed in SQL: the per-bucket log term is
     // PortableLn (same staged +-*/ pipeline both engines — a native ln
-    // differs across libms in the last ulp and flips round(_,6) at a
-    // boundary, the r8 driver-env hash-fail), quantized to
-    // DECIMAL(18,6) at the source in BOTH engines, so every downstream
-    // product/sum/compare is exact decimal arithmetic. Bucket count and
+    // differs across libms in the last ulp and flips rounding at a
+    // boundary, the r8 driver-env hash-fail), then FLOORED to BIGINT
+    // micro-nats (floor(lnx * 1e6)) at the source in BOTH engines, so
+    // every downstream product/sum/compare is exact integer
+    // arithmetic (the TrainingSets scaladoc documents the same gate).
+    // Bucket count and
     // target-source set interpolate from the same constants the
     // operator uses (TrainingSets.DsirBuckets / DsirTargetSources — the
     // KmeansK anti-drift pattern).
@@ -2329,7 +2331,7 @@ object SparkEntry {
         |tot AS (SELECT CAST(sum(cnt_raw) AS BIGINT) AS tot_raw,
         |    CAST(sum(cnt_tgt) AS BIGINT) AS tot_tgt FROM model),
         |$plCtes,
-        |term AS (SELECT b, CAST(floor(lnx * 1000000.0) AS BIGINT) AS lw
+        |term AS (SELECT b, CAST(floor(lnx * 1e6) AS BIGINT) AS lw
         |  FROM $plOut),
         |db AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS c
         |  FROM tb GROUP BY 1, 2, 3),

@@ -276,7 +276,12 @@ object CorpusStats {
 
   /** Merge-round count for [[bpeTrainMerges]] — interpolated into the
     * registered DuckDB oracle (unrolled CTE rounds) so operator and
-    * oracle cannot drift.
+    * oracle cannot drift. Must stay ≤ the corpus's merge capacity:
+    * the Spark loop stops early if a round finds no remaining pair
+    * (keeping the word frame intact), while the unrolled oracle CTEs
+    * would degenerate to empty past that point — the fixture corpora
+    * support far more than 24 merges, so both engines always run the
+    * full count.
     */
   val BpeMergeRounds: Int = 24
 
@@ -353,7 +358,18 @@ object CorpusStats {
       case (Some(m), Some(w)) => (m, w)
       case _ =>
         val (bests, words) = bpeLoop(spark, sfDir, rounds)
-        val merges = bests.reduce(_ unionByName _)
+        // reduceOption: a corpus of only single-symbol words yields zero
+        // merge rounds (see the exhaustion guard in bpeLoop)
+        val merges = bests.reduceOption(_ unionByName _).getOrElse(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("rank",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("pair",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("n",
+                org.apache.spark.sql.types.LongType)))))
         bpeMergeCache.put(key, merges)
         bpeWordCache.put(key, words)
         (merges, words)
@@ -379,7 +395,9 @@ object CorpusStats {
           " i -> substring(w, i, 1)), '||')"), lit("|")).as("s"))
       .localCheckpoint(true)
     val bests = Seq.newBuilder[DataFrame]
-    for (i <- 1 to rounds) {
+    var i = 1
+    var exhausted = false
+    while (i <= rounds && !exhausted) {
       val best = words
         .select(col("cnt"), split(trim(col("s"), "|"), "\\|\\|").as("syms"))
         // single-symbol words carry no pair; Spark's sequence(1, 0) would
@@ -393,14 +411,26 @@ object CorpusStats {
         .agg(sum("cnt").cast("long").as("n"))
         .orderBy(desc("n"), asc("l"), asc("r")).limit(1)
         .localCheckpoint(true)
-      bests += best.select(lit(i.toLong).as("rank"),
-        concat_ws(" ", col("l"), col("r")).as("pair"), col("n"))
-      words = words
-        .crossJoin(broadcast(best.select(col("l").as("bl"), col("r").as("br"))))
-        .select(col("cnt"), expr(
-          "replace(s, concat('|', bl, '||', br, '|')," +
-            " concat('|', bl, br, '|'))").as("s"))
-        .localCheckpoint(true)
+      // Guard: a corpus can run out of mergeable pairs before `rounds`
+      // (every word reduced to one symbol). An empty `best` crossJoined
+      // into `words` would silently empty the word table for all later
+      // rounds — stop merging instead and keep the final word frame
+      // intact. (The `best` frame is already materialized by
+      // localCheckpoint, so this isEmpty is a cheap local scan. The
+      // unrolled DuckDB oracle still assumes rounds ≤ the corpus's
+      // merge capacity — see BpeMergeRounds.)
+      if (best.isEmpty) { exhausted = true }
+      else {
+        bests += best.select(lit(i.toLong).as("rank"),
+          concat_ws(" ", col("l"), col("r")).as("pair"), col("n"))
+        words = words
+          .crossJoin(broadcast(best.select(col("l").as("bl"), col("r").as("br"))))
+          .select(col("cnt"), expr(
+            "replace(s, concat('|', bl, '||', br, '|')," +
+              " concat('|', bl, br, '|'))").as("s"))
+          .localCheckpoint(true)
+      }
+      i += 1
     }
     (bests.result(), words)
   }
