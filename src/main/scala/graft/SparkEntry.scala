@@ -247,6 +247,10 @@ object SparkEntry {
       ((s, d) => graft.multimodal.Multimodal.wavEnergy(s, d)),
     "mm_avi_frames" ->
       ((s, d) => graft.multimodal.Multimodal.aviFrameLuminance(s, d)),
+    "mm_image_neardup" ->
+      ((s, d) => graft.multimodal.Multimodal.imageNearDups(s, d)),
+    "mm_ann_topk" ->
+      ((s, d) => graft.multimodal.Multimodal.mediaAnnTopK(s, d)),
     // hash-gated via the error contract (exact values + bounded-error
     // booleans); raw-sketch accuracy additionally spec-asserted (ApproxSpec)
     "approx_value_quantiles" ->
@@ -2982,6 +2986,81 @@ object SparkEntry {
         |  CAST(sum(299 * red + 587 * green + 114 * blue) AS BIGINT)
         |    AS sum_luma_milli
         |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the Spark side dHashes DECODED pixels (8×8 grid, 56-bit gradient
+    // signs) and bands the self-join; the oracle recomputes every sampled
+    // pixel arithmetically and brute-forces the same Hamming-≤h pairs
+    // (banding is exact for h < bands by pigeonhole)
+    "mm_image_neardup" -> {
+      val rows = graft.multimodal.Multimodal.DhashGridRows
+      val cols = graft.multimodal.Multimodal.DhashGridCols
+      val h = graft.multimodal.Multimodal.DhashMaxHamming
+      s"""WITH img AS (SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |bit AS (SELECT doc_id, rr.r * ${cols - 1} + cc.c AS j
+        |  FROM img, range(0, $rows) rr(r), range(0, ${cols - 1}) cc(c)
+        |  WHERE 299 * ((doc_id * 3 + (rr.r * h // $rows) + (cc.c * w // $cols)) % 256)
+        |      + 587 * ((doc_id * 2 + (rr.r * h // $rows) + (cc.c * w // $cols)) % 256)
+        |      + 114 * ((doc_id + (rr.r * h // $rows) + (cc.c * w // $cols)) % 256)
+        |      > 299 * ((doc_id * 3 + (rr.r * h // $rows) + ((cc.c + 1) * w // $cols)) % 256)
+        |      + 587 * ((doc_id * 2 + (rr.r * h // $rows) + ((cc.c + 1) * w // $cols)) % 256)
+        |      + 114 * ((doc_id + (rr.r * h // $rows) + ((cc.c + 1) * w // $cols)) % 256)),
+        |dh AS (SELECT i.doc_id,
+        |    CAST(coalesce(sum(1::BIGINT << b.j), 0) AS BIGINT) AS dhash
+        |  FROM img i LEFT JOIN bit b USING (doc_id) GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS da,
+        |    bit_count(xor(a.dhash, b.dhash)) AS hm
+        |  FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) <= $h)
+        |SELECT CAST(da % 10 AS BIGINT) AS bucket,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN hm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(sum(hm) AS BIGINT) AS sum_hamming,
+        |  CAST(max(hm) AS INT) AS max_hamming
+        |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // media → feature vector → IVF: the oracle recomputes the 4×4 block
+    // luminance sums per pixel (exact integers in DOUBLE), then replays
+    // the sim_ivf cell scheme; cosine doubles hash via the vec_dot fold
+    // precedent
+    "mm_ann_topk" -> {
+      val cells = graft.multimodal.Multimodal.MmAnnCells
+      val probe = graft.multimodal.Multimodal.MmAnnProbe
+      val k = graft.multimodal.Multimodal.MmAnnK
+      s"""WITH img AS (SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT doc_id,
+        |    (rr.r * 4 // h) * 4 + (cc.c * 4 // w) AS b,
+        |    299 * ((doc_id * 3 + rr.r + cc.c) % 256)
+        |      + 587 * ((doc_id * 2 + rr.r + cc.c) % 256)
+        |      + 114 * ((doc_id + rr.r + cc.c) % 256) AS luma
+        |  FROM img, range(0, 11) rr(r), range(0, 17) cc(c)
+        |  WHERE rr.r < h AND cc.c < w),
+        |blk AS (SELECT doc_id, b, CAST(sum(luma) AS DOUBLE) AS v
+        |  FROM px GROUP BY 1, 2),
+        |vv AS (SELECT doc_id, list(v ORDER BY b) AS vec FROM blk GROUP BY 1),
+        |nr AS (SELECT doc_id, vec,
+        |    sqrt(list_sum([vec[i] * vec[i] for i in range(1, 17)])) AS nrm
+        |  FROM vv),
+        |cents AS (SELECT doc_id AS cid, vec AS c_vec, nrm AS c_nrm
+        |  FROM nr WHERE doc_id < ${3 * cells}),
+        |scored AS (SELECT n.doc_id, n.vec, n.nrm, c.cid,
+        |    list_sum([n.vec[i] * c.c_vec[i] for i in range(1, 17)])
+        |      / (n.nrm * c.c_nrm) AS ccos
+        |  FROM nr n, cents c),
+        |assigned AS (SELECT doc_id, vec, nrm, cid AS cell FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY ccos DESC, cid ASC) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |qcells AS (SELECT cid FROM scored WHERE doc_id = 0
+        |  ORDER BY ccos DESC, cid ASC LIMIT $probe),
+        |q AS (SELECT vec AS q_vec, nrm AS q_nrm FROM nr WHERE doc_id = 0)
+        |SELECT a.doc_id,
+        |  list_sum([a.vec[i] * q.q_vec[i] for i in range(1, 17)])
+        |    / (a.nrm * q.q_nrm) AS cosine
+        |FROM assigned a, q
+        |WHERE a.doc_id <> 0 AND a.cell IN (SELECT cid FROM qcells)
+        |ORDER BY cosine DESC, doc_id ASC LIMIT $k""".stripMargin
+    },
     // the hash pins the sketch ERROR CONTRACT: exact count + in-bound
     // boolean (sketch estimates themselves aren't cross-engine comparable)
     "approx_distinct_users" ->

@@ -661,6 +661,206 @@ object Multimodal {
       .orderBy("bucket")
   }
 
+  /** dHash sample-grid edge: [[imageDhash]] samples an 8×8 luminance
+    * grid and compares horizontal neighbours — 8 rows × 7 comparisons =
+    * 56 bits, deliberately < 63 so the fingerprint never touches the
+    * BIGINT sign bit in either engine. Interpolated into the oracle.
+    */
+  val DhashGridRows: Int = 8
+  val DhashGridCols: Int = 8 // comparisons per row = DhashGridCols - 1
+
+  /** [[imageNearDups]] keeps pairs within this Hamming distance. With 7
+    * byte-bands over the 56-bit fingerprint, pigeonhole makes the band
+    * join EXACT for ≤ 6 differing bits (6 errors cannot dirty all 7
+    * bands) — the [[graft.ops.Dedup.simhashPairs]] calculus.
+    */
+  val DhashMaxHamming: Int = 6
+
+  /** Perceptual difference-hash per image (public aHash/dHash method:
+    * sample a fixed grid of luminances from the decoded image, set bit
+    * (r,c) iff grid(r,c) > grid(r,c+1) — brightness-gradient signs,
+    * robust to uniform brightness shifts and resizing): the REAL BMP
+    * bytes are decoded (offset field, bottom-up BGR rows, padding) and
+    * the grid is nearest-neighbor sampled exactly like [[resize]]
+    * (sr = r·h/8, sc = c·w/8, integer floor). All-integer — the oracle
+    * recomputes every sampled pixel arithmetically from doc_id, so a
+    * misread row order, channel order, or sample index flips the hash.
+    * Row-local (partition-streaming map, no shuffle) — the 100 TB
+    * fingerprint-stage shape.
+    */
+  def imageDhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = DhashGridRows; val cols = DhashGridCols
+    Tables.spread(Tables.documents(spark, sfDir).select(col("doc_id")))
+      .filter(col("doc_id") % 3 === 0)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val img = decodeBmp(encodeBmp(id)).get
+        def lum(r: Int, c: Int): Long = {
+          val p = img.pixels(r * img.width + c)
+          299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+            114L * (p & 0xff)
+        }
+        var hash = 0L
+        var r = 0
+        while (r < rows) {
+          val sr = r * img.height / rows
+          var c = 0
+          while (c < cols - 1) {
+            val sc = c * img.width / cols
+            val sc2 = (c + 1) * img.width / cols
+            if (lum(sr, sc) > lum(sr, sc2))
+              hash |= 1L << (r * (cols - 1) + c)
+            c += 1
+          }
+          r += 1
+        }
+        (id, hash)
+      })
+      .toDF("doc_id", "dhash")
+  }
+
+  /** Perceptual image near-dup audit — the multimodal × dedup
+    * composition: [[imageDhash]] fingerprints banded into 7 bytes and
+    * self-joined Hamming-≤[[DhashMaxHamming]] via the pigeonhole band
+    * calculus of [[graft.ops.Dedup.simhashPairs]] (any qualifying pair
+    * agrees on ≥ 1 band; each pair emitted ONLY at its lowest agreeing
+    * band, so no distinct over the pair set). The synthetic gradient
+    * images are honestly near-identical under any perceptual hash
+    * (most share one fingerprint), so the report is the bucketed pair
+    * rollup, not the O(corpus²) pair list: per doc_id%10 bucket —
+    * pair count, exact-dup (Hamming 0) count, Hamming mass, max
+    * Hamming. All integers; the oracle brute-forces the same pairs.
+    *
+    * Scale shape: candidates come only from band-bucket agreement
+    * (gram-index discipline, never all-pairs); degenerate hot bands
+    * (like this fixture's) are exactly the skew AQE's skew-join
+    * handling splits.
+    */
+  def imageNearDups(spark: SparkSession, sfDir: String,
+                    maxHamming: Int = DhashMaxHamming): DataFrame = {
+    val nBands = DhashGridCols - 1 // 7 byte-bands over 56 bits
+    require(maxHamming < nBands, "pigeonhole exactness needs h < bands")
+    val fp = imageDhash(spark, sfDir).persist()
+    val banded = fp.select(col("doc_id"), col("dhash"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("bandidx"))
+      .withColumn("bandval", expr("(dhash >> (bandidx * 8)) & 255"))
+    val firstAgreeingBand = (0 until nBands - 1).map(j =>
+        col("a.bandidx") <= j ||
+          (shiftright(col("a.dhash").bitwiseXOR(col("b.dhash")), 8 * j)
+            .bitwiseAND(255) =!= 0))
+      .reduce(_ && _)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.bandidx") === col("b.bandidx") &&
+          col("a.bandval") === col("b.bandval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(firstAgreeingBand)
+      .select(col("a.doc_id").as("doc_a"),
+        expr("bit_count(a.dhash ^ b.dhash)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy((col("doc_a") % 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("hamming") === 0, 1L).otherwise(0L)).as("n_exact"),
+        sum(col("hamming")).cast("long").as("sum_hamming"),
+        max(col("hamming")).as("max_hamming"))
+      .orderBy("bucket")
+  }
+
+  /** Block-luminance feature vectors from REAL decoded pixels — the
+    * media-side analogue of the `embeddings` table: each image reduces
+    * to a 4×4 grid of block luminance SUMS (pixel (r,c) belongs to
+    * block (r·4/h, c·4/w), nearest-neighbor floor indexing), emitted as
+    * ARRAY<DOUBLE> in row-major block order. Sums are exact integers
+    * (≤ ~4·10⁷, far inside the 2⁵³ double-exact range), so every
+    * downstream dot product is the same IEEE sequence in both engines.
+    * Row-local map, no shuffle — the embedding-extraction stage shape.
+    */
+  def imageBlockVectors(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.documents(spark, sfDir).select(col("doc_id")))
+      .filter(col("doc_id") % 3 === 0)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val img = decodeBmp(encodeBmp(id)).get
+        val acc = new Array[Double](16)
+        var r = 0
+        while (r < img.height) {
+          val br = r * 4 / img.height
+          var c = 0
+          while (c < img.width) {
+            val bc = c * 4 / img.width
+            val p = img.pixels(r * img.width + c)
+            acc(br * 4 + bc) += 299L * ((p >> 16) & 0xff) +
+              587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+            c += 1
+          }
+          r += 1
+        }
+        (id, acc)
+      })
+      .toDF("doc_id", "vec")
+  }
+
+  /** Cell/probe/k constants for [[mediaAnnTopK]], interpolated into its
+    * oracle (the KmeansK anti-drift pattern). Centroids are the first
+    * [[MmAnnCells]] image docs (doc_id < 3·cells with doc_id%3=0) — the
+    * `sim_ivf` fixed-seed cell scheme.
+    */
+  val MmAnnCells: Int = 8
+  val MmAnnProbe: Int = 3
+  val MmAnnK: Int = 10
+
+  /** Similarity search over MEDIA content end-to-end — decoded pixels →
+    * [[imageBlockVectors]] features → the IVF discipline of
+    * [[graft.ops.Similarity.ivfTopK]]: every image vector is
+    * argmax-assigned to its nearest of [[MmAnnCells]] coarse centroids
+    * (broadcast; shuffle-free `max(struct)` argmax), the query image
+    * (doc 0) probes its top [[MmAnnProbe]] cells, and the cells'
+    * members rank by exact cosine for the top [[MmAnnK]]. Closes the
+    * multimodal × similarity loop: ANN runs on what the codec actually
+    * decoded, not a pre-made embedding table. Cosines hash
+    * bit-identically via the vec_dot/list_sum fold precedent; the
+    * oracle recomputes the vectors arithmetically per pixel.
+    *
+    * Scale shape: identical to ivfTopK — corpus never pairwise-joined,
+    * centroids broadcast, probe bounded by nProbe cells.
+    */
+  def mediaAnnTopK(spark: SparkSession, sfDir: String,
+                   queryId: Long = 0L, k: Int = MmAnnK,
+                   nCells: Int = MmAnnCells,
+                   nProbe: Int = MmAnnProbe): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.ops.Similarity.{dot, norm2}
+    val v = imageBlockVectors(spark, sfDir)
+      .select(col("doc_id"), col("vec"), norm2(col("vec")).as("nrm"))
+    val cents = v.filter(col("doc_id") < 3L * nCells)
+      .select(col("doc_id").as("cid"), col("vec").as("c_vec"),
+        col("nrm").as("c_nrm"))
+    val scored = v.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("vec"), col("c_vec")) / (col("nrm") * col("c_nrm")))
+    val assigned = scored.groupBy("doc_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"),
+        first("vec").as("vec"), first("nrm").as("nrm"))
+      .select(col("doc_id"), (-col("best.ncid")).as("cell"),
+        col("vec"), col("nrm"))
+    val qCells = scored.filter(col("doc_id") === queryId)
+      .orderBy(desc("ccos"), asc("cid"))
+      .limit(nProbe)
+      .select(col("cid").as("probe_cell"))
+    val q = v.filter(col("doc_id") === queryId)
+      .select(col("vec").as("q_vec"), col("nrm").as("q_nrm"))
+    assigned.filter(col("doc_id") =!= queryId)
+      .join(broadcast(qCells), col("cell") === col("probe_cell"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"),
+        (dot(col("vec"), col("q_vec")) /
+          (col("nrm") * col("q_nrm"))).as("cosine"))
+      .orderBy(desc("cosine"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** REAL audio decode end-to-end: every audio doc encodes to a genuine
     * PCM-16 mono WAV whose RIFF chunks the decoder walks back (fmt parse,
     * unknown-chunk skip, int16 little-endian samples), reduced to exact
