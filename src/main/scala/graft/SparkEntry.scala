@@ -88,6 +88,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamAssembly.streamDedupProbe(s, d)),
     "stream_ann_probe" ->
       ((s, d) => graft.streaming.StreamAssembly.streamAnnProbe(s, d)),
+    "stream_substr_probe" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamSubstrProbe(s, d)),
     "ann_probe_recall" -> ((s, d) => Similarity.annProbeRecall(s, d)),
     "stream_media_decode" ->
       ((s, d) => graft.streaming.StreamAssembly.streamMediaDecode(s, d)),
@@ -661,6 +663,33 @@ object SparkEntry {
         |JOIN sizes zb ON doc_b = zb.doc_id
         |WHERE CAST(shared AS DOUBLE) / (za.n + zb.n - shared) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // incremental ExactSubstr: odd half streamed as "today's crawl", even
+    // half is the static history gram index; per-doc coverage depends only
+    // on the static index (stateless probe), so the batch odd-vs-even
+    // probe IS the oracle
+    "stream_substr_probe" -> {
+      val k = ops.Dedup.SpanK; val km1 = k - 1
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |d AS (SELECT doc_id, len(ws) AS n_tok, ws
+        |  FROM tok WHERE len(ws) >= $k AND doc_id % 2 = 1),
+        |hd AS (SELECT doc_id, len(ws) AS n_tok, ws
+        |  FROM tok WHERE len(ws) >= $k AND doc_id % 2 = 0),
+        |hist AS (SELECT DISTINCT
+        |    array_to_string(ws[u.i : u.i + $km1], ' ') AS gram
+        |  FROM hd, UNNEST(generate_series(1, n_tok - $km1)) AS u(i)),
+        |g AS (SELECT doc_id, u.i AS start,
+        |    array_to_string(ws[u.i : u.i + $km1], ' ') AS gram
+        |  FROM d, UNNEST(generate_series(1, n_tok - $km1)) AS u(i)),
+        |cov AS (SELECT DISTINCT doc_id, v.p
+        |  FROM g, UNNEST(generate_series(start, start + $km1)) AS v(p)
+        |  WHERE gram IN (SELECT gram FROM hist))
+        |SELECT d.doc_id, CAST(d.n_tok AS BIGINT) AS n_tok,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_dup_tok
+        |FROM d LEFT JOIN (SELECT doc_id, count(*) AS n FROM cov
+        |  GROUP BY 1) c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+    },
     // online probe: odd half streamed, even half is the static banded
     // index; per-doc result independent of batch boundaries (stateless
     // probe), so the batch band join IS the oracle

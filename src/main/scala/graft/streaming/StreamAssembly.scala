@@ -1730,6 +1730,98 @@ object StreamAssembly {
       .orderBy("doc_id")
   }
 
+  /** INCREMENTAL exact-substring probe drained end-to-end — the
+    * daily-ingest shape of [[graft.ops.Dedup.exactSubstringSpans]] (Lee
+    * et al. ExactSubstr against a HISTORICAL corpus instead of
+    * batch-vs-itself): the odd-doc_id half of `documents` streams back
+    * one file per micro-batch as "today's crawl"; the even half is the
+    * static history, collapsed once into its distinct k-gram inverted
+    * index. Per batch, each incoming doc's k-gram windows are probed
+    * against the index (gram-keyed left-semi join — the index streams
+    * through the shuffle, never broadcast, since it is corpus-sized),
+    * covered token positions union via the bounded ×k explode +
+    * per-doc distinct, and every ≥k-token incoming doc reports its
+    * (n_tok, n_dup_tok) memorization-risk pair, zero for clean docs.
+    *
+    * Stateless per batch — a doc's coverage depends only on the static
+    * index, so the result is batch-boundary-independent and the batch
+    * odd-vs-even probe is the oracle. All-integer gate.
+    *
+    * Scale shape: the history index is built ONCE (at 100 TB: bucketed
+    * by gram on disk, so each micro-batch's probe co-locates without
+    * re-shuffling the index); per-batch work is proportional to the
+    * batch's gram count, never to history size.
+    */
+  def streamSubstrProbe(spark: SparkSession, sfDir: String,
+                        nFiles: Int = 3,
+                        k: Int = graft.ops.Dedup.SpanK): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_substr_probe").toString
+    val outDir = s"$tmp/probe"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = s"$tmp/incoming"
+    graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(srcDir)
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    withDrainConf(spark) { ds =>
+      def gramsOf(docs: DataFrame): DataFrame =
+        docs.withColumn("ws", split(col("text"), " "))
+          .filter(size(col("ws")) >= k)
+          .select(col("doc_id"), size(col("ws")).cast("long").as("n_tok"),
+            explode(expr(
+              s"""transform(sequence(1, size(ws) - ${k - 1}),
+                 |  i -> struct(i AS start,
+                 |              array_join(slice(ws, i, $k), ' ') AS gram))"""
+                .stripMargin)).as("g"))
+          .select(col("doc_id"), col("n_tok"),
+            col("g.start").as("start"), col("g.gram").as("gram"))
+      // the static history index: distinct k-grams of the even half,
+      // materialized once and reused by every micro-batch
+      val index = gramsOf(graft.Tables.documents(ds, sfDir)
+          .filter(col("doc_id") % 2 === 0))
+        .select("gram").distinct()
+        .localCheckpoint(true)
+      val stream = ds.readStream
+        .schema(docSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val query = stream.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val g = gramsOf(batch)
+          val docs = batch.withColumn("ws", split(col("text"), " "))
+            .filter(size(col("ws")) >= k)
+            .select(col("doc_id"), size(col("ws")).cast("long").as("n_tok"))
+          val dup = g.join(index, Seq("gram"), "left_semi")
+            .select(col("doc_id"),
+              explode(sequence(col("start"), col("start") + lit(k - 1)))
+                .as("p"))
+            .distinct()
+            .groupBy("doc_id").agg(count(lit(1)).as("n_dup_tok"))
+          docs.join(dup, Seq("doc_id"), "left_outer")
+            .select(col("doc_id"), col("n_tok"),
+              coalesce(col("n_dup_tok"), lit(0L)).as("n_dup_tok"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(outDir)
+      .select(col("doc_id"), col("n_tok"), col("n_dup_tok"))
+      .orderBy("doc_id")
+  }
+
   /** ONLINE ANN probe drained end-to-end — the similarity-search sibling
     * of [[streamDedupProbe]] (continuous retrieval against a curated
     * vector index: RAG ingestion, online contamination screening): the
