@@ -155,6 +155,62 @@ object Storage {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** OPTIMIZE pass for a micro-batch sink directory — the file-level
+    * analogue of ClickHouse's background part merge, and the follow-on
+    * the streaming `foreachBatch` sinks need at scale: a long-running
+    * drain accretes one `batch=<id>` directory of small files per
+    * micro-batch, and this pass merges them into ≈`targetFileBytes`
+    * parquet files (count = ceil(current bytes / target), so the
+    * output file count tracks data volume, not batch count).
+    *
+    * The `batch` provenance column is dropped — post-merge, batches are
+    * indistinguishable, exactly as merged MergeTree parts are. The swap
+    * is two directory renames (write to a hidden sibling, swap, drop
+    * the old tree): crash-safe in the sense that either tree is always
+    * complete, but NOT transactional for concurrent readers during the
+    * instant between renames — a production deployment fronts this
+    * with the epoch-manifest commit protocol the DSV2 sink
+    * ([[graft.sources]] GraftLog) already implements, or a table
+    * format's atomic metadata swap.
+    *
+    * Returns (filesBefore, filesAfter, rows).
+    */
+  def compactBatchSink(spark: SparkSession, path: String,
+                       targetFileBytes: Long = 128L * 1024 * 1024)
+      : (Long, Long, Long) = {
+    val src = new Path(path)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var nBefore = 0L
+    var totalBytes = 0L
+    val it = fs.listFiles(src, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        nBefore += 1
+        totalBytes += f.getLen
+      }
+    }
+    val nFiles = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new Path(src.getParent, s".${src.getName}__compact_tmp")
+    val old = new Path(src.getParent, s".${src.getName}__compact_old")
+    fs.delete(tmp, true); fs.delete(old, true) // stale leftovers
+    val df = spark.read.parquet(path)
+    val rows = df.count()
+    df.drop("batch")
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(src, old) || !fs.rename(tmp, src))
+      throw new java.io.IOException(s"compaction swap failed for $path")
+    fs.delete(old, true)
+    var nAfter = 0L
+    val it2 = fs.listFiles(src, true)
+    while (it2.hasNext) {
+      if (it2.next().getPath.getName.endsWith(".parquet")) nAfter += 1
+    }
+    (nBefore, nAfter, rows)
+  }
+
   def compactMonth(spark: SparkSession, path: String, month: Int,
                    targetFiles: Int = 1): Unit = {
     val key = "spark.sql.sources.partitionOverwriteMode"

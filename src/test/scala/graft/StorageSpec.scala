@@ -118,6 +118,40 @@ class StorageSpec extends SparkSpec {
     assert(disorder.count() === 0)
   }
 
+  test("batch-sink compaction merges batch=<id> trees by target size; " +
+       "row multiset and data columns survive, provenance drops") {
+    val dir = Files.createTempDirectory("bsink").toString + "/sink"
+    // simulate a drain: 5 micro-batches, several small files each
+    (0 until 5).foreach { b =>
+      spark.range(b * 100, (b + 1) * 100)
+        .select(col("id").as("doc_id"), (col("id") * 7).as("val"))
+        .repartition(3)
+        .write.parquet(s"$dir/batch=$b")
+    }
+    val before = spark.read.parquet(dir)
+    val beforeSum = before.agg(sum("val")).collect()(0).getLong(0)
+    val beforeRows = before.count()
+    // huge target → everything merges into one file
+    val (nBefore, nAfter, rows) =
+      Storage.compactBatchSink(spark, dir, targetFileBytes = 1L << 30)
+    assert(nBefore === 15)
+    assert(nAfter === 1)
+    assert(rows === beforeRows)
+    val after = spark.read.parquet(dir)
+    assert(after.count() === beforeRows)
+    assert(after.agg(sum("val")).collect()(0).getLong(0) === beforeSum)
+    // batch provenance is gone post-merge (merged parts are merged)
+    assert(!after.columns.contains("batch"))
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("batch=")))
+    // tiny target → file count tracks bytes: more than one output file
+    val (_, nSplit, rows2) =
+      Storage.compactBatchSink(spark, dir, targetFileBytes = 1024)
+    assert(nSplit > 1)
+    assert(rows2 === beforeRows)
+    assert(spark.read.parquet(dir).count() === beforeRows)
+  }
+
   test("schema evolution: a new column appends and old files read as null") {
     val dir = Files.createTempDirectory("evolve").toString
     val v1 = monthSpread(100)
