@@ -504,4 +504,66 @@ class PlanSpec extends SparkSpec {
     }
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
   }
+
+  /** Wholesale plan-shape pin for the most expensive non-streaming
+    * queries (the BENCH top tier): the invariants that make them
+    * scale, asserted together so a refactor can't silently regress a
+    * plan the sf0.001 spec corpus is too small to expose by timing.
+    *
+    * Per query: (1) no shuffle-based cartesian product ever (broadcast
+    * nested-loop against k-row/1-row constant frames is by-intent and
+    * stays allowed); (2) any UNPARTITIONED window runs above an
+    * aggregate or limit boundary — i.e. over a bucket-count/top-k
+    * frame, never over a data-scale frame; (3) no Scala UDFs — every
+    * expression stays codegen-able; (4) the shuffle-exchange count
+    * stays at or under its pinned ceiling (the count each plan has
+    * today), so new hidden exchanges fail loudly. Memo state is
+    * cleared first: pins hold for the COLD plan.
+    */
+  test("top-tier bench queries hold their scale invariants wholesale: " +
+       "no cartesian, bounded unpartitioned windows, no UDFs, " +
+       "pinned exchange ceilings") {
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    import org.apache.spark.sql.execution.window.WindowExec
+    val ceilings = Map(
+      "curation_pipeline" -> 3,
+      "lsh_recall_eval" -> 7,
+      "knn_label_purity" -> 3,
+      "bpe_tokenize_stats" -> 2,
+      "dedup_exact_substring" -> 6,
+      "dedup_span_histogram" -> 11,
+      "basket_affinity" -> 3,
+      "q21_waiting_suppliers" -> 3,
+      "sales_etl_pipeline" -> 3,
+      "dedup_clusters_star" -> 4,
+      "curation_pipeline_semantic" -> 13,
+      "semdedup" -> 16)
+    val aggOrLimit = Set("HashAggregateExec", "ObjectHashAggregateExec",
+      "SortAggregateExec", "TakeOrderedAndProjectExec", "GlobalLimitExec",
+      "CollectLimitExec", "LocalLimitExec")
+    val violations = ceilings.toSeq.sortBy(_._1).flatMap {
+      case (name, maxExchanges) =>
+        graft.ops.Memo.clearAll()
+        val plan = planOf(name)
+        val bad = Seq.newBuilder[String]
+        if (plan.exists(
+            _.getClass.getSimpleName.contains("CartesianProduct")))
+          bad += "shuffle-based cartesian product"
+        plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+          .foreach { w =>
+            if (!flatten(w.child).exists(n =>
+                aggOrLimit(n.getClass.getSimpleName)))
+              bad += "unpartitioned window over non-aggregate-bounded frame"
+          }
+        if (plan.exists(_.expressions.exists(
+            _.exists(_.isInstanceOf[ScalaUDF]))))
+          bad += "ScalaUDF in the plan"
+        val n = plan.count(_.isInstanceOf[ShuffleExchangeExec])
+        info(s"$name: $n exchanges (ceiling $maxExchanges)")
+        if (n > maxExchanges)
+          bad += s"shuffle exchanges grew: $n > pinned $maxExchanges"
+        bad.result().map(v => s"[$name] $v")
+    }
+    assert(violations.isEmpty, violations.mkString("; "))
+  }
 }
