@@ -281,7 +281,10 @@ object CorpusStats {
     * (keeping the word frame intact), while the unrolled oracle CTEs
     * would degenerate to empty past that point — the fixture corpora
     * support far more than 24 merges, so both engines always run the
-    * full count.
+    * full count. At a production vocabulary (32k merges) the
+    * one-merge-per-round driver loop is the bottleneck —
+    * [[bpeTrainMergesBatched]] is the O(merges/batchSize)-job-waves
+    * path for that regime.
     */
   val BpeMergeRounds: Int = 24
 
@@ -433,6 +436,111 @@ object CorpusStats {
       i += 1
     }
     (bests.result(), words)
+  }
+
+  /** BATCHED BPE training — the production-vocabulary-size path. The
+    * sequential loop ([[bpeLoop]]) launches a fixed number of Spark jobs
+    * PER MERGE; at a 32k-merge production vocabulary that is a
+    * driver-loop bottleneck (32k sequential job waves). The standard
+    * batching trick (used by every large-scale BPE trainer): per round,
+    * select the top `batchSize` pairs by count that are pairwise
+    * NON-INTERACTING (no shared symbol — merging `a b` cannot create,
+    * destroy, or re-span an occurrence of `c d` when {a,b}∩{c,d}=∅), and
+    * fold them all into the corpus in ONE pass. Job count becomes
+    * O(rounds) = O(merges / batchSize). The result is the batched-BPE
+    * merge table: within a round, selected pairs' counts are all
+    * round-start counts (they cannot interact), so each round's merges
+    * are exactly a valid greedy prefix under the freeze; across rounds
+    * the table can deviate from strict 1-at-a-time greedy only where a
+    * JUST-MERGED token would have immediately out-counted a batch
+    * member — the documented batched-BPE approximation.
+    *
+    * Scale shape: candidate pool is a vocabulary-scale sort-limit
+    * (`4·batchSize` rows); greedy selection runs INSIDE one executor
+    * partition (never a driver collect); the fold-apply is a single
+    * codegen'd `aggregate` expression over the broadcast merge array —
+    * one job wave per round regardless of batchSize (spec-pinned via a
+    * job-counting listener; batchSize=1 reproduces [[bpeTrainMerges]]
+    * exactly, also spec-pinned).
+    *
+    * Output: (round, rank, pair, n) — rank is the global merge rank
+    * across rounds, so `batchSize=1` output aligns with
+    * [[bpeTrainMerges]]'s (rank, pair, n) modulo the round column.
+    */
+  def bpeTrainMergesBatched(spark: SparkSession, sfDir: String,
+                            rounds: Int, batchSize: Int): DataFrame = {
+    import spark.implicits._
+    var words = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), concat(lit("|"),
+        expr("array_join(transform(sequence(1, length(w))," +
+          " i -> substring(w, i, 1)), '||')"), lit("|")).as("s"))
+      .localCheckpoint(true)
+    val out = Seq.newBuilder[DataFrame]
+    var round = 1
+    var rankBase = 0L
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      // round-start pair counts, pooled to 4×batch candidates (greedy
+      // selection can skip at most batchSize-1 interacting better pairs
+      // per accept in the worst case; 4× is comfortable for real corpora
+      // and the selection degrades gracefully — an under-filled batch
+      // just merges fewer pairs this round)
+      val cand = words
+        .select(col("cnt"), split(trim(col("s"), "|"), "\\|\\|").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").cast("long").as("n"))
+        .orderBy(desc("n"), asc("l"), asc("r")).limit(4 * batchSize)
+      // greedy non-interacting selection on ONE executor partition over
+      // the bounded candidate pool — same locality class as the 1-row
+      // argmax, never a driver collect
+      val m = batchSize
+      val sel = cand.coalesce(1)
+        .as[(String, String, Long)]
+        .mapPartitions { it =>
+          val used = scala.collection.mutable.HashSet.empty[String]
+          val picked = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, String, String, Long)]
+          it.foreach { case (l, r, n) =>
+            if (picked.length < m && !used(l) && !used(r)) {
+              picked += ((picked.length + 1, l, r, n))
+              used += l; used += r
+            }
+          }
+          picked.iterator
+        }
+        .toDF("bi", "l", "r", "n")
+        .localCheckpoint(true)
+      if (sel.isEmpty) { exhausted = true }
+      else {
+        out += sel.select((lit(round.toLong)).as("round"),
+          (lit(rankBase) + col("bi")).as("rank"),
+          concat_ws(" ", col("l"), col("r")).as("pair"), col("n"))
+        rankBase += sel.count()
+        // ONE fold expression applies the whole batch in rank order
+        val merges = sel.agg(collect_list(struct(
+          col("bi"), col("l"), col("r"))).as("ms"))
+        words = words
+          .crossJoin(broadcast(merges))
+          .select(col("cnt"), expr(
+            """aggregate(array_sort(ms, (x, y) -> x.bi - y.bi), s,
+              |  (acc, x) -> replace(acc,
+              |    concat('|', x.l, '||', x.r, '|'),
+              |    concat('|', x.l, x.r, '|')))""".stripMargin).as("s"))
+          .localCheckpoint(true)
+      }
+      round += 1
+    }
+    out.result().reduceOption(_ unionByName _).getOrElse(
+      spark.emptyDataset[(Long, Long, String, Long)]
+        .toDF("round", "rank", "pair", "n"))
+      .orderBy("rank")
   }
 
   /** Spearman rank correlation between document length (n_chars) and
