@@ -78,4 +78,65 @@ class Round11Spec extends SparkSpec {
     assert(batJobs * 2 <= seqJobs,
       s"batched $batJobs jobs for $batMerges merges vs sequential $seqJobs")
   }
+
+  test("dHash band join finds exactly the brute-force Hamming-≤6 pairs") {
+    import graft.multimodal.Multimodal
+    val fp = Multimodal.imageDhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // brute force over the spec corpus (images only, small)
+    val brute = for {
+      (a, ha) <- fp; (b, hb) <- fp if a < b
+      hm = java.lang.Long.bitCount(ha ^ hb) if hm <= 6
+    } yield (a % 10, hm)
+    val expected = brute.groupBy(_._1).map { case (bkt, ps) =>
+      (bkt, ps.length.toLong, ps.count(_._2 == 0).toLong,
+        ps.map(_._2.toLong).sum, ps.map(_._2).max)
+    }.toSeq.sortBy(_._1)
+    val got = Multimodal.imageNearDups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSeq
+    assert(got === expected)
+    // and the fixture genuinely exercises the near-dup tier
+    assert(brute.nonEmpty)
+  }
+
+  test("streaming substring probe equals the batch odd-vs-even probe " +
+       "and reconciles with the batch self-dedup's coverage discipline") {
+    import graft.ops.Dedup
+    val k = Dedup.SpanK
+    val streamed = graft.streaming.StreamAssembly
+      .streamSubstrProbe(spark, sf, nFiles = 4).collect()
+    // batch recompute: odd docs' k-gram windows vs even docs' gram set
+    def toks(parity: Int) = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 === parity)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= k)
+    val hist = toks(0).select(explode(expr(
+        s"transform(sequence(1, size(ws) - ${k - 1})," +
+          s" i -> array_join(slice(ws, i, $k), ' '))")).as("gram"))
+      .distinct()
+    val incoming = toks(1).select(col("doc_id"),
+      size(col("ws")).cast("long").as("n_tok"), col("ws"))
+    val cov = incoming.select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(ws) - ${k - 1}),
+           |  i -> struct(i AS start,
+           |              array_join(slice(ws, i, $k), ' ') AS gram))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.start").as("start"), col("g.gram").as("gram"))
+      .join(hist, Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + lit(k - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_tok"))
+    val batch = incoming.drop("ws")
+      .join(cov, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_dup_tok"), lit(0L)).as("n_dup_tok"))
+      .orderBy("doc_id").collect()
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    // coverage sanity: every per-doc dup count is bounded by its tokens
+    streamed.foreach { r =>
+      assert(r.getAs[Long]("n_dup_tok") <= r.getAs[Long]("n_tok"))
+    }
+  }
 }
