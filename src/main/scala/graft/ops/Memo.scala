@@ -8,6 +8,13 @@ import org.apache.spark.sql.DataFrame
   * with one call — otherwise pass 2 of a memoized query reads pass 1's
   * checkpointed blocks and reports the memo-hit price instead of the
   * operator's ([[Dedup.clearMemo]] semantics, now shared).
+  *
+  * Durability note: `localCheckpoint` blocks are executor memory/disk
+  * resident, NOT reliably stored — on a real cluster a lost executor
+  * drops its blocks and the consuming job recomputes the memoized stage
+  * from source (correct, just slower). A pipeline that must survive
+  * executor churn cheaply swaps these for reliable `checkpoint` to a
+  * cluster store; semantics are unchanged.
   */
 object Memo {
   private val caches =

@@ -24,6 +24,13 @@ import graft.ingest.Ingest
   * Tested broker-free via MemoryStream; the Kafka wiring compiles against
   * the DataSource V2 string API and activates when the
   * spark-sql-kafka connector jar is on the classpath.
+  *
+  * Sink-template note: the drain queries' per-batch `coalesce(1)` writes
+  * are sized for their outputs (bounded per-batch partials/probe rows —
+  * one small file per batch beats 32 tiny ones). A production sink
+  * template drops the coalesce (let output parallelism follow data) and
+  * schedules [[graft.storage.Storage.compactBatchSink]] to merge the
+  * accreted `batch=<id>` trees by target file size.
   */
 object StreamAssembly {
 
