@@ -253,6 +253,8 @@ object SparkEntry {
       ((s, d) => graft.multimodal.Multimodal.imageNearDups(s, d)),
     "mm_ann_topk" ->
       ((s, d) => graft.multimodal.Multimodal.mediaAnnTopK(s, d)),
+    "mm_audio_neardup" ->
+      ((s, d) => graft.multimodal.Multimodal.audioNearDups(s, d)),
     // hash-gated via the error contract (exact values + bounded-error
     // booleans); raw-sketch accuracy additionally spec-asserted (ApproxSpec)
     "approx_value_quantiles" ->
@@ -3040,6 +3042,36 @@ object SparkEntry {
         |    bit_count(xor(a.dhash, b.dhash)) AS hm
         |  FROM dh a JOIN dh b ON a.doc_id < b.doc_id
         |  WHERE bit_count(xor(a.dhash, b.dhash)) <= $h)
+        |SELECT CAST(da % 10 AS BIGINT) AS bucket,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN hm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(sum(hm) AS BIGINT) AS sum_hamming,
+        |  CAST(max(hm) AS INT) AS max_hamming
+        |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // the audio sibling: 1-D energy-delta fingerprint over decoded int16
+    // samples; the oracle recomputes every sample arithmetically and
+    // brute-forces the same Hamming-≤h pairs
+    "mm_audio_neardup" -> {
+      val nb = graft.multimodal.Multimodal.AudioHashBlocks
+      val h = graft.multimodal.Multimodal.DhashMaxHamming
+      s"""WITH au AS (SELECT doc_id, 64 + doc_id % 100 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT doc_id, n, ii.i AS i,
+        |    (doc_id * 31 + ii.i * 7) % 65536 - 32768 AS v
+        |  FROM au, range(0, 164) ii(i) WHERE ii.i < n),
+        |eb AS (SELECT doc_id, (i * $nb) // n AS b,
+        |    CAST(sum(v * v) AS BIGINT) AS e
+        |  FROM s GROUP BY 1, 2),
+        |bit AS (SELECT a.doc_id, a.b AS j FROM eb a JOIN eb b2
+        |  ON b2.doc_id = a.doc_id AND b2.b = a.b + 1 WHERE a.e > b2.e),
+        |ah AS (SELECT au.doc_id,
+        |    CAST(coalesce(sum(1::BIGINT << bit.j), 0) AS BIGINT) AS ahash
+        |  FROM au LEFT JOIN bit USING (doc_id) GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS da,
+        |    bit_count(xor(a.ahash, b.ahash)) AS hm
+        |  FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.ahash, b.ahash)) <= $h)
         |SELECT CAST(da % 10 AS BIGINT) AS bucket,
         |  count(*) AS n_pairs,
         |  CAST(sum(CASE WHEN hm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,

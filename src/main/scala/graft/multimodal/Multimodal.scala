@@ -738,17 +738,28 @@ object Multimodal {
     * handling splits.
     */
   def imageNearDups(spark: SparkSession, sfDir: String,
-                    maxHamming: Int = DhashMaxHamming): DataFrame = {
-    val nBands = DhashGridCols - 1 // 7 byte-bands over 56 bits
+                    maxHamming: Int = DhashMaxHamming): DataFrame =
+    hammingBandRollup(imageDhash(spark, sfDir).persist(), "dhash",
+      nBands = DhashGridCols - 1, maxHamming = maxHamming)
+
+  /** Shared 56-bit-fingerprint near-dup machinery: byte-band the
+    * fingerprint, self-join on band agreement (each qualifying pair
+    * found ONLY at its lowest agreeing band so no distinct over the
+    * pair set — [[graft.ops.Dedup.simhashPairs]]'s calculus, exact for
+    * `maxHamming < nBands` by pigeonhole), roll up per doc_id%10
+    * bucket. Serves the image ([[imageNearDups]]) and audio
+    * ([[audioNearDups]]) fingerprints identically.
+    */
+  private def hammingBandRollup(fp: DataFrame, hashCol: String,
+                                nBands: Int, maxHamming: Int): DataFrame = {
     require(maxHamming < nBands, "pigeonhole exactness needs h < bands")
-    val fp = imageDhash(spark, sfDir).persist()
-    val banded = fp.select(col("doc_id"), col("dhash"),
+    val banded = fp.select(col("doc_id"), col(hashCol),
         explode(sequence(lit(0), lit(nBands - 1))).as("bandidx"))
-      .withColumn("bandval", expr("(dhash >> (bandidx * 8)) & 255"))
+      .withColumn("bandval", expr(s"($hashCol >> (bandidx * 8)) & 255"))
     val firstAgreeingBand = (0 until nBands - 1).map(j =>
         col("a.bandidx") <= j ||
-          (shiftright(col("a.dhash").bitwiseXOR(col("b.dhash")), 8 * j)
-            .bitwiseAND(255) =!= 0))
+          (shiftright(col(s"a.$hashCol").bitwiseXOR(col(s"b.$hashCol")),
+            8 * j).bitwiseAND(255) =!= 0))
       .reduce(_ && _)
     banded.as("a")
       .join(banded.as("b"),
@@ -757,7 +768,8 @@ object Multimodal {
           col("a.doc_id") < col("b.doc_id"))
       .filter(firstAgreeingBand)
       .select(col("a.doc_id").as("doc_a"),
-        expr("bit_count(a.dhash ^ b.dhash)").cast("int").as("hamming"))
+        expr(s"bit_count(a.$hashCol ^ b.$hashCol)").cast("int")
+          .as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .groupBy((col("doc_a") % 10).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -766,6 +778,61 @@ object Multimodal {
         max(col("hamming")).as("max_hamming"))
       .orderBy("bucket")
   }
+
+  /** [[audioAhash]] splits each clip into this many contiguous blocks;
+    * consecutive-block energy comparisons give blocks−1 = 56 bits —
+    * the same sign-bit-free 56-bit/7-band geometry as the image dHash.
+    */
+  val AudioHashBlocks: Int = 57
+
+  /** Acoustic fingerprint per audio clip (public energy-delta method —
+    * the 1-D analogue of dHash, the shape of Haitsma-Kalker-style
+    * audio fingerprinting): the REAL WAV bytes are decoded (RIFF walk,
+    * fmt gate, int16 samples), the clip splits into
+    * [[AudioHashBlocks]] contiguous blocks (sample j → block
+    * j·57/n, every block non-empty since n ≥ 64), and bit b is the
+    * sign of the consecutive block ENERGY delta (Σs² exact integers).
+    * Robust to uniform gain flips the way dHash is to brightness.
+    * Row-local map; the oracle recomputes every sample arithmetically.
+    */
+  def audioAhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nb = AudioHashBlocks
+    Tables.spread(Tables.documents(spark, sfDir).select(col("doc_id")))
+      .filter(col("doc_id") % 3 === 1)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val clip = decodeWav(encodeWav(id)).get
+        val n = clip.samples.length
+        val e = new Array[Long](nb)
+        var j = 0
+        while (j < n) {
+          val s = clip.samples(j).toLong
+          e(j * nb / n) += s * s
+          j += 1
+        }
+        var hash = 0L
+        var b = 0
+        while (b < nb - 1) {
+          if (e(b) > e(b + 1)) hash |= 1L << b
+          b += 1
+        }
+        (id, hash)
+      })
+      .toDF("doc_id", "ahash")
+  }
+
+  /** Acoustic near-dup audit — multimodal × dedup on the AUDIO tier:
+    * [[audioAhash]] fingerprints through the same 7-byte-band
+    * pigeonhole rollup as [[imageNearDups]]. Unlike the degenerate
+    * gradient images, the clips' energy-delta signs vary per id, so
+    * the fixture exercises a sparse (~3%) near-dup regime — the two
+    * queries pin both ends of the selectivity spectrum.
+    */
+  def audioNearDups(spark: SparkSession, sfDir: String,
+                    maxHamming: Int = DhashMaxHamming): DataFrame =
+    hammingBandRollup(audioAhash(spark, sfDir).persist(), "ahash",
+      nBands = 7, maxHamming = maxHamming)
 
   /** Block-luminance feature vectors from REAL decoded pixels — the
     * media-side analogue of the `embeddings` table: each image reduces
