@@ -255,6 +255,8 @@ object SparkEntry {
       ((s, d) => graft.multimodal.Multimodal.mediaAnnTopK(s, d)),
     "mm_audio_neardup" ->
       ((s, d) => graft.multimodal.Multimodal.audioNearDups(s, d)),
+    "mm_image_dedup_survivors" ->
+      ((s, d) => graft.multimodal.Multimodal.imageDedupSurvivors(s, d)),
     // hash-gated via the error contract (exact values + bounded-error
     // booleans); raw-sketch accuracy additionally spec-asserted (ApproxSpec)
     "approx_value_quantiles" ->
@@ -341,6 +343,32 @@ object SparkEntry {
       |cov AS (SELECT DISTINCT doc_id, v.p
       |  FROM g, UNNEST(generate_series(start, start + $km1)) AS v(p)
       |  WHERE gram IN (SELECT gram FROM dup))""".stripMargin
+  }
+
+  /** The 56-bit image dHash recomputed arithmetically from doc_id
+    * (every sampled pixel's channels are affine mod-256 forms; sample
+    * indices are the same integer floor divisions the Spark-side
+    * nearest-neighbor grid uses) — shared CTE prefix of the near-dup
+    * audit and the survivor action, so the fingerprint definition lives
+    * in exactly one place. Yields `dh(doc_id, dhash)`.
+    */
+  private val imageDhashCtes: String = {
+    val rows = graft.multimodal.Multimodal.DhashGridRows
+    val cols = graft.multimodal.Multimodal.DhashGridCols
+    s"""WITH img AS (SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 7 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |bit AS (SELECT doc_id, rr.r * ${cols - 1} + cc.c AS j
+      |  FROM img, range(0, $rows) rr(r), range(0, ${cols - 1}) cc(c)
+      |  WHERE 299 * ((doc_id * 3 + (rr.r * h // $rows) + (cc.c * w // $cols)) % 256)
+      |      + 587 * ((doc_id * 2 + (rr.r * h // $rows) + (cc.c * w // $cols)) % 256)
+      |      + 114 * ((doc_id + (rr.r * h // $rows) + (cc.c * w // $cols)) % 256)
+      |      > 299 * ((doc_id * 3 + (rr.r * h // $rows) + ((cc.c + 1) * w // $cols)) % 256)
+      |      + 587 * ((doc_id * 2 + (rr.r * h // $rows) + ((cc.c + 1) * w // $cols)) % 256)
+      |      + 114 * ((doc_id + (rr.r * h // $rows) + ((cc.c + 1) * w // $cols)) % 256)),
+      |dh AS (SELECT i.doc_id,
+      |    CAST(coalesce(sum(1::BIGINT << b.j), 0) AS BIGINT) AS dhash
+      |  FROM img i LEFT JOIN bit b USING (doc_id) GROUP BY 1)"""
+      .stripMargin
   }
 
   /** Real-codec decode totals recomputed arithmetically from doc_id —
@@ -3022,22 +3050,8 @@ object SparkEntry {
     // pixel arithmetically and brute-forces the same Hamming-≤h pairs
     // (banding is exact for h < bands by pigeonhole)
     "mm_image_neardup" -> {
-      val rows = graft.multimodal.Multimodal.DhashGridRows
-      val cols = graft.multimodal.Multimodal.DhashGridCols
       val h = graft.multimodal.Multimodal.DhashMaxHamming
-      s"""WITH img AS (SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 7 AS h
-        |  FROM documents WHERE doc_id % 3 = 0),
-        |bit AS (SELECT doc_id, rr.r * ${cols - 1} + cc.c AS j
-        |  FROM img, range(0, $rows) rr(r), range(0, ${cols - 1}) cc(c)
-        |  WHERE 299 * ((doc_id * 3 + (rr.r * h // $rows) + (cc.c * w // $cols)) % 256)
-        |      + 587 * ((doc_id * 2 + (rr.r * h // $rows) + (cc.c * w // $cols)) % 256)
-        |      + 114 * ((doc_id + (rr.r * h // $rows) + (cc.c * w // $cols)) % 256)
-        |      > 299 * ((doc_id * 3 + (rr.r * h // $rows) + ((cc.c + 1) * w // $cols)) % 256)
-        |      + 587 * ((doc_id * 2 + (rr.r * h // $rows) + ((cc.c + 1) * w // $cols)) % 256)
-        |      + 114 * ((doc_id + (rr.r * h // $rows) + ((cc.c + 1) * w // $cols)) % 256)),
-        |dh AS (SELECT i.doc_id,
-        |    CAST(coalesce(sum(1::BIGINT << b.j), 0) AS BIGINT) AS dhash
-        |  FROM img i LEFT JOIN bit b USING (doc_id) GROUP BY 1),
+      s"""$imageDhashCtes,
         |pr AS (SELECT a.doc_id AS da,
         |    bit_count(xor(a.dhash, b.dhash)) AS hm
         |  FROM dh a JOIN dh b ON a.doc_id < b.doc_id
@@ -3049,6 +3063,19 @@ object SparkEntry {
         |  CAST(max(hm) AS INT) AS max_hamming
         |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // the dedup ACTION on the same fingerprint CTE: group by full hash
+    // (Hamming 0 ⇔ equal hash), keep-min survivor, bucketed shrink report
+    "mm_image_dedup_survivors" ->
+      s"""$imageDhashCtes,
+        |sv AS (SELECT dhash, min(doc_id) AS survivor FROM dh GROUP BY 1)
+        |SELECT CAST(d.doc_id % 10 AS BIGINT) AS bucket,
+        |  count(*) AS n_images,
+        |  CAST(sum(CASE WHEN d.doc_id = s.survivor THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_survivors,
+        |  CAST(sum(CASE WHEN d.doc_id <> s.survivor THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped
+        |FROM dh d JOIN sv s USING (dhash)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the audio sibling: 1-D energy-delta fingerprint over decoded int16
     // samples; the oracle recomputes every sample arithmetically and
     // brute-forces the same Hamming-≤h pairs

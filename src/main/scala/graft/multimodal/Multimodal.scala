@@ -779,6 +779,35 @@ object Multimodal {
       .orderBy("bucket")
   }
 
+  /** The dedup ACTION to [[imageNearDups]]'s audit: exact-perceptual
+    * dedup — images grouped by their full [[imageDhash]] fingerprint
+    * (Hamming 0 ⇔ equal 56-bit hash, so no pair/CC machinery is
+    * needed: the groupBy IS the clustering), keeping the lowest doc_id
+    * per fingerprint (the keep-first survivor rule of
+    * [[graft.ops.Dedup]]'s survivors query). Per doc_id%10 bucket:
+    * image count, survivor count, dropped count — the shrink report a
+    * media curation stage signs off on.
+    *
+    * Scale shape: one hash-keyed aggregate builds the (hash →
+    * survivor) map, re-joined to the fingerprint frame on the hash key
+    * (never a per-hash member list — a hot fingerprint like this
+    * fixture's dominant gradient hash would funnel its whole cluster
+    * through one task; as a skewed hash join it is exactly what AQE
+    * skew-split handles), then one bucket rollup.
+    */
+  def imageDedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = imageDhash(spark, sfDir).persist()
+    val surv = fp.groupBy("dhash").agg(min(col("doc_id")).as("survivor"))
+    fp.join(surv, Seq("dhash"))
+      .groupBy((col("doc_id") % 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(when(col("doc_id") === col("survivor"), 1L).otherwise(0L))
+          .as("n_survivors"),
+        sum(when(col("doc_id") =!= col("survivor"), 1L).otherwise(0L))
+          .as("n_dropped"))
+      .orderBy("bucket")
+  }
+
   /** [[audioAhash]] splits each clip into this many contiguous blocks;
     * consecutive-block energy comparisons give blocks−1 = 56 bits —
     * the same sign-bit-free 56-bit/7-band geometry as the image dHash.
