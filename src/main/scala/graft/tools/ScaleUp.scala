@@ -1,0 +1,103 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal fixture builder: replicate an existing sf directory
+  * `factor`× with consistent key remapping, so the bench can be timed at
+  * 10× (sf1) without the driver's generator. Copy `i` shifts every key
+  * column by `i · off(table)`, where `off` is the table's max key rounded
+  * up to a multiple of [[KeyModulus]] — keeping all the mod-derived
+  * distributions the operators key on (doc_id % 3 media type, % 2
+  * stream/history splits, % 10 report buckets, the % 9/7/5/4 media dims,
+  * % 100 sampling coins) IDENTICAL per copy, and keeping every foreign
+  * key consistent (an order's lineitems shift together with it, a
+  * customer's orders with the customer).
+  *
+  * Dimension tables (region, nation) are NOT replicated — at any scale a
+  * star schema's dims stay broadcast-sized; facts fan out against them.
+  *
+  * Caveat (documented in BASELINE.md): replicated copies carry byte-equal
+  * `text`/`embedding` payloads, so the sf1 corpus is maximally dup-heavy
+  * — every doc has `factor−1` exact twins. For the dedup/similarity tiers
+  * that is a stress test (cluster sizes and band buckets grow ×factor),
+  * not a distribution match; scan/join/agg/window tiers are unaffected.
+  */
+object ScaleUp {
+
+  /** lcm(2520, 100) — divides every modulus the fixture operators use on
+    * key columns (2,3,4,5,6,7,8,9,10,30,100).
+    */
+  val KeyModulus: Long = 12600L
+
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "region" -> Seq.empty,
+    "nation" -> Seq.empty,
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val destDir = if (args.length > 1) args(1) else "target/scale/sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // per key DOMAIN (not per table): orderkey offsets must agree between
+    // orders and lineitem, custkey between customer and orders, etc.
+    val domainOf: Map[String, String] = Map(
+      "c_custkey" -> "custkey", "o_custkey" -> "custkey",
+      "s_suppkey" -> "suppkey", "l_suppkey" -> "suppkey",
+      "p_partkey" -> "partkey", "l_partkey" -> "partkey",
+      "o_orderkey" -> "orderkey", "l_orderkey" -> "orderkey",
+      "event_id" -> "event_id", "user_id" -> "user_id",
+      "doc_id" -> "doc_id", "vec_id" -> "vec_id")
+
+    val tables = keyCols.keys.toSeq
+    val frames = tables.map(t =>
+      t -> spark.read.parquet(s"$srcDir/$t.parquet")).toMap
+
+    // offset per domain = max over every column in the domain, rounded up
+    // to the next KeyModulus multiple (so key % m is copy-invariant)
+    val domainOff: Map[String, Long] = domainOf.values.toSeq.distinct.map {
+      dom =>
+        val maxes = for {
+          (t, cols) <- keyCols.toSeq
+          c <- cols if domainOf(c) == dom
+        } yield frames(t).agg(max(col(c))).collect()(0).getLong(0)
+        val m = maxes.max
+        dom -> ((m / KeyModulus) + 1) * KeyModulus
+    }.toMap
+
+    tables.foreach { t =>
+      val df = frames(t)
+      val keys = keyCols(t)
+      val out =
+        if (keys.isEmpty) df
+        else
+          (0 until factor).map { i =>
+            keys.foldLeft(df) { (d, k) =>
+              d.withColumn(k,
+                (col(k) + lit(i.toLong * domainOff(domainOf(k))))
+                  .cast(df.schema(k).dataType))
+            }
+          }.reduce(_ unionByName _)
+      out.write.mode("overwrite").parquet(s"$destDir/$t.parquet")
+      println(s"[scaleup] $t: ${df.count()} -> ${spark.read
+        .parquet(s"$destDir/$t.parquet").count()} rows")
+    }
+    spark.stop()
+  }
+}
