@@ -47,6 +47,8 @@ object ScaleUp {
     val destDir = if (args.length > 1) args(1) else "target/scale/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val hadSession = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -54,7 +56,13 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, srcDir, destDir, factor)
+    // only tear down a session this main created (the spec reuses its own)
+    if (!hadSession) spark.stop()
+  }
 
+  def run(spark: SparkSession, srcDir: String, destDir: String,
+          factor: Int): Unit = {
     // per key DOMAIN (not per table): orderkey offsets must agree between
     // orders and lineitem, custkey between customer and orders, etc.
     val domainOf: Map[String, String] = Map(
@@ -98,6 +106,5 @@ object ScaleUp {
       println(s"[scaleup] $t: ${df.count()} -> ${spark.read
         .parquet(s"$destDir/$t.parquet").count()} rows")
     }
-    spark.stop()
   }
 }

@@ -139,4 +139,33 @@ class Round11Spec extends SparkSpec {
       assert(r.getAs[Long]("n_dup_tok") <= r.getAs[Long]("n_tok"))
     }
   }
+
+  test("ScaleUp replication keeps mod-derived distributions copy-" +
+       "invariant and foreign keys aligned") {
+    val dest = java.nio.file.Files
+      .createTempDirectory("scaleup").toString + "/sf"
+    graft.tools.ScaleUp.run(spark, sf, dest, factor = 2)
+    def t(n: String) = spark.read.parquet(s"$dest/$n.parquet")
+    def src(n: String) = spark.read.parquet(s"$sf/$n.parquet")
+    // volumes ×2 for facts, dims untouched
+    assert(t("lineitem").count() === 2 * src("lineitem").count())
+    assert(t("documents").count() === 2 * src("documents").count())
+    assert(t("nation").count() === src("nation").count())
+    // the media-type split (doc_id % 3) is exactly doubled per class
+    val byType = t("documents")
+      .groupBy((col("doc_id") % 3).as("m")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val srcByType = src("documents")
+      .groupBy((col("doc_id") % 3).as("m")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byType === srcByType.map { case (k, v) => k -> 2 * v })
+    // FK alignment: no orphans in either direction of the star
+    assert(t("orders").join(t("customer"),
+      col("o_custkey") === col("c_custkey"), "left_anti").count() === 0)
+    assert(t("lineitem").join(t("orders"),
+      col("l_orderkey") === col("o_orderkey"), "left_anti").count() === 0)
+    // copies are disjoint: key count exactly doubles
+    assert(t("orders").select("o_orderkey").distinct().count() ===
+      2 * src("orders").select("o_orderkey").distinct().count())
+  }
 }
