@@ -537,7 +537,11 @@ class PlanSpec extends SparkSpec {
       "sales_etl_pipeline" -> 3,
       "dedup_clusters_star" -> 4,
       "curation_pipeline_semantic" -> 13,
-      "semdedup" -> 16)
+      "semdedup" -> 16,
+      "mm_image_neardup" -> 2,
+      "mm_audio_neardup" -> 2,
+      "mm_image_dedup_survivors" -> 3,
+      "mm_ann_topk" -> 6)
     val aggOrLimit = Set("HashAggregateExec", "ObjectHashAggregateExec",
       "SortAggregateExec", "TakeOrderedAndProjectExec", "GlobalLimitExec",
       "CollectLimitExec", "LocalLimitExec")
