@@ -688,7 +688,19 @@ object Multimodal {
     * Row-local (partition-streaming map, no shuffle) — the 100 TB
     * fingerprint-stage shape.
     */
-  def imageDhash(spark: SparkSession, sfDir: String): DataFrame = {
+  def imageDhash(spark: SparkSession, sfDir: String): DataFrame =
+    dhashCache.getOrElseUpdate((spark, sfDir),
+      imageDhashUncached(spark, sfDir).localCheckpoint(true))
+
+  /** [[imageDhash]] memoized per (session, sfDir) — the fingerprint
+    * frame serves both the near-dup audit and the survivor action, so
+    * one bench pass decodes each image's BMP once ([[graft.ops.Memo]]
+    * drops the state between timed passes, keeping timings honest).
+    */
+  private val dhashCache = graft.ops.Memo.registry[(SparkSession, String)]
+
+  private def imageDhashUncached(spark: SparkSession,
+                                 sfDir: String): DataFrame = {
     import spark.implicits._
     val rows = DhashGridRows; val cols = DhashGridCols
     Tables.spread(Tables.documents(spark, sfDir).select(col("doc_id")))
@@ -739,8 +751,9 @@ object Multimodal {
     */
   def imageNearDups(spark: SparkSession, sfDir: String,
                     maxHamming: Int = DhashMaxHamming): DataFrame =
-    hammingBandRollup(imageDhash(spark, sfDir).persist(), "dhash",
-      nBands = DhashGridCols - 1, maxHamming = maxHamming)
+    hammingBandRollup(imageDhash(spark, sfDir), "dhash",
+      hashBits = DhashGridRows * (DhashGridCols - 1),
+      maxHamming = maxHamming)
 
   /** Shared 56-bit-fingerprint near-dup machinery: byte-band the
     * fingerprint, self-join on band agreement (each qualifying pair
@@ -751,7 +764,11 @@ object Multimodal {
     * ([[audioNearDups]]) fingerprints identically.
     */
   private def hammingBandRollup(fp: DataFrame, hashCol: String,
-                                nBands: Int, maxHamming: Int): DataFrame = {
+                                hashBits: Int, maxHamming: Int): DataFrame = {
+    val nBands = (hashBits + 7) / 8
+    require(nBands * 8 >= hashBits,
+      "bands must cover the full hash width or high-bit-only " +
+        "differences silently escape the band join")
     require(maxHamming < nBands, "pigeonhole exactness needs h < bands")
     val banded = fp.select(col("doc_id"), col(hashCol),
         explode(sequence(lit(0), lit(nBands - 1))).as("bandidx"))
@@ -796,7 +813,8 @@ object Multimodal {
     * skew-split handles), then one bucket rollup.
     */
   def imageDedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
-    val fp = imageDhash(spark, sfDir).persist()
+    val fp = imageDhash(spark, sfDir) // memoized + checkpointed
+
     val surv = fp.groupBy("dhash").agg(min(col("doc_id")).as("survivor"))
     fp.join(surv, Seq("dhash"))
       .groupBy((col("doc_id") % 10).cast("long").as("bucket"))
@@ -860,8 +878,12 @@ object Multimodal {
     */
   def audioNearDups(spark: SparkSession, sfDir: String,
                     maxHamming: Int = DhashMaxHamming): DataFrame =
-    hammingBandRollup(audioAhash(spark, sfDir).persist(), "ahash",
-      nBands = 7, maxHamming = maxHamming)
+    hammingBandRollup(
+      audioCache.getOrElseUpdate((spark, sfDir),
+        audioAhash(spark, sfDir).localCheckpoint(true)),
+      "ahash", hashBits = AudioHashBlocks - 1, maxHamming = maxHamming)
+
+  private val audioCache = graft.ops.Memo.registry[(SparkSession, String)]
 
   /** Block-luminance feature vectors from REAL decoded pixels — the
     * media-side analogue of the `embeddings` table: each image reduces

@@ -384,12 +384,13 @@ object CorpusStats {
   private val bpeWordCache =
     graft.ops.Memo.registry[(SparkSession, String, Int)]
 
-  /** The shared merge loop: returns (per-round 1-row best frames with
-    * rank/pair/n columns, the post-merge word frame (cnt, s)).
+  /** The corpus word distribution in delimiter-wrapped symbol form
+    * (`|a||b||c|`) — shared by the sequential ([[bpeLoop]]) and batched
+    * ([[bpeTrainMergesBatched]]) trainers so the encoding lives in one
+    * place (the spec-pinned batchSize=1 equivalence depends on it).
     */
-  private def bpeLoop(spark: SparkSession, sfDir: String,
-                      rounds: Int): (Seq[DataFrame], DataFrame) = {
-    var words = Tables.documents(spark, sfDir)
+  private def bpeWordFrame(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -397,21 +398,35 @@ object CorpusStats {
         expr("array_join(transform(sequence(1, length(w))," +
           " i -> substring(w, i, 1)), '||')"), lit("|")).as("s"))
       .localCheckpoint(true)
+
+  /** Occurrence-weighted adjacent-pair counts over a word frame —
+    * the per-round counting stage both trainers share; callers append
+    * their own argmax / candidate-pool sort-limit.
+    */
+  private def bpePairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("cnt"), split(trim(col("s"), "|"), "\\|\\|").as("syms"))
+      // single-symbol words carry no pair; Spark's sequence(1, 0) would
+      // DESCEND ([1,0]) rather than return empty, so filter explicitly
+      // (DuckDB's generate_series(1, 0) is already empty)
+      .filter(size(col("syms")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, size(syms) - 1)," +
+          " i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("cnt").cast("long").as("n"))
+
+  /** The shared merge loop: returns (per-round 1-row best frames with
+    * rank/pair/n columns, the post-merge word frame (cnt, s)).
+    */
+  private def bpeLoop(spark: SparkSession, sfDir: String,
+                      rounds: Int): (Seq[DataFrame], DataFrame) = {
+    var words = bpeWordFrame(spark, sfDir)
     val bests = Seq.newBuilder[DataFrame]
     var i = 1
     var exhausted = false
     while (i <= rounds && !exhausted) {
-      val best = words
-        .select(col("cnt"), split(trim(col("s"), "|"), "\\|\\|").as("syms"))
-        // single-symbol words carry no pair; Spark's sequence(1, 0) would
-        // DESCEND ([1,0]) rather than return empty, so filter explicitly
-        // (DuckDB's generate_series(1, 0) is already empty)
-        .filter(size(col("syms")) >= 2)
-        .select(col("cnt"), explode(expr(
-          "transform(sequence(1, size(syms) - 1)," +
-            " i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("cnt").cast("long").as("n"))
+      val best = bpePairCounts(words)
         .orderBy(desc("n"), asc("l"), asc("r")).limit(1)
         .localCheckpoint(true)
       // Guard: a corpus can run out of mergeable pairs before `rounds`
@@ -470,14 +485,7 @@ object CorpusStats {
   def bpeTrainMergesBatched(spark: SparkSession, sfDir: String,
                             rounds: Int, batchSize: Int): DataFrame = {
     import spark.implicits._
-    var words = Tables.documents(spark, sfDir)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) >= 1)
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"), concat(lit("|"),
-        expr("array_join(transform(sequence(1, length(w))," +
-          " i -> substring(w, i, 1)), '||')"), lit("|")).as("s"))
-      .localCheckpoint(true)
+    var words = bpeWordFrame(spark, sfDir)
     val out = Seq.newBuilder[DataFrame]
     var round = 1
     var rankBase = 0L
@@ -488,14 +496,7 @@ object CorpusStats {
       // per accept in the worst case; 4× is comfortable for real corpora
       // and the selection degrades gracefully — an under-filled batch
       // just merges fewer pairs this round)
-      val cand = words
-        .select(col("cnt"), split(trim(col("s"), "|"), "\\|\\|").as("syms"))
-        .filter(size(col("syms")) >= 2)
-        .select(col("cnt"), explode(expr(
-          "transform(sequence(1, size(syms) - 1)," +
-            " i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("cnt").cast("long").as("n"))
+      val cand = bpePairCounts(words)
         .orderBy(desc("n"), asc("l"), asc("r")).limit(4 * batchSize)
       // greedy non-interacting selection on ONE executor partition over
       // the bounded candidate pool — same locality class as the 1-row
@@ -510,7 +511,11 @@ object CorpusStats {
           it.foreach { case (l, r, n) =>
             if (picked.length < m && !used(l) && !used(r)) {
               picked += ((picked.length + 1, l, r, n))
-              used += l; used += r
+              // block the pair's symbols AND its concatenation: a later
+              // candidate whose symbol equals an earlier pick's merged
+              // token would match occurrences CREATED mid-round by the
+              // fold, breaking the round-start count freeze
+              used += l; used += r; used += (l + r)
             }
           }
           picked.iterator

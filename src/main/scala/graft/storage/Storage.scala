@@ -200,8 +200,14 @@ object Storage {
     df.drop("batch")
       .repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(src, old) || !fs.rename(tmp, src))
+    if (!fs.rename(src, old))
       throw new java.io.IOException(s"compaction swap failed for $path")
+    if (!fs.rename(tmp, src)) {
+      // roll the original tree back so the sink directory is never left
+      // missing — "either tree is always complete" must hold for readers
+      fs.rename(old, src)
+      throw new java.io.IOException(s"compaction swap failed for $path")
+    }
     fs.delete(old, true)
     var nAfter = 0L
     val it2 = fs.listFiles(src, true)

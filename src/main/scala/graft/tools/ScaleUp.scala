@@ -25,10 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  /** lcm(2520, 100) — divides every modulus the fixture operators use on
-    * key columns (2,3,4,5,6,7,8,9,10,30,100).
+  /** lcm(2520, 100, 16, 97) — divides every modulus the fixture
+    * operators apply to key columns (2,3,4,5,6,7,8,9,10,30,100, the
+    * %16 stream-join user buckets, and the %97 top_orders stratum), so
+    * every mod-derived distribution is copy-invariant. (Mods over
+    * DERIVED values — md5 coins, %256 pixel channels — intentionally
+    * differ per copy.)
     */
-  val KeyModulus: Long = 12600L
+  val KeyModulus: Long = 2444400L
 
   private val keyCols: Map[String, Seq[String]] = Map(
     "region" -> Seq.empty,
@@ -65,13 +69,19 @@ object ScaleUp {
           factor: Int): Unit = {
     // per key DOMAIN (not per table): orderkey offsets must agree between
     // orders and lineitem, custkey between customer and orders, etc.
+    // Cross-table references beyond the obvious star FKs: embeddings'
+    // vec_id indexes documents' doc_id (hybrid search, semantic
+    // contamination), and events' user_id joins customer.c_custkey
+    // (stream static enrichment) — each must share its referent's
+    // domain or replication cross-wires the copies.
     val domainOf: Map[String, String] = Map(
       "c_custkey" -> "custkey", "o_custkey" -> "custkey",
+      "user_id" -> "custkey",
       "s_suppkey" -> "suppkey", "l_suppkey" -> "suppkey",
       "p_partkey" -> "partkey", "l_partkey" -> "partkey",
       "o_orderkey" -> "orderkey", "l_orderkey" -> "orderkey",
-      "event_id" -> "event_id", "user_id" -> "user_id",
-      "doc_id" -> "doc_id", "vec_id" -> "vec_id")
+      "event_id" -> "event_id",
+      "doc_id" -> "doc_id", "vec_id" -> "doc_id")
 
     val tables = keyCols.keys.toSeq
     val frames = tables.map(t =>
@@ -84,7 +94,15 @@ object ScaleUp {
         val maxes = for {
           (t, cols) <- keyCols.toSeq
           c <- cols if domainOf(c) == dom
-        } yield frames(t).agg(max(col(c))).collect()(0).getLong(0)
+        } yield {
+          // fail loudly on a non-integral key (fixture schema drift has
+          // happened before); tolerate int32/int64 via Number
+          frames(t).agg(max(col(c))).collect()(0).get(0) match {
+            case n: Number => n.longValue()
+            case other => throw new IllegalArgumentException(
+              s"non-numeric key column $t.$c: $other")
+          }
+        }
         val m = maxes.max
         dom -> ((m / KeyModulus) + 1) * KeyModulus
     }.toMap
@@ -97,9 +115,18 @@ object ScaleUp {
         else
           (0 until factor).map { i =>
             keys.foldLeft(df) { (d, k) =>
+              // keep the source dtype unless the shifted range would
+              // overflow it (an int32 key near 2^31 would silently wrap
+              // on cast) — then widen to long
+              val off = domainOff(domainOf(k))
+              val target = df.schema(k).dataType match {
+                case org.apache.spark.sql.types.LongType =>
+                  org.apache.spark.sql.types.LongType
+                case narrow if off * factor <= Int.MaxValue.toLong => narrow
+                case _ => org.apache.spark.sql.types.LongType
+              }
               d.withColumn(k,
-                (col(k) + lit(i.toLong * domainOff(domainOf(k))))
-                  .cast(df.schema(k).dataType))
+                (col(k) + lit(i.toLong * off)).cast(target))
             }
           }.reduce(_ unionByName _)
       out.write.mode("overwrite").parquet(s"$destDir/$t.parquet")

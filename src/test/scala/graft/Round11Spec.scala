@@ -34,6 +34,16 @@ class Round11Spec extends SparkSpec {
       val syms = rs.flatMap(_.getAs[String]("pair").split(" "))
       assert(syms.length === syms.distinct.length,
         s"round $round shares a symbol: ${syms.mkString(",")}")
+      // and no pair's symbol equals an EARLIER pick's merged token — the
+      // fold would otherwise merge occurrences created mid-round,
+      // breaking the round-start count freeze
+      val ordered = rs.sortBy(_.getAs[Long]("rank"))
+        .map(_.getAs[String]("pair").split(" "))
+      ordered.zipWithIndex.foreach { case (p, i) =>
+        val earlierConcats = ordered.take(i).map(_.mkString).toSet
+        assert(!p.exists(earlierConcats),
+          s"round $round pair ${p.mkString(" ")} uses an earlier concat")
+      }
       // counts are round-start frozen → ranked non-increasing in-round
       val ns = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("n")).toSeq
       assert(ns === ns.sorted.reverse, s"round $round counts: $ns")
