@@ -505,6 +505,30 @@ class PlanSpec extends SparkSpec {
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("multimodal vector query prunes the documents scan to doc_id; " +
+       "memoized fingerprint queries consume the checkpoint, not a re-scan") {
+    graft.ops.Memo.clearAll()
+    // uncached path: the block-vector pipeline must read ONLY doc_id of
+    // the 5-column documents table (payload synthesis is row-local)
+    val scans = planOf("mm_ann_topk").collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    scans.foreach(s =>
+      assert(s.requiredSchema.fieldNames.toSeq === Seq("doc_id")))
+    // memoized path: after the fingerprint checkpoint materializes, its
+    // consumers read the checkpointed blocks — no second decode pass, no
+    // parquet re-scan (the cross-query memo doing its job)
+    Seq("mm_image_neardup", "mm_image_dedup_survivors",
+        "mm_audio_neardup").foreach { name =>
+      val plan = planOf(name)
+      withClue(s"[$name] ") {
+        assert(!plan.exists(_.isInstanceOf[FileSourceScanExec]))
+        assert(plan.exists(_.getClass.getSimpleName.contains("RDDScan")))
+      }
+    }
+  }
+
   /** Wholesale plan-shape pin for the most expensive non-streaming
     * queries (the BENCH top tier): the invariants that make them
     * scale, asserted together so a refactor can't silently regress a
