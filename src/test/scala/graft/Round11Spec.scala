@@ -89,6 +89,57 @@ class Round11Spec extends SparkSpec {
       s"batched $batJobs jobs for $batMerges merges vs sequential $seqJobs")
   }
 
+  test("batched BPE counts are TRUE round-start counts: an in-test " +
+       "reference tokenizer replays every round's corpus state") {
+    import org.apache.spark.sql.Row
+    val rows = CorpusStats.bpeTrainMergesBatched(spark, sf,
+        rounds = 3, batchSize = 5)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    assert(rows.nonEmpty)
+    // reference corpus state: word -> (symbols, occurrence count)
+    var words: Map[Vector[String], Long] = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getString(0).toVector.map(_.toString) -> r.getLong(1))
+      .toMap
+    def pairCount(l: String, r: String): Long =
+      words.iterator.map { case (syms, cnt) =>
+        cnt * syms.indices.dropRight(1)
+          .count(i => syms(i) == l && syms(i + 1) == r)
+      }.sum
+    // greedy non-overlapping left-to-right merge, the replace() semantics
+    def applyMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    rows.groupBy(_.getAs[Long]("round")).toSeq.sortBy(_._1).foreach {
+      case (_, rs: Array[Row]) =>
+        val picks = rs.sortBy(_.getAs[Long]("rank"))
+        // every reported n must equal the count in the CURRENT (round-
+        // start) corpus state — for every pick in the batch, not just
+        // the first: the freeze contract
+        picks.foreach { p =>
+          val Array(l, r) = p.getAs[String]("pair").split(" ")
+          assert(p.getAs[Long]("n") === pairCount(l, r),
+            s"pair ($l,$r) count not frozen at round start")
+        }
+        // then fold the whole batch in rank order, as the engine does
+        picks.foreach { p =>
+          val Array(l, r) = p.getAs[String]("pair").split(" ")
+          words = words.toSeq.map { case (syms, cnt) =>
+            applyMerge(syms, l, r) -> cnt
+          }.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+        }
+    }
+  }
+
   test("dHash band join finds exactly the brute-force Hamming-≤6 pairs") {
     import graft.multimodal.Multimodal
     val fp = Multimodal.imageDhash(spark, sf).collect()
