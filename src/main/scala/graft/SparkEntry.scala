@@ -257,6 +257,8 @@ object SparkEntry {
       ((s, d) => graft.multimodal.Multimodal.audioNearDups(s, d)),
     "mm_image_dedup_survivors" ->
       ((s, d) => graft.multimodal.Multimodal.imageDedupSurvivors(s, d)),
+    "mm_ann_recall" ->
+      ((s, d) => graft.multimodal.Multimodal.mediaAnnRecall(s, d)),
     // hash-gated via the error contract (exact values + bounded-error
     // booleans); raw-sketch accuracy additionally spec-asserted (ApproxSpec)
     "approx_value_quantiles" ->
@@ -369,6 +371,45 @@ object SparkEntry {
       |    CAST(coalesce(sum(1::BIGINT << b.j), 0) AS BIGINT) AS dhash
       |  FROM img i LEFT JOIN bit b USING (doc_id) GROUP BY 1)"""
       .stripMargin
+  }
+
+  /** The media block-vector IVF pipeline recomputed arithmetically from
+    * doc_id (4×4 block luminance sums — exact integers in DOUBLE — then
+    * the sim_ivf cell scheme with Multimodal's cell/probe constants) —
+    * shared CTE prefix of the ANN query and its recall audit. Yields
+    * `nr(doc_id, vec, nrm)`, `assigned(doc_id, vec, nrm, cell)`,
+    * `qcells(cid)`.
+    */
+  private val mediaIvfCtes: String = {
+    val cells = graft.multimodal.Multimodal.MmAnnCells
+    val probe = graft.multimodal.Multimodal.MmAnnProbe
+    s"""WITH img AS (SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 7 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (SELECT doc_id,
+      |    (rr.r * 4 // h) * 4 + (cc.c * 4 // w) AS b,
+      |    299 * ((doc_id * 3 + rr.r + cc.c) % 256)
+      |      + 587 * ((doc_id * 2 + rr.r + cc.c) % 256)
+      |      + 114 * ((doc_id + rr.r + cc.c) % 256) AS luma
+      |  FROM img, range(0, 11) rr(r), range(0, 17) cc(c)
+      |  WHERE rr.r < h AND cc.c < w),
+      |blk AS (SELECT doc_id, b, CAST(sum(luma) AS DOUBLE) AS v
+      |  FROM px GROUP BY 1, 2),
+      |vv AS (SELECT doc_id, list(v ORDER BY b) AS vec FROM blk GROUP BY 1),
+      |nr AS (SELECT doc_id, vec,
+      |    sqrt(list_sum([vec[i] * vec[i] for i in range(1, 17)])) AS nrm
+      |  FROM vv),
+      |cents AS (SELECT doc_id AS cid, vec AS c_vec, nrm AS c_nrm
+      |  FROM nr WHERE doc_id < ${3 * cells}),
+      |scored AS (SELECT n.doc_id, n.vec, n.nrm, c.cid,
+      |    list_sum([n.vec[i] * c.c_vec[i] for i in range(1, 17)])
+      |      / (n.nrm * c.c_nrm) AS ccos
+      |  FROM nr n, cents c),
+      |assigned AS (SELECT doc_id, vec, nrm, cid AS cell FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY ccos DESC, cid ASC) AS rn
+      |  FROM scored) WHERE rn = 1),
+      |qcells AS (SELECT cid FROM scored WHERE doc_id = 0
+      |  ORDER BY ccos DESC, cid ASC LIMIT $probe)""".stripMargin
   }
 
   /** Real-codec decode totals recomputed arithmetically from doc_id —
@@ -3111,36 +3152,8 @@ object SparkEntry {
     // the sim_ivf cell scheme; cosine doubles hash via the vec_dot fold
     // precedent
     "mm_ann_topk" -> {
-      val cells = graft.multimodal.Multimodal.MmAnnCells
-      val probe = graft.multimodal.Multimodal.MmAnnProbe
       val k = graft.multimodal.Multimodal.MmAnnK
-      s"""WITH img AS (SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 7 AS h
-        |  FROM documents WHERE doc_id % 3 = 0),
-        |px AS (SELECT doc_id,
-        |    (rr.r * 4 // h) * 4 + (cc.c * 4 // w) AS b,
-        |    299 * ((doc_id * 3 + rr.r + cc.c) % 256)
-        |      + 587 * ((doc_id * 2 + rr.r + cc.c) % 256)
-        |      + 114 * ((doc_id + rr.r + cc.c) % 256) AS luma
-        |  FROM img, range(0, 11) rr(r), range(0, 17) cc(c)
-        |  WHERE rr.r < h AND cc.c < w),
-        |blk AS (SELECT doc_id, b, CAST(sum(luma) AS DOUBLE) AS v
-        |  FROM px GROUP BY 1, 2),
-        |vv AS (SELECT doc_id, list(v ORDER BY b) AS vec FROM blk GROUP BY 1),
-        |nr AS (SELECT doc_id, vec,
-        |    sqrt(list_sum([vec[i] * vec[i] for i in range(1, 17)])) AS nrm
-        |  FROM vv),
-        |cents AS (SELECT doc_id AS cid, vec AS c_vec, nrm AS c_nrm
-        |  FROM nr WHERE doc_id < ${3 * cells}),
-        |scored AS (SELECT n.doc_id, n.vec, n.nrm, c.cid,
-        |    list_sum([n.vec[i] * c.c_vec[i] for i in range(1, 17)])
-        |      / (n.nrm * c.c_nrm) AS ccos
-        |  FROM nr n, cents c),
-        |assigned AS (SELECT doc_id, vec, nrm, cid AS cell FROM (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY doc_id ORDER BY ccos DESC, cid ASC) AS rn
-        |  FROM scored) WHERE rn = 1),
-        |qcells AS (SELECT cid FROM scored WHERE doc_id = 0
-        |  ORDER BY ccos DESC, cid ASC LIMIT $probe),
+      s"""$mediaIvfCtes,
         |q AS (SELECT vec AS q_vec, nrm AS q_nrm FROM nr WHERE doc_id = 0)
         |SELECT a.doc_id,
         |  list_sum([a.vec[i] * q.q_vec[i] for i in range(1, 17)])
@@ -3148,6 +3161,26 @@ object SparkEntry {
         |FROM assigned a, q
         |WHERE a.doc_id <> 0 AND a.cell IN (SELECT cid FROM qcells)
         |ORDER BY cosine DESC, doc_id ASC LIMIT $k""".stripMargin
+    },
+    // IVF∩BF top-k overlap on the media vectors — the approximation
+    // audit, recall as an exact ppm integer (the ivf_recall pattern)
+    "mm_ann_recall" -> {
+      val k = graft.multimodal.Multimodal.MmAnnK
+      s"""$mediaIvfCtes,
+        |q AS (SELECT vec AS q_vec, nrm AS q_nrm FROM nr WHERE doc_id = 0),
+        |ivf AS (SELECT a.doc_id FROM assigned a, q
+        |  WHERE a.doc_id <> 0 AND a.cell IN (SELECT cid FROM qcells)
+        |  ORDER BY list_sum([a.vec[i] * q.q_vec[i] for i in range(1, 17)])
+        |    / (a.nrm * q.q_nrm) DESC, a.doc_id ASC LIMIT $k),
+        |bf AS (SELECT e.doc_id FROM nr e, q WHERE e.doc_id <> 0
+        |  ORDER BY list_sum([e.vec[i] * q.q_vec[i] for i in range(1, 17)])
+        |    / (e.nrm * q.q_nrm) DESC, e.doc_id ASC LIMIT $k),
+        |ov AS (SELECT count(*) AS n_overlap FROM ivf
+        |  JOIN bf ON ivf.doc_id = bf.doc_id)
+        |SELECT CAST($k AS BIGINT) AS k,
+        |CAST(n_overlap AS BIGINT) AS n_overlap,
+        |CAST(n_overlap * 1000000 // $k AS BIGINT) AS recall_ppm
+        |FROM ov""".stripMargin
     },
     // the hash pins the sketch ERROR CONTRACT: exact count + in-bound
     // boolean (sketch estimates themselves aren't cross-engine comparable)

@@ -894,7 +894,18 @@ object Multimodal {
     * downstream dot product is the same IEEE sequence in both engines.
     * Row-local map, no shuffle — the embedding-extraction stage shape.
     */
-  def imageBlockVectors(spark: SparkSession, sfDir: String): DataFrame = {
+  def imageBlockVectors(spark: SparkSession, sfDir: String): DataFrame =
+    vecCache.getOrElseUpdate((spark, sfDir),
+      imageBlockVectorsUncached(spark, sfDir).localCheckpoint(true))
+
+  /** [[imageBlockVectors]] memoized per (session, sfDir): the vector
+    * frame serves the ANN query and its recall audit — one decode pass
+    * (same discipline as the fingerprint memo above).
+    */
+  private val vecCache = graft.ops.Memo.registry[(SparkSession, String)]
+
+  private def imageBlockVectorsUncached(spark: SparkSession,
+                                        sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.spread(Tables.documents(spark, sfDir).select(col("doc_id")))
       .filter(col("doc_id") % 3 === 0)
@@ -977,6 +988,40 @@ object Multimodal {
           (col("nrm") * col("q_nrm"))).as("cosine"))
       .orderBy(desc("cosine"), asc("doc_id"))
       .limit(k)
+  }
+
+  /** The approximation audit for [[mediaAnnTopK]] — the media-tier
+    * sibling of [[graft.ops.Similarity.ivfRecall]]: IVF top-k ∩ exact
+    * brute-force top-k over the same block vectors, recall as an exact
+    * ppm integer. Brute force over the bounded image corpus IS the
+    * audit (documented sampled-stratum at scale, like every recall
+    * audit in the similarity tier); the vector frame is memoized so
+    * the audit shares the ANN query's single decode pass.
+    */
+  def mediaAnnRecall(spark: SparkSession, sfDir: String,
+                     queryId: Long = 0L, k: Int = MmAnnK,
+                     nCells: Int = MmAnnCells,
+                     nProbe: Int = MmAnnProbe): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.ops.Similarity.{dot, norm2}
+    val v = imageBlockVectors(spark, sfDir)
+      .select(col("doc_id"), col("vec"), norm2(col("vec")).as("nrm"))
+    val q = v.filter(col("doc_id") === queryId)
+      .select(col("vec").as("q_vec"), col("nrm").as("q_nrm"))
+    val bf = v.filter(col("doc_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"),
+        (dot(col("vec"), col("q_vec")) /
+          (col("nrm") * col("q_nrm"))).as("cosine"))
+      .orderBy(desc("cosine"), asc("doc_id"))
+      .limit(k)
+      .select("doc_id")
+    mediaAnnTopK(spark, sfDir, queryId, k, nCells, nProbe)
+      .select("doc_id")
+      .join(bf, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(k.toLong).as("k"), col("n_overlap"),
+        expr(s"n_overlap * 1000000 div $k").as("recall_ppm"))
   }
 
   /** REAL audio decode end-to-end: every audio doc encodes to a genuine

@@ -505,28 +505,30 @@ class PlanSpec extends SparkSpec {
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
   }
 
-  test("multimodal vector query prunes the documents scan to doc_id; " +
-       "memoized fingerprint queries consume the checkpoint, not a re-scan") {
+  test("multimodal decode queries prune the documents scan to doc_id; " +
+       "memoized fingerprint/vector queries consume the checkpoint, " +
+       "not a re-scan") {
     graft.ops.Memo.clearAll()
-    // uncached path: the block-vector pipeline must read ONLY doc_id of
+    // uncached path: the luminance pipeline must read ONLY doc_id of
     // the 5-column documents table (payload synthesis is row-local)
-    val scans = planOf("mm_ann_topk").collect {
+    val scans = planOf("mm_bmp_luminance").collect {
       case f: FileSourceScanExec => f
     }
     assert(scans.nonEmpty)
     scans.foreach(s =>
       assert(s.requiredSchema.fieldNames.toSeq === Seq("doc_id")))
-    // memoized path: after the fingerprint checkpoint materializes, its
-    // consumers read the checkpointed blocks — no second decode pass, no
-    // parquet re-scan (the cross-query memo doing its job)
+    // memoized paths: after the fingerprint/vector checkpoint
+    // materializes, its consumers read the checkpointed blocks — no
+    // second decode pass, no parquet re-scan (the cross-query memo)
     Seq("mm_image_neardup", "mm_image_dedup_survivors",
-        "mm_audio_neardup").foreach { name =>
-      val plan = planOf(name)
-      withClue(s"[$name] ") {
-        assert(!plan.exists(_.isInstanceOf[FileSourceScanExec]))
-        assert(plan.exists(_.getClass.getSimpleName.contains("RDDScan")))
+        "mm_audio_neardup", "mm_ann_topk", "mm_ann_recall")
+      .foreach { name =>
+        val plan = planOf(name)
+        withClue(s"[$name] ") {
+          assert(!plan.exists(_.isInstanceOf[FileSourceScanExec]))
+          assert(plan.exists(_.getClass.getSimpleName.contains("RDDScan")))
+        }
       }
-    }
   }
 
   /** Wholesale plan-shape pin for the most expensive non-streaming
