@@ -262,7 +262,12 @@ object SparkEntry {
     // hash-gated via the error contract (exact values + bounded-error
     // booleans); raw-sketch accuracy additionally spec-asserted (ApproxSpec)
     "approx_value_quantiles" ->
-      ((s, d) => TrainingSets.approxValueQuantilesGated(s, d))
+      ((s, d) => TrainingSets.approxValueQuantilesGated(s, d)),
+    "quality_lm_ppx" -> ((s, d) => CorpusStats.lmPerplexityBands(s, d)),
+    "sampling_temperature_mix" ->
+      ((s, d) => TrainingSets.temperatureMix(s, d)),
+    "quality_filter_funnel" ->
+      ((s, d) => TextAnalysis.qualityFilterFunnel(s, d))
   )
 
   /** Shared DuckDB CTE body: 3-gram shingles → exact-Jaccard-0.8 pairs.
@@ -3229,6 +3234,133 @@ object SparkEntry {
         |  CAST(sum(frame_ms) AS BIGINT) AS sum_frame_ms,
         |  CAST(sum(npx) AS BIGINT) AS sum_pixels,
         |  CAST(sum(luma) AS BIGINT) AS sum_luma_milli
-        |FROM pf GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM pf GROUP BY 1 ORDER BY 1""".stripMargin,
+    // CCNet perplexity bands replayed in SQL: one PortableLn per MODEL
+    // bigram (same staged +-*/ pipeline both engines), negated-floored to
+    // BIGINT micro-nats at the source, so per-doc sums, the integer-
+    // division average, and the band CASE are all exact integer
+    // arithmetic; band cutoffs interpolate from the same constants the
+    // operator uses (CorpusStats.LmPpxHeadMicro / LmPpxMiddleMicro)
+    "quality_lm_ppx" -> {
+      val head = ops.CorpusStats.LmPpxHeadMicro
+      val mid = ops.CorpusStats.LmPpxMiddleMicro
+      val (plCtes, plOut) = functions.PortableLn.sqlCtes(
+        "pl", "m12 JOIN m1 ON split_part(m_bg, ' ', 1) = m_w1, voc",
+        Seq("m_bg"),
+        "(c12 + 1)::DOUBLE / (c1 + v)::DOUBLE", "lnx")
+      s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |bi AS (SELECT doc_id, source, unnest(
+        |    [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bg
+        |  FROM tok WHERE len(ws) >= 2),
+        |m12 AS (SELECT bg AS m_bg, CAST(count(*) AS BIGINT) AS c12
+        |  FROM bi GROUP BY 1),
+        |m1 AS (SELECT split_part(m_bg, ' ', 1) AS m_w1,
+        |    CAST(sum(c12) AS BIGINT) AS c1 FROM m12 GROUP BY 1),
+        |voc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+        |$plCtes,
+        |term AS (SELECT m_bg,
+        |    CAST(0 - floor(lnx * 1e6) AS BIGINT) AS nll_micro
+        |  FROM $plOut),
+        |sc AS (SELECT doc_id, any_value(source) AS source,
+        |    CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(nll_micro) AS BIGINT) AS nll_sum
+        |  FROM bi JOIN term ON bg = m_bg GROUP BY doc_id),
+        |bands AS (SELECT source, n_bigrams, nll_sum,
+        |    CASE WHEN nll_sum // n_bigrams < $head THEN 'head'
+        |      WHEN nll_sum // n_bigrams < $mid THEN 'middle'
+        |      ELSE 'tail' END AS band
+        |  FROM sc)
+        |SELECT source, band, count(*) AS n_docs,
+        |  CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+        |  CAST(sum(nll_sum) AS BIGINT) AS sum_nll_micro
+        |FROM bands GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    // temperature mixture at alpha = 1/2: the only non-integer op is ONE
+    // IEEE sqrt per source (correctly rounded by the 754 spec in every
+    // engine), floored to BIGINT immediately — shares, quotas, epoch
+    // factors, and the md5 acceptance coin are exact integers after it
+    "sampling_temperature_mix" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_avail,
+        |    CAST(floor(sqrt(count(*))) AS BIGINT) AS w_isqrt
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(w_isqrt) AS BIGINT) AS tot_w,
+        |    CAST(sum(n_avail) AS BIGINT) AS tot_avail FROM c),
+        |q AS (SELECT lang, n_avail, w_isqrt,
+        |    CAST((w_isqrt * 1000000) // tot_w AS BIGINT) AS share_ppm
+        |  FROM c, t),
+        |q2 AS (SELECT q.*, CAST(least(
+        |      (share_ppm * (t.tot_avail // 2)) // 1000000, n_avail)
+        |    AS BIGINT) AS n_quota FROM q, t),
+        |q3 AS (SELECT q2.*,
+        |    CAST((n_quota * 1000000) // n_avail AS BIGINT) AS epochs_ppm
+        |  FROM q2)
+        |SELECT d.lang, q3.n_avail, q3.w_isqrt, q3.share_ppm, q3.n_quota,
+        |  q3.epochs_ppm, count(*) AS n_kept,
+        |  CAST(sum(ceil(n_chars / 4.0)::BIGINT) AS BIGINT) AS sum_est_tokens
+        |FROM documents d JOIN q3 ON d.lang = q3.lang
+        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+        |      % q3.n_avail < q3.n_quota
+        |GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1""".stripMargin,
+    // Gopher funnel replayed in SQL: identical integer cross-multiplied
+    // gates, first-failing-stage attribution, then the one aggregate row
+    // unpivoted as UNION ALL arms (Spark unpivots via stack); gate
+    // thresholds interpolate from TextAnalysis.FunnelMinTokens/MaxTokens
+    "quality_filter_funnel" -> {
+      val minT = ops.TextAnalysis.FunnelMinTokens
+      val maxT = ops.TextAnalysis.FunnelMaxTokens
+      val stop = ops.TextAnalysis.stopwords
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH sized AS (SELECT doc_id, n_chars, length(text) AS len,
+        |    string_split(text, ' ') AS ws FROM documents),
+        |s2 AS (SELECT doc_id, n_chars, len,
+        |    CAST(len(ws) AS BIGINT) AS nt,
+        |    CAST(len(list_distinct(ws)) AS BIGINT) AS nd,
+        |    CAST(len(list_intersect(list_distinct(ws), [$stop]))
+        |      AS BIGINT) AS nsk
+        |  FROM sized),
+        |g AS (SELECT doc_id, unnest(
+        |    [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
+        |  FROM sized WHERE len(ws) >= 2),
+        |cg AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        |top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS topn
+        |  FROM cg GROUP BY 1),
+        |f AS (SELECT s2.doc_id, n_chars, len, nt, nd, nsk,
+        |    coalesce(topn, 0) AS tn,
+        |    (nt >= $minT AND nt <= $maxT) AS g1,
+        |    (len >= nt * 5 AND len <= nt * 6) AS g2,
+        |    (nsk > 0) AS g3,
+        |    ((nt - nd) * 5 <= nt * 3) AS g4,
+        |    (coalesce(topn, 0) * 16 <= nt - 1) AS g5
+        |  FROM s2 LEFT JOIN top USING (doc_id)),
+        |ff AS (SELECT *, CASE WHEN NOT g1 THEN 1 WHEN NOT g2 THEN 2
+        |    WHEN NOT g3 THEN 3 WHEN NOT g4 THEN 4 WHEN NOT g5 THEN 5
+        |    ELSE 0 END AS fs FROM f),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS total,
+        |    CAST(sum(CASE WHEN fs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+        |    CAST(sum(CASE WHEN fs = 2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+        |    CAST(sum(CASE WHEN fs = 3 THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+        |    CAST(sum(CASE WHEN fs = 4 THEN 1 ELSE 0 END) AS BIGINT) AS k4,
+        |    CAST(sum(CASE WHEN fs = 5 THEN 1 ELSE 0 END) AS BIGINT) AS k5,
+        |    CAST(sum(CASE WHEN fs = 0 THEN ceil(n_chars / 4.0)::BIGINT
+        |      ELSE 0 END) AS BIGINT) AS st
+        |  FROM ff)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'tokens_range' AS gate,
+        |  total AS n_in, k1 AS n_killed, total - k1 AS n_out,
+        |  CAST(0 AS BIGINT) AS sum_est_tokens FROM a
+        |UNION ALL SELECT 2, 'avg_word_len', total - k1, k2,
+        |  total - k1 - k2, 0 FROM a
+        |UNION ALL SELECT 3, 'stopword_hit', total - k1 - k2, k3,
+        |  total - k1 - k2 - k3, 0 FROM a
+        |UNION ALL SELECT 4, 'dup_word_frac', total - k1 - k2 - k3, k4,
+        |  total - k1 - k2 - k3 - k4, 0 FROM a
+        |UNION ALL SELECT 5, 'top_2gram_share', total - k1 - k2 - k3 - k4,
+        |  k5, total - k1 - k2 - k3 - k4 - k5, 0 FROM a
+        |UNION ALL SELECT 6, 'survivors',
+        |  total - k1 - k2 - k3 - k4 - k5, 0,
+        |  total - k1 - k2 - k3 - k4 - k5, st FROM a
+        |ORDER BY stage""".stripMargin
+    }
   )
 }

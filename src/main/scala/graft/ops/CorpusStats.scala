@@ -215,14 +215,10 @@ object CorpusStats {
     */
   def bigramLm(spark: SparkSession, sfDir: String,
                rareMax: Int = 10): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val docBi = Tables.spread(Tables.documents(spark, sfDir))
-      .select(col("doc_id"),
-        explode(call_function("word_ngrams", col("text"), lit(2))).as("bg"))
+    val docBi = docBigramStream(spark, sfDir)
     def floorLog2(c: org.apache.spark.sql.Column) =
       (length(bin(c)) - lit(1)).cast("long")
-    val c12 = docBi.groupBy(col("bg").as("m_bg"))
-      .agg(count(lit(1)).as("c12"))
+    val c12 = bigramModel(spark, sfDir)
     // context counts re-aggregate from the vocab²-sized model — every
     // bigram starting with w1 was already counted there, so a second pass
     // over the corpus bigram stream would recount what c12 knows
@@ -241,6 +237,36 @@ object CorpusStats {
           .cast("long").as("n_rare"))
       .orderBy("doc_id")
   }
+
+  /** Per-doc (doc_id, source, bg) bigram occurrence stream — row-local
+    * ([[graft.functions.WordNgrams]] codegen kernel), shared by both LM
+    * scorers. NOT memoized: it is corpus-sized; only the vocab²-bounded
+    * model below is.
+    */
+  private def docBigramStream(spark: SparkSession,
+                              sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.spread(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("source"),
+        explode(call_function("word_ngrams", col("text"), lit(2))).as("bg"))
+  }
+
+  private val bigramModelCache =
+    graft.ops.Memo.registry[(SparkSession, String)]
+
+  /** The corpus bigram model `(m_bg, c12)` — vocab²-bounded — memoized per
+    * (session, corpus): the model TRAINS once per run and every scoring
+    * consumer ([[bigramLm]], [[lmPerplexityBands]]) reuses the
+    * checkpointed frame, the production LM-filter shape (train the KenLM
+    * once, score with it everywhere). Bench passes drop this via
+    * [[Memo.clearAll]] so timings stay honest.
+    */
+  private def bigramModel(spark: SparkSession, sfDir: String): DataFrame =
+    bigramModelCache.getOrElseUpdate((spark, sfDir),
+      docBigramStream(spark, sfDir)
+        .groupBy(col("bg").as("m_bg"))
+        .agg(count(lit(1)).as("c12"))
+        .localCheckpoint(true))
 
   /** The first iteration of BPE tokenizer training (Sennrich et al. 2016,
     * public knowledge): corpus-wide frequencies of adjacent character
@@ -638,5 +664,83 @@ object CorpusStats {
       .withColumn("cum_tokens", sum("n_tokens").over(w).cast("long"))
       .withColumn("cum_types", sum("new_types").over(w).cast("long"))
       .orderBy("bucket")
+  }
+
+  /** Perplexity band cutoffs for [[lmPerplexityBands]], in micro-nats of
+    * average per-bigram negative log-likelihood — hoisted so operator and
+    * oracle interpolate the SAME constants (the DsirBuckets anti-drift
+    * discipline). Chosen to split the fixture corpus near its tertiles;
+    * a production run would fit them on a held-out slice once and pin
+    * them exactly like this (CCNet publishes its cutoffs per language).
+    */
+  val LmPpxHeadMicro: Long = 3374000L
+  val LmPpxMiddleMicro: Long = 3399000L
+
+  /** CCNet-style LM perplexity gate (Wenzek et al. 2019, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    * arXiv:1911.00359 — public method): score every document by its
+    * average per-bigram negative log-likelihood under a corpus bigram
+    * model (Laplace-smoothed), then band the corpus into the published
+    * head / middle / tail quality tiers at fixed cutoffs. Reported per
+    * (source, band): doc and bigram counts plus the exact summed score
+    * mass, so a mixture decision ("train on head+middle") reads straight
+    * off the result.
+    *
+    * Determinism discipline (the [[TrainingSets.dsirImportance]] gate):
+    * the only float work is ONE log per model bigram — vocab²-bounded —
+    * and that log is [[graft.functions.PortableLn]] (only correctly-
+    * rounded IEEE `+ - * /`, bit-identical cross-engine), floored to BIGINT
+    * micro-nats at the source. Every downstream value (per-doc sums, the
+    * integer-division average, band comparisons) is exact integer
+    * arithmetic, so the hash gate has no boundary noise anywhere.
+    * Smoothing: p(w2|w1) = (c12+1)/(c1+V) with V the corpus unigram
+    * vocabulary; every scored bigram exists in the model by construction
+    * (model and corpus are the same scan), so the unseen-bigram fallback
+    * path never fires here — a held-out scorer would route those rows to
+    * the 1/(c1+V) term the same way.
+    *
+    * Scale shape: bigram extraction is row-local ([[graft.functions
+    * .WordNgrams]] codegen kernel); the model aggregates to ≤ vocab² rows
+    * (map-side combine) and BROADCASTS back, so the corpus is shuffled
+    * only by doc_id for the per-doc re-aggregate — one partial-agg
+    * shuffle over the data at any corpus size, identical to the
+    * production KenLM-scoring shape (model on every worker, one pass).
+    */
+  def lmPerplexityBands(spark: SparkSession, sfDir: String): DataFrame = {
+    val docBi = docBigramStream(spark, sfDir)
+    val c12 = bigramModel(spark, sfDir)
+    val c1 = c12
+      .groupBy(substring_index(col("m_bg"), " ", 1).as("m_w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct("w").as("v"))
+    // one portable ln per MODEL row, floored to micro-nats at the source:
+    // everything after this line is exact integer arithmetic
+    val modelX = c12
+      .join(broadcast(c1), substring_index(col("m_bg"), " ", 1) === col("m_w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("m_bg"),
+        ((col("c12") + 1L).cast("double") /
+          (col("c1") + col("v")).cast("double")).as("x"))
+    val terms = graft.functions.PortableLn.withLn(modelX, "x", "lnx")
+      .select(col("m_bg"),
+        (-floor(col("lnx") * lit(1e6))).cast("long").as("nll_micro"))
+    val scored = docBi
+      .join(broadcast(terms), col("bg") === col("m_bg"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("nll_micro").cast("long").as("nll_sum_micro"))
+      .withColumn("avg_nll_micro",
+        expr("nll_sum_micro DIV n_bigrams").cast("long"))
+      .withColumn("band",
+        when(col("avg_nll_micro") < LmPpxHeadMicro, "head")
+          .when(col("avg_nll_micro") < LmPpxMiddleMicro, "middle")
+          .otherwise("tail"))
+    scored.groupBy("source", "band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").cast("long").as("sum_bigrams"),
+        sum("nll_sum_micro").cast("long").as("sum_nll_micro"))
+      .orderBy("source", "band")
   }
 }

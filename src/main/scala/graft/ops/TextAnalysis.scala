@@ -12,7 +12,8 @@ import graft.Tables
   */
 object TextAnalysis {
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[graft] val stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Array-function battery over the token array — the collection-typed
     * scalar surface (§2.8 sibling of `scalar_funcs`): distinct, sort,
@@ -243,6 +244,95 @@ object TextAnalysis {
         sum(length(col("cleaned"))).as("sum_len_clean"),
         sum(size(split(col("cleaned"), " "))).as("sum_tokens_clean"))
       .orderBy("lang")
+
+  /** Gate bounds for [[qualityFilterFunnel]], hoisted so the operator and
+    * its oracle interpolate the SAME constants (the DsirBuckets
+    * anti-drift discipline). Every gate is an exact integer
+    * cross-multiplication of the published ratio thresholds:
+    * token count ∈ [Min,Max]; mean chars-per-token (separator included)
+    * ∈ [5, 6]; ≥ 1 profile stopword; duplicate-word fraction ≤ 3/5;
+    * top-2-gram share ≤ 1/8.
+    */
+  val FunnelMinTokens: Int = 20
+  val FunnelMaxTokens: Int = 1000
+
+  /** Gopher-style sequential quality-filter funnel (Rae et al. 2021,
+    * app. A1.1 — public method): apply the repetition/length/stopword
+    * gates IN ORDER and report, per stage, how many documents enter, how
+    * many the gate kills (among those that survived every earlier gate),
+    * and how many continue — the "what did each filter cost us" funnel
+    * accounting every curation run publishes next to its corpus card.
+    * Stage 0 is the survivor row (docs passing all gates, with their
+    * token mass — the corpus the pipeline would keep).
+    *
+    * Every gate is an exact integer comparison (cross-multiplied ratios,
+    * never a float quotient), so the gate booleans — and therefore the
+    * funnel counts — are bit-identical in any engine. The first-failing-
+    * stage attribution makes the stages sum exactly to the corpus total
+    * (each doc killed exactly once), which the oracle re-derives.
+    *
+    * Scale shape: gates 1–4 are row-local scans; the top-2-gram gate is
+    * the [[repetitionSignals]] shape (row-local gram fan-out, one
+    * doc-keyed partial-agg shuffle); the funnel itself collapses to ONE
+    * aggregate row unpivoted into six bounded rows — nothing about the
+    * composition adds a shuffle beyond the repetition signal it reuses.
+    */
+  def qualityFilterFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val base = Tables.spread(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), length(col("text")).as("len"),
+        toks(col("text")).as("ws"), col("text"), col("n_chars"))
+      .select(col("doc_id"), col("len"), col("text"), col("n_chars"),
+        size(col("ws")).as("nt"),
+        size(array_distinct(col("ws"))).as("nd"),
+        size(array_intersect(array_distinct(col("ws")),
+          array(stopwords.map(lit(_)): _*))).as("n_stop_kinds"))
+    val topGram = base.filter(col("nt") >= 2)
+      .select(col("doc_id"),
+        explode(call_function("word_ngrams", col("text"), lit(2))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("topn"))
+    val flags = base
+      .join(topGram, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("topn"))
+      .select(col("doc_id"), col("n_chars"),
+        (col("nt") >= FunnelMinTokens && col("nt") <= FunnelMaxTokens)
+          .as("g1"),
+        (col("len") >= col("nt") * 5 && col("len") <= col("nt") * 6)
+          .as("g2"),
+        (col("n_stop_kinds") > 0).as("g3"),
+        ((col("nt") - col("nd")) * 5 <= col("nt") * 3).as("g4"),
+        (col("topn") * 16 <= col("nt") - 1).as("g5"))
+      .withColumn("first_fail",
+        when(!col("g1"), 1).when(!col("g2"), 2).when(!col("g3"), 3)
+          .when(!col("g4"), 4).when(!col("g5"), 5).otherwise(0))
+    val agg = flags.agg(
+      count(lit(1)).as("total"),
+      sum(when(col("first_fail") === 1, 1L).otherwise(0L)).as("k1"),
+      sum(when(col("first_fail") === 2, 1L).otherwise(0L)).as("k2"),
+      sum(when(col("first_fail") === 3, 1L).otherwise(0L)).as("k3"),
+      sum(when(col("first_fail") === 4, 1L).otherwise(0L)).as("k4"),
+      sum(when(col("first_fail") === 5, 1L).otherwise(0L)).as("k5"),
+      sum(when(col("first_fail") === 0,
+        ceil(col("n_chars") / 4.0).cast("long")).otherwise(0L))
+        .as("survivor_tokens"))
+    agg.select(expr(
+      """stack(6,
+        |  1, 'tokens_range',   total,                k1, CAST(0 AS BIGINT),
+        |  2, 'avg_word_len',   total-k1,             k2, CAST(0 AS BIGINT),
+        |  3, 'stopword_hit',   total-k1-k2,          k3, CAST(0 AS BIGINT),
+        |  4, 'dup_word_frac',  total-k1-k2-k3,       k4, CAST(0 AS BIGINT),
+        |  5, 'top_2gram_share',total-k1-k2-k3-k4,    k5, CAST(0 AS BIGINT),
+        |  6, 'survivors',      total-k1-k2-k3-k4-k5, CAST(0 AS BIGINT),
+        |     survivor_tokens)
+        |  AS (stage, gate, n_in, n_killed, sum_est_tokens)""".stripMargin))
+      .withColumn("n_out", (col("n_in") - col("n_killed")).cast("long"))
+      .select(col("stage").cast("long").as("stage"), col("gate"),
+        col("n_in").cast("long").as("n_in"),
+        col("n_killed").cast("long").as("n_killed"), col("n_out"),
+        col("sum_est_tokens"))
+      .orderBy("stage")
+  }
 
   /** Document fingerprinting: canonical md5 over normalized tokens (lower,
     * collapse whitespace) — duplicate fingerprints = normalized dups. The

@@ -544,4 +544,56 @@ object TrainingSets {
         sum("logw").cast("long").as("total_logw_micro"))
       .orderBy("source")
   }
+
+  /** Temperature-weighted source mixture at α = 1/2 (the multilingual-LM
+    * sampling rule, Conneau & Lample 2019 / mT5: sample source s with
+    * probability ∝ n_s^α, flattening the natural distribution so
+    * low-resource languages are not drowned out; α=1/2 is the classic
+    * setting and the one exact arithmetic can serve, since n^(1/2) is a
+    * single IEEE `sqrt` — correctly rounded by the 754 spec in BOTH the
+    * JVM (`Math.sqrt` is required exact) and any SQL engine's libm, the
+    * only transcendental-free power). The weight is floored to an integer
+    * immediately (`isqrt`), so every downstream value — ppm shares,
+    * quotas, the epoch repeat factor, md5-coin acceptance — is exact
+    * integer arithmetic and the hash gate is float-free.
+    *
+    * Per language (the grain the published rule mixes at; the corpus's
+    * language distribution is honestly skewed) the report carries the
+    * LLaMA-style mixture-table columns: available docs, isqrt weight, sampling share in ppm, the doc quota at
+    * a half-corpus budget, the epoch repeat factor in ppm (quota/avail —
+    * >1e6 would mean the source must repeat, the "epochs over dataset"
+    * accounting), the docs actually kept by the deterministic md5
+    * acceptance coin, and their token mass.
+    *
+    * Scale shape: identical to [[targetMixSample]] — two source-bounded
+    * aggregates broadcast around ONE row-local filter of the corpus; the
+    * corpus itself is never shuffled.
+    */
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_avail"))
+      .withColumn("w_isqrt",
+        floor(sqrt(col("n_avail").cast("double"))).cast("long"))
+    val tot = counts.agg(sum("w_isqrt").cast("long").as("tot_w"),
+      sum("n_avail").cast("long").as("tot_avail"))
+    val quota = counts.crossJoin(broadcast(tot))
+      .withColumn("share_ppm",
+        expr("(w_isqrt * 1000000) DIV tot_w").cast("long"))
+      .withColumn("n_quota",
+        least(expr("(share_ppm * (tot_avail DIV 2)) DIV 1000000"),
+          col("n_avail")).cast("long"))
+      .withColumn("epochs_ppm",
+        expr("(n_quota * 1000000) DIV n_avail").cast("long"))
+      .select("lang", "n_avail", "w_isqrt", "share_ppm", "n_quota",
+        "epochs_ppm")
+    val coin = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long"), col("n_avail"))
+    docs.join(broadcast(quota), "lang")
+      .filter(coin < col("n_quota"))
+      .withColumn("est", ceil(col("n_chars") / 4.0).cast("long"))
+      .groupBy("lang", "n_avail", "w_isqrt", "share_ppm", "n_quota",
+        "epochs_ppm")
+      .agg(count(lit(1)).as("n_kept"), sum("est").as("sum_est_tokens"))
+      .orderBy("lang")
+  }
 }
