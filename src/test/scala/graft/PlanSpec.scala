@@ -567,7 +567,10 @@ class PlanSpec extends SparkSpec {
       "mm_image_neardup" -> 2,
       "mm_audio_neardup" -> 2,
       "mm_image_dedup_survivors" -> 3,
-      "mm_ann_topk" -> 6)
+      "mm_ann_topk" -> 6,
+      "quality_lm_ppx" -> 7,
+      "sampling_temperature_mix" -> 5,
+      "quality_filter_funnel" -> 5)
     val aggOrLimit = Set("HashAggregateExec", "ObjectHashAggregateExec",
       "SortAggregateExec", "TakeOrderedAndProjectExec", "GlobalLimitExec",
       "CollectLimitExec", "LocalLimitExec")
