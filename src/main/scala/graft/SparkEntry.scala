@@ -267,7 +267,9 @@ object SparkEntry {
     "sampling_temperature_mix" ->
       ((s, d) => TrainingSets.temperatureMix(s, d)),
     "quality_filter_funnel" ->
-      ((s, d) => TextAnalysis.qualityFilterFunnel(s, d))
+      ((s, d) => TextAnalysis.qualityFilterFunnel(s, d)),
+    "stream_quality_gate" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamQualityGate(s, d))
   )
 
   /** Shared DuckDB CTE body: 3-gram shingles → exact-Jaccard-0.8 pairs.
@@ -3307,13 +3309,28 @@ object SparkEntry {
     // gates, first-failing-stage attribution, then the one aggregate row
     // unpivoted as UNION ALL arms (Spark unpivots via stack); gate
     // thresholds interpolate from TextAnalysis.FunnelMinTokens/MaxTokens
-    "quality_filter_funnel" -> {
+    "quality_filter_funnel" -> funnelOracle(""),
+    // the STREAMING probe folds per-batch partial funnel aggregates into
+    // the identical presentation — same SQL builder, one WHERE apart
+    // (only the odd half streams in)
+    "stream_quality_gate" -> funnelOracle("WHERE doc_id % 2 = 1")
+  )
+
+  /** The Gopher-funnel DuckDB replay, parameterized by the corpus slice:
+    * identical integer cross-multiplied gates, first-failing-stage
+    * attribution, the one aggregate row unpivoted as UNION ALL arms
+    * (Spark unpivots via stack); gate thresholds interpolate from
+    * TextAnalysis.FunnelMinTokens/MaxTokens. One builder serves the batch
+    * funnel and the streaming probe so the gate definitions cannot drift
+    * between their oracles.
+    */
+  private def funnelOracle(where: String): String = {
       val minT = ops.TextAnalysis.FunnelMinTokens
       val maxT = ops.TextAnalysis.FunnelMaxTokens
       val stop = ops.TextAnalysis.stopwords
         .map(s => s"'$s'").mkString(", ")
       s"""WITH sized AS (SELECT doc_id, n_chars, length(text) AS len,
-        |    string_split(text, ' ') AS ws FROM documents),
+        |    string_split(text, ' ') AS ws FROM documents $where),
         |s2 AS (SELECT doc_id, n_chars, len,
         |    CAST(len(ws) AS BIGINT) AS nt,
         |    CAST(len(list_distinct(ws)) AS BIGINT) AS nd,
@@ -3361,6 +3378,5 @@ object SparkEntry {
         |  total - k1 - k2 - k3 - k4 - k5, 0,
         |  total - k1 - k2 - k3 - k4 - k5, st FROM a
         |ORDER BY stage""".stripMargin
-    }
-  )
+  }
 }

@@ -277,9 +277,19 @@ object TextAnalysis {
     * aggregate row unpivoted into six bounded rows — nothing about the
     * composition adds a shuffle beyond the repetition signal it reuses.
     */
-  def qualityFilterFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+  def qualityFilterFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    funnelPresent(funnelAggregate(funnelFirstFail(spark,
+      Tables.spread(Tables.documents(spark, sfDir)))))
+
+  /** Per-doc first-failing-gate attribution — the gate definitions live
+    * HERE and only here; the batch funnel and the streaming probe both
+    * consume this frame (input needs doc_id, text, n_chars). Stage 0 =
+    * survivor.
+    */
+  private[graft] def funnelFirstFail(spark: SparkSession,
+                                     docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val base = Tables.spread(Tables.documents(spark, sfDir))
+    val base = docs
       .select(col("doc_id"), length(col("text")).as("len"),
         toks(col("text")).as("ws"), col("text"), col("n_chars"))
       .select(col("doc_id"), col("len"), col("text"), col("n_chars"),
@@ -292,7 +302,7 @@ object TextAnalysis {
         explode(call_function("word_ngrams", col("text"), lit(2))).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max("c").as("topn"))
-    val flags = base
+    base
       .join(topGram, Seq("doc_id"), "left_outer")
       .na.fill(0L, Seq("topn"))
       .select(col("doc_id"), col("n_chars"),
@@ -306,7 +316,15 @@ object TextAnalysis {
       .withColumn("first_fail",
         when(!col("g1"), 1).when(!col("g2"), 2).when(!col("g3"), 3)
           .when(!col("g4"), 4).when(!col("g5"), 5).otherwise(0))
-    val agg = flags.agg(
+  }
+
+  /** The 1-row funnel aggregate over a first-fail frame. ADDITIVE: partial
+    * aggregates of disjoint doc slices sum componentwise to the corpus
+    * aggregate — which is what lets the streaming probe fold per-batch
+    * partials on readback ([[graft.streaming.StreamAssembly]]).
+    */
+  private[graft] def funnelAggregate(flags: DataFrame): DataFrame =
+    flags.agg(
       count(lit(1)).as("total"),
       sum(when(col("first_fail") === 1, 1L).otherwise(0L)).as("k1"),
       sum(when(col("first_fail") === 2, 1L).otherwise(0L)).as("k2"),
@@ -316,6 +334,9 @@ object TextAnalysis {
       sum(when(col("first_fail") === 0,
         ceil(col("n_chars") / 4.0).cast("long")).otherwise(0L))
         .as("survivor_tokens"))
+
+  /** Unpivot the 1-row funnel aggregate into the 6 presentation rows. */
+  private[graft] def funnelPresent(agg: DataFrame): DataFrame =
     agg.select(expr(
       """stack(6,
         |  1, 'tokens_range',   total,                k1, CAST(0 AS BIGINT),
@@ -332,7 +353,6 @@ object TextAnalysis {
         col("n_killed").cast("long").as("n_killed"), col("n_out"),
         col("sum_est_tokens"))
       .orderBy("stage")
-  }
 
   /** Document fingerprinting: canonical md5 over normalized tokens (lower,
     * collapse whitespace) — duplicate fingerprints = normalized dups. The

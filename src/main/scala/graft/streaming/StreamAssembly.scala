@@ -1829,6 +1829,78 @@ object StreamAssembly {
       .orderBy("doc_id")
   }
 
+  /** STREAMING quality-gate funnel drained end-to-end — the
+    * continuous-ingest shape of
+    * [[graft.ops.TextAnalysis.qualityFilterFunnel]] (a crawl pipeline
+    * quality-gates documents as they arrive, not in a nightly batch):
+    * the odd-doc_id half of `documents` streams back one file per
+    * micro-batch as "today's crawl"; each batch runs the SAME per-doc
+    * first-failing-gate attribution (every gate is doc-local — a
+    * verdict depends only on the doc's own text, never on batch
+    * context) and appends its PARTIAL 1-row funnel aggregate; readback
+    * folds the partials componentwise — the additive-partials
+    * discipline (A3) applied to the curation tier — and presents the
+    * identical 6-row funnel. Stateless per batch ⇒
+    * batch-boundary-independent; the batch funnel over the same half is
+    * the oracle (shared SQL builder, one WHERE apart).
+    *
+    * Scale shape: per-batch cost is proportional to the batch (row-local
+    * gates + one batch-local doc-keyed gram aggregate); the persistent
+    * state is SIX COUNTERS per batch file — nothing grows with corpus
+    * size, and compaction of the partial files is [[graft.storage
+    * .Storage.compactBatchSink]]'s job.
+    */
+  def streamQualityGate(spark: SparkSession, sfDir: String,
+                        nFiles: Int = 3): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_quality_gate").toString
+    val outDir = s"$tmp/partials"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = s"$tmp/incoming"
+    graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(srcDir)
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+    withDrainConf(spark) { ds =>
+      // register the word_ngrams kernel BEFORE the stream starts: each
+      // micro-batch runs on a session clone whose function registry is
+      // copied at clone time
+      graft.functions.GraftFunctions.register(ds)
+      val stream = ds.readStream
+        .schema(docSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val query = stream.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.ops.TextAnalysis.funnelAggregate(
+              graft.ops.TextAnalysis.funnelFirstFail(batch.sparkSession,
+                batch))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    val folded = spark.read.parquet(outDir).agg(
+      sum("total").as("total"), sum("k1").as("k1"), sum("k2").as("k2"),
+      sum("k3").as("k3"), sum("k4").as("k4"), sum("k5").as("k5"),
+      sum("survivor_tokens").as("survivor_tokens"))
+      .na.fill(0L)
+    graft.ops.TextAnalysis.funnelPresent(folded)
+  }
+
   /** ONLINE ANN probe drained end-to-end — the similarity-search sibling
     * of [[streamDedupProbe]] (continuous retrieval against a curated
     * vector index: RAG ingestion, online contamination screening): the

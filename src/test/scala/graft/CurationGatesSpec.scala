@@ -77,6 +77,21 @@ class CurationGatesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("share_ppm")).sum <= 1000000L)
   }
 
+  test("streaming quality gate is batch-boundary-independent and equals " +
+       "the batch funnel over the incoming half") {
+    import graft.streaming.StreamAssembly
+    val one = StreamAssembly.streamQualityGate(spark, sf, nFiles = 1)
+      .collect().map(_.toSeq)
+    val three = StreamAssembly.streamQualityGate(spark, sf, nFiles = 3)
+      .collect().map(_.toSeq)
+    assert(one.toSeq === three.toSeq)
+    val batch = TextAnalysis.funnelPresent(TextAnalysis.funnelAggregate(
+        TextAnalysis.funnelFirstFail(spark, Tables.documents(spark, sf)
+          .filter(col("doc_id") % 2 === 1))))
+      .collect().map(_.toSeq)
+    assert(one.toSeq === batch.toSeq)
+  }
+
   test("perplexity bands conserve the bigram stream and agree with a " +
        "Math.log replay to within the floor quantum") {
     val bands = CorpusStats.lmPerplexityBands(spark, sf).collect()
