@@ -269,7 +269,9 @@ object SparkEntry {
     "quality_filter_funnel" ->
       ((s, d) => TextAnalysis.qualityFilterFunnel(s, d)),
     "stream_quality_gate" ->
-      ((s, d) => graft.streaming.StreamAssembly.streamQualityGate(s, d))
+      ((s, d) => graft.streaming.StreamAssembly.streamQualityGate(s, d)),
+    "embedding_dim_stats" ->
+      ((s, d) => Similarity.embeddingDimStats(s, d))
   )
 
   /** Shared DuckDB CTE body: 3-gram shingles → exact-Jaccard-0.8 pairs.
@@ -3309,6 +3311,31 @@ object SparkEntry {
     // gates, first-failing-stage attribution, then the one aggregate row
     // unpivoted as UNION ALL arms (Spark unpivots via stack); gate
     // thresholds interpolate from TextAnalysis.FunnelMinTokens/MaxTokens
+    // per-dimension audit under the shared SQ8 scheme: scale computed
+    // ONCE per vector ((127/max_abs) then v*scale+0.5 — the op ORDER is
+    // pinned on both sides, correctly-rounded IEEE ops on identical bits),
+    // floored to integers at the source; all gated stats are integer
+    "embedding_dim_stats" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    127e0 / list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |  FROM embeddings),
+        |u AS (SELECT unnest([{'dim': i - 1,
+        |      'qx': floor(CAST(embedding[i] AS DOUBLE) * scale + 5e-1)}
+        |    for i in range(1, 1 + len(embedding))]) AS s
+        |  FROM e),
+        |q AS (SELECT CAST(s.dim AS BIGINT) AS dim,
+        |    CAST(s.qx AS BIGINT) AS qx FROM u),
+        |a AS (SELECT dim, count(*) AS n_vecs,
+        |    CAST(sum(qx) AS BIGINT) AS sum_q,
+        |    CAST(sum(qx * qx) AS BIGINT) AS sum_q2,
+        |    CAST(sum(CASE WHEN qx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_zero,
+        |    min(qx) AS min_q, max(qx) AS max_q
+        |  FROM q GROUP BY 1)
+        |SELECT dim, n_vecs, sum_q, sum_q2, n_zero, min_q, max_q,
+        |  CAST(n_vecs * sum_q2 - sum_q * sum_q AS BIGINT) AS var_num
+        |FROM a ORDER BY dim""".stripMargin,
     "quality_filter_funnel" -> funnelOracle(""),
     // the STREAMING probe folds per-batch partial funnel aggregates into
     // the identical presentation — same SQL builder, one WHERE apart

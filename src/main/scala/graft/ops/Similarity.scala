@@ -453,6 +453,44 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Per-DIMENSION embedding health stats — the feature audit an index
+    * build runs before trusting a vector column (dead dimensions, stuck
+    * ranges, variance profile; the "embedding drift/health check" of
+    * production vector pipelines): for every dimension, the count, sum,
+    * sum-of-squares, zero count, and min/max of the int8-QUANTIZED
+    * values under the SAME per-vector symmetric scheme as
+    * [[embeddingQuantize]] (scale = 127/max|v|, floor-half-up), so every
+    * reported statistic is exact integer arithmetic — a dead dim shows
+    * n_zero = n, a saturated dim |min/max| = 127, and the integer
+    * variance numerator n·Σq² − (Σq)² reads straight off the row.
+    *
+    * Scale shape: posexplode is row-local; the ONE shuffle groups by
+    * dimension index — cardinality = the embedding width (64 here, a few
+    * k for production models), with map-side partial aggregation, so the
+    * stats job is a scan + one bounded-key aggregate at any corpus size.
+    */
+  def embeddingDimStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = Tables.embeddings(spark, sfDir)
+      .withColumn("max_abs",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .withColumn("scale", lit(127.0) / col("max_abs"))
+    v.select(col("vec_id"), col("scale"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * col("scale") + lit(0.5))
+          .cast("long").as("qx"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("qx").cast("long").as("sum_q"),
+        sum(col("qx") * col("qx")).cast("long").as("sum_q2"),
+        sum(when(col("qx") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        min("qx").as("min_q"), max("qx").as("max_q"))
+      .withColumn("var_num",
+        (col("n_vecs") * col("sum_q2") - col("sum_q") * col("sum_q"))
+          .cast("long"))
+      .orderBy("dim")
+  }
+
   /** IVF top-k recall against the brute-force ground truth — completing
     * the approximation-audit trilogy ([[graft.ops.Dedup.minhashRecallEval]]
     * for Jaccard banding, [[graft.ops.Dedup.lshRecallEval]] for

@@ -92,6 +92,23 @@ class CurationGatesSpec extends SparkSpec {
     assert(one.toSeq === batch.toSeq)
   }
 
+  test("embedding dim stats: every dimension row is total, int8-bounded, " +
+       "and variance-consistent") {
+    val n = Tables.embeddings(spark, sf).count()
+    val dims = graft.ops.Similarity.embeddingDimStats(spark, sf).collect()
+    assert(dims.length === 64)
+    dims.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") === n)
+      assert(r.getAs[Long]("min_q") >= -127L &&
+        r.getAs[Long]("max_q") <= 127L)
+      assert(r.getAs[Long]("var_num") >= 0L)
+      assert(r.getAs[Long]("var_num") ===
+        r.getAs[Long]("n_vecs") * r.getAs[Long]("sum_q2") -
+          r.getAs[Long]("sum_q") * r.getAs[Long]("sum_q"))
+      assert(r.getAs[Long]("sum_q2") >= r.getAs[Long]("sum_q").abs)
+    }
+  }
+
   test("perplexity bands conserve the bigram stream and agree with a " +
        "Math.log replay to within the floor quantum") {
     val bands = CorpusStats.lmPerplexityBands(spark, sf).collect()
