@@ -26,6 +26,8 @@ object GraftFunctions {
     "vec_norm" -> (es => NormL2(es.head)),
     "word_shingles" -> (es => WordShingles(es.head, intLit("word_shingles", es(1)))),
     "word_ngrams" -> (es => WordNgrams(es.head, intLit("word_ngrams", es(1)))),
+    "top_ngram_count" ->
+      (es => TopNgramCount(es.head, intLit("top_ngram_count", es(1)))),
     "minhash_sig" -> (es => MinHashSig(es.head, intLit("minhash_sig", es(1)))),
     "vec_lsh_sig" -> (es => LshSignature(es.head, intLit("vec_lsh_sig", es(1)))),
     // direct-call form: size(null)-as-NULL semantics (non-legacy)

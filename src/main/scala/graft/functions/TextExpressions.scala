@@ -66,6 +66,38 @@ object TextOps {
     new GenericArrayData(out)
   }
 
+  /** Maximum multiplicity over the word n-grams of `s` — the Gopher
+    * top-n-gram repetition statistic ([[graft.ops.TextAnalysis
+    * .qualityFilterFunnel]]'s gate 5) computed ROW-LOCALLY: equivalent to
+    * exploding [[wordNgrams]] and taking `max(count)` per document, but
+    * with no explode, no (doc, gram) shuffle, and no re-aggregate — a
+    * per-doc property should never cost a corpus shuffle. One hash map
+    * over the doc's own grams, primitive loop, no per-element boxing.
+    * Returns 0 when the text has fewer than n words.
+    */
+  def topNgramCount(s: UTF8String, n: Int): Long = {
+    val words = s.toString.split(" ", -1)
+    if (words.length < n) return 0L
+    val counts = new java.util.HashMap[String, Integer]
+    val sb = new java.lang.StringBuilder
+    var best = 0
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(words(i + k))
+        k += 1
+      }
+      val g = sb.toString
+      val c = counts.merge(g, 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best.toLong
+  }
+
   /** |distinct(a) ∩ distinct(b)| over two string arrays WITHOUT
     * materializing the intersection array — hash-set build over the
     * smaller side, destructive probe over the larger (remove-on-hit
@@ -193,6 +225,33 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
       s"${ev.value} = graft.functions.TextOps.wordNgrams($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+/** top_ngram_count(text, n): max word-n-gram multiplicity, row-local —
+  * the shuffle-free form of the per-doc `max(count)` over exploded
+  * n-grams. Same codegen-kernel shape as [[WordNgrams]].
+  */
+case class TopNgramCount(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"top_ngram_count expects a string column, got ${t.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "top_ngram_count"
+
+  override def nullSafeEval(s: Any): Any =
+    TextOps.topNgramCount(s.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextOps.topNgramCount($c, $n);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TopNgramCount =
     copy(child = newChild)
 }
 

@@ -285,26 +285,27 @@ object TextAnalysis {
     * HERE and only here; the batch funnel and the streaming probe both
     * consume this frame (input needs doc_id, text, n_chars). Stage 0 =
     * survivor.
+    *
+    * Every gate is ROW-LOCAL — including the top-2-gram repetition gate,
+    * which runs in the [[graft.functions.TopNgramCount]] codegen kernel
+    * (max gram multiplicity is a per-doc property; the explode →
+    * (doc, gram) shuffle → re-aggregate formulation pays a corpus
+    * shuffle for what one hash map over the doc's own grams computes in
+    * place). The whole attribution is therefore a SCAN: the funnel costs
+    * one 1-row aggregate on top, nothing else, at any corpus size.
     */
   private[graft] def funnelFirstFail(spark: SparkSession,
                                      docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val base = docs
+    docs
       .select(col("doc_id"), length(col("text")).as("len"),
         toks(col("text")).as("ws"), col("text"), col("n_chars"))
-      .select(col("doc_id"), col("len"), col("text"), col("n_chars"),
+      .select(col("doc_id"), col("len"), col("n_chars"),
         size(col("ws")).as("nt"),
         size(array_distinct(col("ws"))).as("nd"),
         size(array_intersect(array_distinct(col("ws")),
-          array(stopwords.map(lit(_)): _*))).as("n_stop_kinds"))
-    val topGram = base.filter(col("nt") >= 2)
-      .select(col("doc_id"),
-        explode(call_function("word_ngrams", col("text"), lit(2))).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max("c").as("topn"))
-    base
-      .join(topGram, Seq("doc_id"), "left_outer")
-      .na.fill(0L, Seq("topn"))
+          array(stopwords.map(lit(_)): _*))).as("n_stop_kinds"),
+        call_function("top_ngram_count", col("text"), lit(2)).as("topn"))
       .select(col("doc_id"), col("n_chars"),
         (col("nt") >= FunnelMinTokens && col("nt") <= FunnelMaxTokens)
           .as("g1"),

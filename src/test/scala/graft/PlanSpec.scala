@@ -570,7 +570,7 @@ class PlanSpec extends SparkSpec {
       "mm_ann_topk" -> 6,
       "quality_lm_ppx" -> 7,
       "sampling_temperature_mix" -> 5,
-      "quality_filter_funnel" -> 5)
+      "quality_filter_funnel" -> 2)
     val aggOrLimit = Set("HashAggregateExec", "ObjectHashAggregateExec",
       "SortAggregateExec", "TakeOrderedAndProjectExec", "GlobalLimitExec",
       "CollectLimitExec", "LocalLimitExec")

@@ -61,6 +61,37 @@ class TextExprSpec extends SparkSpec {
     }
   }
 
+  test("top_ngram_count == max gram multiplicity on varied inputs, " +
+       "0 below n words, null on null") {
+    val docs = Seq(
+      "a b a b a b",       // "a b" x3 via overlap
+      "a a a a",           // "a a" x3
+      "x y",               // exactly one bigram
+      "x",                 // below n
+      "",                  // empty
+      "a  b a  b",         // empty words count as words
+      "one two three four" // all distinct
+    ).toDF("text")
+    val ws = split(col("text"), " ")
+    val hof = when(size(ws) >= 2,
+      array_max(transform(
+        array_distinct(call_function("word_ngrams", col("text"), lit(2))),
+        g => size(filter(call_function("word_ngrams", col("text"), lit(2)),
+          x => x === g)))).cast("long"))
+      .otherwise(0L)
+    val both = docs.select(
+      call_function("top_ngram_count", col("text"), lit(2)).as("kernel"),
+      hof.as("hof"))
+    assert(both.filter(col("kernel") =!= col("hof")).count() === 0)
+    assert(docs.limit(1).select(
+      call_function("top_ngram_count", col("text"), lit(2))).head()
+      .getLong(0) === 3L)
+    val nul = Seq(Option.empty[String]).toDF("text")
+      .select(call_function("top_ngram_count", col("text"), lit(2)))
+      .head()
+    assert(nul.isNullAt(0))
+  }
+
   test("intersect_size == size(array_intersect) on varied set shapes, " +
        "and the optimizer rule fuses the composed form") {
     val docs = Seq(
