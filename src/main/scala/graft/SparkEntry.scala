@@ -271,7 +271,11 @@ object SparkEntry {
     "stream_quality_gate" ->
       ((s, d) => graft.streaming.StreamAssembly.streamQualityGate(s, d)),
     "embedding_dim_stats" ->
-      ((s, d) => Similarity.embeddingDimStats(s, d))
+      ((s, d) => Similarity.embeddingDimStats(s, d)),
+    "bm25_topk" -> ((s, d) => ops.Retrieval.bm25TopK(s, d)),
+    "text_entropy_bands" -> ((s, d) => CorpusStats.textEntropyBands(s, d)),
+    "kl_source_drift" -> ((s, d) => CorpusStats.klSourceDrift(s, d)),
+    "preference_pairs" -> ((s, d) => TrainingSets.preferencePairs(s, d))
   )
 
   /** Shared DuckDB CTE body: 3-gram shingles → exact-Jaccard-0.8 pairs.
@@ -3340,7 +3344,146 @@ object SparkEntry {
     // the STREAMING probe folds per-batch partial funnel aggregates into
     // the identical presentation — same SQL builder, one WHERE apart
     // (only the odd half streams in)
-    "stream_quality_gate" -> funnelOracle("WHERE doc_id % 2 = 1")
+    "stream_quality_gate" -> funnelOracle("WHERE doc_id % 2 = 1"),
+    // quantized BM25 replay: idf is PortableLn of the exact-integer
+    // quotient (2N+2)/(2df+1) floored to micro-nats; the tf saturation
+    // is the k1=6/5, b=3/4 form cross-multiplied to pure BIGINT (dl/avgdl
+    // pre-quantized to ppm by one integer floor-division) — so score and
+    // the top-k boundary are exact integers in both engines. Query terms
+    // and k interpolate from Retrieval.Bm25QueryTerms/Bm25K.
+    "bm25_topk" -> {
+      val q = ops.Retrieval.Bm25QueryTerms.map(t => s"('$t')").mkString(", ")
+      val (plCtes, plOut) = functions.PortableLn.sqlCtes(
+        "pl", "dfreq, corpus", Seq("w"),
+        "(n_docs * 2 + 2)::DOUBLE / (df * 2 + 1)::DOUBLE", "lnx")
+      s"""WITH t AS (SELECT doc_id, source, w FROM (SELECT doc_id, source,
+        |    unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0),
+        |dl AS (SELECT doc_id, any_value(source) AS source,
+        |    CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+        |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        |q(w) AS (VALUES $q),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |  FROM t JOIN q USING (w) GROUP BY 1, 2),
+        |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY w),
+        |$plCtes,
+        |idf AS (SELECT w, CAST(floor(lnx * 1e6) AS BIGINT) AS idf_micro
+        |  FROM $plOut),
+        |sc AS (SELECT tf.doc_id, dl.source,
+        |    22 * ((idf_micro * tf.tf * 1000000) //
+        |      (10 * tf.tf * 1000000 + 3000000 +
+        |       9 * ((dl.dl * n_docs * 1000000) // sum_dl))) AS term_score
+        |  FROM tf JOIN idf USING (w) JOIN dl USING (doc_id), corpus),
+        |agg AS (SELECT doc_id, any_value(source) AS source,
+        |    CAST(count(*) AS BIGINT) AS n_terms_hit,
+        |    CAST(sum(term_score) AS BIGINT) AS score_micro
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, source, n_terms_hit, score_micro FROM agg
+        |ORDER BY score_micro DESC, doc_id LIMIT ${ops.Retrieval.Bm25K}"""
+        .stripMargin
+    },
+    // per-doc Shannon entropy replay: ln only of DISTINCT integer token
+    // tallies (PortableLn, floored to micro-nats), then H·len =
+    // Σ c·(lnL−lnc) and the half-nat band id are exact BIGINT arithmetic
+    // (floor is monotone, so every difference and DIV is nonnegative)
+    "text_entropy_bands" -> {
+      val (plCtes, plOut) = functions.PortableLn.sqlCtes(
+        "pl", "vals", Seq("v"), "v::DOUBLE", "lnx")
+      s"""WITH tt AS (SELECT doc_id, w FROM (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0),
+        |cnts AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM tt GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS len
+        |  FROM cnts GROUP BY 1),
+        |vals AS (SELECT DISTINCT c AS v FROM cnts
+        |  UNION SELECT DISTINCT len AS v FROM lens),
+        |$plCtes,
+        |lnv AS (SELECT v, CAST(floor(lnx * 1e6) AS BIGINT) AS ln_micro
+        |  FROM $plOut),
+        |ent AS (SELECT cnts.doc_id, lens.len,
+        |    CAST(sum(c * (l2.ln_micro - l1.ln_micro)) AS BIGINT)
+        |      AS ent_scaled
+        |  FROM cnts JOIN lnv l1 ON cnts.c = l1.v
+        |  JOIN lens ON cnts.doc_id = lens.doc_id
+        |  JOIN lnv l2 ON lens.len = l2.v
+        |  GROUP BY 1, 2),
+        |b AS (SELECT len, ent_scaled // len AS per_tok_micro,
+        |    (ent_scaled // len) // ${ops.CorpusStats.EntropyBandMicro}
+        |      AS band
+        |  FROM ent)
+        |SELECT band, count(*) AS n_docs,
+        |  CAST(sum(len) AS BIGINT) AS sum_tokens,
+        |  min(per_tok_micro) AS min_ent_micro,
+        |  max(per_tok_micro) AS max_ent_micro
+        |FROM b GROUP BY band ORDER BY band""".stripMargin
+    },
+    // pairwise smoothed-KL replay: same md5 bucket model (KlBuckets),
+    // dense grid zero-filled, one PortableLn per (pair, bucket) floored
+    // to micro-nats; the divergence stays an UNNORMALIZED integer sum
+    // next to its smoothed mass (see the operator scaladoc for why the
+    // division is left to the reader)
+    "kl_source_drift" -> {
+      val nB = ops.CorpusStats.KlBuckets
+      val (plCtes, plOut) = functions.PortableLn.sqlCtes(
+        "pl", "px", Seq("source_a", "source_b", "ca", "na"),
+        s"((ca + 1) * (nb_tot + $nB))::DOUBLE / " +
+          s"((cb + 1) * (na + $nB))::DOUBLE", "lnx")
+      s"""WITH tb AS (SELECT source,
+        |    ('0x' || substr(md5(w), 1, 8))::BIGINT % $nB AS b
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) WHERE length(w) > 0),
+        |cnt AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM tb GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |  FROM cnt GROUP BY 1),
+        |grid AS (SELECT ns.source, ns.n, r.b,
+        |    CAST(coalesce(cnt.c, 0) AS BIGINT) AS c
+        |  FROM ns CROSS JOIN range(0, $nB) r(b)
+        |  LEFT JOIN cnt ON cnt.source = ns.source AND cnt.b = r.b),
+        |px AS (SELECT a.source AS source_a, q.source AS source_b,
+        |    a.c AS ca, a.n AS na, q.c AS cb, q.n AS nb_tot
+        |  FROM grid a JOIN grid q
+        |    ON a.b = q.b AND a.source <> q.source),
+        |$plCtes,
+        |terms AS (SELECT source_a, source_b, na,
+        |    (ca + 1) * CAST(floor(lnx * 1e6) AS BIGINT) AS t
+        |  FROM $plOut)
+        |SELECT source_a, source_b,
+        |  CAST(any_value(na) + $nB AS BIGINT) AS n_smoothed_a,
+        |  CAST(sum(t) AS BIGINT) AS kl_scaled_micro
+        |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    // contrastive pair mining replay: integer lexical-diversity score,
+    // two rank directions with mirrored doc_id tie-breaks, extremes
+    // paired on (source, rank) with the exact-integer sanity predicates
+    "preference_pairs" -> {
+      val k = ops.TrainingSets.PrefPairsPerSource
+      s"""WITH tt AS (SELECT doc_id, source, w FROM (SELECT doc_id, source,
+        |    unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0),
+        |s AS (SELECT doc_id, any_value(source) AS source,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT w) AS BIGINT) AS n_types
+        |  FROM tt GROUP BY doc_id),
+        |sc AS (SELECT doc_id, source,
+        |    (n_types * 1000000) // n_tokens AS score FROM s),
+        |best AS (SELECT source, row_number() OVER (PARTITION BY source
+        |    ORDER BY score DESC, doc_id ASC) AS pair_rank,
+        |    doc_id AS chosen_doc, score AS chosen_score FROM sc),
+        |worst AS (SELECT source, row_number() OVER (PARTITION BY source
+        |    ORDER BY score ASC, doc_id DESC) AS pair_rank,
+        |    doc_id AS rejected_doc, score AS rejected_score FROM sc)
+        |SELECT b.source, b.pair_rank, chosen_doc, rejected_doc,
+        |  CAST(chosen_score - rejected_score AS BIGINT) AS margin_micro
+        |FROM best b JOIN worst w
+        |  ON b.source = w.source AND b.pair_rank = w.pair_rank
+        |WHERE b.pair_rank <= $k AND chosen_doc <> rejected_doc
+        |  AND chosen_score >= rejected_score
+        |ORDER BY b.source, b.pair_rank""".stripMargin
+    }
   )
 
   /** The Gopher-funnel DuckDB replay, parameterized by the corpus slice:

@@ -743,4 +743,124 @@ object CorpusStats {
         sum("nll_sum_micro").cast("long").as("sum_nll_micro"))
       .orderBy("source", "band")
   }
+
+  /** Half-nat band width for [[textEntropyBands]], in micro-nats. */
+  val EntropyBandMicro: Long = 500000L
+
+  /** Per-document token Shannon entropy, banded — the gibberish /
+    * boilerplate detector of LLM curation stacks (low entropy = repeated
+    * tokens, high = diverse vocabulary; standard information-theoretic
+    * quality signal, Shannon 1948 — public knowledge).
+    *
+    * Exactness: H·len = Σ_w c_w·(ln len − ln c_w) needs only ln of
+    * INTEGER token counts, so the transcendental work collapses to one
+    * [[graft.functions.PortableLn]] per DISTINCT count value — a frame
+    * bounded by the longest document, not the corpus — floored to
+    * micro-nats and broadcast back. Every per-doc value (the
+    * Σ c·(lnL−lnc) sum, the per-token micro-nat rate, the half-nat band
+    * id) is then exact BIGINT arithmetic: lnL_micro ≥ lnc_micro because
+    * floor is monotone and len ≥ c, so the rate DIV is
+    * nonnegative-by-nonnegative everywhere and both engines agree.
+    *
+    * Scale shape: one corpus scan → (doc_id, w) map-side-combined
+    * count → doc-level sum → band-count rows. The ln table is the
+    * distinct-count-value frame (≤ max dl rows), built by its own tiny
+    * aggregate and BROADCAST into both joins — no corpus-sized frame
+    * ever meets the ladder.
+    */
+  def textEntropyBands(spark: SparkSession, sfDir: String): DataFrame = {
+    val cnts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id", "w").agg(count(lit(1)).cast("long").as("c"))
+    val lens = cnts.groupBy("doc_id")
+      .agg(sum("c").cast("long").as("len"))
+    // ln lookup over DISTINCT count values only (counts and lengths
+    // share one domain: positive token tallies)
+    val valsX = cnts.select(col("c").as("v"))
+      .union(lens.select(col("len").as("v")))
+      .distinct()
+      .select(col("v"), col("v").cast("double").as("x"))
+    val lnv = graft.functions.PortableLn.withLn(valsX, "x", "lnx")
+      .select(col("v"), floor(col("lnx") * lit(1e6)).cast("long")
+        .as("ln_micro"))
+    val lnLen = lnv.select(col("v").as("lv"), col("ln_micro").as("lnl"))
+    val ent = cnts
+      .join(broadcast(lnv), cnts("c") === lnv("v"))
+      .select(col("doc_id"), col("c"), col("ln_micro").as("lnc"))
+      .join(lens, Seq("doc_id"))
+      .join(broadcast(lnLen), col("len") === col("lv"))
+      .groupBy("doc_id", "len")
+      .agg(sum(col("c") * (col("lnl") - col("lnc"))).cast("long")
+        .as("ent_scaled"))
+      .withColumn("per_tok_micro", expr("ent_scaled DIV len").cast("long"))
+      .withColumn("band",
+        expr(s"per_tok_micro DIV $EntropyBandMicro").cast("long"))
+    ent.groupBy("band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("len").cast("long").as("sum_tokens"),
+        min("per_tok_micro").cast("long").as("min_ent_micro"),
+        max("per_tok_micro").cast("long").as("max_ent_micro"))
+      .orderBy("band")
+  }
+
+  /** Hash-bucket count for [[klSourceDrift]]'s token model — the
+    * [[TrainingSets.DsirBuckets]] discipline (bounded model state at any
+    * vocabulary size), hoisted so operator and oracle interpolate the
+    * same constant. */
+  val KlBuckets: Int = 64
+
+  /** Pairwise Kullback–Leibler divergence between per-source token
+    * distributions — the domain-drift / mixture-design statistic
+    * (DoReMi-style domain reweighting reads exactly these pairwise
+    * divergences; Kullback & Leibler 1951 — public knowledge). Tokens
+    * hash into [[KlBuckets]] md5 buckets so the model is fixed-size at
+    * any corpus scale; Laplace add-1 smoothing keeps every ratio
+    * finite, including buckets a source never hits.
+    *
+    * Exactness: the per-(pair, bucket) log-ratio is one
+    * [[graft.functions.PortableLn]] of an exact integer-product
+    * quotient, floored to micro-nats; the reported divergence is the
+    * UNNORMALIZED integer Σ_b (c_ab+1)·lw_b together with the smoothed
+    * mass n_a + B it would be divided by — deliberately NOT divided,
+    * because quantization can push a near-zero divergence a few
+    * micro-nats negative and integer-division semantics on negatives
+    * differ across engines; the two reported integers are exact and the
+    * reader divides.
+    *
+    * Scale shape: corpus → (source, bucket) map-side-combined count
+    * (S·B rows) → dense S×B grid (zero-filled via a broadcast
+    * spark.range cross) → S²·B pair frame through the ladder — model
+    * arithmetic only; the corpus is scanned once and never re-shuffled.
+    */
+  def klSourceDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val nB = KlBuckets
+    val tb = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("source"),
+        pmod(conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"),
+          lit(nB)).as("b"))
+    val cnt = tb.groupBy("source", "b").agg(count(lit(1)).cast("long").as("c"))
+    val ns = cnt.groupBy("source").agg(sum("c").cast("long").as("n"))
+    val grid = ns.select("source", "n")
+      .crossJoin(broadcast(spark.range(nB).select(col("id").as("b"))))
+      .join(cnt, Seq("source", "b"), "left_outer")
+      .na.fill(0L, Seq("c"))
+    val pairsX = grid.as("a")
+      .join(grid.as("q"), col("a.b") === col("q.b") &&
+        col("a.source") =!= col("q.source"))
+      .select(col("a.source").as("source_a"), col("q.source").as("source_b"),
+        col("a.b").as("b"), col("a.c").as("ca"), col("a.n").as("na"),
+        ((col("a.c") + 1L) * (col("q.n") + nB)).cast("double")
+          ./(((col("q.c") + 1L) * (col("a.n") + nB)).cast("double")).as("x"))
+    val terms = graft.functions.PortableLn.withLn(pairsX, "x", "lnx")
+      .select(col("source_a"), col("source_b"), col("na"),
+        ((col("ca") + 1L) * floor(col("lnx") * lit(1e6)).cast("long"))
+          .as("t"))
+    terms.groupBy("source_a", "source_b")
+      .agg(first(col("na") + nB).cast("long").as("n_smoothed_a"),
+        sum("t").cast("long").as("kl_scaled_micro"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.PortableLn
+
+/** Lexical retrieval over the document corpus: quantized Okapi BM25
+  * (Robertson & Walker 1994; the +1 idf form of Lucene — public
+  * method), the ranking function a training-data pipeline uses to mine
+  * topical slices and to power the lexical arm of hybrid search.
+  *
+  * Reference tie-in: the reference's dead `query-ch` CLI entry point
+  * (`pyproject.toml:33`) promises an ad-hoc query surface it never
+  * shipped; ranked retrieval over the corpus is that surface's natural
+  * LLM-era extension, and it composes with the existing vector arm
+  * ([[Similarity]]) the way `hybrid_search` already demonstrates.
+  *
+  * Determinism discipline (the [[TrainingSets.dsirImportance]] gate,
+  * applied to BM25): the only transcendental is one ln per QUERY TERM
+  * — computed by [[graft.functions.PortableLn]] (bit-identical across
+  * engines) and floored to BIGINT micro-nats at the source. The tf
+  * saturation is re-derived as exact integer arithmetic: with
+  * k1 = 6/5, b = 3/4,
+  *
+  *   S(tf, dl) = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *             = 22·tf / (10·tf + 3 + 9·dl/avgdl)
+  *
+  * and dl/avgdl is quantized once to ppm as an integer floor-division
+  * (`dl·N·1e6 DIV Σdl`), so the per-term score
+  *
+  *   score = 22 · ((idf_micro · tf · 1e6) DIV (10·tf·1e6 + 3e6 + 9·dlr))
+  *
+  * is pure BIGINT arithmetic — order-independent and identical in
+  * Spark and DuckDB (idf_micro ≤ ~3e7 even at 1e12 docs, so
+  * idf_micro·tf·1e6 fits int64 for any dl < 1e5; the dl·N·1e6
+  * quantizer bounds N·dl < 9.2e12 — a larger corpus drops the ppm
+  * scale one decade, a one-constant change). The top-k
+  * boundary compares exact integers with a doc_id tie-break, so the
+  * LIMIT is deterministic in both engines.
+  *
+  * Scale shape: the corpus is scanned once; the only shuffle of
+  * corpus-sized data is the (doc_id) length aggregate and the
+  * (doc_id, term) tf aggregate — and the tf frame is pre-filtered by a
+  * BROADCAST semi-join against the |Q|-term query, so only matching
+  * postings shuffle (the inverted-index discipline: candidates ∝
+  * postings of the query terms, never the corpus). idf and corpus
+  * stats are |Q|-row / 1-row broadcasts; the final rank is a top-k
+  * (TakeOrderedAndProject), never a global sort.
+  */
+object Retrieval {
+
+  /** The fixed probe query — hoisted so operator and oracle SQL
+    * interpolate the SAME terms (the Similarity.KmeansK anti-drift
+    * discipline). */
+  val Bm25QueryTerms: Seq[String] = Seq("table", "query", "merge", "vector")
+
+  /** Result depth for [[bm25TopK]]. */
+  val Bm25K: Int = 10
+
+  /** Top-[[Bm25K]] documents for [[Bm25QueryTerms]] under quantized
+    * BM25 (k1 = 1.2, b = 0.75). Columns: doc_id, source, n_terms_hit,
+    * score_micro (Σ per-term quantized scores, micro-nat scale). */
+  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val dl = toks.groupBy("doc_id").agg(
+      first("source").as("source"), count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum("dl").cast("long").as("sum_dl"))
+    val qterms = Bm25QueryTerms.toDF("w")
+    // postings of the query terms only — the broadcast semi-join keeps
+    // the shuffled tf frame ∝ matching postings, not the corpus
+    val tf = toks.join(broadcast(qterms), Seq("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).cast("long").as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("long").as("df"))
+    // Robertson +1 idf: ln((N − df + 0.5)/(df + 0.5) + 1) = ln((2N+2)/(2df+1))
+    // — strictly positive, exact-integer quotient into the portable ln,
+    // floored to micro-nats so everything downstream is BIGINT.
+    val idfX = dfreq.crossJoin(broadcast(corpus))
+      .select(col("w"),
+        ((col("n_docs") * 2L + 2L).cast("double") /
+          (col("df") * 2L + 1L).cast("double")).as("x"))
+    val idf = PortableLn.withLn(idfX, "x", "lnx")
+      .select(col("w"), floor(col("lnx") * lit(1e6)).cast("long")
+        .as("idf_micro"))
+    val scored = tf
+      .join(broadcast(idf), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("dlr", expr("(dl * n_docs * 1000000) DIV sum_dl"))
+      .withColumn("term_score", lit(22L) *
+        expr("(idf_micro * tf * 1000000) DIV " +
+          "(10 * tf * 1000000 + 3000000 + 9 * dlr)"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).cast("long").as("n_terms_hit"),
+        sum("term_score").cast("long").as("score_micro"))
+    scored.orderBy(desc("score_micro"), asc("doc_id")).limit(Bm25K)
+  }
+}

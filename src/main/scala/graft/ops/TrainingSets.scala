@@ -596,4 +596,63 @@ object TrainingSets {
       .agg(count(lit(1)).as("n_kept"), sum("est").as("sum_est_tokens"))
       .orderBy("lang")
   }
+
+  /** Pairs mined per source for [[preferencePairs]]. */
+  val PrefPairsPerSource: Int = 3
+
+  /** Contrastive preference-pair mining: per source, pair the i-th
+    * highest-quality document with the i-th lowest (i ≤
+    * [[PrefPairsPerSource]]) — the heuristic bootstrap for
+    * reward-model / DPO-style training data when no human labels exist
+    * yet (rank-and-pair-extremes is the standard public construction;
+    * the quality proxy here is lexical diversity, distinct-token ppm,
+    * an integer).
+    *
+    * Exactness: the score is `n_types·1e6 DIV n_tokens` — BIGINT; rank
+    * ties break on doc_id both directions, so chosen/rejected and the
+    * margin are fully deterministic in both engines. A source with
+    * fewer than 2i docs would pair a doc against itself or invert the
+    * ranking, so pairs are kept only when the docs differ and the
+    * margin is nonnegative — both exact-integer predicates.
+    *
+    * Scale shape: one doc-grain aggregate (map-side combine over the
+    * exploded tokens), then two source-partitioned row_number windows —
+    * partition-parallel across sources; no unpartitioned window, no
+    * corpus-sized join (the pair join matches on (source, rank), ≤
+    * [[PrefPairsPerSource]] rows per source on each side after the
+    * rank filter).
+    */
+  def preferencePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = PrefPairsPerSource
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        countDistinct("w").cast("long").as("n_types"))
+      .withColumn("score", expr("(n_types * 1000000) DIV n_tokens"))
+    val wBest = Window.partitionBy("source")
+      .orderBy(desc("score"), asc("doc_id"))
+    val wWorst = Window.partitionBy("source")
+      .orderBy(asc("score"), desc("doc_id"))
+    val best = scored
+      .withColumn("pair_rank", row_number().over(wBest).cast("long"))
+      .filter(col("pair_rank") <= k)
+      .select(col("source"), col("pair_rank"),
+        col("doc_id").as("chosen_doc"), col("score").as("chosen_score"))
+    val worst = scored
+      .withColumn("pair_rank", row_number().over(wWorst).cast("long"))
+      .filter(col("pair_rank") <= k)
+      .select(col("source"), col("pair_rank"),
+        col("doc_id").as("rejected_doc"), col("score").as("rejected_score"))
+    best.join(worst, Seq("source", "pair_rank"))
+      .filter(col("chosen_doc") =!= col("rejected_doc") &&
+        col("chosen_score") >= col("rejected_score"))
+      .select(col("source"), col("pair_rank"), col("chosen_doc"),
+        col("rejected_doc"),
+        (col("chosen_score") - col("rejected_score")).as("margin_micro"))
+      .orderBy("source", "pair_rank")
+  }
 }

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{CorpusStats, Retrieval, TrainingSets}
+
+/** Round-11 retrieval / information-theory additions: quantized BM25,
+  * entropy banding, pairwise KL drift, preference-pair mining —
+  * structural invariants plus libm cross-checks of the PortableLn
+  * micro-nat quantities the hash gates ride on.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bm25: returns k rows, scores strictly ordered with doc_id " +
+       "tie-break, every hit matches at least one query term") {
+    val rows = Retrieval.bm25TopK(spark, sf).collect()
+    assert(rows.length === Retrieval.Bm25K)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val (sa, sb) = (a.getAs[Long]("score_micro"), b.getAs[Long]("score_micro"))
+      assert(sa > sb ||
+        (sa == sb && a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_terms_hit") >= 1L)
+      assert(r.getAs[Long]("score_micro") > 0L)
+    }
+    val hitIds = rows.map(_.getAs[Long]("doc_id")).toSet
+    val matching = Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(hitIds.toSeq: _*))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(array_intersect(col("ws"),
+        array(Retrieval.Bm25QueryTerms.map(lit(_)): _*))) > 0)
+      .count()
+    assert(matching === hitIds.size.toLong)
+  }
+
+  test("bm25: the portable-ln idf agrees with libm within 1 micro-nat " +
+       "and the quantized score agrees with a double-BM25 rescore") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val n = docs.select("doc_id").distinct().count()
+    val sumDl = docs.count()
+    val dl = docs.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dl")).toMap
+    val tf = docs.filter(col("w").isin(Retrieval.Bm25QueryTerms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("w")) ->
+        r.getAs[Long]("tf")).toMap
+    val df = tf.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    // reference double-arithmetic BM25 (k1=1.2, b=0.75, Robertson +1 idf)
+    val avgdl = sumDl.toDouble / n
+    def refScore(doc: Long): Double =
+      Retrieval.Bm25QueryTerms.flatMap { w =>
+        tf.get((doc, w)).map { t =>
+          val idf = math.log((n - df(w) + 0.5) / (df(w) + 0.5) + 1.0)
+          idf * t * 2.2 / (t + 1.2 * (0.25 + 0.75 * dl(doc) / avgdl))
+        }
+      }.sum
+    val rows = Retrieval.bm25TopK(spark, sf).collect()
+    rows.foreach { r =>
+      val got = r.getAs[Long]("score_micro").toDouble / 1e6
+      val want = refScore(r.getAs[Long]("doc_id"))
+      // quantization: dlr ppm floor + per-term micro floor + 22·DIV —
+      // all sub-1e-4 relative at these magnitudes
+      assert(math.abs(got - want) < 0.01,
+        s"doc ${r.getAs[Long]("doc_id")}: $got vs $want")
+    }
+    // and the top of the quantized ranking is the top of the double ranking
+    val refTop = dl.keys.toSeq.map(d => (refScore(d), d))
+      .sortBy { case (s, d) => (-s, d) }.head._2
+    assert(rows.head.getAs[Long]("doc_id") === refTop)
+  }
+
+  test("entropy bands: partition the corpus, bounds ordered, and a " +
+       "direct libm entropy of every doc lands in its band envelope") {
+    val rows = CorpusStats.textEntropyBands(spark, sf)
+      .orderBy("band").collect()
+    val nDocs = Tables.documents(spark, sf)
+      .filter(length(col("text")) > 0).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[Long]("min_ent_micro"), r.getAs[Long]("max_ent_micro"))
+      val band = r.getAs[Long]("band")
+      assert(lo >= 0 && lo <= hi)
+      assert(lo / CorpusStats.EntropyBandMicro === band)
+      assert(hi / CorpusStats.EntropyBandMicro === band)
+    }
+    // libm cross-check of the whole banding: recompute every doc's
+    // per-token entropy with Math.log; each must fall inside [band·w,
+    // (band+1)·w) up to the ≤(len+1)/len micro-nat floor slack
+    val perDoc = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c")).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val w = CorpusStats.EntropyBandMicro
+    val bandsOf = rows.map(_.getAs[Long]("band")).toSet
+    perDoc.foreach { case (_, rs) =>
+      val cs = rs.map(_.getAs[Long]("c").toDouble)
+      val len = cs.sum
+      val h = cs.map(c => c * (math.log(len) - math.log(c))).sum / len * 1e6
+      val cand = (h / w).toLong
+      assert(bandsOf.contains(cand) || bandsOf.contains(cand - 1) ||
+        bandsOf.contains(cand + 1))
+    }
+  }
+
+  test("kl drift: S·(S−1) ordered pairs, self-pairs absent, and the " +
+       "quantized divergence respects the exact Gibbs lower bound") {
+    val rows = CorpusStats.klSourceDrift(spark, sf).collect()
+    val s = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(rows.length === (s * (s - 1)).toInt)
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_a") !== r.getAs[String]("source_b"))
+      // true KL ≥ 0 and each bucket floor loses < 1 micro-nat weighted
+      // by (c+1): quantized sum ≥ −Σ(c+1) = −n_smoothed_a exactly
+      assert(r.getAs[Long]("kl_scaled_micro") >= -r.getAs[Long]("n_smoothed_a"))
+    }
+    // drift is asymmetric in general but both directions exist
+    val pairs = rows.map(r =>
+      (r.getAs[String]("source_a"), r.getAs[String]("source_b"))).toSet
+    pairs.foreach { case (a, b) => assert(pairs.contains((b, a))) }
+  }
+
+  test("preference pairs: per-source extremes with nonnegative margins, " +
+       "rank-1 chosen is the true per-source diversity argmax") {
+    val rows = TrainingSets.preferencePairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pair_rank") >= 1L &&
+        r.getAs[Long]("pair_rank") <= TrainingSets.PrefPairsPerSource.toLong)
+      assert(r.getAs[Long]("margin_micro") >= 0L)
+      assert(r.getAs[Long]("chosen_doc") !== r.getAs[Long]("rejected_doc"))
+    }
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.values.forall(_.length <= TrainingSets.PrefPairsPerSource))
+    // independent argmax check for one source
+    val scored = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("source"),
+        size(col("ws")).cast("long").as("nt"),
+        size(array_distinct(col("ws"))).cast("long").as("nd"))
+      .withColumn("score", expr("(nd * 1000000) DIV nt"))
+      .collect()
+    val src = rows.head.getAs[String]("source")
+    val best = scored.filter(_.getAs[String]("source") == src)
+      .map(r => (r.getAs[Long]("score"), r.getAs[Long]("doc_id")))
+      .sortBy { case (sc, id) => (-sc, id) }.head._2
+    val got = rows.filter(r => r.getAs[String]("source") == src &&
+      r.getAs[Long]("pair_rank") == 1L).head.getAs[Long]("chosen_doc")
+    assert(got === best)
+  }
+}
