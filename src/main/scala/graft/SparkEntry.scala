@@ -273,6 +273,7 @@ object SparkEntry {
     "embedding_dim_stats" ->
       ((s, d) => Similarity.embeddingDimStats(s, d)),
     "bm25_topk" -> ((s, d) => ops.Retrieval.bm25TopK(s, d)),
+    "rrf_fusion" -> ((s, d) => ops.Retrieval.rrfFusion(s, d)),
     "text_entropy_bands" -> ((s, d) => CorpusStats.textEntropyBands(s, d)),
     "kl_source_drift" -> ((s, d) => CorpusStats.klSourceDrift(s, d)),
     "preference_pairs" -> ((s, d) => TrainingSets.preferencePairs(s, d))
@@ -3351,38 +3352,41 @@ object SparkEntry {
     // pre-quantized to ppm by one integer floor-division) — so score and
     // the top-k boundary are exact integers in both engines. Query terms
     // and k interpolate from Retrieval.Bm25QueryTerms/Bm25K.
-    "bm25_topk" -> {
-      val q = ops.Retrieval.Bm25QueryTerms.map(t => s"('$t')").mkString(", ")
-      val (plCtes, plOut) = functions.PortableLn.sqlCtes(
-        "pl", "dfreq, corpus", Seq("w"),
-        "(n_docs * 2 + 2)::DOUBLE / (df * 2 + 1)::DOUBLE", "lnx")
-      s"""WITH t AS (SELECT doc_id, source, w FROM (SELECT doc_id, source,
-        |    unnest(string_split(text, ' ')) AS w FROM documents)
-        |  WHERE length(w) > 0),
-        |dl AS (SELECT doc_id, any_value(source) AS source,
-        |    CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
-        |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
-        |q(w) AS (VALUES $q),
-        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
-        |  FROM t JOIN q USING (w) GROUP BY 1, 2),
-        |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
-        |  FROM tf GROUP BY w),
-        |$plCtes,
-        |idf AS (SELECT w, CAST(floor(lnx * 1e6) AS BIGINT) AS idf_micro
-        |  FROM $plOut),
-        |sc AS (SELECT tf.doc_id, dl.source,
-        |    22 * ((idf_micro * tf.tf * 1000000) //
-        |      (10 * tf.tf * 1000000 + 3000000 +
-        |       9 * ((dl.dl * n_docs * 1000000) // sum_dl))) AS term_score
-        |  FROM tf JOIN idf USING (w) JOIN dl USING (doc_id), corpus),
-        |agg AS (SELECT doc_id, any_value(source) AS source,
-        |    CAST(count(*) AS BIGINT) AS n_terms_hit,
-        |    CAST(sum(term_score) AS BIGINT) AS score_micro
-        |  FROM sc GROUP BY doc_id)
+    "bm25_topk" ->
+      s"""WITH $bm25CoreSql
         |SELECT doc_id, source, n_terms_hit, score_micro FROM agg
         |ORDER BY score_micro DESC, doc_id LIMIT ${ops.Retrieval.Bm25K}"""
-        .stripMargin
+        .stripMargin,
+    // RRF replay over the SAME bm25 core CTEs (one definition, two
+    // oracles) plus the sim_topk_bruteforce cosine arm; reciprocals are
+    // integer floor-divisions, ranks are row_numbers over total orders
+    "rrf_fusion" -> {
+      val k = ops.Retrieval.Bm25K
+      val c = ops.Retrieval.RrfC
+      val qid = ops.Retrieval.RrfQueryId
+      s"""WITH $bm25CoreSql,
+        |lexr AS (SELECT doc_id, row_number() OVER
+        |    (ORDER BY score_micro DESC, doc_id) AS rank_lex
+        |  FROM agg ORDER BY score_micro DESC, doc_id LIMIT $k),
+        |e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |      for i in range(1, 65)])) AS nrm FROM embeddings),
+        |vq AS (SELECT embedding AS qemb, nrm AS qnrm FROM e
+        |  WHERE vec_id = $qid),
+        |cos AS (SELECT e.vec_id AS doc_id,
+        |    list_sum([e.embedding[i]::DOUBLE * vq.qemb[i]::DOUBLE
+        |      for i in range(1, 65)]) / (e.nrm * vq.qnrm) AS cosine
+        |  FROM e, vq WHERE e.vec_id <> $qid),
+        |vecr AS (SELECT doc_id, row_number() OVER
+        |    (ORDER BY cosine DESC, doc_id) AS rank_vec
+        |  FROM cos ORDER BY cosine DESC, doc_id LIMIT $k),
+        |f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |    rank_lex, rank_vec
+        |  FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id)
+        |SELECT doc_id, rank_lex, rank_vec,
+        |  CAST(coalesce(1000000 // ($c + rank_lex), 0) +
+        |       coalesce(1000000 // ($c + rank_vec), 0) AS BIGINT) AS rrf_ppm
+        |FROM f ORDER BY rrf_ppm DESC, doc_id LIMIT $k""".stripMargin
     },
     // per-doc Shannon entropy replay: ln only of DISTINCT integer token
     // tallies (PortableLn, floored to micro-nats), then H·len =
@@ -3485,6 +3489,44 @@ object SparkEntry {
         |ORDER BY b.source, b.pair_rank""".stripMargin
     }
   )
+
+  /** Quantized-BM25 DuckDB core (through the per-doc `agg` CTE): the
+    * PortableLn idf ladder over the |Q|-term df frame, the
+    * cross-multiplied integer tf saturation, ppm-quantized dl/avgdl.
+    * One definition serves bm25_topk and the rrf_fusion lexical arm so
+    * the scoring cannot drift between their oracles. Query terms
+    * interpolate from Retrieval.Bm25QueryTerms.
+    */
+  private def bm25CoreSql: String = {
+    val q = ops.Retrieval.Bm25QueryTerms.map(t => s"('$t')").mkString(", ")
+    val (plCtes, plOut) = functions.PortableLn.sqlCtes(
+      "pl", "dfreq, corpus", Seq("w"),
+      "(n_docs * 2 + 2)::DOUBLE / (df * 2 + 1)::DOUBLE", "lnx")
+    s"""t AS (SELECT doc_id, source, w FROM (SELECT doc_id, source,
+      |    unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) > 0),
+      |dl AS (SELECT doc_id, any_value(source) AS source,
+      |    CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+      |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+      |q(w) AS (VALUES $q),
+      |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      |  FROM t JOIN q USING (w) GROUP BY 1, 2),
+      |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+      |  FROM tf GROUP BY w),
+      |$plCtes,
+      |idf AS (SELECT w, CAST(floor(lnx * 1e6) AS BIGINT) AS idf_micro
+      |  FROM $plOut),
+      |sc AS (SELECT tf.doc_id, dl.source,
+      |    22 * ((idf_micro * tf.tf * 1000000) //
+      |      (10 * tf.tf * 1000000 + 3000000 +
+      |       9 * ((dl.dl * n_docs * 1000000) // sum_dl))) AS term_score
+      |  FROM tf JOIN idf USING (w) JOIN dl USING (doc_id), corpus),
+      |agg AS (SELECT doc_id, any_value(source) AS source,
+      |    CAST(count(*) AS BIGINT) AS n_terms_hit,
+      |    CAST(sum(term_score) AS BIGINT) AS score_micro
+      |  FROM sc GROUP BY doc_id)""".stripMargin
+  }
 
   /** The Gopher-funnel DuckDB replay, parameterized by the corpus slice:
     * identical integer cross-multiplied gates, first-failing-stage

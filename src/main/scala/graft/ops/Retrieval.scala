@@ -101,4 +101,55 @@ object Retrieval {
         sum("term_score").cast("long").as("score_micro"))
     scored.orderBy(desc("score_micro"), asc("doc_id")).limit(Bm25K)
   }
+
+  /** RRF dampening constant (Cormack, Clarke & Buettcher 2009 — the
+    * standard k = 60). */
+  val RrfC: Int = 60
+
+  /** Query id for [[rrfFusion]]'s vector arm — the same probe vector
+    * [[Similarity.hybridSearch]] uses, so the two hybrid shapes are
+    * comparable. */
+  val RrfQueryId: Long = 7L
+
+  /** Reciprocal-rank fusion of the lexical and vector retrieval arms
+    * (Cormack et al. 2009 — public method; the fusion step every hybrid
+    * search stack runs between BM25 and ANN). Each arm contributes
+    * `1e6 DIV (C + rank)` ppm for its top-[[Bm25K]] ranking; documents
+    * appearing in only one arm score with the other contribution 0.
+    *
+    * Exactness: ranks are row_numbers over total orders — the BM25 arm
+    * orders exact integers, the vector arm orders cosines that are
+    * bit-identical across engines (left-to-right double folds, the
+    * [[Similarity]] discipline) — and each reciprocal is one integer
+    * floor-division, so the fused score is BIGINT everywhere and the
+    * final top-k boundary is deterministic (doc_id tie-break).
+    *
+    * Scale shape: both arms end in TakeOrderedAndProject top-k frames
+    * (k rows each); ranking and fusion run on those k-row frames only —
+    * the unpartitioned row_number windows consume k rows by
+    * construction, never a corpus-scale input.
+    */
+  def rrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = Bm25K
+    // k-row arm frames: the windows below are bounded by construction
+    val lexR = bm25TopK(spark, sfDir)
+      .select(col("doc_id"), col("score_micro"))
+      .withColumn("rank_lex", row_number()
+        .over(Window.orderBy(desc("score_micro"), asc("doc_id")))
+        .cast("long"))
+      .select("doc_id", "rank_lex")
+    val vecR = Similarity.bruteForceTopK(spark, sfDir, RrfQueryId, k)
+      .select(col("vec_id").as("doc_id"), col("cosine"))
+      .withColumn("rank_vec", row_number()
+        .over(Window.orderBy(desc("cosine"), asc("doc_id")))
+        .cast("long"))
+      .select("doc_id", "rank_vec")
+    lexR.join(vecR, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_ppm",
+        coalesce(expr(s"1000000 DIV ($RrfC + rank_lex)"), lit(0L)) +
+          coalesce(expr(s"1000000 DIV ($RrfC + rank_vec)"), lit(0L)))
+      .orderBy(desc("rrf_ppm"), asc("doc_id"))
+      .limit(k)
+  }
 }

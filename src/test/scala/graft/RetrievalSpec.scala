@@ -74,6 +74,41 @@ class RetrievalSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("doc_id") === refTop)
   }
 
+  test("rrf fusion: reciprocal contributions recompute exactly from the " +
+       "two arm rankings, ranks bounded by k, fusion order correct") {
+    val rows = ops.Retrieval.rrfFusion(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= ops.Retrieval.Bm25K)
+    // independent arm rankings
+    val lex = ops.Retrieval.bm25TopK(spark, sf).collect()
+      .sortBy(r => (-r.getAs[Long]("score_micro"), r.getAs[Long]("doc_id")))
+      .zipWithIndex.map { case (r, i) => r.getAs[Long]("doc_id") -> (i + 1L) }
+      .toMap
+    val vec = ops.Similarity
+      .bruteForceTopK(spark, sf, ops.Retrieval.RrfQueryId, ops.Retrieval.Bm25K)
+      .collect()
+      .sortBy(r => (-r.getAs[Double]("cosine"), r.getAs[Long]("vec_id")))
+      .zipWithIndex.map { case (r, i) => r.getAs[Long]("vec_id") -> (i + 1L) }
+      .toMap
+    val c = ops.Retrieval.RrfC
+    rows.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val want = lex.get(d).map((r: Long) => 1000000L / (c + r)).getOrElse(0L) +
+        vec.get(d).map((r: Long) => 1000000L / (c + r)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_ppm") === want, s"doc $d")
+      assert(Option(r.getAs[Any]("rank_lex"))
+        .forall(v => lex(d) == v.asInstanceOf[Long]))
+      assert(Option(r.getAs[Any]("rank_vec"))
+        .forall(v => vec(d) == v.asInstanceOf[Long]))
+    }
+    // the fused list is the global top of the union by (rrf, doc_id)
+    val expect = (lex.keySet ++ vec.keySet).toSeq
+      .map(d => (lex.get(d).map((r: Long) => 1000000L / (c + r)).getOrElse(0L) +
+        vec.get(d).map((r: Long) => 1000000L / (c + r)).getOrElse(0L), d))
+      .sortBy { case (s, d) => (-s, d) }
+      .take(rows.length).map(_._2)
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq === expect)
+  }
+
   test("entropy bands: partition the corpus, bounds ordered, and a " +
        "direct libm entropy of every doc lands in its band envelope") {
     val rows = CorpusStats.textEntropyBands(spark, sf)
