@@ -274,6 +274,8 @@ object SparkEntry {
       ((s, d) => Similarity.embeddingDimStats(s, d)),
     "bm25_topk" -> ((s, d) => ops.Retrieval.bm25TopK(s, d)),
     "rrf_fusion" -> ((s, d) => ops.Retrieval.rrfFusion(s, d)),
+    "stream_bm25_probe" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamBm25Probe(s, d)),
     "text_entropy_bands" -> ((s, d) => CorpusStats.textEntropyBands(s, d)),
     "kl_source_drift" -> ((s, d) => CorpusStats.klSourceDrift(s, d)),
     "preference_pairs" -> ((s, d) => TrainingSets.preferencePairs(s, d))
@@ -3353,7 +3355,7 @@ object SparkEntry {
     // the top-k boundary are exact integers in both engines. Query terms
     // and k interpolate from Retrieval.Bm25QueryTerms/Bm25K.
     "bm25_topk" ->
-      s"""WITH $bm25CoreSql
+      s"""WITH ${bm25CoreSql()}
         |SELECT doc_id, source, n_terms_hit, score_micro FROM agg
         |ORDER BY score_micro DESC, doc_id LIMIT ${ops.Retrieval.Bm25K}"""
         .stripMargin,
@@ -3364,7 +3366,7 @@ object SparkEntry {
       val k = ops.Retrieval.Bm25K
       val c = ops.Retrieval.RrfC
       val qid = ops.Retrieval.RrfQueryId
-      s"""WITH $bm25CoreSql,
+      s"""WITH ${bm25CoreSql()},
         |lexr AS (SELECT doc_id, row_number() OVER
         |    (ORDER BY score_micro DESC, doc_id) AS rank_lex
         |  FROM agg ORDER BY score_micro DESC, doc_id LIMIT $k),
@@ -3460,6 +3462,12 @@ object SparkEntry {
         |  CAST(sum(t) AS BIGINT) AS kl_scaled_micro
         |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+    // the STREAMING probe scores the odd half against the even-half
+    // frozen model — same SQL builder, the two slice filters apart
+    "stream_bm25_probe" ->
+      s"""WITH ${bm25CoreSql("WHERE doc_id % 2 = 0", "WHERE doc_id % 2 = 1")}
+        |SELECT doc_id, source, n_terms_hit, score_micro FROM agg
+        |ORDER BY doc_id""".stripMargin,
     // contrastive pair mining replay: integer lexical-diversity score,
     // two rank directions with mirrored doc_id tie-breaks, extremes
     // paired on (source, rank) with the exact-integer sanity predicates
@@ -3493,27 +3501,36 @@ object SparkEntry {
   /** Quantized-BM25 DuckDB core (through the per-doc `agg` CTE): the
     * PortableLn idf ladder over the |Q|-term df frame, the
     * cross-multiplied integer tf saturation, ppm-quantized dl/avgdl.
-    * One definition serves bm25_topk and the rrf_fusion lexical arm so
-    * the scoring cannot drift between their oracles. Query terms
-    * interpolate from Retrieval.Bm25QueryTerms.
+    * Parameterized by the MODEL slice (idf + corpus stats) and the
+    * SCORED slice (tf + doc length) — both empty reproduces the batch
+    * self-scored corpus; the streaming probe freezes the model on the
+    * history half. One definition serves bm25_topk, the rrf_fusion
+    * lexical arm and stream_bm25_probe so the scoring cannot drift
+    * between their oracles. Query terms interpolate from
+    * Retrieval.Bm25QueryTerms.
     */
-  private def bm25CoreSql: String = {
+  private def bm25CoreSql(modelWhere: String = "",
+                          scoreWhere: String = ""): String = {
     val q = ops.Retrieval.Bm25QueryTerms.map(t => s"('$t')").mkString(", ")
     val (plCtes, plOut) = functions.PortableLn.sqlCtes(
       "pl", "dfreq, corpus", Seq("w"),
       "(n_docs * 2 + 2)::DOUBLE / (df * 2 + 1)::DOUBLE", "lnx")
-    s"""t AS (SELECT doc_id, source, w FROM (SELECT doc_id, source,
-      |    unnest(string_split(text, ' ')) AS w FROM documents)
+    s"""q(w) AS (VALUES $q),
+      |tm AS (SELECT doc_id, w FROM (SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS w FROM documents $modelWhere)
       |  WHERE length(w) > 0),
-      |dl AS (SELECT doc_id, any_value(source) AS source,
-      |    CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+      |ts AS (SELECT doc_id, source, w FROM (SELECT doc_id, source,
+      |    unnest(string_split(text, ' ')) AS w FROM documents $scoreWhere)
+      |  WHERE length(w) > 0),
       |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-      |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
-      |q(w) AS (VALUES $q),
+      |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM (SELECT doc_id,
+      |      count(*) AS dl FROM tm GROUP BY doc_id)),
+      |dfreq AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM tm JOIN q USING (w) GROUP BY w),
+      |dl AS (SELECT doc_id, any_value(source) AS source,
+      |    CAST(count(*) AS BIGINT) AS dl FROM ts GROUP BY doc_id),
       |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
-      |  FROM t JOIN q USING (w) GROUP BY 1, 2),
-      |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
-      |  FROM tf GROUP BY w),
+      |  FROM ts JOIN q USING (w) GROUP BY 1, 2),
       |$plCtes,
       |idf AS (SELECT w, CAST(floor(lnx * 1e6) AS BIGINT) AS idf_micro
       |  FROM $plOut),

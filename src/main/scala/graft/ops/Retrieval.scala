@@ -59,28 +59,28 @@ object Retrieval {
   /** Result depth for [[bm25TopK]]. */
   val Bm25K: Int = 10
 
-  /** Top-[[Bm25K]] documents for [[Bm25QueryTerms]] under quantized
-    * BM25 (k1 = 1.2, b = 0.75). Columns: doc_id, source, n_terms_hit,
-    * score_micro (Σ per-term quantized scores, micro-nat scale). */
-  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-    val dl = toks.groupBy("doc_id").agg(
-      first("source").as("source"), count(lit(1)).as("dl"))
-    val corpus = dl.agg(count(lit(1)).cast("long").as("n_docs"),
-      sum("dl").cast("long").as("sum_dl"))
-    val qterms = Bm25QueryTerms.toDF("w")
-    // postings of the query terms only — the broadcast semi-join keeps
-    // the shuffled tf frame ∝ matching postings, not the corpus
-    val tf = toks.join(broadcast(qterms), Seq("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).cast("long").as("tf"))
-    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("long").as("df"))
-    // Robertson +1 idf: ln((N − df + 0.5)/(df + 0.5) + 1) = ln((2N+2)/(2df+1))
-    // — strictly positive, exact-integer quotient into the portable ln,
-    // floored to micro-nats so everything downstream is BIGINT.
+  private def tokensOf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("w"))
+    .filter(length(col("w")) > 0)
+
+  /** Frozen retrieval model from a model corpus: per-query-term
+    * micro-nat idf (Robertson +1 form: ln((N−df+0.5)/(df+0.5)+1) =
+    * ln((2N+2)/(2df+1)) — strictly positive, exact-integer quotient
+    * into the portable ln, floored to micro-nats) and the 1-row corpus
+    * stats (N, Σdl) the length normalizer reads. Both frames are
+    * |Q|-row / 1-row — broadcast-sized at any corpus scale. A query
+    * term absent from the model corpus has no idf row and contributes
+    * nothing downstream (unseen-in-index semantics).
+    */
+  private[graft] def bm25Model(modelDocs: DataFrame): (DataFrame, DataFrame) = {
+    import modelDocs.sparkSession.implicits._
+    val toks = tokensOf(modelDocs)
+    val corpus = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("dl").cast("long").as("sum_dl"))
+    val dfreq = toks.join(broadcast(Bm25QueryTerms.toDF("w")), Seq("w"))
+      .groupBy("w").agg(countDistinct("doc_id").cast("long").as("df"))
     val idfX = dfreq.crossJoin(broadcast(corpus))
       .select(col("w"),
         ((col("n_docs") * 2L + 2L).cast("double") /
@@ -88,8 +88,23 @@ object Retrieval {
     val idf = PortableLn.withLn(idfX, "x", "lnx")
       .select(col("w"), floor(col("lnx") * lit(1e6)).cast("long")
         .as("idf_micro"))
-    val scored = tf
-      .join(broadcast(idf), Seq("w"))
+    (idf, corpus)
+  }
+
+  /** Scores `scoredDocs` against a frozen model (idf + corpus stats
+    * from [[bm25Model]]): one row per document matching ≥1 query term,
+    * with the quantized integer score from the scaladoc formula. The
+    * broadcast semi-join against the |Q|-term query keeps the shuffled
+    * tf frame ∝ matching postings, not the corpus. */
+  private[graft] def bm25ScoreAgainst(scoredDocs: DataFrame,
+      idf: DataFrame, corpus: DataFrame): DataFrame = {
+    import scoredDocs.sparkSession.implicits._
+    val toks = tokensOf(scoredDocs)
+    val dl = toks.groupBy("doc_id").agg(
+      first("source").as("source"), count(lit(1)).cast("long").as("dl"))
+    val tf = toks.join(broadcast(Bm25QueryTerms.toDF("w")), Seq("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).cast("long").as("tf"))
+    tf.join(broadcast(idf), Seq("w"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(corpus))
       .withColumn("dlr", expr("(dl * n_docs * 1000000) DIV sum_dl"))
@@ -99,7 +114,16 @@ object Retrieval {
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).cast("long").as("n_terms_hit"),
         sum("term_score").cast("long").as("score_micro"))
-    scored.orderBy(desc("score_micro"), asc("doc_id")).limit(Bm25K)
+  }
+
+  /** Top-[[Bm25K]] documents for [[Bm25QueryTerms]] under quantized
+    * BM25 (k1 = 1.2, b = 0.75): the corpus scored against its own
+    * model. Columns: doc_id, source, n_terms_hit, score_micro. */
+  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val (idf, corpus) = bm25Model(docs)
+    bm25ScoreAgainst(docs, idf, corpus)
+      .orderBy(desc("score_micro"), asc("doc_id")).limit(Bm25K)
   }
 
   /** RRF dampening constant (Cormack, Clarke & Buettcher 2009 — the

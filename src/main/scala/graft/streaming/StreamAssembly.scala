@@ -1901,6 +1901,73 @@ object StreamAssembly {
     graft.ops.TextAnalysis.funnelPresent(folded)
   }
 
+  /** ONLINE BM25 scoring drained end-to-end — the retrieval sibling of
+    * [[streamDedupProbe]] (continuous ingest scored against a FROZEN
+    * retrieval model, the topical-slice admission gate of a crawl
+    * pipeline): the odd-doc_id half of `documents` streams back one
+    * file per micro-batch; the even half is the static history whose
+    * [[graft.ops.Retrieval.bm25Model]] (per-term micro-nat idf + the
+    * 1-row corpus stats) is computed ONCE and reused by every batch.
+    * Per batch, incoming docs score via the identical quantized-BM25
+    * integer arithmetic ([[graft.ops.Retrieval.bm25ScoreAgainst]] —
+    * one definition serves the batch query and this probe), each doc's
+    * length coming from its own rows and the normalizer from the
+    * frozen model. Stateless — a doc's score depends only on the
+    * static model, so the drained output is batch-boundary-independent
+    * and the batch odd-scored-against-even replay is the oracle.
+    *
+    * Scale shape: the model is |Q|+1 broadcast rows at any history
+    * size; per-batch work is the batch's own token scan plus a
+    * broadcast semi-join on the query terms — never proportional to
+    * history.
+    */
+  def streamBm25Probe(spark: SparkSession, sfDir: String,
+                      nFiles: Int = 3): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_bm25_probe").toString
+    val outDir = s"$tmp/scores"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = s"$tmp/incoming"
+    graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"), col("text"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(srcDir)
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    withDrainConf(spark) { ds =>
+      // frozen model from the even-half history, materialized once
+      val (idf0, corpus0) = graft.ops.Retrieval.bm25Model(
+        graft.Tables.documents(ds, sfDir).filter(col("doc_id") % 2 === 0))
+      val idf = idf0.localCheckpoint(true)
+      val corpus = corpus0.localCheckpoint(true)
+      val stream = ds.readStream
+        .schema(docSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val query = stream.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.ops.Retrieval.bm25ScoreAgainst(batch, idf, corpus)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(outDir)
+      .select("doc_id", "source", "n_terms_hit", "score_micro")
+      .orderBy("doc_id")
+  }
+
   /** ONLINE ANN probe drained end-to-end — the similarity-search sibling
     * of [[streamDedupProbe]] (continuous retrieval against a curated
     * vector index: RAG ingestion, online contamination screening): the

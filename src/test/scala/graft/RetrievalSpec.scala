@@ -109,6 +109,24 @@ class RetrievalSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("doc_id")).toSeq === expect)
   }
 
+  test("stream bm25 probe: the drained per-batch scores equal the batch " +
+       "odd-vs-even replay exactly (batch-boundary independence)") {
+    val drained = graft.streaming.StreamAssembly
+      .streamBm25Probe(spark, sf, nFiles = 3).collect()
+    val docs = Tables.documents(spark, sf)
+    val (idf, corpus) = Retrieval.bm25Model(
+      docs.filter(col("doc_id") % 2 === 0))
+    val direct = Retrieval.bm25ScoreAgainst(
+        docs.filter(col("doc_id") % 2 === 1), idf, corpus)
+      .orderBy("doc_id").collect()
+    assert(drained.length === direct.length)
+    drained.zip(direct).foreach { case (a, b) =>
+      assert(a.getAs[Long]("doc_id") === b.getAs[Long]("doc_id"))
+      assert(a.getAs[Long]("score_micro") === b.getAs[Long]("score_micro"))
+      assert(a.getAs[Long]("n_terms_hit") === b.getAs[Long]("n_terms_hit"))
+    }
+  }
+
   test("entropy bands: partition the corpus, bounds ordered, and a " +
        "direct libm entropy of every doc lands in its band envelope") {
     val rows = CorpusStats.textEntropyBands(spark, sf)
