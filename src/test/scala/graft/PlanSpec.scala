@@ -570,7 +570,12 @@ class PlanSpec extends SparkSpec {
       "mm_ann_topk" -> 6,
       "quality_lm_ppx" -> 7,
       "sampling_temperature_mix" -> 5,
-      "quality_filter_funnel" -> 2)
+      "quality_filter_funnel" -> 2,
+      "bm25_topk" -> 9,
+      "rrf_fusion" -> 9,
+      "text_entropy_bands" -> 14,
+      "kl_source_drift" -> 7,
+      "preference_pairs" -> 7)
     val aggOrLimit = Set("HashAggregateExec", "ObjectHashAggregateExec",
       "SortAggregateExec", "TakeOrderedAndProjectExec", "GlobalLimitExec",
       "CollectLimitExec", "LocalLimitExec")
