@@ -276,6 +276,8 @@ object SparkEntry {
     "rrf_fusion" -> ((s, d) => ops.Retrieval.rrfFusion(s, d)),
     "stream_bm25_probe" ->
       ((s, d) => graft.streaming.StreamAssembly.streamBm25Probe(s, d)),
+    "stream_kl_probe" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamKlProbe(s, d)),
     "text_entropy_bands" -> ((s, d) => CorpusStats.textEntropyBands(s, d)),
     "kl_source_drift" -> ((s, d) => CorpusStats.klSourceDrift(s, d)),
     "preference_pairs" -> ((s, d) => TrainingSets.preferencePairs(s, d))
@@ -3468,6 +3470,46 @@ object SparkEntry {
       s"""WITH ${bm25CoreSql("WHERE doc_id % 2 = 0", "WHERE doc_id % 2 = 1")}
         |SELECT doc_id, source, n_terms_hit, score_micro FROM agg
         |ORDER BY doc_id""".stripMargin,
+    // STREAMING drift-alarm replay: incoming = odd-half (source, bucket)
+    // counts (the drained additive partials fold to exactly these),
+    // history = the frozen even-half bucket distribution, dense-filled;
+    // same smoothed-KL quantization contract as kl_source_drift
+    "stream_kl_probe" -> {
+      val nB = ops.CorpusStats.KlBuckets
+      val (plCtes, plOut) = functions.PortableLn.sqlCtes(
+        "pl", "px", Seq("source", "c", "n"), "xx", "lnx")
+      s"""WITH tbi AS (SELECT source,
+        |    ('0x' || substr(md5(w), 1, 8))::BIGINT % $nB AS b
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE doc_id % 2 = 1) WHERE length(w) > 0),
+        |inc AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM tbi GROUP BY 1, 2),
+        |tbh AS (SELECT ('0x' || substr(md5(w), 1, 8))::BIGINT % $nB AS b
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE doc_id % 2 = 0) WHERE length(w) > 0),
+        |hist0 AS (SELECT b, CAST(count(*) AS BIGINT) AS ch
+        |  FROM tbh GROUP BY b),
+        |hist AS (SELECT r.b, CAST(coalesce(hist0.ch, 0) AS BIGINT) AS ch
+        |  FROM range(0, $nB) r(b) LEFT JOIN hist0 USING (b)),
+        |nh AS (SELECT CAST(sum(ch) AS BIGINT) AS n_h FROM hist),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |  FROM inc GROUP BY source),
+        |grid AS (SELECT ns.source, ns.n, r.b,
+        |    CAST(coalesce(inc.c, 0) AS BIGINT) AS c
+        |  FROM ns CROSS JOIN range(0, $nB) r(b)
+        |  LEFT JOIN inc ON inc.source = ns.source AND inc.b = r.b),
+        |px AS (SELECT g.source, g.c, g.n,
+        |    ((g.c + 1) * (n_h + $nB))::DOUBLE /
+        |      ((h.ch + 1) * (g.n + $nB))::DOUBLE AS xx
+        |  FROM grid g JOIN hist h ON g.b = h.b, nh),
+        |$plCtes,
+        |terms AS (SELECT source, n,
+        |    (c + 1) * CAST(floor(lnx * 1e6) AS BIGINT) AS t
+        |  FROM $plOut)
+        |SELECT source, CAST(any_value(n) + $nB AS BIGINT) AS n_smoothed,
+        |  CAST(sum(t) AS BIGINT) AS kl_scaled_micro
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin
+    },
     // contrastive pair mining replay: integer lexical-diversity score,
     // two rank directions with mirrored doc_id tie-breaks, extremes
     // paired on (source, rank) with the exact-integer sanity predicates

@@ -833,15 +833,51 @@ object CorpusStats {
     * spark.range cross) → S²·B pair frame through the ladder — model
     * arithmetic only; the corpus is scanned once and never re-shuffled.
     */
+  /** (source, bucket) token counts of a documents frame under the
+    * [[KlBuckets]] md5 hash model — the map-side-combined model input
+    * shared by [[klSourceDrift]] and the streaming drift probe (whose
+    * per-batch partials are exactly these counts, additive across
+    * batches). */
+  private[graft] def tokenBucketCounts(docs: DataFrame): DataFrame = docs
+    .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    .filter(length(col("w")) > 0)
+    .select(col("source"),
+      pmod(conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"),
+        lit(KlBuckets)).as("b"))
+    .groupBy("source", "b").agg(count(lit(1)).cast("long").as("c"))
+
+  /** Smoothed KL of each incoming source's bucket distribution against
+    * ONE frozen history distribution (`hist`: per-bucket counts `ch`,
+    * dense over all [[KlBuckets]] ids) — the drift-alarm core of the
+    * streaming probe, same quantization contract as [[klSourceDrift]]
+    * (unnormalized integer Σ(c+1)·lw beside the smoothed mass). */
+  private[graft] def klAgainstHistory(incoming: DataFrame,
+      hist: DataFrame): DataFrame = {
+    val nB = KlBuckets
+    val spark = incoming.sparkSession
+    val ns = incoming.groupBy("source").agg(sum("c").cast("long").as("n"))
+    val nh = hist.agg(sum("ch").cast("long").as("n_h"))
+    val grid = ns
+      .crossJoin(broadcast(spark.range(nB).select(col("id").as("b"))))
+      .join(incoming, Seq("source", "b"), "left_outer")
+      .na.fill(0L, Seq("c"))
+      .join(broadcast(hist), Seq("b"))
+      .crossJoin(broadcast(nh))
+    val pairsX = grid.select(col("source"), col("c"), col("n"),
+      ((col("c") + 1L) * (col("n_h") + nB)).cast("double")
+        ./(((col("ch") + 1L) * (col("n") + nB)).cast("double")).as("x"))
+    val terms = graft.functions.PortableLn.withLn(pairsX, "x", "lnx")
+      .select(col("source"), col("n"),
+        ((col("c") + 1L) * floor(col("lnx") * lit(1e6)).cast("long")).as("t"))
+    terms.groupBy("source")
+      .agg(first(col("n") + nB).cast("long").as("n_smoothed"),
+        sum("t").cast("long").as("kl_scaled_micro"))
+      .orderBy("source")
+  }
+
   def klSourceDrift(spark: SparkSession, sfDir: String): DataFrame = {
     val nB = KlBuckets
-    val tb = Tables.documents(spark, sfDir)
-      .select(col("source"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .select(col("source"),
-        pmod(conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"),
-          lit(nB)).as("b"))
-    val cnt = tb.groupBy("source", "b").agg(count(lit(1)).cast("long").as("c"))
+    val cnt = tokenBucketCounts(Tables.documents(spark, sfDir))
     val ns = cnt.groupBy("source").agg(sum("c").cast("long").as("n"))
     val grid = ns.select("source", "n")
       .crossJoin(broadcast(spark.range(nB).select(col("id").as("b"))))

@@ -1968,6 +1968,75 @@ object StreamAssembly {
       .orderBy("doc_id")
   }
 
+  /** ONLINE corpus-drift alarm drained end-to-end — the streaming
+    * sibling of [[graft.ops.CorpusStats.klSourceDrift]] (is today's
+    * crawl drifting away from the training corpus? — the DoReMi-style
+    * divergence, monitored continuously): the odd-doc_id half of
+    * `documents` streams back one file per micro-batch; each batch
+    * emits its (source, bucket) token counts under the shared 64-bucket
+    * md5 model — PURE ADDITIVE PARTIALS (the A3 SummingMergeTree
+    * discipline on the info-theory tier), so the readback fold is one
+    * componentwise sum and the drained totals are batch-boundary-
+    * independent by construction. The presentation then computes each
+    * incoming source's smoothed KL against the FROZEN even-half history
+    * distribution via [[graft.ops.CorpusStats.klAgainstHistory]] — one
+    * scoring definition shared with the batch tier, PortableLn floored
+    * to micro-nats, the unnormalized-integer contract.
+    *
+    * Scale shape: per-batch state is ≤ S·64 counter rows regardless of
+    * batch size; the KL arithmetic runs once at read time over an
+    * S·64-row frame. Nothing ever holds corpus-sized streaming state.
+    */
+  def streamKlProbe(spark: SparkSession, sfDir: String,
+                    nFiles: Int = 3): DataFrame = {
+    import java.nio.file.Files
+    val nB = graft.ops.CorpusStats.KlBuckets
+    val tmp = Files.createTempDirectory("graft_kl_probe").toString
+    val outDir = s"$tmp/partials"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = s"$tmp/incoming"
+    graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"), col("text"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(srcDir)
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    withDrainConf(spark) { ds =>
+      val stream = ds.readStream
+        .schema(docSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val query = stream.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.ops.CorpusStats.tokenBucketCounts(batch)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    val incoming = spark.read.parquet(outDir)
+      .groupBy("source", "b").agg(sum("c").cast("long").as("c"))
+    val hist0 = graft.ops.CorpusStats.tokenBucketCounts(
+        graft.Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % 2 === 0))
+      .groupBy("b").agg(sum("c").cast("long").as("ch"))
+    val hist = spark.range(nB).select(col("id").as("b"))
+      .join(hist0, Seq("b"), "left_outer")
+      .na.fill(0L, Seq("ch"))
+    graft.ops.CorpusStats.klAgainstHistory(incoming, hist)
+  }
+
   /** ONLINE ANN probe drained end-to-end — the similarity-search sibling
     * of [[streamDedupProbe]] (continuous retrieval against a curated
     * vector index: RAG ingestion, online contamination screening): the

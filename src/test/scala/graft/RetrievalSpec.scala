@@ -127,6 +127,34 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("stream kl probe: drained additive partials reproduce the batch " +
+       "odd-vs-even drift replay exactly, and more batches change nothing") {
+    val drained = graft.streaming.StreamAssembly
+      .streamKlProbe(spark, sf, nFiles = 3).collect()
+    val docs = Tables.documents(spark, sf)
+    val incoming = CorpusStats.tokenBucketCounts(
+      docs.filter(col("doc_id") % 2 === 1))
+    val hist = spark.range(CorpusStats.KlBuckets).select(col("id").as("b"))
+      .join(CorpusStats.tokenBucketCounts(docs.filter(col("doc_id") % 2 === 0))
+        .groupBy("b").agg(sum("c").cast("long").as("ch")), Seq("b"),
+        "left_outer")
+      .na.fill(0L, Seq("ch"))
+    val direct = CorpusStats.klAgainstHistory(incoming, hist).collect()
+    assert(drained.length === direct.length)
+    drained.zip(direct).foreach { case (a, b) =>
+      assert(a.getAs[String]("source") === b.getAs[String]("source"))
+      assert(a.getAs[Long]("kl_scaled_micro") === b.getAs[Long]("kl_scaled_micro"))
+      assert(a.getAs[Long]("n_smoothed") === b.getAs[Long]("n_smoothed"))
+    }
+    // batch-boundary independence: a different file split folds identically
+    val drained1 = graft.streaming.StreamAssembly
+      .streamKlProbe(spark, sf, nFiles = 1).collect()
+    assert(drained1.map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("kl_scaled_micro"))).toSeq ===
+      drained.map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("kl_scaled_micro"))).toSeq)
+  }
+
   test("entropy bands: partition the corpus, bounds ordered, and a " +
        "direct libm entropy of every doc lands in its band envelope") {
     val rows = CorpusStats.textEntropyBands(spark, sf)
