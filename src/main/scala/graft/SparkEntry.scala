@@ -278,6 +278,10 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamAssembly.streamBm25Probe(s, d)),
     "stream_kl_probe" ->
       ((s, d) => graft.streaming.StreamAssembly.streamKlProbe(s, d)),
+    "embedding_jl_distortion" ->
+      ((s, d) => Similarity.embeddingJlDistortion(s, d)),
+    "shard_mix_entropy" ->
+      ((s, d) => TrainingSets.shardMixEntropy(s, d)),
     "text_entropy_bands" -> ((s, d) => CorpusStats.textEntropyBands(s, d)),
     "kl_source_drift" -> ((s, d) => CorpusStats.klSourceDrift(s, d)),
     "preference_pairs" -> ((s, d) => TrainingSets.preferencePairs(s, d))
@@ -3509,6 +3513,64 @@ object SparkEntry {
         |SELECT source, CAST(any_value(n) + $nB AS BIGINT) AS n_smoothed,
         |  CAST(sum(t) AS BIGINT) AS kl_scaled_micro
         |FROM terms GROUP BY source ORDER BY source""".stripMargin
+    },
+    // JL audit replay: the ±1 sign matrix derives from md5("p,d")
+    // first-byte parity in BOTH engines (the sim_ann_lsh precedent);
+    // projections and cosines are dim-ordered double folds, the band id
+    // floors identical doubles — exact histogram
+    "embedding_jl_distortion" -> {
+      val m = ops.Similarity.JlDims
+      s"""WITH pr AS (SELECT vec_id, embedding,
+        |  [list_sum([CASE WHEN (('0x' || substr(md5(p::VARCHAR || ',' ||
+        |      (i-1)::VARCHAR), 1, 2))::INT & 1) = 0
+        |    THEN embedding[i]::DOUBLE ELSE -embedding[i]::DOUBLE END
+        |    for i in range(1, 65)]) for p in range(0, $m)] AS proj
+        |  FROM embeddings),
+        |j AS (SELECT a.vec_id,
+        |  list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |    for i in range(1, 65)]) /
+        |  (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |    for i in range(1, 65)])) *
+        |   sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |    for i in range(1, 65)]))) AS cos64,
+        |  list_sum([a.proj[i] * b.proj[i] for i in range(1, ${m + 1})]) /
+        |  (sqrt(list_sum([a.proj[i] * a.proj[i] for i in range(1, ${m + 1})])) *
+        |   sqrt(list_sum([b.proj[i] * b.proj[i] for i in range(1, ${m + 1})])))
+        |    AS cos16
+        |  FROM pr a JOIN pr b ON b.vec_id = a.vec_id + 1)
+        |SELECT CAST(floor((cos16 - cos64) * 20e0) AS BIGINT) AS band,
+        |  count(*) AS n_pairs,
+        |  min(vec_id) AS first_pair, max(vec_id) AS last_pair
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // shard shuffle-quality replay: same md5 shard coin as
+    // shard_assignment, the text_entropy_bands distinct-count ln
+    // discipline at the (shard, source) grain
+    "shard_mix_entropy" -> {
+      val (plCtes, plOut) = functions.PortableLn.sqlCtes(
+        "pl", "vals", Seq("v"), "v::DOUBLE", "lnx")
+      s"""WITH sh AS (SELECT
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16
+        |      AS shard, source FROM documents),
+        |cnt AS (SELECT shard, source, CAST(count(*) AS BIGINT) AS c
+        |  FROM sh GROUP BY 1, 2),
+        |tot AS (SELECT shard, CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_sources FROM cnt GROUP BY 1),
+        |vals AS (SELECT DISTINCT c AS v FROM cnt
+        |  UNION SELECT DISTINCT n_docs AS v FROM tot),
+        |$plCtes,
+        |lnv AS (SELECT v, CAST(floor(lnx * 1e6) AS BIGINT) AS ln_micro
+        |  FROM $plOut),
+        |ent AS (SELECT cnt.shard, tot.n_docs, tot.n_sources,
+        |    CAST(sum(c * (l2.ln_micro - l1.ln_micro)) AS BIGINT)
+        |      AS mix_ent_scaled
+        |  FROM cnt JOIN lnv l1 ON cnt.c = l1.v
+        |  JOIN tot ON cnt.shard = tot.shard
+        |  JOIN lnv l2 ON tot.n_docs = l2.v
+        |  GROUP BY 1, 2, 3)
+        |SELECT shard, n_docs, n_sources, mix_ent_scaled,
+        |  mix_ent_scaled // n_docs AS per_doc_mix_micro
+        |FROM ent ORDER BY shard""".stripMargin
     },
     // contrastive pair mining replay: integer lexical-diversity score,
     // two rank directions with mirrored doc_id tie-breaks, extremes

@@ -30,6 +30,7 @@ object GraftFunctions {
       (es => TopNgramCount(es.head, intLit("top_ngram_count", es(1)))),
     "minhash_sig" -> (es => MinHashSig(es.head, intLit("minhash_sig", es(1)))),
     "vec_lsh_sig" -> (es => LshSignature(es.head, intLit("vec_lsh_sig", es(1)))),
+    "vec_rp" -> (es => RandomProjection(es.head, intLit("vec_rp", es(1)))),
     // direct-call form: size(null)-as-NULL semantics (non-legacy)
     "intersect_size" ->
       (es => IntersectSize(es.head, es(1), legacySizeOfNull = false))

@@ -161,6 +161,61 @@ object LshSignature {
   }
 }
 
+/** ±1 random projection (Johnson & Lindenstrauss 1984 — public method)
+  * of a float/double array down to `nDims` doubles: y_p = Σ_d
+  * sign(p,d)·x_d with the SAME md5("p,d") first-byte-parity sign matrix
+  * as [[LshSignature]] (shared cache) — so the projection the oracle
+  * recomputes symbolically is bit-identical (dim-ordered double folds,
+  * signs exact). Kernel for the same reason as the signature: the
+  * declarative form is an nDims × dim Add tree past codegen limits.
+  */
+case class RandomProjection(child: Expression, nDims: Int)
+    extends UnaryExpression {
+  import VectorExpressions._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVec(prettyName, child)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_rp"
+
+  private def elem = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any): Any =
+    RandomProjection.compute(a.asInstanceOf[ArrayData], nDims,
+      elem == DoubleType)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = graft.functions.RandomProjection.compute($a, $nDims,
+         |  ${elem == DoubleType});""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): RandomProjection =
+    copy(child = newChild)
+}
+
+object RandomProjection {
+  /** Codegen entry point: one virtual call per row, primitive loops. */
+  def compute(x: ArrayData, nDims: Int,
+              isDouble: Boolean): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val dim = x.numElements()
+    val signs = LshSignature.signMatrix(nDims, dim)
+    val out = new Array[Double](nDims)
+    var p = 0
+    while (p < nDims) {
+      val row = signs(p)
+      var acc = 0.0
+      var d = 0
+      while (d < dim) {
+        acc += row(d) * (if (isDouble) x.getDouble(d) else x.getFloat(d).toDouble)
+        d += 1
+      }
+      out(p) = acc
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** sqrt(sum(x_i^2)) over a float/double array, same fold discipline. */
 case class NormL2(child: Expression)
     extends UnaryExpression {

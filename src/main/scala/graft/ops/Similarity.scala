@@ -682,4 +682,52 @@ object Similarity {
           .as("n_kept"))
       .orderBy("cluster")
   }
+
+  /** Target dimensionality for [[embeddingJlDistortion]]. */
+  val JlDims: Int = 16
+
+  /** Johnson–Lindenstrauss projection audit: project every embedding
+    * 64 → [[JlDims]] with the ±1 md5-parity sign matrix (the
+    * `vec_rp` codegen kernel — same matrix scheme and shared sign
+    * cache as `vec_lsh_sig`), then measure how much pairwise cosine
+    * moves on the adjacent-vec_id probe stratum (a deterministic
+    * bounded pair set — the evaluation stratum pattern of
+    * `knn_label_purity`; at production scale any documented stratum
+    * works, the audit's cost is |stratum|·dim). Reported as a
+    * 0.05-wide distortion-band histogram — the go/no-go an index build
+    * consults before dropping to the cheaper dimensionality.
+    *
+    * Determinism: projections and cosines are dim-ordered double folds
+    * (bit-identical to the oracle's list_sum), sqrt is correctly
+    * rounded, and the band id `floor((cos16 − cos64)·20)` floors
+    * identical doubles — so the histogram is exact in both engines.
+    *
+    * Scale shape: projection is row-local codegen; the pair stratum is
+    * one self-equi-join on vec_id+1 (shuffle on the join key only);
+    * the histogram is a band-count aggregate. Never all-pairs.
+    */
+  def embeddingJlDistortion(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        call_function("vec_rp", col("embedding"), lit(JlDims)).as("proj"))
+    val a = e.select(col("vec_id"), col("embedding").as("ea"),
+      col("proj").as("pa"))
+    val b = e.select((col("vec_id") - 1L).as("vec_id"),
+      col("embedding").as("eb"), col("proj").as("pb"))
+    a.join(b, Seq("vec_id"))
+      .select(col("vec_id"),
+        (dot(col("ea"), col("eb")) /
+          (norm2(col("ea")) * norm2(col("eb")))).as("cos64"),
+        (dot(col("pa"), col("pb")) /
+          (norm2(col("pa")) * norm2(col("pb")))).as("cos16"))
+      .select(col("vec_id"),
+        floor((col("cos16") - col("cos64")) * lit(20.0)).cast("long")
+          .as("band"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"),
+        min("vec_id").cast("long").as("first_pair"),
+        max("vec_id").cast("long").as("last_pair"))
+      .orderBy("band")
+  }
 }

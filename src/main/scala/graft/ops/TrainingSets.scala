@@ -597,6 +597,54 @@ object TrainingSets {
       .orderBy("lang")
   }
 
+  /** Source-mix entropy per shard — the shuffle-quality audit a
+    * pretraining run wants before trusting [[shardAssignment]]'s output
+    * order (a shard dominated by one source trains on correlated data;
+    * high mix entropy ⇔ well-interleaved sources — the standard
+    * information-theoretic uniformity check). Same md5 shard coin as
+    * shardAssignment, so this audits exactly the shards that query
+    * ships.
+    *
+    * Exactness: the [[CorpusStats.textEntropyBands]] discipline at the
+    * (shard, source) grain — H·n = Σ c·(ln n − ln c) with ln only of
+    * DISTINCT integer counts (PortableLn, floored to micro-nats,
+    * broadcast back), so the per-doc mix rate `DIV n` is
+    * nonnegative-by-positive and every reported value is exact BIGINT.
+    *
+    * Scale shape: corpus → (shard, source) map-side-combined count
+    * (S·16 rows); everything after is model-sized arithmetic.
+    */
+  def shardMixEntropy(spark: SparkSession, sfDir: String,
+                      nShards: Int = 16): DataFrame = {
+    val coin = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val cnt = Tables.documents(spark, sfDir)
+      .withColumn("shard", pmod(coin, lit(nShards.toLong)))
+      .groupBy("shard", "source").agg(count(lit(1)).cast("long").as("c"))
+    val tot = cnt.groupBy("shard")
+      .agg(sum("c").cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_sources"))
+    val valsX = cnt.select(col("c").as("v"))
+      .union(tot.select(col("n_docs").as("v")))
+      .distinct()
+      .select(col("v"), col("v").cast("double").as("x"))
+    val lnv = graft.functions.PortableLn.withLn(valsX, "x", "lnx")
+      .select(col("v"), floor(col("lnx") * lit(1e6)).cast("long")
+        .as("ln_micro"))
+    val lnN = lnv.select(col("v").as("nv"), col("ln_micro").as("lnn"))
+    cnt
+      .join(broadcast(lnv), cnt("c") === lnv("v"))
+      .select(col("shard"), col("c"), col("ln_micro").as("lnc"))
+      .join(tot, Seq("shard"))
+      .join(broadcast(lnN), col("n_docs") === col("nv"))
+      .groupBy("shard", "n_docs", "n_sources")
+      .agg(sum(col("c") * (col("lnn") - col("lnc"))).cast("long")
+        .as("mix_ent_scaled"))
+      .withColumn("per_doc_mix_micro",
+        expr("mix_ent_scaled DIV n_docs").cast("long"))
+      .orderBy("shard")
+  }
+
   /** Pairs mined per source for [[preferencePairs]]. */
   val PrefPairsPerSource: Int = 3
 

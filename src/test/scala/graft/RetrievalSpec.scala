@@ -189,6 +189,52 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("jl distortion: histogram covers every adjacent pair once, and a " +
+       "manually projected pair reproduces the kernel's cosines") {
+    val rows = ops.Similarity.embeddingJlDistortion(spark, sf).collect()
+    val ids = Tables.embeddings(spark, sf).select("vec_id").collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val expectPairs = ids.count(v => ids.contains(v + 1))
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === expectPairs.toLong)
+    // manual replay of pair (0, 1) with the public sign-matrix scheme
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isin(0L, 1L))
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val m = ops.Similarity.JlDims
+    def sign(p: Int, d: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p,$d".getBytes("UTF-8"))
+      if ((md(0) & 1) == 0) 1.0 else -1.0
+    }
+    def proj(v: Array[Double]): Array[Double] =
+      Array.tabulate(m)(p => v.indices.foldLeft(0.0)((a, d) =>
+        a + sign(p, d) * v(d)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val band01 = math.floor(
+      (cos(proj(emb(0)), proj(emb(1))) - cos(emb(0), emb(1))) * 20.0).toLong
+    val hit = rows.find(r => r.getAs[Long]("first_pair") <= 0L &&
+      r.getAs[Long]("last_pair") >= 0L && r.getAs[Long]("band") == band01)
+    assert(hit.isDefined, s"pair (0,1) band $band01 not found")
+  }
+
+  test("shard mix entropy: shards partition the corpus and every mix " +
+       "rate sits inside [0, ln(n_sources)]") {
+    val rows = TrainingSets.shardMixEntropy(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    rows.foreach { r =>
+      val perDoc = r.getAs[Long]("per_doc_mix_micro")
+      assert(perDoc >= 0L)
+      val cap = (math.log(r.getAs[Long]("n_sources").toDouble) * 1e6).toLong
+      assert(perDoc <= cap + 2L,
+        s"shard ${r.getAs[Long]("shard")}: $perDoc > $cap")
+    }
+  }
+
   test("kl drift: S·(S−1) ordered pairs, self-pairs absent, and the " +
        "quantized divergence respects the exact Gibbs lower bound") {
     val rows = CorpusStats.klSourceDrift(spark, sf).collect()
