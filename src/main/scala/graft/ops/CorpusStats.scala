@@ -832,6 +832,10 @@ object CorpusStats {
     * (S·B rows) → dense S×B grid (zero-filled via a broadcast
     * spark.range cross) → S²·B pair frame through the ladder — model
     * arithmetic only; the corpus is scanned once and never re-shuffled.
+    * Int64 headroom: Σ_b (c+1)·|lw| ≤ n_s · max|lw| (~35e6 micro-nats),
+    * so the accumulator is safe through ~2.6e11 tokens per source; a
+    * larger corpus drops the micro scale one decade (one constant,
+    * both engines) — the same headroom note as the DSIR estimator.
     */
   /** (source, bucket) token counts of a documents frame under the
     * [[KlBuckets]] md5 hash model — the map-side-combined model input
