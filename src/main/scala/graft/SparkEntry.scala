@@ -99,6 +99,8 @@ object SparkEntry {
     "rollup_grouping_sets" -> (StarQueries.rollupGroupingSets _),
     "part_promo_share" -> (StarQueries.partPromoShare _),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d)),
+    "dedup_embedding_lsh_capped" ->
+      ((s, d) => Dedup.embeddingNearDupsLshCapped(s, d)),
     "approx_distinct_users" -> (Rollups.approxDistinctUsersGated _),
     "topk_per_segment" -> ((s, d) => TopK.topOrdersPerSegment(s, d)),
     "asof_events_orders" -> (AsOf.eventsAsOfOrders _),
@@ -892,6 +894,42 @@ object SparkEntry {
         |FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
         |  AND list_sum([CASE WHEN ((xor(a.sig, b.sig) >> (3*t)) & 7) = 0
         |                THEN 1 ELSE 0 END for t in range(0, 21)]) > 0
+        |WHERE list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |                for i in range(1, 65)]) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    // bounded-work banding replay: the production 7×8-bit scheme (256
+    // buckets/band), buckets above the cap skipped (exact integer bucket
+    // counts both engines), pair set deduped via DISTINCT over the
+    // capped candidate volume
+    "dedup_embedding_lsh_capped" ->
+      s"""WITH sigs AS (SELECT vec_id, embedding,
+        |  list_sum([
+        |    CASE WHEN list_sum([
+        |      CASE WHEN (('0x' || substr(md5(p::VARCHAR || ',' ||
+        |        (i-1)::VARCHAR), 1, 2))::INT & 1) = 0
+        |      THEN embedding[i]::DOUBLE ELSE -embedding[i]::DOUBLE END
+        |      for i in range(1, 65)]) > 0
+        |    THEN (1::BIGINT << p) ELSE 0 END
+        |    for p in range(0, 56)])::BIGINT AS sig,
+        |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                 for i in range(1, 65)])) AS nrm
+        |  FROM embeddings),
+        |banded AS (SELECT vec_id, bd.band,
+        |    (sig >> (bd.band * 8)) & 255 AS bucket
+        |  FROM sigs, range(0, 7) bd(band)),
+        |kept AS (SELECT banded.* FROM banded
+        |  JOIN (SELECT band, bucket FROM banded GROUP BY 1, 2
+        |        HAVING count(*) <= ${ops.Dedup.LshBucketCap})
+        |    USING (band, bucket)),
+        |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |  FROM kept x JOIN kept y
+        |    ON x.band = y.band AND x.bucket = y.bucket
+        |    AND x.vec_id < y.vec_id)
+        |SELECT vec_a, vec_b,
+        |  list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |            for i in range(1, 65)]) / (a.nrm * b.nrm) AS cosine
+        |FROM cand JOIN sigs a ON vec_a = a.vec_id
+        |JOIN sigs b ON vec_b = b.vec_id
         |WHERE list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
         |                for i in range(1, 65)]) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,

@@ -989,6 +989,81 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Overfull-bucket cap for [[embeddingNearDupsLshCapped]] — hoisted so
+    * operator and oracle interpolate the same constant. */
+  val LshBucketCap: Int = 256
+
+  /** The BOUNDED-WORK variant of [[embeddingNearDupsLsh]]: identical
+    * banding, but any (band, bucket) holding more than [[LshBucketCap]]
+    * signatures is skipped — the standard overfull-bucket discipline of
+    * production LSH indexes (a bucket that dense is either a degenerate
+    * hash cell or a pile of exact duplicates that belongs to the exact
+    * dedup pass upstream, not to pairwise enumeration). Candidate volume
+    * is then hard-bounded by nBands · n · cap/2 REGARDLESS of corpus
+    * duplication density; recall loss is confined to the skipped cells
+    * and measurable against the uncapped sibling.
+    *
+    * Motivation measured, not hypothetical: on the 20-twin replicate sf2
+    * rehearsal the uncapped query's candidate join (pair density ×400 vs
+    * sf0.1) exhausted this host's 75 GB of spill — while the composed
+    * curation pipeline (exact-dedup first) stayed flat. Capped banding
+    * is the third leg: near-dup candidates with a work bound that holds
+    * even when upstream hygiene failed. Because capping breaks the
+    * lowest-agreeing-band emission trick (a pair's lowest band may be a
+    * skipped cell), pairs dedup via a distinct over the CAPPED — hence
+    * bounded — candidate set instead.
+    *
+    * Band width: capping only bites when buckets are SELECTIVE, so this
+    * variant runs the scaladoc calculus's production setting — 7 bands
+    * of 8 bits (256 buckets per band, 56 planes — p = 63 would put the
+    * int64 sign bit in play on the SQL side; b grows with log n) — not the
+    * sibling's recall-tuned (3, 21). At the loose 0.4 threshold the
+    * fine bands trade recall for precision (the documented
+    * 1-(1-(1-p)^b)^L curve); at production thresholds (≥ 0.8) they
+    * recover 0.95+ — this is the high-selectivity tier, audited like
+    * everything else by its exact sibling.
+    */
+  def embeddingNearDupsLshCapped(spark: SparkSession, sfDir: String,
+                                 threshold: Double = 0.4, bandBits: Int = 8,
+                                 nBands: Int = 7,
+                                 cap: Int = LshBucketCap): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val nPlanes = bandBits * nBands
+    require(nPlanes <= 64, "signature is one 64-bit word")
+    val mask = (1L << bandBits) - 1
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm2(col("embedding")).as("nrm"),
+        Similarity.lshSignature(col("embedding"), dim = 64, nPlanes = nPlanes)
+          .as("sig"))
+    val banded = e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"),
+        col("sig"))
+      .withColumn("bucket", expr(s"(sig >> (band * $bandBits)) & $mask"))
+      .select("vec_id", "band", "bucket")
+    val sizes = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= cap)
+    val kept = banded.join(broadcast(sizes.select("band", "bucket")),
+      Seq("band", "bucket"))
+    val probe = kept.repartition(spark.sparkContext.defaultParallelism)
+    val candidates = probe.as("x")
+      .join(kept.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    candidates
+      .join(e.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(e.as("b"), col("vec_b") === col("b.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        (Similarity.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** The hyperplane-LSH banding audited against the exact-cosine ground
     * truth — the embedding-space sibling of [[minhashRecallEval]], and
     * the measurement behind [[embeddingNearDupsLsh]]'s documented

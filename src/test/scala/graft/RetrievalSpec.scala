@@ -252,6 +252,22 @@ class RetrievalSpec extends SparkSpec {
     pairs.foreach { case (a, b) => assert(pairs.contains((b, a))) }
   }
 
+  test("capped lsh: emitted pairs are exactly the uncapped fine-banding " +
+       "set when no bucket binds, and every pair passes the cosine gate") {
+    val capped = ops.Dedup.embeddingNearDupsLshCapped(spark, sf).collect()
+    val unbounded = ops.Dedup
+      .embeddingNearDupsLshCapped(spark, sf, cap = Int.MaxValue).collect()
+    def keys(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    // at sf0.001 no 7×8-bit bucket exceeds the cap, so the two agree
+    assert(keys(capped) === keys(unbounded))
+    capped.foreach(r => assert(r.getAs[Double]("cosine") >= 0.4))
+    // and a tiny cap must only SHRINK the pair set (bounded-work contract)
+    val tiny = ops.Dedup
+      .embeddingNearDupsLshCapped(spark, sf, cap = 2).collect()
+    assert(keys(tiny).subsetOf(keys(capped)))
+  }
+
   test("preference pairs: per-source extremes with nonnegative margins, " +
        "rank-1 chosen is the true per-source diversity argmax") {
     val rows = TrainingSets.preferencePairs(spark, sf).collect()
