@@ -575,7 +575,8 @@ class PlanSpec extends SparkSpec {
       "rrf_fusion" -> 9,
       "text_entropy_bands" -> 14,
       "kl_source_drift" -> 7,
-      "preference_pairs" -> 7)
+      "preference_pairs" -> 7,
+      "dedup_embedding_lsh_capped" -> 5)
     val aggOrLimit = Set("HashAggregateExec", "ObjectHashAggregateExec",
       "SortAggregateExec", "TakeOrderedAndProjectExec", "GlobalLimitExec",
       "CollectLimitExec", "LocalLimitExec")
