@@ -101,6 +101,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d)),
     "dedup_embedding_lsh_capped" ->
       ((s, d) => Dedup.embeddingNearDupsLshCapped(s, d)),
+    "lsh_capped_recall" -> ((s, d) => Dedup.lshCappedRecallEval(s, d)),
     "approx_distinct_users" -> (Rollups.approxDistinctUsersGated _),
     "topk_per_segment" -> ((s, d) => TopK.topOrdersPerSegment(s, d)),
     "asof_events_orders" -> (AsOf.eventsAsOfOrders _),
@@ -900,39 +901,29 @@ object SparkEntry {
     // bounded-work banding replay: the production 7×8-bit scheme (256
     // buckets/band), buckets above the cap skipped (exact integer bucket
     // counts both engines), pair set deduped via DISTINCT over the
-    // capped candidate volume
+    // capped candidate volume (shared CTE builder with its recall audit)
     "dedup_embedding_lsh_capped" ->
-      s"""WITH sigs AS (SELECT vec_id, embedding,
-        |  list_sum([
-        |    CASE WHEN list_sum([
-        |      CASE WHEN (('0x' || substr(md5(p::VARCHAR || ',' ||
-        |        (i-1)::VARCHAR), 1, 2))::INT & 1) = 0
-        |      THEN embedding[i]::DOUBLE ELSE -embedding[i]::DOUBLE END
-        |      for i in range(1, 65)]) > 0
-        |    THEN (1::BIGINT << p) ELSE 0 END
-        |    for p in range(0, 56)])::BIGINT AS sig,
-        |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
-        |                 for i in range(1, 65)])) AS nrm
-        |  FROM embeddings),
-        |banded AS (SELECT vec_id, bd.band,
-        |    (sig >> (bd.band * 8)) & 255 AS bucket
-        |  FROM sigs, range(0, 7) bd(band)),
-        |kept AS (SELECT banded.* FROM banded
-        |  JOIN (SELECT band, bucket FROM banded GROUP BY 1, 2
-        |        HAVING count(*) <= ${ops.Dedup.LshBucketCap})
-        |    USING (band, bucket)),
-        |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-        |  FROM kept x JOIN kept y
-        |    ON x.band = y.band AND x.bucket = y.bucket
-        |    AND x.vec_id < y.vec_id)
-        |SELECT vec_a, vec_b,
-        |  list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
-        |            for i in range(1, 65)]) / (a.nrm * b.nrm) AS cosine
-        |FROM cand JOIN sigs a ON vec_a = a.vec_id
-        |JOIN sigs b ON vec_b = b.vec_id
-        |WHERE list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
-        |                for i in range(1, 65)]) / (a.nrm * b.nrm) >= 0.4
+      s"""WITH $lshCappedCoreSql
+        |SELECT vec_a, vec_b, cosine FROM capped
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // capped-scheme confusion matrix vs the brute-force ground truth —
+    // same capped CTEs, the lsh_recall_eval audit shape plus integer
+    // recall ppm
+    "lsh_capped_recall" ->
+      s"""WITH $lshCappedCoreSql,
+        |exact AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+        |  WHERE list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |                  for i in range(1, 65)]) / (a.nrm * b.nrm) >= 0.4),
+        |ne AS (SELECT count(*) AS n_exact FROM exact),
+        |nc AS (SELECT count(*) AS n_cand FROM capped),
+        |ntp AS (SELECT count(*) AS tp FROM capped c
+        |  JOIN exact e ON c.vec_a = e.vec_a AND c.vec_b = e.vec_b)
+        |SELECT CAST(n_exact AS BIGINT) AS n_exact,
+        |CAST(n_cand AS BIGINT) AS n_cand, CAST(tp AS BIGINT) AS tp,
+        |CAST(n_exact - tp AS BIGINT) AS fn,
+        |CAST((tp * 1000000) // n_exact AS BIGINT) AS recall_ppm
+        |FROM ne, nc, ntp""".stripMargin,
     "text_token_counts" ->
       """SELECT doc_id, lang,
         |CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
@@ -3686,6 +3677,46 @@ object SparkEntry {
       |    CAST(sum(term_score) AS BIGINT) AS score_micro
       |  FROM sc GROUP BY doc_id)""".stripMargin
   }
+
+  /** Capped-bucket LSH DuckDB core (through the verified `capped` pair
+    * CTE): 7×8-bit signatures (p = 63 stays out of play — int64 sign
+    * bit), overfull buckets skipped via a bucket-count HAVING, DISTINCT
+    * pair dedup, exact-cosine verification. One definition serves
+    * dedup_embedding_lsh_capped and lsh_capped_recall. Cap interpolates
+    * from Dedup.LshBucketCap.
+    */
+  private def lshCappedCoreSql: String =
+    s"""sigs AS (SELECT vec_id, embedding,
+      |  list_sum([
+      |    CASE WHEN list_sum([
+      |      CASE WHEN (('0x' || substr(md5(p::VARCHAR || ',' ||
+      |        (i-1)::VARCHAR), 1, 2))::INT & 1) = 0
+      |      THEN embedding[i]::DOUBLE ELSE -embedding[i]::DOUBLE END
+      |      for i in range(1, 65)]) > 0
+      |    THEN (1::BIGINT << p) ELSE 0 END
+      |    for p in range(0, 56)])::BIGINT AS sig,
+      |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+      |                 for i in range(1, 65)])) AS nrm
+      |  FROM embeddings),
+      |banded AS (SELECT vec_id, bd.band,
+      |    (sig >> (bd.band * 8)) & 255 AS bucket
+      |  FROM sigs, range(0, 7) bd(band)),
+      |kept AS (SELECT banded.* FROM banded
+      |  JOIN (SELECT band, bucket FROM banded GROUP BY 1, 2
+      |        HAVING count(*) <= ${ops.Dedup.LshBucketCap})
+      |    USING (band, bucket)),
+      |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      |  FROM kept x JOIN kept y
+      |    ON x.band = y.band AND x.bucket = y.bucket
+      |    AND x.vec_id < y.vec_id),
+      |capped AS (SELECT vec_a, vec_b,
+      |    list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+      |              for i in range(1, 65)]) / (a.nrm * b.nrm) AS cosine
+      |  FROM cand JOIN sigs a ON vec_a = a.vec_id
+      |  JOIN sigs b ON vec_b = b.vec_id
+      |  WHERE list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+      |                  for i in range(1, 65)]) / (a.nrm * b.nrm) >= 0.4)"""
+      .stripMargin
 
   /** The Gopher-funnel DuckDB replay, parameterized by the corpus slice:
     * identical integer cross-multiplied gates, first-failing-stage

@@ -1110,4 +1110,33 @@ object Dedup {
         (col("n_exact") - col("tp")).as("fn"),
         (col("n_cand") - col("tp")).as("fp"))
   }
+
+  /** Recall/precision audit for [[embeddingNearDupsLshCapped]] — the
+    * capped production scheme gets the same brute-force confusion
+    * matrix every other approximation in the repo carries
+    * ([[lshRecallEval]] audits the recall-tuned sibling). The capped
+    * variant's candidate set is the VERIFIED pair output (cosine gate
+    * already applied), so fp counts pairs whose bucket agreed but whose
+    * bucket survived the cap and still failed nothing — by construction
+    * 0; the interesting numbers are tp/fn: how much recall the
+    * fine-band + cap trade actually costs on THIS corpus at the loose
+    * 0.4 threshold (the scaladoc calculus predicts most of the loss
+    * comes from the 8-bit bands, not the cap, at sf0.001–0.01
+    * densities). All-integer gate; ground truth is the honest
+    * brute-force (documented sampled-stratum at production scale).
+    */
+  def lshCappedRecallEval(spark: SparkSession, sfDir: String,
+                          threshold: Double = 0.4): DataFrame = {
+    val cand = embeddingNearDupsLshCapped(spark, sfDir, threshold)
+      .select("vec_a", "vec_b")
+    val exact = embeddingNearDups(spark, sfDir, threshold)
+      .select("vec_a", "vec_b")
+    val tp = cand.join(exact, Seq("vec_a", "vec_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(tp.agg(count(lit(1)).as("tp")))
+      .select(col("n_exact"), col("n_cand"), col("tp"),
+        (col("n_exact") - col("tp")).as("fn"),
+        expr("(tp * 1000000) DIV n_exact").cast("long").as("recall_ppm"))
+  }
 }

@@ -268,6 +268,18 @@ class RetrievalSpec extends SparkSpec {
     assert(keys(tiny).subsetOf(keys(capped)))
   }
 
+  test("capped lsh recall audit: precision is 1 by construction and the " +
+       "confusion counts are self-consistent") {
+    val r = ops.Dedup.lshCappedRecallEval(spark, sf).collect().head
+    val (ne, nc, tp, fn, ppm) = (r.getAs[Long]("n_exact"),
+      r.getAs[Long]("n_cand"), r.getAs[Long]("tp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("recall_ppm"))
+    assert(nc === tp) // cosine-verified candidates are all true pairs
+    assert(ne === tp + fn)
+    assert(ppm === tp * 1000000L / ne)
+    assert(ppm >= 0L && ppm <= 1000000L)
+  }
+
   test("preference pairs: per-source extremes with nonnegative margins, " +
        "rank-1 chosen is the true per-source diversity argmax") {
     val rows = TrainingSets.preferencePairs(spark, sf).collect()
