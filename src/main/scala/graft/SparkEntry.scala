@@ -235,6 +235,8 @@ object SparkEntry {
     "bpe_pair_counts" -> ((s, d) => CorpusStats.bpePairCounts(s, d)),
     "bpe_train_merges" -> ((s, d) => CorpusStats.bpeTrainMerges(s, d)),
     "bpe_tokenize_stats" -> ((s, d) => CorpusStats.bpeTokenizeStats(s, d)),
+    "bpe_compression_by_source" ->
+      ((s, d) => CorpusStats.bpeCompressionBySource(s, d)),
     "vocab_growth" -> ((s, d) => CorpusStats.vocabGrowth(s, d)),
     "attribution_last_touch" ->
       ((s, d) => Analytics.attributionLastTouch(s, d)),
@@ -3039,6 +3041,33 @@ object SparkEntry {
           |CAST(sum(cnt * n_chars) AS BIGINT) AS char_mass,
           |CAST(sum(cnt * tokens_per_word) AS BIGINT) AS token_mass
           |FROM tw GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // tokenizer fertility by domain: the post-merge word frame's symbol
+    // strings invert to the original words (merges concatenate, never
+    // alter chars), joined against per-(source, word) counts — all
+    // integers, one floor-division ppm
+    "bpe_compression_by_source" -> {
+      val rounds = ops.CorpusStats.BpeMergeRounds
+      bpeLoopCtes(rounds) +
+        s""",
+          |wt AS (SELECT replace(s, '|', '') AS word,
+          |  CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) AS tpw
+          |  FROM w$rounds),
+          |sw AS (SELECT source, w AS word, CAST(count(*) AS BIGINT) AS c
+          |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+          |    FROM documents) WHERE length(w) >= 1 GROUP BY 1, 2),
+          |j AS (SELECT source, c, tpw,
+          |    CAST(length(word) AS BIGINT) AS chars
+          |  FROM sw JOIN wt USING (word)),
+          |a AS (SELECT source,
+          |    CAST(sum(c) AS BIGINT) AS n_word_occurrences,
+          |    CAST(sum(c * chars) AS BIGINT) AS char_mass,
+          |    CAST(sum(c * tpw) AS BIGINT) AS token_mass
+          |  FROM j GROUP BY source)
+          |SELECT source, n_word_occurrences, char_mass, token_mass,
+          |  CAST((char_mass * 1000000) // token_mass AS BIGINT)
+          |    AS chars_per_token_ppm
+          |FROM a ORDER BY source""".stripMargin
     },
     // Heaps'-law growth: all integers; bucket = (doc_id*10) div n_total,
     // clamped so the max doc_id lands in the last bucket

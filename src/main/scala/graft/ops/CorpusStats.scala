@@ -373,6 +373,43 @@ object CorpusStats {
       .orderBy("tokens_per_word")
   }
 
+  /** Per-source BPE compression — tokenizer "fertility" by domain (the
+    * chars-per-token rate the NMT/tokenizer literature tracks per
+    * language/domain; a source whose rate is near 1 is being split to
+    * characters — the trained vocabulary doesn't fit it). Joins the
+    * per-(source, word) occurrence counts against the POST-MERGE word
+    * frame (the original word is recoverable from the symbol string —
+    * merges concatenate, never alter chars), so the report prices the
+    * SAME trained tokenizer [[bpeTokenizeStats]] histograms, per
+    * source. All-integer; the ppm rate is one floor-division of
+    * positive masses.
+    *
+    * Scale shape: one (source, word) map-side-combined count; the
+    * tokenized vocab joins as a broadcast here (open-vocabulary scale
+    * would make it a word-keyed shuffle join — same topology); pays the
+    * memoized merge loop once across its three consumers.
+    */
+  def bpeCompressionBySource(spark: SparkSession, sfDir: String,
+                             rounds: Int = BpeMergeRounds): DataFrame = {
+    val words = bpeLoopCached(spark, sfDir, rounds)._2
+    val wt = words.select(
+      regexp_replace(col("s"), "\\|", "").as("word"),
+      size(split(trim(col("s"), "|"), "\\|\\|")).cast("long").as("tpw"))
+    val sw = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("source", "word").agg(count(lit(1)).cast("long").as("c"))
+    sw.join(broadcast(wt), Seq("word"))
+      .withColumn("chars", length(col("word")).cast("long"))
+      .groupBy("source")
+      .agg(sum("c").cast("long").as("n_word_occurrences"),
+        sum(col("c") * col("chars")).cast("long").as("char_mass"),
+        sum(col("c") * col("tpw")).cast("long").as("token_mass"))
+      .withColumn("chars_per_token_ppm",
+        expr("(char_mass * 1000000) DIV token_mass").cast("long"))
+      .orderBy("source")
+  }
+
   /** [[bpeLoop]] memoized per (session, sfDir, rounds) — the loop's
     * checkpointed state serves both the merge-table and tokenize-stats
     * queries, so within a bench pass the 24 iterative rounds run once

@@ -280,6 +280,23 @@ class RetrievalSpec extends SparkSpec {
     assert(ppm >= 0L && ppm <= 1000000L)
   }
 
+  test("bpe compression by source: per-source masses conserve the global " +
+       "tokenize-stats totals exactly") {
+    val bySource = CorpusStats.bpeCompressionBySource(spark, sf).collect()
+    val global = CorpusStats.bpeTokenizeStats(spark, sf).collect()
+    assert(bySource.map(_.getAs[Long]("token_mass")).sum ===
+      global.map(_.getAs[Long]("token_mass")).sum)
+    assert(bySource.map(_.getAs[Long]("char_mass")).sum ===
+      global.map(_.getAs[Long]("char_mass")).sum)
+    assert(bySource.map(_.getAs[Long]("n_word_occurrences")).sum ===
+      global.map(_.getAs[Long]("n_occurrences")).sum)
+    bySource.foreach { r =>
+      // a token never spans words, so rate ∈ [1, max word length] chars
+      val ppm = r.getAs[Long]("chars_per_token_ppm")
+      assert(ppm >= 1000000L && ppm <= 20000000L)
+    }
+  }
+
   test("preference pairs: per-source extremes with nonnegative margins, " +
        "rank-1 chosen is the true per-source diversity argmax") {
     val rows = TrainingSets.preferencePairs(spark, sf).collect()
