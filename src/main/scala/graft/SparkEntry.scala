@@ -924,7 +924,8 @@ object SparkEntry {
         |SELECT CAST(n_exact AS BIGINT) AS n_exact,
         |CAST(n_cand AS BIGINT) AS n_cand, CAST(tp AS BIGINT) AS tp,
         |CAST(n_exact - tp AS BIGINT) AS fn,
-        |CAST((tp * 1000000) // n_exact AS BIGINT) AS recall_ppm
+        |CAST(CASE WHEN n_exact = 0 THEN 1000000
+        |     ELSE (tp * 1000000) // n_exact END AS BIGINT) AS recall_ppm
         |FROM ne, nc, ntp""".stripMargin,
     "text_token_counts" ->
       """SELECT doc_id, lang,
@@ -3655,7 +3656,7 @@ object SparkEntry {
         |FROM best b JOIN worst w
         |  ON b.source = w.source AND b.pair_rank = w.pair_rank
         |WHERE b.pair_rank <= $k AND chosen_doc <> rejected_doc
-        |  AND chosen_score >= rejected_score
+        |  AND chosen_score > rejected_score
         |ORDER BY b.source, b.pair_rank""".stripMargin
     }
   )

@@ -784,6 +784,41 @@ object CorpusStats {
   /** Half-nat band width for [[textEntropyBands]], in micro-nats. */
   val EntropyBandMicro: Long = 500000L
 
+  /** Shannon entropy of integer count groups, scaled exact: for each
+    * key group of `cnt` (columns `keys` + a positive BIGINT `c`),
+    * returns (keys…, n = Σc, ent_scaled = Σ c·(ln_micro(n) −
+    * ln_micro(c))) — H·n in micro-nat·count units. The transcendental
+    * work collapses to one [[graft.functions.PortableLn]] per DISTINCT
+    * count value (a frame bounded by the largest group, broadcast into
+    * both joins), floored to micro-nats at the source; floor is
+    * monotone and n ≥ c, so every downstream difference and division
+    * by n is nonnegative-exact. One definition serves
+    * [[textEntropyBands]] (doc grain) and
+    * [[TrainingSets.shardMixEntropy]] (shard grain) so the micro-nat
+    * quantization contract lives in one place.
+    */
+  private[ops] def entropyScaled(cnt: DataFrame,
+                                 keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val tot = cnt.groupBy(kc: _*).agg(sum("c").cast("long").as("n"))
+    val valsX = cnt.select(col("c").as("v"))
+      .union(tot.select(col("n").as("v")))
+      .distinct()
+      .select(col("v"), col("v").cast("double").as("x"))
+    val lnv = graft.functions.PortableLn.withLn(valsX, "x", "lnx")
+      .select(col("v"), floor(col("lnx") * lit(1e6)).cast("long")
+        .as("ln_micro"))
+    val lnN = lnv.select(col("v").as("nv"), col("ln_micro").as("lnn"))
+    cnt
+      .join(broadcast(lnv), cnt("c") === lnv("v"))
+      .select(kc :+ col("c") :+ col("ln_micro").as("lnc"): _*)
+      .join(tot, keys)
+      .join(broadcast(lnN), col("n") === col("nv"))
+      .groupBy(kc :+ col("n"): _*)
+      .agg(sum(col("c") * (col("lnn") - col("lnc"))).cast("long")
+        .as("ent_scaled"))
+  }
+
   /** Per-document token Shannon entropy, banded — the gibberish /
     * boilerplate detector of LLM curation stacks (low entropy = repeated
     * tokens, high = diverse vocabulary; standard information-theoretic
@@ -810,26 +845,8 @@ object CorpusStats {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("doc_id", "w").agg(count(lit(1)).cast("long").as("c"))
-    val lens = cnts.groupBy("doc_id")
-      .agg(sum("c").cast("long").as("len"))
-    // ln lookup over DISTINCT count values only (counts and lengths
-    // share one domain: positive token tallies)
-    val valsX = cnts.select(col("c").as("v"))
-      .union(lens.select(col("len").as("v")))
-      .distinct()
-      .select(col("v"), col("v").cast("double").as("x"))
-    val lnv = graft.functions.PortableLn.withLn(valsX, "x", "lnx")
-      .select(col("v"), floor(col("lnx") * lit(1e6)).cast("long")
-        .as("ln_micro"))
-    val lnLen = lnv.select(col("v").as("lv"), col("ln_micro").as("lnl"))
-    val ent = cnts
-      .join(broadcast(lnv), cnts("c") === lnv("v"))
-      .select(col("doc_id"), col("c"), col("ln_micro").as("lnc"))
-      .join(lens, Seq("doc_id"))
-      .join(broadcast(lnLen), col("len") === col("lv"))
-      .groupBy("doc_id", "len")
-      .agg(sum(col("c") * (col("lnl") - col("lnc"))).cast("long")
-        .as("ent_scaled"))
+    val ent = entropyScaled(cnts, Seq("doc_id"))
+      .withColumnRenamed("n", "len")
       .withColumn("per_tok_micro", expr("ent_scaled DIV len").cast("long"))
       .withColumn("band",
         expr(s"per_tok_micro DIV $EntropyBandMicro").cast("long"))

@@ -1137,6 +1137,10 @@ object Dedup {
       .crossJoin(tp.agg(count(lit(1)).as("tp")))
       .select(col("n_exact"), col("n_cand"), col("tp"),
         (col("n_exact") - col("tp")).as("fn"),
-        expr("(tp * 1000000) DIV n_exact").cast("long").as("recall_ppm"))
+        // vacuously complete when the ground truth is empty (the
+        // post-exact-dedup corpus the capped variant is built for)
+        when(col("n_exact") === 0L, lit(1000000L))
+          .otherwise(expr("(tp * 1000000) DIV n_exact"))
+          .cast("long").as("recall_ppm"))
   }
 }

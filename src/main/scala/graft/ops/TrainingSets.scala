@@ -621,27 +621,16 @@ object TrainingSets {
     val cnt = Tables.documents(spark, sfDir)
       .withColumn("shard", pmod(coin, lit(nShards.toLong)))
       .groupBy("shard", "source").agg(count(lit(1)).cast("long").as("c"))
-    val tot = cnt.groupBy("shard")
-      .agg(sum("c").cast("long").as("n_docs"),
-        count(lit(1)).cast("long").as("n_sources"))
-    val valsX = cnt.select(col("c").as("v"))
-      .union(tot.select(col("n_docs").as("v")))
-      .distinct()
-      .select(col("v"), col("v").cast("double").as("x"))
-    val lnv = graft.functions.PortableLn.withLn(valsX, "x", "lnx")
-      .select(col("v"), floor(col("lnx") * lit(1e6)).cast("long")
-        .as("ln_micro"))
-    val lnN = lnv.select(col("v").as("nv"), col("ln_micro").as("lnn"))
-    cnt
-      .join(broadcast(lnv), cnt("c") === lnv("v"))
-      .select(col("shard"), col("c"), col("ln_micro").as("lnc"))
-      .join(tot, Seq("shard"))
-      .join(broadcast(lnN), col("n_docs") === col("nv"))
-      .groupBy("shard", "n_docs", "n_sources")
-      .agg(sum(col("c") * (col("lnn") - col("lnc"))).cast("long")
-        .as("mix_ent_scaled"))
+    val nSources = cnt.groupBy("shard")
+      .agg(count(lit(1)).cast("long").as("n_sources"))
+    CorpusStats.entropyScaled(cnt, Seq("shard"))
+      .withColumnRenamed("n", "n_docs")
+      .withColumnRenamed("ent_scaled", "mix_ent_scaled")
+      .join(broadcast(nSources), Seq("shard"))
       .withColumn("per_doc_mix_micro",
         expr("mix_ent_scaled DIV n_docs").cast("long"))
+      .select("shard", "n_docs", "n_sources", "mix_ent_scaled",
+        "per_doc_mix_micro")
       .orderBy("shard")
   }
 
@@ -696,8 +685,12 @@ object TrainingSets {
       .select(col("source"), col("pair_rank"),
         col("doc_id").as("rejected_doc"), col("score").as("rejected_score"))
     best.join(worst, Seq("source", "pair_rank"))
+      // STRICT margin: a tied pair would otherwise emit in BOTH
+      // orientations (i-th best and i-th worst swap roles under the
+      // mirrored tie-breaks), labeling the same doc preferred and
+      // dispreferred — useless for preference training anyway
       .filter(col("chosen_doc") =!= col("rejected_doc") &&
-        col("chosen_score") >= col("rejected_score"))
+        col("chosen_score") > col("rejected_score"))
       .select(col("source"), col("pair_rank"), col("chosen_doc"),
         col("rejected_doc"),
         (col("chosen_score") - col("rejected_score")).as("margin_micro"))

@@ -1901,6 +1901,17 @@ object StreamAssembly {
     graft.ops.TextAnalysis.funnelPresent(folded)
   }
 
+  /** (doc_id, source, text) read schema shared by the document probe
+    * drains (BM25 scoring, KL drift) — one definition so the probes'
+    * staging surface cannot drift apart. */
+  private val docProbeSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("source",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType)))
+
   /** ONLINE BM25 scoring drained end-to-end — the retrieval sibling of
     * [[streamDedupProbe]] (continuous ingest scored against a FROZEN
     * retrieval model, the topical-slice admission gate of a crawl
@@ -1933,13 +1944,7 @@ object StreamAssembly {
       .select(col("doc_id"), col("source"), col("text"))
       .repartition(nFiles)
       .write.mode("overwrite").parquet(srcDir)
-    val docSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("source",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType)))
+    val docSchema = docProbeSchema
     withDrainConf(spark) { ds =>
       // frozen model from the even-half history, materialized once
       val (idf0, corpus0) = graft.ops.Retrieval.bm25Model(
@@ -2000,13 +2005,7 @@ object StreamAssembly {
       .select(col("doc_id"), col("source"), col("text"))
       .repartition(nFiles)
       .write.mode("overwrite").parquet(srcDir)
-    val docSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("source",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType)))
+    val docSchema = docProbeSchema
     withDrainConf(spark) { ds =>
       val stream = ds.readStream
         .schema(docSchema)

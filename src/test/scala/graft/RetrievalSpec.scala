@@ -159,8 +159,12 @@ class RetrievalSpec extends SparkSpec {
        "direct libm entropy of every doc lands in its band envelope") {
     val rows = CorpusStats.textEntropyBands(spark, sf)
       .orderBy("band").collect()
+    // count docs with ≥1 non-empty TOKEN (a whitespace-only text has
+    // length > 0 but no tokens, and lands in no band)
     val nDocs = Tables.documents(spark, sf)
-      .filter(length(col("text")) > 0).count()
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select("doc_id").distinct().count()
     assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
     rows.foreach { r =>
       val (lo, hi) = (r.getAs[Long]("min_ent_micro"), r.getAs[Long]("max_ent_micro"))
