@@ -940,9 +940,19 @@ object Dedup {
     * 256-bucket selectivity per table — b grows with log(n) to keep
     * buckets small, L restores recall.
     */
-  def embeddingNearDupsLsh(spark: SparkSession, sfDir: String,
-                           threshold: Double = 0.4, bandBits: Int = 3,
-                           nBands: Int = 21): DataFrame = {
+  /** Signature + slim banded frames for the hyperplane-LSH family —
+    * ONE construction for [[embeddingNearDupsLsh]],
+    * [[embeddingNearDupsLshCapped]] and [[lshRecallEval]] so the
+    * signature scheme and bucket math cannot drift between the three.
+    * The banded frame stays SLIM (id, sig, band, bucket): embeddings
+    * are re-fetched per candidate via single-match hash joins on
+    * vec_id, which beats carrying 64-float arrays through the
+    * many-match band join rows (measured 2.3× — array copies per
+    * joined row dominate).
+    */
+  private def lshBandedFrames(spark: SparkSession, sfDir: String,
+                              bandBits: Int,
+                              nBands: Int): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(spark)
     val nPlanes = bandBits * nBands
     require(nPlanes <= 64, "signature is one 64-bit word")
@@ -952,13 +962,17 @@ object Dedup {
         Similarity.norm2(col("embedding")).as("nrm"),
         Similarity.lshSignature(col("embedding"), dim = 64, nPlanes = nPlanes)
           .as("sig"))
-    // the banded frames stay SLIM (id, sig, band, bucket): embeddings are
-    // re-fetched per candidate via two single-match hash joins on vec_id,
-    // which beats carrying 64-float arrays through the many-match band
-    // join rows (measured 2.3× — array copies per joined row dominate)
     val banded = e.select(col("vec_id"), col("sig"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .withColumn("bucket", expr(s"(sig >> (band * $bandBits)) & $mask"))
+    (e, banded)
+  }
+
+  def embeddingNearDupsLsh(spark: SparkSession, sfDir: String,
+                           threshold: Double = 0.4, bandBits: Int = 3,
+                           nBands: Int = 21): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val (e, banded) = lshBandedFrames(spark, sfDir, bandBits, nBands)
     // emit each pair only at its lowest agreeing band: every lower band's
     // bits of the xor must be non-zero, so no distinct() over the pair set
     val firstAgreeingBand = (0 until nBands - 1).map(j =>
@@ -1027,20 +1041,8 @@ object Dedup {
                                  threshold: Double = 0.4, bandBits: Int = 8,
                                  nBands: Int = 7,
                                  cap: Int = LshBucketCap): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val nPlanes = bandBits * nBands
-    require(nPlanes <= 64, "signature is one 64-bit word")
-    val mask = (1L << bandBits) - 1
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"),
-        Similarity.norm2(col("embedding")).as("nrm"),
-        Similarity.lshSignature(col("embedding"), dim = 64, nPlanes = nPlanes)
-          .as("sig"))
-    val banded = e.select(col("vec_id"),
-        explode(sequence(lit(0), lit(nBands - 1))).as("band"),
-        col("sig"))
-      .withColumn("bucket", expr(s"(sig >> (band * $bandBits)) & $mask"))
-      .select("vec_id", "band", "bucket")
+    val (e, banded0) = lshBandedFrames(spark, sfDir, bandBits, nBands)
+    val banded = banded0.select("vec_id", "band", "bucket")
     val sizes = banded.groupBy("band", "bucket")
       .agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= cap)
@@ -1079,16 +1081,8 @@ object Dedup {
   def lshRecallEval(spark: SparkSession, sfDir: String,
                     threshold: Double = 0.4, bandBits: Int = 3,
                     nBands: Int = 21): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val nPlanes = bandBits * nBands
     val mask = (1L << bandBits) - 1
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"),
-        Similarity.lshSignature(col("embedding"), dim = 64, nPlanes = nPlanes)
-          .as("sig"))
-    val banded = e.select(col("vec_id"), col("sig"),
-        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
-      .withColumn("bucket", expr(s"(sig >> (band * $bandBits)) & $mask"))
+    val (_, banded) = lshBandedFrames(spark, sfDir, bandBits, nBands)
     val firstAgreeingBand = (0 until nBands - 1).map(j =>
         col("x.band") <= j ||
           (shiftright(col("x.sig").bitwiseXOR(col("y.sig")), j * bandBits)
