@@ -283,6 +283,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamAssembly.streamBm25Probe(s, d)),
     "stream_kl_probe" ->
       ((s, d) => graft.streaming.StreamAssembly.streamKlProbe(s, d)),
+    "stream_image_probe" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamImageProbe(s, d)),
     "embedding_jl_distortion" ->
       ((s, d) => Similarity.embeddingJlDistortion(s, d)),
     "shard_mix_entropy" ->
@@ -3184,6 +3186,23 @@ object SparkEntry {
         |  CAST(sum(hm) AS BIGINT) AS sum_hamming,
         |  CAST(max(hm) AS INT) AS max_hamming
         |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // the STREAMING image probe: odd half's arithmetically-recomputed
+    // fingerprints brute-forced against the even half's (banding is
+    // exact for h < bands, so the drained band join matches this)
+    "stream_image_probe" -> {
+      val h = graft.multimodal.Multimodal.DhashMaxHamming
+      s"""$imageDhashCtes,
+        |pr AS (SELECT o.doc_id, b.doc_id AS idoc,
+        |    bit_count(xor(o.dhash, b.dhash)) AS hm
+        |  FROM dh o JOIN dh b
+        |    ON o.doc_id % 6 = 3 AND b.doc_id % 6 = 0
+        |    AND bit_count(xor(o.dhash, b.dhash)) <= $h)
+        |SELECT doc_id,
+        |  CAST(count(DISTINCT idoc) AS BIGINT) AS n_index_matches,
+        |  CAST(min(idoc) AS BIGINT) AS first_match,
+        |  CAST(min(hm) AS BIGINT) AS min_hamming
+        |FROM pr GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     // the dedup ACTION on the same fingerprint CTE: group by full hash
     // (Hamming 0 ⇔ equal hash), keep-min survivor, bucketed shrink report

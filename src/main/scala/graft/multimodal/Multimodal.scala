@@ -699,36 +699,42 @@ object Multimodal {
     */
   private val dhashCache = graft.ops.Memo.registry[(SparkSession, String)]
 
+  /** dHash of ONE image id through the full codec path (encode → real
+    * BMP decode → grid sample → gradient signs) — the per-row kernel
+    * [[imageDhash]] maps over the corpus and the streaming probe maps
+    * over each micro-batch, extracted so the two cannot drift. */
+  def dhashOfId(id: Long): Long = {
+    val rows = DhashGridRows; val cols = DhashGridCols
+    val img = decodeBmp(encodeBmp(id)).get
+    def lum(r: Int, c: Int): Long = {
+      val p = img.pixels(r * img.width + c)
+      299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+        114L * (p & 0xff)
+    }
+    var hash = 0L
+    var r = 0
+    while (r < rows) {
+      val sr = r * img.height / rows
+      var c = 0
+      while (c < cols - 1) {
+        val sc = c * img.width / cols
+        val sc2 = (c + 1) * img.width / cols
+        if (lum(sr, sc) > lum(sr, sc2))
+          hash |= 1L << (r * (cols - 1) + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
   private def imageDhashUncached(spark: SparkSession,
                                  sfDir: String): DataFrame = {
     import spark.implicits._
-    val rows = DhashGridRows; val cols = DhashGridCols
     Tables.spread(Tables.documents(spark, sfDir).select(col("doc_id")))
       .filter(col("doc_id") % 3 === 0)
       .as[Long]
-      .mapPartitions(_.map { id =>
-        val img = decodeBmp(encodeBmp(id)).get
-        def lum(r: Int, c: Int): Long = {
-          val p = img.pixels(r * img.width + c)
-          299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
-            114L * (p & 0xff)
-        }
-        var hash = 0L
-        var r = 0
-        while (r < rows) {
-          val sr = r * img.height / rows
-          var c = 0
-          while (c < cols - 1) {
-            val sc = c * img.width / cols
-            val sc2 = (c + 1) * img.width / cols
-            if (lum(sr, sc) > lum(sr, sc2))
-              hash |= 1L << (r * (cols - 1) + c)
-            c += 1
-          }
-          r += 1
-        }
-        (id, hash)
-      })
+      .mapPartitions(_.map(id => (id, dhashOfId(id))))
       .toDF("doc_id", "dhash")
   }
 

@@ -1912,6 +1912,91 @@ object StreamAssembly {
     org.apache.spark.sql.types.StructField("text",
       org.apache.spark.sql.types.StringType)))
 
+  /** ONLINE perceptual-image probe drained end-to-end — the multimodal
+    * fingerprint joins the probe family (dedup/substr/ANN/quality/BM25/
+    * KL all have online siblings; this is the image one): the odd image
+    * half (image docs are doc_id % 3 = 0; odd half ⇔ doc_id % 6 = 3)
+    * streams back one file per micro-batch; each batch runs the FULL
+    * codec path per row ([[graft.multimodal.Multimodal.dhashOfId]] —
+    * encode → real BMP decode → 8×8 grid → gradient signs, the same
+    * kernel the batch fingerprint maps) and probes the 56-bit hash
+    * against the STATIC byte-banded index of the even half
+    * (Hamming ≤ 6 exact by the 7-band pigeonhole), reporting per
+    * incoming image its index-match count, first match, and closest
+    * Hamming distance. Stateless ⇒ batch-boundary-independent; the
+    * batch odd-vs-even brute-force (oracle recomputes every sampled
+    * pixel arithmetically) is the gate.
+    *
+    * Scale shape: index built once (banded, broadcast here; bucketed
+    * by (band, byte) at scale); per-batch work is the batch's own
+    * decode cost plus a band-keyed join — never index-sized.
+    */
+  def streamImageProbe(spark: SparkSession, sfDir: String,
+                       nFiles: Int = 3): DataFrame = {
+    import java.nio.file.Files
+    val mm = graft.multimodal.Multimodal
+    val h = mm.DhashMaxHamming
+    val tmp = Files.createTempDirectory("graft_image_probe").toString
+    val outDir = s"$tmp/probe"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = s"$tmp/incoming"
+    graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 6 === 3)
+      .select(col("doc_id"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(srcDir)
+    withDrainConf(spark) { ds =>
+      val idSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType)))
+      // static banded index from the even image half, built once
+      val bandedIdx = mm.imageDhash(ds, sfDir)
+        .filter(col("doc_id") % 6 === 0)
+        .select(col("doc_id").as("index_doc"), col("dhash").as("idx_hash"),
+          explode(sequence(lit(0), lit(6))).as("bandidx"))
+        .withColumn("bandval", expr("(idx_hash >> (bandidx * 8)) & 255"))
+        .localCheckpoint(true)
+      val stream = ds.readStream
+        .schema(idSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val query = stream.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          import batch.sparkSession.implicits._
+          // fully-qualified module access inside the lambda: a captured
+          // `val` alias of the object would ship the module reference
+          // into the task closure (Task not serializable)
+          val probes = batch.select(col("doc_id")).as[Long]
+            .mapPartitions(_.map(d =>
+              (d, graft.multimodal.Multimodal.dhashOfId(d))))
+            .toDF("doc_id", "dhash")
+          probes
+            .select(col("doc_id"), col("dhash"),
+              explode(sequence(lit(0), lit(6))).as("bandidx"))
+            .withColumn("bandval", expr("(dhash >> (bandidx * 8)) & 255"))
+            .join(broadcast(bandedIdx), Seq("bandidx", "bandval"))
+            .filter(expr(s"bit_count(dhash ^ idx_hash) <= $h"))
+            .groupBy("doc_id")
+            .agg(countDistinct("index_doc").cast("long")
+                .as("n_index_matches"),
+              min("index_doc").cast("long").as("first_match"),
+              min(expr("bit_count(dhash ^ idx_hash)")).cast("long")
+                .as("min_hamming"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(outDir)
+      .select("doc_id", "n_index_matches", "first_match", "min_hamming")
+      .orderBy("doc_id")
+  }
+
   /** ONLINE BM25 scoring drained end-to-end — the retrieval sibling of
     * [[streamDedupProbe]] (continuous ingest scored against a FROZEN
     * retrieval model, the topical-slice admission gate of a crawl

@@ -155,6 +155,29 @@ class RetrievalSpec extends SparkSpec {
         r.getAs[Long]("kl_scaled_micro"))).toSeq)
   }
 
+  test("stream image probe: the drained band-joined probe equals the " +
+       "direct brute-force odd-vs-even Hamming probe") {
+    val drained = graft.streaming.StreamAssembly
+      .streamImageProbe(spark, sf, nFiles = 3).collect()
+    val dh = graft.multimodal.Multimodal.imageDhash(spark, sf)
+    val o = dh.filter(col("doc_id") % 6 === 3)
+      .select(col("doc_id"), col("dhash"))
+    val b = dh.filter(col("doc_id") % 6 === 0)
+      .select(col("doc_id").as("idoc"), col("dhash").as("ih"))
+    val direct = o.crossJoin(b)
+      .filter(expr("bit_count(dhash ^ ih) <= 6"))
+      .groupBy("doc_id")
+      .agg(countDistinct("idoc").cast("long").as("n_index_matches"),
+        min("idoc").cast("long").as("first_match"),
+        min(expr("bit_count(dhash ^ ih)")).cast("long").as("min_hamming"))
+      .orderBy("doc_id").collect()
+    assert(drained.length === direct.length)
+    drained.zip(direct).foreach { case (x, y) =>
+      Seq("doc_id", "n_index_matches", "first_match", "min_hamming")
+        .foreach(f => assert(x.getAs[Long](f) === y.getAs[Long](f), f))
+    }
+  }
+
   test("entropy bands: partition the corpus, bounds ordered, and a " +
        "direct libm entropy of every doc lands in its band envelope") {
     val rows = CorpusStats.textEntropyBands(spark, sf)
