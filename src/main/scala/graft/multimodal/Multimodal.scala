@@ -761,13 +761,26 @@ object Multimodal {
       hashBits = DhashGridRows * (DhashGridCols - 1),
       maxHamming = maxHamming)
 
-  /** Shared 56-bit-fingerprint near-dup machinery: byte-band the
-    * fingerprint, self-join on band agreement (each qualifying pair
-    * found ONLY at its lowest agreeing band so no distinct over the
-    * pair set — [[graft.ops.Dedup.simhashPairs]]'s calculus, exact for
-    * `maxHamming < nBands` by pigeonhole), roll up per doc_id%10
-    * bucket. Serves the image ([[imageNearDups]]) and audio
-    * ([[audioNearDups]]) fingerprints identically.
+  /** Shared 56-bit-fingerprint near-dup machinery, indexed over
+    * DISTINCT fingerprints (the [[graft.streaming.StreamAssembly]]
+    * image-probe fold generalized to the per-pair bucket rollup): the
+    * band self-join — the only super-linear step — runs over distinct
+    * hash values, not per-doc rows, so a dup-dense corpus (the sf1
+    * replicate has 10 exact twins per image; the gradient fixture
+    * mostly shares ONE fingerprint) costs distinct² band work instead
+    * of corpus². Matched fingerprint pairs (Hamming ≤ maxHamming,
+    * found at their lowest agreeing band — [[graft.ops.Dedup
+    * .simhashPairs]]'s pigeonhole calculus, exact for
+    * `maxHamming < nBands`) then fold back to exact per-pair bucket
+    * stats WITHOUT materializing doc pairs: within one window
+    * partition per fingerprint f — holding f's own docs plus every
+    * matched partner g's docs — a descending running aggregate at doc
+    * a yields |{b > a}| per class, which is precisely the number of
+    * pairs whose smaller element (the bucket key doc) is a. Identical
+    * output by construction; work is O(docs × (1 + match degree)),
+    * never O(pairs). Serves the image ([[imageNearDups]]), audio
+    * ([[audioNearDups]]) and video ([[videoNearDups]]) fingerprints
+    * identically.
     */
   private def hammingBandRollup(fp: DataFrame, hashCol: String,
                                 hashBits: Int, maxHamming: Int): DataFrame = {
@@ -776,29 +789,57 @@ object Multimodal {
       "bands must cover the full hash width or high-bit-only " +
         "differences silently escape the band join")
     require(maxHamming < nBands, "pigeonhole exactness needs h < bands")
-    val banded = fp.select(col("doc_id"), col(hashCol),
+    val banded = fp.select(col(hashCol).as("fhash")).distinct()
+      .select(col("fhash"),
         explode(sequence(lit(0), lit(nBands - 1))).as("bandidx"))
-      .withColumn("bandval", expr(s"($hashCol >> (bandidx * 8)) & 255"))
+      .withColumn("bandval", expr("(fhash >> (bandidx * 8)) & 255"))
     val firstAgreeingBand = (0 until nBands - 1).map(j =>
         col("a.bandidx") <= j ||
-          (shiftright(col(s"a.$hashCol").bitwiseXOR(col(s"b.$hashCol")),
+          (shiftright(col("a.fhash").bitwiseXOR(col("b.fhash")),
             8 * j).bitwiseAND(255) =!= 0))
       .reduce(_ && _)
-    banded.as("a")
+    // matched DISTINCT-fingerprint pairs; Hamming ≥ 1 here (equal
+    // hashes are the within-group case, handled by the self rows)
+    val half = banded.as("a")
       .join(banded.as("b"),
         col("a.bandidx") === col("b.bandidx") &&
           col("a.bandval") === col("b.bandval") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.fhash") < col("b.fhash"))
       .filter(firstAgreeingBand)
-      .select(col("a.doc_id").as("doc_a"),
-        expr(s"bit_count(a.$hashCol ^ b.$hashCol)").cast("int")
-          .as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .groupBy((col("doc_a") % 10).cast("long").as("bucket"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(when(col("hamming") === 0, 1L).otherwise(0L)).as("n_exact"),
-        sum(col("hamming")).cast("long").as("sum_hamming"),
-        max(col("hamming")).as("max_hamming"))
+      .select(col("a.fhash").as("f"), col("b.fhash").as("g"),
+        expr("bit_count(a.fhash ^ b.fhash)").cast("int").as("h"))
+      .filter(col("h") <= maxHamming)
+    val matched = half.union(
+      half.select(col("g").as("f"), col("f").as("g"), col("h")))
+    // scan frame for partition f: f's own docs (self, Hamming 0 to
+    // each other) ∪ each matched g's docs carrying Hamming(f, g)
+    val selfRows = fp.select(col(hashCol).as("f"), col("doc_id"),
+      lit(0).as("h"), lit(true).as("self"))
+    val partnerRows = fp.select(col(hashCol).as("g"), col("doc_id"))
+      .join(matched, "g")
+      .select(col("f"), col("doc_id"), col("h"), lit(false).as("self"))
+    // at doc a (a self row of partition f), strictly-preceding rows in
+    // doc_id-descending order are exactly the docs b > a that pair
+    // with a — and a is then min(a, b), the pair's bucket key
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("f")
+      .orderBy(col("doc_id").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    selfRows.union(partnerRows)
+      .withColumn("n_exact_d",
+        sum(when(col("self"), 1L).otherwise(0L)).over(w))
+      .withColumn("n_cross_d",
+        sum(when(!col("self"), 1L).otherwise(0L)).over(w))
+      .withColumn("sum_h_d",
+        sum(when(!col("self"), col("h").cast("long")).otherwise(0L)).over(w))
+      .withColumn("max_h_d",
+        max(when(!col("self"), col("h"))).over(w))
+      .filter(col("self") && (col("n_exact_d") + col("n_cross_d")) > 0)
+      .groupBy((col("doc_id") % 10).cast("long").as("bucket"))
+      .agg(sum(col("n_exact_d") + col("n_cross_d")).as("n_pairs"),
+        sum(col("n_exact_d")).as("n_exact"),
+        sum(col("sum_h_d")).cast("long").as("sum_hamming"),
+        max(greatest(col("max_h_d"),
+          when(col("n_exact_d") > 0, 0))).as("max_hamming"))
       .orderBy("bucket")
   }
 

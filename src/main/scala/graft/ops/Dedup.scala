@@ -864,33 +864,63 @@ object Dedup {
     * pigeonhole banding on the 4 bytes of the fingerprint: any pair within
     * Hamming 3 of each other agrees on at least one byte-band, so the
     * band join finds exactly the all-pairs result without O(n²) compare.
+    *
+    * The band self-join runs over DISTINCT fingerprints, not per-doc
+    * rows: a twin-dense corpus (the sf1/sf2 replicates carry 10/20
+    * exact copies of each doc, so every distinct near-dup fingerprint
+    * pair becomes 100/400 doc pairs) would otherwise pay the twin
+    * factor SQUARED in band-join candidates, each with its xor/bit
+    * compare (measured 137 s at sf2). Matched distinct pairs — found
+    * once, at their lowest agreeing band, so no distinct() over the
+    * pair set — then materialize to doc pairs through two plain hash
+    * joins on the fingerprint key: exactly the output rows, no
+    * per-candidate compare work. Equal fingerprints (Hamming 0) pair
+    * within their group directly — an equi-join on the hash. Identical
+    * output to the per-doc banding by construction.
     */
   def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
-    // persisted: the fingerprint subtree otherwise computes twice — the
-    // broadcast side of the band self-join has no shuffle stage for AQE
-    // stage-reuse to dedup (shuffle-fed twins are reused automatically)
+    // persisted: the fingerprint frame feeds the distinct-hash band
+    // join, the probe side and the doc-expansion side
     val fp = simhashFingerprints(spark, sfDir).persist()
-    val banded = fp.select(
-      col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("bandidx"))
+    val banded = fp.select(col("simhash")).distinct()
+      .select(col("simhash"), explode(sequence(lit(0), lit(3))).as("bandidx"))
       .withColumn("bandval", expr("(simhash >> (bandidx * 8)) & 255"))
-    // emit each pair ONLY at its lowest agreeing band (every lower band's
-    // byte of the xor must be non-zero): pairs come out exactly once, so
-    // no distinct() — that was a full exchange of the (large) pair set
     val firstAgreeingBand = (0 until 3).map(j =>
         col("a.bandidx") <= j ||
           (shiftright(col("a.simhash").bitwiseXOR(col("b.simhash")), 8 * j)
             .bitwiseAND(255) =!= 0))
       .reduce(_ && _)
-    banded.as("a")
+    val half = banded.as("a")
       .join(banded.as("b"),
         col("a.bandidx") === col("b.bandidx") &&
           col("a.bandval") === col("b.bandval") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.simhash") < col("b.simhash"))
       .filter(firstAgreeingBand)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+      .select(col("a.simhash").as("f"), col("b.simhash").as("g"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    // matched fingerprint pairs in BOTH directions plus the f = g
+    // diagonal (Hamming 0): probing every doc's hash against this frame
+    // with doc_a < doc_b emits each qualifying doc pair exactly once —
+    // from the side holding the smaller doc — and spreads the pair
+    // EXPANSION across probe rows (a hot fingerprint's pairs come out
+    // of many probe tasks, not one hot join key; output skew from
+    // multiplicity never lands on a single reducer). Both build sides
+    // are fingerprint-keyed and tiny relative to the corpus (distinct
+    // pairs, and the slim id→hash frame); at corpus scale the second
+    // join becomes a shuffle join on the hash key and hot fingerprints
+    // get the salting treatment — the structure stays the same.
+    val matched = half
+      .union(half.select(col("g").as("f"), col("f").as("g"), col("hamming")))
+      .union(fp.select(col("simhash")).distinct()
+        .select(col("simhash").as("f"), col("simhash").as("g"),
+          lit(0).cast("int").as("hamming")))
+    fp.select(col("simhash").as("f"), col("doc_id").as("doc_a"))
+      .join(broadcast(matched), "f")
+      .join(broadcast(fp.select(col("simhash").as("g"),
+        col("doc_id").as("doc_b"))), "g")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
   }
 

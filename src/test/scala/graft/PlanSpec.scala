@@ -564,8 +564,12 @@ class PlanSpec extends SparkSpec {
       "dedup_clusters_star" -> 4,
       "curation_pipeline_semantic" -> 13,
       "semdedup" -> 16,
-      "mm_image_neardup" -> 2,
-      "mm_audio_neardup" -> 2,
+      // 7 since the distinct-fingerprint fold: the extra exchanges are
+      // all distinct-hash-sized (distinct, band join, matched union)
+      // plus the per-fingerprint window and the bucket rollup — the
+      // corpus-scale frame is shuffled once
+      "mm_image_neardup" -> 7,
+      "mm_audio_neardup" -> 7,
       "mm_image_dedup_survivors" -> 3,
       "mm_ann_topk" -> 6,
       "quality_lm_ppx" -> 7,
