@@ -998,11 +998,46 @@ object Dedup {
     (e, banded)
   }
 
+  /** [[embeddingNearDupsLsh]]'s fail-fast headroom: the uncapped query
+    * refuses to run when its estimated candidate volume exceeds this
+    * multiple of what the capped sibling would enumerate
+    * (nBands·n·cap/2). Calibrated against the rehearsal fixtures: the
+    * est/bound ratio is ~1 at sf0.01, ~10 at sf0.1, ~100 at the
+    * 10-twin sf1 (which completed in ~22 s) and ~200 at the 20-twin
+    * sf2 — where the uncapped join died in 75 GB of spill after 294 s.
+    * 128 sits between the survivable and the demonstrated-fatal point.
+    */
+  val LshGuardHeadroom: Long = 128L
+
   def embeddingNearDupsLsh(spark: SparkSession, sfDir: String,
                            threshold: Double = 0.4, bandBits: Int = 3,
-                           nBands: Int = 21): DataFrame = {
+                           nBands: Int = 21,
+                           guardHeadroom: Long = LshGuardHeadroom): DataFrame = {
     val mask = (1L << bandBits) - 1
     val (e, banded) = lshBandedFrames(spark, sfDir, bandBits, nBands)
+    // fail-fast density guard: one cheap aggregate over the banded
+    // frame BEFORE the candidate join — Σ m·(m−1)/2 over (band, bucket)
+    // is exactly the candidate count the join would enumerate; if it
+    // exceeds guardHeadroom × the capped sibling's hard bound, this
+    // query is the wrong tool for the corpus's duplication density and
+    // dying in spill hours later helps nobody. The eager one-row action
+    // is the guard itself, not a driver-side compute path.
+    val stats = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bn"))
+      .agg(sum(expr("bn * (bn - 1) / 2")).cast("long").as("est"),
+        sum("bn").cast("long").as("rows"))
+      .first()
+    val est = stats.getLong(0)
+    val nVecs = stats.getLong(1) / nBands
+    val capBound = nBands.toLong * nVecs * LshBucketCap / 2
+    if (est > guardHeadroom * capBound)
+      throw new IllegalStateException(
+        s"embeddingNearDupsLsh: estimated candidate volume $est exceeds " +
+          s"$guardHeadroom x the capped bound $capBound — the corpus's " +
+          "duplication density defeats uncapped banding (this exhausted " +
+          "75 GB of spill at the 20-twin rehearsal). Run exact dedup " +
+          "upstream or use embeddingNearDupsLshCapped, whose work is " +
+          "hard-bounded at any density.")
     // emit each pair only at its lowest agreeing band: every lower band's
     // bits of the xor must be non-zero, so no distinct() over the pair set
     val firstAgreeingBand = (0 until nBands - 1).map(j =>

@@ -650,7 +650,8 @@ object TrainingSets {
     * margin are fully deterministic in both engines. A source with
     * fewer than 2i docs would pair a doc against itself or invert the
     * ranking, so pairs are kept only when the docs differ and the
-    * margin is nonnegative — both exact-integer predicates.
+    * margin is strictly positive (chosen_score > rejected_score, the
+    * tie-duplication fix) — both exact-integer predicates.
     *
     * Scale shape: one doc-grain aggregate (map-side combine over the
     * exploded tokens), then two source-partitioned row_number windows —

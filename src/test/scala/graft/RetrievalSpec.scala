@@ -339,7 +339,9 @@ class RetrievalSpec extends SparkSpec {
     // independent argmax check for one source
     val scored = Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"),
-        split(col("text"), " ").as("ws"))
+        // drop empty tokens like the operator (length(w) > 0), or a
+        // doc with doubled/leading spaces would score differently here
+        array_remove(split(col("text"), " "), "").as("ws"))
       .select(col("doc_id"), col("source"),
         size(col("ws")).cast("long").as("nt"),
         size(array_distinct(col("ws"))).cast("long").as("nd"))

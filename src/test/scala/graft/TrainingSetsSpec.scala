@@ -75,6 +75,36 @@ class TrainingSetsSpec extends SparkSpec {
     assert(recall >= 0.95, s"LSH recall $recall < 0.95 (${lsh.size}/${exact.size})")
   }
 
+  test("uncapped LSH density guard trips on a twin-dense corpus and " +
+       "stays silent at spec density") {
+    // silent at sf0.01 with the default headroom: constructing the
+    // query runs the guard (the recall spec above also proves this,
+    // but pin it explicitly)
+    graft.ops.Dedup.embeddingNearDupsLsh(spark, sf)
+    // twin-dense fixture: every vector duplicated 16x with fresh ids —
+    // est/bound grows linearly in the twin factor, so a tightened
+    // headroom exposes the same mechanism the 20-twin sf2 rehearsal
+    // hit at the default 128 (measured ratios: ~1 at sf0.01, ~200 at
+    // sf2)
+    val twins = 16
+    val dir = "target/tmp/lsh_guard_fixture"
+    val base = Tables.embeddings(spark, sf)
+    val n = base.count()
+    base.crossJoin(
+        spark.range(twins).select(col("id").as("copy")))
+      .select((col("vec_id") + col("copy") * lit(n)).as("vec_id"),
+        col("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ex = intercept[IllegalStateException] {
+      graft.ops.Dedup.embeddingNearDupsLsh(spark, dir, guardHeadroom = 4L)
+    }
+    assert(ex.getMessage.contains("embeddingNearDupsLshCapped"))
+    // the capped sibling runs the same corpus without complaint — its
+    // work bound is density-independent
+    assert(graft.ops.Dedup.embeddingNearDupsLshCapped(spark, dir)
+      .limit(1).count() >= 0)
+  }
+
   test("shard assignment partitions the corpus exactly, roughly evenly") {
     val shards = graft.ops.TrainingSets.shardAssignment(spark, sf).collect()
     val total = Tables.documents(spark, sf).count()
