@@ -91,6 +91,8 @@ object SparkEntry {
     "stream_substr_probe" ->
       ((s, d) => graft.streaming.StreamAssembly.streamSubstrProbe(s, d)),
     "ann_probe_recall" -> ((s, d) => Similarity.annProbeRecall(s, d)),
+    "ann_probe_recall_sampled" ->
+      ((s, d) => Similarity.annProbeRecallSampled(s, d)),
     "stream_media_decode" ->
       ((s, d) => graft.streaming.StreamAssembly.streamMediaDecode(s, d)),
     "stream_sessions_dynamic_gap" ->
@@ -210,9 +212,12 @@ object SparkEntry {
     "global_rank_docs" -> ((s, d) => Analytics.globalRankDocs(s, d)),
     "hybrid_search" -> ((s, d) => Similarity.hybridSearch(s, d)),
     "knn_label_purity" -> (Similarity.knnLabelPurity _),
+    "knn_purity_sampled" ->
+      ((s, d) => Similarity.knnLabelPuritySampled(s, d)),
     "label_centroid_affinity" -> (Similarity.labelCentroidAffinity _),
     "minhash_recall_eval" -> ((s, d) => Dedup.minhashRecallEval(s, d)),
     "lsh_recall_eval" -> ((s, d) => Dedup.lshRecallEval(s, d)),
+    "lsh_recall_sampled" -> ((s, d) => Dedup.lshRecallSampled(s, d)),
     "ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
     "fk_integrity" -> (Quality.fkIntegrity _),
     "pareto_concentration" -> (Analytics.paretoConcentration _),
@@ -260,6 +265,8 @@ object SparkEntry {
       ((s, d) => graft.multimodal.Multimodal.mediaAnnTopK(s, d)),
     "mm_audio_neardup" ->
       ((s, d) => graft.multimodal.Multimodal.audioNearDups(s, d)),
+    "mm_video_neardup" ->
+      ((s, d) => graft.multimodal.Multimodal.videoNearDups(s, d)),
     "mm_image_dedup_survivors" ->
       ((s, d) => graft.multimodal.Multimodal.imageDedupSurvivors(s, d)),
     "mm_ann_recall" ->
@@ -476,8 +483,12 @@ object SparkEntry {
     * queries, nProbe=4 cell ranking, and `ivf1` = the per-query
     * exact-cosine top-1 within the probed cells.
     */
-  private val annProbeCtes: String =
-    """WITH nrm AS (SELECT vec_id, embedding,
+  private val annProbeCtes: String = annProbeCtesWith("")
+
+  /** [[annProbeCtes]] with an extra predicate on the query half — the
+    * sampled-stratum audit appends the md5 stratum coin. */
+  private def annProbeCtesWith(qsExtra: String): String =
+    ("""WITH nrm AS (SELECT vec_id, embedding,
       |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
       |                 for i in range(1, 65)])) AS nrm
       |  FROM embeddings),
@@ -493,7 +504,7 @@ object SparkEntry {
       |  SELECT *, row_number() OVER (
       |    PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
       |  FROM iscored) WHERE rn = 1),
-      |qs AS (SELECT * FROM nrm WHERE vec_id % 2 = 1),
+      |qs AS (SELECT * FROM nrm WHERE vec_id % 2 = 1""" + qsExtra + """),
       |qscored AS (SELECT q.vec_id AS q_id, q.embedding AS q_emb,
       |  q.nrm AS q_nrm, c.cid,
       |  list_sum([q.embedding[j]::DOUBLE * c.c_emb[j]::DOUBLE
@@ -510,7 +521,7 @@ object SparkEntry {
       |ivf1 AS (SELECT q_id, m_id, cosine FROM (
       |  SELECT *, row_number() OVER (
       |    PARTITION BY q_id ORDER BY cosine DESC, m_id ASC) AS rn
-      |  FROM cand) WHERE rn = 1)""".stripMargin
+      |  FROM cand) WHERE rn = 1)""").stripMargin
 
   private val kmeansAssignCte: String =
     s"""WITH e AS (SELECT vec_id, embedding,
@@ -1386,6 +1397,28 @@ object SparkEntry {
     // fleet-level probe recall: every odd query's IVF top-1 vs its exact
     // brute-force top-1 over the even half; counts only
     "ann_probe_recall" -> (annProbeCtes +
+      """,
+        |bfcand AS (SELECT q.vec_id AS q_id, a.m_id,
+        |  list_sum([q.embedding[j]::DOUBLE * a.m_emb[j]::DOUBLE
+        |            for j in range(1, 65)]) / (q.nrm * a.m_nrm) AS cosine
+        |  FROM qs q, assigned a),
+        |bf AS (SELECT q_id, m_id AS bf_id, cosine AS bf_cos FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cosine DESC, m_id ASC) AS rn
+        |  FROM bfcand) WHERE rn = 1)
+        |SELECT count(*) AS n_queries,
+        |  CAST(sum(CASE WHEN i.m_id = b.bf_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_top1_match,
+        |  CAST(sum(CASE WHEN i.m_id <> b.bf_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_missed,
+        |  CAST(sum(CASE WHEN b.bf_cos - i.cosine <= 1e-2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_within_1pt
+        |FROM ivf1 i JOIN bf b USING (q_id)""".stripMargin),
+    // the sampled-stratum execution of the same audit: queries further
+    // restricted by the md5 coin (the stratified_sample idiom), index
+    // untouched
+    "ann_probe_recall_sampled" -> (annProbeCtesWith(
+      " AND ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 100 < 20") +
       """,
         |bfcand AS (SELECT q.vec_id AS q_id, a.m_id,
         |  list_sum([q.embedding[j]::DOUBLE * a.m_emb[j]::DOUBLE
@@ -2908,6 +2941,42 @@ object SparkEntry {
         |CAST(n_exact - tp AS BIGINT) AS fn,
         |CAST(n_cand - tp AS BIGINT) AS fp
         |FROM ne, nc, ntp""".stripMargin,
+    // the sampled-stratum execution: pairs restricted by the SMALLER
+    // endpoint's md5 coin on both the candidate and ground-truth sides
+    "lsh_recall_sampled" ->
+      """WITH sigs AS (SELECT vec_id, embedding,
+        |  list_sum([
+        |    CASE WHEN list_sum([
+        |      CASE WHEN (('0x' || substr(md5(p::VARCHAR || ',' ||
+        |        (i-1)::VARCHAR), 1, 2))::INT & 1) = 0
+        |      THEN embedding[i]::DOUBLE ELSE -embedding[i]::DOUBLE END
+        |      for i in range(1, 65)]) > 0
+        |    THEN (1::BIGINT << p) ELSE 0 END
+        |    for p in range(0, 63)])::BIGINT AS sig,
+        |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                 for i in range(1, 65)])) AS nrm,
+        |  ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 100
+        |    AS coin
+        |  FROM embeddings),
+        |cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+        |  AND a.coin < 20
+        |  AND list_sum([CASE WHEN ((xor(a.sig, b.sig) >> (3*t)) & 7) = 0
+        |                THEN 1 ELSE 0 END for t in range(0, 21)]) > 0),
+        |exact AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+        |  AND a.coin < 20
+        |  WHERE list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |                  for i in range(1, 65)]) / (a.nrm * b.nrm) >= 0.4),
+        |ne AS (SELECT count(*) AS n_exact FROM exact),
+        |nc AS (SELECT count(*) AS n_cand FROM cand),
+        |ntp AS (SELECT count(*) AS tp FROM cand c
+        |  JOIN exact e ON c.vec_a = e.vec_a AND c.vec_b = e.vec_b)
+        |SELECT CAST(n_exact AS BIGINT) AS n_exact,
+        |CAST(n_cand AS BIGINT) AS n_cand, CAST(tp AS BIGINT) AS tp,
+        |CAST(n_exact - tp AS BIGINT) AS fn,
+        |CAST(n_cand - tp AS BIGINT) AS fp
+        |FROM ne, nc, ntp""".stripMargin,
     // LSH banding audit: candidates vs exact ground truth, all-integer
     // confusion counts (same banding + verification CTEs as dedup_minhash
     // and dedup_ngram_jaccard)
@@ -2987,6 +3056,42 @@ object SparkEntry {
         |    CAST(list_sum([a.qv[i] * b.qv[i] for i in range(1, 65)])
         |      AS BIGINT) AS d
         |  FROM qn a JOIN qn b ON a.vec_id <> b.vec_id),
+        |s AS (SELECT a_id, a_label, b_label,
+        |    CASE WHEN d >= 0
+        |      THEN CAST(d * d AS DOUBLE) / CAST(b_nq AS DOUBLE)
+        |      ELSE -(CAST(d * d AS DOUBLE) / CAST(b_nq AS DOUBLE)) END
+        |      AS score, b_id
+        |  FROM p),
+        |nn AS (SELECT a_label, b_label FROM (SELECT a_label, b_label,
+        |    row_number() OVER (PARTITION BY a_id
+        |      ORDER BY score DESC, b_id ASC) AS rn FROM s)
+        |  WHERE rn = 1)
+        |SELECT a_label AS label, count(*) AS n_vecs,
+        |CAST(sum(CASE WHEN a_label = b_label THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_nn_match
+        |FROM nn GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the sampled-stratum execution: anchors restricted by the md5
+    // coin, neighbor pool untouched
+    "knn_purity_sampled" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_max([abs(embedding[i]::DOUBLE) for i in range(1, 65)])
+        |      AS max_abs, embedding
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, label,
+        |    [CAST(floor(embedding[i]::DOUBLE * (127.0 / max_abs) + 0.5)
+        |      AS BIGINT) for i in range(1, 65)] AS qv
+        |  FROM e),
+        |qn AS (SELECT vec_id, label, qv,
+        |    CAST(list_sum([qv[i] * qv[i] for i in range(1, 65)]) AS BIGINT)
+        |      AS nq
+        |  FROM q),
+        |p AS (SELECT a.vec_id AS a_id, a.label AS a_label,
+        |    b.vec_id AS b_id, b.label AS b_label, b.nq AS b_nq,
+        |    CAST(list_sum([a.qv[i] * b.qv[i] for i in range(1, 65)])
+        |      AS BIGINT) AS d
+        |  FROM qn a JOIN qn b ON a.vec_id <> b.vec_id
+        |  AND ('0x' || substr(md5(a.vec_id::VARCHAR), 1, 8))::BIGINT
+        |    % 100 < 20),
         |s AS (SELECT a_id, a_label, b_label,
         |    CASE WHEN d >= 0
         |      THEN CAST(d * d AS DOUBLE) / CAST(b_nq AS DOUBLE)
@@ -3217,6 +3322,44 @@ object SparkEntry {
         |    AS BIGINT) AS n_dropped
         |FROM dh d JOIN sv s USING (dhash)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the video sibling: per-frame grid dHash over decoded AVI frames
+    // folded by per-bit strict majority; the oracle recomputes every
+    // sampled pixel, frame bit and majority vote arithmetically, then
+    // brute-forces the same Hamming-≤h pair rollup
+    "mm_video_neardup" -> {
+      val rows = graft.multimodal.Multimodal.DhashGridRows
+      val cols = graft.multimodal.Multimodal.DhashGridCols
+      val h = graft.multimodal.Multimodal.DhashMaxHamming
+      s"""WITH vid AS (SELECT doc_id, 8 + doc_id % 5 AS w,
+        |    4 + doc_id % 4 AS h, 2 + doc_id % 5 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fbit AS (SELECT doc_id, nf, ff.f AS f,
+        |    rr.r * ${cols - 1} + cc.c AS j
+        |  FROM vid, range(0, 6) ff(f), range(0, $rows) rr(r),
+        |    range(0, ${cols - 1}) cc(c)
+        |  WHERE ff.f < nf
+        |  AND 299 * ((doc_id * 3 + ff.f * 5 + (rr.r * h // $rows) + (cc.c * w // $cols)) % 256)
+        |    + 587 * ((doc_id * 2 + ff.f * 3 + (rr.r * h // $rows) + (cc.c * w // $cols)) % 256)
+        |    + 114 * ((doc_id + ff.f + (rr.r * h // $rows) + (cc.c * w // $cols)) % 256)
+        |    > 299 * ((doc_id * 3 + ff.f * 5 + (rr.r * h // $rows) + ((cc.c + 1) * w // $cols)) % 256)
+        |    + 587 * ((doc_id * 2 + ff.f * 3 + (rr.r * h // $rows) + ((cc.c + 1) * w // $cols)) % 256)
+        |    + 114 * ((doc_id + ff.f + (rr.r * h // $rows) + ((cc.c + 1) * w // $cols)) % 256)),
+        |mb AS (SELECT doc_id, j FROM fbit
+        |  GROUP BY doc_id, j, nf HAVING 2 * count(*) > nf),
+        |vh AS (SELECT v.doc_id,
+        |    CAST(coalesce(sum(1::BIGINT << m.j), 0) AS BIGINT) AS vhash
+        |  FROM vid v LEFT JOIN mb m USING (doc_id) GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS da,
+        |    bit_count(xor(a.vhash, b.vhash)) AS hm
+        |  FROM vh a JOIN vh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.vhash, b.vhash)) <= $h)
+        |SELECT CAST(da % 10 AS BIGINT) AS bucket,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN hm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(sum(hm) AS BIGINT) AS sum_hamming,
+        |  CAST(max(hm) AS INT) AS max_hamming
+        |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // the audio sibling: 1-D energy-delta fingerprint over decoded int16
     // samples; the oracle recomputes every sample arithmetically and
     // brute-forces the same Hamming-≤h pairs

@@ -704,21 +704,30 @@ object Multimodal {
     * [[imageDhash]] maps over the corpus and the streaming probe maps
     * over each micro-batch, extracted so the two cannot drift. */
   def dhashOfId(id: Long): Long = {
-    val rows = DhashGridRows; val cols = DhashGridCols
     val img = decodeBmp(encodeBmp(id)).get
+    gridDhash(img.pixels, img.width, img.height)
+  }
+
+  /** The dHash kernel over one decoded pixel plane (row-major 0xRRGGBB)
+    * — shared by the image fingerprint ([[dhashOfId]]) and the
+    * per-frame hashes of the video signature ([[videoDhash]]) so the
+    * grid sampling and gradient-sign rules cannot drift between
+    * modalities. */
+  private[graft] def gridDhash(px: Array[Int], w: Int, h: Int): Long = {
+    val rows = DhashGridRows; val cols = DhashGridCols
     def lum(r: Int, c: Int): Long = {
-      val p = img.pixels(r * img.width + c)
+      val p = px(r * w + c)
       299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
         114L * (p & 0xff)
     }
     var hash = 0L
     var r = 0
     while (r < rows) {
-      val sr = r * img.height / rows
+      val sr = r * h / rows
       var c = 0
       while (c < cols - 1) {
-        val sc = c * img.width / cols
-        val sc2 = (c + 1) * img.width / cols
+        val sc = c * w / cols
+        val sc2 = (c + 1) * w / cols
         if (lum(sr, sc) > lum(sr, sc2))
           hash |= 1L << (r * (cols - 1) + c)
         c += 1
@@ -931,6 +940,67 @@ object Multimodal {
       "ahash", hashBits = AudioHashBlocks - 1, maxHamming = maxHamming)
 
   private val audioCache = graft.ops.Memo.registry[(SparkSession, String)]
+
+  /** Perceptual clip signature per video: every REAL decoded AVI frame
+    * (RIFF walk, '00db' DIB decode) hashes through the SAME 56-bit
+    * grid-dHash kernel as the images ([[gridDhash]]), and the frame
+    * hashes fold to one clip signature by per-bit STRICT MAJORITY over
+    * frames (bit j set iff more than half the frames set it) — the
+    * order-insensitive fold standard video fingerprinting uses atop
+    * per-frame perceptual hashes (an XOR fold would cancel twin frames;
+    * majority is robust to a missing or extra frame the way dHash is to
+    * brightness). All-integer; the oracle recomputes every sampled
+    * pixel, every frame bit, and the majority vote arithmetically from
+    * doc_id. Row-local map (codec work), no shuffle.
+    */
+  def videoDhash(spark: SparkSession, sfDir: String): DataFrame =
+    videoCache.getOrElseUpdate((spark, sfDir),
+      videoDhashUncached(spark, sfDir).localCheckpoint(true))
+
+  private val videoCache = graft.ops.Memo.registry[(SparkSession, String)]
+
+  private def videoDhashUncached(spark: SparkSession,
+                                 sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bits = DhashGridRows * (DhashGridCols - 1)
+    Tables.spread(Tables.documents(spark, sfDir).select(col("doc_id")))
+      .filter(col("doc_id") % 3 === 2)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val clip = decodeAvi(encodeAvi(id)).get
+        val nf = clip.frames.length
+        val counts = new Array[Int](bits)
+        clip.frames.foreach { fpx =>
+          val fh = gridDhash(fpx, clip.width, clip.height)
+          var j = 0
+          while (j < bits) {
+            if (((fh >> j) & 1L) == 1L) counts(j) += 1
+            j += 1
+          }
+        }
+        var sig = 0L
+        var j = 0
+        while (j < bits) {
+          if (2 * counts(j) > nf) sig |= 1L << j
+          j += 1
+        }
+        (id, sig)
+      })
+      .toDF("doc_id", "vhash")
+  }
+
+  /** Perceptual VIDEO near-dup audit — completes the fingerprint family
+    * (image dHash, audio energy-delta, video majority-dHash) through
+    * the shared distinct-fingerprint band rollup: clip signatures
+    * banded into 7 bytes, matched Hamming-≤[[DhashMaxHamming]] by the
+    * pigeonhole calculus, folded to the per-bucket pair report without
+    * materializing doc pairs. Same scale shape as [[imageNearDups]].
+    */
+  def videoNearDups(spark: SparkSession, sfDir: String,
+                    maxHamming: Int = DhashMaxHamming): DataFrame =
+    hammingBandRollup(videoDhash(spark, sfDir), "vhash",
+      hashBits = DhashGridRows * (DhashGridCols - 1),
+      maxHamming = maxHamming)
 
   /** Block-luminance feature vectors from REAL decoded pixels — the
     * media-side analogue of the `embeddings` table: each image reduces

@@ -1170,6 +1170,54 @@ object Dedup {
         (col("n_cand") - col("tp")).as("fp"))
   }
 
+  /** [[lshRecallEval]] on a deterministic md5-coin stratum — the
+    * executable form of the "sampled stratum at production" posture the
+    * audit trilogy's scaladocs document: pairs are restricted by their
+    * SMALLER endpoint's coin (vec_a is always the smaller id on both
+    * the candidate and ground-truth sides, so one row-local predicate
+    * restricts both identically), the larger side stays the full
+    * corpus. Recall/precision over min-id-stratified pairs is an
+    * unbiased estimate of the full confusion matrix, and the
+    * brute-force ground truth — the audit's honest cost — drops to
+    * pct% of the corpus² compute. Same portable coin as
+    * [[TrainingSets.stratifiedSample]], so the oracle samples
+    * identically and the gate stays integer-exact.
+    */
+  def lshRecallSampled(spark: SparkSession, sfDir: String,
+                       threshold: Double = 0.4, bandBits: Int = 3,
+                       nBands: Int = 21, pct: Int = 20): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val (e, banded) = lshBandedFrames(spark, sfDir, bandBits, nBands)
+    val strat = TrainingSets.bucket100(col("vec_id")) < pct
+    val firstAgreeingBand = (0 until nBands - 1).map(j =>
+        col("x.band") <= j ||
+          (shiftright(col("x.sig").bitwiseXOR(col("y.sig")), j * bandBits)
+            .bitwiseAND(mask) =!= 0))
+      .foldLeft(lit(true))(_ && _)
+    val cand = banded.filter(strat).as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .filter(firstAgreeingBand)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+    // stratified brute force: a-side is the stratum, b-side the full
+    // corpus (spread like embeddingNearDups so the pct·n² dot products
+    // parallelize past the single-file input split)
+    val exact = e.filter(strat)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(Similarity.dot(col("a.embedding"), col("b.embedding")) /
+        (col("a.nrm") * col("b.nrm")) >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val tp = cand.join(exact, Seq("vec_a", "vec_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(tp.agg(count(lit(1)).as("tp")))
+      .select(col("n_exact"), col("n_cand"), col("tp"),
+        (col("n_exact") - col("tp")).as("fn"),
+        (col("n_cand") - col("tp")).as("fp"))
+  }
+
   /** Recall/precision audit for [[embeddingNearDupsLshCapped]] — the
     * capped production scheme gets the same brute-force confusion
     * matrix every other approximation in the repo carries

@@ -350,10 +350,31 @@ object Similarity {
     * sampled-stratum at scale); the probe side reuses the exact pipeline
     * the streaming query drains.
     */
-  def annProbeRecall(spark: SparkSession, sfDir: String): DataFrame = {
+  def annProbeRecall(spark: SparkSession, sfDir: String): DataFrame =
+    annProbeRecallStratum(spark, sfDir, None)
+
+  /** The 100 TB execution of [[annProbeRecall]]: the SAME audit over a
+    * deterministic md5-coin stratum of the query fleet (default 20%),
+    * against the FULL index — recall estimates need sampled queries,
+    * never a sampled index (a thinned index changes the answer being
+    * audited). The coin is the [[TrainingSets.stratifiedSample]] idiom:
+    * row-local, engine-portable, and stable across runs/partitionings,
+    * so the stratum is a pure function of vec_id and the oracle samples
+    * identically. Brute-force cost drops to pct% of the fleet audit —
+    * this is the executable form of what the audit trilogy's scaladocs
+    * previously only documented.
+    */
+  def annProbeRecallSampled(spark: SparkSession, sfDir: String,
+                            pct: Int = 20): DataFrame =
+    annProbeRecallStratum(spark, sfDir, Some(pct))
+
+  private def annProbeRecallStratum(spark: SparkSession, sfDir: String,
+                                    pct: Option[Int]): DataFrame = {
     val (cents, assigned) = annProbeIndex(spark, sfDir)
-    val qs = Tables.embeddings(spark, sfDir)
+    val qs0 = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") % 2 === 1)
+    val qs = pct.fold(qs0)(p =>
+        qs0.filter(TrainingSets.bucket100(col("vec_id")) < p))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         norm2(col("embedding")).as("q_nrm"))
     val ivf = ivfProbeTop1(qs, cents, assigned)
@@ -528,7 +549,23 @@ object Similarity {
     * LSH-band candidates (`vec_lsh_sig`, the [[annTopK]] path) — the
     * ranking key and the purity aggregate are unchanged.
     */
-  def knnLabelPurity(spark: SparkSession, sfDir: String): DataFrame = {
+  def knnLabelPurity(spark: SparkSession, sfDir: String): DataFrame =
+    knnLabelPurityStratum(spark, sfDir, None)
+
+  /** [[knnLabelPurity]] executed the way the scaladoc's "sampled
+    * stratum at production" note prescribes: anchors restricted to a
+    * deterministic md5-coin stratum (default 20%), neighbors drawn
+    * from the FULL corpus — purity is a per-anchor property, so a
+    * query-side sample estimates it unbiasedly while cutting the
+    * pairwise compute to pct%. Same row-local portable coin as
+    * [[TrainingSets.stratifiedSample]].
+    */
+  def knnLabelPuritySampled(spark: SparkSession, sfDir: String,
+                            pct: Int = 20): DataFrame =
+    knnLabelPurityStratum(spark, sfDir, Some(pct))
+
+  private def knnLabelPurityStratum(spark: SparkSession, sfDir: String,
+                                    pct: Option[Int]): DataFrame = {
     GraftFunctions.register(spark)
     // qv stays array<double> so the hot pairwise dot runs through the
     // codegen'd vec_dot kernel (26 s → 2.5 s at sf0.1 vs interpreted
@@ -542,7 +579,9 @@ object Similarity {
         x => floor(x.cast("double") * (lit(127.0) / col("max_abs")) +
           lit(0.5)).cast("double")))
       .withColumn("nq", dot(col("qv"), col("qv")).cast("long"))
-    val a = base.select(col("vec_id").as("a_id"),
+    val anchors = pct.fold(base)(p =>
+      base.filter(TrainingSets.bucket100(col("vec_id")) < p))
+    val a = anchors.select(col("vec_id").as("a_id"),
       col("label").as("a_label"), col("qv").as("a_qv"))
     val b = base.select(col("vec_id").as("b_id"),
       col("label").as("b_label"), col("qv").as("b_qv"),

@@ -242,4 +242,26 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAvi(avi.take(40)).isEmpty)
     assert(Multimodal.decodeAvi(null).isEmpty)
   }
+
+  test("video clip signature is the strict per-bit majority over the " +
+       "per-frame grid dHashes, deterministic across runs") {
+    val got = Multimodal.videoDhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    assert(got.keySet.forall(_ % 3 == 2))
+    // independent recomputation straight from the codec, frame by frame
+    got.foreach { case (id, sig) =>
+      val clip = Multimodal.decodeAvi(Multimodal.encodeAvi(id)).get
+      val bits = Multimodal.DhashGridRows * (Multimodal.DhashGridCols - 1)
+      val expected = (0 until bits).map { j =>
+        val votes = clip.frames.count(fpx =>
+          ((Multimodal.gridDhash(fpx, clip.width, clip.height) >> j) & 1L) == 1L)
+        if (2 * votes > clip.frames.length) 1L << j else 0L
+      }.sum
+      assert(sig === expected, s"doc $id")
+    }
+    val again = Multimodal.videoDhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
 }

@@ -521,7 +521,8 @@ class PlanSpec extends SparkSpec {
     // materializes, its consumers read the checkpointed blocks — no
     // second decode pass, no parquet re-scan (the cross-query memo)
     Seq("mm_image_neardup", "mm_image_dedup_survivors",
-        "mm_audio_neardup", "mm_ann_topk", "mm_ann_recall")
+        "mm_audio_neardup", "mm_video_neardup", "mm_ann_topk",
+        "mm_ann_recall")
       .foreach { name =>
         val plan = planOf(name)
         withClue(s"[$name] ") {
@@ -570,6 +571,7 @@ class PlanSpec extends SparkSpec {
       // corpus-scale frame is shuffled once
       "mm_image_neardup" -> 7,
       "mm_audio_neardup" -> 7,
+      "mm_video_neardup" -> 7,
       "mm_image_dedup_survivors" -> 3,
       "mm_ann_topk" -> 6,
       "quality_lm_ppx" -> 7,

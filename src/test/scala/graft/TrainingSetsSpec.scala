@@ -105,6 +105,39 @@ class TrainingSetsSpec extends SparkSpec {
       .limit(1).count() >= 0)
   }
 
+  test("sampled-stratum recall audits: deterministic stratum, exact " +
+       "anchor accounting, anchors bounded by the full audit") {
+    // the md5 coin is a pure function of vec_id: the stratum (and with
+    // it every count in the audit) is identical across runs
+    val k1 = graft.ops.Similarity.knnLabelPuritySampled(spark, sf).collect()
+    val k2 = graft.ops.Similarity.knnLabelPuritySampled(spark, sf).collect()
+    assert(k1.sameElements(k2))
+    // anchor accounting: sampled n_vecs sums to exactly the coin<20
+    // stratum size (no anchor lost or duplicated by the restriction)
+    val coin = pmod(conv(substring(md5(col("vec_id").cast("string")),
+      1, 8), 16, 10).cast("long"), lit(100))
+    val stratum = Tables.embeddings(spark, sf).filter(coin < 20).count()
+    assert(k1.map(_.getAs[Long]("n_vecs")).sum === stratum)
+    val a = graft.ops.Similarity.annProbeRecallSampled(spark, sf).head()
+    val oddStratum = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 2 === 1 && coin < 20).count()
+    assert(a.getAs[Long]("n_queries") === oddStratum)
+    // per-label, the sampled audit never sees more anchors than the
+    // full one
+    val full = graft.ops.Similarity.knnLabelPurity(spark, sf).collect()
+      .map(r => r.getAs[String]("label") -> r.getAs[Long]("n_vecs")).toMap
+    k1.foreach(r =>
+      assert(r.getAs[Long]("n_vecs") <= full(r.getAs[String]("label"))))
+    // the sampled LSH confusion matrix is internally consistent and
+    // strictly smaller than the full audit's
+    val ls = graft.ops.Dedup.lshRecallSampled(spark, sf).head()
+    val lf = graft.ops.Dedup.lshRecallEval(spark, sf).head()
+    assert(ls.getAs[Long]("tp") <= ls.getAs[Long]("n_cand"))
+    assert(ls.getAs[Long]("tp") <= ls.getAs[Long]("n_exact"))
+    assert(ls.getAs[Long]("n_exact") <= lf.getAs[Long]("n_exact"))
+    assert(ls.getAs[Long]("n_cand") <= lf.getAs[Long]("n_cand"))
+  }
+
   test("shard assignment partitions the corpus exactly, roughly evenly") {
     val shards = graft.ops.TrainingSets.shardAssignment(spark, sf).collect()
     val total = Tables.documents(spark, sf).count()
