@@ -1001,13 +1001,15 @@ object Dedup {
   /** [[embeddingNearDupsLsh]]'s fail-fast headroom: the uncapped query
     * refuses to run when its estimated candidate volume exceeds this
     * multiple of what the capped sibling would enumerate
-    * (nBands·n·cap/2). Calibrated against the rehearsal fixtures: the
-    * est/bound ratio is ~1 at sf0.01, ~10 at sf0.1, ~100 at the
-    * 10-twin sf1 (which completed in ~22 s) and ~200 at the 20-twin
-    * sf2 — where the uncapped join died in 75 GB of spill after 294 s.
-    * 128 sits between the survivable and the demonstrated-fatal point.
+    * (nBands·n·cap/2). Calibrated against MEASURED est/bound ratios on
+    * the rehearsal fixtures (tools.Probe, r12): 0.25 at sf0.01, 1.0 at
+    * sf0.1, 10.0 at sf1 (completed in ~22 s) and 20.0 at sf2 — where
+    * the uncapped join died in 75 GB of spill after 294 s. With the
+    * coarse 8-bucket bands the ratio grows linearly in n regardless of
+    * twin density (every bucket holds ~n/8); 16 sits between the
+    * survivable and the demonstrated-fatal point.
     */
-  val LshGuardHeadroom: Long = 128L
+  val LshGuardHeadroom: Long = 16L
 
   def embeddingNearDupsLsh(spark: SparkSession, sfDir: String,
                            threshold: Double = 0.4, bandBits: Int = 3,

@@ -31,11 +31,27 @@ object Memo {
       m
     }
 
-  /** Unpersist every memoized frame and empty every registered cache. */
+  /** Unpersist every memoized frame and empty every registered cache.
+    *
+    * `Dataset.unpersist` alone does NOT release a localCheckpoint's
+    * blocks — the checkpoint data belongs to the underlying RDD, not
+    * the Dataset's cache entry (measured: blocks survived clearAll and
+    * accumulated one generation per bench pass). The checkpointed RDD
+    * is reachable as the frame's LogicalRDD leaf; unpersisting it frees
+    * the blocks (and makes the dropped frame unrecoverable, which is
+    * the point — the registry reference is gone too).
+    */
   def clearAll(): Unit = caches.synchronized {
     caches.foreach { m =>
       m.values.foreach { df =>
-        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+        try {
+          df.unpersist(blocking = false)
+          df.queryExecution.analyzed.foreach {
+            case lr: org.apache.spark.sql.execution.LogicalRDD =>
+              lr.rdd.unpersist(blocking = false)
+            case _ => ()
+          }
+        } catch { case _: Throwable => () }
       }
       m.clear()
     }

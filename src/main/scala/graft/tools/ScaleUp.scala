@@ -50,6 +50,7 @@ object ScaleUp {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val destDir = if (args.length > 1) args(1) else "target/scale/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val fresh = args.length > 3 && args(3) == "fresh"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val hadSession = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession).isDefined
@@ -60,13 +61,64 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, srcDir, destDir, factor)
+    run(spark, srcDir, destDir, factor, fresh)
     // only tear down a session this main created (the spec reuses its own)
     if (!hadSession) spark.stop()
   }
 
+  /** Fresh-entropy payload refresh for copy `i` — the answer to the
+    * replicate caveat above: content columns mutate deterministically
+    * per copy so near-dup density scales ×factor (each within-copy
+    * relationship survives, cross-copy twins are destroyed), while the
+    * distributions the operators key on are preserved.
+    *
+    * - documents.text: a per-copy Caesar rotation of the alphabet
+    *   (`translate`, char-level bijection) — token/char counts, text
+    *   lengths, Zipf shape and every WITHIN-copy token-set relationship
+    *   (Jaccard, shingles, simhash agreement structure) are identical
+    *   to the base corpus; across copies no token survives, so the
+    *   near-dup pair count scales exactly ×factor, not ×factor².
+    * - embeddings.embedding: a per-copy ORTHOGONAL transform (dimension
+    *   rotation by 7·i plus md5-parity sign flips) — an isometry applied
+    *   to the whole copy, so norms and within-copy pairwise cosines are
+    *   preserved as exact multisets of float products (sequential-fold
+    *   doubles may differ in the last ulp from the base copy because the
+    *   rotation reorders the summation); cross-copy twins land at
+    *   scrambled angles.
+    * - events.ts: a per-copy second-level jitter so replicated rows
+    *   stop sharing byte-equal timestamps (bucket distributions move
+    *   by < 1 minute).
+    *
+    * Copy 0 is always the untouched base corpus.
+    */
+  private def refresh(table: String, df: DataFrame, i: Int): DataFrame =
+    table match {
+      case "documents" =>
+        val lower = ('a' to 'z').mkString
+        val upper = ('A' to 'Z').mkString
+        val rot = i % 26
+        if (rot == 0) df
+        else df.withColumn("text", translate(col("text"),
+          lower + upper,
+          lower.drop(rot) + lower.take(rot) +
+            upper.drop(rot) + upper.take(rot)))
+      case "embeddings" =>
+        val dim = 64
+        val shift = (i * 7) % dim
+        df.withColumn("embedding", expr(
+          s"""transform(sequence(0, ${dim - 1}), j ->
+             |  CASE WHEN conv(substring(md5(concat('$i,',
+             |      CAST(j AS STRING))), 1, 2), 16, 10) % 2 = 0
+             |  THEN embedding[(j + $shift) % $dim]
+             |  ELSE -embedding[(j + $shift) % $dim] END)""".stripMargin))
+      case "events" =>
+        df.withColumn("ts",
+          col("ts") + expr(s"INTERVAL ${i % 60} SECONDS"))
+      case _ => df
+    }
+
   def run(spark: SparkSession, srcDir: String, destDir: String,
-          factor: Int): Unit = {
+          factor: Int, fresh: Boolean = false): Unit = {
     // per key DOMAIN (not per table): orderkey offsets must agree between
     // orders and lineitem, custkey between customer and orders, etc.
     // Cross-table references beyond the obvious star FKs: embeddings'
@@ -114,7 +166,7 @@ object ScaleUp {
         if (keys.isEmpty) df
         else
           (0 until factor).map { i =>
-            keys.foldLeft(df) { (d, k) =>
+            val shifted = keys.foldLeft(df) { (d, k) =>
               // keep the source dtype unless the shifted range would
               // overflow it (an int32 key near 2^31 would silently wrap
               // on cast) — then widen to long
@@ -128,6 +180,7 @@ object ScaleUp {
               d.withColumn(k,
                 (col(k) + lit(i.toLong * off)).cast(target))
             }
+            if (fresh && i > 0) refresh(t, shifted, i) else shifted
           }.reduce(_ unionByName _)
       out.write.mode("overwrite").parquet(s"$destDir/$t.parquet")
       println(s"[scaleup] $t: ${df.count()} -> ${spark.read

@@ -273,4 +273,50 @@ class StreamingSpec extends SparkSpec {
       assert(lastRows === 50L)
     } finally { q.stop(); spark.streams.removeListener(listener) }
   }
+
+  test("watermark horizon bounds the state store: dedup state rows stay " +
+       "O(horizon window), not O(stream history)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val deduped = StreamAssembly.dedupWithinWatermarkStream(
+      StreamAssembly.ingest(stream.toDF())) // 1-day horizon
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_state_bound")
+      .outputMode("append")
+      .start()
+    try {
+      // 4 batches of distinct orders, each batch restamped +2 days past
+      // the previous — every batch's events are older than the NEXT
+      // batch's watermark (max event time − 1 day), so eviction must
+      // reclaim each batch's keys within one batch of ingesting the next
+      val base = jsonBatches(400, 4)
+      val batchSize = base.map(_.size).max
+      val tsRe = """"order_timestamp":"([^"]+)"""".r
+      val shifted = base.zipWithIndex.map { case (b, i) =>
+        b.map(line => tsRe.replaceAllIn(line, m => {
+          val t = java.time.Instant.parse(m.group(1))
+            .plus(java.time.Duration.ofDays(2L * i))
+          val s = java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+            .withZone(java.time.ZoneOffset.UTC).format(t)
+          s""""order_timestamp":"$s""""
+        }))
+      }
+      val perBatchState = shifted.map { b =>
+        stream.addData(b); q.processAllAvailable()
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      }
+      assert(perBatchState.forall(_ > 0), s"no state metrics: $perBatchState")
+      // eviction lags one batch (the watermark used by batch b is
+      // computed at the end of b−1), so the horizon bound is two
+      // batches' keys — far below the 4-batch history a leaking store
+      // would hold
+      val total = shifted.map(_.size).sum
+      assert(perBatchState.max <= 2L * batchSize,
+        s"state exceeded the watermark-horizon bound: $perBatchState")
+      assert(perBatchState.last < total,
+        s"state grew with history: ${perBatchState.last} of $total")
+      assert(spark.table("dedup_state_bound").count() === total)
+    } finally q.stop()
+  }
 }

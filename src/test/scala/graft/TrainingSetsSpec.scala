@@ -82,10 +82,10 @@ class TrainingSetsSpec extends SparkSpec {
     // but pin it explicitly)
     graft.ops.Dedup.embeddingNearDupsLsh(spark, sf)
     // twin-dense fixture: every vector duplicated 16x with fresh ids —
-    // est/bound grows linearly in the twin factor, so a tightened
-    // headroom exposes the same mechanism the 20-twin sf2 rehearsal
-    // hit at the default 128 (measured ratios: ~1 at sf0.01, ~200 at
-    // sf2)
+    // est/bound grows linearly in corpus size (ratio ≈ 0.25 at sf0.01
+    // → ≈ 4 at 16x), so a tightened headroom of 2 exposes the same
+    // mechanism the sf2 rehearsal hit at the default 16 (measured
+    // ratios: 0.25 sf0.01, 10 sf1-survivable, 20 sf2-fatal)
     val twins = 16
     val dir = "target/tmp/lsh_guard_fixture"
     val base = Tables.embeddings(spark, sf)
@@ -96,7 +96,7 @@ class TrainingSetsSpec extends SparkSpec {
         col("embedding"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val ex = intercept[IllegalStateException] {
-      graft.ops.Dedup.embeddingNearDupsLsh(spark, dir, guardHeadroom = 4L)
+      graft.ops.Dedup.embeddingNearDupsLsh(spark, dir, guardHeadroom = 2L)
     }
     assert(ex.getMessage.contains("embeddingNearDupsLshCapped"))
     // the capped sibling runs the same corpus without complaint — its
