@@ -572,6 +572,14 @@ class PlanSpec extends SparkSpec {
       "mm_image_neardup" -> 7,
       "mm_audio_neardup" -> 7,
       "mm_video_neardup" -> 7,
+      // r12 additions: simhash's distinct-fingerprint fold (corpus
+      // frame shuffles once; the rest are distinct-hash-sized) and the
+      // sampled-stratum audits (same shapes as their full siblings —
+      // the stratum filter is row-local)
+      "dedup_simhash" -> 6,
+      "lsh_recall_sampled" -> 7,
+      "knn_purity_sampled" -> 3,
+      "ann_probe_recall_sampled" -> 6,
       "mm_image_dedup_survivors" -> 3,
       "mm_ann_topk" -> 6,
       "quality_lm_ppx" -> 7,
