@@ -219,6 +219,9 @@ object SparkEntry {
     "lsh_recall_eval" -> ((s, d) => Dedup.lshRecallEval(s, d)),
     "lsh_recall_sampled" -> ((s, d) => Dedup.lshRecallSampled(s, d)),
     "ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
+    "pq_code_stats" -> ((s, d) => Similarity.pqCodeStats(s, d)),
+    "pq_ann_topk" -> ((s, d) => Similarity.pqAnnTopK(s, d)),
+    "pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
     "fk_integrity" -> (Quality.fkIntegrity _),
     "pareto_concentration" -> (Analytics.paretoConcentration _),
     "dataset_card" -> (Quality.datasetCard _),
@@ -522,6 +525,61 @@ object SparkEntry {
       |  SELECT *, row_number() OVER (
       |    PARTITION BY q_id ORDER BY cosine DESC, m_id ASC) AS rn
       |  FROM cand) WHERE rn = 1)""").stripMargin
+
+  /** PQ CTE prefix shared by the three pq_* oracles: sub-vector split,
+    * fixed-seed codebook, one decimal-exact Lloyd refinement round
+    * (the kmeansAssignCte discipline, per subspace), per-(vector,
+    * subspace) L2 via the SAME x·x − 2·x·c + c·c decomposition as
+    * Similarity.pqModel (so the doubles hash bit-identically), argmin
+    * codes against the refined codebook. Constants interpolated from
+    * Similarity (the KmeansK anti-drift pattern).
+    */
+  private val pqCtes: String = {
+    val m = ops.Similarity.PqSubspaces
+    val d = ops.Similarity.PqSubDim
+    val kc = ops.Similarity.PqCentroids
+    s"""WITH sub AS (SELECT vec_id, t.s AS s,
+      |    [embedding[t.s * $d + i]::DOUBLE for i in range(1, ${d + 1})] AS sv
+      |  FROM embeddings, range(0, $m) t(s)),
+      |cb0 AS (SELECT s, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < $kc),
+      |ds0 AS (SELECT u.vec_id, u.s, c.cid,
+      |    list_sum([u.sv[i] * u.sv[i] for i in range(1, ${d + 1})])
+      |  - 2 * list_sum([u.sv[i] * c.cv[i] for i in range(1, ${d + 1})])
+      |  + list_sum([c.cv[i] * c.cv[i] for i in range(1, ${d + 1})]) AS dist
+      |  FROM sub u JOIN cb0 c USING (s)),
+      |codes0 AS (SELECT vec_id, s, cid FROM (
+      |  SELECT vec_id, s, cid, row_number() OVER (
+      |    PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rn FROM ds0)
+      |  WHERE rn = 1),
+      |m1 AS (SELECT u.s, k.cid, g.i AS pos,
+      |    CAST(SUM(CAST(u.sv[g.i] AS DECIMAL(30,15))) AS DOUBLE)
+      |      / COUNT(*) AS comp
+      |  FROM sub u JOIN codes0 k ON k.vec_id = u.vec_id AND k.s = u.s,
+      |    range(1, ${d + 1}) g(i)
+      |  GROUP BY u.s, k.cid, g.i),
+      |cb AS (SELECT s, cid, list(comp ORDER BY pos) AS cv
+      |  FROM m1 GROUP BY 1, 2),
+      |ds AS (SELECT u.vec_id, u.s, c.cid,
+      |    list_sum([u.sv[i] * u.sv[i] for i in range(1, ${d + 1})])
+      |  - 2 * list_sum([u.sv[i] * c.cv[i] for i in range(1, ${d + 1})])
+      |  + list_sum([c.cv[i] * c.cv[i] for i in range(1, ${d + 1})]) AS dist
+      |  FROM sub u JOIN cb c USING (s)),
+      |codes AS (SELECT vec_id, s, cid FROM (
+      |  SELECT vec_id, s, cid, row_number() OVER (
+      |    PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rn FROM ds)
+      |  WHERE rn = 1),
+      |qtab AS (SELECT c.s, c.cid,
+      |    list_sum([q.sv[i] * q.sv[i] for i in range(1, ${d + 1})])
+      |  - 2 * list_sum([q.sv[i] * c.cv[i] for i in range(1, ${d + 1})])
+      |  + list_sum([c.cv[i] * c.cv[i] for i in range(1, ${d + 1})]) AS qd
+      |  FROM cb c JOIN sub q ON q.s = c.s AND q.vec_id = 0),
+      |adck AS (SELECT k.vec_id,
+      |    ${(0 until m).map(i =>
+             s"max(CASE WHEN k.s = $i THEN t.qd END)").mkString("\n  + ")}
+      |      AS adc_dist
+      |  FROM codes k JOIN qtab t ON t.s = k.s AND t.cid = k.cid
+      |  WHERE k.vec_id <> 0 GROUP BY k.vec_id)""".stripMargin
+  }
 
   private val kmeansAssignCte: String =
     s"""WITH e AS (SELECT vec_id, embedding,
@@ -2875,6 +2933,38 @@ object SparkEntry {
         |UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
         |UNION ALL SELECT * FROM r5 ORDER BY 1""".stripMargin,
     // IVF∩BF top-k overlap; both sets deterministic, recall in ppm
+    // product quantization: fixed-seed sub-vector codebooks, argmin
+    // codes, ADC search — the oracle replays the identical
+    // x·x − 2·x·c + c·c arithmetic (shared pqCtes prefix)
+    "pq_code_stats" -> (pqCtes +
+      """
+        |SELECT CAST(s AS BIGINT) AS subspace, cid,
+        |  count(*) AS n_vectors,
+        |  CAST(min(vec_id) AS BIGINT) AS first_vec
+        |FROM codes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "pq_ann_topk" -> (pqCtes +
+      """
+        |SELECT vec_id, adc_dist FROM adck
+        |ORDER BY adc_dist ASC, vec_id ASC LIMIT 10""".stripMargin),
+    "pq_recall" -> (pqCtes +
+      """,
+        |q64 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |ex AS (SELECT e.vec_id FROM embeddings e, q64 q
+        |  WHERE e.vec_id <> 0
+        |  ORDER BY list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+        |      for i in range(1, 65)])
+        |    - 2 * list_sum([e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE
+        |      for i in range(1, 65)])
+        |    + list_sum([q.qe[i]::DOUBLE * q.qe[i]::DOUBLE
+        |      for i in range(1, 65)]) ASC, e.vec_id ASC
+        |  LIMIT 10),
+        |topadc AS (SELECT vec_id FROM adck
+        |  ORDER BY adc_dist ASC, vec_id ASC LIMIT 10),
+        |ov AS (SELECT count(*) AS n_overlap FROM topadc JOIN ex USING (vec_id))
+        |SELECT CAST(10 AS BIGINT) AS k,
+        |  CAST(n_overlap AS BIGINT) AS n_overlap,
+        |  n_overlap * 1000000 // 10 AS recall_ppm
+        |FROM ov""".stripMargin),
     "ivf_recall" ->
       """WITH nrm AS (SELECT vec_id, label, embedding,
         |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE

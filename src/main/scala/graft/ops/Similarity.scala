@@ -769,4 +769,152 @@ object Similarity {
         max("vec_id").cast("long").as("last_pair"))
       .orderBy("band")
   }
+
+  /** Product-quantization geometry (Jégou et al. 2011, the IVF-PQ
+    * compression path every production vector index runs): the 64-dim
+    * embedding splits into [[PqSubspaces]] contiguous 8-dim subspaces,
+    * each quantized independently to one of [[PqCentroids]] codewords —
+    * 8 bytes per vector instead of 256, with search via asymmetric
+    * distance (ADC): the query precomputes one 16-entry distance table
+    * per subspace and every candidate's distance is 8 table lookups.
+    */
+  val PqSubspaces: Int = 8
+  val PqSubDim: Int = 8
+  val PqCentroids: Int = 16
+
+  /** The trained PQ model: sub-vector frame, refined codebook, and the
+    * slim (vec_id, subspace, codeword) code frame every PQ query
+    * builds on. Training is one per-subspace Lloyd round from the
+    * fixed-seed start (subspace s's seed codewords are the first
+    * [[PqCentroids]] vectors' s-th sub-vectors, the `sim_ivf` scheme;
+    * the refinement mean is [[kmeansAssign]]'s decimal-exact
+    * discipline, so centroids are order- and partitioning-independent
+    * and the oracle reproduces them bit-for-bit).
+    *
+    * Exactness: sub-vector L2 uses the decomposition
+    * ‖x−c‖² = x·x − 2·x·c + c·c with every dot a [[dot]] sequential
+    * fold — the oracle computes the SAME expression, so distances are
+    * bit-identical; argmin ties break to the lowest codeword id.
+    *
+    * Scale shape: the codebook is 128 sub-vectors broadcast to every
+    * task; assignment is one map-side pass over the corpus (explode ×8
+    * subspaces, broadcast join, partial-agg argmin); the training mean
+    * is one (s, cid, pos)-keyed aggregate of codebook-sized output —
+    * no corpus shuffle wider than the argmin combine, 8 bytes/vector
+    * of downstream state.
+    */
+  private def pqModel(spark: SparkSession,
+                      sfDir: String): (DataFrame, DataFrame, DataFrame) = {
+    GraftFunctions.register(spark)
+    val sub = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("s"),
+        col("embedding"))
+      .withColumn("sv", expr(s"slice(embedding, s * $PqSubDim + 1, $PqSubDim)"))
+      .select(col("vec_id"), col("s"), col("sv"))
+    def assign(cb: DataFrame): DataFrame =
+      sub.join(broadcast(cb), "s")
+        .withColumn("dist",
+          dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) +
+            dot(col("cv"), col("cv")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(struct(col("dist"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("s"), col("best.cid").cast("long").as("cid"))
+    val cb0 = sub.filter(col("vec_id") < PqCentroids)
+      .select(col("s"), col("vec_id").as("cid"), col("sv").as("cv"))
+    val a0 = assign(cb0)
+    // one Lloyd refinement: exact decimal mean per (subspace, codeword,
+    // dim) — a codeword that drew no members in round 0 drops out on
+    // both sides identically
+    val m1 = sub.join(a0, Seq("vec_id", "s"))
+      .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy("s", "cid", "pos")
+      .agg((sum(col("v").cast("double").cast("decimal(30,15)")).cast("double") /
+        count(lit(1))).as("comp"))
+    val cb1 = m1.groupBy("s", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+        x => x.getField("comp")).as("cv"))
+    (sub, cb1, assign(cb1))
+  }
+
+  /** Per-vector PQ code assignment against the trained codebook. */
+  def pqCodes(spark: SparkSession, sfDir: String): DataFrame =
+    pqModel(spark, sfDir)._3
+
+  /** PQ codebook utilization — the index-build health report (a dead or
+    * overloaded codeword per subspace means the codebook mis-fits the
+    * corpus): per (subspace, codeword) vector count plus the lowest
+    * assigned vec_id as a deterministic witness. All-BIGINT gate.
+    */
+  def pqCodeStats(spark: SparkSession, sfDir: String): DataFrame =
+    pqCodes(spark, sfDir)
+      .groupBy(col("s").cast("long").as("subspace"), col("cid"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min("vec_id").cast("long").as("first_vec"))
+      .orderBy("subspace", "cid")
+
+  /** ADC top-k: the query embedding (vec 0) precomputes its per-subspace
+    * distance table to all [[PqCentroids]] codewords (128 doubles,
+    * broadcast), every candidate's approximate distance is the sum of 8
+    * table entries selected by its code. The per-candidate sum is 8
+    * conditional-aggregate columns added LEFT-TO-RIGHT (qd0 + qd1 + …),
+    * not a SUM aggregate — aggregation order over a group is not
+    * deterministic, a column chain is, and the oracle adds in the same
+    * order, so the ADC doubles hash bit-identically.
+    *
+    * Scale shape: candidates never touch raw embeddings — the search
+    * reads the 8-byte codes and one broadcast table; at index scale this
+    * sits behind an IVF cell probe ([[ivfTopK]]) exactly as in IVF-PQ.
+    */
+  def pqAnnTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                k: Int = 10): DataFrame = {
+    val (sub, cb, codes) = pqModel(spark, sfDir)
+    val q = sub.filter(col("vec_id") === queryId)
+      .select(col("s"), col("sv").as("qv"))
+    val qtab = cb.join(q, "s")
+      .select(col("s"), col("cid"),
+        (dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("cv")) +
+          dot(col("cv"), col("cv"))).as("qd"))
+    val perSub = (0 until PqSubspaces).map(i =>
+      max(when(col("s") === i, col("qd"))).as(s"qd$i"))
+    codes.filter(col("vec_id") =!= queryId)
+      .join(broadcast(qtab), Seq("s", "cid"))
+      .groupBy("vec_id")
+      .agg(perSub.head, perSub.tail: _*)
+      .select(col("vec_id"),
+        (0 until PqSubspaces).map(i => col(s"qd$i"))
+          .reduce(_ + _).as("adc_dist"))
+      .orderBy(asc("adc_dist"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** PQ approximation audit — ADC top-k vs the exact L2 top-k (same
+    * x·x − 2·x·q + q·q decomposition over the full 64 dims), overlap
+    * as exact ppm: the recall number that decides whether 8 bytes per
+    * vector is enough codebook for this corpus (the ivf_recall /
+    * mm_ann_recall pattern). Ground truth is the honest brute force —
+    * at production scale it runs on the md5-coin stratum exactly like
+    * [[annProbeRecallSampled]].
+    */
+  def pqRecall(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+               k: Int = 10): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    val exact = e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dot(col("embedding"), col("embedding")) -
+          lit(2.0) * dot(col("embedding"), col("qe")) +
+          dot(col("qe"), col("qe"))).as("d"))
+      .orderBy(asc("d"), asc("vec_id")).limit(k)
+      .select("vec_id")
+    val adc = pqAnnTopK(spark, sfDir, queryId, k).select("vec_id")
+    adc.join(exact, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(k.toLong).as("k"), col("n_overlap"),
+        expr(s"n_overlap * 1000000 div $k").as("recall_ppm"))
+  }
 }

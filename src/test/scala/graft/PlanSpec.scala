@@ -580,6 +580,12 @@ class PlanSpec extends SparkSpec {
       "lsh_recall_sampled" -> 7,
       "knn_purity_sampled" -> 3,
       "ann_probe_recall_sampled" -> 6,
+      // PQ tier: the exchanges are the two argmin combines, the
+      // codebook-sized training mean, and the final per-vector fold —
+      // all slim; embeddings scan once per assignment pass
+      "pq_code_stats" -> 6,
+      "pq_ann_topk" -> 8,
+      "pq_recall" -> 8,
       "mm_image_dedup_survivors" -> 3,
       "mm_ann_topk" -> 6,
       "quality_lm_ppx" -> 7,

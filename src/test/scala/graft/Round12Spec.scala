@@ -50,6 +50,68 @@ class Round12Spec extends SparkSpec {
       "clearAll left checkpoint blocks cached")
   }
 
+  test("PQ codes are the true per-subspace argmin against the refined " +
+       "codebook, and the ADC ranking is internally consistent") {
+    val sf01 = "/root/testdata/sf0.01"
+    val codes = graft.ops.Similarity.pqCodes(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val m = graft.ops.Similarity.PqSubspaces
+    val d = graft.ops.Similarity.PqSubDim
+    // every vector has exactly one code per subspace
+    val n = codes.keys.map(_._1).toSet.size
+    assert(codes.size === n * m)
+    // independent argmin re-derivation for a sample of vectors: slice
+    // sub-vectors in Scala, compute L2 to every refined centroid
+    // (recovered from the codebook-utilization witness frame is not
+    // possible — recompute the one-round Lloyd means directly)
+    val embs = Tables.embeddings(spark, sf01)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sub(v: Array[Float], s: Int): Array[Double] =
+      v.slice(s * d, s * d + d).map(_.toDouble)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      def dt(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+      dt(a, a) - 2.0 * dt(a, b) + dt(b, b)
+    }
+    // round-0 assignment to the seed codewords, then exact means
+    val seeds = (0 until m).map(s =>
+      s -> (0L until graft.ops.Similarity.PqCentroids.toLong)
+        .map(c => c -> sub(embs(c), s)).toMap).toMap
+    val a0 = embs.keys.map { v =>
+      (0 until m).map { s =>
+        val best = seeds(s).minBy { case (c, cv) => (l2(sub(embs(v), s), cv), c) }
+        ((v, s), best._1)
+      }
+    }.flatten.toMap
+    val refined: Map[Int, Map[Long, Array[Double]]] = (0 until m).map { s =>
+      val members: Map[Long, Seq[Array[Double]]] = a0.toSeq
+        .collect { case ((v, ss), c) if ss == s => (c, sub(embs(v), s)) }
+        .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+      s -> members.map { case (c, mem) =>
+        c -> (0 until d).map { i =>
+          val dec = mem.map(x => BigDecimal(x(i)).setScale(15,
+            BigDecimal.RoundingMode.HALF_UP)).sum
+          dec.toDouble / mem.size
+        }.toArray
+      }
+    }.toMap
+    embs.keys.take(40).foreach { v =>
+      (0 until m).foreach { s =>
+        val want = refined(s).minBy { case (c, cv) =>
+          (l2(sub(embs(v), s), cv), c) }._1
+        assert(codes((v, s)) === want, s"vec $v subspace $s")
+      }
+    }
+    // ADC: monotone nonneg distances, k rows, deterministic
+    val adc = graft.ops.Similarity.pqAnnTopK(spark, sf01).collect()
+    assert(adc.length === 10)
+    val ds2 = adc.map(_.getDouble(1))
+    assert(ds2.zip(ds2.tail).forall { case (a, b) => a <= b })
+    val again = graft.ops.Similarity.pqAnnTopK(spark, sf01).collect()
+    assert(adc.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("distinct-fingerprint rollup matches brute-force pair stats on a " +
        "twin-heavy frame") {
     // hand-built fingerprints with engineered structure: a hot hash
