@@ -91,6 +91,8 @@ object SparkEntry {
     "stream_substr_probe" ->
       ((s, d) => graft.streaming.StreamAssembly.streamSubstrProbe(s, d)),
     "ann_probe_recall" -> ((s, d) => Similarity.annProbeRecall(s, d)),
+    "stream_pq_probe" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamPqProbe(s, d)),
     "ann_probe_recall_sampled" ->
       ((s, d) => Similarity.annProbeRecallSampled(s, d)),
     "stream_media_decode" ->
@@ -222,6 +224,8 @@ object SparkEntry {
     "pq_code_stats" -> ((s, d) => Similarity.pqCodeStats(s, d)),
     "pq_ann_topk" -> ((s, d) => Similarity.pqAnnTopK(s, d)),
     "pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
+    "pq_distortion" -> ((s, d) => Similarity.pqDistortion(s, d)),
+    "pq_probe_recall" -> ((s, d) => Similarity.pqProbeRecall(s, d)),
     "fk_integrity" -> (Quality.fkIntegrity _),
     "pareto_concentration" -> (Analytics.paretoConcentration _),
     "dataset_card" -> (Quality.datasetCard _),
@@ -564,8 +568,8 @@ object SparkEntry {
       |  - 2 * list_sum([u.sv[i] * c.cv[i] for i in range(1, ${d + 1})])
       |  + list_sum([c.cv[i] * c.cv[i] for i in range(1, ${d + 1})]) AS dist
       |  FROM sub u JOIN cb c USING (s)),
-      |codes AS (SELECT vec_id, s, cid FROM (
-      |  SELECT vec_id, s, cid, row_number() OVER (
+      |codes AS (SELECT vec_id, s, cid, dist FROM (
+      |  SELECT vec_id, s, cid, dist, row_number() OVER (
       |    PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rn FROM ds)
       |  WHERE rn = 1),
       |qtab AS (SELECT c.s, c.cid,
@@ -579,6 +583,58 @@ object SparkEntry {
       |      AS adc_dist
       |  FROM codes k JOIN qtab t ON t.s = k.s AND t.cid = k.cid
       |  WHERE k.vec_id <> 0 GROUP BY k.vec_id)""".stripMargin
+  }
+
+  /** Shared even-half-trained PQ probe CTE stack (stream_pq_probe and
+    * pq_probe_recall): codebook trained on the even index half, coded
+    * index, odd-probe distance tables, per-(probe, index) ADC sums in
+    * `adc`. */
+  private val pqProbeCtes: String = {
+    val m = ops.Similarity.PqSubspaces
+    val d = ops.Similarity.PqSubDim
+    s"""WITH sub AS (SELECT vec_id, t.s AS s,
+        |    [embedding[t.s * $d + i]::DOUBLE for i in range(1, ${d + 1})] AS sv
+        |  FROM embeddings, range(0, $m) t(s)),
+        |sube AS (SELECT * FROM sub WHERE vec_id % 2 = 0),
+        |cb0 AS (SELECT s, vec_id AS cid, sv AS cv FROM sube
+        |  WHERE vec_id < 32),
+        |ds0 AS (SELECT u.vec_id, u.s, c.cid,
+        |    list_sum([u.sv[i] * u.sv[i] for i in range(1, ${d + 1})])
+        |  - 2 * list_sum([u.sv[i] * c.cv[i] for i in range(1, ${d + 1})])
+        |  + list_sum([c.cv[i] * c.cv[i] for i in range(1, ${d + 1})]) AS dist
+        |  FROM sube u JOIN cb0 c USING (s)),
+        |codes0 AS (SELECT vec_id, s, cid FROM (
+        |  SELECT vec_id, s, cid, row_number() OVER (
+        |    PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rn
+        |  FROM ds0) WHERE rn = 1),
+        |m1 AS (SELECT u.s, k.cid, g.i AS pos,
+        |    CAST(SUM(CAST(u.sv[g.i] AS DECIMAL(30,15))) AS DOUBLE)
+        |      / COUNT(*) AS comp
+        |  FROM sube u JOIN codes0 k ON k.vec_id = u.vec_id AND k.s = u.s,
+        |    range(1, ${d + 1}) g(i)
+        |  GROUP BY u.s, k.cid, g.i),
+        |cbe AS (SELECT s, cid, list(comp ORDER BY pos) AS cv
+        |  FROM m1 GROUP BY 1, 2),
+        |dse AS (SELECT u.vec_id, u.s, c.cid,
+        |    list_sum([u.sv[i] * u.sv[i] for i in range(1, ${d + 1})])
+        |  - 2 * list_sum([u.sv[i] * c.cv[i] for i in range(1, ${d + 1})])
+        |  + list_sum([c.cv[i] * c.cv[i] for i in range(1, ${d + 1})]) AS dist
+        |  FROM sube u JOIN cbe c USING (s)),
+        |codese AS (SELECT vec_id, s, cid FROM (
+        |  SELECT vec_id, s, cid, row_number() OVER (
+        |    PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rn
+        |  FROM dse) WHERE rn = 1),
+        |qt AS (SELECT o.vec_id AS q_id, c.s, c.cid,
+        |    list_sum([o.sv[i] * o.sv[i] for i in range(1, ${d + 1})])
+        |  - 2 * list_sum([o.sv[i] * c.cv[i] for i in range(1, ${d + 1})])
+        |  + list_sum([c.cv[i] * c.cv[i] for i in range(1, ${d + 1})]) AS qd
+        |  FROM sub o JOIN cbe c ON c.s = o.s WHERE o.vec_id % 2 = 1),
+        |adc AS (SELECT q.q_id, k.vec_id AS m_id,
+        |    ${(0 until m).map(i =>
+               s"max(CASE WHEN k.s = $i THEN q.qd END)").mkString("\n  + ")}
+        |      AS adc_dist
+        |  FROM codese k JOIN qt q ON q.s = k.s AND q.cid = k.cid
+        |  GROUP BY 1, 2)""".stripMargin
   }
 
   private val kmeansAssignCte: String =
@@ -2965,6 +3021,48 @@ object SparkEntry {
         |  CAST(n_overlap AS BIGINT) AS n_overlap,
         |  n_overlap * 1000000 // 10 AS recall_ppm
         |FROM ov""".stripMargin),
+    "pq_distortion" -> (pqCtes +
+      """
+        |SELECT CAST(s AS BIGINT) AS subspace, COUNT(*) AS n_vectors,
+        |  CAST(round(SUM(CAST(dist AS DECIMAL(30,12))), 6)
+        |       AS DECIMAL(38,6)) AS distortion
+        |FROM codes GROUP BY 1 ORDER BY 1""".stripMargin),
+    // the ONLINE IVF-PQ probe: even-half training (seeds = first 16
+    // even vectors), odd probes ADC-scored against the coded index —
+    // the oracle replays codebook training, coding, and the per-probe
+    // 8-term ADC chain (shared pqProbeCtes stack)
+    "stream_pq_probe" -> (pqProbeCtes + """
+        |SELECT q_id AS vec_id, m_id AS match_id, adc_dist FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY adc_dist ASC, m_id ASC) AS rn
+        |  FROM adc) WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+    // fleet-level compressed-index recall: every odd probe's ADC top-1
+    // vs its exact-L2 top-1 over the same even index, integer counts
+    "pq_probe_recall" -> (pqProbeCtes + """,
+        |adc1 AS (SELECT q_id, m_id AS adc_id FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY adc_dist ASC, m_id ASC) AS rn
+        |  FROM adc) WHERE rn = 1),
+        |bfd AS (SELECT o.vec_id AS q_id, b.vec_id AS b_id,
+        |    list_sum([o.embedding[i]::DOUBLE * o.embedding[i]::DOUBLE
+        |      for i in range(1, 65)])
+        |  - 2 * list_sum([o.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |      for i in range(1, 65)])
+        |  + list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |      for i in range(1, 65)]) AS d
+        |  FROM embeddings o JOIN embeddings b
+        |    ON o.vec_id % 2 = 1 AND b.vec_id % 2 = 0),
+        |bf1 AS (SELECT q_id, b_id AS bf_id FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY d ASC, b_id ASC) AS rn
+        |  FROM bfd) WHERE rn = 1)
+        |SELECT count(*) AS n_queries,
+        |  CAST(sum(CASE WHEN a.adc_id = b.bf_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_top1_match,
+        |  CAST(sum(CASE WHEN a.adc_id <> b.bf_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_missed
+        |FROM adc1 a JOIN bf1 b USING (q_id)""".stripMargin),
+
     "ivf_recall" ->
       """WITH nrm AS (SELECT vec_id, label, embedding,
         |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE

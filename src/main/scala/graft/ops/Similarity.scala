@@ -806,12 +806,28 @@ object Similarity {
   private def pqModel(spark: SparkSession,
                       sfDir: String): (DataFrame, DataFrame, DataFrame) = {
     GraftFunctions.register(spark)
-    val sub = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"),
+    val sub = pqSubVectors(Tables.embeddings(spark, sfDir))
+    val (cb1, codes) = pqTrain(sub, col("vec_id") < PqCentroids)
+    (sub, cb1, codes)
+  }
+
+  /** The sub-vector split frame (vec_id, s, sv) PQ operates on. */
+  private[graft] def pqSubVectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
         explode(sequence(lit(0), lit(PqSubspaces - 1))).as("s"),
         col("embedding"))
       .withColumn("sv", expr(s"slice(embedding, s * $PqSubDim + 1, $PqSubDim)"))
       .select(col("vec_id"), col("s"), col("sv"))
+
+  /** One-round PQ training on `sub` from the seed codewords selected by
+    * `seedPred`: seed argmin, decimal-exact per-(subspace, codeword,
+    * dim) mean, final argmin against the refined codebook. Returns
+    * (refined codebook (s, cid, cv), codes (vec_id, s, cid, dist)) —
+    * dist is the assigned reconstruction error, the distortion audit's
+    * raw material.
+    */
+  private[graft] def pqTrain(sub: DataFrame,
+                             seedPred: Column): (DataFrame, DataFrame) = {
     def assign(cb: DataFrame): DataFrame =
       sub.join(broadcast(cb), "s")
         .withColumn("dist",
@@ -819,14 +835,15 @@ object Similarity {
             dot(col("cv"), col("cv")))
         .groupBy(col("vec_id"), col("s"))
         .agg(min(struct(col("dist"), col("cid"))).as("best"))
-        .select(col("vec_id"), col("s"), col("best.cid").cast("long").as("cid"))
-    val cb0 = sub.filter(col("vec_id") < PqCentroids)
+        .select(col("vec_id"), col("s"),
+          col("best.cid").cast("long").as("cid"), col("best.dist").as("dist"))
+    val cb0 = sub.filter(seedPred)
       .select(col("s"), col("vec_id").as("cid"), col("sv").as("cv"))
     val a0 = assign(cb0)
     // one Lloyd refinement: exact decimal mean per (subspace, codeword,
     // dim) — a codeword that drew no members in round 0 drops out on
     // both sides identically
-    val m1 = sub.join(a0, Seq("vec_id", "s"))
+    val m1 = sub.join(a0.drop("dist"), Seq("vec_id", "s"))
       .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
       .groupBy("s", "cid", "pos")
       .agg((sum(col("v").cast("double").cast("decimal(30,15)")).cast("double") /
@@ -834,12 +851,28 @@ object Similarity {
     val cb1 = m1.groupBy("s", "cid")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
         x => x.getField("comp")).as("cv"))
-    (sub, cb1, assign(cb1))
+    (cb1, assign(cb1))
   }
 
   /** Per-vector PQ code assignment against the trained codebook. */
   def pqCodes(spark: SparkSession, sfDir: String): DataFrame =
+    pqModel(spark, sfDir)._3.select("vec_id", "s", "cid")
+
+  /** PQ reconstruction distortion per subspace — the compression-loss
+    * report that sits next to [[pqRecall]] in an index build sign-off
+    * (which subspace's codebook under-fits shows here first): vector
+    * count and the exact-decimal sum of assigned ‖x−c‖² per subspace,
+    * through [[kmeansClusters]]' wcss quantization discipline
+    * (round(decimal-sum, 6) — the per-row dist is an IEEE-identical
+    * double on both sides, the decimal fold is order-free).
+    */
+  def pqDistortion(spark: SparkSession, sfDir: String): DataFrame =
     pqModel(spark, sfDir)._3
+      .groupBy(col("s").cast("long").as("subspace"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("dist").cast("decimal(30,12)")), 6)
+          .cast("decimal(38,6)").as("distortion"))
+      .orderBy("subspace")
 
   /** PQ codebook utilization — the index-build health report (a dead or
     * overloaded codeword per subspace means the codebook mis-fits the
@@ -886,6 +919,54 @@ object Similarity {
           .reduce(_ + _).as("adc_dist"))
       .orderBy(asc("adc_dist"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** Fleet-level IVF-PQ recall — [[annProbeRecall]]'s discipline applied
+    * to the compressed index: EVERY odd vector's ADC top-1 over the
+    * even-half coded index (codebook trained on the index half only,
+    * exactly [[graft.streaming.StreamAssembly.streamPqProbe]]'s static
+    * side) compared against its exact-L2 top-1 over the same index.
+    * The number that decides whether 8-byte codes can serve this corpus
+    * online. All-BIGINT gate; the exact side is the honest brute force
+    * (sampled-stratum at production via the md5 coin, the
+    * [[annProbeRecallSampled]] pattern).
+    */
+  def pqProbeRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val even = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 2 === 0)
+    val odd = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 2 === 1)
+    val (cb, codesD) = pqTrain(pqSubVectors(even), col("vec_id") < 32)
+    val codes = codesD.select(col("vec_id").as("m_id"), col("s"), col("cid"))
+    val qtab = cb.join(pqSubVectors(odd)
+        .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv")), "s")
+      .select(col("q_id"), col("s"), col("cid"),
+        (dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("cv")) +
+          dot(col("cv"), col("cv"))).as("qd"))
+    val perSub = (0 until PqSubspaces).map(i =>
+      max(when(col("s") === i, col("qd"))).as(s"qd$i"))
+    val adc1 = codes.join(broadcast(qtab), Seq("s", "cid"))
+      .groupBy(col("q_id"), col("m_id"))
+      .agg(perSub.head, perSub.tail: _*)
+      .select(col("q_id"), col("m_id"),
+        (0 until PqSubspaces).map(i => col(s"qd$i")).reduce(_ + _).as("adc"))
+      .groupBy("q_id")
+      .agg(min(struct(col("adc"), col("m_id"))).as("best"))
+      .select(col("q_id"), col("best.m_id").as("adc_id"))
+    val bf1 = odd.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(even.select(col("vec_id").as("b_id"),
+        col("embedding").as("be"))))
+      .withColumn("d",
+        dot(col("qe"), col("qe")) - lit(2.0) * dot(col("qe"), col("be")) +
+          dot(col("be"), col("be")))
+      .groupBy("q_id")
+      .agg(min(struct(col("d"), col("b_id"))).as("best"))
+      .select(col("q_id"), col("best.b_id").as("bf_id"))
+    adc1.join(bf1, Seq("q_id"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("adc_id") === col("bf_id"), 1L).otherwise(0L))
+          .as("n_top1_match"),
+        sum(when(col("adc_id") =!= col("bf_id"), 1L).otherwise(0L))
+          .as("n_missed"))
   }
 
   /** PQ approximation audit — ADC top-k vs the exact L2 top-k (same

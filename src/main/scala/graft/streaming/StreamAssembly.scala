@@ -2199,6 +2199,89 @@ object StreamAssembly {
       .orderBy("vec_id")
   }
 
+  /** The ONLINE IVF-PQ probe — [[streamAnnProbe]]'s compressed sibling,
+    * completing the online probe family with the production memory
+    * profile: the static side trains the PQ codebook on the EVEN index
+    * half ([[graft.ops.Similarity.pqTrain]], seeds = the first 16 even
+    * vectors, one decimal-exact Lloyd round) and codes the index to 8
+    * bytes/vector ONCE; each micro-batch of incoming (odd) vectors
+    * builds its per-query distance tables against the broadcast
+    * codebook and ADC-scores ONLY the coded index — raw index
+    * embeddings are never touched after the build, which is exactly why
+    * IVF-PQ serves at 100 TB. Per-probe top-1 (match id + ADC distance)
+    * appended per batch; the ADC sum is the left-to-right column chain
+    * of `pq_ann_topk`, so the drained doubles hash bit-identically
+    * against the oracle's replay.
+    */
+  def streamPqProbe(spark: SparkSession, sfDir: String,
+                    nFiles: Int = 3): DataFrame = {
+    import java.nio.file.Files
+    import graft.ops.Similarity
+    val tmp = Files.createTempDirectory("graft_pq_probe").toString
+    val outDir = s"$tmp/matches"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = s"$tmp/incoming"
+    graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(srcDir)
+    withDrainConf(spark) { ds =>
+      graft.functions.GraftFunctions.register(ds)
+      val sube = Similarity.pqSubVectors(
+        graft.Tables.embeddings(ds, sfDir).filter(col("vec_id") % 2 === 0))
+      val (cb, codesD) = Similarity.pqTrain(sube, col("vec_id") < 32)
+      // static: codebook + 8-byte index codes, materialized once
+      val cbS = cb.localCheckpoint(true)
+      val codes = codesD
+        .select(col("vec_id").as("m_id"), col("s"), col("cid"))
+        .localCheckpoint(true)
+      val embSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))
+      val stream = ds.readStream
+        .schema(embSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val perSub = (0 until Similarity.PqSubspaces).map(i =>
+        max(when(col("s") === i, col("qd"))).as(s"qd$i"))
+      val query = stream.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val qsub = Similarity.pqSubVectors(batch)
+            .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
+          val qtab = cbS.join(qsub, "s")
+            .select(col("q_id"), col("s"), col("cid"),
+              (Similarity.dot(col("qv"), col("qv")) -
+                lit(2.0) * Similarity.dot(col("qv"), col("cv")) +
+                Similarity.dot(col("cv"), col("cv"))).as("qd"))
+          codes.join(broadcast(qtab), Seq("s", "cid"))
+            .groupBy(col("q_id"), col("m_id"))
+            .agg(perSub.head, perSub.tail: _*)
+            .select(col("q_id"), col("m_id"),
+              (0 until Similarity.PqSubspaces).map(i => col(s"qd$i"))
+                .reduce(_ + _).as("adc_dist"))
+            .groupBy("q_id")
+            .agg(min(struct(col("adc_dist"), col("m_id"))).as("best"))
+            .select(col("q_id"), col("best.m_id").as("match_id"),
+              col("best.adc_dist").as("adc_dist"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(outDir)
+      .select(col("q_id").as("vec_id"), col("match_id"), col("adc_dist"))
+      .orderBy("vec_id")
+  }
+
   /** STREAMING MULTIMODAL INGEST drained end-to-end — the continuous
     * media-ingest topology (new binary assets decoded and profiled as
     * they arrive): doc ids stream one file per micro-batch; each batch
