@@ -2791,9 +2791,10 @@ object SparkEntry {
         |SELECT count(*) AS n,
         |CAST(sum((r_chars - r_types) * (r_chars - r_types)) AS BIGINT)
         |  AS sum_d2,
-        |CAST(1000000 - (6 * CAST(sum((r_chars - r_types) *
+        |CAST(1000000 - (6::HUGEINT * CAST(sum((r_chars - r_types) *
         |  (r_chars - r_types)) AS BIGINT) * 1000000)
-        |  // (count(*) * (count(*) * count(*) - 1)) AS BIGINT) AS rho_ppm
+        |  // (count(*)::HUGEINT * (count(*)::HUGEINT * count(*) - 1))
+        |  AS BIGINT) AS rho_ppm
         |FROM r""".stripMargin,
     "user_activity_histogram" ->
       """SELECT n_events, count(*) AS n_users FROM (
@@ -2953,7 +2954,8 @@ object SparkEntry {
         |(SELECT (n_customers + 9) // 10 FROM n) AS top_n,
         |CAST(top_cents AS DOUBLE) / 100 AS top_revenue,
         |CAST(total_cents AS DOUBLE) / 100 AS total_revenue,
-        |top_cents * 1000000 // total_cents AS share_ppm
+        |CAST(top_cents::HUGEINT * 1000000 // total_cents AS BIGINT)
+        |  AS share_ppm
         |FROM agg""".stripMargin,
     // per-relation anti-join orphan counts, all integers
     "fk_integrity" ->

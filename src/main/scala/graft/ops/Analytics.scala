@@ -807,7 +807,12 @@ object Analytics {
       .select(col("n_customers"), col("top_n"),
         (col("top_cents").cast("double") / 100).as("top_revenue"),
         (col("total_cents").cast("double") / 100).as("total_revenue"),
-        expr("top_cents * 1000000 div total_cents").as("share_ppm"))
+        // int128-wide ppm: top_cents·1e6 overflows BIGINT at the 20×
+        // rehearsal's revenue volume (found by the sf2f gate); DECIMAL
+        // DIV is exact integer floor division and returns LONG, the
+        // oracle goes through HUGEINT — identical values at any scale
+        expr("CAST(CAST(top_cents AS DECIMAL(38,0)) * 1000000" +
+          " DIV total_cents AS BIGINT)").as("share_ppm"))
   }
 
   /** Last-touch attribution: every purchase is credited to the user's most

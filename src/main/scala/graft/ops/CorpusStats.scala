@@ -651,8 +651,13 @@ object CorpusStats {
       sum((col("r_chars") - col("r_types")) *
         (col("r_chars") - col("r_types"))).cast("long").as("sum_d2"))
       .select(col("n"), col("sum_d2"),
-        expr("1000000 - (6 * sum_d2 * 1000000) div (n * (n * n - 1))")
-          .as("rho_ppm"))
+        // int128-wide Spearman ppm: 6·Σd²·1e6 (and n³ itself past ~2M
+        // rows) overflow BIGINT — found by the 20× fresh-fixture gate;
+        // DECIMAL(38,0) keeps every intermediate exact, DIV floors, the
+        // oracle mirrors through HUGEINT
+        expr("CAST(1000000 - (CAST(6 AS DECIMAL(38,0)) * sum_d2 * 1000000)" +
+          " DIV (CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n" +
+          " - 1)) AS BIGINT)").as("rho_ppm"))
   }
 
   /** Heaps'-law vocabulary growth curve: the corpus in doc_id order cut

@@ -858,6 +858,36 @@ object Similarity {
   def pqCodes(spark: SparkSession, sfDir: String): DataFrame =
     pqModel(spark, sfDir)._3.select("vec_id", "s", "cid")
 
+  /** The ADC scoring kernel shared by [[pqAnnTopK]], [[pqProbeRecall]]
+    * and the streaming probe: codes pivot to ONE row per index vector
+    * (8 codeword columns), each query's per-subspace distance tables
+    * become 8 broadcast (codeword → distance) maps, and a candidate's
+    * approximate distance is 8 map lookups summed LEFT-TO-RIGHT — the
+    * literal ADC structure, one row per (query, candidate), NO
+    * intermediate (q, m, s) explosion and no (q, m) re-grouping
+    * shuffle (the first cut joined codes to the table on (s, codeword)
+    * and re-grouped — |q|·|index|·8 shuffled rows, which is exactly
+    * the kind of hidden corpus-scale exchange the plan pins exist to
+    * catch). Distance values and summation order are unchanged, so
+    * results are bit-identical to the join formulation.
+    * `codes` is (m_id, s, cid); `qtab` is (q_id, s, cid, qd).
+    * Returns (q_id, m_id, adc).
+    */
+  private[graft] def adcScores(codes: DataFrame, qtab: DataFrame): DataFrame = {
+    val wideCols = (0 until PqSubspaces).map(i =>
+      max(when(col("s") === i, col("cid"))).as(s"c$i"))
+    val codesWide = codes.groupBy("m_id").agg(wideCols.head, wideCols.tail: _*)
+    val tabCols = (0 until PqSubspaces).map(i =>
+      map_from_entries(array_sort(collect_list(
+        when(col("s") === i, struct(col("cid"), col("qd"))))))
+        .as(s"t$i"))
+    val qTables = qtab.groupBy("q_id").agg(tabCols.head, tabCols.tail: _*)
+    codesWide.crossJoin(broadcast(qTables))
+      .select(col("q_id"), col("m_id"),
+        (0 until PqSubspaces).map(i =>
+          element_at(col(s"t$i"), col(s"c$i"))).reduce(_ + _).as("adc"))
+  }
+
   /** PQ reconstruction distortion per subspace — the compression-loss
     * report that sits next to [[pqRecall]] in an index build sign-off
     * (which subspace's codebook under-fits shows here first): vector
@@ -905,18 +935,12 @@ object Similarity {
     val q = sub.filter(col("vec_id") === queryId)
       .select(col("s"), col("sv").as("qv"))
     val qtab = cb.join(q, "s")
-      .select(col("s"), col("cid"),
+      .select(lit(queryId).as("q_id"), col("s"), col("cid"),
         (dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("cv")) +
           dot(col("cv"), col("cv"))).as("qd"))
-    val perSub = (0 until PqSubspaces).map(i =>
-      max(when(col("s") === i, col("qd"))).as(s"qd$i"))
-    codes.filter(col("vec_id") =!= queryId)
-      .join(broadcast(qtab), Seq("s", "cid"))
-      .groupBy("vec_id")
-      .agg(perSub.head, perSub.tail: _*)
-      .select(col("vec_id"),
-        (0 until PqSubspaces).map(i => col(s"qd$i"))
-          .reduce(_ + _).as("adc_dist"))
+    adcScores(codes.filter(col("vec_id") =!= queryId)
+        .select(col("vec_id").as("m_id"), col("s"), col("cid")), qtab)
+      .select(col("m_id").as("vec_id"), col("adc").as("adc_dist"))
       .orderBy(asc("adc_dist"), asc("vec_id"))
       .limit(k)
   }
@@ -942,13 +966,7 @@ object Similarity {
       .select(col("q_id"), col("s"), col("cid"),
         (dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("cv")) +
           dot(col("cv"), col("cv"))).as("qd"))
-    val perSub = (0 until PqSubspaces).map(i =>
-      max(when(col("s") === i, col("qd"))).as(s"qd$i"))
-    val adc1 = codes.join(broadcast(qtab), Seq("s", "cid"))
-      .groupBy(col("q_id"), col("m_id"))
-      .agg(perSub.head, perSub.tail: _*)
-      .select(col("q_id"), col("m_id"),
-        (0 until PqSubspaces).map(i => col(s"qd$i")).reduce(_ + _).as("adc"))
+    val adc1 = adcScores(codes, qtab)
       .groupBy("q_id")
       .agg(min(struct(col("adc"), col("m_id"))).as("best"))
       .select(col("q_id"), col("best.m_id").as("adc_id"))

@@ -2246,8 +2246,6 @@ object StreamAssembly {
         .schema(embSchema)
         .option("maxFilesPerTrigger", 1)
         .parquet(srcDir)
-      val perSub = (0 until Similarity.PqSubspaces).map(i =>
-        max(when(col("s") === i, col("qd"))).as(s"qd$i"))
       val query = stream.writeStream
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
@@ -2260,16 +2258,11 @@ object StreamAssembly {
               (Similarity.dot(col("qv"), col("qv")) -
                 lit(2.0) * Similarity.dot(col("qv"), col("cv")) +
                 Similarity.dot(col("cv"), col("cv"))).as("qd"))
-          codes.join(broadcast(qtab), Seq("s", "cid"))
-            .groupBy(col("q_id"), col("m_id"))
-            .agg(perSub.head, perSub.tail: _*)
-            .select(col("q_id"), col("m_id"),
-              (0 until Similarity.PqSubspaces).map(i => col(s"qd$i"))
-                .reduce(_ + _).as("adc_dist"))
+          Similarity.adcScores(codes, qtab)
             .groupBy("q_id")
-            .agg(min(struct(col("adc_dist"), col("m_id"))).as("best"))
+            .agg(min(struct(col("adc"), col("m_id"))).as("best"))
             .select(col("q_id"), col("best.m_id").as("match_id"),
-              col("best.adc_dist").as("adc_dist"))
+              col("best.adc").as("adc_dist"))
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/batch=$id")
           ()

@@ -581,11 +581,13 @@ class PlanSpec extends SparkSpec {
       "knn_purity_sampled" -> 3,
       "ann_probe_recall_sampled" -> 6,
       // PQ tier: the exchanges are the two argmin combines, the
-      // codebook-sized training mean, and the final per-vector fold —
-      // all slim; embeddings scan once per assignment pass
+      // codebook-sized training mean, the codes-wide pivot and query
+      // tables of the adcScores kernel, and the final per-vector fold —
+      // all slim (codes/codebook-sized); the ADC candidate frame itself
+      // never shuffles (the kernel's whole point)
       "pq_code_stats" -> 6,
-      "pq_ann_topk" -> 8,
-      "pq_recall" -> 8,
+      "pq_ann_topk" -> 9,
+      "pq_recall" -> 9,
       "mm_image_dedup_survivors" -> 3,
       "mm_ann_topk" -> 6,
       "quality_lm_ppx" -> 7,
