@@ -226,6 +226,8 @@ object SparkEntry {
     "pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
     "pq_distortion" -> ((s, d) => Similarity.pqDistortion(s, d)),
     "pq_probe_recall" -> ((s, d) => Similarity.pqProbeRecall(s, d)),
+    "pq_probe_recall_sampled" ->
+      ((s, d) => Similarity.pqProbeRecallSampled(s, d)),
     "fk_integrity" -> (Quality.fkIntegrity _),
     "pareto_concentration" -> (Analytics.paretoConcentration _),
     "dataset_card" -> (Quality.datasetCard _),
@@ -589,7 +591,11 @@ object SparkEntry {
     * pq_probe_recall): codebook trained on the even index half, coded
     * index, odd-probe distance tables, per-(probe, index) ADC sums in
     * `adc`. */
-  private val pqProbeCtes: String = {
+  private val pqProbeCtes: String = pqProbeCtesWith("")
+
+  /** [[pqProbeCtes]] with an extra predicate on the odd probe fleet —
+    * the sampled fleet audit appends the md5 stratum coin. */
+  private def pqProbeCtesWith(qtExtra: String): String = {
     val m = ops.Similarity.PqSubspaces
     val d = ops.Similarity.PqSubDim
     s"""WITH sub AS (SELECT vec_id, t.s AS s,
@@ -628,7 +634,8 @@ object SparkEntry {
         |    list_sum([o.sv[i] * o.sv[i] for i in range(1, ${d + 1})])
         |  - 2 * list_sum([o.sv[i] * c.cv[i] for i in range(1, ${d + 1})])
         |  + list_sum([c.cv[i] * c.cv[i] for i in range(1, ${d + 1})]) AS qd
-        |  FROM sub o JOIN cbe c ON c.s = o.s WHERE o.vec_id % 2 = 1),
+        |  FROM sub o JOIN cbe c ON c.s = o.s
+        |  WHERE o.vec_id % 2 = 1$qtExtra),
         |adc AS (SELECT q.q_id, k.vec_id AS m_id,
         |    ${(0 until m).map(i =>
                s"max(CASE WHEN k.s = $i THEN q.qd END)").mkString("\n  + ")}
@@ -3054,6 +3061,35 @@ object SparkEntry {
         |      for i in range(1, 65)]) AS d
         |  FROM embeddings o JOIN embeddings b
         |    ON o.vec_id % 2 = 1 AND b.vec_id % 2 = 0),
+        |bf1 AS (SELECT q_id, b_id AS bf_id FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY d ASC, b_id ASC) AS rn
+        |  FROM bfd) WHERE rn = 1)
+        |SELECT count(*) AS n_queries,
+        |  CAST(sum(CASE WHEN a.adc_id = b.bf_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_top1_match,
+        |  CAST(sum(CASE WHEN a.adc_id <> b.bf_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_missed
+        |FROM adc1 a JOIN bf1 b USING (q_id)""".stripMargin),
+    // the sampled fleet audit: probe stratum only; codebook, coded
+    // index and the exact ground-truth pool stay the full even half
+    "pq_probe_recall_sampled" -> (pqProbeCtesWith(
+      "\n        |  AND ('0x' || substr(md5(o.vec_id::VARCHAR), 1, 8))::BIGINT % 100 < 20".stripMargin) + """,
+        |adc1 AS (SELECT q_id, m_id AS adc_id FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY adc_dist ASC, m_id ASC) AS rn
+        |  FROM adc) WHERE rn = 1),
+        |bfd AS (SELECT o.vec_id AS q_id, b.vec_id AS b_id,
+        |    list_sum([o.embedding[i]::DOUBLE * o.embedding[i]::DOUBLE
+        |      for i in range(1, 65)])
+        |  - 2 * list_sum([o.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |      for i in range(1, 65)])
+        |  + list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |      for i in range(1, 65)]) AS d
+        |  FROM embeddings o JOIN embeddings b
+        |    ON o.vec_id % 2 = 1 AND b.vec_id % 2 = 0
+        |    AND ('0x' || substr(md5(o.vec_id::VARCHAR), 1, 8))::BIGINT
+        |      % 100 < 20),
         |bf1 AS (SELECT q_id, b_id AS bf_id FROM (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY q_id ORDER BY d ASC, b_id ASC) AS rn

@@ -955,10 +955,27 @@ object Similarity {
     * (sampled-stratum at production via the md5 coin, the
     * [[annProbeRecallSampled]] pattern).
     */
-  def pqProbeRecall(spark: SparkSession, sfDir: String): DataFrame = {
+  def pqProbeRecall(spark: SparkSession, sfDir: String): DataFrame =
+    pqProbeRecallStratum(spark, sfDir, None)
+
+  /** [[pqProbeRecall]] on the md5-coin 20% probe stratum — the
+    * production execution (the [[annProbeRecallSampled]] pattern):
+    * codebook, coded index and the exact-L2 ground-truth pool stay the
+    * FULL even half; only the probe fleet samples, so both the ADC and
+    * brute-force sides drop to stratum cost and the match-rate estimate
+    * stays unbiased. The oracle samples identically.
+    */
+  def pqProbeRecallSampled(spark: SparkSession, sfDir: String,
+                           pct: Int = 20): DataFrame =
+    pqProbeRecallStratum(spark, sfDir, Some(pct))
+
+  private def pqProbeRecallStratum(spark: SparkSession, sfDir: String,
+                                   pct: Option[Int]): DataFrame = {
     GraftFunctions.register(spark)
     val even = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 2 === 0)
-    val odd = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 2 === 1)
+    val odd0 = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 2 === 1)
+    val odd = pct.fold(odd0)(p =>
+      odd0.filter(TrainingSets.bucket100(col("vec_id")) < p))
     val (cb, codesD) = pqTrain(pqSubVectors(even), col("vec_id") < 32)
     val codes = codesD.select(col("vec_id").as("m_id"), col("s"), col("cid"))
     val qtab = cb.join(pqSubVectors(odd)

@@ -128,6 +128,12 @@ class TrainingSetsSpec extends SparkSpec {
       .map(r => r.getAs[String]("label") -> r.getAs[Long]("n_vecs")).toMap
     k1.foreach(r =>
       assert(r.getAs[Long]("n_vecs") <= full(r.getAs[String]("label"))))
+    // the sampled PQ fleet audit accounts for exactly the odd-stratum
+    // probes
+    val pq = graft.ops.Similarity.pqProbeRecallSampled(spark, sf).head()
+    assert(pq.getAs[Long]("n_queries") === oddStratum)
+    assert(pq.getAs[Long]("n_top1_match") + pq.getAs[Long]("n_missed")
+      === oddStratum)
     // the sampled LSH confusion matrix is internally consistent and
     // strictly smaller than the full audit's
     val ls = graft.ops.Dedup.lshRecallSampled(spark, sf).head()
