@@ -905,24 +905,44 @@ object Dedup {
     // from the side holding the smaller doc — and spreads the pair
     // EXPANSION across probe rows (a hot fingerprint's pairs come out
     // of many probe tasks, not one hot join key; output skew from
-    // multiplicity never lands on a single reducer). Both build sides
-    // are fingerprint-keyed and tiny relative to the corpus (distinct
-    // pairs, and the slim id→hash frame); at corpus scale the second
-    // join becomes a shuffle join on the hash key and hot fingerprints
-    // get the salting treatment — the structure stays the same.
+    // multiplicity never lands on a single reducer).
     val matched = half
       .union(half.select(col("g").as("f"), col("f").as("g"), col("hamming")))
       .union(fp.select(col("simhash")).distinct()
         .select(col("simhash").as("f"), col("simhash").as("g"),
           lit(0).cast("int").as("hamming")))
-    fp.select(col("simhash").as("f"), col("doc_id").as("doc_a"))
+    // only `matched` (distinct-pair-sized) takes a broadcast hint; the
+    // per-doc id→hash frame carries NONE — a pinned broadcast of a
+    // corpus-sized frame does not degrade gracefully (driver collect,
+    // then OOM), it has to become a shuffle join on the fingerprint key
+    // at scale (AQE still broadcasts it at spec scale on measured
+    // size). A hot fingerprint (one degenerate hash over a huge doc
+    // group) would then serialize its whole pair expansion on one
+    // reducer — AQE's skew split sees INPUT partition sizes, not
+    // output multiplicity — so the join is salted explicitly: probe
+    // rows take salt = doc_a mod S (no replication on the
+    // matched-degree-sized side), the slim id→hash side replicates
+    // ×S, and every fingerprint's expansion spreads across S reducers
+    // regardless of its doc multiplicity.
+    val probe = fp.select(col("simhash").as("f"), col("doc_id").as("doc_a"))
       .join(broadcast(matched), "f")
-      .join(broadcast(fp.select(col("simhash").as("g"),
-        col("doc_id").as("doc_b"))), "g")
+      .withColumn("salt", pmod(col("doc_a"), lit(SimhashSaltBuckets))
+        .cast("int"))
+    val build = fp.select(col("simhash").as("g"), col("doc_id").as("doc_b"))
+      .withColumn("salt",
+        explode(sequence(lit(0), lit(SimhashSaltBuckets - 1))))
+    probe.join(build, Seq("g", "salt"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Salt fan-out for [[simhashPairs]]' doc-expansion join — wide
+    * enough to spread a degenerate fingerprint's expansion across a
+    * stage's worth of reducers, narrow enough that the ×S replication
+    * of the slim id→hash frame stays noise against the pair output.
+    */
+  val SimhashSaltBuckets: Int = 16
 
   /** Embedding-cosine near-dup pairs (brute force over the bucketable
     * corpus; the ANN path for scale lives in [[Similarity]]). The dot
@@ -1024,15 +1044,20 @@ object Dedup {
     // query is the wrong tool for the corpus's duplication density and
     // dying in spill hours later helps nobody. The eager one-row action
     // is the guard itself, not a driver-side compute path.
+    // integer-exact estimate: bn*(bn-1) DIV 2 through DECIMAL(38,0), so
+    // the guard stays exact past 2^53 candidates — double division would
+    // go approximate exactly in the density regime the guard protects
     val stats = banded.groupBy("band", "bucket")
       .agg(count(lit(1)).as("bn"))
-      .agg(sum(expr("bn * (bn - 1) / 2")).cast("long").as("est"),
+      .agg(sum(expr("CAST(bn AS DECIMAL(38,0)) * (bn - 1) DIV 2"))
+        .cast("decimal(38,0)").as("est"),
         sum("bn").cast("long").as("rows"))
       .first()
-    val est = stats.getLong(0)
+    val est = BigDecimal(stats.getDecimal(0))
     val nVecs = stats.getLong(1) / nBands
-    val capBound = nBands.toLong * nVecs * LshBucketCap / 2
-    if (est > guardHeadroom * capBound)
+    val capBound = BigDecimal(nBands) * BigDecimal(nVecs) *
+      BigDecimal(LshBucketCap) / 2
+    if (est > BigDecimal(guardHeadroom) * capBound)
       throw new IllegalStateException(
         s"embeddingNearDupsLsh: estimated candidate volume $est exceeds " +
           s"$guardHeadroom x the capped bound $capBound — the corpus's " +

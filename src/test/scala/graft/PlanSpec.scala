@@ -627,4 +627,69 @@ class PlanSpec extends SparkSpec {
     }
     assert(violations.isEmpty, violations.mkString("; "))
   }
+
+  /** Build the INITIAL physical plan with auto-broadcast and AQE off —
+    * the corpus-scale simulation: at 100 TB no size estimate clears the
+    * broadcast threshold, so the only broadcasts left are the PINNED
+    * hints, and those must all be bounded frames. (The executed-plan
+    * tests above run at spec scale where AQE legitimately broadcasts
+    * everything small; this helper asserts what the plan degrades to
+    * when nothing is small.)
+    */
+  private def corpusScalePlan(name: String): Seq[SparkPlan] = {
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      graft.ops.Memo.clearAll()
+      val df = SparkEntry.queries(name)(spark, sf)
+      // executedPlan (NOT sparkPlan — exchanges are only inserted by
+      // the preparation rules); with AQE off this is static, nothing
+      // runs
+      flatten(df.queryExecution.executedPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("dedup_simhash at corpus scale: the ONLY pinned broadcast is the " +
+       "distinct-pair matched frame; the per-doc expansion is a salted " +
+       "shuffle join") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val plan = corpusScalePlan("dedup_simhash")
+    val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
+    assert(bcasts.size == 1,
+      s"expected exactly the matched-pairs broadcast, found ${bcasts.size}")
+    // the broadcast subtree must be the matched union (distinct-pair-
+    // sized), never a frame still carrying per-doc ids: the per-doc
+    // frames expose doc_a/doc_b columns, the matched frame only (f, g,
+    // hamming)
+    val bcastCols = bcasts.head.output.map(_.name).toSet
+    assert(!bcastCols.contains("doc_a") && !bcastCols.contains("doc_b"),
+      s"pinned broadcast carries a per-doc frame: $bcastCols")
+    // the doc expansion joins on (g, salt) as a shuffle join
+    assert(plan.collect { case j: SortMergeJoinExec => j }
+      .exists(j => j.leftKeys.size == 2))
+  }
+
+  test("fleet recall audits at corpus scale: no cartesian, and every " +
+       "nested-loop join is a pinned bounded-frame broadcast") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    // pq_probe_recall: the ADC block join and the brute-force ground
+    // truth are both salt-keyed equi-joins now — zero nested loops
+    val pq = corpusScalePlan("pq_probe_recall")
+    assert(!pq.exists(
+      _.getClass.getSimpleName.contains("CartesianProduct")))
+    assert(!pq.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "pq_probe_recall grew an unkeyed cross product")
+    // ann_probe_recall: the only nested loops are the 16-row
+    // centroid-axis crossJoins (bounded by construction; the assigned
+    // frame's cross is planned once per consumer pre-AQE, hence 3)
+    val ann = corpusScalePlan("ann_probe_recall")
+    assert(!ann.exists(
+      _.getClass.getSimpleName.contains("CartesianProduct")))
+    assert(ann.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) <= 3)
+  }
 }
