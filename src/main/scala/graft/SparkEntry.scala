@@ -228,6 +228,12 @@ object SparkEntry {
     "pq_probe_recall" -> ((s, d) => Similarity.pqProbeRecall(s, d)),
     "pq_probe_recall_sampled" ->
       ((s, d) => Similarity.pqProbeRecallSampled(s, d)),
+    "ivfpq_topk" -> ((s, d) => Similarity.ivfpqTopK(s, d)),
+    "ivfpq_cell_stats" -> ((s, d) => Similarity.ivfpqCellStats(s, d)),
+    "ivfpq_distortion" -> ((s, d) => Similarity.ivfpqDistortion(s, d)),
+    "ivfpq_probe_recall" -> ((s, d) => Similarity.ivfpqProbeRecall(s, d)),
+    "ivfpq_probe_recall_sampled" ->
+      ((s, d) => Similarity.ivfpqProbeRecallSampled(s, d)),
     "fk_integrity" -> (Quality.fkIntegrity _),
     "pareto_concentration" -> (Analytics.paretoConcentration _),
     "dataset_card" -> (Quality.datasetCard _),
@@ -643,6 +649,179 @@ object SparkEntry {
         |  FROM codese k JOIN qt q ON q.s = k.s AND q.cid = k.cid
         |  GROUP BY 1, 2)""".stripMargin
   }
+
+  /** Composed IVF-PQ CTE stack (ivfpq_* oracles and the restructured
+    * stream_pq_probe): one-Lloyd-round coarse quantizer (the
+    * kmeansAssignCte discipline), per-vector RESIDUAL against the final
+    * cell centroid (exact IEEE subtraction after ::DOUBLE widening —
+    * the same zip_with fold as Similarity.coarseQuantize), residual
+    * sub-vector codebook trained with the pqCtes discipline, coded
+    * index carrying its cell, then the query fleet's per-probed-cell
+    * residual distance tables and the cell-keyed 8-term ADC chain.
+    * Every double is the identical left-to-right fold the Spark side
+    * computes, so the gate hashes bit-for-bit.
+    *
+    * @param idxWhere   predicate suffix on the index corpus ("" = full)
+    * @param seedBound  seed threshold for BOTH the coarse centroids and
+    *                   the residual codebook (16 full / 32 even-half)
+    * @param qWhere     predicate selecting the query fleet
+    * @param candWhere  extra predicate on ADC candidates ("" = none)
+    */
+  private def ivfpqCteStack(idxWhere: String, seedBound: Int,
+                            qWhere: String, candWhere: String): String = {
+    val m = ops.Similarity.PqSubspaces
+    val d = ops.Similarity.PqSubDim
+    val nProbe = ops.Similarity.IvfPqProbe
+    s"""WITH e AS (SELECT vec_id, embedding,
+      |    list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+      |              for i in range(1, 65)]) AS sq
+      |  FROM embeddings$idxWhere),
+      |g0 AS (SELECT vec_id AS cid, embedding AS cemb, sq AS csq
+      |  FROM e WHERE vec_id < $seedBound),
+      |gd0 AS (SELECT e.vec_id, c.cid,
+      |    e.sq + c.csq - 2 * list_sum([e.embedding[i]::DOUBLE *
+      |      c.cemb[i]::DOUBLE for i in range(1, 65)]) AS dist
+      |  FROM e, g0 c),
+      |ga0 AS (SELECT vec_id, cid FROM (
+      |  SELECT vec_id, cid, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM gd0)
+      |  WHERE rn = 1),
+      |gm1 AS (SELECT a.cid, g.i AS pos,
+      |    CAST(SUM(CAST(e.embedding[g.i]::DOUBLE AS DECIMAL(30,15)))
+      |      AS DOUBLE) / COUNT(*) AS comp
+      |  FROM ga0 a JOIN e USING (vec_id), range(1, 65) g(i)
+      |  GROUP BY 1, 2),
+      |gc1 AS (SELECT cid, list(comp ORDER BY pos) AS cemb
+      |  FROM gm1 GROUP BY 1),
+      |gcs AS (SELECT cid, cemb,
+      |  list_sum([cemb[i] * cemb[i] for i in range(1, 65)]) AS csq
+      |  FROM gc1),
+      |gd1 AS (SELECT e.vec_id, c.cid,
+      |    e.sq + c.csq - 2 * list_sum([e.embedding[i]::DOUBLE * c.cemb[i]
+      |                                 for i in range(1, 65)]) AS dist
+      |  FROM e, gcs c),
+      |cells AS (SELECT vec_id, cid AS cell FROM (
+      |  SELECT vec_id, cid, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM gd1)
+      |  WHERE rn = 1),
+      |resid AS (SELECT e.vec_id, x.cell,
+      |    [e.embedding[i]::DOUBLE - c.cemb[i] for i in range(1, 65)] AS r
+      |  FROM e JOIN cells x USING (vec_id) JOIN gcs c ON c.cid = x.cell),
+      |rsub AS (SELECT vec_id, cell, t.s AS s,
+      |    [r[t.s * $d + i] for i in range(1, ${d + 1})] AS sv
+      |  FROM resid, range(0, $m) t(s)),
+      |rcb0 AS (SELECT s, vec_id AS cid, sv AS cv FROM rsub
+      |  WHERE vec_id < $seedBound),
+      |rds0 AS (SELECT u.vec_id, u.s, c.cid,
+      |    list_sum([u.sv[i] * u.sv[i] for i in range(1, ${d + 1})])
+      |  - 2 * list_sum([u.sv[i] * c.cv[i] for i in range(1, ${d + 1})])
+      |  + list_sum([c.cv[i] * c.cv[i] for i in range(1, ${d + 1})]) AS dist
+      |  FROM rsub u JOIN rcb0 c USING (s)),
+      |rk0 AS (SELECT vec_id, s, cid FROM (
+      |  SELECT vec_id, s, cid, row_number() OVER (
+      |    PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rn
+      |  FROM rds0) WHERE rn = 1),
+      |rm1 AS (SELECT u.s, k.cid, g.i AS pos,
+      |    CAST(SUM(CAST(u.sv[g.i] AS DECIMAL(30,15))) AS DOUBLE)
+      |      / COUNT(*) AS comp
+      |  FROM rsub u JOIN rk0 k ON k.vec_id = u.vec_id AND k.s = u.s,
+      |    range(1, ${d + 1}) g(i)
+      |  GROUP BY 1, 2, 3),
+      |rcb AS (SELECT s, cid, list(comp ORDER BY pos) AS cv
+      |  FROM rm1 GROUP BY 1, 2),
+      |rds AS (SELECT u.vec_id, u.cell, u.s, c.cid,
+      |    list_sum([u.sv[i] * u.sv[i] for i in range(1, ${d + 1})])
+      |  - 2 * list_sum([u.sv[i] * c.cv[i] for i in range(1, ${d + 1})])
+      |  + list_sum([c.cv[i] * c.cv[i] for i in range(1, ${d + 1})]) AS dist
+      |  FROM rsub u JOIN rcb c USING (s)),
+      |rcodes AS (SELECT vec_id, cell, s, cid, dist FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rn
+      |  FROM rds) WHERE rn = 1),
+      |qsrc AS (SELECT vec_id AS q_id, embedding,
+      |    list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+      |              for i in range(1, 65)]) AS sq
+      |  FROM embeddings WHERE $qWhere),
+      |qcd AS (SELECT q.q_id, q.embedding, c.cid, c.cemb,
+      |    q.sq + c.csq - 2 * list_sum([q.embedding[i]::DOUBLE * c.cemb[i]
+      |                                 for i in range(1, 65)]) AS dist
+      |  FROM qsrc q, gcs c),
+      |qc AS (SELECT q_id, cid AS cell,
+      |    [embedding[i]::DOUBLE - cemb[i] for i in range(1, 65)] AS qr
+      |  FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY dist, cid) AS rn FROM qcd)
+      |  WHERE rn <= $nProbe),
+      |qrs AS (SELECT q_id, cell, t.s AS s,
+      |    [qr[t.s * $d + i] for i in range(1, ${d + 1})] AS rv
+      |  FROM qc, range(0, $m) t(s)),
+      |qt AS (SELECT q.q_id, q.cell, c.s, c.cid,
+      |    list_sum([q.rv[i] * q.rv[i] for i in range(1, ${d + 1})])
+      |  - 2 * list_sum([q.rv[i] * c.cv[i] for i in range(1, ${d + 1})])
+      |  + list_sum([c.cv[i] * c.cv[i] for i in range(1, ${d + 1})]) AS qd
+      |  FROM qrs q JOIN rcb c USING (s)),
+      |adc AS (SELECT q.q_id, k.vec_id AS m_id,
+      |    ${(0 until m).map(i =>
+             s"max(CASE WHEN k.s = $i THEN q.qd END)").mkString("\n  + ")}
+      |      AS adc_dist
+      |  FROM rcodes k JOIN qt q
+      |    ON q.cell = k.cell AND q.s = k.s AND q.cid = k.cid$candWhere
+      |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Full-corpus IVF-PQ stack, query = vector 0 (ivfpq_topk,
+    * ivfpq_distortion, ivfpq_cell_stats). */
+  private val ivfpqCtes: String = ivfpqCteStack(
+    "", ops.Similarity.IvfPqCells,
+    "vec_id = 0", "\n  WHERE k.vec_id <> 0")
+
+  /** Even-half index, odd probe fleet (ivfpq_probe_recall and the
+    * restructured stream_pq_probe); `qExtra` appends the md5 stratum
+    * coin for the sampled audit. */
+  private def ivfpqProbeCtesWith(qExtra: String): String = ivfpqCteStack(
+    " WHERE vec_id % 2 = 0", 2 * ops.Similarity.IvfPqCells,
+    "vec_id % 2 = 1" + qExtra, "")
+
+  private val ivfpqProbeCtes: String = ivfpqProbeCtesWith("")
+
+  /** The composed-path fleet-recall tail over the ivfpq probe stack:
+    * per-probe ADC argmin, exact-L2 ground truth over the full even
+    * half (`bfExtra` appends the stratum coin), the probed-cell
+    * membership of the exact winner, and the null-safe final counts
+    * (a probe whose cells hold no candidates has no adc row — LEFT
+    * join from the ground-truth side keeps it counted as a miss).
+    */
+  private def ivfpqRecallTail(bfExtra: String): String =
+    s""",
+      |adc1 AS (SELECT q_id, m_id AS adc_id FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY adc_dist ASC, m_id ASC) AS rn
+      |  FROM adc) WHERE rn = 1),
+      |bfd AS (SELECT o.vec_id AS q_id, b.vec_id AS b_id,
+      |    list_sum([o.embedding[i]::DOUBLE * o.embedding[i]::DOUBLE
+      |      for i in range(1, 65)])
+      |  - 2 * list_sum([o.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+      |      for i in range(1, 65)])
+      |  + list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+      |      for i in range(1, 65)]) AS d
+      |  FROM embeddings o JOIN embeddings b
+      |    ON o.vec_id % 2 = 1 AND b.vec_id % 2 = 0$bfExtra),
+      |bf1 AS (SELECT q_id, b_id AS bf_id FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY d ASC, b_id ASC) AS rn
+      |  FROM bfd) WHERE rn = 1),
+      |bfc AS (SELECT b.q_id, x.cell FROM bf1 b
+      |  JOIN cells x ON x.vec_id = b.bf_id),
+      |probed AS (SELECT DISTINCT q_id, cell FROM qt),
+      |inprobed AS (SELECT c.q_id, 1 AS hit FROM bfc c
+      |  JOIN probed p ON p.q_id = c.q_id AND p.cell = c.cell)
+      |SELECT count(*) AS n_queries,
+      |  CAST(sum(CASE WHEN a.adc_id IS NOT NULL AND a.adc_id = b.bf_id
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_top1_match,
+      |  CAST(sum(CASE WHEN a.adc_id IS NULL OR a.adc_id <> b.bf_id
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+      |  CAST(sum(COALESCE(i.hit, 0)) AS BIGINT) AS n_bf_in_probed
+      |FROM bf1 b LEFT JOIN adc1 a USING (q_id)
+      |  LEFT JOIN inprobed i USING (q_id)""".stripMargin
 
   private val kmeansAssignCte: String =
     s"""WITH e AS (SELECT vec_id, embedding,
@@ -3036,11 +3215,11 @@ object SparkEntry {
         |  CAST(round(SUM(CAST(dist AS DECIMAL(30,12))), 6)
         |       AS DECIMAL(38,6)) AS distortion
         |FROM codes GROUP BY 1 ORDER BY 1""".stripMargin),
-    // the ONLINE IVF-PQ probe: even-half training (seeds = first 16
-    // even vectors), odd probes ADC-scored against the coded index —
-    // the oracle replays codebook training, coding, and the per-probe
-    // 8-term ADC chain (shared pqProbeCtes stack)
-    "stream_pq_probe" -> (pqProbeCtes + """
+    // the ONLINE IVF-PQ probe, COMPOSED path (r13): even-half coarse
+    // quantizer + residual codebook, odd probes ADC-scored against the
+    // probed cells' codes only — the oracle replays coarse training,
+    // residual coding, cell ranking and the cell-keyed 8-term ADC chain
+    "stream_pq_probe" -> (ivfpqProbeCtes + """
         |SELECT q_id AS vec_id, m_id AS match_id, adc_dist FROM (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY q_id ORDER BY adc_dist ASC, m_id ASC) AS rn
@@ -3100,6 +3279,30 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN a.adc_id <> b.bf_id THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_missed
         |FROM adc1 a JOIN bf1 b USING (q_id)""".stripMargin),
+    // composed IVF-PQ (IVFADC): trained coarse quantizer, residual
+    // codebook, cell-probed ADC — the full production search replayed
+    "ivfpq_topk" -> (ivfpqCtes + """
+        |SELECT m_id AS vec_id, adc_dist FROM adc
+        |ORDER BY adc_dist ASC, vec_id ASC LIMIT 10""".stripMargin),
+    "ivfpq_cell_stats" -> (ivfpqCtes + """
+        |SELECT cell, count(*) AS n_vectors,
+        |  CAST(min(vec_id) AS BIGINT) AS first_vec
+        |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin),
+    "ivfpq_distortion" -> (ivfpqCtes + """
+        |SELECT CAST(s AS BIGINT) AS subspace, COUNT(*) AS n_vectors,
+        |  CAST(round(SUM(CAST(dist AS DECIMAL(30,12))), 6)
+        |       AS DECIMAL(38,6)) AS distortion
+        |FROM rcodes GROUP BY 1 ORDER BY 1""".stripMargin),
+    // composed-path fleet recall: residual-ADC top-1 over the probed
+    // cells vs exact-L2 top-1 over the FULL even index, plus the IVF
+    // ceiling (was the exact winner's cell probed?); a query with no
+    // candidates in its probed cells is a miss on both engines
+    "ivfpq_probe_recall" -> (ivfpqProbeCtes +
+      ivfpqRecallTail("")),
+    "ivfpq_probe_recall_sampled" -> (ivfpqProbeCtesWith(
+      "\n  AND ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 100 < 20") +
+      ivfpqRecallTail(
+        "\n    AND ('0x' || substr(md5(o.vec_id::VARCHAR), 1, 8))::BIGINT % 100 < 20")),
 
     "ivf_recall" ->
       """WITH nrm AS (SELECT vec_id, label, embedding,

@@ -380,8 +380,13 @@ object Similarity {
     val ivf = ivfProbeTop1(qs, cents, assigned)
       .select(col("vec_id").as("q_id"), col("match_id").as("ivf_id"),
         col("cosine").as("ivf_cos"))
-    val bf = qs.crossJoin(broadcast(
-        assigned.select(col("m_id"), col("m_emb"), col("m_nrm"))))
+    // fleet × full index ground truth: salt-keyed block join, no
+    // broadcast hint on the corpus-sized index side (see adcScores)
+    val bf = qs.withColumn("blk",
+        explode(sequence(lit(0), lit(BlockCrossSalt - 1))))
+      .join(assigned.select(col("m_id"), col("m_emb"), col("m_nrm"))
+        .withColumn("blk",
+          pmod(col("m_id"), lit(BlockCrossSalt)).cast("int")), "blk")
       .withColumn("cosine", dot(col("q_emb"), col("m_emb")) /
         (col("q_nrm") * col("m_nrm")))
       .groupBy("q_id")
@@ -872,8 +877,21 @@ object Similarity {
     * results are bit-identical to the join formulation.
     * `codes` is (m_id, s, cid); `qtab` is (q_id, s, cid, qd).
     * Returns (q_id, m_id, adc).
+    *
+    * `boundedQueries` gates the broadcast hint: true only when the
+    * query side is a bounded batch (one ad-hoc query, a streaming
+    * micro-batch) — a pinned broadcast hint is never demoted by Spark,
+    * so a corpus-proportional query fleet (the recall audits) must NOT
+    * take it. The unbounded path runs the same cross product as a
+    * salt-keyed equi-join instead: every code row gets
+    * salt = m_id mod S, the query tables replicate ×S, and each
+    * reducer scores (codes/S × fleet) — a distributed block
+    * nested-loop with no driver-side collect and no CartesianProduct
+    * node, which is exactly what a brute-force fleet audit should
+    * compile to.
     */
-  private[graft] def adcScores(codes: DataFrame, qtab: DataFrame): DataFrame = {
+  private[graft] def adcScores(codes: DataFrame, qtab: DataFrame,
+                               boundedQueries: Boolean = true): DataFrame = {
     val wideCols = (0 until PqSubspaces).map(i =>
       max(when(col("s") === i, col("cid"))).as(s"c$i"))
     val codesWide = codes.groupBy("m_id").agg(wideCols.head, wideCols.tail: _*)
@@ -882,11 +900,22 @@ object Similarity {
         when(col("s") === i, struct(col("cid"), col("qd"))))))
         .as(s"t$i"))
     val qTables = qtab.groupBy("q_id").agg(tabCols.head, tabCols.tail: _*)
-    codesWide.crossJoin(broadcast(qTables))
-      .select(col("q_id"), col("m_id"),
-        (0 until PqSubspaces).map(i =>
-          element_at(col(s"t$i"), col(s"c$i"))).reduce(_ + _).as("adc"))
+    val scored =
+      if (boundedQueries) codesWide.crossJoin(broadcast(qTables))
+      else codesWide
+        .withColumn("blk", pmod(col("m_id"), lit(BlockCrossSalt)).cast("int"))
+        .join(qTables.withColumn("blk",
+          explode(sequence(lit(0), lit(BlockCrossSalt - 1)))), "blk")
+    scored.select(col("q_id"), col("m_id"),
+      (0 until PqSubspaces).map(i =>
+        element_at(col(s"t$i"), col(s"c$i"))).reduce(_ + _).as("adc"))
   }
+
+  /** Reducer fan-out for the salt-keyed block joins the unbounded
+    * audits compile to ([[adcScores]], the brute-force ground-truth
+    * sides): one stage's worth of parallel blocks.
+    */
+  val BlockCrossSalt: Int = 32
 
   /** PQ reconstruction distortion per subspace — the compression-loss
     * report that sits next to [[pqRecall]] in an index build sign-off
@@ -983,13 +1012,18 @@ object Similarity {
       .select(col("q_id"), col("s"), col("cid"),
         (dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("cv")) +
           dot(col("cv"), col("cv"))).as("qd"))
-    val adc1 = adcScores(codes, qtab)
+    val adc1 = adcScores(codes, qtab, boundedQueries = false)
       .groupBy("q_id")
       .agg(min(struct(col("adc"), col("m_id"))).as("best"))
       .select(col("q_id"), col("best.m_id").as("adc_id"))
+    // ground truth: fleet × full index — the same salt-keyed block join
+    // as the ADC side (the index is corpus-sized by audit contract, so
+    // no broadcast hint on either side)
     val bf1 = odd.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      .crossJoin(broadcast(even.select(col("vec_id").as("b_id"),
-        col("embedding").as("be"))))
+      .withColumn("blk", explode(sequence(lit(0), lit(BlockCrossSalt - 1))))
+      .join(even.select(col("vec_id").as("b_id"), col("embedding").as("be"))
+        .withColumn("blk",
+          pmod(col("b_id"), lit(BlockCrossSalt)).cast("int")), "blk")
       .withColumn("d",
         dot(col("qe"), col("qe")) - lit(2.0) * dot(col("qe"), col("be")) +
           dot(col("be"), col("be")))
@@ -1032,5 +1066,321 @@ object Similarity {
       .agg(count(lit(1)).as("n_overlap"))
       .select(lit(k.toLong).as("k"), col("n_overlap"),
         expr(s"n_overlap * 1000000 div $k").as("recall_ppm"))
+  }
+
+  // ------------------------------------------------------------------
+  // Composed IVF-PQ (IVFADC, Jégou et al. 2011 §IV) — the executable
+  // production path the flat-PQ tier's scaladoc only pointed at: a
+  // trained coarse quantizer partitions the index into cells, every
+  // vector is PQ-coded on its RESIDUAL against its cell centroid (the
+  // actual IVFADC encoding — residual energy is what's left after the
+  // coarse quantizer, so the same 8-byte budget spends its codewords on
+  // a much smaller signal), and a query ADC-scans ONLY the codes of its
+  // `nProbe` nearest cells. Search cost per query drops from O(index)
+  // to O(index · nProbe / nCells); memory stays 8 bytes/vector plus one
+  // broadcast codebook + centroid table.
+  // ------------------------------------------------------------------
+
+  /** Coarse cell count / probed cells per query. 16/4 keeps every
+    * constant oracle-replayable at spec scale; at index scale these are
+    * the standard sqrt(n)-ish tuning knobs and nothing in the plan
+    * shape changes.
+    */
+  val IvfPqCells: Int = 16
+  val IvfPqProbe: Int = 4
+
+  /** One-Lloyd-round coarse quantizer over `e0` (vec_id, embedding):
+    * seeds are the rows matching `seedPred` (the fixed-seed scheme of
+    * [[kmeansAssign]]), refined once with the decimal-exact per-(cell,
+    * dim) mean, then every vector argmin-assigned to its final cell.
+    * Returns (cents(cid, cemb, csq), assigned(vec_id, cell, residual))
+    * where residual = embedding − cemb(cell) — a double array built
+    * from lossless float→double widening and exact IEEE subtraction,
+    * so the oracle replays it bit-for-bit.
+    *
+    * Scale shape: both assignment rounds are one map-side pass against
+    * the broadcast centroid axis (argmin partial-agg combine); the
+    * refinement mean is a centroid-sized aggregate. An index BUILD
+    * materializes (cents, codebook, codes) once and serves them to
+    * every probe — exactly what [[graft.streaming.StreamAssembly
+    * .streamPqProbe]] does with its localCheckpoint'd static side.
+    */
+  private[graft] def coarseQuantize(e0: DataFrame,
+                                    seedPred: Column): (DataFrame, DataFrame) = {
+    val e = e0.select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("sq"))
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("dist",
+          col("sq") + col("csq") - lit(2.0) * dot(col("embedding"), col("cemb")))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("best"),
+          first("embedding").as("embedding"))
+        .select(col("vec_id"), col("best.cid").as("cell"), col("embedding"))
+    val c0 = e.filter(seedPred)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("sq").as("csq"))
+    val a0 = assign(c0)
+    val m1 = a0.select(col("cell").as("cid"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg((sum(col("v").cast("double").cast("decimal(30,15)")).cast("double") /
+        count(lit(1))).as("comp"))
+    val c1 = m1.groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+        x => x.getField("comp")).as("cemb"))
+      .withColumn("csq", dot(col("cemb"), col("cemb")))
+    val assigned = assign(c1)
+      .join(broadcast(c1.select(col("cid").as("cell"), col("cemb"))), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("cemb"),
+          (a, b) => a.cast("double") - b).as("residual"))
+    (c1, assigned)
+  }
+
+  /** Memoized IVF-PQ index builds, keyed (session, dir, variant:part) —
+    * the index-build-once/serve-many shape of a real deployment: the
+    * trained centroid axis, residual codebook and coded index are
+    * materialized via localCheckpoint, so every consumer (top-k, the
+    * audits, each micro-batch of the online probe) plans against slim
+    * RDD leaves instead of replaying the two-stage training DAG per
+    * consumer (which multiplied the plan's exchange count ~10×).
+    * Registered with [[Memo]] so the bench's clearAll keeps cold
+    * timings honest.
+    */
+  private val ivfpqCache = Memo.registry[(SparkSession, String, String)]
+
+  private def ivfpqMemo(spark: SparkSession, sfDir: String, tag: String)(
+      build: => (DataFrame, DataFrame, DataFrame)): (DataFrame, DataFrame, DataFrame) =
+    ivfpqCache.synchronized {
+      val keys = Seq("cents", "cb", "codes").map(p => (spark, sfDir, s"$tag:$p"))
+      if (!keys.forall(ivfpqCache.contains)) {
+        val (cents, cb, codes) = build
+        ivfpqCache.put(keys(0), cents.localCheckpoint(true))
+        ivfpqCache.put(keys(1), cb.localCheckpoint(true))
+        ivfpqCache.put(keys(2), codes.localCheckpoint(true))
+      }
+      (ivfpqCache(keys(0)), ivfpqCache(keys(1)), ivfpqCache(keys(2)))
+    }
+
+  /** The trained IVF-PQ index over the FULL corpus: coarse centroids,
+    * residual codebook (PQ trained on residuals — [[pqTrain]]'s
+    * decimal-exact Lloyd discipline, seeds = the first [[PqCentroids]]
+    * vectors' residual sub-vectors) and the coded index
+    * (vec_id, s, cid, dist, cell). The cell join is the only
+    * corpus-keyed shuffle and carries 8 int rows per vector.
+    */
+  private[graft] def ivfpqModel(spark: SparkSession,
+                                sfDir: String): (DataFrame, DataFrame, DataFrame) =
+    ivfpqMemo(spark, sfDir, "full") {
+      GraftFunctions.register(spark)
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      val (cents, assigned) = coarseQuantize(e, col("vec_id") < IvfPqCells)
+      val rsub = pqSubVectors(
+        assigned.select(col("vec_id"), col("residual").as("embedding")))
+      val (cb, codesD) = pqTrain(rsub, col("vec_id") < PqCentroids)
+      val codes = codesD.join(assigned.select(col("vec_id"), col("cell")),
+        "vec_id")
+      (cents, cb, codes)
+    }
+
+  /** The even-half IVF-PQ index the online probe family serves from
+    * (streamPqProbe's static side, the fleet recall audit's index):
+    * coarse seeds = the first [[IvfPqCells]] even vectors, residual
+    * codebook seeds = the first [[PqCentroids]] even vectors.
+    */
+  private[graft] def ivfpqProbeModel(spark: SparkSession,
+                                     sfDir: String): (DataFrame, DataFrame, DataFrame) =
+    ivfpqMemo(spark, sfDir, "even") {
+      GraftFunctions.register(spark)
+      val even = Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val (cents, assigned) = coarseQuantize(even, col("vec_id") < 2L * IvfPqCells)
+      val rsub = pqSubVectors(
+        assigned.select(col("vec_id"), col("residual").as("embedding")))
+      val (cb, codesD) = pqTrain(rsub, col("vec_id") < 2L * PqCentroids)
+      val codes = codesD.join(assigned.select(col("vec_id"), col("cell")),
+        "vec_id")
+      (cents, cb, codes)
+    }
+
+  /** Per-query, per-probed-cell ADC distance tables: each query ranks
+    * the broadcast centroids (bounded per-query frame), keeps its top
+    * `nProbe` cells, forms the cell RESIDUAL q − c(cell), and
+    * precomputes that residual's distance to all [[PqCentroids]]
+    * residual codewords per subspace — ‖r_s − cv‖² through the same
+    * x·x − 2·x·c + c·c fold as training, so the oracle's doubles are
+    * bit-identical. Returns (q_id, cell, s, cid, qd):
+    * nProbe · 8 · 16 slim rows per query.
+    */
+  private[graft] def cellResidualTables(q: DataFrame, cents: DataFrame,
+                                        cb: DataFrame,
+                                        nProbe: Int = IvfPqProbe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qCells = q
+      .select(col("q_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("sq"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist",
+        col("sq") + col("csq") - lit(2.0) * dot(col("embedding"), col("cemb")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("dist"), asc("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("cid").as("cell"),
+        zip_with(col("embedding"), col("cemb"),
+          (a, b) => a.cast("double") - b).as("qres"))
+    qCells
+      .select(col("q_id"), col("cell"),
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("s"), col("qres"))
+      .withColumn("rv", expr(s"slice(qres, s * $PqSubDim + 1, $PqSubDim)"))
+      .join(broadcast(cb), "s")
+      .select(col("q_id"), col("cell"), col("s"), col("cid"),
+        (dot(col("rv"), col("rv")) - lit(2.0) * dot(col("rv"), col("cv")) +
+          dot(col("cv"), col("cv"))).as("qd"))
+  }
+
+  /** [[adcScores]] with the IVF cell key: the code frame carries each
+    * vector's cell, the query tables are keyed (q_id, cell), and the
+    * join ON cell is what restricts candidates to the probed cells'
+    * codes — the IVFADC search loop as one equi-join. Bounded query
+    * fleets broadcast their tables (map-side, no shuffle of the
+    * codes); unbounded audit fleets run the salt-spread variant so a
+    * 16-cell key space still fans out across a stage of reducers.
+    */
+  private[graft] def adcScoresCell(codes: DataFrame, qtab: DataFrame,
+                                   boundedQueries: Boolean = true): DataFrame = {
+    val wideCols = (0 until PqSubspaces).map(i =>
+      max(when(col("s") === i, col("cid"))).as(s"c$i"))
+    val codesWide = codes.groupBy("m_id", "cell")
+      .agg(wideCols.head, wideCols.tail: _*)
+    val tabCols = (0 until PqSubspaces).map(i =>
+      map_from_entries(array_sort(collect_list(
+        when(col("s") === i, struct(col("cid"), col("qd"))))))
+        .as(s"t$i"))
+    val qTables = qtab.groupBy("q_id", "cell").agg(tabCols.head, tabCols.tail: _*)
+    val scored =
+      if (boundedQueries) codesWide.join(broadcast(qTables), Seq("cell"))
+      else codesWide
+        .withColumn("blk", pmod(col("m_id"), lit(BlockCrossSalt)).cast("int"))
+        .join(qTables.withColumn("blk",
+          explode(sequence(lit(0), lit(BlockCrossSalt - 1)))), Seq("cell", "blk"))
+    scored.select(col("q_id"), col("m_id"),
+      (0 until PqSubspaces).map(i =>
+        element_at(col(s"t$i"), col(s"c$i"))).reduce(_ + _).as("adc"))
+  }
+
+  /** IVF-PQ top-k — the full composed search: probe [[IvfPqProbe]] of
+    * [[IvfPqCells]] cells, ADC-score ONLY those cells' 8-byte residual
+    * codes, take the k best. The candidate frame is
+    * O(index · nProbe / nCells) instead of [[pqAnnTopK]]'s full-index
+    * scan, which is the entire point of the composition.
+    */
+  def ivfpqTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                k: Int = 10): DataFrame = {
+    val (cents, cb, codes) = ivfpqModel(spark, sfDir)
+    val q = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === queryId)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val qtab = cellResidualTables(q, cents, cb)
+    adcScoresCell(codes.filter(col("vec_id") =!= queryId)
+        .select(col("vec_id").as("m_id"), col("cell"), col("s"), col("cid")),
+        qtab)
+      .select(col("m_id").as("vec_id"), col("adc").as("adc_dist"))
+      .orderBy(asc("adc_dist"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Coarse-index health report: per-cell vector count + lowest member
+    * id — the cell-balance number that decides nProbe (a starved or
+    * overloaded cell means the coarse quantizer mis-fits). All-BIGINT.
+    */
+  def ivfpqCellStats(spark: SparkSession, sfDir: String): DataFrame =
+    ivfpqModel(spark, sfDir)._3
+      .filter(col("s") === 0) // one row per vector from the coded index
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min("vec_id").cast("long").as("first_vec"))
+      .orderBy("cell")
+
+  /** Residual-coding distortion per subspace — [[pqDistortion]]'s
+    * sibling on the IVF-PQ index. Residuals carry only what the coarse
+    * quantizer left behind, so the same 16-codeword budget fits a much
+    * smaller signal: this report against pq_distortion's is the
+    * measured argument for residual coding (Jégou et al.'s IVFADC-vs-
+    * ADC comparison as two gated rows).
+    */
+  def ivfpqDistortion(spark: SparkSession, sfDir: String): DataFrame =
+    ivfpqModel(spark, sfDir)._3
+      .groupBy(col("s").cast("long").as("subspace"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("dist").cast("decimal(30,12)")), 6)
+          .cast("decimal(38,6)").as("distortion"))
+      .orderBy("subspace")
+
+  /** Fleet recall of the COMPOSED path: every odd vector probes the
+    * even-half IVF-PQ index (nProbe cells, residual ADC) and its top-1
+    * is compared against the exact-L2 top-1 over the FULL even half.
+    * Also reported: how often the exact top-1's cell was among the
+    * probed cells — the coarse quantizer's recall ceiling, which
+    * separates IVF loss from PQ loss in one row (the number that tells
+    * an index operator whether to raise nProbe or retrain the
+    * codebook). A query whose probed cells hold no index vectors
+    * counts as a miss on both engines (LEFT join, null-safe compare).
+    */
+  def ivfpqProbeRecall(spark: SparkSession, sfDir: String): DataFrame =
+    ivfpqProbeRecallStratum(spark, sfDir, None)
+
+  /** [[ivfpqProbeRecall]] on the md5-coin 20% probe stratum — the
+    * production execution ([[annProbeRecallSampled]]'s pattern: sampled
+    * fleet, never a sampled index).
+    */
+  def ivfpqProbeRecallSampled(spark: SparkSession, sfDir: String,
+                              pct: Int = 20): DataFrame =
+    ivfpqProbeRecallStratum(spark, sfDir, Some(pct))
+
+  private def ivfpqProbeRecallStratum(spark: SparkSession, sfDir: String,
+                                      pct: Option[Int]): DataFrame = {
+    val (cents, cb, codes) = ivfpqProbeModel(spark, sfDir)
+    val even = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 2 === 0)
+    val odd0 = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 2 === 1)
+    val odd = pct.fold(odd0)(p =>
+      odd0.filter(TrainingSets.bucket100(col("vec_id")) < p))
+    val qtab = cellResidualTables(
+      odd.select(col("vec_id").as("q_id"), col("embedding")), cents, cb)
+    val adc1 = adcScoresCell(
+        codes.select(col("vec_id").as("m_id"), col("cell"), col("s"),
+          col("cid")),
+        qtab, boundedQueries = false)
+      .groupBy("q_id")
+      .agg(min(struct(col("adc"), col("m_id"))).as("best"))
+      .select(col("q_id"), col("best.m_id").as("adc_id"))
+    // exact ground truth: fleet × full index, salt-keyed block join
+    val bf1 = odd.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .withColumn("blk", explode(sequence(lit(0), lit(BlockCrossSalt - 1))))
+      .join(even.select(col("vec_id").as("b_id"), col("embedding").as("be"))
+        .withColumn("blk",
+          pmod(col("b_id"), lit(BlockCrossSalt)).cast("int")), "blk")
+      .withColumn("d",
+        dot(col("qe"), col("qe")) - lit(2.0) * dot(col("qe"), col("be")) +
+          dot(col("be"), col("be")))
+      .groupBy("q_id")
+      .agg(min(struct(col("d"), col("b_id"))).as("best"))
+      .select(col("q_id"), col("best.b_id").as("bf_id"))
+    // the IVF ceiling: was the exact winner's cell probed at all?
+    val bfCell = bf1.join(
+      codes.select(col("vec_id").as("bf_id"), col("cell")).distinct(), "bf_id")
+    val probed = qtab.select(col("q_id"), col("cell")).distinct()
+    val inProbed = bfCell.join(probed, Seq("q_id", "cell"), "left_semi")
+      .select(col("q_id"), lit(1L).as("bf_probed"))
+    bf1.join(adc1, Seq("q_id"), "left")
+      .join(inProbed, Seq("q_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("adc_id").isNotNull && col("adc_id") === col("bf_id"),
+          1L).otherwise(0L)).as("n_top1_match"),
+        sum(when(col("adc_id").isNull || col("adc_id") =!= col("bf_id"),
+          1L).otherwise(0L)).as("n_missed"),
+        sum(coalesce(col("bf_probed"), lit(0L))).as("n_bf_in_probed"))
   }
 }

@@ -2200,18 +2200,21 @@ object StreamAssembly {
   }
 
   /** The ONLINE IVF-PQ probe — [[streamAnnProbe]]'s compressed sibling,
-    * completing the online probe family with the production memory
-    * profile: the static side trains the PQ codebook on the EVEN index
-    * half ([[graft.ops.Similarity.pqTrain]], seeds = the first 16 even
-    * vectors, one decimal-exact Lloyd round) and codes the index to 8
-    * bytes/vector ONCE; each micro-batch of incoming (odd) vectors
-    * builds its per-query distance tables against the broadcast
-    * codebook and ADC-scores ONLY the coded index — raw index
-    * embeddings are never touched after the build, which is exactly why
-    * IVF-PQ serves at 100 TB. Per-probe top-1 (match id + ADC distance)
-    * appended per batch; the ADC sum is the left-to-right column chain
-    * of `pq_ann_topk`, so the drained doubles hash bit-identically
-    * against the oracle's replay.
+    * completing the online probe family with the production memory AND
+    * compute profile: the static side trains the coarse quantizer and
+    * the residual PQ codebook on the EVEN index half
+    * ([[graft.ops.Similarity.ivfpqProbeModel]] — the literal IVFADC
+    * build) and codes the index to 8 bytes/vector + a cell id ONCE;
+    * each micro-batch of incoming (odd) vectors ranks the 16 broadcast
+    * centroids, forms per-probed-cell residual distance tables, and
+    * ADC-scores ONLY the probed cells' codes through the cell-keyed
+    * broadcast join of [[graft.ops.Similarity.adcScoresCell]]. Raw
+    * index embeddings are never touched after the build, and per-probe
+    * compute is O(index · nProbe / nCells) instead of the full-index
+    * scan the flat-PQ probe paid (the r12 scale flag this restructure
+    * closes). Per-probe top-1 (match id + residual-ADC distance)
+    * appended per batch; every double is the same left-to-right fold
+    * the oracle replays, so the drained frame hashes bit-identically.
     */
   def streamPqProbe(spark: SparkSession, sfDir: String,
                     nFiles: Int = 3): DataFrame = {
@@ -2228,14 +2231,11 @@ object StreamAssembly {
       .write.mode("overwrite").parquet(srcDir)
     withDrainConf(spark) { ds =>
       graft.functions.GraftFunctions.register(ds)
-      val sube = Similarity.pqSubVectors(
-        graft.Tables.embeddings(ds, sfDir).filter(col("vec_id") % 2 === 0))
-      val (cb, codesD) = Similarity.pqTrain(sube, col("vec_id") < 32)
-      // static: codebook + 8-byte index codes, materialized once
-      val cbS = cb.localCheckpoint(true)
+      // static: centroid axis + residual codebook + 8-byte-and-a-cell
+      // index codes — already materialized once by the model memo
+      val (centsS, cbS, codesD) = Similarity.ivfpqProbeModel(ds, sfDir)
       val codes = codesD
-        .select(col("vec_id").as("m_id"), col("s"), col("cid"))
-        .localCheckpoint(true)
+        .select(col("vec_id").as("m_id"), col("cell"), col("s"), col("cid"))
       val embSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vec_id",
           org.apache.spark.sql.types.LongType),
@@ -2251,14 +2251,10 @@ object StreamAssembly {
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckptDir)
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          val qsub = Similarity.pqSubVectors(batch)
-            .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
-          val qtab = cbS.join(qsub, "s")
-            .select(col("q_id"), col("s"), col("cid"),
-              (Similarity.dot(col("qv"), col("qv")) -
-                lit(2.0) * Similarity.dot(col("qv"), col("cv")) +
-                Similarity.dot(col("cv"), col("cv"))).as("qd"))
-          Similarity.adcScores(codes, qtab)
+          val qtab = Similarity.cellResidualTables(
+            batch.select(col("vec_id").as("q_id"), col("embedding")),
+            centsS, cbS)
+          Similarity.adcScoresCell(codes, qtab)
             .groupBy("q_id")
             .agg(min(struct(col("adc"), col("m_id"))).as("best"))
             .select(col("q_id"), col("best.m_id").as("match_id"),

@@ -588,6 +588,15 @@ class PlanSpec extends SparkSpec {
       "pq_code_stats" -> 6,
       "pq_ann_topk" -> 9,
       "pq_recall" -> 9,
+      // r13 composed IVF-PQ: the trained model (cents/codebook/codes)
+      // is Memo-materialized once, so every query plans against slim
+      // RDD leaves — the remaining exchanges are the query-side window
+      // + argmin combines and (for the fleet audits) the salt-keyed
+      // block joins; the candidate frame itself never shuffles
+      "ivfpq_topk" -> 2,
+      "ivfpq_cell_stats" -> 2,
+      "ivfpq_probe_recall" -> 8,
+      "ivfpq_probe_recall_sampled" -> 9,
       "mm_image_dedup_survivors" -> 3,
       "mm_ann_topk" -> 6,
       "quality_lm_ppx" -> 7,

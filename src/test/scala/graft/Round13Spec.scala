@@ -36,4 +36,67 @@ class Round13Spec extends SparkSpec {
     assert(wide.getDecimal(0).toBigInteger
       .equals(new java.math.BigInteger("7999999998000000000")))
   }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ivfpq_topk candidates are EXACTLY the probed cells' members — " +
+       "the composed search never touches an unprobed cell's codes") {
+    import graft.ops.Similarity
+    graft.ops.Memo.clearAll()
+    val (cents, cb, codes) = Similarity.ivfpqModel(spark, sf)
+    val q = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val qtab = Similarity.cellResidualTables(q, cents, cb)
+    val probedCells = qtab.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(probedCells.size == Similarity.IvfPqProbe)
+    val scored = Similarity.adcScoresCell(
+      codes.filter(col("vec_id") =!= 0L)
+        .select(col("vec_id").as("m_id"), col("cell"), col("s"), col("cid")),
+      qtab)
+    val scoredIds = scored.select("m_id").collect().map(_.getLong(0)).toSet
+    val memberIds = codes.filter(col("s") === 0 && col("vec_id") =!= 0L)
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(scoredIds == memberIds,
+      "ADC candidate set diverged from the probed cells' membership")
+    // and it is a strict subset of the corpus: the point of the probe
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(scoredIds.size < n - 1)
+  }
+
+  test("residual coding beats the flat codebook: per-subspace " +
+       "distortion is strictly lower on every subspace") {
+    graft.ops.Memo.clearAll()
+    val flat = graft.ops.Similarity.pqDistortion(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(2)).toMap
+    val res = graft.ops.Similarity.ivfpqDistortion(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(2)).toMap
+    assert(flat.keySet == res.keySet)
+    res.foreach { case (s, d) =>
+      assert(d.compareTo(flat(s)) < 0,
+        s"subspace $s: residual distortion $d !< flat ${flat(s)}")
+    }
+  }
+
+  test("the memoized IVF-PQ model is bounded in storage and reclaimed " +
+       "by Memo.clearAll") {
+    graft.ops.Memo.clearAll()
+    val before = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    graft.ops.Similarity.ivfpqModel(spark, sf)._3.count()
+    val added = spark.sparkContext.getRDDStorageInfo
+      .filterNot(i => before.contains(i.id))
+    assert(added.nonEmpty, "model memo cached nothing")
+    // centroids + codebook + 8 slim int rows per vector — far under
+    // the corpus; the bound fails loudly if the memo ever starts
+    // checkpointing raw embeddings
+    val bytes = added.map(i => i.memSize + i.diskSize).sum
+    assert(bytes < 8L * 1024 * 1024,
+      s"ivfpq model memo footprint $bytes exceeds the spec-scale bound")
+    graft.ops.Memo.clearAll()
+    val after = spark.sparkContext.getRDDStorageInfo
+      .filterNot(i => before.contains(i.id))
+    assert(after.isEmpty, "clearAll left model blocks resident")
+  }
 }
