@@ -46,6 +46,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_simhash_digest" -> ((s, d) => Dedup.simhashDigest(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingNearDups(s, d)),
     "sim_topk_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "sim_ann_lsh" -> ((s, d) => Similarity.annTopK(s, d)),
@@ -1137,6 +1138,25 @@ object SparkEntry {
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY 1, 2""".stripMargin,
+    "dedup_simhash_digest" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, w FROM
+        |  (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM tok),
+        |bits AS (SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS v
+        |  FROM h, range(0, 32) t(j) GROUP BY 1, 2),
+        |fp AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+        |    AS simhash FROM bits GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+        |SELECT doc_a % 64 AS bucket, count(*) AS n_pairs,
+        |CAST(sum(hamming) AS BIGINT) AS sum_hamming,
+        |CAST(sum(('0x' || substr(md5(doc_a::VARCHAR || ',' || doc_b::VARCHAR
+        |  || ',' || hamming::VARCHAR), 1, 8))::BIGINT) AS BIGINT) AS checksum,
+        |min(doc_b) AS min_doc_b, max(doc_b) AS max_doc_b
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, embedding,
         |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE

@@ -791,6 +791,10 @@ object Multimodal {
     * ([[audioNearDups]]) and video ([[videoNearDups]]) fingerprints
     * identically.
     */
+  /** Doc-range width (2^shift) for [[hammingBandRollup]]'s two-level
+    * fold: fine window partitions hold at most this many rows. */
+  private val RangeShift: Int = 12
+
   private def hammingBandRollup(fp: DataFrame, hashCol: String,
                                 hashBits: Int, maxHamming: Int): DataFrame = {
     val nBands = (hashBits + 7) / 8
@@ -827,21 +831,48 @@ object Multimodal {
     val partnerRows = fp.select(col(hashCol).as("g"), col("doc_id"))
       .join(matched, "g")
       .select(col("f"), col("doc_id"), col("h"), lit(false).as("self"))
-    // at doc a (a self row of partition f), strictly-preceding rows in
-    // doc_id-descending order are exactly the docs b > a that pair
-    // with a — and a is then min(a, b), the pair's bucket key
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("f")
-      .orderBy(col("doc_id").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    selfRows.union(partnerRows)
-      .withColumn("n_exact_d",
-        sum(when(col("self"), 1L).otherwise(0L)).over(w))
-      .withColumn("n_cross_d",
-        sum(when(!col("self"), 1L).otherwise(0L)).over(w))
-      .withColumn("sum_h_d",
-        sum(when(!col("self"), col("h").cast("long")).otherwise(0L)).over(w))
+    // at doc a (a self row of partition f), the docs b > a that pair
+    // with a — with a then min(a, b), the pair's bucket key — are
+    // counted in TWO levels so no single task ever scans a dominant
+    // fingerprint's whole membership (the r12 shape put all of f's
+    // docs in ONE window partition — linear, but a billion-doc
+    // fingerprint would serialize on one task): (1) a coarse per-
+    // (f, doc-range) aggregate + suffix fold over ranges (range =
+    // doc_id >> RangeShift, so a range partition never exceeds
+    // 2^RangeShift rows and the suffix frame is membership/4096 —
+    // raise the shift or nest another level if a fingerprint's RANGE
+    // COUNT ever rivals a task), and (2) the running fold within
+    // (f, range) only. Same integers by construction: strictly-greater
+    // docs = strictly-greater ranges' totals + strictly-preceding rows
+    // in range.
+    val W = org.apache.spark.sql.expressions.Window
+    val rows = selfRows.union(partnerRows)
+      .withColumn("rng", expr(s"doc_id >> $RangeShift"))
+    val wR = W.partitionBy("f").orderBy(col("rng").desc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val roff = rows.groupBy("f", "rng")
+      .agg(sum(when(col("self"), 1L).otherwise(0L)).as("r_exact"),
+        sum(when(!col("self"), 1L).otherwise(0L)).as("r_cross"),
+        sum(when(!col("self"), col("h").cast("long")).otherwise(0L))
+          .as("r_sum_h"),
+        max(when(!col("self"), col("h"))).as("r_max_h"))
+      .select(col("f"), col("rng"),
+        coalesce(sum("r_exact").over(wR), lit(0L)).as("o_exact"),
+        coalesce(sum("r_cross").over(wR), lit(0L)).as("o_cross"),
+        coalesce(sum("r_sum_h").over(wR), lit(0L)).as("o_sum_h"),
+        max("r_max_h").over(wR).as("o_max_h"))
+    val wF = W.partitionBy("f", "rng").orderBy(col("doc_id").desc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    rows.join(roff, Seq("f", "rng"))
+      .withColumn("n_exact_d", col("o_exact") +
+        coalesce(sum(when(col("self"), 1L).otherwise(0L)).over(wF), lit(0L)))
+      .withColumn("n_cross_d", col("o_cross") +
+        coalesce(sum(when(!col("self"), 1L).otherwise(0L)).over(wF), lit(0L)))
+      .withColumn("sum_h_d", col("o_sum_h") +
+        coalesce(sum(when(!col("self"), col("h").cast("long"))
+          .otherwise(0L)).over(wF), lit(0L)))
       .withColumn("max_h_d",
-        max(when(!col("self"), col("h"))).over(w))
+        greatest(col("o_max_h"), max(when(!col("self"), col("h"))).over(wF)))
       .filter(col("self") && (col("n_exact_d") + col("n_cross_d")) > 0)
       .groupBy((col("doc_id") % 10).cast("long").as("bucket"))
       .agg(sum(col("n_exact_d") + col("n_cross_d")).as("n_pairs"),

@@ -878,7 +878,16 @@ object Dedup {
     * within their group directly — an equi-join on the hash. Identical
     * output to the per-doc banding by construction.
     */
-  def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame =
+    simhashPairFrame(spark, sfDir, maxHamming).orderBy("doc_a", "doc_b")
+
+  /** The unsorted (doc_a, doc_b, hamming) pair frame shared by
+    * [[simhashPairs]] (which adds the presentation sort) and
+    * [[simhashDigest]] (which folds it to per-bucket digests so the
+    * scale tiers never pay a global sort over the pair output).
+    */
+  private def simhashPairFrame(spark: SparkSession, sfDir: String,
+                               maxHamming: Int): DataFrame = {
     // persisted: the fingerprint frame feeds the distinct-hash band
     // join, the probe side and the doc-expansion side
     val fp = simhashFingerprints(spark, sfDir).persist()
@@ -934,8 +943,32 @@ object Dedup {
     probe.join(build, Seq("g", "salt"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** Bucketed digest of the simhash near-dup pair set: the same pair
+    * pipeline as [[simhashPairs]], folded to 64 per-bucket rows of
+    * count / hamming mass / order-independent row checksum / doc_b
+    * extrema. This is the gate the SCALE rehearsals run: at sf2 the
+    * pair output is ~600M rows and `dedup_simhash`'s oracle-mandated
+    * global sort costs more than finding the pairs — a production
+    * dedup pipeline consumes the pairs via a keyed aggregate (cluster
+    * fold, survivor pick), never a total order, so the digest is the
+    * faithful scale measurement AND a full-strength correctness gate
+    * (the md5 row checksum pins every (doc_a, doc_b, hamming) triple).
+    * All integers; the checksum sum stays within BIGINT to ~2e9 pairs
+    * per bucket (2^32-max addends) — far past the sf2 operating point.
+    */
+  def simhashDigest(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame =
+    simhashPairFrame(spark, sfDir, maxHamming)
+      .groupBy(pmod(col("doc_a"), lit(64)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("hamming").cast("long")).as("sum_hamming"),
+        sum(conv(substring(md5(concat(col("doc_a").cast("string"),
+          lit(","), col("doc_b").cast("string"), lit(","),
+          col("hamming").cast("string"))), 1, 8), 16, 10).cast("long"))
+          .cast("long").as("checksum"),
+        min("doc_b").as("min_doc_b"), max("doc_b").as("max_doc_b"))
+      .orderBy("bucket")
 
   /** Salt fan-out for [[simhashPairs]]' doc-expansion join — wide
     * enough to spread a degenerate fingerprint's expansion across a

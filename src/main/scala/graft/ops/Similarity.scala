@@ -381,12 +381,15 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("match_id").as("ivf_id"),
         col("cosine").as("ivf_cos"))
     // fleet × full index ground truth: salt-keyed block join, no
-    // broadcast hint on the corpus-sized index side (see adcScores)
+    // broadcast hint on the corpus-sized index side (see adcScores);
+    // shuffle_hash keeps the 32-key join out of sort-merge (a
+    // low-cardinality SMJ buffers the whole per-key group)
     val bf = qs.withColumn("blk",
         explode(sequence(lit(0), lit(BlockCrossSalt - 1))))
       .join(assigned.select(col("m_id"), col("m_emb"), col("m_nrm"))
         .withColumn("blk",
-          pmod(col("m_id"), lit(BlockCrossSalt)).cast("int")), "blk")
+          pmod(col("m_id"), lit(BlockCrossSalt)).cast("int"))
+        .hint("shuffle_hash"), "blk")
       .withColumn("cosine", dot(col("q_emb"), col("m_emb")) /
         (col("q_nrm") * col("m_nrm")))
       .groupBy("q_id")
@@ -904,6 +907,7 @@ object Similarity {
       if (boundedQueries) codesWide.crossJoin(broadcast(qTables))
       else codesWide
         .withColumn("blk", pmod(col("m_id"), lit(BlockCrossSalt)).cast("int"))
+        .hint("shuffle_hash") // 32-key join: keep out of sort-merge
         .join(qTables.withColumn("blk",
           explode(sequence(lit(0), lit(BlockCrossSalt - 1)))), "blk")
     scored.select(col("q_id"), col("m_id"),
@@ -1023,7 +1027,8 @@ object Similarity {
       .withColumn("blk", explode(sequence(lit(0), lit(BlockCrossSalt - 1))))
       .join(even.select(col("vec_id").as("b_id"), col("embedding").as("be"))
         .withColumn("blk",
-          pmod(col("b_id"), lit(BlockCrossSalt)).cast("int")), "blk")
+          pmod(col("b_id"), lit(BlockCrossSalt)).cast("int"))
+        .hint("shuffle_hash"), "blk")
       .withColumn("d",
         dot(col("qe"), col("qe")) - lit(2.0) * dot(col("qe"), col("be")) +
           dot(col("be"), col("be")))
@@ -1264,6 +1269,7 @@ object Similarity {
       if (boundedQueries) codesWide.join(broadcast(qTables), Seq("cell"))
       else codesWide
         .withColumn("blk", pmod(col("m_id"), lit(BlockCrossSalt)).cast("int"))
+        .hint("shuffle_hash") // low-cardinality key: no sort-merge
         .join(qTables.withColumn("blk",
           explode(sequence(lit(0), lit(BlockCrossSalt - 1)))), Seq("cell", "blk"))
     scored.select(col("q_id"), col("m_id"),
@@ -1361,7 +1367,8 @@ object Similarity {
       .withColumn("blk", explode(sequence(lit(0), lit(BlockCrossSalt - 1))))
       .join(even.select(col("vec_id").as("b_id"), col("embedding").as("be"))
         .withColumn("blk",
-          pmod(col("b_id"), lit(BlockCrossSalt)).cast("int")), "blk")
+          pmod(col("b_id"), lit(BlockCrossSalt)).cast("int"))
+        .hint("shuffle_hash"), "blk")
       .withColumn("d",
         dot(col("qe"), col("qe")) - lit(2.0) * dot(col("qe"), col("be")) +
           dot(col("be"), col("be")))

@@ -50,7 +50,9 @@ object ScaleUp {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val destDir = if (args.length > 1) args(1) else "target/scale/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
-    val fresh = args.length > 3 && args(3) == "fresh"
+    val mode = if (args.length > 3) args(3) else ""
+    val fresh = mode == "fresh" || mode == "clustered"
+    val clustered = mode == "clustered"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val hadSession = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession).isDefined
@@ -61,7 +63,7 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, srcDir, destDir, factor, fresh)
+    run(spark, srcDir, destDir, factor, fresh, clustered)
     // only tear down a session this main created (the spec reuses its own)
     if (!hadSession) spark.stop()
   }
@@ -117,8 +119,43 @@ object ScaleUp {
       case _ => df
     }
 
+  /** Number of planted centroids in `clustered` mode. 32 cells over
+    * the sf0.01 corpus (~600 vectors) gives ~19 members per cluster —
+    * enough that top-10 neighbor lists are intra-cluster — and over
+    * any larger fixture the per-cluster mass only grows.
+    */
+  val ClusterCount: Int = 32
+
+  /** Planted-cluster mixture for `clustered` mode: every embedding
+    * (all copies, including copy 0) becomes
+    * `centroid(cell(vec_id)) + emb/2`, where `cell = md5(vec_id) % K`
+    * and the centroid is the ±1/8 sign vector drawn from
+    * md5(cell ':' dim) parity (norm exactly 1 at dim 64). With the
+    * base corpus near-unit-norm and near-uniform, members of one cell
+    * land at pairwise cosine ≈ 0.77 and cross-cell pairs stay near
+    * the centroids' own random angles (≈ 0.1) — the clustered regime
+    * production ANN indexes actually serve, which the near-uniform
+    * base fixture cannot exhibit (BASELINE.md documents its honest
+    * 3/10 recall). IVF/PQ recall audits re-gate on this fixture with
+    * recall in a realistic band. Deterministic: both engines read the
+    * same parquet bytes, so no cross-engine float discipline applies
+    * to the mixture arithmetic itself.
+    */
+  private def plantClusters(df: DataFrame): DataFrame = {
+    val dim = 64
+    df.withColumn("embedding", expr(
+      s"""transform(sequence(0, ${dim - 1}), j -> CAST(
+         |  CASE WHEN conv(substring(md5(concat(
+         |      CAST(pmod(conv(substring(md5(CAST(vec_id AS STRING)),
+         |        1, 8), 16, 10), $ClusterCount) AS STRING),
+         |      ':', CAST(j AS STRING))), 1, 2), 16, 10) % 2 = 0
+         |    THEN 0.125 ELSE -0.125 END
+         |  + 0.5D * embedding[j] AS FLOAT))""".stripMargin))
+  }
+
   def run(spark: SparkSession, srcDir: String, destDir: String,
-          factor: Int, fresh: Boolean = false): Unit = {
+          factor: Int, fresh: Boolean = false,
+          clustered: Boolean = false): Unit = {
     // per key DOMAIN (not per table): orderkey offsets must agree between
     // orders and lineitem, custkey between customer and orders, etc.
     // Cross-table references beyond the obvious star FKs: embeddings'
@@ -180,7 +217,10 @@ object ScaleUp {
               d.withColumn(k,
                 (col(k) + lit(i.toLong * off)).cast(target))
             }
-            if (fresh && i > 0) refresh(t, shifted, i) else shifted
+            val refreshed =
+              if (fresh && i > 0) refresh(t, shifted, i) else shifted
+            if (clustered && t == "embeddings") plantClusters(refreshed)
+            else refreshed
           }.reduce(_ unionByName _)
       out.write.mode("overwrite").parquet(s"$destDir/$t.parquet")
       println(s"[scaleup] $t: ${df.count()} -> ${spark.read

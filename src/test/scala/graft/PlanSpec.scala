@@ -565,13 +565,16 @@ class PlanSpec extends SparkSpec {
       "dedup_clusters_star" -> 4,
       "curation_pipeline_semantic" -> 13,
       "semdedup" -> 16,
-      // 7 since the distinct-fingerprint fold: the extra exchanges are
-      // all distinct-hash-sized (distinct, band join, matched union)
-      // plus the per-fingerprint window and the bucket rollup — the
-      // corpus-scale frame is shuffled once
-      "mm_image_neardup" -> 7,
-      "mm_audio_neardup" -> 7,
-      "mm_video_neardup" -> 7,
+      // 13 since the two-level fold (r13): the per-fingerprint window
+      // became coarse-range suffix + fine within-range so a dominant
+      // fingerprint never serializes one task — the 6 extra exchanges
+      // are all on the slim (f, doc_id, h) frame keyed by (f, range)
+      // (range aggregate, range-suffix window, the offset join's two
+      // sides), the deliberate price of bounding every window
+      // partition at 2^RangeShift rows
+      "mm_image_neardup" -> 13,
+      "mm_audio_neardup" -> 13,
+      "mm_video_neardup" -> 13,
       // r12 additions: simhash's distinct-fingerprint fold (corpus
       // frame shuffles once; the rest are distinct-hash-sized) and the
       // sampled-stratum audits (same shapes as their full siblings —
@@ -579,7 +582,10 @@ class PlanSpec extends SparkSpec {
       "dedup_simhash" -> 6,
       "lsh_recall_sampled" -> 7,
       "knn_purity_sampled" -> 3,
-      "ann_probe_recall_sampled" -> 6,
+      // 8 since r13: the brute-force ground truth is a salt-keyed
+      // shuffle_hash block join (2 slim shuffles) instead of a pinned
+      // corpus broadcast
+      "ann_probe_recall_sampled" -> 8,
       // PQ tier: the exchanges are the two argmin combines, the
       // codebook-sized training mean, the codes-wide pivot and query
       // tables of the adcScores kernel, and the final per-vector fold —
@@ -595,8 +601,12 @@ class PlanSpec extends SparkSpec {
       // block joins; the candidate frame itself never shuffles
       "ivfpq_topk" -> 2,
       "ivfpq_cell_stats" -> 2,
-      "ivfpq_probe_recall" -> 8,
-      "ivfpq_probe_recall_sampled" -> 9,
+      // 16: the ADC block join and the exact ground truth are both
+      // salt-keyed shuffle_hash joins now — deterministic at every
+      // scale (the earlier 8–9 was AQE broadcast-demoting them at spec
+      // size); all the added exchanges carry salt-split slim frames
+      "ivfpq_probe_recall" -> 16,
+      "ivfpq_probe_recall_sampled" -> 16,
       "mm_image_dedup_survivors" -> 3,
       "mm_ann_topk" -> 6,
       "quality_lm_ppx" -> 7,

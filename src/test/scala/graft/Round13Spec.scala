@@ -80,6 +80,48 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("clustered fixture mode plants the regime production ANN " +
+       "serves: within-cell cosines high, cross-cell near-random") {
+    val dest = s"target/spec-scale/sf-clustered-${System.nanoTime()}"
+    graft.tools.ScaleUp.run(spark, sf, dest, factor = 1, fresh = true,
+      clustered = true)
+    graft.functions.GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"$dest/embeddings.parquet")
+      .withColumn("cell", pmod(conv(substring(
+        md5(col("vec_id").cast("string")), 1, 8), 16, 10).cast("long"),
+        lit(graft.tools.ScaleUp.ClusterCount.toLong)))
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        graft.ops.Similarity.norm2(col("embedding")).as("nrm"))
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select((col("a.cell") === col("b.cell")).as("same"),
+        (graft.ops.Similarity.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
+    val stats = pairs.groupBy("same")
+      .agg(avg("cos").as("mean"), min("cos").as("lo"), max("cos").as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getBoolean(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (wMean, wLo, _) = stats(true)
+    val (xMean, _, xHi) = stats(false)
+    assert(wMean > 0.6, s"within-cell mean cosine $wMean not clustered")
+    assert(xMean < 0.3, s"cross-cell mean cosine $xMean too high")
+    assert(wLo > xMean, s"within-cell min $wLo below cross-cell mean")
+    // every cell is populated — no empty planted centroid
+    assert(e.select("cell").distinct().count() ==
+      graft.tools.ScaleUp.ClusterCount)
+    // realistic-recall check: the composed IVF-PQ probe on the
+    // clustered corpus should recover most true neighbors (the
+    // near-uniform base fixture reads 3/10 — BASELINE.md documents
+    // why); this is the fixture's reason to exist
+    graft.ops.Memo.clearAll()
+    val r = graft.ops.Similarity.ivfpqProbeRecall(spark, dest).head()
+    val recall = r.getAs[Long]("n_top1_match").toDouble /
+      r.getAs[Long]("n_queries")
+    graft.ops.Memo.clearAll()
+    assert(recall > 0.5, s"clustered-fixture IVF-PQ recall $recall " +
+      "not in a realistic band")
+  }
+
   test("the memoized IVF-PQ model is bounded in storage and reclaimed " +
        "by Memo.clearAll") {
     graft.ops.Memo.clearAll()
