@@ -235,6 +235,10 @@ object SparkEntry {
     "ivfpq_probe_recall" -> ((s, d) => Similarity.ivfpqProbeRecall(s, d)),
     "ivfpq_probe_recall_sampled" ->
       ((s, d) => Similarity.ivfpqProbeRecallSampled(s, d)),
+    "ivfpq_rerank_topk" -> ((s, d) => Similarity.ivfpqRerankTopK(s, d)),
+    "ivfpq_rerank_recall" -> ((s, d) => Similarity.ivfpqRerankRecall(s, d)),
+    "ivfpq_rerank_recall_sampled" ->
+      ((s, d) => Similarity.ivfpqRerankRecallSampled(s, d)),
     "fk_integrity" -> (Quality.fkIntegrity _),
     "pareto_concentration" -> (Analytics.paretoConcentration _),
     "dataset_card" -> (Quality.datasetCard _),
@@ -792,11 +796,45 @@ object SparkEntry {
     * join from the ground-truth side keeps it counted as a miss).
     */
   private def ivfpqRecallTail(bfExtra: String): String =
+    ivfpqRecallCompare(
+      """adc1 AS (SELECT q_id, m_id AS adc_id FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY adc_dist ASC, m_id ASC) AS rn
+        |  FROM adc) WHERE rn = 1)""".stripMargin, bfExtra)
+
+  /** The IVFADC+R tail: ADC keeps its top-R per probe, ONLY those R
+    * candidates join raw embeddings for the exact-L2 argmin (the
+    * re-rank stage), then the same ground-truth compare as
+    * [[ivfpqRecallTail]].
+    */
+  private def ivfpqRerankTail(bfExtra: String, r: Int): String =
+    ivfpqRecallCompare(
+      s"""rcand AS (SELECT q_id, m_id FROM (
+        |  SELECT q_id, m_id, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY adc_dist ASC, m_id ASC) AS rn
+        |  FROM adc) WHERE rn <= $r),
+        |rr AS (SELECT c.q_id, c.m_id,
+        |    list_sum([o.embedding[i]::DOUBLE * o.embedding[i]::DOUBLE
+        |      for i in range(1, 65)])
+        |  - 2 * list_sum([o.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |      for i in range(1, 65)])
+        |  + list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |      for i in range(1, 65)]) AS d
+        |  FROM rcand c JOIN embeddings b ON b.vec_id = c.m_id
+        |    JOIN embeddings o ON o.vec_id = c.q_id),
+        |adc1 AS (SELECT q_id, m_id AS adc_id FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY d ASC, m_id ASC) AS rn
+        |  FROM rr) WHERE rn = 1)""".stripMargin, bfExtra)
+
+  /** Shared ground-truth compare over a `adc1(q_id, adc_id)` best-
+    * candidate CTE: exact-L2 brute force over the full even index, the
+    * probed-cell membership of the exact winner, null-safe final
+    * counts.
+    */
+  private def ivfpqRecallCompare(bestCte: String, bfExtra: String): String =
     s""",
-      |adc1 AS (SELECT q_id, m_id AS adc_id FROM (
-      |  SELECT *, row_number() OVER (
-      |    PARTITION BY q_id ORDER BY adc_dist ASC, m_id ASC) AS rn
-      |  FROM adc) WHERE rn = 1),
+      |$bestCte,
       |bfd AS (SELECT o.vec_id AS q_id, b.vec_id AS b_id,
       |    list_sum([o.embedding[i]::DOUBLE * o.embedding[i]::DOUBLE
       |      for i in range(1, 65)])
@@ -3308,10 +3346,16 @@ object SparkEntry {
         |SELECT cell, count(*) AS n_vectors,
         |  CAST(min(vec_id) AS BIGINT) AS first_vec
         |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin),
+    // distortion_micro: per-row floor to BIGINT micro-units BEFORE the
+    // sum (the dsir/bm25 floor discipline) — the residual chain runs
+    // through the coarse centroid's decimal→double conversion, which
+    // can differ by 1 ulp between engines (Spark BigDecimal rounds
+    // once, DuckDB's int128-scaled decimal double-rounds); flooring at
+    // the source absorbs it, a raw decimal sum of the doubles does not
     "ivfpq_distortion" -> (ivfpqCtes + """
         |SELECT CAST(s AS BIGINT) AS subspace, COUNT(*) AS n_vectors,
-        |  CAST(round(SUM(CAST(dist AS DECIMAL(30,12))), 6)
-        |       AS DECIMAL(38,6)) AS distortion
+        |  CAST(SUM(CAST(floor(dist * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    AS distortion_micro
         |FROM rcodes GROUP BY 1 ORDER BY 1""".stripMargin),
     // composed-path fleet recall: residual-ADC top-1 over the probed
     // cells vs exact-L2 top-1 over the FULL even index, plus the IVF
@@ -3323,6 +3367,27 @@ object SparkEntry {
       "\n  AND ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 100 < 20") +
       ivfpqRecallTail(
         "\n    AND ('0x' || substr(md5(o.vec_id::VARCHAR), 1, 8))::BIGINT % 100 < 20")),
+    // IVFADC+R: the exact re-rank of the ADC top-R — exact_dist is a
+    // pure raw-float fold (q·q − 2·q·b + b·b), no centroid chain, so
+    // the doubles hash directly
+    "ivfpq_rerank_topk" -> (ivfpqCtes + s"""
+        |,rcand AS (SELECT m_id FROM adc
+        |  ORDER BY adc_dist ASC, m_id ASC LIMIT ${ops.Similarity.IvfPqRerankR})
+        |SELECT b.vec_id,
+        |    q.sq
+        |  - 2 * list_sum([q.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |      for i in range(1, 65)])
+        |  + list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |      for i in range(1, 65)]) AS exact_dist
+        |FROM rcand c JOIN embeddings b ON b.vec_id = c.m_id, qsrc q
+        |ORDER BY exact_dist ASC, b.vec_id ASC LIMIT 10""".stripMargin),
+    "ivfpq_rerank_recall" -> (ivfpqProbeCtes +
+      ivfpqRerankTail("", ops.Similarity.IvfPqRerankR)),
+    "ivfpq_rerank_recall_sampled" -> (ivfpqProbeCtesWith(
+      "\n  AND ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 100 < 20") +
+      ivfpqRerankTail(
+        "\n    AND ('0x' || substr(md5(o.vec_id::VARCHAR), 1, 8))::BIGINT % 100 < 20",
+        ops.Similarity.IvfPqRerankR)),
 
     "ivf_recall" ->
       """WITH nrm AS (SELECT vec_id, label, embedding,

@@ -1143,22 +1143,29 @@ object Similarity {
     (c1, assigned)
   }
 
-  /** Memoized IVF-PQ index builds, keyed (session, dir, variant:part) —
-    * the index-build-once/serve-many shape of a real deployment: the
-    * trained centroid axis, residual codebook and coded index are
-    * materialized via localCheckpoint, so every consumer (top-k, the
-    * audits, each micro-batch of the online probe) plans against slim
-    * RDD leaves instead of replaying the two-stage training DAG per
-    * consumer (which multiplied the plan's exchange count ~10×).
-    * Registered with [[Memo]] so the bench's clearAll keeps cold
-    * timings honest.
+  /** Memoized IVF-PQ index builds, keyed (SparkContext, dir,
+    * variant:part) — the index-build-once/serve-many shape of a real
+    * deployment: the trained centroid axis, residual codebook and
+    * coded index are materialized via localCheckpoint, so every
+    * consumer (top-k, the audits, each micro-batch of the online
+    * probe) plans against slim RDD leaves instead of replaying the
+    * two-stage training DAG per consumer (which multiplied the plan's
+    * exchange count ~10×). Keyed on the CONTEXT, not the session:
+    * localCheckpoint blocks live in the shared SparkContext, so the
+    * cloned per-drain sessions ([[graft.streaming.StreamAssembly]]'s
+    * withDrainConf) reuse the model instead of retraining it per drain
+    * (the r13 2× stream_pq_probe regression) and no dead session keys
+    * accumulate. Registered with [[Memo]] so the bench's clearAll
+    * keeps cold timings honest.
     */
-  private val ivfpqCache = Memo.registry[(SparkSession, String, String)]
+  private val ivfpqCache =
+    Memo.registry[(org.apache.spark.SparkContext, String, String)]
 
   private def ivfpqMemo(spark: SparkSession, sfDir: String, tag: String)(
       build: => (DataFrame, DataFrame, DataFrame)): (DataFrame, DataFrame, DataFrame) =
     ivfpqCache.synchronized {
-      val keys = Seq("cents", "cb", "codes").map(p => (spark, sfDir, s"$tag:$p"))
+      val keys = Seq("cents", "cb", "codes")
+        .map(p => (spark.sparkContext, sfDir, s"$tag:$p"))
       if (!keys.forall(ivfpqCache.contains)) {
         val (cents, cb, codes) = build
         ivfpqCache.put(keys(0), cents.localCheckpoint(true))
@@ -1298,6 +1305,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ search with the exact re-rank stage (IVFADC+R, Jégou et
+    * al. 2011 §VII — the production serving shape): ADC over the
+    * probed cells keeps the top `r` candidates, ONLY those `r` rows
+    * join back to the raw corpus for exact L2, and the final top-k is
+    * exact-ordered. Per query the raw-vector traffic is r rows
+    * (broadcast candidate semi-join against the scan — map-side), so
+    * the compressed index still does all the winnowing; the re-rank
+    * recovers the ADC compression loss inside the probed cells.
+    * Output distances are pure raw-float folds (no centroid chain), so
+    * the gate hashes them directly.
+    */
+  def ivfpqRerankTopK(spark: SparkSession, sfDir: String,
+                      queryId: Long = 0L, k: Int = 10,
+                      r: Int = IvfPqRerankR): DataFrame = {
+    val (cents, cb, codes) = ivfpqModel(spark, sfDir)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val qtab = cellResidualTables(q, cents, cb)
+    val cand = adcScoresCell(
+        codes.filter(col("vec_id") =!= queryId)
+          .select(col("vec_id").as("m_id"), col("cell"), col("s"), col("cid")),
+        qtab)
+      .orderBy(asc("adc"), asc("m_id")).limit(r)
+      .select("m_id")
+    e.select(col("vec_id").as("m_id"), col("embedding").as("be"))
+      .join(broadcast(cand), "m_id")
+      .crossJoin(broadcast(q.select(col("embedding").as("qe"))))
+      .select(col("m_id").as("vec_id"),
+        (dot(col("qe"), col("qe")) - lit(2.0) * dot(col("qe"), col("be")) +
+          dot(col("be"), col("be"))).as("exact_dist"))
+      .orderBy(asc("exact_dist"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Coarse-index health report: per-cell vector count + lowest member
     * id — the cell-balance number that decides nProbe (a starved or
     * overloaded cell means the coarse quantizer mis-fits). All-BIGINT.
@@ -1316,13 +1359,23 @@ object Similarity {
     * smaller signal: this report against pq_distortion's is the
     * measured argument for residual coding (Jégou et al.'s IVFADC-vs-
     * ADC comparison as two gated rows).
+    *
+    * Gate discipline: each per-(vector, subspace) `dist` is floored to
+    * BIGINT micro-units AT THE SOURCE and the sum is pure integer
+    * arithmetic — unlike the flat sibling, the residual chain passes
+    * through the coarse centroid's decimal(30,15)→DOUBLE conversion,
+    * where Spark's BigDecimal rounds once but DuckDB's int128-scaled
+    * decimal can double-round: a 1-ulp centroid component shifts every
+    * downstream dist by ulps, which a raw decimal sum of doubles
+    * faithfully hashes apart (the r13 red gate). Micro-flooring
+    * absorbs ulp-scale divergence; ranks were never affected
+    * (ivfpq_topk / ivfpq_cell_stats stayed green throughout).
     */
   def ivfpqDistortion(spark: SparkSession, sfDir: String): DataFrame =
     ivfpqModel(spark, sfDir)._3
       .groupBy(col("s").cast("long").as("subspace"))
       .agg(count(lit(1)).as("n_vectors"),
-        round(sum(col("dist").cast("decimal(30,12)")), 6)
-          .cast("decimal(38,6)").as("distortion"))
+        sum(floor(col("dist") * lit(1e6)).cast("long")).as("distortion_micro"))
       .orderBy("subspace")
 
   /** Fleet recall of the COMPOSED path: every odd vector probes the
@@ -1346,8 +1399,35 @@ object Similarity {
                               pct: Int = 20): DataFrame =
     ivfpqProbeRecallStratum(spark, sfDir, Some(pct))
 
+  /** Candidates kept for the exact re-rank stage (IVFADC+R, Jégou et
+    * al. 2011 §VII): ADC orders the probed cells' codes, the top R
+    * survivors are re-scored with EXACT L2 against their raw vectors.
+    * R bounds the raw-vector reads per query — the serving trade-off
+    * knob between ADC's compression loss and exact-scan cost.
+    */
+  val IvfPqRerankR: Int = 50
+
+  /** [[ivfpqProbeRecall]] with the re-rank stage in the loop: per
+    * probe, ADC keeps its top [[IvfPqRerankR]] candidates and only
+    * those R rows join back to raw embeddings for an exact-L2 argmin.
+    * Against the probe audit this prices exactly what re-ranking buys:
+    * n_top1_match should approach n_bf_in_probed (the IVF ceiling),
+    * because within the probed cells the only remaining loss is a true
+    * neighbor falling off the ADC top-R.
+    */
+  def ivfpqRerankRecall(spark: SparkSession, sfDir: String): DataFrame =
+    ivfpqProbeRecallStratum(spark, sfDir, None, rerank = Some(IvfPqRerankR))
+
+  /** [[ivfpqRerankRecall]] on the md5-coin 20% stratum. */
+  def ivfpqRerankRecallSampled(spark: SparkSession, sfDir: String,
+                               pct: Int = 20): DataFrame =
+    ivfpqProbeRecallStratum(spark, sfDir, Some(pct),
+      rerank = Some(IvfPqRerankR))
+
   private def ivfpqProbeRecallStratum(spark: SparkSession, sfDir: String,
-                                      pct: Option[Int]): DataFrame = {
+                                      pct: Option[Int],
+                                      rerank: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val (cents, cb, codes) = ivfpqProbeModel(spark, sfDir)
     val even = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 2 === 0)
     val odd0 = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 2 === 1)
@@ -1355,13 +1435,36 @@ object Similarity {
       odd0.filter(TrainingSets.bucket100(col("vec_id")) < p))
     val qtab = cellResidualTables(
       odd.select(col("vec_id").as("q_id"), col("embedding")), cents, cb)
-    val adc1 = adcScoresCell(
-        codes.select(col("vec_id").as("m_id"), col("cell"), col("s"),
-          col("cid")),
-        qtab, boundedQueries = false)
-      .groupBy("q_id")
-      .agg(min(struct(col("adc"), col("m_id"))).as("best"))
-      .select(col("q_id"), col("best.m_id").as("adc_id"))
+    val scored = adcScoresCell(
+      codes.select(col("vec_id").as("m_id"), col("cell"), col("s"),
+        col("cid")),
+      qtab, boundedQueries = false)
+    val adc1 = rerank match {
+      case None =>
+        scored.groupBy("q_id")
+          .agg(min(struct(col("adc"), col("m_id"))).as("best"))
+          .select(col("q_id"), col("best.m_id").as("adc_id"))
+      case Some(r) =>
+        // IVFADC+R: only the ADC top-R rows per query touch raw
+        // vectors again — fleet·R slim rows against two embedding
+        // equi-joins, never the index
+        val cand = scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("q_id").orderBy(asc("adc"), asc("m_id"))))
+          .filter(col("rn") <= r)
+          .select("q_id", "m_id")
+        cand
+          .join(even.select(col("vec_id").as("m_id"),
+            col("embedding").as("be")), "m_id")
+          .join(odd.select(col("vec_id").as("q_id"),
+            col("embedding").as("qe")), "q_id")
+          .withColumn("d",
+            dot(col("qe"), col("qe")) - lit(2.0) * dot(col("qe"), col("be")) +
+              dot(col("be"), col("be")))
+          .groupBy("q_id")
+          .agg(min(struct(col("d"), col("m_id"))).as("best"))
+          .select(col("q_id"), col("best.m_id").as("adc_id"))
+    }
     // exact ground truth: fleet × full index, salt-keyed block join
     val bf1 = odd.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
       .withColumn("blk", explode(sequence(lit(0), lit(BlockCrossSalt - 1))))

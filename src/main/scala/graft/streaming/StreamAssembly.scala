@@ -2229,13 +2229,17 @@ object StreamAssembly {
       .select(col("vec_id"), col("embedding"))
       .repartition(nFiles)
       .write.mode("overwrite").parquet(srcDir)
+    // static: centroid axis + residual codebook + 8-byte-and-a-cell
+    // index codes. Built on the OUTER session BEFORE the drain clone —
+    // the model memo is context-keyed and the checkpointed blocks are
+    // session-portable, so the build runs under the full shuffle conf
+    // and is shared with the batch ivfpq_* consumers instead of being
+    // retrained inside every drain (the r13 2× regression)
+    val (centsS, cbS, codesD) = Similarity.ivfpqProbeModel(spark, sfDir)
+    val codes = codesD
+      .select(col("vec_id").as("m_id"), col("cell"), col("s"), col("cid"))
     withDrainConf(spark) { ds =>
       graft.functions.GraftFunctions.register(ds)
-      // static: centroid axis + residual codebook + 8-byte-and-a-cell
-      // index codes — already materialized once by the model memo
-      val (centsS, cbS, codesD) = Similarity.ivfpqProbeModel(ds, sfDir)
-      val codes = codesD
-        .select(col("vec_id").as("m_id"), col("cell"), col("s"), col("cid"))
       val embSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vec_id",
           org.apache.spark.sql.types.LongType),

@@ -146,8 +146,8 @@ object ScaleUp {
     df.withColumn("embedding", expr(
       s"""transform(sequence(0, ${dim - 1}), j -> CAST(
          |  CASE WHEN conv(substring(md5(concat(
-         |      CAST(pmod(conv(substring(md5(CAST(vec_id AS STRING)),
-         |        1, 8), 16, 10), $ClusterCount) AS STRING),
+         |      CAST(pmod(CAST(conv(substring(md5(CAST(vec_id AS STRING)),
+         |        1, 8), 16, 10) AS BIGINT), $ClusterCount) AS STRING),
          |      ':', CAST(j AS STRING))), 1, 2), 16, 10) % 2 = 0
          |    THEN 0.125 ELSE -0.125 END
          |  + 0.5D * embedding[j] AS FLOAT))""".stripMargin))

@@ -601,6 +601,15 @@ class PlanSpec extends SparkSpec {
       // block joins; the candidate frame itself never shuffles
       "ivfpq_topk" -> 2,
       "ivfpq_cell_stats" -> 2,
+      "ivfpq_distortion" -> 2,
+      // rerank (IVFADC+R): +1 over ivfpq_topk — the bounded top-R
+      // candidate frame's single-partition limit; the raw-vector
+      // re-rank itself joins broadcast-side (no corpus exchange)
+      "ivfpq_rerank_topk" -> 3,
+      // +2 over the probe audits: the per-query top-R window and the
+      // fleet·R re-rank equi-join — both on slim candidate frames
+      "ivfpq_rerank_recall" -> 18,
+      "ivfpq_rerank_recall_sampled" -> 18,
       // 16: the ADC block join and the exact ground truth are both
       // salt-keyed shuffle_hash joins now — deterministic at every
       // scale (the earlier 8–9 was AQE broadcast-demoting them at spec
