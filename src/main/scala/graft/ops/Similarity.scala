@@ -1161,6 +1161,13 @@ object Similarity {
   private val ivfpqCache =
     Memo.registry[(org.apache.spark.SparkContext, String, String)]
 
+  /** Exact-L2 ground-truth frames shared by the probe/rerank recall
+    * audits, keyed (context, dir, stratum) — see the bf1 comment in
+    * [[ivfpqProbeRecallStratum]].
+    */
+  private val bfCache =
+    Memo.registry[(org.apache.spark.SparkContext, String, String)]
+
   private def ivfpqMemo(spark: SparkSession, sfDir: String, tag: String)(
       build: => (DataFrame, DataFrame, DataFrame)): (DataFrame, DataFrame, DataFrame) =
     ivfpqCache.synchronized {
@@ -1465,19 +1472,28 @@ object Similarity {
           .agg(min(struct(col("d"), col("m_id"))).as("best"))
           .select(col("q_id"), col("best.m_id").as("adc_id"))
     }
-    // exact ground truth: fleet × full index, salt-keyed block join
-    val bf1 = odd.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      .withColumn("blk", explode(sequence(lit(0), lit(BlockCrossSalt - 1))))
-      .join(even.select(col("vec_id").as("b_id"), col("embedding").as("be"))
-        .withColumn("blk",
-          pmod(col("b_id"), lit(BlockCrossSalt)).cast("int"))
-        .hint("shuffle_hash"), "blk")
-      .withColumn("d",
-        dot(col("qe"), col("qe")) - lit(2.0) * dot(col("qe"), col("be")) +
-          dot(col("be"), col("be")))
-      .groupBy("q_id")
-      .agg(min(struct(col("d"), col("b_id"))).as("best"))
-      .select(col("q_id"), col("best.b_id").as("bf_id"))
+    // exact ground truth: fleet × full index, salt-keyed block join.
+    // Memoized (context, dir, stratum) — the probe audit and the
+    // rerank audit share the identical ground-truth frame, and it is
+    // by far the dominant cost of both (the fleet×index quadratic);
+    // the checkpointed result is fleet-sized (2 longs/row)
+    val bf1 = bfCache.synchronized {
+      val key = (spark.sparkContext, sfDir, s"bf:${pct.getOrElse(100)}")
+      bfCache.getOrElseUpdate(key,
+        odd.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+          .withColumn("blk", explode(sequence(lit(0), lit(BlockCrossSalt - 1))))
+          .join(even.select(col("vec_id").as("b_id"), col("embedding").as("be"))
+            .withColumn("blk",
+              pmod(col("b_id"), lit(BlockCrossSalt)).cast("int"))
+            .hint("shuffle_hash"), "blk")
+          .withColumn("d",
+            dot(col("qe"), col("qe")) - lit(2.0) * dot(col("qe"), col("be")) +
+              dot(col("be"), col("be")))
+          .groupBy("q_id")
+          .agg(min(struct(col("d"), col("b_id"))).as("best"))
+          .select(col("q_id"), col("best.b_id").as("bf_id"))
+          .localCheckpoint(true))
+    }
     // the IVF ceiling: was the exact winner's cell probed at all?
     val bfCell = bf1.join(
       codes.select(col("vec_id").as("bf_id"), col("cell")).distinct(), "bf_id")
