@@ -94,6 +94,8 @@ object SparkEntry {
     "ann_probe_recall" -> ((s, d) => Similarity.annProbeRecall(s, d)),
     "stream_pq_probe" ->
       ((s, d) => graft.streaming.StreamAssembly.streamPqProbe(s, d)),
+    "stream_pq_index_append" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamPqIndexAppend(s, d)),
     "ann_probe_recall_sampled" ->
       ((s, d) => Similarity.annProbeRecallSampled(s, d)),
     "stream_media_decode" ->
@@ -3282,6 +3284,34 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY q_id ORDER BY adc_dist ASC, m_id ASC) AS rn
         |  FROM adc) WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+    // streaming index maintenance: each incoming (odd) vector coded
+    // against the FROZEN even-half model — nearest coarse cell (rn=1
+    // of the same qcd ranking the probe uses), residual, per-subspace
+    // nearest residual codeword — the oracle replays training + the
+    // identical assignment folds; all-integer output
+    "stream_pq_index_append" -> (ivfpqProbeCtes + s"""
+        |,qcell AS (SELECT q_id AS vec_id, cid AS cell,
+        |    [embedding[i]::DOUBLE - cemb[i] for i in range(1, 65)] AS qr
+        |  FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY dist, cid) AS rn FROM qcd)
+        |  WHERE rn = 1),
+        |qsub2 AS (SELECT vec_id, cell, t.s AS s,
+        |    [qr[t.s * ${ops.Similarity.PqSubDim} + i]
+        |     for i in range(1, ${ops.Similarity.PqSubDim + 1})] AS sv
+        |  FROM qcell, range(0, ${ops.Similarity.PqSubspaces}) t(s)),
+        |qds2 AS (SELECT u.vec_id, u.cell, u.s, c.cid,
+        |    list_sum([u.sv[i] * u.sv[i]
+        |      for i in range(1, ${ops.Similarity.PqSubDim + 1})])
+        |  - 2 * list_sum([u.sv[i] * c.cv[i]
+        |      for i in range(1, ${ops.Similarity.PqSubDim + 1})])
+        |  + list_sum([c.cv[i] * c.cv[i]
+        |      for i in range(1, ${ops.Similarity.PqSubDim + 1})]) AS dist
+        |  FROM qsub2 u JOIN rcb c USING (s))
+        |SELECT vec_id, cell, CAST(s AS BIGINT) AS s, cid FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rn
+        |  FROM qds2) WHERE rn = 1
+        |ORDER BY vec_id, s""".stripMargin),
     // fleet-level compressed-index recall: every odd probe's ADC top-1
     // vs its exact-L2 top-1 over the same even index, integer counts
     "pq_probe_recall" -> (pqProbeCtes + """,

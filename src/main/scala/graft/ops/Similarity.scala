@@ -1312,6 +1312,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** Code a batch of vectors against a FROZEN IVF-PQ model — the index
+    * WRITE path (the maintenance side [[graft.streaming.StreamAssembly
+    * .streamPqIndexAppend]] drains): nearest-cell argmin against the
+    * broadcast centroid axis, residual against that cell's centroid,
+    * per-subspace nearest residual codeword from the broadcast
+    * codebook. Entirely row-local given the two broadcasts (the only
+    * exchanges are the two argmin partial-agg combines), so coding is
+    * batch-boundary independent by construction. Every fold is the
+    * exact expression the training side computes ([[coarseQuantize]]'s
+    * assignment, [[pqTrain]]'s distance), so a vector coded online
+    * gets the identical (cell, codeword) row it would get in a batch
+    * rebuild. Returns (vec_id, cell, s, cid).
+    */
+  private[graft] def ivfpqCode(vecs: DataFrame, cents: DataFrame,
+                               cb: DataFrame): DataFrame = {
+    val assigned = vecs
+      .select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("sq"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist",
+        col("sq") + col("csq") - lit(2.0) * dot(col("embedding"), col("cemb")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"))).as("best"),
+        first("embedding").as("embedding"))
+      .select(col("vec_id"), col("best.cid").as("cell"), col("embedding"))
+      .join(broadcast(cents.select(col("cid").as("cell"), col("cemb"))),
+        "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("cemb"),
+          (a, b) => a.cast("double") - b).as("embedding"))
+    assigned
+      .select(col("vec_id"), col("cell"),
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("s"),
+        col("embedding"))
+      .withColumn("sv",
+        expr(s"slice(embedding, s * $PqSubDim + 1, $PqSubDim)"))
+      .join(broadcast(cb), "s")
+      .withColumn("dist",
+        dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) +
+          dot(col("cv"), col("cv")))
+      .groupBy(col("vec_id"), col("cell"), col("s"))
+      .agg(min(struct(col("dist"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("cell"), col("s"),
+        col("best.cid").cast("long").as("cid"))
+  }
+
   /** IVF-PQ search with the exact re-rank stage (IVFADC+R, Jégou et
     * al. 2011 §VII — the production serving shape): ADC over the
     * probed cells keeps the top `r` candidates, ONLY those `r` rows

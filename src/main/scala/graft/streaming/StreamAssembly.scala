@@ -2275,6 +2275,68 @@ object StreamAssembly {
       .orderBy("vec_id")
   }
 
+  /** STREAMING INDEX MAINTENANCE — the WRITE path that completes the
+    * vector-index lifecycle (build: [[graft.ops.Similarity
+    * .ivfpqProbeModel]]; serve: [[streamPqProbe]]; maintain: THIS):
+    * new vectors arrive in micro-batches and are coded against the
+    * FROZEN model — nearest coarse cell, residual, per-subspace
+    * nearest residual codeword ([[graft.ops.Similarity.ivfpqCode]]) —
+    * and each batch appends its 4-int-per-subspace code rows as a new
+    * index segment (what a production vector store calls a segment
+    * flush; compaction is the same additive fold the SummingMergeTree
+    * sinks already model). Coding is row-local given the two model
+    * broadcasts, so the drained index is batch-boundary-independent
+    * and a vector coded online is bit-identical to a batch rebuild's
+    * row. Oracle replays training + the same assignment folds; the
+    * gate hashes the full appended (vec_id, cell, s, cid) frame.
+    */
+  def streamPqIndexAppend(spark: SparkSession, sfDir: String,
+                          nFiles: Int = 3): DataFrame = {
+    import java.nio.file.Files
+    import graft.ops.Similarity
+    val tmp = Files.createTempDirectory("graft_pq_append").toString
+    val outDir = s"$tmp/segments"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = s"$tmp/incoming"
+    graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(srcDir)
+    // frozen model, built/reused on the outer session (context-keyed
+    // memo — shared with the probe drain and the batch consumers)
+    val (centsS, cbS, _) = Similarity.ivfpqProbeModel(spark, sfDir)
+    withDrainConf(spark) { ds =>
+      graft.functions.GraftFunctions.register(ds)
+      val embSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))
+      val stream = ds.readStream
+        .schema(embSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val query = stream.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          Similarity.ivfpqCode(batch, centsS, cbS)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/segment=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(outDir)
+      .select(col("vec_id"), col("cell"), col("s").cast("long").as("s"),
+        col("cid"))
+      .orderBy("vec_id", "s")
+  }
+
   /** STREAMING MULTIMODAL INGEST drained end-to-end — the continuous
     * media-ingest topology (new binary assets decoded and profiled as
     * they arrive): doc ids stream one file per micro-batch; each batch

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-14 additions: the IVFADC+R re-rank stage's exactness
+  * contract, the write-path/build-path coding agreement behind the
+  * streaming index-append drain, and the rerank-dominance invariant
+  * the two recall audits must satisfy together.
+  */
+class Round14Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("online coding reproduces the batch build bit-for-bit: every " +
+       "index vector recoded against the frozen model gets its own " +
+       "(cell, codeword) rows back") {
+    import graft.ops.Similarity
+    graft.ops.Memo.clearAll()
+    val (cents, cb, codes) = Similarity.ivfpqProbeModel(spark, sf)
+    val even = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val recoded = Similarity.ivfpqCode(even, cents, cb)
+    // symmetric difference must be empty — the write path (streaming
+    // append) and the build path (batch train+assign) agree exactly
+    val modelRows = codes.select("vec_id", "cell", "s", "cid")
+    val diff = recoded.exceptAll(modelRows)
+      .unionAll(modelRows.exceptAll(recoded))
+    assert(diff.isEmpty, "online ivfpqCode diverged from the model's codes")
+    graft.ops.Memo.clearAll()
+  }
+
+  test("the re-rank stage is EXACT over its candidates: with R covering " +
+       "every probed-cell member, rerank top-k equals brute-force L2 " +
+       "top-k restricted to the probed cells") {
+    import graft.ops.Similarity
+    graft.ops.Memo.clearAll()
+    val n = graft.Tables.embeddings(spark, sf).count().toInt
+    // R >= corpus: the ADC top-R cut keeps ALL probed-cell candidates,
+    // so the re-rank must return the exact-L2 answer over that set
+    val rr = Similarity.ivfpqRerankTopK(spark, sf, queryId = 0L, k = 5,
+        r = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val (cents, cb, codes) = Similarity.ivfpqModel(spark, sf)
+    val q = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qe"))
+    val probed = Similarity.cellResidualTables(
+        graft.Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+          .select(col("vec_id").as("q_id"), col("embedding")), cents, cb)
+      .select("cell").distinct().collect().map(_.getLong(0)).toSet
+    val exact = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") =!= 0L)
+      .join(codes.filter(col("s") === 0)
+        .filter(col("cell").isin(probed.toSeq: _*)).select("vec_id"),
+        "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (graft.ops.Similarity.dot(col("qe"), col("qe")) -
+          lit(2.0) * graft.ops.Similarity.dot(col("qe"), col("embedding")) +
+          graft.ops.Similarity.dot(col("embedding"), col("embedding")))
+          .as("d"))
+      .orderBy(asc("d"), asc("vec_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rr.toSeq == exact.toSeq,
+      s"rerank ${rr.toSeq} != exact-over-probed ${exact.toSeq}")
+    graft.ops.Memo.clearAll()
+  }
+
+  test("re-ranking never loses a match: rerank top-1 agreement " +
+       "dominates ADC-only agreement (the ADC winner is always in the " +
+       "candidate set, and the exact argmin keeps any true winner)") {
+    import graft.ops.Similarity
+    graft.ops.Memo.clearAll()
+    val adc = Similarity.ivfpqProbeRecall(spark, sf).head()
+    val rr = Similarity.ivfpqRerankRecall(spark, sf).head()
+    assert(adc.getAs[Long]("n_queries") == rr.getAs[Long]("n_queries"))
+    // same probed cells, same ceiling
+    assert(adc.getAs[Long]("n_bf_in_probed") ==
+      rr.getAs[Long]("n_bf_in_probed"))
+    assert(rr.getAs[Long]("n_top1_match") >= adc.getAs[Long]("n_top1_match"),
+      "re-ranking reduced top-1 agreement")
+    // and the rerank can never beat the IVF ceiling
+    assert(rr.getAs[Long]("n_top1_match") <= rr.getAs[Long]("n_bf_in_probed"))
+    graft.ops.Memo.clearAll()
+  }
+}
