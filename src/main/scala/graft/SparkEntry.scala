@@ -96,6 +96,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamAssembly.streamPqProbe(s, d)),
     "stream_pq_index_append" ->
       ((s, d) => graft.streaming.StreamAssembly.streamPqIndexAppend(s, d)),
+    "stream_nb_probe" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamNbProbe(s, d)),
     "ann_probe_recall_sampled" ->
       ((s, d) => Similarity.annProbeRecallSampled(s, d)),
     "stream_media_decode" ->
@@ -171,6 +173,8 @@ object SparkEntry {
     "q15_top_supplier" -> (StarQueries.q15TopSupplier _),
     "target_mix_sample" -> ((s, d) => TrainingSets.targetMixSample(s, d)),
     "dsir_importance" -> ((s, d) => TrainingSets.dsirImportance(s, d)),
+    "nb_langid_classifier" ->
+      ((s, d) => TrainingSets.nbLangidClassifier(s, d)),
     "q18_large_volume" -> ((s, d) => StarQueries.q18LargeVolume(s, d)),
     "q9_product_profit" -> ((s, d) => StarQueries.q9ProductProfit(s, d)),
     "q11_important_parts" -> ((s, d) => StarQueries.q11ImportantParts(s, d)),
@@ -322,6 +326,65 @@ object SparkEntry {
     "kl_source_drift" -> ((s, d) => CorpusStats.klSourceDrift(s, d)),
     "preference_pairs" -> ((s, d) => TrainingSets.preferencePairs(s, d))
   )
+
+  /** Shared NB-classifier oracle CTE stack (nb_langid_classifier and
+    * stream_nb_probe — one replay of the training + scoring
+    * arithmetic, two (train, score) populations): model trained on
+    * `trainPred` docs (Laplace-smoothed priors + full-grid hashed-
+    * bucket likelihoods, each through its own PortableLn ladder
+    * floored to micro-nats), every `scorePred` doc argmax-classified
+    * with exact integer scores. Ends with `pred` =
+    * (doc_id, true_lang, pred_lang).
+    */
+  private def nbOracleCtes(trainPred: String, scorePred: String): String = {
+    val nB = ops.TrainingSets.NbBuckets
+    // keep-column named `cls`, not `s` — the ladder's internal
+    // stages project x/e/s/u and a keep column `s` would collide
+    val (likCtes, likOut) = functions.PortableLn.sqlCtes(
+      "nl", "grid", Seq("cls", "b"),
+      s"(c_sb + 1)::DOUBLE / (c_s + $nB)::DOUBLE", "lnx")
+    val (priCtes, priOut) = functions.PortableLn.sqlCtes(
+      "np", "classes, dtot", Seq("cls"),
+      "(d_s + 1)::DOUBLE / (d_tot + n_classes)::DOUBLE", "lnx")
+    s"""WITH tok AS (SELECT doc_id, lang,
+      |    ('0x' || substr(md5(w), 1, 8))::BIGINT % $nB AS b
+      |  FROM (SELECT doc_id, lang,
+      |      unnest(string_split(text, ' ')) AS w FROM documents)),
+      |classes AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS d_s
+      |  FROM documents WHERE $trainPred GROUP BY 1),
+      |dtot AS (SELECT CAST(sum(d_s) AS BIGINT) AS d_tot,
+      |    CAST(count(*) AS BIGINT) AS n_classes FROM classes),
+      |cnt AS (SELECT lang AS cls, b, CAST(count(*) AS BIGINT) AS c_sb
+      |  FROM tok WHERE $trainPred GROUP BY 1, 2),
+      |ctot AS (SELECT cls, CAST(sum(c_sb) AS BIGINT) AS c_s
+      |  FROM cnt GROUP BY 1),
+      |grid AS (SELECT c.cls, g.b, COALESCE(n.c_sb, 0) AS c_sb, t.c_s
+      |  FROM classes c CROSS JOIN range(0, $nB) g(b)
+      |  LEFT JOIN cnt n ON n.cls = c.cls AND n.b = g.b
+      |  JOIN ctot t ON t.cls = c.cls),
+      |$likCtes,
+      |lik AS (SELECT cls AS s, b, CAST(floor(lnx * 1e6) AS BIGINT) AS lw
+      |  FROM $likOut),
+      |$priCtes,
+      |prior AS (SELECT cls AS s, CAST(floor(lnx * 1e6) AS BIGINT) AS pw
+      |  FROM $priOut),
+      |tdb AS (SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS c
+      |  FROM tok WHERE $scorePred GROUP BY 1, 2, 3),
+      |sc AS (SELECT t.doc_id, t.lang, l.s,
+      |    CAST(sum(t.c * l.lw) AS BIGINT) AS ll
+      |  FROM tdb t JOIN lik l USING (b) GROUP BY 1, 2, 3),
+      |scp AS (SELECT c.doc_id, c.lang, c.s, (c.ll + p.pw) AS score
+      |  FROM sc c JOIN prior p USING (s)),
+      |pred AS (SELECT doc_id, lang AS true_lang, s AS pred_lang FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, s ASC) AS rn
+      |  FROM scp) WHERE rn = 1)""".stripMargin
+  }
+
+  /** The md5 train-split coin of [[ops.TrainingSets.NbTrainPct]], as a
+    * DuckDB predicate fragment. */
+  private val nbCoin =
+    "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
 
   /** Shared DuckDB CTE body: 3-gram shingles → exact-Jaccard-0.8 pairs.
     * The pair definition lives in exactly one place: the label CTE extends
@@ -2897,6 +2960,22 @@ object SparkEntry {
         |  CAST(sum(logw) AS BIGINT) AS total_logw_micro
         |FROM dw GROUP BY source ORDER BY source""".stripMargin
     },
+    // trained multinomial NB language-ID: Laplace-smoothed priors +
+    // per-(class, hashed-bucket) likelihoods, each through its own
+    // PortableLn ladder floored to micro-nats; all scoring is exact
+    // integer arithmetic, argmax ties break to the first class
+    "nb_langid_classifier" -> {
+      val pct = ops.TrainingSets.NbTrainPct
+      nbOracleCtes(s"$nbCoin < $pct", s"$nbCoin >= $pct") + """
+        |SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    // the trained model served at ingest: even-half-trained NB
+    // classifier replayed, every odd doc argmax-classified per-doc
+    "stream_nb_probe" -> (nbOracleCtes(
+      "doc_id % 2 = 0", "doc_id % 2 = 1") + """
+      |SELECT doc_id, true_lang, pred_lang FROM pred
+      |ORDER BY doc_id""".stripMargin),
     // transitive closure via recursive CTE mirrors the engine's iterative
     // min-label propagation (identical fixpoint: cluster = min member id)
     "dedup_clusters" -> clustersFromLabels,

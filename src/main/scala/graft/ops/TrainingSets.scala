@@ -545,6 +545,239 @@ object TrainingSets {
       .orderBy("source")
   }
 
+  /** Hashed-feature dimension of the Naive-Bayes classifier — the
+    * model is [[NbBuckets]] × classes rows at ANY corpus size (the
+    * hashing-trick bound every production classifier-based curation
+    * filter relies on; fastText's hashed n-gram buckets, CCNet's
+    * feature hashing).
+    */
+  val NbBuckets: Int = 256
+
+  /** md5-coin percentage of docs used to TRAIN the classifier; the
+    * complement is the held-out evaluation split.
+    */
+  val NbTrainPct: Int = 80
+
+  /** Multinomial Naive-Bayes language-ID classifier, TRAINED and
+    * APPLIED entirely in-engine — the trained-classifier curation
+    * stage every production pretraining pipeline runs (CCNet's
+    * fastText language filter, GPT-3's quality classifier): documents
+    * split train/held-out by the md5 coin, the model is Laplace-
+    * smoothed class priors + per-(class, hashed-token-bucket) token
+    * likelihoods, and every held-out doc is argmax-classified; the
+    * output is the confusion matrix (true lang × predicted lang, doc
+    * counts). The statistical sibling of the heuristic
+    * `text_langid` — same task, learned weights.
+    *
+    * Honesty note (BASELINE.md): this corpus's text is generated
+    * INDEPENDENTLY of its lang column, so measured accuracy is
+    * necessarily near-chance — the gate checks the training/scoring
+    * arithmetic bit-for-bit, not separability the fixture cannot
+    * exhibit (the pq_recall precedent).
+    *
+    * Determinism discipline ([[dsirImportance]]'s, verbatim): the only
+    * float work is one [[graft.functions.PortableLn]] per model row —
+    * (classes + 1) · [[NbBuckets]] ladders total — each floored to
+    * BIGINT micro-nats at the source; every score is then an exact
+    * integer Σ c·lw + prior, and the argmax compares exact integers
+    * (ties break to the lexicographically first class on both
+    * engines).
+    *
+    * Scale shape: training aggregates the token stream map-side
+    * straight down to classes × [[NbBuckets]] rows; the model and
+    * priors are broadcast; scoring shuffles the corpus only by
+    * (doc_id, bucket) and expands each test row by the class count
+    * (bounded) before an immediate partial-agg fold. No corpus-scale
+    * exchange beyond the one counting shuffle — the same shape at
+    * 100 TB.
+    */
+  def nbLangidClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    val heldOut = Tables.documents(spark, sfDir)
+      .filter(!(bucket100(col("doc_id")) < NbTrainPct))
+      .select(col("doc_id"), col("lang"), col("text"))
+    // the LAZY model plan — train + score fuse into one Catalyst plan
+    // (no other consumer of the split80 model exists, so the
+    // materialized memo would only add barriers; the streaming probe,
+    // which reuses its model across micro-batches, takes [[nbModel]])
+    nbScore(heldOut, nbModelPlan(spark, sfDir, "split80"))
+      .groupBy("true_lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
+  /** The word's hashed feature bucket in [0, [[NbBuckets]]) — the one
+    * md5 idiom, so model build and every scorer (batch held-out,
+    * streaming probe, oracle replay) bucket identically.
+    */
+  private def nbBucket(wCol: org.apache.spark.sql.Column) =
+    pmod(conv(substring(md5(wCol), 1, 8), 16, 10)
+      .cast("long"), lit(NbBuckets))
+
+  /** The TRAINED model, memoized per (SparkContext, dir, tag) — the
+    * [[Similarity]] ivfpq-memo discipline, context-keyed so cloned
+    * per-drain sessions serve the one materialized model instead of
+    * retraining per micro-batch. One row per (class `s`, bucket `b`):
+    * micro-nat token log-likelihood `lw` with the class prior `pw`
+    * riding along (the model is the full classes × [[NbBuckets]] grid,
+    * so scoring joins never drop a bucket and the 1/(c_s + nB)
+    * smoothing term is present for unseen cells). `tag` names the
+    * training population: "split80" = the md5-coin train split (the
+    * batch classifier's), "even" = the even-doc_id historical half
+    * (the online probe's static side).
+    */
+  private val nbCache =
+    Memo.registry[(org.apache.spark.SparkContext, String, String)]
+
+  private[graft] def nbModel(spark: SparkSession, sfDir: String,
+                             tag: String): DataFrame =
+    nbCache.synchronized {
+      nbCache.getOrElseUpdate((spark.sparkContext, sfDir, tag),
+        nbModelPlan(spark, sfDir, tag).localCheckpoint(true))
+    }
+
+  /** The lazy model plan behind [[nbModel]] — single-consumer callers
+    * (the batch classifier) use it directly so training and scoring
+    * fuse into one Catalyst plan with no materialization barrier.
+    */
+  private def nbModelPlan(spark: SparkSession, sfDir: String,
+                          tag: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val train = tag match {
+      case "split80" => docs.filter(bucket100(col("doc_id")) < NbTrainPct)
+        .select(col("lang").as("cls"), col("text"))
+      case "even" => docs.filter(col("doc_id") % 2 === 0)
+        .select(col("lang").as("cls"), col("text"))
+      case "quality" => docs.filter(bucket100(col("doc_id")) < NbTrainPct)
+        .select(qualityClass.as("cls"), col("text"))
+      case other => throw new IllegalArgumentException(
+        s"unknown nb model tag: $other")
+    }
+    nbModelFrom(spark, train)
+  }
+
+  /** Binary quality-class label: md5 parity of the source name — the
+    * deterministic stand-in for "is this doc from the curated
+    * high-quality reference corpus" (GPT-3's WebText-vs-CommonCrawl
+    * classifier labels; here half the 20 sources play WebText). The
+    * parity coin is engine-portable (same md5 idiom as the splits).
+    */
+  private[ops] def qualityClass: org.apache.spark.sql.Column =
+    when(pmod(conv(substring(md5(col("source")), 1, 8), 16, 10)
+      .cast("long"), lit(2)) === 0, lit("hq")).otherwise(lit("lq"))
+
+  /** Model build over an arbitrary (cls, text) training frame — the
+    * class axis is whatever the caller labels (languages for the
+    * language-ID tags, hq/lq for the quality filter).
+    */
+  private def nbModelFrom(spark: SparkSession, train: DataFrame): DataFrame = {
+        val nB = NbBuckets
+        val tok = train
+          .select(col("cls"), explode(split(col("text"), " ")).as("w"))
+          .withColumn("b", nbBucket(col("w")))
+        // class axis + doc priors, from the training population only
+        val classes = train
+          .groupBy(col("cls").as("s")).agg(count(lit(1)).as("d_s"))
+        val dTot = classes.agg(sum("d_s").cast("long").as("d_tot"),
+          count(lit(1)).cast("long").as("n_classes"))
+        val cnt = tok
+          .groupBy(col("cls").as("s"), col("b"))
+          .agg(count(lit(1)).as("c_sb"))
+        val cTot = cnt.groupBy("s").agg(sum("c_sb").cast("long").as("c_s"))
+        val grid = classes.select("s")
+          .crossJoin(broadcast(spark.range(0, nB).select(col("id").as("b"))))
+          .join(broadcast(cnt), Seq("s", "b"), "left")
+          .join(broadcast(cTot), "s")
+          .select(col("s"), col("b"),
+            coalesce(col("c_sb"), lit(0L)).as("c_sb"), col("c_s"))
+        val likX = grid.select(col("s"), col("b"),
+          ((col("c_sb") + 1L).cast("double") /
+            (col("c_s") + nB).cast("double")).as("x"))
+        val lik = graft.functions.PortableLn.withLn(likX, "x", "lnx")
+          .select(col("s"), col("b"),
+            floor(col("lnx") * lit(1000000.0)).cast("long").as("lw"))
+        val priX = classes.crossJoin(broadcast(dTot))
+          .select(col("s"),
+            ((col("d_s") + 1L).cast("double") /
+              (col("d_tot") + col("n_classes")).cast("double")).as("x"))
+        val prior = graft.functions.PortableLn.withLn(priX, "x", "lnx")
+          .select(col("s"),
+            floor(col("lnx") * lit(1000000.0)).cast("long").as("pw"))
+        lik.join(broadcast(prior), "s")
+          .select(col("s"), col("b"), col("lw"), col("pw"))
+  }
+
+  /** Argmax-classify (doc_id, lang, text) rows against a trained
+    * model: per-(doc, bucket) counts × the broadcast model, exact
+    * integer score Σ c·lw + pw, ties to the lexicographically first
+    * class — one row (doc_id, true_lang, pred_lang) per scored doc.
+    * The per-class prior folds as min(pw) inside the score aggregate
+    * (pw is constant per class, so the fold is exact).
+    */
+  private[graft] def nbScore(docs: DataFrame, model: DataFrame): DataFrame =
+    nbClassScores(docs.select(col("doc_id"), col("lang").as("lbl"),
+        col("text")), model)
+      .groupBy("doc_id", "lbl")
+      .agg(min(struct((-col("score")).as("ns"), col("s"))).as("best"))
+      .select(col("doc_id"), col("lbl").as("true_lang"),
+        col("best.s").as("pred_lang"))
+
+  /** Per-(doc, class) exact integer scores Σ c·lw + pw over
+    * (doc_id, lbl, text) rows — the shared scoring core: the argmax
+    * consumers ([[nbScore]]) pick the winner, the quality filter
+    * ([[nbQualityTertiles]]) differences the two class scores into a
+    * log-odds margin. `lbl` is whatever should ride along for
+    * reporting (true lang, source).
+    */
+  private def nbClassScores(docs: DataFrame, model: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lbl"),
+        explode(split(col("text"), " ")).as("w"))
+      .withColumn("b", nbBucket(col("w")))
+      .groupBy(col("doc_id"), col("lbl"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(model), "b")
+      .groupBy(col("doc_id"), col("lbl"), col("s"))
+      .agg((sum(col("c") * col("lw")).cast("long") + min("pw")).as("score"))
+
+  /** The GPT-3 quality-filter stage, CCNet-bucketed: a binary NB
+    * classifier is trained to separate the "curated reference" half of
+    * the sources ([[qualityClass]] — GPT-3 trained WebText vs
+    * CommonCrawl) on the md5-coin train split, EVERY document is
+    * scored, and each document's exact integer log-odds margin
+    * score(hq) − score(lq) ranks it within its source into
+    * head/middle/tail tertiles — CCNet's perplexity-bucket discipline
+    * applied to a trained quality classifier (CCNet §4.2 buckets by
+    * LM score per shard; GPT-3 appendix A filters by classifier
+    * score). Output per (source, tertile): doc count and the exact
+    * micro-nat margin sum.
+    *
+    * Determinism: the margin is a difference of two exact integer
+    * scores; the tertile is ntile(3) over (margin DESC, doc_id ASC) —
+    * a total order, so bucket boundaries are engine-identical.
+    *
+    * Scale shape: same as the classifier (model bounded, corpus
+    * shuffles only on partial-aggregated (doc, bucket) keys) plus one
+    * per-source window — partition-local sort, the published CCNet
+    * per-shard operation, never a global sort.
+    */
+  def nbQualityTertiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val scored = nbClassScores(
+      docs.select(col("doc_id"), col("source").as("lbl"), col("text")),
+      nbModelPlan(spark, sfDir, "quality"))
+    val margins = scored.groupBy(col("doc_id"), col("lbl").as("source"))
+      .agg((max(when(col("s") === "hq", col("score")))
+        - max(when(col("s") === "lq", col("score"))))
+        .as("margin"))
+    val w = Window.partitionBy("source")
+      .orderBy(desc("margin"), asc("doc_id"))
+    margins.withColumn("tertile", ntile(3).over(w).cast("long"))
+      .groupBy("source", "tertile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("margin").cast("long").as("sum_margin_micro"))
+      .orderBy("source", "tertile")
+  }
+
   /** Temperature-weighted source mixture at α = 1/2 (the multilingual-LM
     * sampling rule, Conneau & Lample 2019 / mT5: sample source s with
     * probability ∝ n_s^α, flattening the natural distribution so

@@ -2337,6 +2337,77 @@ object StreamAssembly {
       .orderBy("vec_id", "s")
   }
 
+  /** ONLINE CLASSIFIER FILTER drained end-to-end — the trained-model
+    * serving stage of the curation tier (a crawl pipeline classifies
+    * documents AS THEY ARRIVE against a model trained on the
+    * historical corpus; CCNet's fastText language filter run at
+    * ingest): the static side trains the multinomial-NB language-ID
+    * model on the EVEN-doc_id half ([[graft.ops.TrainingSets
+    * .nbModel]] "even" — Laplace-smoothed priors + hashed-bucket
+    * micro-nat likelihoods, the batch `nb_langid_classifier`'s exact
+    * arithmetic) ONCE on the outer session (context-keyed memo, the
+    * ivfpq-model discipline); the odd half streams back one file per
+    * micro-batch and each batch argmax-classifies its docs against
+    * the broadcast model ([[graft.ops.TrainingSets.nbScore]] —
+    * integer-exact scores, ties to the first class). Per incoming doc
+    * the append carries (doc_id, true_lang, pred_lang); scoring is
+    * doc-local given the model broadcast, so the drained frame is
+    * batch-boundary-independent and bit-identical to a batch rescore.
+    *
+    * Scale shape: the model is classes × [[graft.ops.TrainingSets
+    * .NbBuckets]] rows at ANY corpus size (hashing-trick bound) — the
+    * broadcast never grows; per-batch work is one token aggregate of
+    * the batch plus bounded-fan-out broadcast joins. Nothing is
+    * stateful across batches.
+    */
+  def streamNbProbe(spark: SparkSession, sfDir: String,
+                    nFiles: Int = 3): DataFrame = {
+    import java.nio.file.Files
+    import graft.ops.TrainingSets
+    val tmp = Files.createTempDirectory("graft_nb_probe").toString
+    val outDir = s"$tmp/preds"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = s"$tmp/incoming"
+    graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(srcDir)
+    // frozen model, built/reused on the outer session (context-keyed
+    // memo — retraining inside the drain was the r13 stream_pq_probe
+    // regression; same fix applied from the start here)
+    val model = TrainingSets.nbModel(spark, sfDir, "even")
+    withDrainConf(spark) { ds =>
+      graft.functions.GraftFunctions.register(ds)
+      val docSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val stream = ds.readStream
+        .schema(docSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val query = stream.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          TrainingSets.nbScore(batch, model)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(outDir)
+      .select(col("doc_id"), col("true_lang"), col("pred_lang"))
+      .orderBy("doc_id")
+  }
+
   /** STREAMING MULTIMODAL INGEST drained end-to-end — the continuous
     * media-ingest topology (new binary assets decoded and profiled as
     * they arrive): doc ids stream one file per micro-batch; each batch

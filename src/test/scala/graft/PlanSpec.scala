@@ -626,7 +626,13 @@ class PlanSpec extends SparkSpec {
       "text_entropy_bands" -> 14,
       "kl_source_drift" -> 7,
       "preference_pairs" -> 7,
-      "dedup_embedding_lsh_capped" -> 5)
+      "dedup_embedding_lsh_capped" -> 5,
+      // train + score fused in one lazy plan: every exchange carries
+      // a partial-aggregated token-bucket frame (docs×buckets /
+      // classes×buckets keys) or a model-sized frame — raw corpus
+      // rows never cross a shuffle (the streaming probe serves the
+      // memoized model instead and scores at 5 exchanges)
+      "nb_langid_classifier" -> 12)
     val aggOrLimit = Set("HashAggregateExec", "ObjectHashAggregateExec",
       "SortAggregateExec", "TakeOrderedAndProjectExec", "GlobalLimitExec",
       "CollectLimitExec", "LocalLimitExec")

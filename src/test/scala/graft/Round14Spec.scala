@@ -67,6 +67,32 @@ class Round14Spec extends SparkSpec {
     graft.ops.Memo.clearAll()
   }
 
+  test("the NB classifier LEARNS when the corpus is separable: " +
+       "disjoint per-language vocabularies classify near-perfectly " +
+       "(the testdata corpus is lang-independent by construction, so " +
+       "its gated matrix measures arithmetic, not separability)") {
+    import spark.implicits._
+    val langs = Seq("aa", "bb", "cc", "dd", "ee")
+    val docs = (0 until 300).map { i =>
+      val lang = langs(i % langs.size)
+      // 20 tokens from the language's OWN 7-word vocabulary
+      val text = (0 until 20)
+        .map(k => s"${lang}_w${(i + k) % 7}").mkString(" ")
+      (i.toLong, lang, text)
+    }.toDF("doc_id", "lang", "text")
+    val dest = s"target/spec-scale/nb-sep-${System.nanoTime()}"
+    docs.write.parquet(s"$dest/documents.parquet")
+    val m = graft.ops.TrainingSets.nbLangidClassifier(spark, dest)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val total = m.values.sum
+    val correct = m.collect { case ((t, p), n) if t == p => n }.sum
+    assert(total > 0)
+    assert(correct.toDouble / total > 0.9,
+      s"separable-fixture accuracy ${correct}/$total — the trained " +
+        "model failed to separate disjoint vocabularies")
+  }
+
   test("re-ranking never loses a match: rerank top-1 agreement " +
        "dominates ADC-only agreement (the ADC winner is always in the " +
        "candidate set, and the exact argmin keeps any true winner)") {
