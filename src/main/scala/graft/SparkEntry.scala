@@ -175,6 +175,8 @@ object SparkEntry {
     "dsir_importance" -> ((s, d) => TrainingSets.dsirImportance(s, d)),
     "nb_langid_classifier" ->
       ((s, d) => TrainingSets.nbLangidClassifier(s, d)),
+    "nb_quality_tertiles" ->
+      ((s, d) => TrainingSets.nbQualityTertiles(s, d)),
     "q18_large_volume" -> ((s, d) => StarQueries.q18LargeVolume(s, d)),
     "q9_product_profit" -> ((s, d) => StarQueries.q9ProductProfit(s, d)),
     "q11_important_parts" -> ((s, d) => StarQueries.q11ImportantParts(s, d)),
@@ -336,7 +338,9 @@ object SparkEntry {
     * with exact integer scores. Ends with `pred` =
     * (doc_id, true_lang, pred_lang).
     */
-  private def nbOracleCtes(trainPred: String, scorePred: String): String = {
+  private def nbOracleCtes(trainPred: String, scorePred: String,
+                           classExpr: String = "lang",
+                           label: String = "lang"): String = {
     val nB = ops.TrainingSets.NbBuckets
     // keep-column named `cls`, not `s` — the ladder's internal
     // stages project x/e/s/u and a keep column `s` would collide
@@ -346,15 +350,15 @@ object SparkEntry {
     val (priCtes, priOut) = functions.PortableLn.sqlCtes(
       "np", "classes, dtot", Seq("cls"),
       "(d_s + 1)::DOUBLE / (d_tot + n_classes)::DOUBLE", "lnx")
-    s"""WITH tok AS (SELECT doc_id, lang,
+    s"""WITH tok AS (SELECT doc_id, $label AS lbl, $classExpr AS cls,
       |    ('0x' || substr(md5(w), 1, 8))::BIGINT % $nB AS b
-      |  FROM (SELECT doc_id, lang,
+      |  FROM (SELECT doc_id, lang, source,
       |      unnest(string_split(text, ' ')) AS w FROM documents)),
-      |classes AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS d_s
+      |classes AS (SELECT $classExpr AS cls, CAST(count(*) AS BIGINT) AS d_s
       |  FROM documents WHERE $trainPred GROUP BY 1),
       |dtot AS (SELECT CAST(sum(d_s) AS BIGINT) AS d_tot,
       |    CAST(count(*) AS BIGINT) AS n_classes FROM classes),
-      |cnt AS (SELECT lang AS cls, b, CAST(count(*) AS BIGINT) AS c_sb
+      |cnt AS (SELECT cls, b, CAST(count(*) AS BIGINT) AS c_sb
       |  FROM tok WHERE $trainPred GROUP BY 1, 2),
       |ctot AS (SELECT cls, CAST(sum(c_sb) AS BIGINT) AS c_s
       |  FROM cnt GROUP BY 1),
@@ -368,14 +372,14 @@ object SparkEntry {
       |$priCtes,
       |prior AS (SELECT cls AS s, CAST(floor(lnx * 1e6) AS BIGINT) AS pw
       |  FROM $priOut),
-      |tdb AS (SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS c
+      |tdb AS (SELECT doc_id, lbl, b, CAST(count(*) AS BIGINT) AS c
       |  FROM tok WHERE $scorePred GROUP BY 1, 2, 3),
-      |sc AS (SELECT t.doc_id, t.lang, l.s,
+      |sc AS (SELECT t.doc_id, t.lbl, l.s,
       |    CAST(sum(t.c * l.lw) AS BIGINT) AS ll
       |  FROM tdb t JOIN lik l USING (b) GROUP BY 1, 2, 3),
-      |scp AS (SELECT c.doc_id, c.lang, c.s, (c.ll + p.pw) AS score
+      |scp AS (SELECT c.doc_id, c.lbl, c.s, (c.ll + p.pw) AS score
       |  FROM sc c JOIN prior p USING (s)),
-      |pred AS (SELECT doc_id, lang AS true_lang, s AS pred_lang FROM (
+      |pred AS (SELECT doc_id, lbl, s AS pred_cls FROM (
       |  SELECT *, row_number() OVER (
       |    PARTITION BY doc_id ORDER BY score DESC, s ASC) AS rn
       |  FROM scp) WHERE rn = 1)""".stripMargin
@@ -2967,15 +2971,36 @@ object SparkEntry {
     "nb_langid_classifier" -> {
       val pct = ops.TrainingSets.NbTrainPct
       nbOracleCtes(s"$nbCoin < $pct", s"$nbCoin >= $pct") + """
-        |SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        |SELECT lbl AS true_lang, pred_cls AS pred_lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
     // the trained model served at ingest: even-half-trained NB
     // classifier replayed, every odd doc argmax-classified per-doc
     "stream_nb_probe" -> (nbOracleCtes(
       "doc_id % 2 = 0", "doc_id % 2 = 1") + """
-      |SELECT doc_id, true_lang, pred_lang FROM pred
+      |SELECT doc_id, lbl AS true_lang, pred_cls AS pred_lang FROM pred
       |ORDER BY doc_id""".stripMargin),
+    // GPT-3 quality filter, CCNet-bucketed: binary hq/lq NB margin per
+    // doc (exact integer log-odds), head/middle/tail tertiles per
+    // source by ntile over the (margin DESC, doc_id) total order
+    "nb_quality_tertiles" -> {
+      val pct = ops.TrainingSets.NbTrainPct
+      val cls = "CASE WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT" +
+        " % 2 = 0 THEN 'hq' ELSE 'lq' END"
+      nbOracleCtes(s"$nbCoin < $pct", "TRUE", cls, "source") + """
+        |,
+        |m AS (SELECT doc_id, lbl AS source,
+        |    max(CASE WHEN s = 'hq' THEN score END)
+        |      - max(CASE WHEN s = 'lq' THEN score END) AS margin
+        |  FROM scp GROUP BY 1, 2),
+        |tt AS (SELECT source, margin, CAST(ntile(3) OVER (
+        |    PARTITION BY source ORDER BY margin DESC, doc_id ASC)
+        |  AS BIGINT) AS tertile FROM m)
+        |SELECT source, tertile, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(margin) AS BIGINT) AS sum_margin_micro
+        |FROM tt GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     // transitive closure via recursive CTE mirrors the engine's iterative
     // min-label propagation (identical fixpoint: cluster = min member id)
     "dedup_clusters" -> clustersFromLabels,

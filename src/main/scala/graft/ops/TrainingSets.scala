@@ -661,7 +661,7 @@ object TrainingSets {
     * classifier labels; here half the 20 sources play WebText). The
     * parity coin is engine-portable (same md5 idiom as the splits).
     */
-  private[ops] def qualityClass: org.apache.spark.sql.Column =
+  private[graft] def qualityClass: org.apache.spark.sql.Column =
     when(pmod(conv(substring(md5(col("source")), 1, 8), 16, 10)
       .cast("long"), lit(2)) === 0, lit("hq")).otherwise(lit("lq"))
 

@@ -632,7 +632,10 @@ class PlanSpec extends SparkSpec {
       // classes×buckets keys) or a model-sized frame — raw corpus
       // rows never cross a shuffle (the streaming probe serves the
       // memoized model instead and scores at 5 exchanges)
-      "nb_langid_classifier" -> 12)
+      "nb_langid_classifier" -> 12,
+      // same fused train+score shape plus one per-source window
+      // (partition-local sort, the CCNet per-shard bucket operation)
+      "nb_quality_tertiles" -> 12)
     val aggOrLimit = Set("HashAggregateExec", "ObjectHashAggregateExec",
       "SortAggregateExec", "TakeOrderedAndProjectExec", "GlobalLimitExec",
       "CollectLimitExec", "LocalLimitExec")

@@ -93,6 +93,41 @@ class Round14Spec extends SparkSpec {
         "model failed to separate disjoint vocabularies")
   }
 
+  test("the quality filter separates when a signal exists: with " +
+       "disjoint hq/lq source vocabularies every hq-source tertile " +
+       "sum is positive and every lq-source one negative (margin " +
+       "sign = learned class; the gated corpus itself is " +
+       "source-independent, so its matrix measures arithmetic)") {
+    import spark.implicits._
+    // derive each source's hq/lq parity from the engine's OWN coin so
+    // the fixture cannot drift from TrainingSets.qualityClass
+    val srcs = (0 until 6).map(i => s"src$i")
+    val parity = srcs.toDF("source")
+      .withColumn("hq", graft.ops.TrainingSets.qualityClass === "hq")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(parity.values.exists(identity) && parity.values.exists(!_),
+      "fixture needs both classes among the sources")
+    val docs = (0 until 300).map { i =>
+      val src = srcs(i % srcs.size)
+      val v = if (parity(src)) "hqw" else "lqw"
+      val text = (0 until 20).map(k => s"$v${(i + k) % 7}").mkString(" ")
+      (i.toLong, "xx", text, src)
+    }.toDF("doc_id", "lang", "text", "source")
+    val dest = s"target/spec-scale/nb-qual-${System.nanoTime()}"
+    docs.write.parquet(s"$dest/documents.parquet")
+    val rows = graft.ops.TrainingSets.nbQualityTertiles(spark, dest)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, tertile, sumMargin) =>
+      if (parity(src))
+        assert(sumMargin > 0L,
+          s"hq source $src tertile $tertile margin $sumMargin <= 0")
+      else
+        assert(sumMargin < 0L,
+          s"lq source $src tertile $tertile margin $sumMargin >= 0")
+    }
+  }
+
   test("re-ranking never loses a match: rerank top-1 agreement " +
        "dominates ADC-only agreement (the ADC winner is always in the " +
        "candidate set, and the exact argmin keeps any true winner)") {
