@@ -98,6 +98,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamAssembly.streamPqIndexAppend(s, d)),
     "stream_nb_probe" ->
       ((s, d) => graft.streaming.StreamAssembly.streamNbProbe(s, d)),
+    "stream_curation_verdict" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamCurationVerdict(s, d)),
     "ann_probe_recall_sampled" ->
       ((s, d) => Similarity.annProbeRecallSampled(s, d)),
     "stream_media_decode" ->
@@ -2981,6 +2983,25 @@ object SparkEntry {
       "doc_id % 2 = 0", "doc_id % 2 = 1") + """
       |SELECT doc_id, lbl AS true_lang, pred_cls AS pred_lang FROM pred
       |ORDER BY doc_id""".stripMargin),
+    // the composed arrival-time curation chain: Gopher gates →
+    // exact-dup probe vs the historical half → trained language
+    // filter, one verdict per incoming doc (first match wins)
+    "stream_curation_verdict" -> (nbOracleCtes(
+      "doc_id % 2 = 0", "doc_id % 2 = 1") + ",\n" +
+      funnelFirstFailCtes("WHERE doc_id % 2 = 1") + """
+      |,
+      |dup AS (SELECT DISTINCT o.doc_id FROM documents o
+      |  JOIN documents e ON e.doc_id % 2 = 0
+      |    AND md5(e.text) = md5(o.text)
+      |  WHERE o.doc_id % 2 = 1),
+      |v AS (SELECT ff.doc_id,
+      |    CASE WHEN ff.fs > 0 THEN 'gate' || ff.fs
+      |      WHEN d.doc_id IS NOT NULL THEN 'duplicate'
+      |      WHEN p.pred_cls <> p.lbl THEN 'lang_mismatch'
+      |      ELSE 'kept' END AS verdict
+      |  FROM ff LEFT JOIN dup d USING (doc_id)
+      |  JOIN pred p USING (doc_id))
+      |SELECT doc_id, verdict FROM v ORDER BY doc_id""".stripMargin),
     // GPT-3 quality filter, CCNet-bucketed: binary hq/lq NB margin per
     // doc (exact integer log-odds), head/middle/tail tertiles per
     // source by ntile over the (margin DESC, doc_id) total order
@@ -4566,12 +4587,17 @@ object SparkEntry {
     * funnel and the streaming probe so the gate definitions cannot drift
     * between their oracles.
     */
-  private def funnelOracle(where: String): String = {
+  /** The per-doc first-failing-gate CTE chain (sized → … → ff, where
+    * ff carries doc_id + fs = first failed stage, 0 = survivor) —
+    * shared by the funnel oracles and the composed curation-verdict
+    * replay. Starts mid-WITH (caller supplies the `WITH`).
+    */
+  private def funnelFirstFailCtes(where: String): String = {
       val minT = ops.TextAnalysis.FunnelMinTokens
       val maxT = ops.TextAnalysis.FunnelMaxTokens
       val stop = ops.TextAnalysis.stopwords
         .map(s => s"'$s'").mkString(", ")
-      s"""WITH sized AS (SELECT doc_id, n_chars, length(text) AS len,
+      s"""sized AS (SELECT doc_id, n_chars, length(text) AS len,
         |    string_split(text, ' ') AS ws FROM documents $where),
         |s2 AS (SELECT doc_id, n_chars, len,
         |    CAST(len(ws) AS BIGINT) AS nt,
@@ -4595,7 +4621,11 @@ object SparkEntry {
         |  FROM s2 LEFT JOIN top USING (doc_id)),
         |ff AS (SELECT *, CASE WHEN NOT g1 THEN 1 WHEN NOT g2 THEN 2
         |    WHEN NOT g3 THEN 3 WHEN NOT g4 THEN 4 WHEN NOT g5 THEN 5
-        |    ELSE 0 END AS fs FROM f),
+        |    ELSE 0 END AS fs FROM f)""".stripMargin
+  }
+
+  private def funnelOracle(where: String): String = {
+      s"""WITH ${funnelFirstFailCtes(where)},
         |a AS (SELECT CAST(count(*) AS BIGINT) AS total,
         |    CAST(sum(CASE WHEN fs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
         |    CAST(sum(CASE WHEN fs = 2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,

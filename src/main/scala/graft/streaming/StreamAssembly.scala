@@ -2408,6 +2408,96 @@ object StreamAssembly {
       .orderBy("doc_id")
   }
 
+  /** The COMPOSED ONLINE CURATION PIPELINE drained end-to-end — the
+    * full arrival-time decision chain a production crawl ingest runs
+    * per document, in one drain: (1) the Gopher quality-gate funnel
+    * ([[graft.ops.TextAnalysis.funnelFirstFail]] — row-local exact
+    * integer gates, first-failing-stage attribution), (2) an exact-
+    * duplicate probe against the md5 content index of the even-doc_id
+    * historical corpus, (3) the trained language filter (the
+    * [[streamNbProbe]] model — argmax class must agree with the doc's
+    * claimed lang, the CCNet LID-agreement drop rule). Each incoming
+    * (odd) doc gets ONE verdict — gate1..gate5 | duplicate |
+    * lang_mismatch | kept, in that precedence — appended per batch.
+    * All three stages are doc-local given the two static broadcasts
+    * (hash index, NB model), so the drained verdicts are
+    * batch-boundary-independent and replay exactly as a batch query
+    * (the oracle stitches the same three shared CTE stacks).
+    *
+    * Scale shape: statics built ONCE on the outer session (the NB
+    * model is the context-keyed memo shared with [[streamNbProbe]];
+    * the content index is one distinct digest per historical doc —
+    * at 100 TB that join runs hash-partitioned instead of broadcast,
+    * same semantics). Per-batch cost is the batch's own tokens;
+    * nothing stateful across batches.
+    */
+  def streamCurationVerdict(spark: SparkSession, sfDir: String,
+                            nFiles: Int = 3): DataFrame = {
+    import java.nio.file.Files
+    import graft.ops.{TextAnalysis, TrainingSets}
+    val tmp = Files.createTempDirectory("graft_curation_verdict").toString
+    val outDir = s"$tmp/verdicts"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = s"$tmp/incoming"
+    graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(srcDir)
+    // statics on the outer session: the historical content-hash index
+    // (materialized once) and the even-trained NB model (shared memo)
+    val dupIdx = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("h")).distinct()
+      .localCheckpoint(true)
+    val model = TrainingSets.nbModel(spark, sfDir, "even")
+    withDrainConf(spark) { ds =>
+      graft.functions.GraftFunctions.register(ds)
+      val docSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      val stream = ds.readStream
+        .schema(docSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val query = stream.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val ff = TextAnalysis.funnelFirstFail(batch.sparkSession, batch)
+            .select(col("doc_id"), col("first_fail"))
+          val dup = batch.withColumn("h", md5(col("text")))
+            .join(broadcast(dupIdx), Seq("h"), "left_semi")
+            .select(col("doc_id"), lit(true).as("is_dup"))
+          val pred = TrainingSets.nbScore(batch, model)
+          ff.join(dup, Seq("doc_id"), "left_outer")
+            .join(pred, Seq("doc_id"))
+            .select(col("doc_id"),
+              when(col("first_fail") > 0,
+                concat(lit("gate"), col("first_fail")))
+                .when(coalesce(col("is_dup"), lit(false)), "duplicate")
+                .when(col("pred_lang") =!= col("true_lang"),
+                  "lang_mismatch")
+                .otherwise("kept").as("verdict"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(outDir)
+      .select(col("doc_id"), col("verdict"))
+      .orderBy("doc_id")
+  }
+
   /** STREAMING MULTIMODAL INGEST drained end-to-end — the continuous
     * media-ingest topology (new binary assets decoded and profiled as
     * they arrive): doc ids stream one file per micro-batch; each batch
