@@ -228,6 +228,7 @@ object SparkEntry {
     "knn_purity_sampled" ->
       ((s, d) => Similarity.knnLabelPuritySampled(s, d)),
     "label_centroid_affinity" -> (Similarity.labelCentroidAffinity _),
+    "centroid_classifier" -> (Similarity.centroidClassifier _),
     "minhash_recall_eval" -> ((s, d) => Dedup.minhashRecallEval(s, d)),
     "lsh_recall_eval" -> ((s, d) => Dedup.lshRecallEval(s, d)),
     "lsh_recall_sampled" -> ((s, d) => Dedup.lshRecallSampled(s, d)),
@@ -3705,6 +3706,39 @@ object SparkEntry {
         |JOIN n na ON na.label = a.label
         |JOIN n nb ON nb.label = b.label
         |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin,
+    // Rocchio nearest-centroid over quantized embeddings: the train
+    // count cancels in cos(v, s/n), so the rank key d/sqrt(m) is ONE
+    // sqrt + ONE division of exact BIGINTs — engine-identical
+    "centroid_classifier" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_max([abs(embedding[i]::DOUBLE) for i in range(1, 65)])
+        |      AS max_abs, embedding
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, label,
+        |    [CAST(floor(embedding[i]::DOUBLE * (127.0 / max_abs) + 0.5)
+        |      AS BIGINT) for i in range(1, 65)] AS qv,
+        |    ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 100
+        |      AS bk
+        |  FROM e),
+        |x AS (SELECT label, i AS pos, CAST(sum(qv[i]) AS BIGINT) AS s
+        |  FROM q, (SELECT unnest(range(1, 65)) AS i)
+        |  WHERE bk < 80 GROUP BY 1, 2),
+        |c AS (SELECT label AS clabel, list(s ORDER BY pos) AS cv
+        |  FROM x GROUP BY 1),
+        |cm AS (SELECT clabel, cv,
+        |    CAST(list_sum([cv[i] * cv[i] for i in range(1, 65)]) AS BIGINT)
+        |      AS m
+        |  FROM c),
+        |sc AS (SELECT h.vec_id, h.label AS true_label, cm.clabel,
+        |    CAST(list_sum([h.qv[i] * cm.cv[i] for i in range(1, 65)])
+        |      AS DOUBLE) / sqrt(CAST(cm.m AS DOUBLE)) AS score
+        |  FROM q h, cm WHERE h.bk >= 80),
+        |p AS (SELECT vec_id, true_label, clabel AS pred_label FROM (
+        |  SELECT vec_id, true_label, clabel, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY score DESC, clabel DESC) AS rn
+        |  FROM sc) WHERE rn = 1)
+        |SELECT true_label, pred_label, count(*) AS n
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // 1-NN over int8-quantized vectors; the rank key sign(d)·d²/n is ONE
     // IEEE division of exact BIGINTs — engine-identical, no fold order
     "knn_label_purity" ->

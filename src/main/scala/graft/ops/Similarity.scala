@@ -658,6 +658,62 @@ object Similarity {
       .orderBy("label_a", "label_b")
   }
 
+  /** Rocchio nearest-centroid classifier over the embedding modality —
+    * the embedding-space sibling of the token-space NB classifiers
+    * ([[graft.ops.TrainingSets]]' langid/quality stages): train a
+    * per-label centroid on the deterministic 80% md5-coin split, then
+    * argmax-classify every HELD-OUT vector by cosine to the centroids
+    * and report the confusion matrix. This is the fineweb-edu-style
+    * embedding quality/domain classifier of an LLM curation stack,
+    * expressed as two corpus scans.
+    *
+    * Float discipline (the hash gate): vectors are int8-quantized
+    * ([[knnLabelPurity]]'s idiom), the per-(label, dim) component sum
+    * `s` is an exact BIGINT, and cos(v, s/n) = dot(v,s)/(|v|·|s|) makes
+    * the train count CANCEL — so the rank key is dot(qv,cv)/sqrt(|cv|²)
+    * where numerator and radicand are exact integers (< 2⁵³, any fold
+    * order) and the only float steps are ONE correctly-rounded sqrt and
+    * ONE IEEE division — engine-identical, no decimal→double exposure.
+    * Ties break on the lexicographically largest label via the
+    * max(struct) argmax (the [[knnLabelPurity]] partial-agg shape:
+    * per-vector partials combine map-side above the broadcast centroid
+    * axis; the held-out×labels frame never shuffles).
+    *
+    * Scale posture: training is one posexplode + (label, dim)-keyed
+    * partial aggregate (the k-means centroid-update shuffle); serving
+    * is a map-side argmax against a labels×dims broadcast — both are
+    * single corpus passes, so the plan is the 100 TB shape as-is.
+    */
+  def centroidClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val base = Tables.embeddings(spark, sfDir)
+      .withColumn("max_abs",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .withColumn("qv", transform(col("embedding"),
+        x => floor(x.cast("double") * (lit(127.0) / col("max_abs")) +
+          lit(0.5)).cast("double")))
+    val coin = TrainingSets.bucket100(col("vec_id")) < 80
+    val train = base.filter(coin)
+    val cent = train
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum(col("v").cast("long")).as("s"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        x => x.getField("s").cast("double")).as("cv"))
+      .withColumn("m", dot(col("cv"), col("cv")))
+    base.filter(!coin)
+      .select(col("vec_id"), col("label").as("true_label"), col("qv"))
+      .crossJoin(broadcast(cent.select(col("label").as("clabel"),
+        col("cv"), col("m"))))
+      .withColumn("score", dot(col("qv"), col("cv")) / sqrt(col("m")))
+      .groupBy("vec_id", "true_label")
+      .agg(max(struct(col("score"), col("clabel").as("plabel"))).as("best"))
+      .groupBy(col("true_label"), col("best.plabel").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "pred_label")
+  }
+
   /** Cosine threshold for [[semDedup]] — hoisted so operator and oracle
     * interpolate the SAME literal (the [[KmeansK]] discipline). */
   val SemDedupTau: Double = 0.4

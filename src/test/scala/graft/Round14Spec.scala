@@ -128,6 +128,33 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("the Rocchio centroid classifier separates clustered embeddings: " +
+       "with per-label orthogonal directions every held-out vector " +
+       "classifies to its own label (the gated corpus's labels are " +
+       "embedding-independent, so its matrix measures arithmetic)") {
+    import spark.implicits._
+    val rows = (0 until 400).map { i =>
+      val lab = i % 8
+      // dominant orthogonal direction per label + small deterministic
+      // jitter — separable by construction
+      val emb = (0 until 64).map { d =>
+        val base = if (d == lab * 8) 10.0f else 0.0f
+        base + ((i * 31 + d * 7) % 5) * 0.1f
+      }.toArray
+      (i.toLong, emb, lab)
+    }.toDF("vec_id", "embedding", "label")
+    val dest = s"target/spec-scale/rocchio-${System.nanoTime()}"
+    rows.write.parquet(s"$dest/embeddings.parquet")
+    val m = graft.ops.Similarity.centroidClassifier(spark, dest)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val total = m.values.sum
+    val offDiag = m.collect { case ((t, p), n) if t != p => n }.sum
+    assert(total > 0L)
+    assert(offDiag == 0L,
+      s"confusion matrix has $offDiag/$total off-diagonal assignments " +
+        "on a separable fixture")
+  }
+
   test("re-ranking never loses a match: rerank top-1 agreement " +
        "dominates ADC-only agreement (the ADC winner is always in the " +
        "candidate set, and the exact argmin keeps any true winner)") {
