@@ -98,6 +98,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamAssembly.streamPqIndexAppend(s, d)),
     "stream_nb_probe" ->
       ((s, d) => graft.streaming.StreamAssembly.streamNbProbe(s, d)),
+    "stream_centroid_probe" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamCentroidProbe(s, d)),
     "stream_curation_verdict" ->
       ((s, d) => graft.streaming.StreamAssembly.streamCurationVerdict(s, d)),
     "ann_probe_recall_sampled" ->
@@ -3706,6 +3708,36 @@ object SparkEntry {
         |JOIN n na ON na.label = a.label
         |JOIN n nb ON nb.label = b.label
         |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin,
+    // the online centroid probe is batch-boundary-independent, so the
+    // oracle is the batch rescore: train on the even-vec_id half,
+    // classify the streamed odd half, one row per incoming vector
+    "stream_centroid_probe" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_max([abs(embedding[i]::DOUBLE) for i in range(1, 65)])
+        |      AS max_abs, embedding
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, label,
+        |    [CAST(floor(embedding[i]::DOUBLE * (127.0 / max_abs) + 0.5)
+        |      AS BIGINT) for i in range(1, 65)] AS qv
+        |  FROM e),
+        |x AS (SELECT label, i AS pos, CAST(sum(qv[i]) AS BIGINT) AS s
+        |  FROM q, (SELECT unnest(range(1, 65)) AS i)
+        |  WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+        |c AS (SELECT label AS clabel, list(s ORDER BY pos) AS cv
+        |  FROM x GROUP BY 1),
+        |cm AS (SELECT clabel, cv,
+        |    CAST(list_sum([cv[i] * cv[i] for i in range(1, 65)]) AS BIGINT)
+        |      AS m
+        |  FROM c),
+        |sc AS (SELECT h.vec_id, h.label AS true_label, cm.clabel,
+        |    CAST(list_sum([h.qv[i] * cm.cv[i] for i in range(1, 65)])
+        |      AS DOUBLE) / sqrt(CAST(cm.m AS DOUBLE)) AS score
+        |  FROM q h, cm WHERE h.vec_id % 2 = 1)
+        |SELECT vec_id, true_label, clabel AS pred_label FROM (
+        |  SELECT vec_id, true_label, clabel, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY score DESC, clabel DESC) AS rn
+        |  FROM sc) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
     // Rocchio nearest-centroid over quantized embeddings: the train
     // count cancels in cos(v, s/n), so the rank key d/sqrt(m) is ONE
     // sqrt + ONE division of exact BIGINTs — engine-identical

@@ -686,33 +686,80 @@ object Similarity {
     */
   def centroidClassifier(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val base = Tables.embeddings(spark, sfDir)
-      .withColumn("max_abs",
+    val base = centroidQuantized(Tables.embeddings(spark, sfDir))
+    val coin = TrainingSets.bucket100(col("vec_id")) < 80
+    // lazy model plan — train + score fuse into one Catalyst plan (the
+    // nbLangidClassifier finding: a materialized memo only adds
+    // barriers for a single-consumer model; the streaming probe, which
+    // reuses its model across micro-batches, takes [[centroidModel]])
+    centroidScore(base.filter(!coin), centroidModelFrom(base.filter(coin)))
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "pred_label")
+  }
+
+  /** Int8 quantization shared by every centroid-classifier consumer —
+    * [[knnLabelPurity]]'s idiom, kept in doubles so the hot dot runs
+    * through the codegen'd `vec_dot` kernel on exact integers.
+    */
+  private def centroidQuantized(df: DataFrame): DataFrame =
+    df.withColumn("max_abs",
         array_max(transform(col("embedding"), x => abs(x.cast("double")))))
       .withColumn("qv", transform(col("embedding"),
         x => floor(x.cast("double") * (lit(127.0) / col("max_abs")) +
           lit(0.5)).cast("double")))
-    val coin = TrainingSets.bucket100(col("vec_id")) < 80
-    val train = base.filter(coin)
-    val cent = train
-      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
+
+  /** Per-label unnormalized centroid (exact BIGINT component sums, as
+    * doubles for the kernel) + its exact squared norm, over a (label,
+    * qv) training frame. labels×dims rows in, labels rows out.
+    */
+  private def centroidModelFrom(train: DataFrame): DataFrame =
+    train.select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
       .groupBy("label", "pos")
       .agg(sum(col("v").cast("long")).as("s"))
       .groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
         x => x.getField("s").cast("double")).as("cv"))
       .withColumn("m", dot(col("cv"), col("cv")))
-    base.filter(!coin)
+      .select(col("label").as("clabel"), col("cv"), col("m"))
+
+  /** Argmax-classify (vec_id, label, embedding) rows against a trained
+    * centroid model: rank key dot(qv,cv)/sqrt(m) (exact integers, one
+    * sqrt + one division), ties to the largest label. Row-local given
+    * the labels-sized broadcast — per-vector partials combine map-side
+    * and nothing shuffles but the argmax partials.
+    */
+  private[graft] def centroidScore(batch: DataFrame,
+                                   cent: DataFrame): DataFrame =
+    centroidQuantized(batch)
       .select(col("vec_id"), col("label").as("true_label"), col("qv"))
-      .crossJoin(broadcast(cent.select(col("label").as("clabel"),
-        col("cv"), col("m"))))
+      .crossJoin(broadcast(cent))
       .withColumn("score", dot(col("qv"), col("cv")) / sqrt(col("m")))
       .groupBy("vec_id", "true_label")
       .agg(max(struct(col("score"), col("clabel").as("plabel"))).as("best"))
-      .groupBy(col("true_label"), col("best.plabel").as("pred_label"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy("true_label", "pred_label")
-  }
+      .select(col("vec_id"), col("true_label"),
+        col("best.plabel").as("pred_label"))
+
+  /** The even-vec_id-half centroid model, memoized per (SparkContext,
+    * dir) — the [[ivfpqModel]]/nbModel discipline: the online probe's
+    * static side is trained ONCE on the outer session and every
+    * cloned per-drain session serves the materialized labels-sized
+    * frame instead of retraining per micro-batch.
+    */
+  private val centCache =
+    Memo.registry[(org.apache.spark.SparkContext, String)]
+
+  private[graft] def centroidModel(spark: SparkSession,
+                                   sfDir: String): DataFrame =
+    centCache.synchronized {
+      centCache.getOrElseUpdate((spark.sparkContext, sfDir), {
+        GraftFunctions.register(spark)
+        centroidModelFrom(centroidQuantized(
+          Tables.embeddings(spark, sfDir)
+            .filter(col("vec_id") % 2 === 0)))
+          .localCheckpoint(true)
+      })
+    }
 
   /** Cosine threshold for [[semDedup]] — hoisted so operator and oracle
     * interpolate the SAME literal (the [[KmeansK]] discipline). */

@@ -2408,6 +2408,73 @@ object StreamAssembly {
       .orderBy("doc_id")
   }
 
+  /** ONLINE EMBEDDING CLASSIFIER drained end-to-end — the serving
+    * sibling of the batch Rocchio classifier ([[graft.ops.Similarity
+    * .centroidClassifier]]), completing the trained-model probe family
+    * across both modalities (tokens: [[streamNbProbe]]; vectors:
+    * this): the static side trains per-label centroids on the
+    * even-vec_id historical half ONCE on the outer session
+    * ([[graft.ops.Similarity.centroidModel]], context-keyed memo);
+    * the odd half streams back one file per micro-batch and each
+    * batch argmax-classifies its vectors against the labels-sized
+    * broadcast (exact integer dots, one sqrt + one IEEE division —
+    * the batch classifier's arithmetic verbatim). Scoring is
+    * vector-local given the model, so the drained frame is
+    * batch-boundary-independent and bit-identical to a batch rescore
+    * — which is exactly what the DuckDB oracle replays.
+    *
+    * Scale shape: the model is one row per label at ANY corpus size;
+    * per-batch work is one map-side argmax over the batch. Nothing is
+    * stateful across batches.
+    */
+  def streamCentroidProbe(spark: SparkSession, sfDir: String,
+                          nFiles: Int = 3): DataFrame = {
+    import java.nio.file.Files
+    import graft.ops.Similarity
+    val tmp = Files.createTempDirectory("graft_cent_probe").toString
+    val outDir = s"$tmp/preds"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = s"$tmp/incoming"
+    graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(srcDir)
+    // frozen model, built/reused on the outer session (context-keyed
+    // memo — the streamNbProbe discipline)
+    val model = Similarity.centroidModel(spark, sfDir)
+    withDrainConf(spark) { ds =>
+      graft.functions.GraftFunctions.register(ds)
+      val embSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))
+      val stream = ds.readStream
+        .schema(embSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val query = stream.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          Similarity.centroidScore(batch, model)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(outDir)
+      .select(col("vec_id"), col("true_label"), col("pred_label"))
+      .orderBy("vec_id")
+  }
+
   /** The COMPOSED ONLINE CURATION PIPELINE drained end-to-end — the
     * full arrival-time decision chain a production crawl ingest runs
     * per document, in one drain: (1) the Gopher quality-gate funnel
