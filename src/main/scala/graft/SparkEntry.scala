@@ -219,6 +219,7 @@ object SparkEntry {
       ((s, d) => Dedup.duplicatedSpanHistogram(s, d)),
     "value_drift" -> ((s, d) => Analytics.valueDrift(s, d)),
     "kmeans_clusters" -> ((s, d) => Similarity.kmeansClusters(s, d)),
+    "cluster_quality" -> ((s, d) => Similarity.clusterQuality(s, d)),
     "semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "leakage_safe_split" -> (TrainingSets.leakageSafeSplit _),
     "kfold_assignment" -> ((s, d) => TrainingSets.kfoldAssignment(s, d)),
@@ -2710,6 +2711,30 @@ object SparkEntry {
         |  CAST(round(SUM(CAST(dist AS DECIMAL(30,12))), 6)
         |       AS DECIMAL(38,6)) AS wcss
         |FROM a2 GROUP BY cid ORDER BY cluster""".stripMargin),
+    // Davies–Bouldin audit over the SAME clustering: dist and centroid
+    // separations floored to BIGINT micro-units at source, then the
+    // scatter mean (integer DIV), the (S_i+S_j)/M² ratio (DECIMAL
+    // cross-multiplied ppm) and the worst-partner argmax are all exact
+    "cluster_quality" -> (kmeansAssignCte +
+      """,
+        |per AS (SELECT cid, count(*) AS n,
+        |  CAST(sum(CAST(floor(dist * 1e6) AS BIGINT)) AS BIGINT) AS sd
+        |  FROM a2 GROUP BY 1),
+        |ps AS (SELECT cid, n, sd // n AS scatter_u FROM per),
+        |m AS (SELECT a.cid AS cid, b.cid AS partner,
+        |  CAST(floor((a.csq + b.csq - 2 * list_sum([a.cemb[i] * b.cemb[i]
+        |    for i in range(1, 65)])) * 1e6) AS BIGINT) AS m2u
+        |  FROM c1s a, c1s b WHERE a.cid <> b.cid),
+        |r AS (SELECT m.cid, m.partner, pa.n, pa.scatter_u,
+        |  CAST((pa.scatter_u + pb.scatter_u)::HUGEINT * 1000000 // m2u
+        |    AS BIGINT) AS ratio_ppm
+        |  FROM m JOIN ps pa ON pa.cid = m.cid
+        |  JOIN ps pb ON pb.cid = m.partner)
+        |SELECT cid AS cluster, n, scatter_u, partner AS worst_partner,
+        |  ratio_ppm AS db_ratio_ppm
+        |FROM (SELECT *, row_number() OVER (PARTITION BY cid
+        |    ORDER BY ratio_ppm DESC, partner DESC) AS rn FROM r)
+        |WHERE rn = 1 ORDER BY cluster""".stripMargin),
     // SemDeDup over the SAME 2-round Lloyd assignment (kmeansAssignCte):
     // within-cluster cosine ≥ tau against any lower vec_id drops a
     // vector; the cosine is the same left-to-right list_sum fold both

@@ -229,7 +229,16 @@ object Similarity {
     * kmeans gate pins.
     */
   private[ops] def kmeansAssign(spark: SparkSession,
-                                sfDir: String): DataFrame = {
+                                sfDir: String): DataFrame =
+    kmeansModel(spark, sfDir)._2
+
+  /** [[kmeansAssign]] with the final centroid table alongside —
+    * (cents(cid, cemb, csq), assigned) — so audits that need both the
+    * assignment and the centroids ([[clusterQuality]]) run on the SAME
+    * deterministic clustering.
+    */
+  private[ops] def kmeansModel(spark: SparkSession,
+                               sfDir: String): (DataFrame, DataFrame) = {
     val k = KmeansK
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
@@ -258,7 +267,7 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
         x => x.getField("comp")).as("cemb"))
       .withColumn("csq", dot(col("cemb"), col("cemb")))
-    assign(c1)
+    (c1, assign(c1))
   }
 
   def kmeansClusters(spark: SparkSession, sfDir: String): DataFrame = {
@@ -277,6 +286,56 @@ object Similarity {
         round(sum(col("dist").cast("decimal(30,12)")), 6)
           .cast("decimal(38,6)").as("wcss"))
       .select(col("cid").as("cluster"), col("n"), col("wcss"))
+      .orderBy("cluster")
+  }
+
+  /** Davies–Bouldin clustering-quality audit over the SAME 2-round
+    * Lloyd clustering the kmeans gate pins (Davies & Bouldin 1979,
+    * "A Cluster Separation Measure" — public method): per cluster i,
+    * scatter Sᵢ = mean squared member–centroid distance, and the DB
+    * component maxⱼ≠ᵢ (Sᵢ+Sⱼ)/M²ᵢⱼ where M²ᵢⱼ is the squared centroid
+    * separation — high components flag cluster pairs that should merge
+    * (the k-selection signal of a production clustering loop, e.g.
+    * sizing SemDeDup's k). Reported per cluster with the worst
+    * partner; the global DB index is the mean of the k components.
+    *
+    * Float discipline: the per-row dist and the centroid separations
+    * are the bit-identical doubles every kmeans surface replays; both
+    * are floored to BIGINT micro-units AT SOURCE (the dsir/bm25
+    * pattern), after which scatter (integer DIV mean), ratio (ppm via
+    * DECIMAL(38,0) cross-multiply) and argmax are exact integer ops.
+    *
+    * Scale shape: one corpus pass (the assignment) + a k-sized
+    * centroid frame; all pairwise work is k² rows. The corpus never
+    * appears in a pair frame.
+    */
+  def clusterQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val (c1, a2) = kmeansModel(spark, sfDir)
+    val per = a2
+      .withColumn("d2u", floor(col("dist") * lit(1e6)).cast("long"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"), sum("d2u").as("sd"))
+      .withColumn("scatter_u", expr("sd DIV n"))
+      .select(col("cid"), col("n"), col("scatter_u"))
+    val cc = c1.select(col("cid"), col("cemb"), col("csq"))
+    val pairs = cc.as("a").crossJoin(broadcast(cc.as("b")))
+      .filter(col("a.cid") =!= col("b.cid"))
+      .select(col("a.cid").as("cid"), col("b.cid").as("partner"),
+        floor((col("a.csq") + col("b.csq") -
+          lit(2.0) * dot(col("a.cemb"), col("b.cemb"))) * lit(1e6))
+          .cast("long").as("m2u"))
+    pairs
+      .join(broadcast(per.select(col("cid").as("partner"),
+        col("scatter_u").as("s_b"))), Seq("partner"))
+      .join(broadcast(per.select(col("cid"), col("n"),
+        col("scatter_u").as("s_a"))), Seq("cid"))
+      .withColumn("ratio_ppm", expr(
+        "CAST(CAST(s_a + s_b AS DECIMAL(38,0)) * 1000000 DIV m2u AS BIGINT)"))
+      .groupBy(col("cid"), col("n"), col("s_a"))
+      .agg(max(struct(col("ratio_ppm"), col("partner"))).as("best"))
+      .select(col("cid").as("cluster"), col("n"),
+        col("s_a").as("scatter_u"), col("best.partner").as("worst_partner"),
+        col("best.ratio_ppm").as("db_ratio_ppm"))
       .orderBy("cluster")
   }
 

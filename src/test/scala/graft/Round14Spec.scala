@@ -155,6 +155,32 @@ class Round14Spec extends SparkSpec {
         "on a separable fixture")
   }
 
+  test("Davies–Bouldin reads separation: on the orthogonal " +
+       "planted-cluster fixture (one seed lands in each cluster) every " +
+       "cluster's worst-partner ratio is far below 1 — scatter is " +
+       "dwarfed by centroid separation") {
+    import spark.implicits._
+    val rows = (0 until 400).map { i =>
+      val lab = i % 8
+      val emb = (0 until 64).map { d =>
+        val base = if (d == lab * 8) 10.0f else 0.0f
+        base + ((i * 31 + d * 7) % 5) * 0.1f
+      }.toArray
+      (i.toLong, emb, lab)
+    }.toDF("vec_id", "embedding", "label")
+    val dest = s"target/spec-scale/db-${System.nanoTime()}"
+    rows.write.parquet(s"$dest/embeddings.parquet")
+    val q = graft.ops.Similarity.clusterQuality(spark, dest).collect()
+    assert(q.length == 8)
+    q.foreach { r =>
+      assert(r.getAs[Long]("scatter_u") >= 0L)
+      assert(r.getAs[Long]("worst_partner") != r.getAs[Long]("cluster"))
+      assert(r.getAs[Long]("db_ratio_ppm") < 1000000L,
+        s"cluster ${r.getAs[Long]("cluster")} DB ratio " +
+          s"${r.getAs[Long]("db_ratio_ppm")} ppm >= 1 on a separable fixture")
+    }
+  }
+
   test("re-ranking never loses a match: rerank top-1 agreement " +
        "dominates ADC-only agreement (the ADC winner is always in the " +
        "candidate set, and the exact argmin keeps any true winner)") {
