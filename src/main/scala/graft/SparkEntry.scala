@@ -218,8 +218,11 @@ object SparkEntry {
     "dedup_span_histogram" ->
       ((s, d) => Dedup.duplicatedSpanHistogram(s, d)),
     "value_drift" -> ((s, d) => Analytics.valueDrift(s, d)),
+    "linreg_value_trend" -> ((s, d) => Analytics.linregValueTrend(s, d)),
+    "moments_by_type" -> ((s, d) => Analytics.momentsByType(s, d)),
     "kmeans_clusters" -> ((s, d) => Similarity.kmeansClusters(s, d)),
     "cluster_quality" -> ((s, d) => Similarity.clusterQuality(s, d)),
+    "silhouette_sq" -> ((s, d) => Similarity.silhouetteSq(s, d)),
     "semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "leakage_safe_split" -> (TrainingSets.leakageSafeSplit _),
     "kfold_assignment" -> ((s, d) => TrainingSets.kfoldAssignment(s, d)),
@@ -2698,6 +2701,57 @@ object SparkEntry {
         |  AS drift_scaled
         |FROM g JOIN t ON g.event_type = t.event_type
         |ORDER BY 1, 2""".stripMargin),
+    // simpleLinearRegression parity: five DECIMAL sufficient statistics,
+    // closed-form slope/intercept as sign-split nonnegative integral
+    // divisions (floor(value*1e6) is one IEEE multiply — bit-identical)
+    "linreg_value_trend" ->
+      ("""WITH t0 AS (SELECT min(CAST(epoch_us(ts::TIMESTAMP) AS BIGINT))
+        |    AS t0 FROM events),
+        |xy AS (SELECT event_type,
+        |  CAST((CAST(epoch_us(ts::TIMESTAMP) AS BIGINT)
+        |    - (SELECT t0 FROM t0)) // 3600000000 AS HUGEINT) AS x,
+        |  CAST(floor(value * 1e6) AS HUGEINT) AS y FROM events),
+        |s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |  sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |  sum(x * x) AS sxx FROM xy GROUP BY 1),
+        |d AS (SELECT event_type, n, n * sxy - sx * sy AS num,
+        |  n * sxx - sx * sx AS den, sy * sxx - sx * sxy AS inum FROM s)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN den = 0 THEN NULL
+        |    WHEN num >= 0 THEN CAST(num * 1000000 // den AS BIGINT)
+        |    ELSE -CAST((-num) * 1000000 // den AS BIGINT) END AS slope_ppm,
+        |  CASE WHEN den = 0 THEN NULL
+        |    WHEN inum >= 0 THEN CAST(inum // den AS BIGINT)
+        |    ELSE -CAST((-inum) // den AS BIGINT) END AS icept_micro
+        |FROM d ORDER BY event_type""".stripMargin),
+    // skewPop/kurtPop parity: centered power sums about the floored
+    // integer-cent mean; kurt is the documented two-floor composition
+    // that keeps every intermediate inside 38 digits at any n
+    "moments_by_type" ->
+      ("""WITH ev AS (SELECT event_type,
+        |  CAST(floor(value * 100) AS HUGEINT) AS yc FROM events),
+        |m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |  sum(yc) AS s1 FROM ev GROUP BY 1),
+        |mm AS (SELECT event_type, n,
+        |  CASE WHEN s1 >= 0 THEN CAST(s1 // n AS BIGINT)
+        |    ELSE -CAST((-s1) // n AS BIGINT) END AS mean_centi FROM m),
+        |c AS (SELECT ev.event_type, mm.n, mm.mean_centi,
+        |  ev.yc - mm.mean_centi AS d
+        |  FROM ev JOIN mm ON ev.event_type = mm.event_type),
+        |p AS (SELECT event_type, max(n) AS n,
+        |  max(mean_centi) AS mean_centi,
+        |  sum(d * d) AS d2, sum(d * d * d) AS d3,
+        |  sum(d * d * d * d) AS d4 FROM c GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, mean_centi,
+        |  CAST(d2 // n AS BIGINT) AS var_centi2,
+        |  CASE WHEN d2 = 0 THEN NULL
+        |    WHEN d3 >= 0 THEN CAST(d3 * 1000000 // d2 AS BIGINT)
+        |    ELSE -CAST((-d3) * 1000000 // d2 AS BIGINT) END
+        |    AS m3_over_m2_ppm,
+        |  CASE WHEN d2 = 0 THEN NULL
+        |    ELSE CAST((d4 * 1000000 // d2) * n // d2 AS BIGINT) END
+        |    AS kurt_ppm
+        |FROM p ORDER BY event_type""".stripMargin),
     // iterative float k-means made engine-portable: distances are the same
     // left-to-right double folds as everywhere else, centroid means and the
     // WCSS report sum in DECIMAL (exact, order-free); the reported wcss is
@@ -2735,6 +2789,50 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY cid
         |    ORDER BY ratio_ppm DESC, partner DESC) AS rn FROM r)
         |WHERE rn = 1 ORDER BY cluster""".stripMargin),
+    // squared-distance silhouette via per-cluster sufficient statistics
+    // (n_B|x|^2 - 2 x.S_B + Q_B replaces every pairwise distance); the
+    // per-(point, cluster) means floor to micro-units at source, the
+    // ratio is a sign-split nonnegative integer DIV
+    "silhouette_sq" -> (kmeansAssignCte +
+      """,
+        |pt AS (SELECT a2.vec_id, a2.cid, e.embedding, e.sq
+        |  FROM a2 JOIN e USING (vec_id)),
+        |st AS (SELECT cid, count(*) AS cn,
+        |  CAST(sum(CAST(sq AS DECIMAL(30,12))) AS DOUBLE) AS qsum
+        |  FROM pt GROUP BY 1),
+        |sv AS (SELECT pt.cid, g.i AS pos,
+        |  CAST(SUM(CAST(pt.embedding[g.i]::DOUBLE AS DECIMAL(30,15)))
+        |    AS DOUBLE) AS sv
+        |  FROM pt, range(1, 65) g(i) GROUP BY 1, 2),
+        |svl AS (SELECT cid, list(sv ORDER BY pos) AS svec
+        |  FROM sv GROUP BY 1),
+        |bc AS (SELECT st.cid AS bcid, st.cn, st.qsum, svl.svec
+        |  FROM st JOIN svl ON svl.cid = st.cid),
+        |dd AS (SELECT pt.vec_id, pt.cid, bc.bcid,
+        |  CASE WHEN pt.cid = bc.bcid THEN bc.cn - 1 ELSE bc.cn END AS den,
+        |  CAST(floor(((CAST(bc.cn AS DOUBLE) * pt.sq -
+        |    2 * list_sum([pt.embedding[i]::DOUBLE * bc.svec[i]
+        |      for i in range(1, 65)]) + bc.qsum) /
+        |    CAST(CASE WHEN pt.cid = bc.bcid THEN bc.cn - 1 ELSE bc.cn END
+        |      AS DOUBLE)) * 1e6) AS BIGINT) AS du
+        |  FROM pt, bc
+        |  WHERE NOT (pt.cid = bc.bcid AND bc.cn = 1)),
+        |ab AS (SELECT vec_id, cid,
+        |  max(CASE WHEN cid = bcid THEN du END) AS a_u,
+        |  min(CASE WHEN cid <> bcid THEN du END) AS b_u
+        |  FROM dd GROUP BY 1, 2),
+        |sp AS (SELECT cid,
+        |  CASE WHEN greatest(a_u, b_u) <= 0 THEN 0
+        |    WHEN b_u >= a_u
+        |      THEN (b_u - a_u) * 1000000 // greatest(a_u, b_u)
+        |    ELSE -((a_u - b_u) * 1000000 // greatest(a_u, b_u)) END
+        |    AS s_ppm
+        |  FROM ab WHERE a_u IS NOT NULL)
+        |SELECT cid AS cluster, count(*) AS n,
+        |  CAST(sum(s_ppm) AS BIGINT) AS sum_s_ppm,
+        |  CAST(min(s_ppm) AS BIGINT) AS min_s_ppm,
+        |  CAST(max(s_ppm) AS BIGINT) AS max_s_ppm
+        |FROM sp GROUP BY 1 ORDER BY cluster""".stripMargin),
     // SemDeDup over the SAME 2-round Lloyd assignment (kmeansAssignCte):
     // within-cluster cosine ≥ tau against any lower vec_id drops a
     // vector; the cosine is the same left-to-right list_sum fold both

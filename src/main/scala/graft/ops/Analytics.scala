@@ -854,4 +854,100 @@ object Analytics {
           .as("revenue"))
       .orderBy("channel")
   }
+
+  /** Per-type OLS trend of event value over time — the ClickHouse
+    * `simpleLinearRegression` surface (public aggregate-function docs;
+    * the reference's engine family exposes it natively), re-expressed
+    * as ONE partial-aggregable pass: x = hour offset from the corpus
+    * min, y = value in exact micro-units, and the five sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx²) accumulate in DECIMAL(38,0) so
+    * the closed-form slope/intercept are pure integer arithmetic.
+    *
+    * Float discipline: `floor(value * 1e6)` is one IEEE multiply + a
+    * floor — bit-identical cross-engine; every ratio is a sign-split
+    * nonnegative integral division (negative-operand DIV semantics
+    * differ across engines), so the gate hashes exact BIGINTs. The
+    * denominator n·Σx²−(Σx)² is ≥ 0 by Cauchy–Schwarz; a zero
+    * denominator (single-hour type) reports NULL.
+    *
+    * Scale shape: map-side partial aggregation into #event_type rows;
+    * the 1-row corpus-min frame is broadcast. Nothing here grows with
+    * the corpus except the one scan.
+    */
+  def linregValueTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("value"))
+    val t0 = ev.agg(min(unix_micros(col("ts"))).as("t0"))
+    val xy = ev.crossJoin(broadcast(t0))
+      .select(col("event_type"),
+        expr("CAST((unix_micros(ts) - t0) DIV 3600000000 " +
+          "AS DECIMAL(38,0))").as("x"),
+        expr("CAST(FLOOR(value * 1e6) AS DECIMAL(38,0))").as("y"))
+    xy.groupBy("event_type")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(col("event_type"), col("n").cast("long").as("n"),
+        expr("n * sxy - sx * sy").as("num"),
+        expr("n * sxx - sx * sx").as("den"),
+        expr("sy * sxx - sx * sxy").as("inum"))
+      .select(col("event_type"), col("n"),
+        expr("""CASE WHEN den = 0 THEN NULL
+          WHEN num >= 0 THEN CAST(num * 1000000 DIV den AS BIGINT)
+          ELSE -CAST((-num) * 1000000 DIV den AS BIGINT) END""")
+          .as("slope_ppm"),
+        expr("""CASE WHEN den = 0 THEN NULL
+          WHEN inum >= 0 THEN CAST(inum DIV den AS BIGINT)
+          ELSE -CAST((-inum) DIV den AS BIGINT) END""")
+          .as("icept_micro"))
+      .orderBy("event_type")
+  }
+
+  /** Per-type higher-moment profile — the ClickHouse `skewPop` /
+    * `kurtPop` surface (public aggregate-function docs) in the repo's
+    * hash-exact dialect. Two passes: (1) n and Σy per type (y = exact
+    * integer cents), broadcast back; (2) centered power sums D2/D3/D4
+    * about the SIGN-SPLIT-FLOORED integer mean — a pinned, documented
+    * variant of the population moments (the ≤1-cent mean shift is far
+    * below the audit's resolution, and every quantity stays an exact
+    * integer both engines agree on).
+    *
+    * Reported: `var_centi2` = ⌊D2/n⌋; `m3_over_m2_ppm` =
+    * sign-split ⌊10⁶·D3/D2⌋ (the skew direction/magnitude proxy; the
+    * exact skewness needs m2^1.5 — a sqrt, not hash-portable); and
+    * `kurt_ppm` = ⌊⌊10⁶·D4/D2⌋·n/D2⌋, a two-floor composition of
+    * n·m4/m2² that keeps every intermediate under DECIMAL(38,0) at any
+    * corpus size (n·D4·10⁶ alone overflows 38 digits past ~10⁷ rows).
+    * Scale shape: both passes are map-side partial aggregations into
+    * #event_type rows; the mean frame is broadcast.
+    */
+  def momentsByType(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("CAST(FLOOR(value * 100) AS DECIMAL(38,0))").as("yc"))
+    val means = ev.groupBy("event_type")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"), sum("yc").as("s1"))
+      .withColumn("mean_centi",
+        expr("""CASE WHEN s1 >= 0 THEN CAST(s1 DIV n AS BIGINT)
+          ELSE -CAST((-s1) DIV n AS BIGINT) END"""))
+      .select(col("event_type"), col("n"), col("mean_centi"))
+    ev.join(broadcast(means), Seq("event_type"))
+      .withColumn("d", expr("yc - mean_centi"))
+      .groupBy("event_type")
+      .agg(max("n").as("n"), max("mean_centi").as("mean_centi"),
+        sum(expr("d * d")).as("d2"),
+        sum(expr("d * d * d")).as("d3"),
+        sum(expr("d * d * d * d")).as("d4"))
+      .select(col("event_type"), col("n").cast("long").as("n"),
+        col("mean_centi"),
+        expr("CAST(d2 DIV n AS BIGINT)").as("var_centi2"),
+        expr("""CASE WHEN d2 = 0 THEN NULL
+          WHEN d3 >= 0 THEN CAST(d3 * 1000000 DIV d2 AS BIGINT)
+          ELSE -CAST((-d3) * 1000000 DIV d2 AS BIGINT) END""")
+          .as("m3_over_m2_ppm"),
+        expr("""CASE WHEN d2 = 0 THEN NULL
+          ELSE CAST((d4 * 1000000 DIV d2) * n DIV d2 AS BIGINT) END""")
+          .as("kurt_ppm"))
+      .orderBy("event_type")
+  }
 }

@@ -339,6 +339,70 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** Point-level clustering audit: the silhouette coefficient
+    * (Rousseeuw 1987 — public method) with MEAN SQUARED distances,
+    * which makes the naive O(n²) pair enumeration collapse to O(n·k)
+    * via per-cluster sufficient statistics — for any point x and
+    * cluster B, Σ_{y∈B}|x−y|² = n_B|x|² − 2·x·S_B + Q_B, so three
+    * broadcast numbers per cluster (count, component-sum vector S,
+    * squared-norm sum Q) replace every pairwise distance. THE
+    * pattern that survives 100 TB: the corpus is scanned once and
+    * never appears in a pair frame.
+    *
+    * Per point: a = mean sq-dist to own cluster (n−1 denominator,
+    * singleton clusters excluded per the standard), b = min over
+    * other clusters of the mean sq-dist, s = (b−a)/max(a,b).
+    * Reported per cluster: n, Σs (integer ppm), min/max s.
+    *
+    * Float discipline: S and Q accumulate in DECIMAL (order-free)
+    * and every per-(point, cluster) mean floors to BIGINT
+    * micro-units at source (the ivfpq_distortion fix — micro-floors
+    * absorb the decimal→double rounding asymmetry); the silhouette
+    * ratio is then a sign-split nonnegative integer DIV (signed
+    * division semantics differ across engines) and the rollup sums
+    * exact BIGINTs.
+    */
+  def silhouetteSq(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, a2) = kmeansModel(spark, sfDir)
+    val withSq = a2.select(col("vec_id"), col("cid"), col("embedding"))
+      .withColumn("sq", dot(col("embedding"), col("embedding")))
+    val svec = withSq
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg(sum(col("v").cast("double").cast("decimal(30,15)"))
+        .cast("double").as("sv"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
+        x => x.getField("sv")).as("svec"))
+    val stats = withSq.groupBy("cid")
+      .agg(count(lit(1)).as("cn"),
+        sum(col("sq").cast("decimal(30,12)")).cast("double").as("qsum"))
+      .join(svec, "cid")
+      .select(col("cid").as("bcid"), col("cn"), col("qsum"), col("svec"))
+    val du = withSq
+      .crossJoin(broadcast(stats))
+      .withColumn("den",
+        when(col("cid") === col("bcid"), col("cn") - 1).otherwise(col("cn")))
+      .filter(col("den") > 0)
+      .withColumn("du", floor(
+        ((col("cn").cast("double") * col("sq") -
+          lit(2.0) * dot(col("embedding"), col("svec")) + col("qsum")) /
+          col("den").cast("double")) * lit(1e6)).cast("long"))
+    du.groupBy("vec_id", "cid")
+      .agg(max(when(col("cid") === col("bcid"), col("du"))).as("a_u"),
+        min(when(col("cid") =!= col("bcid"), col("du"))).as("b_u"))
+      .filter(col("a_u").isNotNull)
+      .withColumn("s_ppm",
+        when(greatest(col("a_u"), col("b_u")) <= 0, lit(0L))
+          .when(col("b_u") >= col("a_u"),
+            expr("(b_u - a_u) * 1000000 DIV greatest(a_u, b_u)"))
+          .otherwise(-expr("(a_u - b_u) * 1000000 DIV greatest(a_u, b_u)")))
+      .groupBy(col("cid").as("cluster"))
+      .agg(count(lit(1)).as("n"), sum("s_ppm").as("sum_s_ppm"),
+        min("s_ppm").as("min_s_ppm"), max("s_ppm").as("max_s_ppm"))
+      .orderBy("cluster")
+  }
+
   /** The streaming ANN probe's STATIC side, shared with the batch recall
     * audit ([[annProbeRecall]]) and [[graft.streaming.StreamAssembly
     * .streamAnnProbe]]: the even-vec_id index half with norms, the first

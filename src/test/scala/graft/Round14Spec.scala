@@ -181,6 +181,70 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("squared-distance silhouette reads cohesion: on the orthogonal " +
+       "planted-cluster fixture every cluster's WORST point scores " +
+       "strongly positive (within-cluster scatter is dwarfed by the " +
+       "nearest-other-cluster distance), and the point count balances") {
+    import spark.implicits._
+    val rows = (0 until 400).map { i =>
+      val lab = i % 8
+      val emb = (0 until 64).map { d =>
+        val base = if (d == lab * 8) 10.0f else 0.0f
+        base + ((i * 31 + d * 7) % 5) * 0.1f
+      }.toArray
+      (i.toLong, emb, lab)
+    }.toDF("vec_id", "embedding", "label")
+    val dest = s"target/spec-scale/sil-${System.nanoTime()}"
+    rows.write.parquet(s"$dest/embeddings.parquet")
+    val s = graft.ops.Similarity.silhouetteSq(spark, dest).collect()
+    assert(s.length == 8)
+    assert(s.map(_.getAs[Long]("n")).sum == 400L)
+    s.foreach { r =>
+      assert(r.getAs[Long]("min_s_ppm") > 500000L,
+        s"cluster ${r.getAs[Long]("cluster")} worst silhouette " +
+          s"${r.getAs[Long]("min_s_ppm")} ppm <= 0.5 on a separable fixture")
+      assert(r.getAs[Long]("max_s_ppm") <= 1000000L)
+    }
+  }
+
+  test("OLS recovers an exactly-linear signal: on y = 2 + 0.5x the " +
+       "closed-form integer slope/intercept are exact (slope_ppm = " +
+       "5e11 micro-y/hour in ppm precision, icept_micro = 2e6)") {
+    import spark.implicits._
+    val rows = (0 until 240).map { h =>
+      (h.toLong, new java.sql.Timestamp(1700000000000L + h * 3600000L),
+        (h % 7).toLong, "purchase", 2.0 + 0.5 * h, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dest = s"target/spec-scale/ols-${System.nanoTime()}"
+    rows.write.parquet(s"$dest/events.parquet")
+    val r = graft.ops.Analytics.linregValueTrend(spark, dest).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n") == 240L)
+    assert(r(0).getAs[Long]("slope_ppm") == 500000000000L,
+      s"slope ${r(0).getAs[Long]("slope_ppm")}")
+    assert(r(0).getAs[Long]("icept_micro") == 2000000L,
+      s"intercept ${r(0).getAs[Long]("icept_micro")}")
+  }
+
+  test("moments read shape: a symmetric two-point value distribution " +
+       "has zero third moment and kurtosis exactly 1 (the two-point " +
+       "floor), and variance equal to the squared half-gap in cents") {
+    import spark.implicits._
+    val rows = (0 until 400).map { i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 60000L),
+        (i % 7).toLong, "view", if (i % 2 == 0) 1.0 else 3.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dest = s"target/spec-scale/mom-${System.nanoTime()}"
+    rows.write.parquet(s"$dest/events.parquet")
+    val r = graft.ops.Analytics.momentsByType(spark, dest).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("mean_centi") == 200L)
+    assert(r(0).getAs[Long]("var_centi2") == 10000L)
+    assert(r(0).getAs[Long]("m3_over_m2_ppm") == 0L)
+    assert(r(0).getAs[Long]("kurt_ppm") == 1000000L,
+      s"kurtosis ${r(0).getAs[Long]("kurt_ppm")} ppm")
+  }
+
   test("re-ranking never loses a match: rerank top-1 agreement " +
        "dominates ADC-only agreement (the ADC winner is always in the " +
        "candidate set, and the exact argmin keeps any true winner)") {
