@@ -223,6 +223,7 @@ object SparkEntry {
     "kmeans_clusters" -> ((s, d) => Similarity.kmeansClusters(s, d)),
     "cluster_quality" -> ((s, d) => Similarity.clusterQuality(s, d)),
     "silhouette_sq" -> ((s, d) => Similarity.silhouetteSq(s, d)),
+    "pca_power_component" -> ((s, d) => Similarity.pcaPowerComponent(s, d)),
     "semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "leakage_safe_split" -> (TrainingSets.leakageSafeSplit _),
     "kfold_assignment" -> ((s, d) => TrainingSets.kfoldAssignment(s, d)),
@@ -2833,6 +2834,49 @@ object SparkEntry {
         |  CAST(min(s_ppm) AS BIGINT) AS min_s_ppm,
         |  CAST(max(s_ppm) AS BIGINT) AS max_s_ppm
         |FROM sp GROUP BY 1 ORDER BY cluster""".stripMargin),
+    // top principal component by power iteration on the exact integer
+    // Gram matrix: micro-quantized, centered about the floored integer
+    // mean, PcaRounds max-abs-normalized rounds unrolled as CTEs —
+    // every iterate is an exact HUGEINT both engines agree on
+    "pca_power_component" ->
+      ("""WITH x AS (SELECT vec_id, g.i AS i,
+        |  CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1e6) AS HUGEINT)
+        |    AS xq
+        |  FROM embeddings, range(1, 65) g(i)),
+        |mu AS (SELECT i, CASE WHEN sum(xq) >= 0
+        |    THEN sum(xq) // count(*)
+        |    ELSE -((-sum(xq)) // count(*)) END AS mu
+        |  FROM x GROUP BY 1),
+        |c AS (SELECT x.vec_id, x.i, x.xq - mu.mu AS c
+        |  FROM x JOIN mu ON x.i = mu.i),
+        |g AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(a.c * b.c) AS g
+        |  FROM c a JOIN c b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v
+        |  FROM range(1, 65) g(i))""".stripMargin +
+      (1 to ops.Similarity.PcaRounds).map { k =>
+        val pv = s"v${k - 1}"
+        s""",
+        |w$k AS MATERIALIZED (SELECT g.i AS i, sum(g.g * $pv.v) AS w
+        |  FROM g JOIN $pv ON g.j = $pv.i GROUP BY 1),
+        |m$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$k),
+        |v$k AS MATERIALIZED (SELECT i, CASE WHEN w >= 0
+        |    THEN CAST(w * 1000000 // (SELECT m FROM m$k) AS HUGEINT)
+        |    ELSE -CAST((-w) * 1000000 // (SELECT m FROM m$k) AS HUGEINT)
+        |    END AS v FROM w$k)""".stripMargin
+      }.mkString +
+      s""",
+        |wf AS MATERIALIZED (SELECT g.i AS i,
+        |  sum(g.g * v${ops.Similarity.PcaRounds}.v) AS w
+        |  FROM g JOIN v${ops.Similarity.PcaRounds}
+        |    ON g.j = v${ops.Similarity.PcaRounds}.i GROUP BY 1),
+        |mf AS (SELECT max(abs(w)) AS m FROM wf),
+        |tr AS (SELECT sum(g) AS t FROM g WHERE i = j)
+        |SELECT CAST(vz.i - 1 AS BIGINT) AS dim,
+        |  CAST(vz.v AS BIGINT) AS loading_ppm,
+        |  CAST((SELECT m FROM mf) // (SELECT t FROM tr) AS BIGINT)
+        |    AS var_explained_ppm
+        |FROM v${ops.Similarity.PcaRounds} vz
+        |ORDER BY dim""".stripMargin),
     // SemDeDup over the SAME 2-round Lloyd assignment (kmeansAssignCte):
     // within-cluster cosine ≥ tau against any lower vec_id drops a
     // vector; the cosine is the same left-to-right list_sum fold both

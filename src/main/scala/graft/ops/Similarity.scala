@@ -403,6 +403,90 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** Power-iteration rounds shared by the operator and its oracle —
+    * interpolated into both so they cannot drift.
+    */
+  val PcaRounds: Int = 8
+
+  /** Top principal component of the embedding corpus by power
+    * iteration over the exact integer Gram matrix — the
+    * dimensionality-reduction primitive of an embedding pipeline
+    * (which axes carry the variance; PCA-whitening's first step),
+    * with the ENTIRE chain hash-exact:
+    *
+    *  1. quantize: x = ⌊10⁶·component⌋ (one IEEE multiply — exact);
+    *  2. center about the sign-split-floored integer per-dim mean;
+    *  3. Gram: G[i][j] = Σ c_i·c_j in DECIMAL(38,0) — d² = 4096
+    *     cells, accumulated by a flat-map + partial aggregate (the
+    *     shuffle carries ≤ 4096 rows PER PARTITION regardless of
+    *     corpus size; the d²·n multiply cost is the exact-Gram price
+    *     and is embarrassingly parallel);
+    *  4. [[PcaRounds]] power-iteration rounds on the 4096-row G:
+    *     w = G·v, then v ← sign·⌊10⁶·|w|/max|w|⌋ — the max-abs
+    *     normalization replaces the usual (non-portable) L2 sqrt, so
+    *     every iterate is an exact integer both engines agree on.
+    *
+    * Reported per dimension: the loading in ppm of the max-abs
+    * component, plus the dominant eigenvalue's share of total
+    * variance (max|G·v| DIV trace(G) — both in identical units, so
+    * the ratio is scale-free and BIGINT-safe at any corpus size).
+    * G is eagerly checkpointed once (4096 rows) so the corpus is
+    * scanned exactly once; each 64-row iterate checkpoints eagerly
+    * (the BPE training-loop discipline) to keep the lineage flat.
+    */
+  def pcaPowerComponent(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val x = e.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("i", "f")))
+      .select(col("vec_id"), col("i"),
+        expr("CAST(FLOOR(CAST(f AS DOUBLE) * 1e6) AS DECIMAL(38,0))")
+          .as("xq"))
+    val mu = x.groupBy("i")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"), sum("xq").as("s"))
+      .select(col("i"),
+        expr("""CASE WHEN s >= 0 THEN CAST(s DIV n AS DECIMAL(38,0))
+          ELSE -CAST((-s) DIV n AS DECIMAL(38,0)) END""").as("mu"))
+    val muArr = mu
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("mu")))),
+        s => s.getField("mu")).as("muv"))
+    val cent = e.crossJoin(broadcast(muArr))
+      .select(expr("""transform(embedding, (f, k) ->
+        CAST(FLOOR(CAST(f AS DOUBLE) * 1e6) AS DECIMAL(38,0))
+          - element_at(muv, k + 1))""").as("c"))
+    val g = cent
+      .select(posexplode(col("c")).as(Seq("i", "ci")), col("c"))
+      .select(col("i"), col("ci"), posexplode(col("c")).as(Seq("j", "cj")))
+      .groupBy("i", "j")
+      .agg(sum(expr("ci * cj")).as("g"))
+      .localCheckpoint(true)
+    var v = spark.range(0, 64)
+      .select(col("id").cast("int").as("i"),
+        lit(1000000L).cast("decimal(38,0)").as("v"))
+    def mul(vk: DataFrame): DataFrame =
+      g.join(vk.select(col("i").as("j"), col("v").as("vj")), "j")
+        .groupBy("i").agg(sum(expr("g * vj")).as("w"))
+    for (_ <- 1 to PcaRounds) {
+      val w = mul(v)
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("i"),
+          expr("""CASE WHEN w >= 0
+            THEN CAST(w * 1000000 DIV m AS DECIMAL(38,0))
+            ELSE -CAST((-w) * 1000000 DIV m AS DECIMAL(38,0)) END""")
+            .as("v"))
+        .localCheckpoint(true)
+    }
+    val mf = mul(v).agg(max(abs(col("w"))).as("m"))
+    val tr = g.filter(col("i") === col("j")).agg(sum("g").as("t"))
+    v.crossJoin(broadcast(mf)).crossJoin(broadcast(tr))
+      .select(col("i").cast("long").as("dim"),
+        col("v").cast("long").as("loading_ppm"),
+        expr("CAST(m DIV t AS BIGINT)").as("var_explained_ppm"))
+      .orderBy("dim")
+  }
+
   /** The streaming ANN probe's STATIC side, shared with the batch recall
     * audit ([[annProbeRecall]]) and [[graft.streaming.StreamAssembly
     * .streamAnnProbe]]: the even-vec_id index half with norms, the first

@@ -207,6 +207,34 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("power iteration finds a planted principal axis: with one " +
+       "dimension carrying ~100x the variance of every other, the " +
+       "dominant loading lands on it (|loading| = 1e6, all others " +
+       "small) and it explains >90% of total variance") {
+    import spark.implicits._
+    val rows = (0 until 500).map { i =>
+      val emb = (0 until 64).map { d =>
+        val jitter = ((i * 31 + d * 7) % 5 - 2) * 0.05f
+        if (d == 5) (if (i % 2 == 0) 10.0f else -10.0f) + jitter
+        else jitter
+      }.toArray
+      (i.toLong, emb)
+    }.toDF("vec_id", "embedding")
+    val dest = s"target/spec-scale/pca-${System.nanoTime()}"
+    rows.write.parquet(s"$dest/embeddings.parquet")
+    val r = graft.ops.Similarity.pcaPowerComponent(spark, dest).collect()
+    assert(r.length == 64)
+    val byDim = r.map(x => x.getAs[Long]("dim") ->
+      x.getAs[Long]("loading_ppm")).toMap
+    assert(math.abs(byDim(5L)) == 1000000L,
+      s"dominant loading ${byDim(5L)} not at the planted axis")
+    byDim.filter(_._1 != 5L).foreach { case (d, l) =>
+      assert(math.abs(l) < 100000L, s"dim $d loading $l too large")
+    }
+    assert(r(0).getAs[Long]("var_explained_ppm") > 900000L,
+      s"explained ${r(0).getAs[Long]("var_explained_ppm")} ppm")
+  }
+
   test("OLS recovers an exactly-linear signal: on y = 2 + 0.5x the " +
        "closed-form integer slope/intercept are exact (slope_ppm = " +
        "5e11 micro-y/hour in ppm precision, icept_micro = 2e6)") {
