@@ -224,6 +224,8 @@ object SparkEntry {
     "cluster_quality" -> ((s, d) => Similarity.clusterQuality(s, d)),
     "silhouette_sq" -> ((s, d) => Similarity.silhouetteSq(s, d)),
     "pca_power_component" -> ((s, d) => Similarity.pcaPowerComponent(s, d)),
+    "mrl_truncation_recall" ->
+      ((s, d) => Similarity.mrlTruncationRecall(s, d)),
     "semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "leakage_safe_split" -> (TrainingSets.leakageSafeSplit _),
     "kfold_assignment" -> ((s, d) => TrainingSets.kfoldAssignment(s, d)),
@@ -2834,6 +2836,44 @@ object SparkEntry {
         |  CAST(min(s_ppm) AS BIGINT) AS min_s_ppm,
         |  CAST(max(s_ppm) AS BIGINT) AS max_s_ppm
         |FROM sp GROUP BY 1 ORDER BY cluster""".stripMargin),
+    // Matryoshka truncation-recall curve: per prefix width, the sampled
+    // stratum's prefix-cosine top-1 vs the full-width exact top-1; the
+    // prefix folds are the same left-to-right list_sum both engines
+    "mrl_truncation_recall" ->
+      ("""WITH qs AS MATERIALIZED (SELECT vec_id AS q_id,
+        |    embedding AS qemb FROM embeddings
+        |  WHERE vec_id % 2 = 1 AND
+        |    ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
+        |      % 100 < 20),
+        |idx AS MATERIALIZED (SELECT vec_id AS m_id, embedding AS memb
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |w(width) AS (VALUES """.stripMargin +
+      ops.Similarity.MrlWidths.map(p => s"($p)").mkString(", ") +
+      """),
+        |scored AS MATERIALIZED (SELECT q.q_id, i.m_id, w.width,
+        |  list_sum([q.qemb[j]::DOUBLE * i.memb[j]::DOUBLE
+        |            for j in range(1, w.width + 1)])
+        |  / (sqrt(list_sum([q.qemb[j]::DOUBLE * q.qemb[j]::DOUBLE
+        |            for j in range(1, w.width + 1)]))
+        |   * sqrt(list_sum([i.memb[j]::DOUBLE * i.memb[j]::DOUBLE
+        |            for j in range(1, w.width + 1)]))) AS cos
+        |  FROM qs q, idx i, w),
+        |t1 AS MATERIALIZED (SELECT q_id, width, m_id FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id, width ORDER BY cos DESC, m_id ASC) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |fw AS (SELECT q_id, m_id AS full_id FROM t1
+        |  WHERE width = """.stripMargin +
+      s"${ops.Similarity.MrlWidths.max})" +
+      """
+        |SELECT CAST(t1.width AS BIGINT) AS width,
+        |  count(*) AS n_queries,
+        |  CAST(sum(CASE WHEN t1.m_id = fw.full_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_top1_match,
+        |  CAST(sum(CASE WHEN t1.m_id = fw.full_id THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS recall_ppm
+        |FROM t1 JOIN fw USING (q_id)
+        |GROUP BY 1 ORDER BY width""".stripMargin),
     // top principal component by power iteration on the exact integer
     // Gram matrix: micro-quantized, centered about the floored integer
     // mean, PcaRounds max-abs-normalized rounds unrolled as CTEs —

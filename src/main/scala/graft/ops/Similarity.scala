@@ -487,6 +487,74 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Truncation widths audited by [[mrlTruncationRecall]] — shared with
+    * the oracle so operator and replay cannot drift.
+    */
+  val MrlWidths: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** Matryoshka-style truncation-recall audit (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning" — public method): for each
+    * prefix width p ∈ [[MrlWidths]], every sampled query's top-1 by
+    * cosine over the FIRST p dimensions is compared against its full-
+    * width exact top-1 — the "how many dimensions does retrieval
+    * actually need" curve that prices storing truncated vectors (the
+    * cheapest index-compression lever, ahead of PQ).
+    *
+    * Audit semantics follow the recall-audit family: queries are the
+    * md5-coin 20% stratum of the odd half (sampled queries, NEVER a
+    * sampled index), the index is the full even half, and the pair
+    * frame is the salt-keyed block join with no corpus-sized broadcast
+    * ([[annProbeRecallSampled]]'s plan). All four widths are scored on
+    * ONE pass over the pair frame (four prefix folds per pair, then an
+    * unpivot), so the brute-force cost is paid once, not per width.
+    * Counts are exact (prefix cosines are bit-identical doubles: the
+    * same left-to-right fold both engines, one multiply, one divide);
+    * recall is an integer-ppm floor.
+    */
+  def mrlTruncationRecall(spark: SparkSession, sfDir: String,
+                          pct: Int = 20): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    def withNorms(df: DataFrame, p: String): DataFrame =
+      MrlWidths.foldLeft(df)((d, w) =>
+        d.withColumn(s"${p}n$w", norm2(slice(col(s"${p}emb"), 1, w))))
+    val qs = withNorms(
+      e.filter(col("vec_id") % 2 === 1)
+        .filter(TrainingSets.bucket100(col("vec_id")) < pct)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qemb")), "q")
+    val idx = withNorms(
+      e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("m_id"), col("embedding").as("memb")), "m")
+    val pairs = qs.withColumn("blk",
+        explode(sequence(lit(0), lit(BlockCrossSalt - 1))))
+      .join(idx.withColumn("blk",
+        pmod(col("m_id"), lit(BlockCrossSalt)).cast("int"))
+        .hint("shuffle_hash"), "blk")
+    val withCos = MrlWidths.foldLeft(pairs)((d, w) =>
+      d.withColumn(s"cos$w",
+        dot(slice(col("qemb"), 1, w), slice(col("memb"), 1, w)) /
+          (col(s"qn$w") * col(s"mn$w"))))
+    val top = withCos
+      .selectExpr("q_id", "m_id",
+        s"stack(${MrlWidths.size}, " + MrlWidths.map(w =>
+          s"CAST($w AS BIGINT), cos$w").mkString(", ") +
+          ") AS (width, cos)")
+      .groupBy("q_id", "width")
+      .agg(max(struct(col("cos"), (-col("m_id")).as("nid"))).as("best"))
+      .select(col("q_id"), col("width"), (-col("best.nid")).as("match_id"))
+      .localCheckpoint(true) // the pair brute force is paid exactly once
+    val fullW = top.filter(col("width") === MrlWidths.max)
+      .select(col("q_id"), col("match_id").as("full_id"))
+    top.join(fullW, "q_id")
+      .groupBy("width")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("match_id") === col("full_id"), 1L).otherwise(0L))
+          .as("n_top1_match"))
+      .withColumn("recall_ppm",
+        expr("n_top1_match * 1000000 DIV n_queries"))
+      .orderBy("width")
+  }
+
   /** The streaming ANN probe's STATIC side, shared with the batch recall
     * audit ([[annProbeRecall]]) and [[graft.streaming.StreamAssembly
     * .streamAnnProbe]]: the even-vec_id index half with norms, the first

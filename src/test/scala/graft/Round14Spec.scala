@@ -235,6 +235,28 @@ class Round14Spec extends SparkSpec {
       s"explained ${r(0).getAs[Long]("var_explained_ppm")} ppm")
   }
 
+  test("truncation recall prices prefix width: with all signal in the " +
+       "tail dims, narrow prefixes collapse to the tiebreak (recall " +
+       "near zero) while the full width is exact by construction") {
+    import spark.implicits._
+    val rows = (0 until 600).map { i =>
+      val emb = (0 until 64).map { d =>
+        if (d < 32) 1.0f // constant prefix: every prefix cosine ties
+        else ((i * 31 + d * 7) % 97 - 48) * 0.1f
+      }.toArray
+      (i.toLong, emb)
+    }.toDF("vec_id", "embedding")
+    val dest = s"target/spec-scale/mrl-${System.nanoTime()}"
+    rows.write.parquet(s"$dest/embeddings.parquet")
+    val r = graft.ops.Similarity.mrlTruncationRecall(spark, dest)
+      .collect().map(x => x.getAs[Long]("width") ->
+        x.getAs[Long]("recall_ppm")).toMap
+    assert(r.keySet == Set(8L, 16L, 32L, 64L))
+    assert(r(64L) == 1000000L, s"full width ${r(64L)}")
+    assert(r(8L) < 100000L, s"tied prefix recall ${r(8L)} not collapsed")
+    assert(r(32L) < 100000L, s"tied prefix recall ${r(32L)} not collapsed")
+  }
+
   test("OLS recovers an exactly-linear signal: on y = 2 + 0.5x the " +
        "closed-form integer slope/intercept are exact (slope_ppm = " +
        "5e11 micro-y/hour in ppm precision, icept_micro = 2e6)") {
