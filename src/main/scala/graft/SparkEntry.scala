@@ -326,6 +326,8 @@ object SparkEntry {
       ((s, d) => Similarity.embeddingDimStats(s, d)),
     "bm25_topk" -> ((s, d) => ops.Retrieval.bm25TopK(s, d)),
     "rrf_fusion" -> ((s, d) => ops.Retrieval.rrfFusion(s, d)),
+    "mmr_diversified_topk" ->
+      ((s, d) => ops.Retrieval.mmrDiversifiedTopk(s, d)),
     "stream_bm25_probe" ->
       ((s, d) => graft.streaming.StreamAssembly.streamBm25Probe(s, d)),
     "stream_kl_probe" ->
@@ -4529,6 +4531,48 @@ object SparkEntry {
         |ORDER BY score_micro DESC, doc_id LIMIT ${ops.Retrieval.Bm25K}"""
         .stripMargin,
     // RRF replay over the SAME bm25 core CTEs (one definition, two
+    // greedy MMR unrolled: each selection round is a CTE over the
+    // materialized 50-candidate pool and its pairwise sim frame; the
+    // score is two IEEE multiplies on the shared cosine folds
+    "mmr_diversified_topk" -> {
+      val k = ops.Retrieval.MmrK
+      val pool = ops.Retrieval.MmrPool
+      val qid = ops.Retrieval.MmrQueryId
+      val rounds = (2 to k).map { r =>
+        val sel = (1 until r).map(i => s"SELECT m_id FROM s$i")
+          .mkString(" UNION ALL ")
+        s""",
+        |s$r AS (SELECT $r AS rank, c.m_id, c.rel,
+        |  0.5 * c.rel - 0.5 * max(s.sim) AS score
+        |  FROM pool c JOIN sims s ON s.a_id = c.m_id
+        |  WHERE s.b_id IN ($sel) AND c.m_id NOT IN ($sel)
+        |  GROUP BY c.m_id, c.rel
+        |  ORDER BY score DESC, c.m_id LIMIT 1)""".stripMargin
+      }.mkString
+      val unions = (1 to k).map(i => s"SELECT * FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding,
+        |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                 for i in range(1, 65)])) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT embedding AS qemb, nrm AS qnrm FROM e
+        |  WHERE vec_id = $qid),
+        |pool AS MATERIALIZED (SELECT e.vec_id AS m_id, e.embedding,
+        |  e.nrm,
+        |  list_sum([e.embedding[j]::DOUBLE * q.qemb[j]::DOUBLE
+        |            for j in range(1, 65)]) / (e.nrm * q.qnrm) AS rel
+        |  FROM e, q WHERE e.vec_id <> $qid
+        |  ORDER BY rel DESC, m_id ASC LIMIT $pool),
+        |sims AS MATERIALIZED (SELECT a.m_id AS a_id, b.m_id AS b_id,
+        |  list_sum([a.embedding[j]::DOUBLE * b.embedding[j]::DOUBLE
+        |            for j in range(1, 65)]) / (a.nrm * b.nrm) AS sim
+        |  FROM pool a, pool b WHERE a.m_id <> b.m_id),
+        |s1 AS (SELECT 1 AS rank, m_id, rel, rel AS score FROM pool
+        |  ORDER BY rel DESC, m_id LIMIT 1)""".stripMargin + rounds +
+      s"""
+        |SELECT CAST(rank AS BIGINT) AS rank, m_id, rel, score
+        |FROM ($unions) ORDER BY rank""".stripMargin
+    },
     // oracles) plus the sim_topk_bruteforce cosine arm; reciprocals are
     // integer floor-divisions, ranks are row_numbers over total orders
     "rrf_fusion" -> {

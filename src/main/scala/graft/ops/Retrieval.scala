@@ -176,4 +176,69 @@ object Retrieval {
       .orderBy(desc("rrf_ppm"), asc("doc_id"))
       .limit(k)
   }
+
+  /** Picks and pool size shared with the oracle (anti-drift). */
+  val MmrK: Int = 5
+  val MmrPool: Int = 50
+  val MmrQueryId: Long = 1L
+
+  /** Maximal Marginal Relevance diversified top-k (Carbonell &
+    * Goldstein 1998 — public method): after ranking a candidate pool
+    * by relevance to the query vector, greedily select k documents
+    * maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s) with λ = 1/2 —
+    * the standard redundancy-pruning rerank of a retrieval pipeline
+    * (RAG context assembly, dedup-at-serve-time).
+    *
+    * Scale shape: the corpus appears ONLY in the pool stage (one
+    * TakeOrderedAndProject over exact cosines — at index scale, an
+    * ANN probe); everything after runs on the ≤ [[MmrPool]]-row pool —
+    * its pairwise sim frame ([[MmrPool]]² rows) and [[MmrK]] greedy
+    * rounds are driver-tiny checkpointed frames, never corpus-sized.
+    * Portability: rel/sim are the shared left-to-right cosine folds;
+    * the MMR score is λ·rel − (1−λ)·maxsim on bit-identical doubles
+    * (two IEEE multiplies and a subtract), argmax tiebroken by doc id.
+    */
+  def mmrDiversifiedTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import Similarity.{dot, norm2}
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") === MmrQueryId)
+      .select(col("embedding").as("qemb"), col("nrm").as("qnrm"))
+    val pool = e.filter(col("vec_id") =!= MmrQueryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("m_id"), col("embedding"), col("nrm"),
+        (dot(col("embedding"), col("qemb")) /
+          (col("nrm") * col("qnrm"))).as("rel"))
+      .orderBy(desc("rel"), asc("m_id")).limit(MmrPool)
+      .localCheckpoint(true)
+    val sims = pool.select(col("m_id").as("a_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+      .crossJoin(broadcast(pool.select(col("m_id").as("b_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (dot(col("a_emb"), col("b_emb")) /
+          (col("a_nrm") * col("b_nrm"))).as("sim"))
+      .localCheckpoint(true)
+    val rels = pool.select(col("m_id"), col("rel"))
+    var selected = rels
+      .orderBy(desc("rel"), asc("m_id")).limit(1)
+      .select(lit(1L).as("rank"), col("m_id"), col("rel"),
+        col("rel").as("score"))
+      .localCheckpoint(true)
+    for (r <- 2 to MmrK) {
+      val pick = rels
+        .join(selected.select(col("m_id")), Seq("m_id"), "left_anti")
+        .join(sims.join(selected.select(col("m_id").as("b_id")), "b_id")
+          .groupBy("a_id").agg(max("sim").as("maxsim"))
+          .withColumnRenamed("a_id", "m_id"), "m_id")
+        .select(lit(r.toLong).as("rank"), col("m_id"), col("rel"),
+          (lit(0.5) * col("rel") - lit(0.5) * col("maxsim")).as("score"))
+        .orderBy(desc("score"), asc("m_id")).limit(1)
+      selected = selected.unionByName(pick).localCheckpoint(true)
+    }
+    selected.orderBy("rank")
+  }
 }

@@ -235,6 +235,30 @@ class Round14Spec extends SparkSpec {
       s"explained ${r(0).getAs[Long]("var_explained_ppm")} ppm")
   }
 
+  test("MMR prunes redundancy: with ten identical top-relevance clones " +
+       "and a pool of mutually-diverse alternatives, exactly one clone " +
+       "survives the diversified top-5 (pure relevance would pick five)") {
+    import spark.implicits._
+    def vec(pairs: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      pairs.foreach { case (d, x) => a(d) = x }
+      a
+    }
+    val q = Seq((graft.ops.Retrieval.MmrQueryId, vec(0 -> 1.0f, 1 -> 0.5f)))
+    val clones = (10 until 20).map(i => (i.toLong, vec(0 -> 1.0f)))
+    val others = (0 until 40).map(k =>
+      (100L + k, vec(0 -> 0.6f, (2 + k) % 62 + 2 -> 0.8f)))
+    val rows = (q ++ clones ++ others).toDF("vec_id", "embedding")
+    val dest = s"target/spec-scale/mmr-${System.nanoTime()}"
+    rows.write.parquet(s"$dest/embeddings.parquet")
+    val picks = graft.ops.Retrieval.mmrDiversifiedTopk(spark, dest)
+      .collect().map(_.getAs[Long]("m_id"))
+    assert(picks.length == 5 && picks.distinct.length == 5)
+    val nClones = picks.count(id => id >= 10L && id < 20L)
+    assert(nClones == 1, s"expected exactly one clone pick, got $nClones " +
+      s"in ${picks.mkString(",")}")
+  }
+
   test("truncation recall prices prefix width: with all signal in the " +
        "tail dims, narrow prefixes collapse to the tiebreak (recall " +
        "near zero) while the full width is exact by construction") {
