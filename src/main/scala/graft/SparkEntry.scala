@@ -220,6 +220,7 @@ object SparkEntry {
     "value_drift" -> ((s, d) => Analytics.valueDrift(s, d)),
     "linreg_value_trend" -> ((s, d) => Analytics.linregValueTrend(s, d)),
     "moments_by_type" -> ((s, d) => Analytics.momentsByType(s, d)),
+    "ab_proportion_ztest" -> ((s, d) => Analytics.abProportionZtest(s, d)),
     "kmeans_clusters" -> ((s, d) => Similarity.kmeansClusters(s, d)),
     "cluster_quality" -> ((s, d) => Similarity.clusterQuality(s, d)),
     "silhouette_sq" -> ((s, d) => Similarity.silhouetteSq(s, d)),
@@ -2729,6 +2730,36 @@ object SparkEntry {
         |    WHEN inum >= 0 THEN CAST(inum // den AS BIGINT)
         |    ELSE -CAST((-inum) // den AS BIGINT) END AS icept_micro
         |FROM d ORDER BY event_type""".stripMargin),
+    // two-proportion z-test: arms by user parity, conversion flags from
+    // one bounded groupBy; z-squared as the documented two-floor
+    // integer composition (dp_ppm first, then the pooled-variance form)
+    "ab_proportion_ztest" ->
+      ("""WITH u AS (SELECT user_id,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS converted,
+        |  user_id % 2 AS arm FROM events GROUP BY user_id),
+        |s AS (SELECT
+        |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+        |    AS n_a,
+        |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |    AS n_b,
+        |  CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+        |    AS HUGEINT) AS conv_a,
+        |  CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+        |    AS HUGEINT) AS conv_b FROM u),
+        |d AS (SELECT *, CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |  ELSE abs(conv_a * n_b - conv_b * n_a) * 1000000
+        |    // (n_a * n_b) END AS dp_ppm FROM s)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(conv_a AS BIGINT) AS conv_a,
+        |  CAST(conv_b AS BIGINT) AS conv_b,
+        |  CAST(dp_ppm AS BIGINT) AS dp_ppm,
+        |  CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
+        |    OR conv_a + conv_b = n_a + n_b THEN NULL
+        |  ELSE CAST(dp_ppm * dp_ppm * n_a * n_b * (n_a + n_b)
+        |    // ((conv_a + conv_b) * (n_a + n_b - conv_a - conv_b)
+        |      * 1000000) AS BIGINT) END AS z2_ppm
+        |FROM d""".stripMargin),
     // skewPop/kurtPop parity: centered power sums about the floored
     // integer-cent mean; kurt is the documented two-floor composition
     // that keeps every intermediate inside 38 digits at any n

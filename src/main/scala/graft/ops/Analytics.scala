@@ -903,6 +903,58 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Two-proportion z-test between synthetic experiment arms — the
+    * experimentation-analytics staple (standard two-sample proportion
+    * test; ClickHouse ships it as `proportionsZTest`), exact to the
+    * last integer: arms are user-id parity, the outcome is "user
+    * converted" (≥ 1 purchase event), and the squared z statistic
+    *
+    *   z² = (c₁n₂ − c₂n₁)² · N / (n₁ · n₂ · C · (N−C))
+    *
+    * (C = c₁+c₂, N = n₁+n₂, pooled-variance form) is evaluated as the
+    * documented two-floor composition — first the proportion gap
+    * dp_ppm = ⌊10⁶·|c₁n₂−c₂n₁|/(n₁n₂)⌋, then
+    * z2_ppm = ⌊dp_ppm²·n₁n₂·N / (C·(N−C)·10⁶)⌋ — so every intermediate
+    * stays inside DECIMAL(38,0) to ~10⁹ users (the naive single
+    * expression squares c·n and overflows past ~10⁷). No float enters
+    * the gate. Raw counts are reported alongside so the reader can
+    * recompute any convention they prefer.
+    *
+    * Scale shape: one groupBy(user) to per-user conversion flags
+    * (map-side partial on the counts), then a 2-row arm rollup — the
+    * z² arithmetic runs on a single row.
+    */
+  def abProportionZtest(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
+    perUser.groupBy()
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(0L))
+          .as("conv_a"),
+        sum(when(col("arm") === 1, col("converted")).otherwise(0L))
+          .as("conv_b"))
+      .withColumn("dp_ppm",
+        expr("""CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+          ELSE CAST(abs(CAST(conv_a AS DECIMAL(38,0)) * n_b
+              - CAST(conv_b AS DECIMAL(38,0)) * n_a) * 1000000
+            DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) END"""))
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        col("dp_ppm"),
+        expr("""CASE WHEN n_a = 0 OR n_b = 0
+            OR conv_a + conv_b = 0
+            OR conv_a + conv_b = n_a + n_b THEN NULL
+          ELSE CAST(CAST(dp_ppm AS DECIMAL(38,0)) * dp_ppm
+            * n_a * n_b * (n_a + n_b)
+            DIV (CAST(conv_a + conv_b AS DECIMAL(38,0))
+              * (n_a + n_b - conv_a - conv_b) * 1000000)
+            AS BIGINT) END""").as("z2_ppm"))
+  }
+
   /** Per-type higher-moment profile — the ClickHouse `skewPop` /
     * `kurtPop` surface (public aggregate-function docs) in the repo's
     * hash-exact dialect. Two passes: (1) n and Σy per type (y = exact

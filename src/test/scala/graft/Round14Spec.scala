@@ -300,6 +300,27 @@ class Round14Spec extends SparkSpec {
       s"intercept ${r(0).getAs[Long]("icept_micro")}")
   }
 
+  test("the proportion z-test matches the closed form: 60% vs 40% " +
+       "conversion on 100-user arms gives z-squared exactly 8 " +
+       "(0.04 / (0.25 * 2/100)) and a 200000 ppm gap") {
+    import spark.implicits._
+    val rows = (0 until 200).map { u =>
+      val converts =
+        if (u % 2 == 0) (u / 2) < 60 // arm A: users 0..118 even, 60 convert
+        else (u / 2) < 40 // arm B: 40 convert
+      (u.toLong, new java.sql.Timestamp(1700000000000L + u * 1000L),
+        u.toLong, if (converts) "purchase" else "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dest = s"target/spec-scale/zt-${System.nanoTime()}"
+    rows.write.parquet(s"$dest/events.parquet")
+    val r = graft.ops.Analytics.abProportionZtest(spark, dest).head()
+    assert(r.getAs[Long]("n_a") == 100L && r.getAs[Long]("n_b") == 100L)
+    assert(r.getAs[Long]("conv_a") == 60L && r.getAs[Long]("conv_b") == 40L)
+    assert(r.getAs[Long]("dp_ppm") == 200000L)
+    assert(r.getAs[Long]("z2_ppm") == 8000000L,
+      s"z2 ${r.getAs[Long]("z2_ppm")} ppm != 8.0")
+  }
+
   test("moments read shape: a symmetric two-point value distribution " +
        "has zero third moment and kurtosis exactly 1 (the two-point " +
        "floor), and variance equal to the squared half-gap in cents") {
