@@ -219,6 +219,8 @@ object SparkEntry {
       ((s, d) => Dedup.duplicatedSpanHistogram(s, d)),
     "value_drift" -> ((s, d) => Analytics.valueDrift(s, d)),
     "linreg_value_trend" -> ((s, d) => Analytics.linregValueTrend(s, d)),
+    "stream_trend_partials" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamTrendPartials(s, d)),
     "moments_by_type" -> ((s, d) => Analytics.momentsByType(s, d)),
     "ab_proportion_ztest" -> ((s, d) => Analytics.abProportionZtest(s, d)),
     "kmeans_clusters" -> ((s, d) => Similarity.kmeansClusters(s, d)),
@@ -1002,6 +1004,33 @@ object SparkEntry {
     // the custom-plan as-of runs against the IDENTICAL oracle as the
     // composed form — one SQL text, two engine implementations behind it
     ("asof_custom_plan" -> oracleSqlBase("asof_events_orders"))
+
+  /** simpleLinearRegression parity: five DECIMAL sufficient
+    * statistics, closed-form slope/intercept as sign-split nonnegative
+    * integral divisions (floor(value*1e6) is one IEEE multiply).
+    * Shared by the batch query and its additive-partials streaming
+    * drain, whose folded result is bit-identical by construction.
+    */
+  private lazy val linregTrendSql: String =
+    ("""WITH t0 AS (SELECT min(CAST(epoch_us(ts::TIMESTAMP) AS BIGINT))
+        |    AS t0 FROM events),
+        |xy AS (SELECT event_type,
+        |  CAST((CAST(epoch_us(ts::TIMESTAMP) AS BIGINT)
+        |    - (SELECT t0 FROM t0)) // 3600000000 AS HUGEINT) AS x,
+        |  CAST(floor(value * 1e6) AS HUGEINT) AS y FROM events),
+        |s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |  sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |  sum(x * x) AS sxx FROM xy GROUP BY 1),
+        |d AS (SELECT event_type, n, n * sxy - sx * sy AS num,
+        |  n * sxx - sx * sx AS den, sy * sxx - sx * sxy AS inum FROM s)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN den = 0 THEN NULL
+        |    WHEN num >= 0 THEN CAST(num * 1000000 // den AS BIGINT)
+        |    ELSE -CAST((-num) * 1000000 // den AS BIGINT) END AS slope_ppm,
+        |  CASE WHEN den = 0 THEN NULL
+        |    WHEN inum >= 0 THEN CAST(inum // den AS BIGINT)
+        |    ELSE -CAST((-inum) // den AS BIGINT) END AS icept_micro
+        |FROM d ORDER BY event_type""".stripMargin)
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "rollup_hourly" ->
@@ -2710,26 +2739,10 @@ object SparkEntry {
     // simpleLinearRegression parity: five DECIMAL sufficient statistics,
     // closed-form slope/intercept as sign-split nonnegative integral
     // divisions (floor(value*1e6) is one IEEE multiply — bit-identical)
-    "linreg_value_trend" ->
-      ("""WITH t0 AS (SELECT min(CAST(epoch_us(ts::TIMESTAMP) AS BIGINT))
-        |    AS t0 FROM events),
-        |xy AS (SELECT event_type,
-        |  CAST((CAST(epoch_us(ts::TIMESTAMP) AS BIGINT)
-        |    - (SELECT t0 FROM t0)) // 3600000000 AS HUGEINT) AS x,
-        |  CAST(floor(value * 1e6) AS HUGEINT) AS y FROM events),
-        |s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
-        |  sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-        |  sum(x * x) AS sxx FROM xy GROUP BY 1),
-        |d AS (SELECT event_type, n, n * sxy - sx * sy AS num,
-        |  n * sxx - sx * sx AS den, sy * sxx - sx * sxy AS inum FROM s)
-        |SELECT event_type, CAST(n AS BIGINT) AS n,
-        |  CASE WHEN den = 0 THEN NULL
-        |    WHEN num >= 0 THEN CAST(num * 1000000 // den AS BIGINT)
-        |    ELSE -CAST((-num) * 1000000 // den AS BIGINT) END AS slope_ppm,
-        |  CASE WHEN den = 0 THEN NULL
-        |    WHEN inum >= 0 THEN CAST(inum // den AS BIGINT)
-        |    ELSE -CAST((-inum) // den AS BIGINT) END AS icept_micro
-        |FROM d ORDER BY event_type""".stripMargin),
+    "linreg_value_trend" -> linregTrendSql,
+    // the streaming drain folds additive partials to the SAME sufficient
+    // statistics, so its oracle IS the batch oracle
+    "stream_trend_partials" -> linregTrendSql,
     // two-proportion z-test: arms by user parity, conversion flags from
     // one bounded groupBy; z-squared as the documented two-floor
     // integer composition (dp_ppm first, then the pooled-variance form)

@@ -876,17 +876,40 @@ object Analytics {
     */
   def linregValueTrend(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
-      .select(col("event_type"), col("ts"), col("value"))
-    val t0 = ev.agg(min(unix_micros(col("ts"))).as("t0"))
-    val xy = ev.crossJoin(broadcast(t0))
+    linregSolve(linregPartials(ev, linregEpoch(ev))).orderBy("event_type")
+  }
+
+  /** The corpus epoch the OLS x-axis counts hours from — in the
+    * streaming drain this is frozen from the STATIC table before the
+    * drain starts, which is what makes the partials additive across
+    * any micro-batch slicing.
+    */
+  private[graft] def linregEpoch(ev: DataFrame): DataFrame =
+    ev.agg(min(unix_micros(col("ts"))).as("t0"))
+
+  /** The five OLS sufficient statistics per event_type — a pure
+    * partial aggregate (map-side combinable, and ADDITIVE across
+    * independent slices of the input: the streaming drain appends one
+    * partials row-set per micro-batch and the final fold is exact).
+    */
+  private[graft] def linregPartials(ev: DataFrame,
+                                    t0: DataFrame): DataFrame =
+    ev.select(col("event_type"), col("ts"), col("value"))
+      .crossJoin(broadcast(t0))
       .select(col("event_type"),
         expr("CAST((unix_micros(ts) - t0) DIV 3600000000 " +
           "AS DECIMAL(38,0))").as("x"),
         expr("CAST(FLOOR(value * 1e6) AS DECIMAL(38,0))").as("y"))
-    xy.groupBy("event_type")
+      .groupBy("event_type")
       .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
         sum("x").as("sx"), sum("y").as("sy"),
         sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+
+  /** Closed-form solve over (possibly re-aggregated) sufficient
+    * statistics: sign-split nonnegative integral divisions only.
+    */
+  private[graft] def linregSolve(sums: DataFrame): DataFrame =
+    sums
       .select(col("event_type"), col("n").cast("long").as("n"),
         expr("n * sxy - sx * sy").as("num"),
         expr("n * sxx - sx * sx").as("den"),
@@ -900,8 +923,6 @@ object Analytics {
           WHEN inum >= 0 THEN CAST(inum DIV den AS BIGINT)
           ELSE -CAST((-inum) DIV den AS BIGINT) END""")
           .as("icept_micro"))
-      .orderBy("event_type")
-  }
 
   /** Two-proportion z-test between synthetic experiment arms — the
     * experimentation-analytics staple (standard two-sample proportion

@@ -366,6 +366,62 @@ object StreamAssembly {
     scala.collection.concurrent.TrieMap
       .empty[(org.apache.spark.sql.SparkSession, String, Int), String]
 
+  /** Streaming OLS — regression state as ADDITIVE partials (the
+    * [[streamPartialsHourly]] family applied to
+    * [[graft.ops.Analytics.linregValueTrend]]): each micro-batch
+    * appends its five per-type sufficient statistics (n, Σx, Σy, Σxy,
+    * Σx² in DECIMAL — order-free and additive), and the final
+    * compaction folds them and solves the closed form. Because the
+    * statistics are additive and the hour epoch is FROZEN from the
+    * static table before the drain, the drained result is
+    * bit-identical to the batch query regardless of how rows land in
+    * micro-batches — the oracle IS the batch oracle. This is the
+    * streaming shape of every "training dashboards want a live trend
+    * line" deployment: per-batch work is one bounded partial
+    * aggregate, state lives in the sink, no stream-side shuffle grows
+    * with history.
+    */
+  def streamTrendPartials(spark: SparkSession, sfDir: String,
+                          nFiles: Int = 4): DataFrame = {
+    import java.nio.file.Files
+    import graft.ops.Analytics
+    val tmp = Files.createTempDirectory("graft_stream_trend").toString
+    val partialsDir = s"$tmp/partials"
+    val ckptDir = s"$tmp/ckpt"
+    val events = graft.Tables.events(spark, sfDir)
+    val srcDir = stagedSrcCache.getOrElseUpdate((spark, sfDir, nFiles), {
+      val d = s"$tmp/src"
+      events.repartition(nFiles).write.parquet(d)
+      d
+    })
+    // freeze the epoch from the static table: the x projection must be
+    // identical in every micro-batch for the partials to be additive
+    val t0 = Analytics.linregEpoch(events).localCheckpoint(true)
+    withDrainConf(spark) { ds =>
+      val stream = ds.readStream
+        .schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val query = stream.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Analytics.linregPartials(batch, t0)
+            .coalesce(1)
+            .write.mode("append").parquet(partialsDir)
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    val folded = spark.read.parquet(partialsDir)
+      .groupBy("event_type")
+      .agg(sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+        sum("sxy").as("sxy"), sum("sxx").as("sxx"))
+    Analytics.linregSolve(folded).orderBy("event_type")
+  }
+
   /** The stream-stream JOIN exercised end-to-end at correctness scale, as
     * an oracle-checked query (the join sibling of [[streamPartialsHourly]]):
     * the events table streams back one staged file per micro-batch, and the

@@ -300,6 +300,19 @@ class Round14Spec extends SparkSpec {
       s"intercept ${r(0).getAs[Long]("icept_micro")}")
   }
 
+  test("streaming OLS partials are batch-boundary independent: draining " +
+       "the corpus as 2 or 7 micro-batches folds to the identical " +
+       "slope/intercept rows, equal to the batch query") {
+    val batch = graft.ops.Analytics.linregValueTrend(spark, sf)
+      .collect().toSeq
+    val d2 = graft.streaming.StreamAssembly
+      .streamTrendPartials(spark, sf, nFiles = 2).collect().toSeq
+    val d7 = graft.streaming.StreamAssembly
+      .streamTrendPartials(spark, sf, nFiles = 7).collect().toSeq
+    assert(d2 == batch, s"2-batch drain diverged: $d2 vs $batch")
+    assert(d7 == batch, s"7-batch drain diverged: $d7 vs $batch")
+  }
+
   test("the proportion z-test matches the closed form: 60% vs 40% " +
        "conversion on 100-user arms gives z-squared exactly 8 " +
        "(0.04 / (0.25 * 2/100)) and a 200000 ppm gap") {
