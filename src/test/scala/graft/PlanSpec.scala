@@ -635,7 +635,25 @@ class PlanSpec extends SparkSpec {
       "nb_langid_classifier" -> 12,
       // same fused train+score shape plus one per-source window
       // (partition-local sort, the CCNet per-shard bucket operation)
-      "nb_quality_tertiles" -> 12)
+      "nb_quality_tertiles" -> 12,
+      // r14 additions. silhouette rides the shared 2-round Lloyd
+      // assignment (the semdedup family); its OWN stages add only the
+      // per-cluster stat folds — every post-kmeans exchange carries a
+      // k-row or (k×dim)-row frame
+      "silhouette_sq" -> 17,
+      // Gram fold (4096-key partial agg) + mean/collect stages; the
+      // power rounds plan against the checkpointed 4096-row leaf
+      "pca_power_component" -> 4,
+      // salt-keyed block join (2 slim shuffles) + unpivoted argmax +
+      // final width rollup
+      "mrl_truncation_recall" -> 4,
+      // corpus appears only in the pool TakeOrdered; greedy rounds run
+      // on checkpointed pool-sized leaves
+      "mmr_diversified_topk" -> 1,
+      // bounded-key sufficient-statistic rollups over events
+      "linreg_value_trend" -> 3,
+      "moments_by_type" -> 3,
+      "ab_proportion_ztest" -> 2)
     val aggOrLimit = Set("HashAggregateExec", "ObjectHashAggregateExec",
       "SortAggregateExec", "TakeOrderedAndProjectExec", "GlobalLimitExec",
       "CollectLimitExec", "LocalLimitExec")
