@@ -229,6 +229,8 @@ object SparkEntry {
     "pca_power_component" -> ((s, d) => Similarity.pcaPowerComponent(s, d)),
     "mrl_truncation_recall" ->
       ((s, d) => Similarity.mrlTruncationRecall(s, d)),
+    "stream_pca_drift" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamPcaDrift(s, d)),
     "semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "leakage_safe_split" -> (TrainingSets.leakageSafeSplit _),
     "kfold_assignment" -> ((s, d) => TrainingSets.kfoldAssignment(s, d)),
@@ -1031,6 +1033,39 @@ object SparkEntry {
         |    WHEN inum >= 0 THEN CAST(inum // den AS BIGINT)
         |    ELSE -CAST((-inum) // den AS BIGINT) END AS icept_micro
         |FROM d ORDER BY event_type""".stripMargin)
+
+  /** Power-iteration CTE stack shared by the PCA oracle and the
+    * streaming drift probe's replay: quantize -> center -> Gram ->
+    * PcaRounds max-abs-normalized rounds, all MATERIALIZED (inlined
+    * CTEs re-expand the Gram subtree exponentially). `where` filters
+    * the training rows (the drift model trains on the even half).
+    */
+  private def pcaPowerCtes(where: String): String =
+    (s"""WITH x AS (SELECT vec_id, g.i AS i,
+      |  CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1e6) AS HUGEINT)
+      |    AS xq
+      |  FROM embeddings, range(1, 65) g(i)$where),
+      |mu AS (SELECT i, CASE WHEN sum(xq) >= 0
+      |    THEN sum(xq) // count(*)
+      |    ELSE -((-sum(xq)) // count(*)) END AS mu
+      |  FROM x GROUP BY 1),
+      |c AS (SELECT x.vec_id, x.i, x.xq - mu.mu AS c
+      |  FROM x JOIN mu ON x.i = mu.i),
+      |g AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(a.c * b.c) AS g
+      |  FROM c a JOIN c b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+      |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v
+      |  FROM range(1, 65) g(i))""".stripMargin +
+    (1 to ops.Similarity.PcaRounds).map { k =>
+      val pv = s"v${k - 1}"
+      s""",
+      |w$k AS MATERIALIZED (SELECT g.i AS i, sum(g.g * $pv.v) AS w
+      |  FROM g JOIN $pv ON g.j = $pv.i GROUP BY 1),
+      |m$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$k),
+      |v$k AS MATERIALIZED (SELECT i, CASE WHEN w >= 0
+      |    THEN CAST(w * 1000000 // (SELECT m FROM m$k) AS HUGEINT)
+      |    ELSE -CAST((-w) * 1000000 // (SELECT m FROM m$k) AS HUGEINT)
+      |    END AS v FROM w$k)""".stripMargin
+    }.mkString)
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "rollup_hourly" ->
@@ -2924,32 +2959,7 @@ object SparkEntry {
     // Gram matrix: micro-quantized, centered about the floored integer
     // mean, PcaRounds max-abs-normalized rounds unrolled as CTEs —
     // every iterate is an exact HUGEINT both engines agree on
-    "pca_power_component" ->
-      ("""WITH x AS (SELECT vec_id, g.i AS i,
-        |  CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1e6) AS HUGEINT)
-        |    AS xq
-        |  FROM embeddings, range(1, 65) g(i)),
-        |mu AS (SELECT i, CASE WHEN sum(xq) >= 0
-        |    THEN sum(xq) // count(*)
-        |    ELSE -((-sum(xq)) // count(*)) END AS mu
-        |  FROM x GROUP BY 1),
-        |c AS (SELECT x.vec_id, x.i, x.xq - mu.mu AS c
-        |  FROM x JOIN mu ON x.i = mu.i),
-        |g AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(a.c * b.c) AS g
-        |  FROM c a JOIN c b ON a.vec_id = b.vec_id GROUP BY 1, 2),
-        |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v
-        |  FROM range(1, 65) g(i))""".stripMargin +
-      (1 to ops.Similarity.PcaRounds).map { k =>
-        val pv = s"v${k - 1}"
-        s""",
-        |w$k AS MATERIALIZED (SELECT g.i AS i, sum(g.g * $pv.v) AS w
-        |  FROM g JOIN $pv ON g.j = $pv.i GROUP BY 1),
-        |m$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$k),
-        |v$k AS MATERIALIZED (SELECT i, CASE WHEN w >= 0
-        |    THEN CAST(w * 1000000 // (SELECT m FROM m$k) AS HUGEINT)
-        |    ELSE -CAST((-w) * 1000000 // (SELECT m FROM m$k) AS HUGEINT)
-        |    END AS v FROM w$k)""".stripMargin
-      }.mkString +
+    "pca_power_component" -> (pcaPowerCtes("") +
       s""",
         |wf AS MATERIALIZED (SELECT g.i AS i,
         |  sum(g.g * v${ops.Similarity.PcaRounds}.v) AS w
@@ -2963,6 +2973,33 @@ object SparkEntry {
         |    AS var_explained_ppm
         |FROM v${ops.Similarity.PcaRounds} vz
         |ORDER BY dim""".stripMargin),
+    // the drift probe's model is the SAME power iteration trained on
+    // the even history half; projections are row-local integer folds,
+    // per-label means sign-split truncating divisions
+    "stream_pca_drift" -> (pcaPowerCtes(" WHERE vec_id % 2 = 0") +
+      s""",
+        |vv AS (SELECT list(v ORDER BY i) AS vv
+        |  FROM v${ops.Similarity.PcaRounds}),
+        |proj AS MATERIALIZED (SELECT e.vec_id, e.label,
+        |  list_sum([CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e6)
+        |      AS HUGEINT) * vv.vv[i] for i in range(1, 65)]) AS p
+        |  FROM embeddings e, vv),
+        |agg_in AS (SELECT label, CAST(count(*) AS HUGEINT) AS n_in,
+        |  sum(p) AS sp_in FROM proj WHERE vec_id % 2 = 1 GROUP BY 1),
+        |agg_h AS (SELECT label, CAST(count(*) AS HUGEINT) AS n_hist,
+        |  sum(p) AS sp_hist FROM proj WHERE vec_id % 2 = 0 GROUP BY 1),
+        |m AS (SELECT a.label, CAST(a.n_in AS BIGINT) AS n_in,
+        |  CASE WHEN a.sp_in >= 0 THEN CAST(a.sp_in // a.n_in AS BIGINT)
+        |    ELSE -CAST((-a.sp_in) // a.n_in AS BIGINT) END AS mean_in,
+        |  CAST(h.n_hist AS BIGINT) AS n_hist,
+        |  CASE WHEN h.sp_hist >= 0
+        |    THEN CAST(h.sp_hist // h.n_hist AS BIGINT)
+        |    ELSE -CAST((-h.sp_hist) // h.n_hist AS BIGINT) END
+        |    AS mean_hist
+        |  FROM agg_in a JOIN agg_h h USING (label))
+        |SELECT label, n_in, mean_in, n_hist, mean_hist,
+        |  mean_in - mean_hist AS shift
+        |FROM m ORDER BY label""".stripMargin),
     // SemDeDup over the SAME 2-round Lloyd assignment (kmeansAssignCte):
     // within-cluster cosine ≥ tau against any lower vec_id drops a
     // vector; the cosine is the same left-to-right list_sum fold both

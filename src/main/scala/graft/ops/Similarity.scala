@@ -437,6 +437,27 @@ object Similarity {
   def pcaPowerComponent(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
+    val (v, g) = pcaPower(spark, e)
+    def mul(vk: DataFrame): DataFrame =
+      g.join(vk.select(col("i").as("j"), col("v").as("vj")), "j")
+        .groupBy("i").agg(sum(expr("g * vj")).as("w"))
+    val mf = mul(v).agg(max(abs(col("w"))).as("m"))
+    val tr = g.filter(col("i") === col("j")).agg(sum("g").as("t"))
+    v.crossJoin(broadcast(mf)).crossJoin(broadcast(tr))
+      .select(col("i").cast("long").as("dim"),
+        col("v").cast("long").as("loading_ppm"),
+        expr("CAST(m DIV t AS BIGINT)").as("var_explained_ppm"))
+      .orderBy("dim")
+  }
+
+  /** The power-iteration core of [[pcaPowerComponent]], reusable over
+    * any (vec_id, embedding) frame (the streaming drift probe trains
+    * it on the even history half). Returns the final 64-row iterate
+    * (i, v) — components in exact ppm-of-max integers — and the
+    * checkpointed 4096-row Gram frame.
+    */
+  private[graft] def pcaPower(spark: SparkSession,
+                              e: DataFrame): (DataFrame, DataFrame) = {
     val x = e.select(col("vec_id"),
       posexplode(col("embedding")).as(Seq("i", "f")))
       .select(col("vec_id"), col("i"),
@@ -478,14 +499,43 @@ object Similarity {
             .as("v"))
         .localCheckpoint(true)
     }
-    val mf = mul(v).agg(max(abs(col("w"))).as("m"))
-    val tr = g.filter(col("i") === col("j")).agg(sum("g").as("t"))
-    v.crossJoin(broadcast(mf)).crossJoin(broadcast(tr))
-      .select(col("i").cast("long").as("dim"),
-        col("v").cast("long").as("loading_ppm"),
-        expr("CAST(m DIV t AS BIGINT)").as("var_explained_ppm"))
-      .orderBy("dim")
+    (v, g)
   }
+
+  private val pcaDriftCache = Memo.registry[(SparkSession, String)]
+
+  /** Frozen history-half (even vec_id) top principal component as a
+    * 1-row array frame — the model the streaming drift probe projects
+    * against. Memoized per (session, dir) and checkpointed: 64 ppm
+    * integers, broadcast to every consumer.
+    */
+  private[graft] def pcaDriftModel(spark: SparkSession,
+                                   sfDir: String): DataFrame =
+    pcaDriftCache.getOrElseUpdate((spark, sfDir), {
+      val even = Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val (v, _) = pcaPower(spark, even)
+      v.groupBy()
+        .agg(transform(
+          array_sort(collect_list(struct(col("i"), col("v")))),
+          s => s.getField("v")).as("vv"))
+        .localCheckpoint(true)
+    })
+
+  /** Row-local exact projection of `embedding` onto the broadcast
+    * model: p = Σ ⌊10⁶·xᵢ⌋·vᵢ — integer arithmetic end to end, so
+    * per-batch (label, n, Σp) partials are ADDITIVE and the drained
+    * drift fold is batch-boundary-independent.
+    */
+  private[graft] def pcaProject(df: DataFrame,
+                                model: DataFrame): DataFrame =
+    df.crossJoin(broadcast(model))
+      .withColumn("p", expr("""aggregate(zip_with(embedding, vv,
+        (x, vi) -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6)
+          AS DECIMAL(38,0)) * vi),
+        CAST(0 AS DECIMAL(38,0)), (acc, t) -> acc + t)"""))
+      .drop("vv")
 
   /** Truncation widths audited by [[mrlTruncationRecall]] — shared with
     * the oracle so operator and replay cannot drift.

@@ -422,6 +422,85 @@ object StreamAssembly {
     Analytics.linregSolve(folded).orderBy("event_type")
   }
 
+  /** Streaming PCA drift monitor — the online sibling that completes
+    * the PCA tier (train: [[graft.ops.Similarity.pcaPower]] on the
+    * even history half, frozen + memoized; serve: THIS): incoming
+    * (odd) vectors are projected onto the broadcast top component —
+    * p = Σ ⌊10⁶·xᵢ⌋·vᵢ, row-local integer arithmetic — and each
+    * micro-batch appends its per-label (n, Σp) PARTIALS (the A3
+    * additive discipline on the embedding tier: ≤ #labels rows per
+    * batch at any volume). The final compaction folds the partials and
+    * reports each label's incoming projection mean against the frozen
+    * history mean — the "has the embedding distribution moved along
+    * its own dominant axis" alarm an index deployment watches between
+    * rebuilds. Projection sums are exact integers, means are
+    * sign-split truncating divisions, the shift is a BIGINT subtract —
+    * so the drained result is bit-identical to the batch replay under
+    * any micro-batch slicing, and the oracle replays training +
+    * projection wholesale.
+    */
+  def streamPcaDrift(spark: SparkSession, sfDir: String,
+                     nFiles: Int = 3): DataFrame = {
+    import java.nio.file.Files
+    import graft.ops.Similarity
+    val tmp = Files.createTempDirectory("graft_pca_drift").toString
+    val partialsDir = s"$tmp/partials"
+    val ckptDir = s"$tmp/ckpt"
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val srcDir = s"$tmp/incoming"
+    emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(srcDir)
+    // model + history stats on the OUTER session before the drain (the
+    // stream_pq_probe lesson): the memoized component is shared with
+    // any batch consumer and never retrained inside a micro-batch
+    val model = Similarity.pcaDriftModel(spark, sfDir)
+    val hist = Similarity.pcaProject(
+        emb.filter(col("vec_id") % 2 === 0)
+          .select(col("embedding"), col("label")), model)
+      .groupBy("label")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n_hist"),
+        sum("p").as("sp_hist"))
+      .localCheckpoint(true)
+    val srcSchema = spark.read.parquet(srcDir).schema
+    withDrainConf(spark) { ds =>
+      val stream = ds.readStream
+        .schema(srcSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val query = stream.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Similarity.pcaProject(batch.select(col("embedding"),
+              col("label")), model)
+            .groupBy("label")
+            .agg(count(lit(1)).cast("decimal(38,0)").as("n_in"),
+              sum("p").as("sp_in"))
+            .coalesce(1)
+            .write.mode("append").parquet(partialsDir)
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    def meanExpr(sp: String, n: String): String =
+      s"""CASE WHEN $sp >= 0 THEN CAST($sp DIV $n AS BIGINT)
+         ELSE -CAST((-$sp) DIV $n AS BIGINT) END"""
+    spark.read.parquet(partialsDir)
+      .groupBy("label")
+      .agg(sum("n_in").as("n_in"), sum("sp_in").as("sp_in"))
+      .join(hist, Seq("label"))
+      .select(col("label"), col("n_in").cast("long").as("n_in"),
+        expr(meanExpr("sp_in", "n_in")).as("mean_in"),
+        col("n_hist").cast("long").as("n_hist"),
+        expr(meanExpr("sp_hist", "n_hist")).as("mean_hist"))
+      .withColumn("shift", col("mean_in") - col("mean_hist"))
+      .orderBy("label")
+  }
+
   /** The stream-stream JOIN exercised end-to-end at correctness scale, as
     * an oracle-checked query (the join sibling of [[streamPartialsHourly]]):
     * the events table streams back one staged file per micro-batch, and the

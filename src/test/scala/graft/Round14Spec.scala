@@ -300,6 +300,36 @@ class Round14Spec extends SparkSpec {
       s"intercept ${r(0).getAs[Long]("icept_micro")}")
   }
 
+  test("the streaming PCA drift probe reads a planted shift: incoming " +
+       "vectors biased along the data's dominant axis move every " +
+       "label's projection mean by the same large, same-sign offset, " +
+       "and the drained fold is batch-boundary independent") {
+    import spark.implicits._
+    graft.ops.Memo.clearAll()
+    val rows = (0 until 800).map { i =>
+      val bias = if (i % 2 == 1) 5.0f else 0.0f // incoming half shifted
+      val emb = (0 until 64).map { d =>
+        val jitter = ((i * 31 + d * 7) % 9 - 4) * 0.05f
+        if (d == 0) (if ((i / 2) % 2 == 0) 10.0f else -10.0f) + bias + jitter
+        else jitter
+      }.toArray
+      (i.toLong, emb, (i / 2) % 4) // labels present in BOTH halves
+    }.toDF("vec_id", "embedding", "label")
+    val dest = s"target/spec-scale/pcadrift-${System.nanoTime()}"
+    rows.write.parquet(s"$dest/embeddings.parquet")
+    val d2 = graft.streaming.StreamAssembly
+      .streamPcaDrift(spark, dest, nFiles = 2).collect().toSeq
+    val d5 = graft.streaming.StreamAssembly
+      .streamPcaDrift(spark, dest, nFiles = 5).collect().toSeq
+    assert(d2 == d5, "drain result depends on micro-batch slicing")
+    val shifts = d2.map(_.getAs[Long]("shift"))
+    assert(shifts.nonEmpty && shifts.forall(s => math.abs(s) > 1e11.toLong),
+      s"planted 5.0 bias along the dominant axis not visible: $shifts")
+    assert(shifts.map(math.signum).distinct.size == 1,
+      s"shift signs disagree across labels: $shifts")
+    graft.ops.Memo.clearAll()
+  }
+
   test("streaming OLS partials are batch-boundary independent: draining " +
        "the corpus as 2 or 7 micro-batches folds to the identical " +
        "slope/intercept rows, equal to the batch query") {
