@@ -44,6 +44,7 @@ object SparkEntry {
     "sales_etl_pipeline" -> (IngestQueries.salesEtlPipeline _),
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_simhash_digest" -> ((s, d) => Dedup.simhashDigest(s, d)),
@@ -1235,6 +1236,29 @@ object SparkEntry {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // containment brute-forced: the prefix filter is recall-lossless by
+    // the prefix theorem, so the oracle needs no filtering; the score
+    // and threshold are exact integers
+    "dedup_containment" ->
+      (s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |   for i in range(1, len(ws)-1)])) AS s
+        |  FROM tok WHERE len(ws) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a AS contained, doc_b AS container,
+        |  CAST(sa.n AS BIGINT) AS n_contained, shared,
+        |  CAST(shared * 1000000 // sa.n AS BIGINT) AS containment_ppm
+        |FROM shared JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE (sa.n < sb.n OR (sa.n = sb.n AND doc_a < doc_b))
+        |  AND shared * 1000000 // sa.n >= ${ops.Dedup.ContainTauPpm}
+        |ORDER BY contained, container""".stripMargin),
     "dedup_minhash" ->
       """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(

@@ -215,6 +215,65 @@ object Dedup {
     verifyJaccardWith(sets, candidates, threshold).localCheckpoint(true)
   }
 
+  /** Containment threshold in ppm (9/10), shared with the oracle. */
+  val ContainTauPpm: Long = 900000L
+
+  /** Asymmetric CONTAINMENT near-dup pairs — the subset-duplication
+    * detector Jaccard misses (Broder 1997's containment measure: a
+    * short doc fully embedded in a longer one scores C = |A∩B|/|A| = 1
+    * but Jaccard ≈ n_a/n_b, far below any symmetric threshold; the
+    * boilerplate-wrapping / quote-expansion case of corpus dedup).
+    *
+    * Plan: prefix filtering adapted to containment — a pair with
+    * C(A→B) ≥ τ must share one of A's first n_a − ⌈τ·n_a⌉ + 1 shingles
+    * in the global (df, s) order, so only the PROBE side is
+    * prefix-thinned (df-ascending: rare shingles first) and it joins
+    * the FULL shingle inverted index; exact verification by
+    * array_intersect on the shared shingle-set frame. The prefix bound
+    * uses exact integer arithmetic (⌈9n/10⌉ = (9n+9) DIV 10) — a
+    * float ⌈n·0.9⌉ can round 9.000…002 up and silently shrink the
+    * prefix below the theorem's bound. The containment score and the
+    * threshold compare are pure integers (⌊10⁶·s/n_a⌋ ≥ 900000 ⟺
+    * s/n_a ≥ 9/10 exactly). Production hardening at extreme scale is
+    * hot-shingle salting on the index side — the probe side is rare
+    * shingles by construction.
+    */
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val sets = docShingleSets(spark, sfDir)
+    val sh = sets.select(col("doc_id"), col("n"), explode(col("ss")).as("s"))
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(broadcast(dfreq), "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "s")))
+    val pfx = ranked
+      .filter(col("rk") <= col("n") - expr("(9 * n + 9) DIV 10") + 1)
+      .select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("s"))
+    val idx = sh.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+      col("s"))
+    val candidates = pfx.join(idx, Seq("s"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        (col("n_a") < col("n_b") ||
+          (col("n_a") === col("n_b") && col("doc_a") < col("doc_b"))))
+      .select("doc_a", "doc_b").distinct()
+    candidates
+      .join(sets.select(col("doc_id"), col("ss"), col("n").as("n_a")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .withColumnRenamed("ss", "ss_a")
+      .join(sets.select(col("doc_id"), col("ss")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("shared",
+        size(array_intersect(col("ss_a"), col("ss"))).cast("long"))
+      .withColumn("containment_ppm",
+        expr("shared * 1000000 DIV n_a"))
+      .filter(col("containment_ppm") >= ContainTauPpm)
+      .select(col("doc_a").as("contained"), col("doc_b").as("container"),
+        col("n_a").cast("long").as("n_contained"), col("shared"),
+        col("containment_ppm"))
+      .orderBy("contained", "container")
+  }
+
   /** MinHash+LSH near-dup pairs: shingle → k=12 min-wise hashes → 6 bands ×
     * 2 rows → band-signature bucket join → exact-Jaccard verification of
     * candidates only.

@@ -235,6 +235,33 @@ class Round14Spec extends SparkSpec {
       s"explained ${r(0).getAs[Long]("var_explained_ppm")} ppm")
   }
 
+  test("containment catches subset-duplication Jaccard misses: a short " +
+       "doc fully embedded in a 3x-longer one scores containment 1e6 " +
+       "ppm and is reported, while the symmetric Jaccard pair set " +
+       "at 0.8 stays empty") {
+    import spark.implicits._
+    val core = (0 until 40).map(i => s"core$i").mkString(" ")
+    val wrap = (0 until 90).map(i => s"wrap$i").mkString(" ")
+    val filler = (0 until 8).map { d =>
+      (100L + d, (0 until 50).map(i => s"f${d}x$i").mkString(" "), "en", "w")
+    }
+    val rows = (Seq((1L, core, "en", "w"),
+      (2L, s"$core $wrap", "en", "w")) ++ filler)
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val dest = s"target/spec-scale/contain-${System.nanoTime()}"
+    rows.write.parquet(s"$dest/documents.parquet")
+    val pairs = graft.ops.Dedup.containmentPairs(spark, dest).collect()
+    assert(pairs.length == 1, s"expected the planted pair, got " +
+      s"${pairs.length}")
+    assert(pairs(0).getAs[Long]("contained") == 1L &&
+      pairs(0).getAs[Long]("container") == 2L)
+    assert(pairs(0).getAs[Long]("containment_ppm") == 1000000L)
+    val jac = graft.ops.Dedup.ngramJaccardPairs(spark, dest).collect()
+    assert(jac.isEmpty, s"jaccard unexpectedly found ${jac.length} pairs")
+    graft.ops.Memo.clearAll()
+  }
+
   test("MMR prunes redundancy: with ten identical top-relevance clones " +
        "and a pool of mutually-diverse alternatives, exactly one clone " +
        "survives the diversified top-5 (pure relevance would pick five)") {
