@@ -230,6 +230,7 @@ object SparkEntry {
     "pca_power_component" -> ((s, d) => Similarity.pcaPowerComponent(s, d)),
     "mrl_truncation_recall" ->
       ((s, d) => Similarity.mrlTruncationRecall(s, d)),
+    "ann_filtered_recall" -> ((s, d) => Similarity.annFilteredRecall(s, d)),
     "stream_pca_drift" ->
       ((s, d) => graft.streaming.StreamAssembly.streamPcaDrift(s, d)),
     "semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
@@ -2941,6 +2942,68 @@ object SparkEntry {
         |  CAST(min(s_ppm) AS BIGINT) AS min_s_ppm,
         |  CAST(max(s_ppm) AS BIGINT) AS max_s_ppm
         |FROM sp GROUP BY 1 ORDER BY cluster""".stripMargin),
+    // filtered vector search: the annProbe CTE stack with the label
+    // predicate threaded through probe and exact sides; the left join
+    // surfaces empty-probe queries
+    "ann_filtered_recall" ->
+      ("""WITH nrm AS MATERIALIZED (SELECT vec_id, embedding, label,
+        |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                 for i in range(1, 65)])) AS nrm
+        |  FROM embeddings),
+        |idx AS MATERIALIZED (SELECT * FROM nrm WHERE vec_id % 2 = 0),
+        |cents AS (SELECT vec_id AS cid, embedding AS c_emb,
+        |  nrm AS c_nrm FROM idx WHERE vec_id < 32),
+        |iscored AS (SELECT i.vec_id, i.embedding, i.nrm, i.label, c.cid,
+        |  list_sum([i.embedding[j]::DOUBLE * c.c_emb[j]::DOUBLE
+        |            for j in range(1, 65)]) / (i.nrm * c.c_nrm) AS ccos
+        |  FROM idx i, cents c),
+        |assigned AS MATERIALIZED (SELECT vec_id AS m_id,
+        |    embedding AS m_emb, nrm AS m_nrm, label AS m_label,
+        |    cid AS cell FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        |  FROM iscored) WHERE rn = 1),
+        |qs AS MATERIALIZED (SELECT * FROM nrm WHERE vec_id % 2 = 1
+        |  AND ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
+        |    % 100 < 20),
+        |qscored AS (SELECT q.vec_id AS q_id, q.embedding AS q_emb,
+        |  q.nrm AS q_nrm, q.label AS q_label, c.cid,
+        |  list_sum([q.embedding[j]::DOUBLE * c.c_emb[j]::DOUBLE
+        |            for j in range(1, 65)]) / (q.nrm * c.c_nrm) AS ccos
+        |  FROM qs q, cents c),
+        |qcells AS (SELECT q_id, q_emb, q_nrm, q_label,
+        |  cid AS probe_cell FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY ccos DESC, cid ASC) AS rn
+        |  FROM qscored) WHERE rn <= 4),
+        |cand AS (SELECT qc.q_id, a.m_id,
+        |  list_sum([qc.q_emb[j]::DOUBLE * a.m_emb[j]::DOUBLE
+        |            for j in range(1, 65)]) / (qc.q_nrm * a.m_nrm)
+        |    AS cosine
+        |  FROM qcells qc JOIN assigned a ON a.cell = qc.probe_cell
+        |    AND a.m_label = qc.q_label),
+        |ivf1 AS (SELECT q_id, m_id AS ivf_id FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cosine DESC, m_id ASC) AS rn
+        |  FROM cand) WHERE rn = 1),
+        |bfcand AS (SELECT q.vec_id AS q_id, a.m_id,
+        |  list_sum([q.embedding[j]::DOUBLE * a.m_emb[j]::DOUBLE
+        |            for j in range(1, 65)]) / (q.nrm * a.m_nrm) AS cosine
+        |  FROM qs q JOIN assigned a ON a.m_label = q.label),
+        |bf AS (SELECT q_id, m_id AS bf_id FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cosine DESC, m_id ASC) AS rn
+        |  FROM bfcand) WHERE rn = 1),
+        |agg AS (SELECT count(*) AS n_queries,
+        |  CAST(sum(CASE WHEN i.ivf_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_empty_probe,
+        |  CAST(sum(CASE WHEN i.ivf_id = b.bf_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_top1_match
+        |  FROM bf b LEFT JOIN ivf1 i USING (q_id))
+        |SELECT n_queries, n_empty_probe, n_top1_match,
+        |  CAST(n_top1_match * 1000000 // n_queries AS BIGINT)
+        |    AS recall_ppm
+        |FROM agg""".stripMargin),
     // Matryoshka truncation-recall curve: per prefix width, the sampled
     // stratum's prefix-cosine top-1 vs the full-width exact top-1; the
     // prefix folds are the same left-to-right list_sum both engines

@@ -731,6 +731,72 @@ object Similarity {
           .otherwise(0L)).as("n_within_1pt"))
   }
 
+  /** FILTERED vector search audit — the metadata-predicate ANN mode
+    * every production vector store ships (filter + probe: only index
+    * vectors satisfying the predicate may match; here the predicate is
+    * label equality with the query — the "nearest within category"
+    * case). The audit measures what filtering does to an IVF probe:
+    * each sampled query's top-1 AMONG SAME-LABEL vectors inside its
+    * probed cells vs the exact same-label brute-force top-1, plus
+    * `n_empty_probe` — queries whose probed cells contain NO
+    * same-label vector at all (the filtered-search failure mode that
+    * motivates raising nProbe or label-partitioning the index; with 10
+    * labels and 4/16 cells probed it is structurally nonzero).
+    * Stratum/index roles, the salt-keyed exact side, and the cosine
+    * folds are [[annProbeRecallSampled]]'s; the filter is one equality
+    * predicate pushed into both sides, counts are exact integers.
+    */
+  def annFilteredRecall(spark: SparkSession, sfDir: String,
+                        pct: Int = 20): DataFrame = {
+    val (cents, assigned) = annProbeIndex(spark, sfDir)
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("m_id"), col("label").as("m_label"))
+    val idxL = assigned.join(labels, "m_id")
+    val qs = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 1)
+      .filter(TrainingSets.bucket100(col("vec_id")) < pct)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm2(col("embedding")).as("q_nrm"), col("label").as("q_label"))
+    import org.apache.spark.sql.expressions.Window
+    val qCells = qs.crossJoin(broadcast(cents))
+      .withColumn("ccos", dot(col("q_emb"), col("c_emb")) /
+        (col("q_nrm") * col("c_nrm")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("ccos"), asc("cid"))))
+      .filter(col("rn") <= 4)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("q_label"),
+        col("cid").as("probe_cell"))
+    val ivf = qCells
+      .join(idxL, col("cell") === col("probe_cell") &&
+        col("m_label") === col("q_label"))
+      .withColumn("cosine", dot(col("q_emb"), col("m_emb")) /
+        (col("q_nrm") * col("m_nrm")))
+      .groupBy("q_id")
+      .agg(max(struct(col("cosine"), (-col("m_id")).as("nid"))).as("best"))
+      .select(col("q_id"), (-col("best.nid")).as("ivf_id"))
+    val bf = qs.withColumn("blk",
+        explode(sequence(lit(0), lit(BlockCrossSalt - 1))))
+      .join(idxL.select(col("m_id"), col("m_emb"), col("m_nrm"),
+          col("m_label"))
+        .withColumn("blk",
+          pmod(col("m_id"), lit(BlockCrossSalt)).cast("int"))
+        .hint("shuffle_hash"), "blk")
+      .filter(col("m_label") === col("q_label"))
+      .withColumn("cosine", dot(col("q_emb"), col("m_emb")) /
+        (col("q_nrm") * col("m_nrm")))
+      .groupBy("q_id")
+      .agg(max(struct(col("cosine"), (-col("m_id")).as("nid"))).as("best"))
+      .select(col("q_id"), (-col("best.nid")).as("bf_id"))
+    bf.join(ivf, Seq("q_id"), "left_outer")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("ivf_id").isNull, 1L).otherwise(0L))
+          .as("n_empty_probe"),
+        sum(when(col("ivf_id") === col("bf_id"), 1L).otherwise(0L))
+          .as("n_top1_match"))
+      .withColumn("recall_ppm",
+        expr("n_top1_match * 1000000 DIV n_queries"))
+  }
+
   /** Hybrid retrieval — the two-stage sparse→dense search every modern
     * retrieval pipeline runs (BM25/n-gram candidates reranked by embedding
     * similarity; public knowledge, e.g. the standard retrieve-then-rerank

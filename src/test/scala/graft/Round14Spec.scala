@@ -235,6 +235,30 @@ class Round14Spec extends SparkSpec {
       s"explained ${r(0).getAs[Long]("var_explained_ppm")} ppm")
   }
 
+  test("filtered vector search on aligned metadata loses nothing: with " +
+       "labels equal to the planted orthogonal clusters, every sampled " +
+       "query's own-label cell is its top probe — no empty probes, " +
+       "recall at least 0.9") {
+    import spark.implicits._
+    val rows = (0 until 400).map { i =>
+      val lab = (i / 2) % 8 // labels present in BOTH index and query halves
+      val emb = (0 until 64).map { d =>
+        val base = if (d == lab * 8) 10.0f else 0.0f
+        base + ((i * 31 + d * 7) % 5) * 0.1f
+      }.toArray
+      (i.toLong, emb, lab)
+    }.toDF("vec_id", "embedding", "label")
+    val dest = s"target/spec-scale/fann-${System.nanoTime()}"
+    rows.write.parquet(s"$dest/embeddings.parquet")
+    val r = graft.ops.Similarity.annFilteredRecall(spark, dest).head()
+    assert(r.getAs[Long]("n_queries") > 0L)
+    assert(r.getAs[Long]("n_empty_probe") == 0L,
+      s"aligned labels produced ${r.getAs[Long]("n_empty_probe")} " +
+        "empty probes")
+    assert(r.getAs[Long]("recall_ppm") >= 900000L,
+      s"recall ${r.getAs[Long]("recall_ppm")} ppm on an aligned fixture")
+  }
+
   test("containment catches subset-duplication Jaccard misses: a short " +
        "doc fully embedded in a 3x-longer one scores containment 1e6 " +
        "ppm and is reported, while the symmetric Jaccard pair set " +
