@@ -653,7 +653,13 @@ class PlanSpec extends SparkSpec {
       // bounded-key sufficient-statistic rollups over events
       "linreg_value_trend" -> 3,
       "moments_by_type" -> 3,
-      "ab_proportion_ztest" -> 2)
+      "ab_proportion_ztest" -> 2,
+      // probe-side prefix window + inverted-index join + the two
+      // doc-level verification joins — all on shingle/candidate frames
+      "dedup_containment" -> 8,
+      // the annProbe family shape (salt-keyed exact side) with the
+      // label predicate pushed into both sides
+      "ann_filtered_recall" -> 8)
     val aggOrLimit = Set("HashAggregateExec", "ObjectHashAggregateExec",
       "SortAggregateExec", "TakeOrderedAndProjectExec", "GlobalLimitExec",
       "CollectLimitExec", "LocalLimitExec")
