@@ -976,6 +976,63 @@ object Analytics {
             AS BIGINT) END""").as("z2_ppm"))
   }
 
+  /** Welch's unequal-variance t-test between the experiment arms —
+    * the continuous-metric sibling of [[abProportionZtest]] (ClickHouse
+    * ships it as `welchTTest`): arms by user parity, metric = event
+    * value in exact integer cents, squared statistic
+    *
+    *   t² = (m₁−m₂)² / (v₁/n₁ + v₂/n₂),  v unbiased
+    *
+    * as the documented three-floor integer composition — per-arm
+    * standard-error terms floor first (aᵤ = ⌊(n·Q−S²)/(n²(n−1))⌋,
+    * cents², ≤ 1-cent² floor loss each), the mean gap floors to
+    * micro-cents ppm, then t2_ppm = ⌊dm_ppm² / ((aᵤ+bᵤ)·10⁶)⌋ — every
+    * intermediate stays inside DECIMAL(38,0) to ~10⁹ users (the naive
+    * single expression needs ~10⁵⁰). Per-user totals aggregate first
+    * (the unit of randomization is the user, the standard A/B
+    * correction for within-user correlation), so pass 1 is one
+    * user-keyed groupBy and pass 2 a 2-row arm rollup.
+    */
+  def welchTtestValue(spark: SparkSession, sfDir: String): DataFrame = {
+    // per-user total as a DECIMAL sum of per-event floored cents — a
+    // double sum would be fold-order exposed, a per-event floor is one
+    // IEEE multiply
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sum(expr("CAST(FLOOR(value * 100) AS DECIMAL(38,0))"))
+        .as("yc"))
+      .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
+    perUser.groupBy("arm")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("yc").as("s"), sum(expr("yc * yc")).as("q"))
+      .groupBy()
+      .agg(
+        max(when(col("arm") === 0, col("n"))).as("n_a"),
+        max(when(col("arm") === 1, col("n"))).as("n_b"),
+        max(when(col("arm") === 0, col("s"))).as("s_a"),
+        max(when(col("arm") === 1, col("s"))).as("s_b"),
+        max(when(col("arm") === 0, col("q"))).as("q_a"),
+        max(when(col("arm") === 1, col("q"))).as("q_b"))
+      .select(
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        expr("""CASE WHEN n_a IS NULL OR n_b IS NULL THEN NULL
+          ELSE CAST(abs(s_a * n_b - s_b * n_a) * 1000000
+            DIV (n_a * n_b) AS BIGINT) END""").as("dm_ppm"),
+        expr("""CASE WHEN n_a IS NULL OR n_a < 2 THEN NULL
+          ELSE CAST((n_a * q_a - s_a * s_a)
+            DIV (n_a * n_a * (n_a - 1)) AS BIGINT) END""").as("se_a"),
+        expr("""CASE WHEN n_b IS NULL OR n_b < 2 THEN NULL
+          ELSE CAST((n_b * q_b - s_b * s_b)
+            DIV (n_b * n_b * (n_b - 1)) AS BIGINT) END""").as("se_b"))
+      .withColumn("t2_ppm",
+        expr("""CASE WHEN se_a IS NULL OR se_b IS NULL
+            OR se_a + se_b = 0 THEN NULL
+          ELSE CAST(CAST(dm_ppm AS DECIMAL(38,0)) * dm_ppm
+            DIV ((CAST(se_a AS DECIMAL(38,0)) + se_b) * 1000000)
+            AS BIGINT) END"""))
+  }
+
   /** Per-type higher-moment profile — the ClickHouse `skewPop` /
     * `kurtPop` surface (public aggregate-function docs) in the repo's
     * hash-exact dialect. Two passes: (1) n and Σy per type (y = exact

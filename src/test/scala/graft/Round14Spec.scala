@@ -415,6 +415,29 @@ class Round14Spec extends SparkSpec {
       s"z2 ${r.getAs[Long]("z2_ppm")} ppm != 8.0")
   }
 
+  test("Welch t-squared matches the closed form: two-point arms " +
+       "(12.00 +- 2.00 vs 10.00 +- 1.00, 100 users each) give " +
+       "se 404/101 cents-sq, a 200-cent gap, and t2 = 79.20792 exactly " +
+       "under the documented floors") {
+    import spark.implicits._
+    val rows = (0 until 200).map { u =>
+      val v =
+        if (u % 2 == 0) { if ((u / 2) % 2 == 0) 10.0 else 14.0 }
+        else { if ((u / 2) % 2 == 0) 9.0 else 11.0 }
+      (u.toLong, new java.sql.Timestamp(1700000000000L + u * 1000L),
+        u.toLong, "purchase", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dest = s"target/spec-scale/welch-${System.nanoTime()}"
+    rows.write.parquet(s"$dest/events.parquet")
+    val r = graft.ops.Analytics.welchTtestValue(spark, dest).head()
+    assert(r.getAs[Long]("n_a") == 100L && r.getAs[Long]("n_b") == 100L)
+    assert(r.getAs[Long]("dm_ppm") == 200000000L)
+    assert(r.getAs[Long]("se_a") == 404L, s"se_a ${r.getAs[Long]("se_a")}")
+    assert(r.getAs[Long]("se_b") == 101L, s"se_b ${r.getAs[Long]("se_b")}")
+    assert(r.getAs[Long]("t2_ppm") == 79207920L,
+      s"t2 ${r.getAs[Long]("t2_ppm")} ppm")
+  }
+
   test("moments read shape: a symmetric two-point value distribution " +
        "has zero third moment and kurtosis exactly 1 (the two-point " +
        "floor), and variance equal to the squared half-gap in cents") {
