@@ -659,7 +659,9 @@ class PlanSpec extends SparkSpec {
       "dedup_containment" -> 8,
       // the annProbe family shape (salt-keyed exact side) with the
       // label predicate pushed into both sides
-      "ann_filtered_recall" -> 8)
+      "ann_filtered_recall" -> 8,
+      // user-keyed pass + 2-row arm rollup
+      "welch_ttest_value" -> 3)
     val aggOrLimit = Set("HashAggregateExec", "ObjectHashAggregateExec",
       "SortAggregateExec", "TakeOrderedAndProjectExec", "GlobalLimitExec",
       "CollectLimitExec", "LocalLimitExec")
