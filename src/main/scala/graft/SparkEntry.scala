@@ -225,6 +225,8 @@ object SparkEntry {
     "moments_by_type" -> ((s, d) => Analytics.momentsByType(s, d)),
     "ab_proportion_ztest" -> ((s, d) => Analytics.abProportionZtest(s, d)),
     "welch_ttest_value" -> ((s, d) => Analytics.welchTtestValue(s, d)),
+    "stream_ab_monitor" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamAbMonitor(s, d)),
     "kmeans_clusters" -> ((s, d) => Similarity.kmeansClusters(s, d)),
     "cluster_quality" -> ((s, d) => Similarity.clusterQuality(s, d)),
     "silhouette_sq" -> ((s, d) => Similarity.silhouetteSq(s, d)),
@@ -2833,6 +2835,41 @@ object SparkEntry {
         |  ELSE CAST(dp_ppm * dp_ppm * n_a * n_b * (n_a + n_b)
         |    // ((conv_a + conv_b) * (n_a + n_b - conv_a - conv_b)
         |      * 1000000) AS BIGINT) END AS z2_ppm
+        |FROM d""".stripMargin),
+    // the streaming monitor's grain is the EVENT (per-user totals are
+    // not batch-additive); same three-floor Welch solve
+    "stream_ab_monitor" ->
+      ("""WITH a AS (SELECT user_id % 2 AS arm,
+        |  CAST(count(*) AS HUGEINT) AS n,
+        |  sum(CAST(floor(value * 100) AS HUGEINT)) AS s,
+        |  sum(CAST(floor(value * 100) AS HUGEINT)
+        |    * CAST(floor(value * 100) AS HUGEINT)) AS q
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT
+        |  max(CASE WHEN arm = 0 THEN n END) AS n_a,
+        |  max(CASE WHEN arm = 1 THEN n END) AS n_b,
+        |  max(CASE WHEN arm = 0 THEN s END) AS s_a,
+        |  max(CASE WHEN arm = 1 THEN s END) AS s_b,
+        |  max(CASE WHEN arm = 0 THEN q END) AS q_a,
+        |  max(CASE WHEN arm = 1 THEN q END) AS q_b FROM a),
+        |d AS (SELECT CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b,
+        |  CASE WHEN n_a IS NULL OR n_b IS NULL THEN NULL
+        |    ELSE CAST(abs(s_a * n_b - s_b * n_a) * 1000000
+        |      // (n_a * n_b) AS BIGINT) END AS dm_ppm,
+        |  CASE WHEN n_a IS NULL OR n_a < 2 THEN NULL
+        |    ELSE CAST((n_a * q_a - s_a * s_a)
+        |      // (n_a * n_a * (n_a - 1)) AS BIGINT) END AS se_a,
+        |  CASE WHEN n_b IS NULL OR n_b < 2 THEN NULL
+        |    ELSE CAST((n_b * q_b - s_b * s_b)
+        |      // (n_b * n_b * (n_b - 1)) AS BIGINT) END AS se_b
+        |  FROM w)
+        |SELECT n_a, n_b, dm_ppm, se_a, se_b,
+        |  CASE WHEN se_a IS NULL OR se_b IS NULL
+        |      OR se_a + se_b = 0 THEN NULL
+        |    ELSE CAST(CAST(dm_ppm AS HUGEINT) * dm_ppm
+        |      // ((CAST(se_a AS HUGEINT) + se_b) * 1000000)
+        |      AS BIGINT) END AS t2_ppm
         |FROM d""".stripMargin),
     // Welch t-squared: per-user cent totals, per-arm sums, the
     // documented three-floor composition (SE terms, then the mean gap,

@@ -1002,9 +1002,17 @@ object Analytics {
       .agg(sum(expr("CAST(FLOOR(value * 100) AS DECIMAL(38,0))"))
         .as("yc"))
       .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
-    perUser.groupBy("arm")
+    welchSolve(perUser.groupBy("arm")
       .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
-        sum("yc").as("s"), sum(expr("yc * yc")).as("q"))
+        sum("yc").as("s"), sum(expr("yc * yc")).as("q")))
+  }
+
+  /** The Welch solve over per-arm sufficient statistics (arm, n, s, q)
+    * — shared by the batch test and the streaming monitor, whose
+    * per-batch partials fold to the identical frame by additivity.
+    */
+  private[graft] def welchSolve(arms: DataFrame): DataFrame =
+    arms
       .groupBy()
       .agg(
         max(when(col("arm") === 0, col("n"))).as("n_a"),
@@ -1031,7 +1039,6 @@ object Analytics {
           ELSE CAST(CAST(dm_ppm AS DECIMAL(38,0)) * dm_ppm
             DIV ((CAST(se_a AS DECIMAL(38,0)) + se_b) * 1000000)
             AS BIGINT) END"""))
-  }
 
   /** Per-type higher-moment profile — the ClickHouse `skewPop` /
     * `kurtPop` surface (public aggregate-function docs) in the repo's

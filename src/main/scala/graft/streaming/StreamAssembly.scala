@@ -501,6 +501,60 @@ object StreamAssembly {
       .orderBy("label")
   }
 
+  /** Online experiment monitor — the sequential-testing dashboard shape
+    * (each refresh recomputes the test on all data so far): per
+    * micro-batch, the two arms' EVENT-grain sufficient statistics
+    * (arm, n, Σcents, Σcents²) append as additive partials (≤ 2 rows
+    * per batch at any volume); the final compaction folds them and
+    * runs the SAME Welch solve as the batch test
+    * ([[graft.ops.Analytics.welchSolve]]). Event grain — not the batch
+    * test's per-user grain — because per-user totals are not additive
+    * when one user's events straddle micro-batches; the event-grain
+    * statistic is its own documented test (unit = event), and its
+    * oracle replays exactly that. Drained result is bit-identical to
+    * the batch replay under any micro-batch slicing.
+    */
+  def streamAbMonitor(spark: SparkSession, sfDir: String,
+                      nFiles: Int = 4): DataFrame = {
+    import java.nio.file.Files
+    import graft.ops.Analytics
+    val tmp = Files.createTempDirectory("graft_stream_ab").toString
+    val partialsDir = s"$tmp/partials"
+    val ckptDir = s"$tmp/ckpt"
+    val events = graft.Tables.events(spark, sfDir)
+    val srcDir = stagedSrcCache.getOrElseUpdate((spark, sfDir, nFiles), {
+      val d = s"$tmp/src"
+      events.repartition(nFiles).write.parquet(d)
+      d
+    })
+    withDrainConf(spark) { ds =>
+      val stream = ds.readStream
+        .schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val query = stream.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .select(pmod(col("user_id"), lit(2)).cast("int").as("arm"),
+              expr("CAST(FLOOR(value * 100) AS DECIMAL(38,0))").as("yc"))
+            .groupBy("arm")
+            .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+              sum("yc").as("s"), sum(expr("yc * yc")).as("q"))
+            .coalesce(1)
+            .write.mode("append").parquet(partialsDir)
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    Analytics.welchSolve(spark.read.parquet(partialsDir)
+      .groupBy("arm")
+      .agg(sum("n").as("n"), sum("s").as("s"), sum("q").as("q")))
+  }
+
   /** The stream-stream JOIN exercised end-to-end at correctness scale, as
     * an oracle-checked query (the join sibling of [[streamPartialsHourly]]):
     * the events table streams back one staged file per micro-batch, and the

@@ -438,6 +438,16 @@ class Round14Spec extends SparkSpec {
       s"t2 ${r.getAs[Long]("t2_ppm")} ppm")
   }
 
+  test("the online experiment monitor is batch-boundary independent: " +
+       "2- and 7-file drains fold to the identical Welch row") {
+    val d2 = graft.streaming.StreamAssembly
+      .streamAbMonitor(spark, sf, nFiles = 2).collect().toSeq
+    val d7 = graft.streaming.StreamAssembly
+      .streamAbMonitor(spark, sf, nFiles = 7).collect().toSeq
+    assert(d2 == d7, s"slicing-dependent: $d2 vs $d7")
+    assert(d2.head.getAs[Long]("n_a") > 0L)
+  }
+
   test("moments read shape: a symmetric two-point value distribution " +
        "has zero third moment and kurtosis exactly 1 (the two-point " +
        "floor), and variance equal to the squared half-gap in cents") {
