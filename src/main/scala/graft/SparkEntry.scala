@@ -225,6 +225,7 @@ object SparkEntry {
     "moments_by_type" -> ((s, d) => Analytics.momentsByType(s, d)),
     "ab_proportion_ztest" -> ((s, d) => Analytics.abProportionZtest(s, d)),
     "welch_ttest_value" -> ((s, d) => Analytics.welchTtestValue(s, d)),
+    "chi2_type_by_arm" -> ((s, d) => Analytics.chi2TypeByArm(s, d)),
     "stream_ab_monitor" ->
       ((s, d) => graft.streaming.StreamAssembly.streamAbMonitor(s, d)),
     "kmeans_clusters" -> ((s, d) => Similarity.kmeansClusters(s, d)),
@@ -2836,6 +2837,26 @@ object SparkEntry {
         |    // ((conv_a + conv_b) * (n_a + n_b - conv_a - conv_b)
         |      * 1000000) AS BIGINT) END AS z2_ppm
         |FROM d""".stripMargin),
+    // Pearson chi-squared over the (type x arm) contingency table:
+    // every cell term is one exact integer floor, the total an exact
+    // BIGINT sum
+    "chi2_type_by_arm" ->
+      ("""WITH cells AS (SELECT event_type, user_id % 2 AS arm,
+        |  CAST(count(*) AS HUGEINT) AS o FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY 1),
+        |c AS (SELECT arm, sum(o) AS c FROM cells GROUP BY 1),
+        |n AS (SELECT sum(o) AS nn FROM cells),
+        |s AS (SELECT cells.event_type, cells.arm,
+        |  CAST(cells.o AS BIGINT) AS obs,
+        |  CAST(r.r * c.c * 1000 // n.nn AS BIGINT) AS exp_milli,
+        |  CAST((cells.o * n.nn - r.r * c.c)
+        |    * (cells.o * n.nn - r.r * c.c) * 1000000
+        |    // (r.r * c.c * n.nn) AS BIGINT) AS cell_ppm
+        |  FROM cells JOIN r USING (event_type) JOIN c USING (arm), n),
+        |t AS (SELECT CAST(sum(cell_ppm) AS BIGINT) AS chi2_ppm FROM s)
+        |SELECT s.event_type, s.arm, s.obs, s.exp_milli, s.cell_ppm,
+        |  t.chi2_ppm
+        |FROM s, t ORDER BY event_type, arm""".stripMargin),
     // the streaming monitor's grain is the EVENT (per-user totals are
     // not batch-additive); same three-floor Welch solve
     "stream_ab_monitor" ->

@@ -976,6 +976,51 @@ object Analytics {
             AS BIGINT) END""").as("z2_ppm"))
   }
 
+  /** Chi-squared independence test over the (event_type × arm)
+    * contingency table — the categorical sibling of the z/t pair
+    * (standard Pearson χ²; the "did assignment skew the event mix"
+    * guardrail every A/B readout starts with). Exact per cell:
+    *
+    *   χ² = Σ (Oᵢⱼ·N − Rᵢ·Cⱼ)² / (Rᵢ·Cⱼ·N)
+    *
+    * each term floored to ppm in DECIMAL(38,0) (the squared numerator
+    * ×10⁶ stays inside 38 digits to ~10⁸ events; past that the ppm
+    * scale drops one decade — the BM25 quantizer's one-constant
+    * change) and summed exactly —
+    * the table is #types × 2, so the solve runs on a broadcast-sized
+    * frame; the single corpus pass partial-aggregates into it.
+    * Reported per cell (obs, exp_milli, cell ppm) plus the total on
+    * every row, so the gate pins the full decomposition.
+    */
+  def chi2TypeByArm(spark: SparkSession, sfDir: String): DataFrame = {
+    // eagerly checkpointed: four downstream consumers (cells, row
+    // margins, column margins, grand total) would otherwise each
+    // re-plan the corpus scan — the table is #types × 2 rows
+    val cells = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        pmod(col("user_id"), lit(2)).cast("int").as("arm"))
+      .groupBy("event_type", "arm")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("o"))
+      .localCheckpoint(true)
+    val rows = cells.groupBy("event_type")
+      .agg(sum("o").as("r"))
+    val colsT = cells.groupBy("arm").agg(sum("o").as("c"))
+    val n = cells.agg(sum("o").as("nn"))
+    val scored = cells
+      .join(broadcast(rows), "event_type")
+      .join(broadcast(colsT), "arm")
+      .crossJoin(broadcast(n))
+      .select(col("event_type"), col("arm").cast("long").as("arm"),
+        col("o").cast("long").as("obs"),
+        // expected count in milli-units: R*C*1000 DIV N (nonneg)
+        expr("CAST(r * c * 1000 DIV nn AS BIGINT)").as("exp_milli"),
+        expr("""CAST((o * nn - r * c) * (o * nn - r * c) * 1000000
+          DIV (r * c * nn) AS BIGINT)""").as("cell_ppm"))
+    val total = scored.agg(sum("cell_ppm").as("chi2_ppm"))
+    scored.crossJoin(broadcast(total))
+      .orderBy("event_type", "arm")
+  }
+
   /** Welch's unequal-variance t-test between the experiment arms —
     * the continuous-metric sibling of [[abProportionZtest]] (ClickHouse
     * ships it as `welchTTest`): arms by user parity, metric = event

@@ -661,7 +661,10 @@ class PlanSpec extends SparkSpec {
       // label predicate pushed into both sides
       "ann_filtered_recall" -> 8,
       // user-keyed pass + 2-row arm rollup
-      "welch_ttest_value" -> 3)
+      "welch_ttest_value" -> 3,
+      // one corpus pass into the checkpointed #types x 2 table; every
+      // later exchange carries table-sized margin frames
+      "chi2_type_by_arm" -> 8)
     val aggOrLimit = Set("HashAggregateExec", "ObjectHashAggregateExec",
       "SortAggregateExec", "TakeOrderedAndProjectExec", "GlobalLimitExec",
       "CollectLimitExec", "LocalLimitExec")

@@ -415,6 +415,32 @@ class Round14Spec extends SparkSpec {
       s"z2 ${r.getAs[Long]("z2_ppm")} ppm != 8.0")
   }
 
+  test("chi-squared matches the closed form: a 2x2 table with 80/20 vs " +
+       "60/40 splits on 100-user arms decomposes to cell terms " +
+       "100/70 and 100/30 and totals 9.523808 under the ppm floors") {
+    import spark.implicits._
+    val rows = (0 until 200).map { u =>
+      val purchase = if (u % 2 == 0) (u / 2) < 20 else (u / 2) < 40
+      (u.toLong, new java.sql.Timestamp(1700000000000L + u * 1000L),
+        u.toLong, if (purchase) "purchase" else "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dest = s"target/spec-scale/chi2-${System.nanoTime()}"
+    rows.write.parquet(s"$dest/events.parquet")
+    val r = graft.ops.Analytics.chi2TypeByArm(spark, dest).collect()
+    assert(r.length == 4)
+    val cells = r.map(x => (x.getAs[String]("event_type"),
+      x.getAs[Long]("arm")) -> x.getAs[Long]("cell_ppm")).toMap
+    assert(cells(("view", 0L)) == 1428571L)
+    assert(cells(("view", 1L)) == 1428571L)
+    assert(cells(("purchase", 0L)) == 3333333L)
+    assert(cells(("purchase", 1L)) == 3333333L)
+    assert(r.forall(_.getAs[Long]("chi2_ppm") == 9523808L))
+    // expected counts: E(view, .) = 70, E(purchase, .) = 30
+    val exps = r.map(x => (x.getAs[String]("event_type"),
+      x.getAs[Long]("arm")) -> x.getAs[Long]("exp_milli")).toMap
+    assert(exps(("view", 0L)) == 70000L && exps(("purchase", 1L)) == 30000L)
+  }
+
   test("Welch t-squared matches the closed form: two-point arms " +
        "(12.00 +- 2.00 vs 10.00 +- 1.00, 100 users each) give " +
        "se 404/101 cents-sq, a 200-cent gap, and t2 = 79.20792 exactly " +
