@@ -226,6 +226,7 @@ object SparkEntry {
     "ab_proportion_ztest" -> ((s, d) => Analytics.abProportionZtest(s, d)),
     "welch_ttest_value" -> ((s, d) => Analytics.welchTtestValue(s, d)),
     "chi2_type_by_arm" -> ((s, d) => Analytics.chi2TypeByArm(s, d)),
+    "mannwhitney_value" -> ((s, d) => Analytics.mannWhitneyValue(s, d)),
     "stream_ab_monitor" ->
       ((s, d) => graft.streaming.StreamAssembly.streamAbMonitor(s, d)),
     "kmeans_clusters" -> ((s, d) => Similarity.kmeansClusters(s, d)),
@@ -2837,6 +2838,34 @@ object SparkEntry {
         |    // ((conv_a + conv_b) * (n_a + n_b - conv_a - conv_b)
         |      * 1000000) AS BIGINT) END AS z2_ppm
         |FROM d""".stripMargin),
+    // Mann-Whitney with DOUBLED ranks (tie averages stay integral:
+    // 2b + e + 1); the prefix window runs over the distinct-value frame
+    "mannwhitney_value" ->
+      ("""WITH ev AS (SELECT user_id % 2 AS arm,
+        |  CAST(floor(value * 100) AS BIGINT) AS yc FROM events),
+        |bv AS (SELECT yc, CAST(count(*) AS HUGEINT) AS e,
+        |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+        |    AS e_a,
+        |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |    AS e_b
+        |  FROM ev GROUP BY 1),
+        |rk AS (SELECT *, coalesce(sum(e) OVER (ORDER BY yc
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  CAST(0 AS HUGEINT)) AS below FROM bv),
+        |s AS (SELECT sum(e_a) AS n_a, sum(e_b) AS n_b,
+        |  sum(e_a * (2 * below + e + 1)) AS w2_a,
+        |  sum(e_b * (2 * below + e + 1)) AS w2_b FROM rk)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(w2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+        |  CAST(w2_b - n_b * (n_b + 1) AS BIGINT) AS u2_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |    WHEN w2_b - n_b * (n_b + 1) >= w2_a - n_a * (n_a + 1) THEN
+        |      CAST(((w2_b - n_b * (n_b + 1)) - (w2_a - n_a * (n_a + 1)))
+        |        * 1000000 // (n_a * n_b * 2) AS BIGINT)
+        |    ELSE
+        |      -CAST(((w2_a - n_a * (n_a + 1)) - (w2_b - n_b * (n_b + 1)))
+        |        * 1000000 // (n_a * n_b * 2) AS BIGINT) END AS rbc_ppm
+        |FROM s""".stripMargin),
     // Pearson chi-squared over the (type x arm) contingency table:
     // every cell term is one exact integer floor, the total an exact
     // BIGINT sum

@@ -976,6 +976,58 @@ object Analytics {
             AS BIGINT) END""").as("z2_ppm"))
   }
 
+  /** Mann–Whitney U rank-sum test between the arms (ClickHouse ships
+    * it as `mannWhitneyUTest`) — the nonparametric member of the
+    * experiment battery, entirely in exact integers: work with DOUBLED
+    * ranks so tie-averaged ranks stay integral (a value with `b`
+    * observations below it and `e` ties has doubled average rank
+    * 2b + e + 1), giving 2U = ΣW₂ − n(n+1) exactly. Reported with the
+    * rank-biserial effect size r = (U_b − U_a)/(n_a·n_b) in signed
+    * ppm, and the identity U₂ₐ + U₂ᵦ = 2·n_a·n_b holds exactly
+    * (spec-pinned).
+    *
+    * Scale shape: one corpus pass groups by value-in-cents; the prefix
+    * window runs over the DISTINCT-VALUE frame (above the aggregate
+    * boundary — the rankCorrelation bucket-offset discipline), never
+    * the corpus. On a bounded price grid that frame is tiny; for
+    * pathological continuous values the cents quantization IS the
+    * documented statistic.
+    */
+  def mannWhitneyValue(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(pmod(col("user_id"), lit(2)).cast("int").as("arm"),
+        expr("CAST(FLOOR(value * 100) AS BIGINT)").as("yc"))
+    val byVal = ev.groupBy("yc")
+      .agg(count(lit(1)).as("e"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("e_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("e_b"))
+    val w = Window.orderBy("yc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byVal
+      .withColumn("below", coalesce(sum("e").over(w), lit(0L)))
+      .withColumn("r2", lit(2L) * col("below") + col("e") + 1)
+    ranked.agg(
+        sum("e_a").cast("decimal(38,0)").as("n_a"),
+        sum("e_b").cast("decimal(38,0)").as("n_b"),
+        sum(expr("CAST(e_a AS DECIMAL(38,0)) * r2")).as("w2_a"),
+        sum(expr("CAST(e_b AS DECIMAL(38,0)) * r2")).as("w2_b"))
+      .select(
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        expr("CAST(w2_a - n_a * (n_a + 1) AS BIGINT)").as("u2_a"),
+        expr("CAST(w2_b - n_b * (n_b + 1) AS BIGINT)").as("u2_b"))
+      .withColumn("rbc_ppm",
+        expr("""CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+          WHEN u2_b >= u2_a THEN
+            CAST(CAST(u2_b AS DECIMAL(38,0)) * 1000000 -
+              CAST(u2_a AS DECIMAL(38,0)) * 1000000 AS DECIMAL(38,0))
+              DIV (CAST(n_a AS DECIMAL(38,0)) * n_b * 2)
+          ELSE -((CAST(u2_a AS DECIMAL(38,0)) * 1000000 -
+              CAST(u2_b AS DECIMAL(38,0)) * 1000000)
+              DIV (CAST(n_a AS DECIMAL(38,0)) * n_b * 2)) END""")
+          .cast("long"))
+  }
+
   /** Chi-squared independence test over the (event_type × arm)
     * contingency table — the categorical sibling of the z/t pair
     * (standard Pearson χ²; the "did assignment skew the event mix"

@@ -664,7 +664,10 @@ class PlanSpec extends SparkSpec {
       "welch_ttest_value" -> 3,
       // one corpus pass into the checkpointed #types x 2 table; every
       // later exchange carries table-sized margin frames
-      "chi2_type_by_arm" -> 8)
+      "chi2_type_by_arm" -> 8,
+      // value-keyed aggregate; the prefix window sits above it on the
+      // distinct-value frame
+      "mannwhitney_value" -> 2)
     val aggOrLimit = Set("HashAggregateExec", "ObjectHashAggregateExec",
       "SortAggregateExec", "TakeOrderedAndProjectExec", "GlobalLimitExec",
       "CollectLimitExec", "LocalLimitExec")

@@ -415,6 +415,34 @@ class Round14Spec extends SparkSpec {
       s"z2 ${r.getAs[Long]("z2_ppm")} ppm != 8.0")
   }
 
+  test("Mann-Whitney reads perfect separation and perfect ties: arm B " +
+       "strictly above arm A gives U_a = 0 and rank-biserial 1e6; " +
+       "all-equal values split U evenly with effect 0; the identity " +
+       "U2_a + U2_b = 2 n_a n_b holds in both regimes") {
+    import spark.implicits._
+    def mk(vals: Int => Double, tag: String) = {
+      val rows = (0 until 200).map { u =>
+        (u.toLong, new java.sql.Timestamp(1700000000000L + u * 1000L),
+          u.toLong, "view", vals(u), "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val dest = s"target/spec-scale/mw-$tag-${System.nanoTime()}"
+      rows.write.parquet(s"$dest/events.parquet")
+      graft.ops.Analytics.mannWhitneyValue(spark, dest).head()
+    }
+    val sep = mk(u => if (u % 2 == 0) 1.0 else 2.0, "sep")
+    assert(sep.getAs[Long]("u2_a") == 0L)
+    assert(sep.getAs[Long]("u2_b") == 20000L)
+    assert(sep.getAs[Long]("rbc_ppm") == 1000000L)
+    val tie = mk(_ => 5.0, "tie")
+    assert(tie.getAs[Long]("u2_a") == 10000L)
+    assert(tie.getAs[Long]("u2_b") == 10000L)
+    assert(tie.getAs[Long]("rbc_ppm") == 0L)
+    Seq(sep, tie).foreach { r =>
+      assert(r.getAs[Long]("u2_a") + r.getAs[Long]("u2_b") ==
+        2L * r.getAs[Long]("n_a") * r.getAs[Long]("n_b"))
+    }
+  }
+
   test("chi-squared matches the closed form: a 2x2 table with 80/20 vs " +
        "60/40 splits on 100-user arms decomposes to cell terms " +
        "100/70 and 100/30 and totals 9.523808 under the ppm floors") {
