@@ -227,6 +227,7 @@ object SparkEntry {
     "welch_ttest_value" -> ((s, d) => Analytics.welchTtestValue(s, d)),
     "chi2_type_by_arm" -> ((s, d) => Analytics.chi2TypeByArm(s, d)),
     "mannwhitney_value" -> ((s, d) => Analytics.mannWhitneyValue(s, d)),
+    "benford_values" -> ((s, d) => Analytics.benfordValues(s, d)),
     "stream_ab_monitor" ->
       ((s, d) => graft.streaming.StreamAssembly.streamAbMonitor(s, d)),
     "kmeans_clusters" -> ((s, d) => Similarity.kmeansClusters(s, d)),
@@ -2838,6 +2839,31 @@ object SparkEntry {
         |    // ((conv_a + conv_b) * (n_a + n_b - conv_a - conv_b)
         |      * 1000000) AS BIGINT) END AS z2_ppm
         |FROM d""".stripMargin),
+    // Benford audit: first digit from the decimal rendering (no float
+    // log); the nine probabilities are hardcoded public ppm constants
+    "benford_values" ->
+      ("""WITH d AS (SELECT CAST(substr(CAST(CAST(floor(value * 100)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM events WHERE CAST(floor(value * 100) AS BIGINT) > 0),
+        |o AS (SELECT digit, CAST(count(*) AS HUGEINT) AS obs
+        |  FROM d GROUP BY 1),
+        |n AS (SELECT sum(obs) AS nn FROM o),
+        |b(digit, p_ppm) AS (VALUES (1, 301030), (2, 176091),
+        |  (3, 124939), (4, 96910), (5, 79181), (6, 66947),
+        |  (7, 57992), (8, 51153), (9, 45757)),
+        |s AS (SELECT b.digit, COALESCE(o.obs, 0) AS obs,
+        |  CAST(n.nn * b.p_ppm // 1000 AS BIGINT) AS exp_milli,
+        |  CAST((COALESCE(o.obs, 0) * CAST(1000000 AS HUGEINT)
+        |      - n.nn * b.p_ppm)
+        |    * (COALESCE(o.obs, 0) * CAST(1000000 AS HUGEINT)
+        |      - n.nn * b.p_ppm) * 1000
+        |    // (n.nn * b.p_ppm * 1000000) AS BIGINT) AS dev_scaled
+        |  FROM b LEFT JOIN o ON b.digit = o.digit, n),
+        |t AS (SELECT CAST(sum(dev_scaled) AS BIGINT) AS score FROM s)
+        |SELECT CAST(s.digit AS BIGINT) AS digit,
+        |  CAST(s.obs AS BIGINT) AS obs, s.exp_milli, s.dev_scaled,
+        |  t.score
+        |FROM s, t ORDER BY digit""".stripMargin),
     // Mann-Whitney with DOUBLED ranks (tie averages stay integral:
     // 2b + e + 1); the prefix window runs over the distinct-value frame
     "mannwhitney_value" ->

@@ -976,6 +976,56 @@ object Analytics {
             AS BIGINT) END""").as("z2_ppm"))
   }
 
+  /** Benford first-digit conformance audit over event values — the
+    * classic data-quality / anomaly screen (Benford 1938; Newcomb
+    * 1881): natural multi-scale monetary data follows
+    * P(d) = log₁₀(1 + 1/d), and synthetic, capped, or fabricated
+    * values don't. The nine Benford probabilities are public constants
+    * hardcoded in ppm (301030 … 45757), so the whole audit is exact
+    * integer arithmetic: per first digit (from the decimal rendering
+    * of the cent value — no float log), observed count, expected count
+    * in milli-units (n·p_ppm DIV 1000), and the χ²-style deviation
+    * term (obs·10⁶ − n·p_ppm)²·1000 DIV (n·p_ppm·10⁶) summed into a
+    * conformance score on every row. One corpus pass into a 9-row
+    * frame.
+    */
+  def benfordValues(spark: SparkSession, sfDir: String): DataFrame = {
+    val pPpm = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+      8 -> 51153L, 9 -> 45757L)
+    val bTab = pPpm.toSeq.sortBy(_._1)
+      .map { case (d, p) => s"($d, ${p}L)" }
+      .mkString("VALUES ", ", ", " AS b(digit, p_ppm)")
+    val digits = Tables.events(spark, sfDir)
+      .select(expr("CAST(FLOOR(value * 100) AS BIGINT)").as("yc"))
+      .filter(col("yc") > 0)
+      .select(expr("CAST(substring(CAST(yc AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("obs"))
+      // 9-row frame, four downstream consumers: checkpoint so the
+      // corpus scans once (the chi2 contingency-table discipline)
+      .localCheckpoint(true)
+    val n = digits.agg(sum("obs").as("nn"))
+    val bench = spark.sql(s"SELECT * FROM ($bTab)")
+      .select(col("digit").cast("long").as("digit"), col("p_ppm"))
+    val scored = bench
+      .join(digits, Seq("digit"), "left_outer")
+      .na.fill(0L, Seq("obs"))
+      .crossJoin(broadcast(n))
+      .select(col("digit"), col("obs"),
+        expr("CAST(CAST(nn AS DECIMAL(38,0)) * p_ppm DIV 1000 AS BIGINT)")
+          .as("exp_milli"),
+        expr("""CAST((CAST(obs AS DECIMAL(38,0)) * 1000000
+          - CAST(nn AS DECIMAL(38,0)) * p_ppm)
+          * (CAST(obs AS DECIMAL(38,0)) * 1000000
+          - CAST(nn AS DECIMAL(38,0)) * p_ppm) * 1000
+          DIV (CAST(nn AS DECIMAL(38,0)) * p_ppm * 1000000)
+          AS BIGINT)""").as("dev_scaled"))
+    scored
+      .crossJoin(broadcast(scored.agg(sum("dev_scaled").as("score"))))
+      .orderBy("digit")
+  }
+
   /** Mann–Whitney U rank-sum test between the arms (ClickHouse ships
     * it as `mannWhitneyUTest`) — the nonparametric member of the
     * experiment battery, entirely in exact integers: work with DOUBLED

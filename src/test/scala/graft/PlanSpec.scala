@@ -667,7 +667,10 @@ class PlanSpec extends SparkSpec {
       "chi2_type_by_arm" -> 8,
       // value-keyed aggregate; the prefix window sits above it on the
       // distinct-value frame
-      "mannwhitney_value" -> 2)
+      "mannwhitney_value" -> 2,
+      // one pass into the checkpointed 9-digit frame; solve on tiny
+      // broadcast joins
+      "benford_values" -> 4)
     val aggOrLimit = Set("HashAggregateExec", "ObjectHashAggregateExec",
       "SortAggregateExec", "TakeOrderedAndProjectExec", "GlobalLimitExec",
       "CollectLimitExec", "LocalLimitExec")

@@ -443,6 +443,36 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("the Benford audit separates conforming from uniform digits: a " +
+       "near-Benford first-digit profile scores an order of magnitude " +
+       "below nine equal digit classes, and expected counts follow the " +
+       "hardcoded ppm constants") {
+    import spark.implicits._
+    def mk(vals: Seq[Double], tag: String) = {
+      val rows = vals.zipWithIndex.map { case (v, i) =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L),
+          i.toLong, "view", v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val dest = s"target/spec-scale/benford-$tag-${System.nanoTime()}"
+      rows.write.parquet(s"$dest/events.parquet")
+      graft.ops.Analytics.benfordValues(spark, dest).collect()
+    }
+    val benfordCounts =
+      Seq(301, 176, 125, 97, 79, 67, 58, 51, 46) // ~1000 Benford draws
+    val conforming = mk(benfordCounts.zipWithIndex.flatMap {
+      case (c, d) => Seq.fill(c)((d + 1).toDouble) }, "ok")
+    val uniform = mk((0 until 900).map(u => (1 + u % 9).toDouble), "uni")
+    assert(conforming.length == 9 && uniform.length == 9)
+    val okScore = conforming.head.getAs[Long]("score")
+    val uniScore = uniform.head.getAs[Long]("score")
+    assert(uniScore > 10 * okScore,
+      s"uniform $uniScore not >> conforming $okScore")
+    // digit-1 expectation under n=1000: 1000 * 301030 / 1000 milli
+    val d1 = conforming.find(_.getAs[Long]("digit") == 1L).get
+    assert(d1.getAs[Long]("exp_milli") == 301030L)
+    assert(d1.getAs[Long]("obs") == 301L)
+  }
+
   test("chi-squared matches the closed form: a 2x2 table with 80/20 vs " +
        "60/40 splits on 100-user arms decomposes to cell terms " +
        "100/70 and 100/30 and totals 9.523808 under the ppm floors") {
