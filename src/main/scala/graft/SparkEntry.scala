@@ -228,6 +228,7 @@ object SparkEntry {
     "chi2_type_by_arm" -> ((s, d) => Analytics.chi2TypeByArm(s, d)),
     "mannwhitney_value" -> ((s, d) => Analytics.mannWhitneyValue(s, d)),
     "benford_values" -> ((s, d) => Analytics.benfordValues(s, d)),
+    "cusum_hourly_shift" -> ((s, d) => Analytics.cusumHourlyShift(s, d)),
     "stream_ab_monitor" ->
       ((s, d) => graft.streaming.StreamAssembly.streamAbMonitor(s, d)),
     "kmeans_clusters" -> ((s, d) => Similarity.kmeansClusters(s, d)),
@@ -2839,6 +2840,22 @@ object SparkEntry {
         |    // ((conv_a + conv_b) * (n_a + n_b - conv_a - conv_b)
         |      * 1000000) AS BIGINT) END AS z2_ppm
         |FROM d""".stripMargin),
+    // CUSUM over hourly volume: first-half baseline, count-scaled
+    // deviations (no floored mean), prefix sum over the hourly frame
+    "cusum_hourly_shift" ->
+      ("""WITH h AS (SELECT date_trunc('hour', ts::TIMESTAMP) AS hour,
+        |  CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY hour) AS rn,
+        |  count(*) OVER () AS n_hours FROM h),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS n_base,
+        |  CAST(sum(n_events) AS BIGINT) AS s_base
+        |  FROM r WHERE rn <= n_hours // 2)
+        |SELECT r.hour, r.n_events,
+        |  r.n_events * b.n_base - b.s_base AS dev_scaled,
+        |  CAST(sum(r.n_events * b.n_base - b.s_base) OVER (
+        |    ORDER BY r.hour ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS BIGINT) AS cusum_scaled
+        |FROM r, b ORDER BY hour""".stripMargin),
     // Benford audit: first digit from the decimal rendering (no float
     // log); the nine probabilities are hardcoded public ppm constants
     "benford_values" ->

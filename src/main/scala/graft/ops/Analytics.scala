@@ -976,6 +976,39 @@ object Analytics {
             AS BIGINT) END""").as("z2_ppm"))
   }
 
+  /** CUSUM change-point scan over hourly event volume (Page 1954 —
+    * the classic sequential change detector): deviations from the
+    * first-half baseline accumulate, so a sustained rate shift shows
+    * as a monotone CUSUM ramp while noise mean-reverts. Exact
+    * integers throughout: the per-hour deviation is scaled by the
+    * baseline count (d_h = c_h·n_base − S_base — no floored mean, no
+    * remainder drift), the CUSUM is its prefix sum, and every window
+    * runs over the HOURLY frame above the aggregate boundary (the
+    * corpus shuffles once into per-hour counts).
+    */
+  def cusumHourlyShift(spark: SparkSession, sfDir: String): DataFrame = {
+    val hours = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val wAll = Window.orderBy("hour")
+    val ranked = hours
+      .withColumn("rn", row_number().over(wAll).cast("long"))
+      .withColumn("n_hours", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    val base = ranked.filter(col("rn") <= expr("n_hours DIV 2"))
+      .agg(count(lit(1)).as("n_base"), sum("n_events").as("s_base"))
+    ranked.crossJoin(broadcast(base))
+      .withColumn("dev_scaled",
+        col("n_events") * col("n_base") - col("s_base"))
+      .withColumn("cusum_scaled",
+        sum("dev_scaled").over(wAll.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .select(col("hour"), col("n_events"), col("dev_scaled"),
+        col("cusum_scaled"))
+      .orderBy("hour")
+  }
+
   /** Benford first-digit conformance audit over event values — the
     * classic data-quality / anomaly screen (Benford 1938; Newcomb
     * 1881): natural multi-scale monetary data follows

@@ -670,7 +670,10 @@ class PlanSpec extends SparkSpec {
       "mannwhitney_value" -> 2,
       // one pass into the checkpointed 9-digit frame; solve on tiny
       // broadcast joins
-      "benford_values" -> 4)
+      "benford_values" -> 4,
+      // corpus shuffles once into hourly counts; the rank/prefix
+      // windows run over that bounded frame
+      "cusum_hourly_shift" -> 4)
     val aggOrLimit = Set("HashAggregateExec", "ObjectHashAggregateExec",
       "SortAggregateExec", "TakeOrderedAndProjectExec", "GlobalLimitExec",
       "CollectLimitExec", "LocalLimitExec")

@@ -443,6 +443,32 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("CUSUM reads a planted step change: flat first half keeps the " +
+       "cusum at exactly zero, the rate doubling at hour 50 ramps it " +
+       "linearly to 500 * 50 scaled units by the last hour") {
+    import spark.implicits._
+    // 10 events/hour for hours 0..49, 20/hour for 50..99
+    val rows = (0 until 100).flatMap { h =>
+      val n = if (h < 50) 10 else 20
+      (0 until n).map { k =>
+        ((h * 100 + k).toLong,
+          new java.sql.Timestamp(1700000000000L + h * 3600000L + k * 1000L),
+          k.toLong, "view", 1.0, "{}")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dest = s"target/spec-scale/cusum-${System.nanoTime()}"
+    rows.write.parquet(s"$dest/events.parquet")
+    val r = graft.ops.Analytics.cusumHourlyShift(spark, dest)
+      .collect().map(_.getAs[Long]("cusum_scaled"))
+    assert(r.length == 100)
+    assert(r.take(50).forall(_ == 0L),
+      "pre-change cusum drifted off zero on a flat baseline")
+    // baseline n_base = 50, s_base = 500; post-change dev = 20*50-500
+    assert(r(50) == 500L && r(99) == 500L * 50)
+    assert(r.drop(50).sliding(2).forall(p => p(1) - p(0) == 500L),
+      "post-change ramp not linear")
+  }
+
   test("the Benford audit separates conforming from uniform digits: a " +
        "near-Benford first-digit profile scores an order of magnitude " +
        "below nine equal digit classes, and expected counts follow the " +
