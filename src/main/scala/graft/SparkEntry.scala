@@ -65,6 +65,13 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamAssembly.streamPartialsHourly(s, d)),
     "stream_sessions_tws" ->
       ((s, d) => graft.streaming.StreamAssembly.streamSessionsTws(s, d)),
+    // the SAME TWS drain killed after its 2nd micro-batch's sink write
+    // (before the checkpoint commit) and resumed from checkpoint — the
+    // RocksDB state-store recovery path gated against the identical
+    // batch oracle
+    "stream_tws_restart" ->
+      ((s, d) => graft.streaming.StreamAssembly
+        .streamSessionsTws(s, d, crashAfterBatches = 2)),
     "stream_join_wm_evicting" ->
       ((s, d) =>
         graft.streaming.StreamAssembly.streamJoinFollowupsWatermarked(s, d)),
@@ -763,13 +770,19 @@ object SparkEntry {
     * Every double is the identical left-to-right fold the Spark side
     * computes, so the gate hashes bit-for-bit.
     *
-    * @param idxWhere   predicate suffix on the index corpus ("" = full)
-    * @param seedBound  seed threshold for BOTH the coarse centroids and
-    *                   the residual codebook (16 full / 32 even-half)
-    * @param qWhere     predicate selecting the query fleet
-    * @param candWhere  extra predicate on ADC candidates ("" = none)
+    * @param idxWhere      predicate suffix on the index corpus ("" = full)
+    * @param cellSeedBound seed threshold for the coarse centroids
+    *                      (IvfPqCells full / 2·IvfPqCells even-half —
+    *                      distinct from the codebook bound so the
+    *                      production-geometry override keeps codebook
+    *                      size fixed while cells scale ∝ √n)
+    * @param cbSeedBound   seed threshold for the residual codebook
+    *                      (PqCentroids full / 2·PqCentroids even-half)
+    * @param qWhere        predicate selecting the query fleet
+    * @param candWhere     extra predicate on ADC candidates ("" = none)
     */
-  private def ivfpqCteStack(idxWhere: String, seedBound: Int,
+  private def ivfpqCteStack(idxWhere: String, cellSeedBound: Int,
+                            cbSeedBound: Int,
                             qWhere: String, candWhere: String): String = {
     val m = ops.Similarity.PqSubspaces
     val d = ops.Similarity.PqSubDim
@@ -779,7 +792,7 @@ object SparkEntry {
       |              for i in range(1, 65)]) AS sq
       |  FROM embeddings$idxWhere),
       |g0 AS (SELECT vec_id AS cid, embedding AS cemb, sq AS csq
-      |  FROM e WHERE vec_id < $seedBound),
+      |  FROM e WHERE vec_id < $cellSeedBound),
       |gd0 AS (SELECT e.vec_id, c.cid,
       |    e.sq + c.csq - 2 * list_sum([e.embedding[i]::DOUBLE *
       |      c.cemb[i]::DOUBLE for i in range(1, 65)]) AS dist
@@ -813,7 +826,7 @@ object SparkEntry {
       |    [r[t.s * $d + i] for i in range(1, ${d + 1})] AS sv
       |  FROM resid, range(0, $m) t(s)),
       |rcb0 AS (SELECT s, vec_id AS cid, sv AS cv FROM rsub
-      |  WHERE vec_id < $seedBound),
+      |  WHERE vec_id < $cbSeedBound),
       |rds0 AS (SELECT u.vec_id, u.s, c.cid,
       |    list_sum([u.sv[i] * u.sv[i] for i in range(1, ${d + 1})])
       |  - 2 * list_sum([u.sv[i] * c.cv[i] for i in range(1, ${d + 1})])
@@ -873,7 +886,7 @@ object SparkEntry {
   /** Full-corpus IVF-PQ stack, query = vector 0 (ivfpq_topk,
     * ivfpq_distortion, ivfpq_cell_stats). */
   private val ivfpqCtes: String = ivfpqCteStack(
-    "", ops.Similarity.IvfPqCells,
+    "", ops.Similarity.IvfPqCells, ops.Similarity.PqCentroids,
     "vec_id = 0", "\n  WHERE k.vec_id <> 0")
 
   /** Even-half index, odd probe fleet (ivfpq_probe_recall and the
@@ -881,6 +894,7 @@ object SparkEntry {
     * coin for the sampled audit. */
   private def ivfpqProbeCtesWith(qExtra: String): String = ivfpqCteStack(
     " WHERE vec_id % 2 = 0", 2 * ops.Similarity.IvfPqCells,
+    2 * ops.Similarity.PqCentroids,
     "vec_id % 2 = 1" + qExtra, "")
 
   private val ivfpqProbeCtes: String = ivfpqProbeCtesWith("")
@@ -1075,6 +1089,24 @@ object SparkEntry {
       |    ELSE -CAST((-w) * 1000000 // (SELECT m FROM m$k) AS HUGEINT)
       |    END AS v FROM w$k)""".stripMargin
     }.mkString)
+
+  /** The TWS sessionizer's batch oracle (window-function
+    * sessionization), shared verbatim by the crash-recovery sibling
+    * `stream_tws_restart` — the recovered drain must hash identically.
+    */
+  private val twsSessionsOracle: String =
+    """WITH g AS (SELECT user_id, ts, value,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |       OR epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts) OVER w::TIMESTAMP)
+      |          > 1800000000
+      |  THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id, ts, value,
+      |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+      |    AS sid FROM g)
+      |SELECT user_id, min(ts)::TIMESTAMP AS session_start,
+      |count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "rollup_hourly" ->
@@ -1747,19 +1779,10 @@ object SparkEntry {
     // every close timer), so the batch window-function sessionization IS
     // its oracle — this pins the Spark-4 stateful API's late-event merge
     // semantics to values, not just specs
-    "stream_sessions_tws" ->
-      """WITH g AS (SELECT user_id, ts, value,
-        |  CASE WHEN lag(ts) OVER w IS NULL
-        |       OR epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts) OVER w::TIMESTAMP)
-        |          > 1800000000
-        |  THEN 1 ELSE 0 END AS new_s
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |s AS (SELECT user_id, ts, value,
-        |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
-        |    AS sid FROM g)
-        |SELECT user_id, min(ts)::TIMESTAMP AS session_start,
-        |count(*) AS n_events, round(sum(value), 2) AS total_value
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "stream_sessions_tws" -> twsSessionsOracle,
+    // crash-recovery sibling: a drain killed and resumed mid-stream must
+    // land on the byte-identical session table
+    "stream_tws_restart" -> twsSessionsOracle,
     // the streaming micro-batch partials path compacts to exactly the batch
     // hourly rollup (counts + DECIMAL(18,6) sums are additive), so the batch
     // SQL IS its oracle
@@ -2913,17 +2936,25 @@ object SparkEntry {
     // every cell term is one exact integer floor, the total an exact
     // BIGINT sum
     "chi2_type_by_arm" ->
-      ("""WITH cells AS (SELECT event_type, user_id % 2 AS arm,
+      ("""WITH obs0 AS (SELECT event_type, user_id % 2 AS arm,
         |  CAST(count(*) AS HUGEINT) AS o FROM events GROUP BY 1, 2),
+        |cells AS (SELECT g.event_type, g.arm,
+        |    coalesce(obs0.o, CAST(0 AS HUGEINT)) AS o
+        |  FROM (SELECT DISTINCT event_type, a.arm FROM obs0,
+        |        (SELECT CAST(0 AS BIGINT) AS arm
+        |         UNION ALL SELECT CAST(1 AS BIGINT)) a) g
+        |  LEFT JOIN obs0 USING (event_type, arm)),
         |r AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY 1),
         |c AS (SELECT arm, sum(o) AS c FROM cells GROUP BY 1),
         |n AS (SELECT sum(o) AS nn FROM cells),
         |s AS (SELECT cells.event_type, cells.arm,
         |  CAST(cells.o AS BIGINT) AS obs,
-        |  CAST(r.r * c.c * 1000 // n.nn AS BIGINT) AS exp_milli,
-        |  CAST((cells.o * n.nn - r.r * c.c)
-        |    * (cells.o * n.nn - r.r * c.c) * 1000000
-        |    // (r.r * c.c * n.nn) AS BIGINT) AS cell_ppm
+        |  CASE WHEN r.r * c.c = 0 THEN NULL
+        |    ELSE CAST(r.r * c.c * 1000 // n.nn AS BIGINT) END AS exp_milli,
+        |  CASE WHEN r.r * c.c = 0 THEN NULL
+        |    ELSE CAST((cells.o * n.nn - r.r * c.c)
+        |      * (cells.o * n.nn - r.r * c.c) * 1000000
+        |      // (r.r * c.c * n.nn) AS BIGINT) END AS cell_ppm
         |  FROM cells JOIN r USING (event_type) JOIN c USING (arm), n),
         |t AS (SELECT CAST(sum(cell_ppm) AS BIGINT) AS chi2_ppm FROM s)
         |SELECT s.event_type, s.arm, s.obs, s.exp_milli, s.cell_ppm,
@@ -3055,8 +3086,9 @@ object SparkEntry {
         |    for i in range(1, 65)])) * 1e6) AS BIGINT) AS m2u
         |  FROM c1s a, c1s b WHERE a.cid <> b.cid),
         |r AS (SELECT m.cid, m.partner, pa.n, pa.scatter_u,
-        |  CAST((pa.scatter_u + pb.scatter_u)::HUGEINT * 1000000 // m2u
-        |    AS BIGINT) AS ratio_ppm
+        |  CASE WHEN m2u <= 0 THEN NULL
+        |    ELSE CAST((pa.scatter_u + pb.scatter_u)::HUGEINT * 1000000
+        |      // m2u AS BIGINT) END AS ratio_ppm
         |  FROM m JOIN ps pa ON pa.cid = m.cid
         |  JOIN ps pb ON pb.cid = m.partner)
         |SELECT cid AS cluster, n, scatter_u, partner AS worst_partner,

@@ -1125,18 +1125,28 @@ object Analytics {
     * the table is #types × 2, so the solve runs on a broadcast-sized
     * frame; the single corpus pass partial-aggregates into it.
     * Reported per cell (obs, exp_milli, cell ppm) plus the total on
-    * every row, so the gate pins the full decomposition.
+    * every row, so the gate pins the full decomposition. The cell
+    * frame is the FULL #types × 2 grid — a (type, arm) cell with zero
+    * events still contributes its nonzero expected-count term
+    * (Rᵢ·Cⱼ/N)²-style mass to χ², so observed cells left-join onto the
+    * type-axis × {0,1} cross (the Benford/NB full-grid idiom) with
+    * obs coalesced to 0.
     */
   def chi2TypeByArm(spark: SparkSession, sfDir: String): DataFrame = {
     // eagerly checkpointed: four downstream consumers (cells, row
     // margins, column margins, grand total) would otherwise each
     // re-plan the corpus scan — the table is #types × 2 rows
-    val cells = Tables.events(spark, sfDir)
+    val observed = Tables.events(spark, sfDir)
       .select(col("event_type"),
         pmod(col("user_id"), lit(2)).cast("int").as("arm"))
       .groupBy("event_type", "arm")
       .agg(count(lit(1)).cast("decimal(38,0)").as("o"))
       .localCheckpoint(true)
+    val cells = observed.select("event_type").distinct()
+      .crossJoin(spark.range(2).select(col("id").cast("int").as("arm")))
+      .join(observed, Seq("event_type", "arm"), "left")
+      .select(col("event_type"), col("arm"),
+        coalesce(col("o"), lit(0).cast("decimal(38,0)")).as("o"))
     val rows = cells.groupBy("event_type")
       .agg(sum("o").as("r"))
     val colsT = cells.groupBy("arm").agg(sum("o").as("c"))
@@ -1147,10 +1157,14 @@ object Analytics {
       .crossJoin(broadcast(n))
       .select(col("event_type"), col("arm").cast("long").as("arm"),
         col("o").cast("long").as("obs"),
-        // expected count in milli-units: R*C*1000 DIV N (nonneg)
-        expr("CAST(r * c * 1000 DIV nn AS BIGINT)").as("exp_milli"),
-        expr("""CAST((o * nn - r * c) * (o * nn - r * c) * 1000000
-          DIV (r * c * nn) AS BIGINT)""").as("cell_ppm"))
+        // expected count in milli-units: R*C*1000 DIV N (nonneg);
+        // NULL-guarded like linregSolve — a fully empty arm (C = 0)
+        // would otherwise hit engine-divergent division by zero
+        expr("""CASE WHEN r * c = 0 THEN NULL
+          ELSE CAST(r * c * 1000 DIV nn AS BIGINT) END""").as("exp_milli"),
+        expr("""CASE WHEN r * c = 0 THEN NULL
+          ELSE CAST((o * nn - r * c) * (o * nn - r * c) * 1000000
+            DIV (r * c * nn) AS BIGINT) END""").as("cell_ppm"))
     val total = scored.agg(sum("cell_ppm").as("chi2_ppm"))
     scored.crossJoin(broadcast(total))
       .orderBy("event_type", "arm")

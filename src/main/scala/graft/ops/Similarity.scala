@@ -329,8 +329,14 @@ object Similarity {
         col("scatter_u").as("s_b"))), Seq("partner"))
       .join(broadcast(per.select(col("cid"), col("n"),
         col("scatter_u").as("s_a"))), Seq("cid"))
+      // NULL-guarded like linregSolve: coincident Lloyd centroids
+      // (empty/duplicate cluster) make m2u 0 or −1, where Spark's
+      // non-ANSI DIV yields NULL but DuckDB's // raises — and a
+      // negative denominator would break the nonneg-DIV discipline
       .withColumn("ratio_ppm", expr(
-        "CAST(CAST(s_a + s_b AS DECIMAL(38,0)) * 1000000 DIV m2u AS BIGINT)"))
+        """CASE WHEN m2u <= 0 THEN NULL
+          ELSE CAST(CAST(s_a + s_b AS DECIMAL(38,0)) * 1000000
+            DIV m2u AS BIGINT) END"""))
       .groupBy(col("cid"), col("n"), col("s_a"))
       .agg(max(struct(col("ratio_ppm"), col("partner"))).as("best"))
       .select(col("cid").as("cluster"), col("n"),
@@ -1583,10 +1589,16 @@ object Similarity {
   /** Coarse cell count / probed cells per query. 16/4 keeps every
     * constant oracle-replayable at spec scale; at index scale these are
     * the standard sqrt(n)-ish tuning knobs and nothing in the plan
-    * shape changes.
+    * shape changes. Env-overridable (GRAFT_IVFPQ_CELLS /
+    * GRAFT_IVFPQ_PROBE) so the SAME code and oracle SQL gate at
+    * production geometry (nCells ≈ √n, e.g. 140/12 at the 20k-vector
+    * sf1f fixture) — the oracle interpolates these constants at
+    * object init, so one JVM run can never see drifted values.
     */
-  val IvfPqCells: Int = 16
-  val IvfPqProbe: Int = 4
+  val IvfPqCells: Int =
+    sys.env.get("GRAFT_IVFPQ_CELLS").map(_.toInt).getOrElse(16)
+  val IvfPqProbe: Int =
+    sys.env.get("GRAFT_IVFPQ_PROBE").map(_.toInt).getOrElse(4)
 
   /** One-Lloyd-round coarse quantizer over `e0` (vec_id, embedding):
     * seeds are the rows matching `seedPred` (the fixed-seed scheme of

@@ -201,6 +201,47 @@ object StreamAssembly {
     body(s)
   }
 
+  /** Injected mid-drain crash for the checkpoint-recovery gates: armed
+    * once, [[maybeCrash]] throws from foreachBatch AFTER the micro-batch's
+    * sink write but BEFORE its checkpoint commit — the harshest failure
+    * window (the sink holds the batch's output, the commit log doesn't
+    * know). A restart from the same checkpoint must replay that batch;
+    * exactly-once then rests on the per-batch `batch=<id>` overwrite
+    * layout replacing, not duplicating, the replayed output.
+    */
+  private[graft] final class CrashArm(afterBatches: Int) {
+    private val armed =
+      new java.util.concurrent.atomic.AtomicBoolean(afterBatches > 0)
+    def maybeCrash(batchId: Long): Unit =
+      if (batchId + 1 >= afterBatches && armed.compareAndSet(true, false))
+        throw new RuntimeException(
+          s"graft injected crash after batch $batchId sink write")
+  }
+
+  /** Run `drain` with an injected crash after `crashAfterBatches`
+    * micro-batches (0 = no fault): the first attempt dies with the
+    * injected failure, the second resumes from the SAME checkpoint and
+    * state store and must drain to the batch-identical result. The
+    * recovery contract of the reference's consumer loop
+    * (`consumers/kafka_to_clickhouse.py:127-129` restarts polling after
+    * an error, at-least-once) upgraded to exactly-once.
+    */
+  private def runWithInjectedCrash(drain: CrashArm => Unit,
+                                   crashAfterBatches: Int): Unit = {
+    val arm = new CrashArm(crashAfterBatches)
+    if (crashAfterBatches > 0) {
+      def injected(t: Throwable): Boolean =
+        t != null && (Option(t.getMessage)
+          .exists(_.contains("graft injected crash")) || injected(t.getCause))
+      try drain(arm)
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException
+          if injected(e) => ()
+      }
+    }
+    drain(arm)
+  }
+
 
   /** Raw-table sink (S5 analogue): append micro-batches as yyyyMM-
     * partitioned parquet — the engine's MergeTree. Exactly-once:
@@ -339,16 +380,20 @@ object StreamAssembly {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckptDir)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, id: Long) =>
           batch.filter(col("event_type") === "purchase")
             .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
             .agg(
               count(lit(1)).as("pc"),
               sum(col("value").cast("decimal(18,6)")).as("pv"))
             // partials are a few hundred rows/batch: one output file per
-            // micro-batch, not one per shuffle partition
+            // micro-batch, not one per shuffle partition — and each batch
+            // lands in its OWN batch=<id> dir with overwrite, so a
+            // micro-batch retried after a sink write but before the
+            // checkpoint commit REPLACES its partial rows instead of
+            // double-appending them (the streamPqIndexAppend layout)
             .coalesce(1)
-            .write.mode("append").parquet(partialsDir)
+            .write.mode("overwrite").parquet(s"$partialsDir/batch=$id")
           ()
         }
         .start()
@@ -406,10 +451,12 @@ object StreamAssembly {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckptDir)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // idempotent per-batch segment: a retried batch replaces,
+          // never duplicates, its sufficient statistics
           Analytics.linregPartials(batch, t0)
             .coalesce(1)
-            .write.mode("append").parquet(partialsDir)
+            .write.mode("overwrite").parquet(s"$partialsDir/batch=$id")
           ()
         }
         .start()
@@ -473,14 +520,16 @@ object StreamAssembly {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckptDir)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // idempotent per-batch segment: a retried batch replaces,
+          // never duplicates, its sufficient statistics
           Similarity.pcaProject(batch.select(col("embedding"),
               col("label")), model)
             .groupBy("label")
             .agg(count(lit(1)).cast("decimal(38,0)").as("n_in"),
               sum("p").as("sp_in"))
             .coalesce(1)
-            .write.mode("append").parquet(partialsDir)
+            .write.mode("overwrite").parquet(s"$partialsDir/batch=$id")
           ()
         }
         .start()
@@ -536,7 +585,9 @@ object StreamAssembly {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckptDir)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // idempotent per-batch segment: a retried batch replaces,
+          // never duplicates, its sufficient statistics
           batch
             .select(pmod(col("user_id"), lit(2)).cast("int").as("arm"),
               expr("CAST(FLOOR(value * 100) AS DECIMAL(38,0))").as("yc"))
@@ -544,7 +595,7 @@ object StreamAssembly {
             .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
               sum("yc").as("s"), sum(expr("yc * yc")).as("q"))
             .coalesce(1)
-            .write.mode("append").parquet(partialsDir)
+            .write.mode("overwrite").parquet(s"$partialsDir/batch=$id")
           ()
         }
         .start()
@@ -656,7 +707,8 @@ object StreamAssembly {
     */
   def streamJoinFollowupsWatermarked(spark: SparkSession, sfDir: String,
                                      nChunks: Int = 4, tolMin: Int = 30,
-                                     delay: String = "2 hours"): DataFrame = {
+                                     delay: String = "2 hours",
+                                     crashAfterBatches: Int = 0): DataFrame = {
     import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft_wm_join").toString
     val pairsDir = s"$tmp/pairs"
@@ -687,35 +739,41 @@ object StreamAssembly {
       d
     })
     withDrainConf(spark) { ds =>
-      val stream = ds.readStream
-        .schema(events.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(srcDir)
-        // filter below the join: both state stores hold purchase rows only
-        .filter(col("event_type") === "purchase")
-      val a = stream.select(col("event_id").as("event_a"),
-          col("user_id").as("user_a"), col("ts").as("ts_a"),
-          col("event_type").as("type_a"))
-        .withWatermark("ts_a", delay)
-      val b = stream.select(col("event_id").as("event_b"),
-          col("user_id").as("user_b"), col("ts").as("ts_b"),
-          col("event_type").as("type_b"))
-        .withWatermark("ts_b", delay)
-      val joined = a.join(b,
-        col("user_a") === col("user_b") &&
-          col("ts_b") > col("ts_a") &&
-          col("ts_b") <= col("ts_a") + expr(s"INTERVAL $tolMin MINUTES"))
-      val query = joined.writeStream
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckptDir)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.select("type_a", "type_b", "user_a")
-            .coalesce(1).write.mode("append").parquet(pairsDir)
-          ()
-        }
-        .start()
-      query.awaitTermination()
+      def drain(arm: CrashArm): Unit = {
+        val stream = ds.readStream
+          .schema(events.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir)
+          // filter below the join: both state stores hold purchase rows only
+          .filter(col("event_type") === "purchase")
+        val a = stream.select(col("event_id").as("event_a"),
+            col("user_id").as("user_a"), col("ts").as("ts_a"),
+            col("event_type").as("type_a"))
+          .withWatermark("ts_a", delay)
+        val b = stream.select(col("event_id").as("event_b"),
+            col("user_id").as("user_b"), col("ts").as("ts_b"),
+            col("event_type").as("type_b"))
+          .withWatermark("ts_b", delay)
+        val joined = a.join(b,
+          col("user_a") === col("user_b") &&
+            col("ts_b") > col("ts_a") &&
+            col("ts_b") <= col("ts_a") + expr(s"INTERVAL $tolMin MINUTES"))
+        val query = joined.writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckptDir)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            // idempotent per-batch segment (replayed batch replaces)
+            batch.select("type_a", "type_b", "user_a")
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$pairsDir/batch=$id")
+            arm.maybeCrash(id)
+            ()
+          }
+          .start()
+        query.awaitTermination()
+      }
+      runWithInjectedCrash(drain, crashAfterBatches)
     }
     spark.read.parquet(pairsDir)
       // bucketed accounting (16 user buckets) so the oracle pins pair
@@ -1442,7 +1500,8 @@ object StreamAssembly {
     * that maximizes the late-data stress, not a semantic change.
     */
   def streamSessionsTws(spark: SparkSession, sfDir: String,
-                        nFiles: Int = 4, gapMinutes: Int = 30): DataFrame = {
+                        nFiles: Int = 4, gapMinutes: Int = 30,
+                        crashAfterBatches: Int = 0): DataFrame = {
     import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft_stream_tws").toString
     val outDir = s"$tmp/sessions"
@@ -1456,23 +1515,30 @@ object StreamAssembly {
     withDrainConf(spark, Map(provKey ->
       ("org.apache.spark.sql.execution.streaming." +
         "state.RocksDBStateStoreProvider"))) { ds =>
-      val stream = ds.readStream
-        .schema(userEventSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(srcDir)
-      val query = SessionizeTws
-        .sessionize(stream, gapMinutes, watermark = "40 days")
-        .toDF()
-        .writeStream
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckptDir)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.coalesce(1).write.mode("append").parquet(outDir)
-          ()
-        }
-        .start()
-      query.awaitTermination()
+      def drain(arm: CrashArm): Unit = {
+        val stream = ds.readStream
+          .schema(userEventSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir)
+        val query = SessionizeTws
+          .sessionize(stream, gapMinutes, watermark = "40 days")
+          .toDF()
+          .writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckptDir)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            // idempotent per-batch segment: the crash-replayed batch
+            // REPLACES its rows instead of double-appending them
+            batch.coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/batch=$id")
+            arm.maybeCrash(id)
+            ()
+          }
+          .start()
+        query.awaitTermination()
+      }
+      runWithInjectedCrash(drain, crashAfterBatches)
     }
     spark.read.parquet(outDir)
       .filter(col("user_id") >= 0)
@@ -1544,39 +1610,49 @@ object StreamAssembly {
     */
   def streamSessionWindows(spark: SparkSession, sfDir: String,
                            nFiles: Int = 4,
-                           gapMinutes: Int = 30): DataFrame = {
+                           gapMinutes: Int = 30,
+                           crashAfterBatches: Int = 0): DataFrame = {
     import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft_stream_sw").toString
     val outDir = s"$tmp/sessions"
     val ckptDir = s"$tmp/ckpt"
     val srcDir = stageUserEventsWithSentinel(spark, sfDir, nFiles, gapMinutes)
     withDrainConf(spark) { ds =>
-      val stream = ds.readStream
-        .schema(userEventSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(srcDir)
-      val query = stream
-        .withWatermark("ts", "40 days")
-        .groupBy(col("user_id"),
-          session_window(col("ts"), s"$gapMinutes minutes").as("w"))
-        .agg(count(lit(1)).as("n_events"),
-          round(sum("value"), 2).as("total_value"))
-        .select(col("user_id"), col("w.start").as("session_start"),
-          col("w.end").as("session_end"), col("n_events"),
-          col("total_value"))
-        .writeStream
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckptDir)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.coalesce(1).write.mode("append").parquet(outDir)
-          ()
-        }
-        .start()
-      query.awaitTermination()
+      def drain(arm: CrashArm): Unit = {
+        val stream = ds.readStream
+          .schema(userEventSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir)
+        val query = stream
+          .withWatermark("ts", "40 days")
+          .groupBy(col("user_id"),
+            session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum("value"), 2).as("total_value"))
+          .select(col("user_id"), col("w.start").as("session_start"),
+            col("w.end").as("session_end"), col("n_events"),
+            col("total_value"))
+          .writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckptDir)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            // idempotent per-batch segment (replayed batch replaces)
+            batch.coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/batch=$id")
+            arm.maybeCrash(id)
+            ()
+          }
+          .start()
+        query.awaitTermination()
+      }
+      runWithInjectedCrash(drain, crashAfterBatches)
     }
     spark.read.parquet(outDir)
       .filter(col("user_id") >= 0)
+      // explicit projection drops the batch=<id> partition column
+      .select("user_id", "session_start", "session_end", "n_events",
+        "total_value")
       .orderBy("user_id", "session_start")
   }
 
