@@ -245,6 +245,8 @@ object SparkEntry {
     "mrl_truncation_recall" ->
       ((s, d) => Similarity.mrlTruncationRecall(s, d)),
     "ann_filtered_recall" -> ((s, d) => Similarity.annFilteredRecall(s, d)),
+    "knn_graph_build" -> ((s, d) => KnnGraph.knnGraphBuild(s, d)),
+    "knn_graph_recall" -> ((s, d) => KnnGraph.knnGraphRecall(s, d)),
     "stream_pca_drift" ->
       ((s, d) => graft.streaming.StreamAssembly.streamPcaDrift(s, d)),
     "semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
@@ -898,6 +900,67 @@ object SparkEntry {
     "vec_id % 2 = 1" + qExtra, "")
 
   private val ivfpqProbeCtes: String = ivfpqProbeCtesWith("")
+
+  /** NN-descent k-NN-graph CTE stack (knn_graph_* oracles): md5-seeded
+    * init lists, then [[ops.KnnGraph.Rounds]] unrolled refinement
+    * rounds — general-neighbor self-join, exact rescoring, per-vertex
+    * top-k — replaying [[ops.KnnGraph.graph]] bit-for-bit (same md5
+    * draw, same double fold, same (dist, dst) ties). Every CTE is
+    * MATERIALIZED: round r+1 references round r four times and DuckDB
+    * would otherwise re-expand the subtree exponentially (the
+    * pca_power_component lesson). Yields the final graph as `gfin`.
+    */
+  private val knnGraphCtes: String = {
+    val k = ops.KnnGraph.K
+    def round(prev: String, cur: String): String =
+      s"""${cur}g AS MATERIALIZED (SELECT src, dst FROM $prev
+         |  UNION ALL SELECT dst, src FROM $prev),
+         |${cur}c AS MATERIALIZED (
+         |  SELECT a.dst AS src, b.dst AS dst
+         |  FROM ${cur}g a JOIN ${cur}g b ON a.src = b.src
+         |  WHERE a.dst <> b.dst
+         |  UNION
+         |  SELECT src, dst FROM $prev),
+         |${cur}s AS MATERIALIZED (SELECT p.src, p.dst,
+         |  a.sq + b.sq - 2 * list_sum([a.embedding[i]::DOUBLE *
+         |    b.embedding[i]::DOUBLE for i in range(1, 65)]) AS dist
+         |  FROM ${cur}c p JOIN e a ON a.vec_id = p.src
+         |  JOIN e b ON b.vec_id = p.dst),
+         |$cur AS MATERIALIZED (SELECT src, dst, dist, rn AS rank FROM (
+         |  SELECT src, dst, dist, row_number() OVER (
+         |    PARTITION BY src ORDER BY dist, dst) AS rn FROM ${cur}s)
+         |  WHERE rn <= $k)""".stripMargin
+    val rounds = (1 to ops.KnnGraph.Rounds)
+      .map(r => round(if (r == 1) "r0" else s"r${r - 1}", s"r$r"))
+    val names = "r0" +: (1 to ops.KnnGraph.Rounds).map(r => s"r$r")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding,
+       |    list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+       |              for i in range(1, 65)]) AS sq
+       |  FROM embeddings),
+       |nn AS (SELECT count(*) AS n FROM e),
+       |ranked AS MATERIALIZED (SELECT vec_id, row_number() OVER (
+       |    ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
+       |      % ${ops.KnnGraph.RankBuckets}, vec_id) - 1 AS rnk
+       |  FROM e),
+       |init AS MATERIALIZED (SELECT DISTINCT d.src, r.vec_id AS dst FROM (
+       |  SELECT e.vec_id AS src,
+       |    ('0x' || substr(md5(e.vec_id::VARCHAR || ',' || j.j::VARCHAR),
+       |      1, 8))::BIGINT % nn.n AS rnk
+       |  FROM e, range(0, $k) j(j), nn) d
+       |  JOIN ranked r USING (rnk)
+       |  WHERE r.vec_id <> d.src),
+       |r0s AS MATERIALIZED (SELECT p.src, p.dst,
+       |  a.sq + b.sq - 2 * list_sum([a.embedding[i]::DOUBLE *
+       |    b.embedding[i]::DOUBLE for i in range(1, 65)]) AS dist
+       |  FROM init p JOIN e a ON a.vec_id = p.src
+       |  JOIN e b ON b.vec_id = p.dst),
+       |r0 AS MATERIALIZED (SELECT src, dst, dist, rn AS rank FROM (
+       |  SELECT src, dst, dist, row_number() OVER (
+       |    PARTITION BY src ORDER BY dist, dst) AS rn FROM r0s)
+       |  WHERE rn <= $k),
+       |${rounds.mkString(",\n")},
+       |gfin AS MATERIALIZED (SELECT * FROM ${names.last})""".stripMargin
+  }
 
   /** The composed-path fleet-recall tail over the ivfpq probe stack:
     * per-probe ADC argmin, exact-L2 ground truth over the full even
@@ -3202,6 +3265,41 @@ object SparkEntry {
         |  CAST(n_top1_match * 1000000 // n_queries AS BIGINT)
         |    AS recall_ppm
         |FROM agg""".stripMargin),
+    // NN-descent k-NN graph: md5-seeded init + unrolled refinement
+    // rounds (general-neighbor self-join, exact rescore, per-vertex
+    // top-k), distances floored to micro-units at source
+    "knn_graph_build" -> (knnGraphCtes +
+      """
+        |SELECT src AS vec_id, rank, dst AS nbr,
+        |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
+        |FROM gfin ORDER BY vec_id, rank""".stripMargin),
+    // graph recall vs the brute-force true k-NN of the md5-coin 20%
+    // stratum (pct-quadratic ground truth BY DEFINITION — the
+    // recall-audit family)
+    "knn_graph_recall" -> (knnGraphCtes +
+      s""",
+        |q AS MATERIALIZED (SELECT vec_id AS q_id, embedding, sq FROM e
+        |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
+        |    % 100 < 20),
+        |bf AS MATERIALIZED (SELECT q_id, m_id FROM (
+        |  SELECT q.q_id, m.vec_id AS m_id, row_number() OVER (
+        |    PARTITION BY q.q_id ORDER BY
+        |      q.sq + m.sq - 2 * list_sum([q.embedding[i]::DOUBLE *
+        |        m.embedding[i]::DOUBLE for i in range(1, 65)]),
+        |      m.vec_id) AS rn
+        |  FROM q, e m WHERE m.vec_id <> q.q_id)
+        |  WHERE rn <= ${ops.KnnGraph.K}),
+        |j AS (SELECT bf.q_id, bf.m_id,
+        |  CASE WHEN g.src IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM bf LEFT JOIN gfin g
+        |    ON g.src = bf.q_id AND g.dst = bf.m_id)
+        |SELECT CAST(${ops.KnnGraph.K} AS BIGINT) AS k,
+        |  count(DISTINCT q_id) AS n_queries, count(*) AS n_true,
+        |  CAST(sum(hit) AS BIGINT) AS n_hit,
+        |  CASE WHEN count(*) = 0 THEN NULL
+        |    ELSE CAST(sum(hit)::HUGEINT * 1000000 // count(*) AS BIGINT)
+        |    END AS recall_ppm
+        |FROM j""".stripMargin),
     // Matryoshka truncation-recall curve: per prefix width, the sampled
     // stratum's prefix-cosine top-1 vs the full-width exact top-1; the
     // prefix folds are the same left-to-right list_sum both engines

@@ -1142,11 +1142,14 @@ object Analytics {
       .groupBy("event_type", "arm")
       .agg(count(lit(1)).cast("decimal(38,0)").as("o"))
       .localCheckpoint(true)
+    // the completed grid is checkpointed too: its four consumers (cells,
+    // both margins, grand total) plan against the #types × 2 leaf
     val cells = observed.select("event_type").distinct()
       .crossJoin(spark.range(2).select(col("id").cast("int").as("arm")))
-      .join(observed, Seq("event_type", "arm"), "left")
+      .join(broadcast(observed), Seq("event_type", "arm"), "left")
       .select(col("event_type"), col("arm"),
         coalesce(col("o"), lit(0).cast("decimal(38,0)")).as("o"))
+      .localCheckpoint(true)
     val rows = cells.groupBy("event_type")
       .agg(sum("o").as("r"))
     val colsT = cells.groupBy("arm").agg(sum("o").as("c"))

@@ -673,7 +673,16 @@ class PlanSpec extends SparkSpec {
       "benford_values" -> 4,
       // corpus shuffles once into hourly counts; the rank/prefix
       // windows run over that bounded frame
-      "cusum_hourly_shift" -> 4)
+      "cusum_hourly_shift" -> 4,
+      // r15 NN-descent graph: the finished graph is Memo-checkpointed
+      // (the ivfpq model convention), so the serving plan is the final
+      // projection over the slim edge leaf; inside the build every
+      // round's window/join stages plan against the previous round's
+      // checkpointed k·n integer-row leaf
+      "knn_graph_build" -> 1,
+      // + the salt-keyed brute-force stratum side (the recall-audit
+      // family's exact-side shape)
+      "knn_graph_recall" -> 5)
     val aggOrLimit = Set("HashAggregateExec", "ObjectHashAggregateExec",
       "SortAggregateExec", "TakeOrderedAndProjectExec", "GlobalLimitExec",
       "CollectLimitExec", "LocalLimitExec")
