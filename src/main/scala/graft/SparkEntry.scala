@@ -189,6 +189,7 @@ object SparkEntry {
       ((s, d) => TrainingSets.nbLangidClassifier(s, d)),
     "nb_quality_tertiles" ->
       ((s, d) => TrainingSets.nbQualityTertiles(s, d)),
+    "nb_calibration" -> ((s, d) => TrainingSets.nbCalibration(s, d)),
     "q18_large_volume" -> ((s, d) => StarQueries.q18LargeVolume(s, d)),
     "q9_product_profit" -> ((s, d) => StarQueries.q9ProductProfit(s, d)),
     "q11_important_parts" -> ((s, d) => StarQueries.q11ImportantParts(s, d)),
@@ -348,6 +349,7 @@ object SparkEntry {
     "embedding_dim_stats" ->
       ((s, d) => Similarity.embeddingDimStats(s, d)),
     "bm25_topk" -> ((s, d) => ops.Retrieval.bm25TopK(s, d)),
+    "retrieval_ndcg" -> ((s, d) => ops.Retrieval.retrievalNdcg(s, d)),
     "rrf_fusion" -> ((s, d) => ops.Retrieval.rrfFusion(s, d)),
     "mmr_diversified_topk" ->
       ((s, d) => ops.Retrieval.mmrDiversifiedTopk(s, d)),
@@ -3698,6 +3700,38 @@ object SparkEntry {
         |  CAST(sum(margin) AS BIGINT) AS sum_margin_micro
         |FROM tt GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+    // reliability histogram: HELD-OUT margin deciles x observed true-hq
+    // share (exact integers; deciles from a global integer rank — the
+    // oracle's plain window replays the engine's two-phase bucket rank)
+    "nb_calibration" -> {
+      val pct = ops.TrainingSets.NbTrainPct
+      val cls = "CASE WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT" +
+        " % 2 = 0 THEN 'hq' ELSE 'lq' END"
+      nbOracleCtes(s"$nbCoin < $pct", s"NOT ($nbCoin < $pct)",
+        cls, "source") + """
+        |,
+        |m AS (SELECT doc_id, lbl,
+        |    max(CASE WHEN s = 'hq' THEN score END)
+        |      - max(CASE WHEN s = 'lq' THEN score END) AS margin
+        |  FROM scp GROUP BY 1, 2),
+        |mh AS (SELECT doc_id, margin,
+        |    CASE WHEN ('0x' || substr(md5(lbl), 1, 8))::BIGINT % 2 = 0
+        |      THEN 1 ELSE 0 END AS is_hq
+        |  FROM m),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM mh),
+        |rk AS (SELECT mh.*, row_number() OVER (
+        |    ORDER BY margin DESC, doc_id ASC) AS rn FROM mh),
+        |d AS (SELECT CAST((10 * (rn - 1)) // t.total AS BIGINT)
+        |    AS decile, margin, is_hq
+        |  FROM rk, t)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(is_hq) AS BIGINT) AS n_hq,
+        |  CAST(sum(is_hq)::HUGEINT * 1000000 // count(*) AS BIGINT)
+        |    AS hq_share_ppm,
+        |  CAST(min(margin) AS BIGINT) AS min_margin_micro,
+        |  CAST(max(margin) AS BIGINT) AS max_margin_micro
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // transitive closure via recursive CTE mirrors the engine's iterative
     // min-label propagation (identical fixpoint: cluster = min member id)
     "dedup_clusters" -> clustersFromLabels,
@@ -4994,6 +5028,80 @@ object SparkEntry {
         |SELECT doc_id, source, n_terms_hit, score_micro FROM agg
         |ORDER BY score_micro DESC, doc_id LIMIT ${ops.Retrieval.Bm25K}"""
         .stripMargin,
+    // ranking-quality audit: per-fleet-query nDCG@k (graded pseudo-
+    // qrels = #query terms matched) + MRR of the first full match;
+    // rank discounts are the precomputed NdcgWeightsPpm literals, so
+    // neither engine evaluates a transcendental at query time
+    "retrieval_ndcg" -> {
+      val k = ops.Retrieval.NdcgK
+      val qvals = ops.Retrieval.NdcgQueries
+        .flatMap { case (q, ws) => ws.map(w => s"($q, '$w')") }
+        .mkString(", ")
+      val wvals = ops.Retrieval.NdcgWeightsPpm.zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+      val (plCtes, plOut) = functions.PortableLn.sqlCtes(
+        "pl", "dfreq, corpus", Seq("w"),
+        "(n_docs * 2 + 2)::DOUBLE / (df * 2 + 1)::DOUBLE", "lnx")
+      s"""WITH qt(qid, w) AS (VALUES $qvals),
+        |wt(rnk, wppm) AS (VALUES $wvals),
+        |ql AS (SELECT qid, CAST(count(*) AS BIGINT) AS qlen
+        |  FROM qt GROUP BY 1),
+        |ts AS (SELECT doc_id, w FROM (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0),
+        |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM (SELECT doc_id,
+        |      count(*) AS dl FROM ts GROUP BY doc_id)),
+        |dfreq AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM ts JOIN (SELECT DISTINCT w FROM qt) q USING (w)
+        |  GROUP BY w),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |  FROM ts GROUP BY doc_id),
+        |tf AS (SELECT qt.qid, ts.doc_id, ts.w,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM ts JOIN qt USING (w) GROUP BY 1, 2, 3),
+        |$plCtes,
+        |idf AS (SELECT w, CAST(floor(lnx * 1e6) AS BIGINT) AS idf_micro
+        |  FROM $plOut),
+        |sc AS (SELECT tf.qid, tf.doc_id,
+        |    22 * ((idf_micro * tf.tf * 1000000) //
+        |      (10 * tf.tf * 1000000 + 3000000 +
+        |       9 * ((dl.dl * n_docs * 1000000) // sum_dl))) AS term_score
+        |  FROM tf JOIN idf USING (w) JOIN dl USING (doc_id), corpus),
+        |agg AS MATERIALIZED (SELECT qid, doc_id,
+        |    CAST(count(*) AS BIGINT) AS gain,
+        |    CAST(sum(term_score) AS BIGINT) AS score_micro
+        |  FROM sc GROUP BY 1, 2),
+        |rk AS (SELECT qid, doc_id, gain, rn FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score_micro DESC, doc_id) AS rn
+        |  FROM agg) WHERE rn <= $k),
+        |dcg AS (SELECT qid, CAST(sum(gain * wppm) AS BIGINT) AS dcg_ppm
+        |  FROM rk JOIN wt ON wt.rnk = rk.rn GROUP BY 1),
+        |irk AS (SELECT qid, gain, rn FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY gain DESC, doc_id) AS rn
+        |  FROM agg) WHERE rn <= $k),
+        |idcg AS (SELECT qid, CAST(sum(gain * wppm) AS BIGINT) AS idcg_ppm
+        |  FROM irk JOIN wt ON wt.rnk = irk.rn GROUP BY 1),
+        |nc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cand
+        |  FROM agg GROUP BY 1),
+        |ff AS (SELECT rk.qid, CAST(min(rn) AS BIGINT) AS first_full_rank
+        |  FROM rk JOIN ql USING (qid) WHERE rk.gain = ql.qlen GROUP BY 1)
+        |SELECT CAST(ql.qid AS BIGINT) AS qid, ql.qlen,
+        |  coalesce(nc.n_cand, 0) AS n_cand,
+        |  coalesce(dcg.dcg_ppm, 0) AS dcg_ppm,
+        |  coalesce(idcg.idcg_ppm, 0) AS idcg_ppm,
+        |  CASE WHEN coalesce(idcg.idcg_ppm, 0) = 0 THEN NULL
+        |    ELSE CAST(dcg.dcg_ppm::HUGEINT * 1000000 // idcg.idcg_ppm
+        |      AS BIGINT) END AS ndcg_ppm,
+        |  ff.first_full_rank,
+        |  CAST(CASE WHEN ff.first_full_rank IS NULL THEN 0
+        |    ELSE 1000000 // ff.first_full_rank END AS BIGINT) AS rr_ppm
+        |FROM ql LEFT JOIN nc USING (qid) LEFT JOIN dcg USING (qid)
+        |LEFT JOIN idcg USING (qid) LEFT JOIN ff USING (qid)
+        |ORDER BY qid""".stripMargin
+    },
     // RRF replay over the SAME bm25 core CTEs (one definition, two
     // greedy MMR unrolled: each selection round is a CTE over the
     // materialized 50-candidate pool and its pairwise sim frame; the

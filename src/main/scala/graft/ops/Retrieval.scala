@@ -241,4 +241,131 @@ object Retrieval {
     }
     selected.orderBy("rank")
   }
+
+  // ------------------------------------------------------------------
+  // Ranking-quality metrics: nDCG@k + MRR over a fixed eval fleet
+  // ------------------------------------------------------------------
+
+  /** Fixed evaluation query fleet for the ranking-quality audit —
+    * hoisted so operator and oracle interpolate the SAME queries (the
+    * [[Bm25QueryTerms]] discipline). Terms span the vocabulary's
+    * frequency range (`dup` is the one rare term, df ≈ 5% — the query
+    * whose metrics actually discriminate).
+    */
+  val NdcgQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("join", "hash", "row"),
+    2L -> Seq("vector", "merge", "table", "query"),
+    3L -> Seq("dup", "scan"),
+    4L -> Seq("stream", "window", "batch"),
+    5L -> Seq("sort", "fast", "slow", "key"),
+    6L -> Seq("spark", "agg"))
+
+  /** Evaluation depth (nDCG@10 / MRR@10). */
+  val NdcgK: Int = 10
+
+  /** Rank discounts 1/log₂(rank+1) in ppm, PRECOMPUTED once here and
+    * interpolated verbatim into the oracle SQL — the gate never
+    * evaluates a transcendental at query time in either engine (the
+    * PortableLn rule, solved by constant folding: rank is a small
+    * bounded integer, so the whole discount table is ten literals).
+    */
+  val NdcgWeightsPpm: Seq[Long] = (1 to NdcgK).map(i =>
+    math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** Ranking-quality audit of the BM25 ranker (Järvelin & Kekäläinen
+    * 2002 nDCG; MRR — public metrics): each fleet query ranks the
+    * corpus under the SAME quantized BM25 as [[bm25TopK]], graded
+    * pseudo-qrels label each candidate with gain = #distinct query
+    * terms it contains (deterministic — no human judgments, the
+    * standard weak-supervision stand-in), and the audit reports per
+    * query: DCG@k, ideal DCG@k, nDCG (ppm), the first fully-matching
+    * rank, and its reciprocal (ppm). Integer-exact end to end: gains
+    * are term-hit counts, discounts are the [[NdcgWeightsPpm]]
+    * literals, nDCG/RR are nonneg integer floor divisions.
+    *
+    * Scale shape: the corpus shuffles only as query-term postings
+    * (broadcast semi-join against the fleet's term list); ranking and
+    * ideal-ranking windows partition by query over postings-bounded
+    * candidate sets; everything after is |fleet|-row frames.
+    */
+  def retrievalNdcg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val qterms = NdcgQueries
+      .flatMap { case (q, ws) => ws.map(w => (q, w)) }.toDF("qid", "w")
+    val qlen = NdcgQueries
+      .map { case (q, ws) => (q, ws.size.toLong) }.toDF("qid", "qlen")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).cast("long").as("dl"))
+    val corpus = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum("dl").cast("long").as("sum_dl"))
+    val dfreq = toks
+      .join(broadcast(qterms.select("w").distinct()), Seq("w"))
+      .groupBy("w").agg(countDistinct("doc_id").cast("long").as("df"))
+    val idf = PortableLn.withLn(
+        dfreq.crossJoin(broadcast(corpus))
+          .select(col("w"), ((col("n_docs") * 2L + 2L).cast("double") /
+            (col("df") * 2L + 1L).cast("double")).as("x")),
+        "x", "lnx")
+      .select(col("w"),
+        floor(col("lnx") * lit(1e6)).cast("long").as("idf_micro"))
+    val tf = toks.join(broadcast(qterms), Seq("w"))
+      .groupBy("qid", "doc_id", "w").agg(count(lit(1)).cast("long").as("tf"))
+    val scored = tf.join(broadcast(idf), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("dlr", expr("(dl * n_docs * 1000000) DIV sum_dl"))
+      .withColumn("term_score", lit(22L) *
+        expr("(idf_micro * tf * 1000000) DIV " +
+          "(10 * tf * 1000000 + 3000000 + 9 * dlr)"))
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).cast("long").as("gain"),
+        sum("term_score").cast("long").as("score_micro"))
+      // three consumers (rank, ideal rank, candidate count) would each
+      // re-plan the postings/model subtree — checkpoint the slim
+      // (qid, doc, gain, score) candidate frame once
+      .localCheckpoint(true)
+    val wts = NdcgWeightsPpm.zipWithIndex
+      .map { case (w, i) => ((i + 1).toLong, w) }.toDF("rnk", "wppm")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = scored
+      .withColumn("rnk", row_number().over(Window.partitionBy("qid")
+        .orderBy(desc("score_micro"), asc("doc_id"))).cast("long"))
+      .filter(col("rnk") <= NdcgK)
+      .localCheckpoint(true)
+    val dcg = ranked.join(broadcast(wts), Seq("rnk"))
+      .groupBy("qid")
+      .agg(sum(col("gain") * col("wppm")).cast("long").as("dcg_ppm"))
+    val ideal = scored
+      .withColumn("irnk", row_number().over(Window.partitionBy("qid")
+        .orderBy(desc("gain"), asc("doc_id"))).cast("long"))
+      .filter(col("irnk") <= NdcgK)
+      .join(broadcast(wts.select(col("rnk").as("irnk"), col("wppm"))),
+        Seq("irnk"))
+      .groupBy("qid")
+      .agg(sum(col("gain") * col("wppm")).cast("long").as("idcg_ppm"))
+    val nCand = scored.groupBy("qid")
+      .agg(count(lit(1)).cast("long").as("n_cand"))
+    val firstFull = ranked.join(broadcast(qlen), Seq("qid"))
+      .filter(col("gain") === col("qlen"))
+      .groupBy("qid").agg(min("rnk").as("first_full_rank"))
+    qlen
+      .join(nCand, Seq("qid"), "left")
+      .join(dcg, Seq("qid"), "left")
+      .join(ideal, Seq("qid"), "left")
+      .join(firstFull, Seq("qid"), "left")
+      .select(col("qid"), col("qlen"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("dcg_ppm"), lit(0L)).as("dcg_ppm"),
+        coalesce(col("idcg_ppm"), lit(0L)).as("idcg_ppm"),
+        expr("""CASE WHEN coalesce(idcg_ppm, 0) = 0 THEN NULL
+          ELSE CAST(CAST(dcg_ppm AS DECIMAL(38,0)) * 1000000
+            DIV idcg_ppm AS BIGINT) END""").as("ndcg_ppm"),
+        col("first_full_rank"),
+        expr("""CASE WHEN first_full_rank IS NULL THEN 0
+          ELSE 1000000 DIV first_full_rank END""").cast("long").as("rr_ppm"))
+      .orderBy("qid")
+  }
 }

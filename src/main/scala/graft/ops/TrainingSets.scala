@@ -778,6 +778,79 @@ object TrainingSets {
       .orderBy("source", "tertile")
   }
 
+  /** Reliability histogram for the quality classifier — the production
+    * go/no-go a classifier-filtered corpus needs before anyone trusts
+    * the filter (GPT-3 appendix A ships the filter; this is the audit
+    * that prices it): HELD-OUT documents (the md5-coin ≥
+    * [[NbTrainPct]] split — calibration on training docs flatters the
+    * model) are scored for their exact integer log-odds margin
+    * score(hq) − score(lq), ranked into GLOBAL margin deciles, and
+    * each decile reports its observed true-hq share — a discriminating
+    * calibrated filter shows the share falling monotonically from
+    * decile 0 (most confident hq) to 9. Everything is exact integer:
+    * margins are micro-nat differences, deciles come from an integer
+    * rank, shares are ppm floor divisions.
+    *
+    * The decile rank is the [[Analytics.globalRankDocs]] two-phase
+    * bucket-offset discipline, NOT a global window: coarse margin
+    * ranges (0.1-nat buckets over the shifted-positive margin — the
+    * shift keeps the bucketing division nonnegative, where Spark DIV
+    * and DuckDB // agree) count into a bucket-sized offsets frame, and
+    * the within-bucket window partitions by range.
+    */
+  def nbCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val heldOut = Tables.documents(spark, sfDir)
+      .filter(!(bucket100(col("doc_id")) < NbTrainPct))
+    val scored = nbClassScores(
+      heldOut.select(col("doc_id"), col("source").as("lbl"), col("text")),
+      nbModelPlan(spark, sfDir, "quality"))
+    val margins = scored.groupBy(col("doc_id"), col("lbl").as("source"))
+      .agg((max(when(col("s") === "hq", col("score")))
+        - max(when(col("s") === "lq", col("score")))).as("margin"))
+      .withColumn("is_hq",
+        when(qualityClass === lit("hq"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("margin"), col("is_hq"))
+      // the two-phase rank reads this frame twice (range counts + the
+      // ranked join) — checkpoint so the fused NB train+score subtree
+      // plans once
+      .localCheckpoint(true)
+    calibrationOf(margins)
+  }
+
+  /** Decile reliability rows over a (doc_id, margin, is_hq) frame —
+    * shared by the gated audit and the closed-form spec.
+    */
+  private[graft] def calibrationOf(m: DataFrame): DataFrame = {
+    // two-phase global rank on (margin DESC, doc_id ASC): coarse
+    // 0.1-nat buckets (shift keeps the operand nonnegative), bucket
+    // offsets in DESC bucket order, within-bucket row_number
+    val bucketed = m.withColumn("bkt",
+      expr("(margin + 10000000000) DIV 100000"))
+    val counts = bucketed.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+    val offsets = counts.withColumn("offset",
+      coalesce(sum("cnt").over(Window.orderBy(desc("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val total = offsets.agg(max(col("offset") + col("cnt")).as("total"))
+    bucketed
+      .join(broadcast(offsets.select(col("bkt"), col("offset"))), "bkt")
+      .withColumn("grank", col("offset") + row_number().over(
+        Window.partitionBy("bkt").orderBy(desc("margin"), asc("doc_id")))
+        .cast("long"))
+      .crossJoin(broadcast(total))
+      .withColumn("decile", expr("(10 * (grank - 1)) DIV total"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("is_hq").cast("long").as("n_hq"),
+        min("margin").cast("long").as("min_margin_micro"),
+        max("margin").cast("long").as("max_margin_micro"))
+      .withColumn("hq_share_ppm", expr(
+        "CAST(CAST(n_hq AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)"))
+      .select(col("decile"), col("n_docs"), col("n_hq"),
+        col("hq_share_ppm"), col("min_margin_micro"),
+        col("max_margin_micro"))
+      .orderBy("decile")
+  }
+
   /** Temperature-weighted source mixture at α = 1/2 (the multilingual-LM
     * sampling rule, Conneau & Lample 2019 / mT5: sample source s with
     * probability ∝ n_s^α, flattening the natural distribution so

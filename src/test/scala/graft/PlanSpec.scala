@@ -682,7 +682,13 @@ class PlanSpec extends SparkSpec {
       "knn_graph_build" -> 1,
       // + the salt-keyed brute-force stratum side (the recall-audit
       // family's exact-side shape)
-      "knn_graph_recall" -> 5)
+      "knn_graph_recall" -> 5,
+      // bm25 core (postings-bounded tf/dl aggregates) + per-query
+      // rank/ideal windows over candidate frames + fleet-row folds
+      "retrieval_ndcg" -> 6,
+      // NB train+score fused plan + the two-phase bucket-offset decile
+      // rank (offset cumsum over range-count rows, per-range window)
+      "nb_calibration" -> 7)
     val aggOrLimit = Set("HashAggregateExec", "ObjectHashAggregateExec",
       "SortAggregateExec", "TakeOrderedAndProjectExec", "GlobalLimitExec",
       "CollectLimitExec", "LocalLimitExec")

@@ -112,6 +112,28 @@ class Round15Spec extends SparkSpec {
     assert(r3 > r0)
   }
 
+  test("calibration deciles are closed-form on a hand-built margin " +
+       "frame (perfectly separable classifier)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 20 docs, margins strictly decreasing with doc_id, the top half
+    // truly hq: deciles must split 2-per-decile with hq share 1.0 in
+    // deciles 0-4 and 0.0 in 5-9, margin bounds exact
+    val m = (1 to 20).map { i =>
+      (i.toLong, (21L - i) * 1000000L, if (i <= 10) 1L else 0L)
+    }.toDF("doc_id", "margin", "is_hq")
+    val got = graft.ops.TrainingSets.calibrationOf(m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val want = (0 until 10).map { d =>
+      val hi = (20 - 2 * d).toLong * 1000000L
+      val lo = (19 - 2 * d).toLong * 1000000L
+      val hq = if (d < 5) 2L else 0L
+      (d.toLong, 2L, hq, hq * 500000L, lo, hi)
+    }
+    assert(got.toSeq === want)
+  }
+
   test("knn_graph_build is k rows per vertex with dense ranks on the " +
        "real fixture") {
     val g = graft.ops.KnnGraph.knnGraphBuild(spark, sf)
