@@ -248,6 +248,10 @@ object SparkEntry {
     "ann_filtered_recall" -> ((s, d) => Similarity.annFilteredRecall(s, d)),
     "knn_graph_build" -> ((s, d) => KnnGraph.knnGraphBuild(s, d)),
     "knn_graph_recall" -> ((s, d) => KnnGraph.knnGraphRecall(s, d)),
+    "graph_search" -> ((s, d) => KnnGraph.graphSearch(s, d)),
+    "graph_search_recall" -> ((s, d) => KnnGraph.graphSearchRecall(s, d)),
+    "stream_graph_probe" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamGraphProbe(s, d)),
     "stream_pca_drift" ->
       ((s, d) => graft.streaming.StreamAssembly.streamPcaDrift(s, d)),
     "semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
@@ -903,6 +907,49 @@ object SparkEntry {
 
   private val ivfpqProbeCtes: String = ivfpqProbeCtesWith("")
 
+  /** Greedy graph-descent CTE stack (graph_search / stream_graph_probe
+    * / graph_search_recall oracles): the even-half NN-descent graph
+    * ([[knnGraphCteStack]]) + the odd query fleet descending it —
+    * fixed min-id entry, [[ops.KnnGraph.SearchHops]] unrolled hops
+    * (neighbor expansion ∪ frontier, exact rescoring, beam-bounded
+    * row_number), replaying [[ops.KnnGraph.greedySearch]] bit-for-bit.
+    * `qExtra` appends the md5 stratum coin for the recall audit.
+    */
+  private def graphDescentCtes(qExtra: String): String = {
+    val b = ops.KnnGraph.SearchBeam
+    val dist = "q.q_sq + ev.sq - 2 * list_sum([q.embedding[i]::DOUBLE *" +
+      "\n  ev.embedding[i]::DOUBLE for i in range(1, 65)])"
+    val hops = (1 to ops.KnnGraph.SearchHops).map { h =>
+      s""",
+        |h${h}x AS MATERIALIZED (SELECT DISTINCT q_id, v FROM (
+        |  SELECT f.q_id, g.dst AS v FROM f${h - 1} f
+        |    JOIN serve g ON g.src = f.v
+        |  UNION ALL SELECT q_id, v FROM f${h - 1})),
+        |f$h AS MATERIALIZED (SELECT q_id, v, dist, rn FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY dist, v) AS rn FROM (
+        |    SELECT x.q_id, x.v, $dist AS dist
+        |    FROM h${h}x x JOIN e ev ON ev.vec_id = x.v
+        |    JOIN qsrc q ON q.q_id = x.q_id))
+        |  WHERE rn <= $b)""".stripMargin
+    }.mkString
+    knnGraphCteStack(" WHERE vec_id % 2 = 0") + s""",
+      |serve AS MATERIALIZED (SELECT src, dst FROM gfin
+      |  UNION SELECT src, dst FROM init),
+      |qsrc AS MATERIALIZED (SELECT vec_id AS q_id, embedding,
+      |    list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+      |              for i in range(1, 65)]) AS q_sq
+      |  FROM embeddings WHERE vec_id % 2 = 1$qExtra),
+      |entry AS (SELECT vec_id AS v FROM e
+      |  ORDER BY vec_id LIMIT ${ops.KnnGraph.SearchEntries}),
+      |f0 AS MATERIALIZED (SELECT q_id, v, dist, rn FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY dist, v) AS rn FROM (
+      |    SELECT q.q_id, ev.vec_id AS v, $dist AS dist
+      |    FROM qsrc q, entry x JOIN e ev ON ev.vec_id = x.v))
+      |  WHERE rn <= $b)""".stripMargin + hops
+  }
+
   /** NN-descent k-NN-graph CTE stack (knn_graph_* oracles): md5-seeded
     * init lists, then [[ops.KnnGraph.Rounds]] unrolled refinement
     * rounds — general-neighbor self-join, exact rescoring, per-vertex
@@ -912,7 +959,12 @@ object SparkEntry {
     * would otherwise re-expand the subtree exponentially (the
     * pca_power_component lesson). Yields the final graph as `gfin`.
     */
-  private val knnGraphCtes: String = {
+  private val knnGraphCtes: String = knnGraphCteStack("")
+
+  /** [[knnGraphCtes]] with a predicate on the graph's index population
+    * (the serving tier builds over the even half).
+    */
+  private def knnGraphCteStack(idxWhere: String): String = {
     val k = ops.KnnGraph.K
     def round(prev: String, cur: String): String =
       s"""${cur}g AS MATERIALIZED (SELECT src, dst FROM $prev
@@ -938,7 +990,7 @@ object SparkEntry {
     s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding,
        |    list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
        |              for i in range(1, 65)]) AS sq
-       |  FROM embeddings),
+       |  FROM embeddings$idxWhere),
        |nn AS (SELECT count(*) AS n FROM e),
        |ranked AS MATERIALIZED (SELECT vec_id, row_number() OVER (
        |    ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
@@ -3302,6 +3354,45 @@ object SparkEntry {
         |    ELSE CAST(sum(hit)::HUGEINT * 1000000 // count(*) AS BIGINT)
         |    END AS recall_ppm
         |FROM j""".stripMargin),
+    // greedy graph-descent serving: odd fleet descends the frozen
+    // even-half NN-descent graph (fixed entry, unrolled hops, beam
+    // windows) — the replay is bit-identical to KnnGraph.greedySearch
+    "graph_search" -> (graphDescentCtes("") +
+      s"""
+        |SELECT q_id AS vec_id, v AS match_id,
+        |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
+        |FROM f${ops.KnnGraph.SearchHops} WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin),
+    // the online probe drains to the identical rows (stateless, the
+    // batch descent IS the oracle)
+    "stream_graph_probe" -> (graphDescentCtes("") +
+      s"""
+        |SELECT q_id AS vec_id, v AS match_id,
+        |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
+        |FROM f${ops.KnnGraph.SearchHops} WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin),
+    // serving recall: stratum greedy top-1 vs exact brute-force top-1
+    // over the even index (prices the bounded-beam descent)
+    "graph_search_recall" -> (graphDescentCtes(
+      " AND ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT" +
+        " % 100 < 20") +
+      s""",
+        |bf AS MATERIALIZED (SELECT q_id, m_id AS bf_id FROM (
+        |  SELECT q.q_id, ev.vec_id AS m_id, row_number() OVER (
+        |    PARTITION BY q.q_id ORDER BY
+        |      q.q_sq + ev.sq - 2 * list_sum([q.embedding[i]::DOUBLE *
+        |        ev.embedding[i]::DOUBLE for i in range(1, 65)]),
+        |      ev.vec_id) AS rn
+        |  FROM qsrc q, e ev) WHERE rn = 1),
+        |g1 AS (SELECT q_id, v AS g_id
+        |  FROM f${ops.KnnGraph.SearchHops} WHERE rn = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(CASE WHEN g_id = bf_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_top1_match,
+        |  CASE WHEN count(*) = 0 THEN NULL
+        |    ELSE CAST(sum(CASE WHEN g_id = bf_id THEN 1 ELSE 0 END)::HUGEINT
+        |      * 1000000 // count(*) AS BIGINT) END AS recall_ppm
+        |FROM g1 JOIN bf USING (q_id)""".stripMargin),
     // Matryoshka truncation-recall curve: per prefix width, the sampled
     // stratum's prefix-cosine top-1 vs the full-width exact top-1; the
     // prefix folds are the same left-to-right list_sum both engines

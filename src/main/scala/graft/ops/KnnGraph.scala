@@ -66,11 +66,22 @@ object KnnGraph {
     */
   val RankBuckets: Int = 256
 
-  /** Finished graphs keyed (context, dir, rounds) — shared by the
-    * build query, the recall audit, and any graph-tier consumer.
+  /** Beam width / fixed hop count / entry fan-out for the greedy
+    * serving descent. Multi-entry seeding matters because the serving
+    * graph's out-edges are DETERMINISTIC: exploration only grows when
+    * the beam moves, so independent starting points (the standard
+    * multi-seed search) buy coverage that a single entry cannot.
+    */
+  val SearchBeam: Int = 8
+  val SearchHops: Int = 5
+  val SearchEntries: Int = 8
+
+  /** Finished graphs keyed (context, dir, rounds, population) — shared
+    * by the build query, the recall audit, the serving descent, and
+    * any graph-tier consumer.
     */
   private val graphCache =
-    Memo.registry[(org.apache.spark.SparkContext, String, Int)]
+    Memo.registry[(org.apache.spark.SparkContext, String, Int, String)]
 
   private def corpus(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
@@ -92,6 +103,47 @@ object KnnGraph {
         (col("s_sq") + col("d_sq") -
           lit(2.0) * Similarity.dot(col("s_emb"), col("d_emb"))).as("dist"))
 
+  /** The deterministic init adjacency over the ACTUAL id set, vec_ids
+    * being arbitrary (a mod-n draw on raw ids silently under-fills
+    * neighbor lists wherever the id space is sparse): build a dense
+    * 0..n−1 rank with the bucket-offset idiom (globalRankDocs — the
+    * cumsum window runs over B bucket-count rows, per-bucket windows
+    * are uniform ~n/B hash slices, no global single-partition sort),
+    * draw md5("i,j") mod n in RANK space, then map rank → vec_id with
+    * one corpus-keyed join. Besides seeding the descent rounds, these
+    * md5-random lists double as the serving graph's LONG-RANGE links
+    * ([[servingGraph]]).
+    */
+  private def initEdges(e: DataFrame): DataFrame = {
+    val withB = e.select(col("vec_id"),
+      pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 8),
+        16, 10).cast("long"), lit(RankBuckets)).as("bkt"))
+    val counts = withB.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+    val offsets = counts.withColumn("offset",
+      coalesce(sum("cnt").over(
+        Window.orderBy("bkt").rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+    val rankMap = withB
+      .join(broadcast(offsets.select(col("bkt"), col("offset"))), "bkt")
+      .select((col("offset") + row_number().over(
+          Window.partitionBy("bkt").orderBy("vec_id")).cast("long") -
+          1L).as("rnk"),
+        col("vec_id").as("dst"))
+    val nRow = counts.agg(sum("cnt").as("n"))
+    // neighbor j of vertex i sits at rank md5("i,j") mod n
+    e.select(col("vec_id").as("src"))
+      .crossJoin(broadcast(nRow))
+      .select(col("src"),
+        explode(sequence(lit(0), lit(K - 1))).as("j"), col("n"))
+      .select(col("src"),
+        pmod(conv(substring(md5(concat_ws(",", col("src"), col("j"))),
+          1, 8), 16, 10).cast("long"), col("n")).as("rnk"))
+      .join(rankMap, "rnk")
+      .select(col("src"), col("dst"))
+      .filter(col("dst") =!= col("src"))
+      .distinct()
+  }
+
   /** Keep each vertex's k best (dist, dst) — bounded partitions. */
   private def topK(scored: DataFrame): DataFrame =
     scored
@@ -105,9 +157,47 @@ object KnnGraph {
   private[graft] def graph(spark: SparkSession, sfDir: String,
                            rounds: Int = Rounds): DataFrame =
     graphCache.synchronized {
-      graphCache.getOrElseUpdate((spark.sparkContext, sfDir, rounds),
+      graphCache.getOrElseUpdate((spark.sparkContext, sfDir, rounds, "full"),
         graphOf(corpus(spark, sfDir), rounds))
     }
+
+  /** The even-half serving graph (index side of the probe family —
+    * the streamPqProbe convention: even vec_ids are the frozen index,
+    * odd ones the query fleet).
+    */
+  private[graft] def probeGraph(spark: SparkSession,
+                                sfDir: String): DataFrame =
+    graphCache.synchronized {
+      graphCache.getOrElseUpdate((spark.sparkContext, sfDir, Rounds, "even"),
+        graphOf(corpus(spark, sfDir).filter(col("vec_id") % 2 === 0),
+          Rounds))
+    }
+
+  /** The SERVING edge set: refined k-NN edges ∪ the md5-random init
+    * links — the NSW small-world augmentation (Malkov et al. keep
+    * construction-time long links for exactly this): a pure k-NN graph
+    * over clustered data is disconnected by cluster, so greedy descent
+    * could never leave the entry's component; the deterministic
+    * long-range links restore global navigability while adding only
+    * k rows per vertex.
+    */
+  private[graft] def servingGraph(spark: SparkSession,
+                                  sfDir: String): DataFrame =
+    graphCache.synchronized {
+      graphCache.getOrElseUpdate(
+        (spark.sparkContext, sfDir, Rounds, "even-serve"), {
+          val even = corpus(spark, sfDir).filter(col("vec_id") % 2 === 0)
+          servingEdgesOf(even, probeGraph(spark, sfDir))
+        })
+    }
+
+  /** [[servingGraph]] over arbitrary frames — shared with the spec. */
+  private[graft] def servingEdgesOf(e: DataFrame,
+                                    knn: DataFrame): DataFrame =
+    knn.select(col("src"), col("dst"))
+      .union(initEdges(e))
+      .distinct()
+      .localCheckpoint(true)
 
   /** [[graph]] over an arbitrary (vec_id, embedding, sq) frame — the
     * spec runs it on a planted-cluster corpus to assert convergence
@@ -118,42 +208,7 @@ object KnnGraph {
     */
   private[graft] def graphOf(e0: DataFrame, rounds: Int): DataFrame = {
     val e = e0
-        // deterministic init over the ACTUAL id set, vec_ids being
-        // arbitrary (a mod-n draw on raw ids silently under-fills
-        // neighbor lists wherever the id space is sparse): build a
-        // dense 0..n−1 rank with the bucket-offset idiom
-        // (globalRankDocs — the cumsum window runs over B bucket-count
-        // rows, per-bucket windows are uniform ~n/B hash slices, no
-        // global single-partition sort), draw md5("i,j") mod n in RANK
-        // space, then map rank → vec_id with one corpus-keyed join
-        val withB = e.select(col("vec_id"),
-          pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 8),
-            16, 10).cast("long"), lit(RankBuckets)).as("bkt"))
-        val counts = withB.groupBy("bkt").agg(count(lit(1)).as("cnt"))
-        val offsets = counts.withColumn("offset",
-          coalesce(sum("cnt").over(
-            Window.orderBy("bkt").rowsBetween(
-              Window.unboundedPreceding, -1)), lit(0L)))
-        val rankMap = withB
-          .join(broadcast(offsets.select(col("bkt"), col("offset"))), "bkt")
-          .select((col("offset") + row_number().over(
-              Window.partitionBy("bkt").orderBy("vec_id")).cast("long") -
-              1L).as("rnk"),
-            col("vec_id").as("dst"))
-        val nRow = counts.agg(sum("cnt").as("n"))
-        // neighbor j of vertex i sits at rank md5("i,j") mod n
-        val init = e.select(col("vec_id").as("src"))
-          .crossJoin(broadcast(nRow))
-          .select(col("src"),
-            explode(sequence(lit(0), lit(K - 1))).as("j"), col("n"))
-          .select(col("src"),
-            pmod(conv(substring(md5(concat_ws(",", col("src"), col("j"))),
-              1, 8), 16, 10).cast("long"), col("n")).as("rnk"))
-          .join(rankMap, "rnk")
-          .select(col("src"), col("dst"))
-          .filter(col("dst") =!= col("src"))
-          .distinct()
-        var edges = topK(withDist(init, e)).localCheckpoint(true)
+        var edges = topK(withDist(initEdges(e), e)).localCheckpoint(true)
         for (_ <- 1 to rounds) {
           val fwd = edges.select(col("src"), col("dst"))
           // general neighbors: forward ∪ reverse adjacency
@@ -182,6 +237,107 @@ object KnnGraph {
         col("dst").as("nbr"),
         floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
       .orderBy("vec_id", "rank")
+
+  /** Greedy graph-descent serving — how a graph index ANSWERS queries
+    * (the search layer of HNSW/NSG-style structures, reduced to its
+    * deterministic core): every query starts a beam at a fixed entry
+    * vertex (the index's minimum id), and each of [[SearchHops]] hops
+    * expands the beam's graph neighbors, scores candidates exactly,
+    * and keeps the [[SearchBeam]] best — best-first descent with a
+    * bounded frontier. Per hop the work is beam·k slim integer rows
+    * per query: two equi-joins (edges, index embeddings) and a
+    * beam-bounded window — no scan of the index ever happens, which
+    * is the entire point of serving from a graph.
+    *
+    * Returns one row per query: (q_id, v, dist) at beam rank 1..B —
+    * callers pick rank 1 for the answer. Deterministic: fixed entry,
+    * fixed hops, exact double folds, (dist, v) ties.
+    */
+  private[graft] def greedySearch(qs: DataFrame, idx: DataFrame,
+                                  edges: DataFrame): DataFrame = {
+    val ev = idx.select(col("vec_id").as("v"), col("embedding").as("v_emb"),
+      col("sq").as("v_sq"))
+    val entry = idx.orderBy("vec_id").limit(SearchEntries)
+      .select(col("vec_id").as("v"))
+    def score(cand: DataFrame): DataFrame =
+      cand
+        .join(ev, "v")
+        .join(qs, "q_id")
+        .select(col("q_id"), col("v"),
+          (col("q_sq") + col("v_sq") -
+            lit(2.0) * Similarity.dot(col("q_emb"), col("v_emb")))
+            .as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("dist"), col("v"))))
+        .filter(col("rn") <= SearchBeam)
+        .select(col("q_id"), col("v"), col("dist"), col("rn"))
+    var frontier = score(
+      qs.select(col("q_id")).crossJoin(broadcast(entry)))
+      .localCheckpoint(true)
+    for (_ <- 1 to SearchHops) {
+      val cand = frontier.select(col("q_id"), col("v").as("src"))
+        .join(edges.select(col("src"), col("dst")), "src")
+        .select(col("q_id"), col("dst").as("v"))
+        .union(frontier.select(col("q_id"), col("v")))
+        .distinct()
+      frontier = score(cand).localCheckpoint(true)
+    }
+    frontier
+  }
+
+  /** The gated serving query: every odd vector greedy-descends the
+    * frozen even-half graph; one (query, match, dist) row each.
+    */
+  def graphSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = corpus(spark, sfDir).filter(col("vec_id") % 2 === 0)
+    val qs = corpus(spark, sfDir).filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("sq").as("q_sq"))
+    greedySearch(qs, idx, servingGraph(spark, sfDir))
+      .filter(col("rn") === 1)
+      .select(col("q_id").as("vec_id"), col("v").as("match_id"),
+        floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
+      .orderBy("vec_id")
+  }
+
+  /** Serving recall: the md5-coin stratum's greedy top-1 vs its exact
+    * brute-force top-1 over the even index (the annProbeRecall shape
+    * instantiated on the graph family — prices what the bounded-beam
+    * descent gives up).
+    */
+  def graphSearchRecall(spark: SparkSession, sfDir: String,
+                        pct: Int = 20): DataFrame = {
+    val idx = corpus(spark, sfDir).filter(col("vec_id") % 2 === 0)
+    val qs = corpus(spark, sfDir).filter(col("vec_id") % 2 === 1)
+      .filter(TrainingSets.bucket100(col("vec_id")) < pct)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("sq").as("q_sq"))
+    val greedy = greedySearch(qs, idx, servingGraph(spark, sfDir))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("v").as("g_id"))
+    val bf = qs
+      .withColumn("blk",
+        explode(sequence(lit(0), lit(Similarity.BlockCrossSalt - 1))))
+      .join(idx.select(col("vec_id").as("m_id"), col("embedding").as("m_emb"),
+          col("sq").as("m_sq"))
+        .withColumn("blk",
+          pmod(col("m_id"), lit(Similarity.BlockCrossSalt)).cast("int"))
+        .hint("shuffle_hash"), "blk")
+      .withColumn("dist",
+        col("q_sq") + col("m_sq") -
+          lit(2.0) * Similarity.dot(col("q_emb"), col("m_emb")))
+      .groupBy("q_id")
+      .agg(min(struct(col("dist"), col("m_id"))).as("best"))
+      .select(col("q_id"), col("best.m_id").as("bf_id"))
+    greedy.join(bf, "q_id")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("g_id") === col("bf_id"), 1L).otherwise(0L))
+          .as("n_top1_match"))
+      .withColumn("recall_ppm", expr(
+        """CASE WHEN n_queries = 0 THEN NULL
+          ELSE CAST(CAST(n_top1_match AS DECIMAL(38,0)) * 1000000
+            DIV n_queries AS BIGINT) END"""))
+  }
 
   /** Recall audit on the deterministic md5-coin stratum (default 20%):
     * the stratum's TRUE k-NN edges by brute force (stratum × corpus —

@@ -24,7 +24,7 @@ object TrainingSets {
     * lives in exactly one place. First 8 hex chars < 2^32, exact in both
     * engines.
     */
-  private[ops] def bucket100(idCol: org.apache.spark.sql.Column) =
+  private[graft] def bucket100(idCol: org.apache.spark.sql.Column) =
     pmod(conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
       .cast("long"), lit(100))
 

@@ -2464,6 +2464,78 @@ object StreamAssembly {
       .orderBy("vec_id")
   }
 
+  /** The ONLINE graph-descent probe — [[streamAnnProbe]]'s graph-index
+    * sibling, completing the serving story for the third ANN family:
+    * the static side builds the NN-descent graph over the frozen EVEN
+    * half ONCE ([[graft.ops.KnnGraph.probeGraph]] — Memo-checkpointed,
+    * context-keyed, shared with the batch `graph_search` consumers),
+    * and each micro-batch of incoming (odd) vectors greedy-descends it:
+    * fixed entry vertex, [[graft.ops.KnnGraph.SearchHops]] hops of
+    * neighbor expansion + exact rescoring, beam-bounded frontier. Per
+    * query per hop the work is beam·k slim rows — the index is NEVER
+    * scanned, the serving profile a graph index exists to provide.
+    * Stateless ⇒ batch-boundary-independent; the batch greedy descent
+    * over the same two halves IS the oracle.
+    */
+  def streamGraphProbe(spark: SparkSession, sfDir: String,
+                       nFiles: Int = 3): DataFrame = {
+    import java.nio.file.Files
+    import graft.ops.{KnnGraph, Similarity}
+    val tmp = Files.createTempDirectory("graft_graph_probe").toString
+    val outDir = s"$tmp/matches"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = s"$tmp/incoming"
+    graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(srcDir)
+    // static side on the OUTER session (the stream_pq_probe lesson):
+    // the graph memo is context-keyed, so batch consumers share it
+    val edges = KnnGraph.servingGraph(spark, sfDir)
+      .select(col("src"), col("dst"))
+    val idx = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+    withDrainConf(spark) { ds =>
+      graft.functions.GraftFunctions.register(ds)
+      val idxS = idx.select(col("vec_id"), col("embedding"),
+        Similarity.dot(col("embedding"), col("embedding")).as("sq"))
+        .localCheckpoint(true)
+      val embSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))
+      val stream = ds.readStream
+        .schema(embSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val query = stream.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val qs = batch.select(col("vec_id").as("q_id"),
+            col("embedding").as("q_emb"),
+            Similarity.dot(col("embedding"), col("embedding")).as("q_sq"))
+          KnnGraph.greedySearch(qs, idxS, edges)
+            .filter(col("rn") === 1)
+            .select(col("q_id").as("vec_id"), col("v").as("match_id"),
+              floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(outDir)
+      .select(col("vec_id"), col("match_id"), col("dist_u"))
+      .orderBy("vec_id")
+  }
+
   /** The ONLINE IVF-PQ probe — [[streamAnnProbe]]'s compressed sibling,
     * completing the online probe family with the production memory AND
     * compute profile: the static side trains the coarse quantizer and

@@ -686,6 +686,12 @@ class PlanSpec extends SparkSpec {
       // bm25 core (postings-bounded tf/dl aggregates) + per-query
       // rank/ideal windows over candidate frames + fleet-row folds
       "retrieval_ndcg" -> 6,
+      // greedy descent: every hop plans against the previous hop's
+      // checkpointed beam leaf (beam-bounded windows + equi-joins);
+      // the serving graph is a Memo leaf
+      "graph_search" -> 1,
+      // + the salt-keyed exact stratum side
+      "graph_search_recall" -> 5,
       // NB train+score fused plan + the two-phase bucket-offset decile
       // rank (offset cumsum over range-count rows, per-range window)
       "nb_calibration" -> 7)

@@ -76,11 +76,15 @@ class Round15Spec extends SparkSpec {
     * descent exploiting local structure — unlike the near-isotropic
     * gated fixtures, where recall honestly tracks explored fraction.
     */
-  private def plantedCorpus(): org.apache.spark.sql.DataFrame = {
+  private def plantedCorpus(nClusters: Int = 64,
+                            perCluster: Int = 64)
+      : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    val rows = (0 until 64 * 64).map { i =>
-      val c = i % 64
+    // (i / 2) % k cluster labels, NOT i % k: even/odd halves must both
+    // carry every cluster (the even-ids-only-get-even-labels trap)
+    val rows = (0 until nClusters * perCluster).map { i =>
+      val c = (i / 2) % nClusters
       val emb = Seq.tabulate(64) { d =>
         val center = ((c * 31 + d * 17) % 13 - 6).toFloat
         val noise = (((i * 13 + d * 7) % 5) - 2) * 0.01f
@@ -110,6 +114,41 @@ class Round15Spec extends SparkSpec {
     assert(r0 < 300000L, s"init recall unexpectedly high: $r0")
     assert(r3 >= 900000L, s"refined recall too low: $r3")
     assert(r3 > r0)
+  }
+
+  test("greedy graph-descent serves the exact top-1 on planted " +
+       "clusters; the NSW long-range links are what make it navigable") {
+    import org.apache.spark.sql.functions._
+    val e = plantedCorpus(16, 256).localCheckpoint(true)
+    val idx = e.filter(col("vec_id") % 2 === 0).localCheckpoint(true)
+    val qs = e.filter(col("vec_id") % 2 === 1)
+      .filter(graft.ops.TrainingSets.bucket100(col("vec_id")) < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("sq").as("q_sq"))
+      .localCheckpoint(true)
+    val knn = graft.ops.KnnGraph.graphOf(idx, 3)
+    val serve = graft.ops.KnnGraph.servingEdgesOf(idx, knn)
+    // exact top-1 over the index per sampled query
+    val bf = qs.crossJoin(idx.select(col("vec_id").as("m_id"),
+        col("embedding").as("m_emb"), col("sq").as("m_sq")))
+      .withColumn("dist", col("q_sq") + col("m_sq") -
+        lit(2.0) * graft.ops.Similarity.dot(col("q_emb"), col("m_emb")))
+      .groupBy("q_id")
+      .agg(min(struct(col("dist"), col("m_id"))).as("best"))
+      .select(col("q_id"), col("best.m_id").as("bf_id"))
+      .localCheckpoint(true)
+    def top1Recall(edges: org.apache.spark.sql.DataFrame): Double = {
+      val g = graft.ops.KnnGraph.greedySearch(qs, idx, edges)
+        .filter(col("rn") === 1).select(col("q_id"), col("v"))
+      val n = bf.count().toDouble
+      g.join(bf, "q_id").filter(col("v") === col("bf_id")).count() / n
+    }
+    val withLinks = top1Recall(serve)
+    val knnOnly = top1Recall(knn.select(col("src"), col("dst")))
+    // pure k-NN edges: clusters are disconnected components, descent
+    // cannot leave the entry's cluster
+    assert(knnOnly < 0.2, s"knn-only recall unexpectedly high: $knnOnly")
+    assert(withLinks >= 0.9, s"serving recall too low: $withLinks")
   }
 
   test("calibration deciles are closed-form on a hand-built margin " +
