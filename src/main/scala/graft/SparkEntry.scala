@@ -252,6 +252,8 @@ object SparkEntry {
     "graph_search_recall" -> ((s, d) => KnnGraph.graphSearchRecall(s, d)),
     "stream_graph_probe" ->
       ((s, d) => graft.streaming.StreamAssembly.streamGraphProbe(s, d)),
+    "stream_graph_insert" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamGraphInsert(s, d)),
     "stream_pca_drift" ->
       ((s, d) => graft.streaming.StreamAssembly.streamPcaDrift(s, d)),
     "semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
@@ -3371,6 +3373,15 @@ object SparkEntry {
         |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
         |FROM f${ops.KnnGraph.SearchHops} WHERE rn = 1
         |ORDER BY vec_id""".stripMargin),
+    // the graph-index WRITE path: each incoming vector's appended edge
+    // list is its final descent beam (NSW insertion against the frozen
+    // base graph) — stateless, so the batch descent replays it exactly
+    "stream_graph_insert" -> (graphDescentCtes("") +
+      s"""
+        |SELECT q_id AS vec_id, rn AS rank, v AS nbr,
+        |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
+        |FROM f${ops.KnnGraph.SearchHops}
+        |ORDER BY vec_id, rank""".stripMargin),
     // serving recall: stratum greedy top-1 vs exact brute-force top-1
     // over the even index (prices the bounded-beam descent)
     "graph_search_recall" -> (graphDescentCtes(

@@ -2536,6 +2536,77 @@ object StreamAssembly {
       .orderBy("vec_id")
   }
 
+  /** The graph-index WRITE path — [[streamPqIndexAppend]]'s sibling on
+    * the graph family (NSW insertion, Malkov et al.: a new point's
+    * edges are the M best vertices its own search finds): each
+    * micro-batch of incoming (odd) vectors greedy-descends the FROZEN
+    * even-half serving graph and appends its final beam — exactly the
+    * new vertex's neighbor list — as per-batch `batch=<id>` edge
+    * segments. Base-graph edges are immutable here (the frozen-model
+    * discipline of the PQ write path; a real deployment folds segments
+    * into the base on the next rebuild — the same compaction story as
+    * [[graft.storage.Storage.compactBatchSink]]). Stateless ⇒ the batch
+    * descent over the same halves IS the oracle, and the drained edge
+    * list is bit-identical under any micro-batch slicing.
+    */
+  def streamGraphInsert(spark: SparkSession, sfDir: String,
+                        nFiles: Int = 3): DataFrame = {
+    import java.nio.file.Files
+    import graft.ops.{KnnGraph, Similarity}
+    val tmp = Files.createTempDirectory("graft_graph_insert").toString
+    val outDir = s"$tmp/segments"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = s"$tmp/incoming"
+    graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(srcDir)
+    val edges = KnnGraph.servingGraph(spark, sfDir)
+      .select(col("src"), col("dst"))
+    val idx = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+    withDrainConf(spark) { ds =>
+      graft.functions.GraftFunctions.register(ds)
+      val idxS = idx.select(col("vec_id"), col("embedding"),
+        Similarity.dot(col("embedding"), col("embedding")).as("sq"))
+        .localCheckpoint(true)
+      val embSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))
+      val stream = ds.readStream
+        .schema(embSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val query = stream.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val qs = batch.select(col("vec_id").as("q_id"),
+            col("embedding").as("q_emb"),
+            Similarity.dot(col("embedding"), col("embedding")).as("q_sq"))
+          KnnGraph.greedySearch(qs, idxS, edges)
+            .filter(col("rn") <= KnnGraph.K)
+            .select(col("q_id").as("vec_id"),
+              col("rn").cast("long").as("rank"), col("v").as("nbr"),
+              floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(outDir)
+      .select(col("vec_id"), col("rank"), col("nbr"), col("dist_u"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** The ONLINE IVF-PQ probe — [[streamAnnProbe]]'s compressed sibling,
     * completing the online probe family with the production memory AND
     * compute profile: the static side trains the coarse quantizer and

@@ -64,6 +64,14 @@ class Round15Spec extends SparkSpec {
     assert(crashed.count() > 0)
   }
 
+  test("graph-index insertion drains to identical edge lists under " +
+       "any micro-batch slicing") {
+    val d2 = StreamAssembly.streamGraphInsert(spark, sf, nFiles = 2)
+    val d4 = StreamAssembly.streamGraphInsert(spark, sf, nFiles = 4)
+    assertSameRows(d2, d4)
+    assert(d2.count() > 0)
+  }
+
   // ------------------------------------------------------------------
   // NN-descent k-NN graph
   // ------------------------------------------------------------------
