@@ -254,6 +254,15 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamAssembly.streamGraphProbe(s, d)),
     "stream_graph_insert" ->
       ((s, d) => graft.streaming.StreamAssembly.streamGraphInsert(s, d)),
+    // the READ side of the index write paths: queries served from the
+    // frozen base ∪ the drained batch=<id> segments (the MergeTree
+    // "reads see the union of parts" contract on the index tier)
+    "stream_graph_serve_accreted" ->
+      ((s, d) =>
+        graft.streaming.StreamAssembly.streamGraphServeAccreted(s, d)),
+    "stream_pq_serve_accreted" ->
+      ((s, d) =>
+        graft.streaming.StreamAssembly.streamPqServeAccreted(s, d)),
     "stream_pca_drift" ->
       ((s, d) => graft.streaming.StreamAssembly.streamPcaDrift(s, d)),
     "semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
@@ -909,6 +918,60 @@ object SparkEntry {
 
   private val ivfpqProbeCtes: String = ivfpqProbeCtesWith("")
 
+  /** The accreted-PQ serving oracle ([[graft.streaming.StreamAssembly
+    * .streamPqServeAccreted]]): code the insert fleet (vec_id ≡ 1
+    * mod 4) against the frozen even-half IVFADC model — the
+    * stream_pq_index_append chain on a different fleet — union those
+    * codes with the base even codes, and ADC-score the query fleet
+    * (≡ 3 mod 4) over the combined index. Coding and ADC are pure
+    * per-row functions of the frozen model, so this batch replay is
+    * bit-identical to the drained base ∪ segment read.
+    */
+  private def pqServeAccretedSql: String = {
+    val m = ops.Similarity.PqSubspaces
+    val d = ops.Similarity.PqSubDim
+    ivfpqCteStack(" WHERE vec_id % 2 = 0", 2 * ops.Similarity.IvfPqCells,
+      2 * ops.Similarity.PqCentroids, "vec_id % 4 = 3", "") + s""",
+      |isrc2 AS (SELECT vec_id, embedding,
+      |    list_sum([embedding[k]::DOUBLE * embedding[k]::DOUBLE
+      |              for k in range(1, 65)]) AS sq
+      |  FROM embeddings WHERE vec_id % 4 = 1),
+      |icd AS (SELECT i.vec_id, i.embedding, c.cid, c.cemb,
+      |    i.sq + c.csq - 2 * list_sum([i.embedding[k]::DOUBLE * c.cemb[k]
+      |                                 for k in range(1, 65)]) AS dist
+      |  FROM isrc2 i, gcs c),
+      |icell AS (SELECT vec_id, cid AS cell,
+      |    [embedding[k]::DOUBLE - cemb[k] for k in range(1, 65)] AS qr
+      |  FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM icd)
+      |  WHERE rn = 1),
+      |isub AS (SELECT vec_id, cell, t.s AS s,
+      |    [qr[t.s * $d + k] for k in range(1, ${d + 1})] AS sv
+      |  FROM icell, range(0, $m) t(s)),
+      |ids2 AS (SELECT u.vec_id, u.cell, u.s, c.cid,
+      |    list_sum([u.sv[k] * u.sv[k] for k in range(1, ${d + 1})])
+      |  - 2 * list_sum([u.sv[k] * c.cv[k] for k in range(1, ${d + 1})])
+      |  + list_sum([c.cv[k] * c.cv[k] for k in range(1, ${d + 1})]) AS dist
+      |  FROM isub u JOIN rcb c USING (s)),
+      |icodes AS (SELECT vec_id, cell, s, cid FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rn
+      |  FROM ids2) WHERE rn = 1),
+      |allc AS (SELECT vec_id, cell, s, cid FROM rcodes
+      |  UNION ALL SELECT vec_id, cell, s, cid FROM icodes),
+      |adc2 AS (SELECT q.q_id, k.vec_id AS m_id,
+      |    ${(0 until m).map(i =>
+             s"max(CASE WHEN k.s = $i THEN q.qd END)").mkString("\n  + ")}
+      |      AS adc_dist
+      |  FROM allc k JOIN qt q
+      |    ON q.cell = k.cell AND q.s = k.s AND q.cid = k.cid
+      |  GROUP BY 1, 2)
+      |SELECT q_id AS vec_id, m_id AS match_id, adc_dist FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY adc_dist ASC, m_id ASC) AS rn
+      |  FROM adc2) WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
   /** Greedy graph-descent CTE stack (graph_search / stream_graph_probe
     * / graph_search_recall oracles): the even-half NN-descent graph
     * ([[knnGraphCteStack]]) + the odd query fleet descending it —
@@ -917,39 +980,94 @@ object SparkEntry {
     * row_number), replaying [[ops.KnnGraph.greedySearch]] bit-for-bit.
     * `qExtra` appends the md5 stratum coin for the recall audit.
     */
-  private def graphDescentCtes(qExtra: String): String = {
-    val b = ops.KnnGraph.SearchBeam
-    val dist = "q.q_sq + ev.sq - 2 * list_sum([q.embedding[i]::DOUBLE *" +
-      "\n  ev.embedding[i]::DOUBLE for i in range(1, 65)])"
-    val hops = (1 to ops.KnnGraph.SearchHops).map { h =>
-      s""",
-        |h${h}x AS MATERIALIZED (SELECT DISTINCT q_id, v FROM (
-        |  SELECT f.q_id, g.dst AS v FROM f${h - 1} f
-        |    JOIN serve g ON g.src = f.v
-        |  UNION ALL SELECT q_id, v FROM f${h - 1})),
-        |f$h AS MATERIALIZED (SELECT q_id, v, dist, rn FROM (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY q_id ORDER BY dist, v) AS rn FROM (
-        |    SELECT x.q_id, x.v, $dist AS dist
-        |    FROM h${h}x x JOIN e ev ON ev.vec_id = x.v
-        |    JOIN qsrc q ON q.q_id = x.q_id))
-        |  WHERE rn <= $b)""".stripMargin
-    }.mkString
+  private def graphDescentCtes(qExtra: String): String =
     knnGraphCteStack(" WHERE vec_id % 2 = 0") + s""",
       |serve AS MATERIALIZED (SELECT src, dst FROM gfin
       |  UNION SELECT src, dst FROM init),
       |qsrc AS MATERIALIZED (SELECT vec_id AS q_id, embedding,
       |    list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
       |              for i in range(1, 65)]) AS q_sq
-      |  FROM embeddings WHERE vec_id % 2 = 1$qExtra),
-      |entry AS (SELECT vec_id AS v FROM e
+      |  FROM embeddings WHERE vec_id % 2 = 1$qExtra)""".stripMargin +
+      descentStack("", "e", "serve", "qsrc")
+
+  /** One greedy-descent hop stack over arbitrary index / edge / fleet
+    * CTEs, every generated CTE name prefixed `p` so two descents can
+    * coexist in one statement (the accreted-serving oracle runs the
+    * INSERT fleet's descent and then the QUERY fleet's descent over
+    * base ∪ segments). Expects `idxCte(vec_id, embedding, sq)`,
+    * `serveCte(src, dst)`, `qsrcCte(q_id, embedding, q_sq)`; yields
+    * `${p}f0..${p}fH` with the beam at `rn <= SearchBeam`.
+    */
+  private def descentStack(p: String, idxCte: String, serveCte: String,
+                           qsrcCte: String): String = {
+    val b = ops.KnnGraph.SearchBeam
+    val dist = "q.q_sq + ev.sq - 2 * list_sum([q.embedding[i]::DOUBLE *" +
+      "\n  ev.embedding[i]::DOUBLE for i in range(1, 65)])"
+    val hops = (1 to ops.KnnGraph.SearchHops).map { h =>
+      s""",
+        |${p}h${h}x AS MATERIALIZED (SELECT DISTINCT q_id, v FROM (
+        |  SELECT f.q_id, g.dst AS v FROM ${p}f${h - 1} f
+        |    JOIN $serveCte g ON g.src = f.v
+        |  UNION ALL SELECT q_id, v FROM ${p}f${h - 1})),
+        |${p}f$h AS MATERIALIZED (SELECT q_id, v, dist, rn FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY dist, v) AS rn FROM (
+        |    SELECT x.q_id, x.v, $dist AS dist
+        |    FROM ${p}h${h}x x JOIN $idxCte ev ON ev.vec_id = x.v
+        |    JOIN $qsrcCte q ON q.q_id = x.q_id))
+        |  WHERE rn <= $b)""".stripMargin
+    }.mkString
+    s""",
+      |${p}entry AS (SELECT vec_id AS v FROM $idxCte
       |  ORDER BY vec_id LIMIT ${ops.KnnGraph.SearchEntries}),
-      |f0 AS MATERIALIZED (SELECT q_id, v, dist, rn FROM (
+      |${p}f0 AS MATERIALIZED (SELECT q_id, v, dist, rn FROM (
       |  SELECT *, row_number() OVER (
       |    PARTITION BY q_id ORDER BY dist, v) AS rn FROM (
       |    SELECT q.q_id, ev.vec_id AS v, $dist AS dist
-      |    FROM qsrc q, entry x JOIN e ev ON ev.vec_id = x.v))
+      |    FROM $qsrcCte q, ${p}entry x JOIN $idxCte ev ON ev.vec_id = x.v))
       |  WHERE rn <= $b)""".stripMargin + hops
+  }
+
+  /** The accreted-graph serving oracle ([[graft.streaming
+    * .StreamAssembly.streamGraphServeAccreted]]): replay the insert
+    * fleet's (vec_id ≡ 1 mod 4) NSW descent of the frozen even graph,
+    * materialize its fan-out-bounded beam as the segment rows, derive
+    * the k-bounded back-links, and run the query fleet's
+    * (vec_id ≡ 3 mod 4) descent over base ∪ segment edges and the
+    * accreted (even ∪ inserted) population — everything stateless, so
+    * this batch replay is bit-identical to the drained engine path.
+    */
+  private def graphServeAccretedSql: String = {
+    val h = ops.KnnGraph.SearchHops
+    knnGraphCteStack(" WHERE vec_id % 2 = 0") + s""",
+      |serve AS MATERIALIZED (SELECT src, dst FROM gfin
+      |  UNION SELECT src, dst FROM init),
+      |isrc AS MATERIALIZED (SELECT vec_id AS q_id, embedding,
+      |    list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+      |              for i in range(1, 65)]) AS q_sq
+      |  FROM embeddings WHERE vec_id % 4 = 1)""".stripMargin +
+      descentStack("i", "e", "serve", "isrc") + s""",
+      |seg AS MATERIALIZED (SELECT q_id AS vec_id, v AS nbr,
+      |    CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
+      |  FROM if$h WHERE rn <= ${ops.KnnGraph.InsertFanout}),
+      |rev AS (SELECT nbr AS src, vec_id AS dst FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY nbr ORDER BY dist_u, vec_id) AS rr FROM seg)
+      |  WHERE rr <= ${ops.KnnGraph.K}),
+      |aserve AS MATERIALIZED (SELECT src, dst FROM serve
+      |  UNION SELECT vec_id, nbr FROM seg
+      |  UNION SELECT src, dst FROM rev),
+      |aidx AS MATERIALIZED (SELECT vec_id, embedding, sq FROM e
+      |  UNION ALL SELECT q_id, embedding, q_sq FROM isrc),
+      |aq AS MATERIALIZED (SELECT vec_id AS q_id, embedding,
+      |    list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+      |              for i in range(1, 65)]) AS q_sq
+      |  FROM embeddings WHERE vec_id % 4 = 3)""".stripMargin +
+      descentStack("a", "aidx", "aserve", "aq") + s"""
+      |SELECT q_id AS vec_id, v AS match_id,
+      |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
+      |FROM af$h WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
   }
 
   /** NN-descent k-NN-graph CTE stack (knn_graph_* oracles): md5-seeded
@@ -3381,7 +3499,15 @@ object SparkEntry {
         |SELECT q_id AS vec_id, rn AS rank, v AS nbr,
         |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
         |FROM f${ops.KnnGraph.SearchHops}
+        |WHERE rn <= ${ops.KnnGraph.InsertFanout}
         |ORDER BY vec_id, rank""".stripMargin),
+    // serving from the ACCRETED graph index: insert fleet's descent →
+    // segments (+ derived k-bounded back-links), query fleet descends
+    // base ∪ segments over the even ∪ inserted population
+    "stream_graph_serve_accreted" -> (graphServeAccretedSql),
+    // serving from the ACCRETED PQ index: insert fleet coded against
+    // the frozen model, queries ADC-scored over base ∪ appended codes
+    "stream_pq_serve_accreted" -> (pqServeAccretedSql),
     // serving recall: stratum greedy top-1 vs exact brute-force top-1
     // over the even index (prices the bounded-beam descent)
     "graph_search_recall" -> (graphDescentCtes(

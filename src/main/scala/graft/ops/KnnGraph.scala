@@ -58,8 +58,7 @@ object KnnGraph {
     * the same constant at object init — the IvfPqCells discipline — so
     * the gate replays production depth at scale fixtures.
     */
-  val Rounds: Int =
-    sys.env.get("GRAFT_KNNG_ROUNDS").map(_.toInt).getOrElse(3)
+  val Rounds: Int = graft.EnvKnobs.posInt("GRAFT_KNNG_ROUNDS", 3)
 
   /** Hash buckets for the init-draw rank domain (uniform ~n/B window
     * partitions; raise with corpus size).
@@ -71,10 +70,23 @@ object KnnGraph {
     * graph's out-edges are DETERMINISTIC: exploration only grows when
     * the beam moves, so independent starting points (the standard
     * multi-seed search) buy coverage that a single entry cannot.
+    * Env-overridable (the GRAFT_KNNG_ROUNDS / GRAFT_IVFPQ_* knob
+    * discipline — the oracle interpolates the same constants at object
+    * init, so one JVM run can never see drifted values): at 100 TB the
+    * hop count must grow ~log n, which is a config change, not a code
+    * edit.
     */
-  val SearchBeam: Int = 8
-  val SearchHops: Int = 5
-  val SearchEntries: Int = 8
+  val SearchBeam: Int = graft.EnvKnobs.posInt("GRAFT_GRAPH_BEAM", 8)
+  val SearchHops: Int = graft.EnvKnobs.posInt("GRAFT_GRAPH_HOPS", 5)
+  val SearchEntries: Int = graft.EnvKnobs.posInt("GRAFT_GRAPH_ENTRIES", 8)
+
+  /** Out-degree of an INSERTED vector (the NSW insertion fan-out): the
+    * k best vertices its own search finds, bounded by what the beam can
+    * carry. One shared constant binds the engine's write-path filter
+    * and the oracle's beam-row bound — tuning [[SearchBeam]] alone can
+    * never desynchronize them.
+    */
+  val InsertFanout: Int = math.min(K, SearchBeam)
 
   /** Finished graphs keyed (context, dir, rounds, population) — shared
     * by the build query, the recall audit, the serving descent, and
@@ -298,6 +310,40 @@ object KnnGraph {
       .select(col("q_id").as("vec_id"), col("v").as("match_id"),
         floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
       .orderBy("vec_id")
+  }
+
+  /** The ACCRETED serving edge set — the read side of the graph-index
+    * write path ([[graft.streaming.StreamAssembly.streamGraphInsert]]),
+    * the MergeTree contract ("reads see the union of parts",
+    * `clickhouse/init/01_init.sql:27-31`) applied to the index tier:
+    * the frozen base edges ∪ the segments' forward edges (inserted
+    * vector → its descent beam) ∪ the DERIVED back-links (beam member →
+    * inserted vector). L2 is symmetric, so each stored
+    * (vec_id, nbr, dist_u) row carries BOTH directions of the NSW
+    * bidirectional link (Malkov et al.) — no extra segment rows, and
+    * the reverse direction is pruned AT READ to the [[K]] best inserted
+    * vectors per base vertex by exact integer (dist_u, vec_id) — the
+    * deterministic eviction a mutable NSW applies at insert, moved to
+    * compose time because base segments are immutable here. Back-links
+    * are what make a FRESH vector routable before any rebuild: without
+    * them no descent can ever move toward an inserted vertex.
+    *
+    * `seg` is the drained segment frame (vec_id, rank, nbr, dist_u);
+    * compose cost is one bounded window over segment rows (k per
+    * insert) — never touches the base graph beyond the final union.
+    */
+  private[graft] def accretedEdges(base: DataFrame,
+                                   seg: DataFrame): DataFrame = {
+    val fwd = seg.select(col("vec_id").as("src"), col("nbr").as("dst"))
+    val rev = seg
+      .withColumn("rr", row_number().over(
+        Window.partitionBy("nbr").orderBy(col("dist_u"), col("vec_id"))))
+      .filter(col("rr") <= K)
+      .select(col("nbr").as("src"), col("vec_id").as("dst"))
+    base.select(col("src"), col("dst"))
+      .union(fwd).union(rev)
+      .distinct()
+      .localCheckpoint(true)
   }
 
   /** Serving recall: the md5-coin stratum's greedy top-1 vs its exact

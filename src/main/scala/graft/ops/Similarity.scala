@@ -1595,10 +1595,8 @@ object Similarity {
     * sf1f fixture) — the oracle interpolates these constants at
     * object init, so one JVM run can never see drifted values.
     */
-  val IvfPqCells: Int =
-    sys.env.get("GRAFT_IVFPQ_CELLS").map(_.toInt).getOrElse(16)
-  val IvfPqProbe: Int =
-    sys.env.get("GRAFT_IVFPQ_PROBE").map(_.toInt).getOrElse(4)
+  val IvfPqCells: Int = graft.EnvKnobs.posInt("GRAFT_IVFPQ_CELLS", 16)
+  val IvfPqProbe: Int = graft.EnvKnobs.posInt("GRAFT_IVFPQ_PROBE", 4)
 
   /** One-Lloyd-round coarse quantizer over `e0` (vec_id, embedding):
     * seeds are the rows matching `seedPred` (the fixed-seed scheme of

@@ -197,7 +197,7 @@ object Storage {
     fs.delete(tmp, true); fs.delete(old, true) // stale leftovers
     val df = spark.read.parquet(path)
     val rows = df.count()
-    df.drop("batch")
+    df.drop("batch", "segment")
       .repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     if (!fs.rename(src, old))
@@ -215,6 +215,36 @@ object Storage {
       if (it2.next().getPath.getName.endsWith(".parquet")) nAfter += 1
     }
     (nBefore, nAfter, rows)
+  }
+
+  /** Retention for `batch=<id>` / `segment=<id>` sink trees — the
+    * expiry half of the segment lifecycle ([[compactBatchSink]] is the
+    * fold half; CK's TTL drops whole parts the same way,
+    * `01_init.sql:30`): drop every segment directory whose batch id is
+    * below `minBatchId`. Micro-batch ids are monotone in event time for
+    * an append drain, so an id horizon IS a time horizon — and like
+    * [[applyRetention]] the drop is metadata-only (one directory remove
+    * per expired segment, no row ever scanned). Returns the dropped
+    * ids, ascending.
+    */
+  def applySegmentRetention(spark: SparkSession, path: String,
+                            minBatchId: Long): Seq[Long] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val dropped = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { s =>
+        val n = s.getPath.getName
+        val id = n.split('=') match {
+          case Array("batch" | "segment", v) => v.toLongOption
+          case _ => None
+        }
+        id.filter(_ < minBatchId).map((_, s.getPath))
+      }
+      .sortBy(_._1)
+    dropped.foreach { case (_, p) => fs.delete(p, true) }
+    dropped.map(_._1)
   }
 
   def compactMonth(spark: SparkSession, path: String, month: Int,

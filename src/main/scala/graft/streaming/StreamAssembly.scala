@@ -216,6 +216,13 @@ object StreamAssembly {
       if (batchId + 1 >= afterBatches && armed.compareAndSet(true, false))
         throw new RuntimeException(
           s"graft injected crash after batch $batchId sink write")
+    /** True once the injected crash has fired — [[runWithInjectedCrash]]
+      * asserts this after the first drain attempt, so a gate whose
+      * crash point exceeds the actual micro-batch count (a larger
+      * `crashAfterBatches`, a shrunken source) fails LOUDLY instead of
+      * silently degrading into a plain re-drain that recovers nothing.
+      */
+    def fired: Boolean = afterBatches > 0 && !armed.get
   }
 
   /** Run `drain` with an injected crash after `crashAfterBatches`
@@ -230,14 +237,31 @@ object StreamAssembly {
                                    crashAfterBatches: Int): Unit = {
     val arm = new CrashArm(crashAfterBatches)
     if (crashAfterBatches > 0) {
-      def injected(t: Throwable): Boolean =
-        t != null && (Option(t.getMessage)
-          .exists(_.contains("graft injected crash")) || injected(t.getCause))
+      // bounded cause walk (no recursion): a cycle in an exotic
+      // exception chain must not stack-overflow inside the handler and
+      // mask the original failure
+      def injected(t0: Throwable): Boolean = {
+        var t = t0
+        var depth = 0
+        while (t != null && depth < 20) {
+          if (Option(t.getMessage).exists(_.contains("graft injected crash")))
+            return true
+          t = t.getCause
+          depth += 1
+        }
+        false
+      }
       try drain(arm)
       catch {
         case e: org.apache.spark.sql.streaming.StreamingQueryException
           if injected(e) => ()
       }
+      // the recovery gate only tests recovery if the crash actually
+      // happened — a clean first drain means the fault point was never
+      // reached and the "resumed" run below would prove nothing
+      require(arm.fired,
+        s"injected crash after $crashAfterBatches batches never fired " +
+          "(fewer micro-batches than the crash point?)")
     }
     drain(arm)
   }
@@ -2550,7 +2574,27 @@ object StreamAssembly {
     * list is bit-identical under any micro-batch slicing.
     */
   def streamGraphInsert(spark: SparkSession, sfDir: String,
-                        nFiles: Int = 3): DataFrame = {
+                        nFiles: Int = 3,
+                        crashAfterBatches: Int = 0): DataFrame = {
+    val outDir = drainGraphInserts(spark, sfDir, col("vec_id") % 2 === 1,
+      nFiles, crashAfterBatches)
+    spark.read.parquet(outDir)
+      .select(col("vec_id"), col("rank"), col("nbr"), col("dist_u"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** The insert drain shared by [[streamGraphInsert]] (gate = the
+    * segment rows) and [[streamGraphServeAccreted]] (gate = queries
+    * SERVED from them): vectors matching `fleet` stream in one file per
+    * micro-batch, greedy-descend the frozen even-half serving graph,
+    * and append their [[graft.ops.KnnGraph.InsertFanout]] best beam
+    * rows as idempotent `batch=<id>` edge segments. Returns the segment
+    * directory.
+    */
+  private[graft] def drainGraphInserts(spark: SparkSession, sfDir: String,
+                                fleet: org.apache.spark.sql.Column,
+                                nFiles: Int,
+                                crashAfterBatches: Int): String = {
     import java.nio.file.Files
     import graft.ops.{KnnGraph, Similarity}
     val tmp = Files.createTempDirectory("graft_graph_insert").toString
@@ -2558,7 +2602,7 @@ object StreamAssembly {
     val ckptDir = s"$tmp/ckpt"
     val srcDir = s"$tmp/incoming"
     graft.Tables.embeddings(spark, sfDir)
-      .filter(col("vec_id") % 2 === 1)
+      .filter(fleet)
       .select(col("vec_id"), col("embedding"))
       .repartition(nFiles)
       .write.mode("overwrite").parquet(srcDir)
@@ -2578,33 +2622,88 @@ object StreamAssembly {
         org.apache.spark.sql.types.StructField("embedding",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.FloatType))))
-      val stream = ds.readStream
-        .schema(embSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(srcDir)
-      val query = stream.writeStream
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckptDir)
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          val qs = batch.select(col("vec_id").as("q_id"),
-            col("embedding").as("q_emb"),
-            Similarity.dot(col("embedding"), col("embedding")).as("q_sq"))
-          KnnGraph.greedySearch(qs, idxS, edges)
-            .filter(col("rn") <= KnnGraph.K)
-            .select(col("q_id").as("vec_id"),
-              col("rn").cast("long").as("rank"), col("v").as("nbr"),
-              floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/batch=$id")
-          ()
-        }
-        .start()
-      query.awaitTermination()
+      def drain(arm: CrashArm): Unit = {
+        val stream = ds.readStream
+          .schema(embSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir)
+        val query = stream.writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckptDir)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val qs = batch.select(col("vec_id").as("q_id"),
+              col("embedding").as("q_emb"),
+              Similarity.dot(col("embedding"), col("embedding")).as("q_sq"))
+            KnnGraph.greedySearch(qs, idxS, edges)
+              .filter(col("rn") <= KnnGraph.InsertFanout)
+              .select(col("q_id").as("vec_id"),
+                col("rn").cast("long").as("rank"), col("v").as("nbr"),
+                floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/batch=$id")
+            arm.maybeCrash(id)
+            ()
+          }
+          .start()
+        query.awaitTermination()
+      }
+      runWithInjectedCrash(drain, crashAfterBatches)
     }
-    spark.read.parquet(outDir)
-      .select(col("vec_id"), col("rank"), col("nbr"), col("dist_u"))
-      .orderBy("vec_id", "rank")
+    outDir
+  }
+
+  /** SERVING FROM THE ACCRETED GRAPH INDEX — the read side the write
+    * path exists for, and the MergeTree read contract ("a SELECT sees
+    * the union of parts", `clickhouse/init/01_init.sql:27-31`) applied
+    * to the index tier: queries answered BETWEEN rebuilds must see the
+    * frozen base graph ∪ everything the insert drain has appended.
+    * One quarter of the vectors (vec_id ≡ 1 mod 4) stream in as NSW
+    * inserts against the frozen even-half graph; the drained
+    * `batch=<id>` segments are then READ BACK and composed into the
+    * accreted edge set ([[graft.ops.KnnGraph.accretedEdges]] — forward
+    * beam edges ∪ k-bounded derived back-links, which is what makes a
+    * fresh vector ROUTABLE before any rebuild); finally the query fleet
+    * (vec_id ≡ 3 mod 4) greedy-descends the accreted graph over the
+    * accreted population (even ∪ inserted), so a query whose true
+    * neighbor arrived after the last rebuild can actually return it.
+    * Stateless ⇒ a batch replay of insert-then-serve IS the oracle, and
+    * the result is invariant under micro-batch slicing AND under
+    * segment compaction ([[graft.storage.Storage.compactBatchSink]] —
+    * the invariance spec's claim).
+    */
+  def streamGraphServeAccreted(spark: SparkSession, sfDir: String,
+                               nFiles: Int = 3): DataFrame = {
+    val segDir = drainGraphInserts(spark, sfDir, col("vec_id") % 4 === 1,
+      nFiles, crashAfterBatches = 0)
+    serveAccretedGraph(spark, sfDir, segDir)
+  }
+
+  /** The batch read side of [[streamGraphServeAccreted]], split out so
+    * the compaction-invariance spec can re-serve from the SAME segment
+    * directory after [[graft.storage.Storage.compactBatchSink]].
+    */
+  private[graft] def serveAccretedGraph(spark: SparkSession, sfDir: String,
+                                        segDir: String): DataFrame = {
+    import graft.ops.{KnnGraph, Similarity}
+    graft.functions.GraftFunctions.register(spark)
+    val seg = spark.read.parquet(segDir)
+      .select(col("vec_id"), col("nbr"), col("dist_u"))
+    val acc = KnnGraph.accretedEdges(
+      KnnGraph.servingGraph(spark, sfDir), seg)
+    val aidx = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 0 || col("vec_id") % 4 === 1)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.dot(col("embedding"), col("embedding")).as("sq"))
+    val qs = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 4 === 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        Similarity.dot(col("embedding"), col("embedding")).as("q_sq"))
+    KnnGraph.greedySearch(qs, aidx, acc)
+      .filter(col("rn") === 1)
+      .select(col("q_id").as("vec_id"), col("v").as("match_id"),
+        floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
+      .orderBy("vec_id")
   }
 
   /** The ONLINE IVF-PQ probe — [[streamAnnProbe]]'s compressed sibling,
@@ -2699,7 +2798,27 @@ object StreamAssembly {
     * gate hashes the full appended (vec_id, cell, s, cid) frame.
     */
   def streamPqIndexAppend(spark: SparkSession, sfDir: String,
-                          nFiles: Int = 3): DataFrame = {
+                          nFiles: Int = 3,
+                          crashAfterBatches: Int = 0): DataFrame = {
+    val outDir = drainPqAppends(spark, sfDir, col("vec_id") % 2 === 1,
+      nFiles, crashAfterBatches)
+    spark.read.parquet(outDir)
+      .select(col("vec_id"), col("cell"), col("s").cast("long").as("s"),
+        col("cid"))
+      .orderBy("vec_id", "s")
+  }
+
+  /** The code-append drain shared by [[streamPqIndexAppend]] (gate =
+    * the appended code rows) and [[streamPqServeAccreted]] (gate =
+    * queries SERVED from base ∪ segments): vectors matching `fleet`
+    * are coded row-locally against the frozen even-half IVFADC model
+    * and appended as idempotent `segment=<id>` trees. Returns the
+    * segment directory.
+    */
+  private[graft] def drainPqAppends(spark: SparkSession, sfDir: String,
+                             fleet: org.apache.spark.sql.Column,
+                             nFiles: Int,
+                             crashAfterBatches: Int): String = {
     import java.nio.file.Files
     import graft.ops.Similarity
     val tmp = Files.createTempDirectory("graft_pq_append").toString
@@ -2707,7 +2826,7 @@ object StreamAssembly {
     val ckptDir = s"$tmp/ckpt"
     val srcDir = s"$tmp/incoming"
     graft.Tables.embeddings(spark, sfDir)
-      .filter(col("vec_id") % 2 === 1)
+      .filter(fleet)
       .select(col("vec_id"), col("embedding"))
       .repartition(nFiles)
       .write.mode("overwrite").parquet(srcDir)
@@ -2722,27 +2841,79 @@ object StreamAssembly {
         org.apache.spark.sql.types.StructField("embedding",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.FloatType))))
-      val stream = ds.readStream
-        .schema(embSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(srcDir)
-      val query = stream.writeStream
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckptDir)
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          Similarity.ivfpqCode(batch, centsS, cbS)
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/segment=$id")
-          ()
-        }
-        .start()
-      query.awaitTermination()
+      def drain(arm: CrashArm): Unit = {
+        val stream = ds.readStream
+          .schema(embSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir)
+        val query = stream.writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckptDir)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            Similarity.ivfpqCode(batch, centsS, cbS)
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/segment=$id")
+            arm.maybeCrash(id)
+            ()
+          }
+          .start()
+        query.awaitTermination()
+      }
+      runWithInjectedCrash(drain, crashAfterBatches)
     }
-    spark.read.parquet(outDir)
-      .select(col("vec_id"), col("cell"), col("s").cast("long").as("s"),
-        col("cid"))
-      .orderBy("vec_id", "s")
+    outDir
+  }
+
+  /** SERVING FROM THE ACCRETED PQ INDEX — [[streamGraphServeAccreted]]'s
+    * sibling on the compressed family, closing the same lifecycle gap:
+    * one quarter of the vectors (vec_id ≡ 1 mod 4) stream in and are
+    * coded against the FROZEN even-half IVFADC model into `segment=<id>`
+    * trees; the segments are then READ BACK, unioned with the base
+    * even-half codes, and the query fleet (vec_id ≡ 3 mod 4) probes the
+    * accreted index — per-query residual distance tables against the
+    * frozen centroids/codebook, cell-keyed ADC over base ∪ appended
+    * codes, top-1 per probe. Coding is row-local and ADC is a pure
+    * function of (code row, query table), so the union is order- and
+    * batch-boundary-independent: the oracle replays training + coding +
+    * the 8-term ADC chain over the combined population, and compaction
+    * of the segment tree cannot change a single row (the invariance
+    * spec's claim).
+    */
+  def streamPqServeAccreted(spark: SparkSession, sfDir: String,
+                            nFiles: Int = 3): DataFrame = {
+    val segDir = drainPqAppends(spark, sfDir, col("vec_id") % 4 === 1,
+      nFiles, crashAfterBatches = 0)
+    serveAccretedPq(spark, sfDir, segDir)
+  }
+
+  /** The batch read side of [[streamPqServeAccreted]], split out for
+    * the compaction-invariance spec.
+    */
+  private[graft] def serveAccretedPq(spark: SparkSession, sfDir: String,
+                                     segDir: String): DataFrame = {
+    import graft.ops.Similarity
+    graft.functions.GraftFunctions.register(spark)
+    val (centsS, cbS, codesEven) = Similarity.ivfpqProbeModel(spark, sfDir)
+    val segCodes = spark.read.parquet(segDir)
+      .select(col("vec_id").as("m_id"), col("cell"),
+        col("s").cast("int").as("s"), col("cid"))
+    val codes = codesEven
+      .select(col("vec_id").as("m_id"), col("cell"),
+        col("s").cast("int").as("s"), col("cid"))
+      .union(segCodes)
+    val qs = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 4 === 3)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val qtab = Similarity.cellResidualTables(qs, centsS, cbS)
+    // corpus-proportional fleet: salt-keyed block join, never a
+    // broadcast of the query tables (the ivfpq_probe_recall posture)
+    Similarity.adcScoresCell(codes, qtab, boundedQueries = false)
+      .groupBy("q_id")
+      .agg(min(struct(col("adc"), col("m_id"))).as("best"))
+      .select(col("q_id").as("vec_id"), col("best.m_id").as("match_id"),
+        col("best.adc").as("adc_dist"))
+      .orderBy("vec_id")
   }
 
   /** ONLINE CLASSIFIER FILTER drained end-to-end — the trained-model

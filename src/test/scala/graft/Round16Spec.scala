@@ -1,0 +1,291 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{KnnGraph, Similarity}
+import graft.storage.Storage
+import graft.streaming.StreamAssembly
+
+/** Round-16 additions — the index LIFECYCLE closed end to end:
+  *
+  *  1. the index-APPEND drains survive an injected crash between sink
+  *     write and checkpoint commit (the claim previously rested on
+  *     layout alone), and a crash point past the last micro-batch fails
+  *     LOUDLY instead of silently degrading the gate to a re-drain;
+  *  2. serving from the accreted index is INVARIANT under segment
+  *     compaction ([[Storage.compactBatchSink]]) — the MergeTree
+  *     "merges don't change reads" half of the contract, for both the
+  *     graph and PQ families;
+  *  3. NSW back-links make FRESH vectors routable: on planted clusters
+  *     a probe whose true NN arrived after the base build finds it
+  *     through base ∪ segments, and provably CANNOT without the
+  *     derived reverse edges;
+  *  4. segment retention ([[Storage.applySegmentRetention]]) drops
+  *     expired `batch=<id>`/`segment=<id>` trees metadata-only;
+  *  5. the `GRAFT_*` knobs parse defensively (fail at the knob, naming
+  *     the variable, instead of an opaque initializer error).
+  */
+class Round16Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.count() === b.count())
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
+
+  // ------------------------------------------------------------------
+  // 1. crash-injected index appends
+  // ------------------------------------------------------------------
+
+  test("PQ index-append drain killed between sink write and checkpoint " +
+       "commit resumes to the bit-identical appended index") {
+    val crashed = StreamAssembly.streamPqIndexAppend(spark, sf,
+      crashAfterBatches = 2)
+    val clean = StreamAssembly.streamPqIndexAppend(spark, sf)
+    assertSameRows(crashed, clean)
+    assert(crashed.count() > 0)
+  }
+
+  test("graph insert drain killed between sink write and checkpoint " +
+       "commit resumes to the bit-identical edge segments") {
+    val crashed = StreamAssembly.streamGraphInsert(spark, sf,
+      crashAfterBatches = 2)
+    val clean = StreamAssembly.streamGraphInsert(spark, sf)
+    assertSameRows(crashed, clean)
+    assert(crashed.count() > 0)
+  }
+
+  test("a crash point past the last micro-batch fails loudly instead " +
+       "of silently degrading the recovery gate to a plain re-drain") {
+    val e = intercept[IllegalArgumentException] {
+      StreamAssembly.streamGraphInsert(spark, sf, nFiles = 2,
+        crashAfterBatches = 99)
+    }
+    assert(e.getMessage.contains("never fired"))
+  }
+
+  // ------------------------------------------------------------------
+  // 2. compaction invariance of accreted serving
+  // ------------------------------------------------------------------
+
+  test("graph serving from base + segments is bit-identical across " +
+       "segment compaction") {
+    val segDir = StreamAssembly.drainGraphInserts(spark, sf,
+      col("vec_id") % 4 === 1, nFiles = 3, crashAfterBatches = 0)
+    val before = StreamAssembly.serveAccretedGraph(spark, sf, segDir)
+      .collect().toSeq
+    val (nBefore, nAfter, _) = Storage.compactBatchSink(spark, segDir)
+    assert(nBefore > nAfter, s"compaction did not merge: $nBefore -> $nAfter")
+    val after = StreamAssembly.serveAccretedGraph(spark, sf, segDir)
+      .collect().toSeq
+    assert(before === after)
+    assert(before.nonEmpty)
+  }
+
+  test("PQ serving from base + segments is bit-identical across " +
+       "segment compaction") {
+    val segDir = StreamAssembly.drainPqAppends(spark, sf,
+      col("vec_id") % 4 === 1, nFiles = 3, crashAfterBatches = 0)
+    val before = StreamAssembly.serveAccretedPq(spark, sf, segDir)
+      .collect().toSeq
+    val (nBefore, nAfter, _) = Storage.compactBatchSink(spark, segDir)
+    assert(nBefore > nAfter, s"compaction did not merge: $nBefore -> $nAfter")
+    val after = StreamAssembly.serveAccretedPq(spark, sf, segDir)
+      .collect().toSeq
+    assert(before === after)
+    assert(before.nonEmpty)
+  }
+
+  // ------------------------------------------------------------------
+  // 3. back-links route probes TO inserted vectors (planted geometry)
+  // ------------------------------------------------------------------
+
+  /** Planted geometry where the probes' true NNs arrived AFTER the
+    * base build: the base carries clusters 0..14 (integer centers in
+    * [−6, 6]); four NOVEL clusters (15..18) sit 1.5-per-dim away from
+    * base clusters 1, 4, 7, 10 — far beyond any cluster radius, yet
+    * with an unambiguous and DISTINCT nearest base region each, so
+    * insert descents attach where probe descents will look. Noise
+    * combines three coprime periods (5·7·11 = 385 > any point index),
+    * so every point is distinct and each probe has a unique exact NN.
+    * Each novel cluster holds [[KnnGraph.K]] inserts — the read-side
+    * back-link capacity per attachment vertex: a denser same-spot
+    * burst is exactly what the periodic segment fold into the base
+    * ([[Storage.compactBatchSink]] + rebuild) exists for.
+    */
+  private def plantedEmb(c: Int, i: Int): Seq[Float] =
+    Seq.tabulate(64) { d =>
+      val (bc, off) = if (c < 15) (c, 0f) else ((c - 15) * 3 + 1, 1.5f)
+      val center = ((bc * 31 + d * 17) % 13 - 6).toFloat + off
+      val noise = (((i * 13 + d * 7) % 5) - 2) * 0.01f +
+        (((i * 29 + d * 3) % 7) - 3) * 0.004f +
+        (((i * 37 + d * 11) % 11) - 5) * 0.0015f
+      center + noise
+    }
+
+  private def frame(rows: Seq[(Long, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.dot(col("embedding"), col("embedding")).as("sq"))
+  }
+
+  /** (base 2048 × clusters 0..14, inserts 4 novel clusters × K,
+    * probes 32 next to the novel centers with fresh noise seeds).
+    */
+  private def accretionFixture()
+      : (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(spark)
+    val base = frame((0 until 2048).map { i =>
+      (i.toLong, plantedEmb(i % 15, i))
+    }).localCheckpoint(true)
+    val inserted = frame((0 until 4 * KnnGraph.K).map { j =>
+      (10000L + j, plantedEmb(15 + j / KnnGraph.K, j))
+    }).localCheckpoint(true)
+    val probes = frame((0 until 32).map { i =>
+      (20000L + i, plantedEmb(15 + i / 8, i + 100))
+    }).select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("sq").as("q_sq"))
+      .localCheckpoint(true)
+    (base, inserted, probes)
+  }
+
+  test("NSW back-links make inserted vectors routable: probes whose " +
+       "true NN arrived after the base build find it via base + " +
+       "segments, and cannot without the reverse edges") {
+    val (base, inserted, probes) = accretionFixture()
+
+    val serve = KnnGraph.servingEdgesOf(base, KnnGraph.graphOf(base, 3))
+    // NSW insertion, batch twin of the drain: each insert's fan-out is
+    // its own descent beam over the frozen base
+    val seg = KnnGraph.greedySearch(
+        inserted.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb"), col("sq").as("q_sq")),
+        base, serve)
+      .filter(col("rn") <= KnnGraph.InsertFanout)
+      .select(col("q_id").as("vec_id"), col("v").as("nbr"),
+        floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
+      .localCheckpoint(true)
+    val aidx = base.unionByName(inserted).localCheckpoint(true)
+
+    def top1(edges: DataFrame): DataFrame =
+      KnnGraph.greedySearch(probes, aidx, edges)
+        .filter(col("rn") === 1).select(col("q_id"), col("v"))
+
+    // with back-links: every probe's match is an inserted vector and
+    // agrees with the exact NN
+    val acc = KnnGraph.accretedEdges(serve, seg)
+    val got = top1(acc).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 32)
+    val routed = got.count(_._2 >= 10000L)
+    assert(routed >= 29, s"only $routed/32 probes routed to inserts")
+    val bf = probes.crossJoin(aidx.select(col("vec_id").as("m_id"),
+        col("embedding").as("m_emb"), col("sq").as("m_sq")))
+      .withColumn("dist", col("q_sq") + col("m_sq") -
+        lit(2.0) * Similarity.dot(col("q_emb"), col("m_emb")))
+      .groupBy("q_id")
+      .agg(min(struct(col("dist"), col("m_id"))).as("best"))
+      .select(col("q_id"), col("best.m_id").as("bf_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val exact = got.count { case (q, v) => bf(q) == v }
+    assert(exact >= 29, s"only $exact/32 probes found the exact NN")
+
+    // forward-only (the pre-r16 write path): nothing points INTO the
+    // insert set, so no descent can ever return an inserted vector
+    val fwdOnly = serve
+      .union(seg.select(col("vec_id").as("src"), col("nbr").as("dst")))
+      .distinct()
+    val gotFwd = top1(fwdOnly).collect().map(_.getLong(1))
+    assert(gotFwd.forall(_ < 10000L),
+      "forward-only edges unexpectedly routed a probe to an insert")
+  }
+
+  test("accreted serving matches a fresh full rebuild on the planted " +
+       "geometry (recall parity, not just reachability)") {
+    val (base, inserted, probes) = accretionFixture()
+    val aidx = base.unionByName(inserted).localCheckpoint(true)
+
+    val serve = KnnGraph.servingEdgesOf(base, KnnGraph.graphOf(base, 3))
+    val seg = KnnGraph.greedySearch(
+        inserted.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb"), col("sq").as("q_sq")),
+        base, serve)
+      .filter(col("rn") <= KnnGraph.InsertFanout)
+      .select(col("q_id").as("vec_id"), col("v").as("nbr"),
+        floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
+    val accreted = KnnGraph.accretedEdges(serve, seg)
+    val rebuilt = KnnGraph.servingEdgesOf(aidx, KnnGraph.graphOf(aidx, 3))
+
+    val bf = probes.crossJoin(aidx.select(col("vec_id").as("m_id"),
+        col("embedding").as("m_emb"), col("sq").as("m_sq")))
+      .withColumn("dist", col("q_sq") + col("m_sq") -
+        lit(2.0) * Similarity.dot(col("q_emb"), col("m_emb")))
+      .groupBy("q_id")
+      .agg(min(struct(col("dist"), col("m_id"))).as("best"))
+      .select(col("q_id"), col("best.m_id").as("bf_id"))
+      .localCheckpoint(true)
+    def exactRate(edges: DataFrame): Double = {
+      val g = KnnGraph.greedySearch(probes, aidx, edges)
+        .filter(col("rn") === 1).select(col("q_id"), col("v"))
+      g.join(bf, "q_id").filter(col("v") === col("bf_id")).count() /
+        bf.count().toDouble
+    }
+    val accR = exactRate(accreted)
+    val rebR = exactRate(rebuilt)
+    // parity is the claim: serving between rebuilds must not lag a
+    // fresh rebuild. (On this geometry the accreted path can even WIN:
+    // the rebuild reaches an isolated 8-point novel cluster only
+    // through md5 long-range draws, while the back-links point at it
+    // from exactly the base region probes descend to — measured 0.75
+    // rebuilt; the assertions pin parity plus a sanity floor on both.)
+    assert(rebR >= 0.6, s"fresh rebuild recall too low: $rebR")
+    assert(accR >= math.max(rebR - 0.1, 0.8),
+      s"accreted serving recall $accR lags the fresh rebuild $rebR")
+  }
+
+  // ------------------------------------------------------------------
+  // 4. segment retention
+  // ------------------------------------------------------------------
+
+  test("segment retention drops expired batch=/segment= trees " +
+       "metadata-only and reads see exactly the survivors") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_seg_ttl").toString + "/segments"
+    (0L to 3L).foreach { id =>
+      Seq((id, id * 10)).toDF("batch_src", "value")
+        .write.mode("overwrite").parquet(s"$dir/batch=$id")
+    }
+    val dropped = Storage.applySegmentRetention(spark, dir, minBatchId = 2L)
+    assert(dropped === Seq(0L, 1L))
+    val left = spark.read.parquet(dir).select("batch_src")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(left === Seq(2L, 3L))
+    // idempotent: nothing below the horizon remains
+    assert(Storage.applySegmentRetention(spark, dir, 2L) === Nil)
+    // missing root is a no-op, not an error
+    assert(Storage.applySegmentRetention(spark, dir + "_nope", 2L) === Nil)
+  }
+
+  // ------------------------------------------------------------------
+  // 5. knob parsing
+  // ------------------------------------------------------------------
+
+  test("GRAFT_* knobs parse defensively: default when unset, loud " +
+       "named failure on garbage or non-positive values") {
+    assert(EnvKnobs.parsePosInt("GRAFT_X", None, 7) === 7)
+    assert(EnvKnobs.parsePosInt("GRAFT_X", Some("12"), 7) === 12)
+    assert(EnvKnobs.parsePosInt("GRAFT_X", Some(" 3 "), 7) === 3)
+    val bad = intercept[IllegalArgumentException] {
+      EnvKnobs.parsePosInt("GRAFT_X", Some("abc"), 7)
+    }
+    assert(bad.getMessage.contains("GRAFT_X"))
+    val zero = intercept[IllegalArgumentException] {
+      EnvKnobs.parsePosInt("GRAFT_X", Some("0"), 7)
+    }
+    assert(zero.getMessage.contains("GRAFT_X"))
+  }
+}
