@@ -263,6 +263,11 @@ object SparkEntry {
     "stream_pq_serve_accreted" ->
       ((s, d) =>
         graft.streaming.StreamAssembly.streamPqServeAccreted(s, d)),
+    // the FOLD that completes the lifecycle: segments + base seed a
+    // warm NN-descent rebuild over the merged population (1 round vs
+    // log_k n from random init)
+    "knn_graph_warm_rebuild" ->
+      ((s, d) => KnnGraph.knnGraphWarmRebuild(s, d)),
     "stream_pca_drift" ->
       ((s, d) => graft.streaming.StreamAssembly.streamPcaDrift(s, d)),
     "semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
@@ -1037,7 +1042,24 @@ object SparkEntry {
     * accreted (even ∪ inserted) population — everything stateless, so
     * this batch replay is bit-identical to the drained engine path.
     */
-  private def graphServeAccretedSql: String = {
+  private def graphServeAccretedSql: String =
+    accretedGraphPrefix + s""",
+      |aq AS MATERIALIZED (SELECT vec_id AS q_id, embedding,
+      |    list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+      |              for i in range(1, 65)]) AS q_sq
+      |  FROM embeddings WHERE vec_id % 4 = 3)""".stripMargin +
+      descentStack("a", "aidx", "aserve", "aq") + s"""
+      |SELECT q_id AS vec_id, v AS match_id,
+      |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
+      |FROM af${ops.KnnGraph.SearchHops} WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
+
+  /** Shared accreted-index CTE prefix (base even graph → insert-fleet
+    * descent → segments + derived back-links → accreted edge set
+    * `aserve` + accreted population `aidx`) — the serving oracle and
+    * the warm-rebuild oracle both continue from here.
+    */
+  private def accretedGraphPrefix: String = {
     val h = ops.KnnGraph.SearchHops
     knnGraphCteStack(" WHERE vec_id % 2 = 0") + s""",
       |serve AS MATERIALIZED (SELECT src, dst FROM gfin
@@ -1058,17 +1080,31 @@ object SparkEntry {
       |  UNION SELECT vec_id, nbr FROM seg
       |  UNION SELECT src, dst FROM rev),
       |aidx AS MATERIALIZED (SELECT vec_id, embedding, sq FROM e
-      |  UNION ALL SELECT q_id, embedding, q_sq FROM isrc),
-      |aq AS MATERIALIZED (SELECT vec_id AS q_id, embedding,
-      |    list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
-      |              for i in range(1, 65)]) AS q_sq
-      |  FROM embeddings WHERE vec_id % 4 = 3)""".stripMargin +
-      descentStack("a", "aidx", "aserve", "aq") + s"""
-      |SELECT q_id AS vec_id, v AS match_id,
-      |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
-      |FROM af$h WHERE rn = 1
-      |ORDER BY vec_id""".stripMargin
+      |  UNION ALL SELECT q_id, embedding, q_sq FROM isrc)""".stripMargin
   }
+
+  /** The warm-rebuild oracle ([[ops.KnnGraph.warmRebuildOf]]): score
+    * the accreted edge set once over the merged population, keep each
+    * vertex's k best, then ONE NN-descent round — the same general-
+    * neighbor exchange the cold build unrolls, seeded from converged
+    * neighborhoods instead of the md5 draw.
+    */
+  private def knnGraphWarmRebuildSql: String =
+    accretedGraphPrefix + s""",
+      |w0s AS MATERIALIZED (SELECT p.src, p.dst,
+      |  a.sq + b.sq - 2 * list_sum([a.embedding[i]::DOUBLE *
+      |    b.embedding[i]::DOUBLE for i in range(1, 65)]) AS dist
+      |  FROM (SELECT src, dst FROM aserve WHERE src <> dst) p
+      |  JOIN aidx a ON a.vec_id = p.src
+      |  JOIN aidx b ON b.vec_id = p.dst),
+      |w0 AS MATERIALIZED (SELECT src, dst, dist, rn AS rank FROM (
+      |  SELECT src, dst, dist, row_number() OVER (
+      |    PARTITION BY src ORDER BY dist, dst) AS rn FROM w0s)
+      |  WHERE rn <= ${ops.KnnGraph.K}),
+      |""".stripMargin + knnRoundSql("w0", "w1", "aidx") + """
+      |SELECT src AS vec_id, rank, dst AS nbr,
+      |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
+      |FROM w1 ORDER BY vec_id, rank""".stripMargin
 
   /** NN-descent k-NN-graph CTE stack (knn_graph_* oracles): md5-seeded
     * init lists, then [[ops.KnnGraph.Rounds]] unrolled refinement
@@ -1084,28 +1120,34 @@ object SparkEntry {
   /** [[knnGraphCtes]] with a predicate on the graph's index population
     * (the serving tier builds over the even half).
     */
+  /** One NN-descent refinement round as CTEs (general neighbors →
+    * candidates → exact rescore over `eCte` → per-vertex top-k) —
+    * shared by the cold-build stack and the warm-rebuild oracle.
+    */
+  private def knnRoundSql(prev: String, cur: String,
+                          eCte: String): String =
+    s"""${cur}g AS MATERIALIZED (SELECT src, dst FROM $prev
+       |  UNION ALL SELECT dst, src FROM $prev),
+       |${cur}c AS MATERIALIZED (
+       |  SELECT a.dst AS src, b.dst AS dst
+       |  FROM ${cur}g a JOIN ${cur}g b ON a.src = b.src
+       |  WHERE a.dst <> b.dst
+       |  UNION
+       |  SELECT src, dst FROM $prev),
+       |${cur}s AS MATERIALIZED (SELECT p.src, p.dst,
+       |  a.sq + b.sq - 2 * list_sum([a.embedding[i]::DOUBLE *
+       |    b.embedding[i]::DOUBLE for i in range(1, 65)]) AS dist
+       |  FROM ${cur}c p JOIN $eCte a ON a.vec_id = p.src
+       |  JOIN $eCte b ON b.vec_id = p.dst),
+       |$cur AS MATERIALIZED (SELECT src, dst, dist, rn AS rank FROM (
+       |  SELECT src, dst, dist, row_number() OVER (
+       |    PARTITION BY src ORDER BY dist, dst) AS rn FROM ${cur}s)
+       |  WHERE rn <= ${ops.KnnGraph.K})""".stripMargin
+
   private def knnGraphCteStack(idxWhere: String): String = {
     val k = ops.KnnGraph.K
-    def round(prev: String, cur: String): String =
-      s"""${cur}g AS MATERIALIZED (SELECT src, dst FROM $prev
-         |  UNION ALL SELECT dst, src FROM $prev),
-         |${cur}c AS MATERIALIZED (
-         |  SELECT a.dst AS src, b.dst AS dst
-         |  FROM ${cur}g a JOIN ${cur}g b ON a.src = b.src
-         |  WHERE a.dst <> b.dst
-         |  UNION
-         |  SELECT src, dst FROM $prev),
-         |${cur}s AS MATERIALIZED (SELECT p.src, p.dst,
-         |  a.sq + b.sq - 2 * list_sum([a.embedding[i]::DOUBLE *
-         |    b.embedding[i]::DOUBLE for i in range(1, 65)]) AS dist
-         |  FROM ${cur}c p JOIN e a ON a.vec_id = p.src
-         |  JOIN e b ON b.vec_id = p.dst),
-         |$cur AS MATERIALIZED (SELECT src, dst, dist, rn AS rank FROM (
-         |  SELECT src, dst, dist, row_number() OVER (
-         |    PARTITION BY src ORDER BY dist, dst) AS rn FROM ${cur}s)
-         |  WHERE rn <= $k)""".stripMargin
     val rounds = (1 to ops.KnnGraph.Rounds)
-      .map(r => round(if (r == 1) "r0" else s"r${r - 1}", s"r$r"))
+      .map(r => knnRoundSql(if (r == 1) "r0" else s"r${r - 1}", s"r$r", "e"))
     val names = "r0" +: (1 to ops.KnnGraph.Rounds).map(r => s"r$r")
     s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding,
        |    list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
@@ -3508,6 +3550,9 @@ object SparkEntry {
     // serving from the ACCRETED PQ index: insert fleet coded against
     // the frozen model, queries ADC-scored over base ∪ appended codes
     "stream_pq_serve_accreted" -> (pqServeAccretedSql),
+    // the warm fold: accreted edges seed one NN-descent round over the
+    // merged population
+    "knn_graph_warm_rebuild" -> (knnGraphWarmRebuildSql),
     // serving recall: stratum greedy top-1 vs exact brute-force top-1
     // over the even index (prices the bounded-beam descent)
     "graph_search_recall" -> (graphDescentCtes(

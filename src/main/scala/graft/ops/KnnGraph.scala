@@ -218,9 +218,17 @@ object KnnGraph {
     * explored-fraction recall — that honest number is exactly what
     * [[knnGraphRecall]] reports).
     */
-  private[graft] def graphOf(e0: DataFrame, rounds: Int): DataFrame = {
-    val e = e0
-        var edges = topK(withDist(initEdges(e), e)).localCheckpoint(true)
+  private[graft] def graphOf(e0: DataFrame, rounds: Int): DataFrame =
+    refineRounds(e0, topK(withDist(initEdges(e0), e0)), rounds)
+
+  /** The NN-descent refinement loop from an ARBITRARY scored starting
+    * adjacency — shared by the cold build ([[graphOf]], md5-random
+    * init) and the WARM rebuild ([[warmRebuildOf]], accreted-edge
+    * init).
+    */
+  private def refineRounds(e: DataFrame, edges0: DataFrame,
+                           rounds: Int): DataFrame = {
+        var edges = edges0.localCheckpoint(true)
         for (_ <- 1 to rounds) {
           val fwd = edges.select(col("src"), col("dst"))
           // general neighbors: forward ∪ reverse adjacency
@@ -239,6 +247,27 @@ object KnnGraph {
         }
         edges
   }
+
+  /** WARM incremental rebuild — the fold that closes the index
+    * lifecycle (the reference's background part merge,
+    * `clickhouse/init/01_init.sql:27-31`, as an index operation):
+    * instead of restarting NN-descent from the md5-random draw, seed
+    * it with the ACCRETED edge set (base k-NN ∪ long-range links ∪
+    * segment forward edges ∪ derived back-links — exactly what serving
+    * already composes), score that adjacency once, and refine for
+    * `rounds` (1 at the gate) over the merged population. The base
+    * vertices start at their already-converged neighborhoods and the
+    * inserted vertices start at their descent beams, so one round of
+    * general-neighbor exchange is enough to stitch both sides — vs
+    * ⌈log_k n⌉ rounds from random init (Round16Spec proves the gap on
+    * planted clusters). At 100 TB this is the difference between a
+    * nightly full rebuild and a cheap rolling fold.
+    */
+  private[graft] def warmRebuildOf(e: DataFrame, accEdges: DataFrame,
+                                   rounds: Int): DataFrame =
+    refineRounds(e,
+      topK(withDist(accEdges.filter(col("src") =!= col("dst")), e)),
+      rounds)
 
   /** The gated build: the finished graph's edge list, distances floored
     * to micro-units at source.
@@ -344,6 +373,32 @@ object KnnGraph {
       .union(fwd).union(rev)
       .distinct()
       .localCheckpoint(true)
+  }
+
+  /** The gated warm rebuild: inserts (vec_id ≡ 1 mod 4) NSW-descend
+    * the frozen even graph (the batch twin of the drain's segments —
+    * the drain itself is gated by `stream_graph_insert` /
+    * `stream_graph_serve_accreted`), the accreted edge set seeds
+    * [[warmRebuildOf]] over the merged population, and ONE refinement
+    * round yields the folded index's edge list.
+    */
+  def knnGraphWarmRebuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = corpus(spark, sfDir).filter(col("vec_id") % 2 === 0)
+    val inserted = corpus(spark, sfDir).filter(col("vec_id") % 4 === 1)
+    val seg = greedySearch(
+        inserted.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb"), col("sq").as("q_sq")),
+        base, servingGraph(spark, sfDir))
+      .filter(col("rn") <= InsertFanout)
+      .select(col("q_id").as("vec_id"), col("v").as("nbr"),
+        floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
+    val acc = accretedEdges(servingGraph(spark, sfDir), seg)
+    val e2 = base.unionByName(inserted)
+    warmRebuildOf(e2, acc, 1)
+      .select(col("src").as("vec_id"), col("rank").cast("long").as("rank"),
+        col("dst").as("nbr"),
+        floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
+      .orderBy("vec_id", "rank")
   }
 
   /** Serving recall: the md5-coin stratum's greedy top-1 vs its exact

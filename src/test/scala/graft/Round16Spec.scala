@@ -246,6 +246,30 @@ class Round16Spec extends SparkSpec {
       s"accreted serving recall $accR lags the fresh rebuild $rebR")
   }
 
+  test("warm rebuild from the accreted edges converges in ONE round " +
+       "where the cold md5-init build cannot: the fold is cheap") {
+    val (base, inserted, _) = accretionFixture()
+    val aidx = base.unionByName(inserted).localCheckpoint(true)
+    val serve = KnnGraph.servingEdgesOf(base, KnnGraph.graphOf(base, 3))
+    val seg = KnnGraph.greedySearch(
+        inserted.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb"), col("sq").as("q_sq")),
+        base, serve)
+      .filter(col("rn") <= KnnGraph.InsertFanout)
+      .select(col("q_id").as("vec_id"), col("v").as("nbr"),
+        floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
+    val acc = KnnGraph.accretedEdges(serve, seg)
+    def recallPpm(g: DataFrame): Long =
+      KnnGraph.recallOfFrames(aidx, g, 20)
+        .select("recall_ppm").head().getLong(0)
+    val warm1 = recallPpm(KnnGraph.warmRebuildOf(aidx, acc, 1))
+    val cold1 = recallPpm(KnnGraph.graphOf(aidx, 1))
+    info(s"warm 1-round recall $warm1 ppm vs cold 1-round $cold1 ppm")
+    assert(warm1 >= 850000L, s"warm rebuild recall too low: $warm1")
+    assert(warm1 > cold1,
+      s"warm rebuild ($warm1) no better than cold 1-round ($cold1)")
+  }
+
   // ------------------------------------------------------------------
   // 4. segment retention
   // ------------------------------------------------------------------
