@@ -694,7 +694,11 @@ class PlanSpec extends SparkSpec {
       "graph_search_recall" -> 5,
       // NB train+score fused plan + the two-phase bucket-offset decile
       // rank (offset cumsum over range-count rows, per-range window)
-      "nb_calibration" -> 7)
+      "nb_calibration" -> 7,
+      // r16 warm fold: the accreted seed scoring, the insert descent
+      // and the refinement round all checkpoint — the final plan is
+      // the projection + presentation sort over the slim edge leaf
+      "knn_graph_warm_rebuild" -> 1)
     val aggOrLimit = Set("HashAggregateExec", "ObjectHashAggregateExec",
       "SortAggregateExec", "TakeOrderedAndProjectExec", "GlobalLimitExec",
       "CollectLimitExec", "LocalLimitExec")

@@ -271,6 +271,51 @@ class Round16Spec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // 3b. plan pins for the accreted read side (the PlanSpec discipline,
+  // applied to the drain-dependent serving helpers the wholesale table
+  // cannot reach)
+  // ------------------------------------------------------------------
+
+  private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val nested = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => Nil
+    }
+    p +: (p.children ++ p.subqueries ++ nested).flatMap(flattenPlan)
+  }
+
+  test("accreted serving plans hold their exchange ceilings: graph " +
+       "serve is a projection over the checkpointed beam leaf, PQ " +
+       "serve shuffles only slim code/salt frames") {
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val segG = StreamAssembly.drainGraphInserts(spark, sf,
+      col("vec_id") % 4 === 1, nFiles = 3, crashAfterBatches = 0)
+    val segP = StreamAssembly.drainPqAppends(spark, sf,
+      col("vec_id") % 4 === 1, nFiles = 3, crashAfterBatches = 0)
+    val ceilings = Seq(
+      (StreamAssembly.serveAccretedGraph(spark, sf, segG), "graph", 1),
+      (StreamAssembly.serveAccretedPq(spark, sf, segP), "pq", 6))
+    ceilings.foreach { case (df, name, ceiling) =>
+      df.collect()
+      val plan = flattenPlan(df.queryExecution.executedPlan)
+      assert(!plan.exists(
+          _.getClass.getSimpleName.contains("CartesianProduct")),
+        s"$name: cartesian product")
+      assert(!plan.exists(_.expressions.exists(
+          _.exists(_.isInstanceOf[ScalaUDF]))), s"$name: ScalaUDF")
+      val n = plan.count(_.isInstanceOf[ShuffleExchangeExec])
+      info(s"serveAccreted $name: $n exchanges (ceiling $ceiling)")
+      assert(n <= ceiling, s"$name exchanges grew: $n > $ceiling")
+    }
+  }
+
+  // ------------------------------------------------------------------
   // 4. segment retention
   // ------------------------------------------------------------------
 
