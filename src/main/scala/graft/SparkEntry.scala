@@ -268,6 +268,10 @@ object SparkEntry {
     // log_k n from random init)
     "knn_graph_warm_rebuild" ->
       ((s, d) => KnnGraph.knnGraphWarmRebuild(s, d)),
+    // operational health of the accreted index: insert fan-in per
+    // attachment vertex + what the K-bound evicts (= when to fold)
+    "graph_attach_stats" ->
+      ((s, d) => KnnGraph.graphAttachStats(s, d)),
     "stream_pca_drift" ->
       ((s, d) => graft.streaming.StreamAssembly.streamPcaDrift(s, d)),
     "semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
@@ -3553,6 +3557,20 @@ object SparkEntry {
     // the warm fold: accreted edges seed one NN-descent round over the
     // merged population
     "knn_graph_warm_rebuild" -> (knnGraphWarmRebuildSql),
+    // accreted-index health: insert fan-in over attachment vertices and
+    // the links the K-bound evicts (the fold-scheduling signal)
+    "graph_attach_stats" -> (accretedGraphPrefix + s""",
+      |fan AS (SELECT nbr, count(*) AS fan_in FROM seg GROUP BY 1)
+      |SELECT count(*) AS n_attach_vertices,
+      |  CAST(sum(fan_in) AS BIGINT) AS n_links,
+      |  CAST(max(fan_in) AS BIGINT) AS max_fan_in,
+      |  CAST(sum(CASE WHEN fan_in > ${ops.KnnGraph.K} THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_overflow_vertices,
+      |  CAST(sum(CASE WHEN fan_in > ${ops.KnnGraph.K}
+      |    THEN fan_in - ${ops.KnnGraph.K} ELSE 0 END)
+      |    AS BIGINT) AS n_evicted_links,
+      |  (SELECT count(DISTINCT vec_id) FROM seg) AS n_inserts
+      |FROM fan""".stripMargin),
     // serving recall: stratum greedy top-1 vs exact brute-force top-1
     // over the even index (prices the bounded-beam descent)
     "graph_search_recall" -> (graphDescentCtes(

@@ -401,6 +401,40 @@ object KnnGraph {
       .orderBy("vec_id", "rank")
   }
 
+  /** Attachment-capacity monitoring for the accreted index — the
+    * operational health query behind the read-side back-link bound:
+    * each base vertex serves at most [[K]] reverse links, so when many
+    * inserts attach to the same neighborhood the overflow is EVICTED
+    * (deterministically) and those inserts lose routability until the
+    * warm fold. This reports the insert fan-in distribution over
+    * attachment vertices and how many links the K-bound evicts — the
+    * number an operator watches to schedule [[warmRebuildOf]], exactly
+    * as a ClickHouse operator watches part counts to judge merge
+    * pressure (`01_init.sql:27-31`). One row of exact integers.
+    */
+  def graphAttachStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = corpus(spark, sfDir).filter(col("vec_id") % 2 === 0)
+    val inserted = corpus(spark, sfDir).filter(col("vec_id") % 4 === 1)
+    val seg = greedySearch(
+        inserted.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb"), col("sq").as("q_sq")),
+        base, servingGraph(spark, sfDir))
+      .filter(col("rn") <= InsertFanout)
+      .select(col("q_id").as("vec_id"), col("v").as("nbr"))
+      .localCheckpoint(true)
+    val fan = seg.groupBy("nbr").agg(count(lit(1)).as("fan_in"))
+    fan.agg(
+        count(lit(1)).as("n_attach_vertices"),
+        sum(col("fan_in")).as("n_links"),
+        max(col("fan_in")).as("max_fan_in"),
+        sum(when(col("fan_in") > K, 1L).otherwise(0L))
+          .as("n_overflow_vertices"),
+        sum(when(col("fan_in") > K, col("fan_in") - K).otherwise(0L))
+          .as("n_evicted_links"))
+      .crossJoin(broadcast(
+        seg.agg(countDistinct(col("vec_id")).as("n_inserts"))))
+  }
+
   /** Serving recall: the md5-coin stratum's greedy top-1 vs its exact
     * brute-force top-1 over the even index (the annProbeRecall shape
     * instantiated on the graph family — prices what the bounded-beam

@@ -235,6 +235,7 @@ class Round16Spec extends SparkSpec {
     }
     val accR = exactRate(accreted)
     val rebR = exactRate(rebuilt)
+    info(s"accreted exact-NN rate $accR vs fresh rebuild $rebR")
     // parity is the claim: serving between rebuilds must not lag a
     // fresh rebuild. (On this geometry the accreted path can even WIN:
     // the rebuild reaches an isolated 8-point novel cluster only
