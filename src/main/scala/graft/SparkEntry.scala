@@ -272,6 +272,10 @@ object SparkEntry {
     // attachment vertex + what the K-bound evicts (= when to fold)
     "graph_attach_stats" ->
       ((s, d) => KnnGraph.graphAttachStats(s, d)),
+    // the PQ fold: refresh the frozen coarse axis over base + inserted
+    // (decimal-exact Lloyd round), re-code, report exact churn
+    "ivfpq_warm_refresh" ->
+      ((s, d) => Similarity.ivfpqWarmRefresh(s, d)),
     "stream_pca_drift" ->
       ((s, d) => graft.streaming.StreamAssembly.streamPcaDrift(s, d)),
     "semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
@@ -936,11 +940,16 @@ object SparkEntry {
     * per-row functions of the frozen model, so this batch replay is
     * bit-identical to the drained base ∪ segment read.
     */
-  private def pqServeAccretedSql: String = {
+  /** CTE chain coding the insert fleet (vec_id ≡ 1 mod 4) against the
+    * FROZEN even-half model — yields `isrc2` (the fleet with its sq)
+    * plus `icell`/`icodes` (its cell assignment and residual codes);
+    * shared by the accreted-PQ serving oracle and the warm-refresh
+    * oracle. Expects the `gcs`/`rcb` model CTEs in scope.
+    */
+  private def insertCodesCtes: String = {
     val m = ops.Similarity.PqSubspaces
     val d = ops.Similarity.PqSubDim
-    ivfpqCteStack(" WHERE vec_id % 2 = 0", 2 * ops.Similarity.IvfPqCells,
-      2 * ops.Similarity.PqCentroids, "vec_id % 4 = 3", "") + s""",
+    s""",
       |isrc2 AS (SELECT vec_id, embedding,
       |    list_sum([embedding[k]::DOUBLE * embedding[k]::DOUBLE
       |              for k in range(1, 65)]) AS sq
@@ -965,7 +974,14 @@ object SparkEntry {
       |icodes AS (SELECT vec_id, cell, s, cid FROM (
       |  SELECT *, row_number() OVER (
       |    PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rn
-      |  FROM ids2) WHERE rn = 1),
+      |  FROM ids2) WHERE rn = 1)""".stripMargin
+  }
+
+  private def pqServeAccretedSql: String = {
+    val m = ops.Similarity.PqSubspaces
+    ivfpqCteStack(" WHERE vec_id % 2 = 0", 2 * ops.Similarity.IvfPqCells,
+      2 * ops.Similarity.PqCentroids, "vec_id % 4 = 3", "") +
+      insertCodesCtes + s""",
       |allc AS (SELECT vec_id, cell, s, cid FROM rcodes
       |  UNION ALL SELECT vec_id, cell, s, cid FROM icodes),
       |adc2 AS (SELECT q.q_id, k.vec_id AS m_id,
@@ -979,6 +995,71 @@ object SparkEntry {
       |  SELECT *, row_number() OVER (
       |    PARTITION BY q_id ORDER BY adc_dist ASC, m_id ASC) AS rn
       |  FROM adc2) WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
+  /** The PQ warm-refresh oracle ([[ops.Similarity.ivfpqWarmRefresh]]):
+    * one decimal-exact Lloyd refresh of the FROZEN coarse axis over the
+    * merged (even ∪ inserted) population, full re-code of everything
+    * against the refreshed centroids (residual codebook kept — the
+    * standard production refresh), and the exact-integer churn report:
+    * how many vectors changed cells, how many codes changed per
+    * subspace.
+    */
+  private def ivfpqWarmRefreshSql: String = {
+    val m = ops.Similarity.PqSubspaces
+    val d = ops.Similarity.PqSubDim
+    ivfpqCteStack(" WHERE vec_id % 2 = 0", 2 * ops.Similarity.IvfPqCells,
+      2 * ops.Similarity.PqCentroids, "vec_id = 0", "") +
+      insertCodesCtes + s""",
+      |e2 AS MATERIALIZED (SELECT vec_id, embedding, sq FROM e
+      |  UNION ALL SELECT vec_id, embedding, sq FROM isrc2),
+      |oldcell AS MATERIALIZED (SELECT vec_id, cell FROM cells
+      |  UNION ALL SELECT vec_id, cell FROM icell),
+      |gm2 AS (SELECT oc.cell AS cid, g.i AS pos,
+      |    CAST(SUM(CAST(u.embedding[g.i]::DOUBLE AS DECIMAL(30,15)))
+      |      AS DOUBLE) / COUNT(*) AS comp
+      |  FROM oldcell oc JOIN e2 u USING (vec_id), range(1, 65) g(i)
+      |  GROUP BY 1, 2),
+      |gc2 AS (SELECT cid, list(comp ORDER BY pos) AS cemb
+      |  FROM gm2 GROUP BY 1),
+      |gcs2 AS MATERIALIZED (SELECT cid, cemb,
+      |  list_sum([cemb[i] * cemb[i] for i in range(1, 65)]) AS csq
+      |  FROM gc2),
+      |nd2 AS (SELECT u.vec_id, c.cid,
+      |    u.sq + c.csq - 2 * list_sum([u.embedding[i]::DOUBLE * c.cemb[i]
+      |                                 for i in range(1, 65)]) AS dist
+      |  FROM e2 u, gcs2 c),
+      |cells2 AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (
+      |  SELECT vec_id, cid, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM nd2)
+      |  WHERE rn = 1),
+      |nmv AS (SELECT count(*) AS n_cell_moved
+      |  FROM cells2 n JOIN oldcell o USING (vec_id)
+      |  WHERE n.cell <> o.cell),
+      |resid3 AS (SELECT u.vec_id, x.cell,
+      |    [u.embedding[i]::DOUBLE - c.cemb[i] for i in range(1, 65)] AS r
+      |  FROM e2 u JOIN cells2 x USING (vec_id)
+      |  JOIN gcs2 c ON c.cid = x.cell),
+      |rsub3 AS (SELECT vec_id, cell, t.s AS s,
+      |    [r[t.s * $d + i] for i in range(1, ${d + 1})] AS sv
+      |  FROM resid3, range(0, $m) t(s)),
+      |rds3 AS (SELECT u.vec_id, u.s, c.cid,
+      |    list_sum([u.sv[i] * u.sv[i] for i in range(1, ${d + 1})])
+      |  - 2 * list_sum([u.sv[i] * c.cv[i] for i in range(1, ${d + 1})])
+      |  + list_sum([c.cv[i] * c.cv[i] for i in range(1, ${d + 1})]) AS dist
+      |  FROM rsub3 u JOIN rcb c USING (s)),
+      |codes3 AS MATERIALIZED (SELECT vec_id, s, cid FROM (
+      |  SELECT vec_id, s, cid, row_number() OVER (
+      |    PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rn
+      |  FROM rds3) WHERE rn = 1),
+      |oldc AS (SELECT vec_id, s, cid FROM rcodes
+      |  UNION ALL SELECT vec_id, s, cid FROM icodes)
+      |SELECT CAST(n.s AS BIGINT) AS s, count(*) AS n_vectors,
+      |  CAST(sum(CASE WHEN n.cid <> o.cid THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_code_changed,
+      |  (SELECT n_cell_moved FROM nmv) AS n_cell_moved
+      |FROM codes3 n JOIN oldc o ON o.vec_id = n.vec_id AND o.s = n.s
+      |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** Greedy graph-descent CTE stack (graph_search / stream_graph_probe
@@ -3557,6 +3638,9 @@ object SparkEntry {
     // the warm fold: accreted edges seed one NN-descent round over the
     // merged population
     "knn_graph_warm_rebuild" -> (knnGraphWarmRebuildSql),
+    // the PQ fold: one decimal-exact Lloyd refresh of the frozen coarse
+    // axis over base ∪ inserted, full re-code, exact integer churn
+    "ivfpq_warm_refresh" -> (ivfpqWarmRefreshSql),
     // accreted-index health: insert fan-in over attachment vertices and
     // the links the K-bound evicts (the fold-scheduling signal)
     "graph_attach_stats" -> (accretedGraphPrefix + s""",

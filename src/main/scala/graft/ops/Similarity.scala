@@ -1862,6 +1862,90 @@ object Similarity {
         col("best.cid").cast("long").as("cid"))
   }
 
+  /** PQ WARM REFRESH — the fold on the compressed family (the graph
+    * family's sibling is [[graft.ops.KnnGraph.warmRebuildOf]]): one
+    * decimal-exact Lloyd refresh of the FROZEN coarse axis over the
+    * merged (base ∪ inserted) population, then a full re-code against
+    * the refreshed centroids with the residual codebook KEPT — the
+    * standard production refresh: the codebook is a property of
+    * residual geometry and drifts slowly, the coarse axis is what new
+    * data bends. Reports exact integer churn — vectors that changed
+    * cells, per-subspace code changes — the numbers that tell an
+    * operator whether the full codebook retrain is due. At 100 TB the
+    * refresh is one assignment pass + one coding pass, both row-local
+    * against broadcast models (centroid frame and codebook are
+    * model-bounded), plus one cell-keyed decimal-mean aggregate.
+    */
+  /** One Lloyd refresh step over `vecs` (vec_id, embedding) from the
+    * frozen axis `cents`: returns (old assignment (vec_id, cell,
+    * embedding), refreshed centroids (cid, cemb, csq) as decimal-exact
+    * per-(cell, dim) means of the assigned members). Split out so the
+    * spec can assert Lloyd monotonicity (a mean step never increases
+    * the total coarse distortion it was averaged over).
+    */
+  private[graft] def refreshCentroids(vecs: DataFrame, cents: DataFrame)
+      : (DataFrame, DataFrame) = {
+    // old assignment under the frozen axis (even rows replay the model
+    // build's own assignment; inserted rows the write path's)
+    val a0 = vecs
+      .select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("sq"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist",
+        col("sq") + col("csq") - lit(2.0) * dot(col("embedding"), col("cemb")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"))).as("best"),
+        first("embedding").as("embedding"))
+      .select(col("vec_id"), col("best.cid").as("cell"), col("embedding"))
+      .localCheckpoint(true)
+    // the refreshed centroid = decimal-exact per-(cell, dim) mean of
+    // the merged members (the coarseQuantize discipline)
+    val m1 = a0.select(col("cell").as("cid"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg((sum(col("v").cast("double").cast("decimal(30,15)")).cast("double") /
+        count(lit(1))).as("comp"))
+    val cents2 = m1.groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+        x => x.getField("comp")).as("cemb"))
+      .withColumn("csq", dot(col("cemb"), col("cemb")))
+      .localCheckpoint(true)
+    (a0, cents2)
+  }
+
+  def ivfpqWarmRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val (cents, cb, codesEven) = ivfpqProbeModel(spark, sfDir)
+    val e2 = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 0 || col("vec_id") % 4 === 1)
+      .select(col("vec_id"), col("embedding"))
+    val inserted = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 4 === 1)
+      .select(col("vec_id"), col("embedding"))
+    val (a0, cents2) = refreshCentroids(e2, cents)
+    val codes2 = ivfpqCode(e2, cents2, cb).localCheckpoint(true)
+    val oldCodes = codesEven
+      .select(col("vec_id"), col("s").cast("int").as("s"),
+        col("cid").as("cid_old"))
+      .union(ivfpqCode(inserted, cents, cb)
+        .select(col("vec_id"), col("s").cast("int").as("s"),
+          col("cid").as("cid_old")))
+    val moved = codes2.select(col("vec_id"), col("cell")).distinct()
+      .join(a0.select(col("vec_id"), col("cell").as("cell0")), "vec_id")
+      .filter(col("cell") =!= col("cell0"))
+      .agg(count(lit(1)).as("n_cell_moved"))
+    codes2
+      .select(col("vec_id"), col("s").cast("int").as("s"),
+        col("cid").as("cid_new"))
+      .join(oldCodes, Seq("vec_id", "s"))
+      .groupBy(col("s").cast("long").as("s"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("cid_new") =!= col("cid_old"), 1L).otherwise(0L))
+          .as("n_code_changed"))
+      .crossJoin(broadcast(moved))
+      .orderBy("s")
+  }
+
   /** IVF-PQ search with the exact re-rank stage (IVFADC+R, Jégou et
     * al. 2011 §VII — the production serving shape): ADC over the
     * probed cells keeps the top `r` candidates, ONLY those `r` rows

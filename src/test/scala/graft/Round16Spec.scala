@@ -316,6 +316,32 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  test("PQ coarse-axis refresh is Lloyd-monotone: refreshed centroids " +
+       "never increase the total coarse distortion over the merged " +
+       "population") {
+    graft.functions.GraftFunctions.register(spark)
+    val (cents, _, _) = Similarity.ivfpqProbeModel(spark, sf)
+    val e2 = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 2 === 0 || col("vec_id") % 4 === 1)
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val (_, cents2) = Similarity.refreshCentroids(e2, cents)
+    def totalDistortion(c: DataFrame): Double =
+      e2.select(col("vec_id"), col("embedding"),
+          Similarity.dot(col("embedding"), col("embedding")).as("sq"))
+        .crossJoin(broadcast(c))
+        .withColumn("dist", col("sq") + col("csq") -
+          lit(2.0) * Similarity.dot(col("embedding"), col("cemb")))
+        .groupBy("vec_id").agg(min(col("dist")).as("d"))
+        .agg(sum(col("d"))).head().getDouble(0)
+    val before = totalDistortion(cents)
+    val after = totalDistortion(cents2)
+    info(s"coarse distortion $before -> $after")
+    assert(after <= before + 1e-9,
+      s"Lloyd refresh increased distortion: $before -> $after")
+    assert(after > 0.0)
+  }
+
   // ------------------------------------------------------------------
   // 4. segment retention
   // ------------------------------------------------------------------
