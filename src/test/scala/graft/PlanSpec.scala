@@ -698,7 +698,13 @@ class PlanSpec extends SparkSpec {
       // r16 warm fold: the accreted seed scoring, the insert descent
       // and the refinement round all checkpoint — the final plan is
       // the projection + presentation sort over the slim edge leaf
-      "knn_graph_warm_rebuild" -> 1)
+      "knn_graph_warm_rebuild" -> 1,
+      // r16 PQ refresh: the old-assignment argmin combine, the
+      // cell-keyed decimal-mean pair, the re-code argmin combines and
+      // the two churn-report folds — every exchange carries a
+      // model-bounded or 8-int-per-vector code frame, the raw corpus
+      // never shuffles
+      "ivfpq_warm_refresh" -> 7)
     val aggOrLimit = Set("HashAggregateExec", "ObjectHashAggregateExec",
       "SortAggregateExec", "TakeOrderedAndProjectExec", "GlobalLimitExec",
       "CollectLimitExec", "LocalLimitExec")
