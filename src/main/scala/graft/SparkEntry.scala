@@ -272,6 +272,17 @@ object SparkEntry {
     // attachment vertex + what the K-bound evicts (= when to fold)
     "graph_attach_stats" ->
       ((s, d) => KnnGraph.graphAttachStats(s, d)),
+    // the DELETE letter of the lifecycle: tombstone segments drained
+    // per micro-batch (deletes are data — CK lightweight DELETE),
+    // masked serving on both families, and the physical fold
+    "stream_graph_serve_deleted" ->
+      ((s, d) =>
+        graft.streaming.StreamAssembly.streamGraphServeDeleted(s, d)),
+    "stream_pq_serve_deleted" ->
+      ((s, d) =>
+        graft.streaming.StreamAssembly.streamPqServeDeleted(s, d)),
+    "knn_graph_rebuild_deleted" ->
+      ((s, d) => KnnGraph.knnGraphRebuildDeleted(s, d)),
     // the PQ fold: refresh the frozen coarse axis over base + inserted
     // (decimal-exact Lloyd round), re-code, report exact churn
     "ivfpq_warm_refresh" ->
@@ -1167,6 +1178,31 @@ object SparkEntry {
       |aidx AS MATERIALIZED (SELECT vec_id, embedding, sq FROM e
       |  UNION ALL SELECT q_id, embedding, q_sq FROM isrc)""".stripMargin
   }
+
+  /** The delete-masked graph-serving oracle ([[graft.streaming
+    * .StreamAssembly.streamGraphServeDeleted]]): the query fleet
+    * (vec_id ≡ 3 mod 4) descends the frozen even graph UNCHANGED
+    * (tombstoned vertices still route — the Lucene/CK-mask posture),
+    * and the mask applies at result time: the final beam drops
+    * tombstoned members (vec_id ≡ 6 mod 8, the drained fixture) and
+    * the best live member answers. A fully-tombstoned beam drops the
+    * query on both engines.
+    */
+  private def graphServeDeletedSql: String =
+    knnGraphCteStack(" WHERE vec_id % 2 = 0") + s""",
+      |serve AS MATERIALIZED (SELECT src, dst FROM gfin
+      |  UNION SELECT src, dst FROM init),
+      |dq AS MATERIALIZED (SELECT vec_id AS q_id, embedding,
+      |    list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+      |              for i in range(1, 65)]) AS q_sq
+      |  FROM embeddings WHERE vec_id % 4 = 3)""".stripMargin +
+      descentStack("d", "e", "serve", "dq") + s"""
+      |SELECT q_id AS vec_id, v AS match_id,
+      |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
+      |FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY dist, v) AS rn2
+      |  FROM df${ops.KnnGraph.SearchHops} WHERE v % 8 <> 6) t
+      |WHERE rn2 = 1 ORDER BY vec_id""".stripMargin
 
   /** The warm-rebuild oracle ([[ops.KnnGraph.warmRebuildOf]]): score
     * the accreted edge set once over the merged population, keep each
@@ -3641,6 +3677,26 @@ object SparkEntry {
     // the PQ fold: one decimal-exact Lloyd refresh of the frozen coarse
     // axis over base ∪ inserted, full re-code, exact integer churn
     "ivfpq_warm_refresh" -> (ivfpqWarmRefreshSql),
+    // delete-masked graph serving: descent unchanged (tombstones still
+    // route), mask applied to the final beam, best live member answers
+    "stream_graph_serve_deleted" -> (graphServeDeletedSql),
+    // delete-masked PQ serving: tombstoned code rows anti-joined at
+    // scan (mask pushdown — ADC is per-row pure, early ≡ late mask)
+    "stream_pq_serve_deleted" -> (ivfpqCteStack(
+      " WHERE vec_id % 2 = 0", 2 * ops.Similarity.IvfPqCells,
+      2 * ops.Similarity.PqCentroids, "vec_id % 4 = 3",
+      "\n  WHERE k.vec_id % 8 <> 6") + """
+        |SELECT q_id AS vec_id, m_id AS match_id, adc_dist FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY adc_dist ASC, m_id ASC) AS rn
+        |  FROM adc) WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+    // the physical delete fold: cold rebuild over the live population
+    // only — after the fold no edge touches a deleted vertex
+    "knn_graph_rebuild_deleted" -> (knnGraphCteStack(
+      " WHERE vec_id % 2 = 0 AND vec_id % 8 <> 6") + """
+        |SELECT src AS vec_id, rank, dst AS nbr,
+        |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
+        |FROM gfin ORDER BY vec_id, rank""".stripMargin),
     // accreted-index health: insert fan-in over attachment vertices and
     // the links the K-bound evicts (the fold-scheduling signal)
     "graph_attach_stats" -> (accretedGraphPrefix + s""",

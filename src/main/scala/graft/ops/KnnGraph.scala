@@ -401,6 +401,32 @@ object KnnGraph {
       .orderBy("vec_id", "rank")
   }
 
+  /** The PHYSICAL delete fold: rebuild the even-half index graph over
+    * the LIVE population only (vec_id ≢ 6 mod 8 — the quarter the
+    * tombstone drain deleted, [[graft.streaming.StreamAssembly
+    * .tombstoneFixture]]), which is what a MergeTree merge does to
+    * masked rows (`clickhouse/init/01_init.sql:27-31` + lightweight
+    * DELETE: the mask is applied at SELECT until a merge rewrites the
+    * part WITHOUT the deleted rows) and what an HNSW rebuild does to
+    * tombstoned vertices. After the fold no edge touches a deleted
+    * vertex — serving needs no mask and pays no dead routing hops.
+    * Same cold NN-descent as [[knnGraphBuild]], 25% smaller
+    * population; the gated edge list proves the fold end-to-end
+    * against the oracle's replay over the identical live set.
+    */
+  def knnGraphRebuildDeleted(spark: SparkSession, sfDir: String): DataFrame =
+    graphCache.synchronized {
+      graphCache.getOrElseUpdate(
+        (spark.sparkContext, sfDir, Rounds, "even-live"),
+        graphOf(corpus(spark, sfDir)
+          .filter(col("vec_id") % 2 === 0 && col("vec_id") % 8 =!= 6),
+          Rounds))
+    }
+      .select(col("src").as("vec_id"), col("rank").cast("long").as("rank"),
+        col("dst").as("nbr"),
+        floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
+      .orderBy("vec_id", "rank")
+
   /** Attachment-capacity monitoring for the accreted index — the
     * operational health query behind the read-side back-link bound:
     * each base vertex serves at most [[K]] reverse links, so when many

@@ -2916,6 +2916,159 @@ object StreamAssembly {
       .orderBy("vec_id")
   }
 
+  /** The DELETE write path — tombstone segments, the missing CRUD
+    * letter of the index lifecycle (insert: [[streamGraphInsert]] /
+    * [[streamPqIndexAppend]]; read: the accreted serves; fold:
+    * [[graft.ops.KnnGraph.warmRebuildOf]]): delete requests for index
+    * vectors arrive in micro-batches (the CDC shape) and each batch
+    * appends its ids as an idempotent `batch=<id>` tombstone segment —
+    * deletes are DATA, exactly ClickHouse's lightweight DELETE
+    * (`_row_exists` mask rows written beside the parts, applied at
+    * SELECT, folded out at the next merge) and Iceberg/Lucene delete
+    * files. Nothing in the base index is touched at delete time, so
+    * the path is O(deletes), never O(index). Returns the segment dir.
+    */
+  private[graft] def drainTombstones(spark: SparkSession, sfDir: String,
+                                     deleted: org.apache.spark.sql.Column,
+                                     nFiles: Int,
+                                     crashAfterBatches: Int): String = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_tombstones").toString
+    val outDir = s"$tmp/segments"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = s"$tmp/incoming"
+    graft.Tables.embeddings(spark, sfDir)
+      .filter(deleted)
+      .select(col("vec_id"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(srcDir)
+    withDrainConf(spark) { ds =>
+      val idSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType)))
+      def drain(arm: CrashArm): Unit = {
+        val stream = ds.readStream
+          .schema(idSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir)
+        val query = stream.writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckptDir)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            batch.select(col("vec_id"))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/batch=$id")
+            arm.maybeCrash(id)
+            ()
+          }
+          .start()
+        query.awaitTermination()
+      }
+      runWithInjectedCrash(drain, crashAfterBatches)
+    }
+    outDir
+  }
+
+  /** Tombstoned vec_ids ∧ even — the delete fixture shared by both
+    * masked-serving gates: one quarter of the even-half base index
+    * (vec_id ≡ 6 mod 8) is deleted.
+    */
+  private[graft] def tombstoneFixture: org.apache.spark.sql.Column =
+    col("vec_id") % 2 === 0 && col("vec_id") % 8 === 6
+
+  /** SERVING THE GRAPH INDEX UNDER A DELETE MASK — the read side of
+    * [[drainTombstones]] on the graph family: the query fleet
+    * (vec_id ≡ 3 mod 4) greedy-descends the frozen even-half graph
+    * UNCHANGED — tombstoned vertices still ROUTE, exactly as Lucene's
+    * deleted docs stay in the postings lists and ClickHouse's masked
+    * rows stay in the part until a merge rewrites it; ripping vertices
+    * out of a navigable graph at delete time would disconnect regions
+    * and is precisely what production graph indexes (FAISS/HNSW
+    * tombstoning) avoid — and the MASK applies at result time: the
+    * final beam anti-joins the read-back tombstone segments and the
+    * best LIVE beam member answers the query. A query whose entire
+    * beam is tombstoned drops out (both engines identically) — the
+    * operational signal that the physical fold
+    * ([[graft.ops.KnnGraph.knnGraphRebuildDeleted]]) is due.
+    */
+  def streamGraphServeDeleted(spark: SparkSession, sfDir: String,
+                              nFiles: Int = 3): DataFrame = {
+    val tombDir = drainTombstones(spark, sfDir, tombstoneFixture,
+      nFiles, crashAfterBatches = 0)
+    serveDeletedGraph(spark, sfDir, tombDir)
+  }
+
+  /** The batch read side of [[streamGraphServeDeleted]], split out for
+    * the compaction-invariance spec (re-served from the SAME tombstone
+    * directory after [[graft.storage.Storage.compactBatchSink]]).
+    */
+  private[graft] def serveDeletedGraph(spark: SparkSession, sfDir: String,
+                                       tombDir: String): DataFrame = {
+    import graft.ops.{KnnGraph, Similarity}
+    graft.functions.GraftFunctions.register(spark)
+    val tomb = spark.read.parquet(tombDir).select(col("vec_id").as("t_id"))
+    val idx = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.dot(col("embedding"), col("embedding")).as("sq"))
+    val qs = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 4 === 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        Similarity.dot(col("embedding"), col("embedding")).as("q_sq"))
+    KnnGraph.greedySearch(qs, idx, KnnGraph.servingGraph(spark, sfDir))
+      .join(broadcast(tomb), col("v") === col("t_id"), "left_anti")
+      .groupBy("q_id")
+      .agg(min(struct(col("dist"), col("v"))).as("best"))
+      .select(col("q_id").as("vec_id"), col("best.v").as("match_id"),
+        floor(col("best.dist") * lit(1e6)).cast("long").as("dist_u"))
+      .orderBy("vec_id")
+  }
+
+  /** SERVING THE PQ INDEX UNDER A DELETE MASK —
+    * [[streamGraphServeDeleted]]'s sibling on the compressed family:
+    * tombstones drain as `batch=<id>` segments, and the query fleet
+    * (vec_id ≡ 3 mod 4) ADC-scores the frozen even-half codes with the
+    * read-back tombstone set anti-joined off the code rows BEFORE the
+    * scoring join — the mask applies at scan, so deleted vectors cost
+    * nothing per query (the `_row_exists` pushdown posture; on the
+    * code family masking before or after scoring is provably identical
+    * because ADC is a pure per-row function, which is why this family
+    * masks early while the graph family must mask late). Top-1 live
+    * code row per probe.
+    */
+  def streamPqServeDeleted(spark: SparkSession, sfDir: String,
+                           nFiles: Int = 3): DataFrame = {
+    val tombDir = drainTombstones(spark, sfDir, tombstoneFixture,
+      nFiles, crashAfterBatches = 0)
+    serveDeletedPq(spark, sfDir, tombDir)
+  }
+
+  /** The batch read side of [[streamPqServeDeleted]], split out for
+    * the compaction-invariance spec.
+    */
+  private[graft] def serveDeletedPq(spark: SparkSession, sfDir: String,
+                                    tombDir: String): DataFrame = {
+    import graft.ops.Similarity
+    graft.functions.GraftFunctions.register(spark)
+    val tomb = spark.read.parquet(tombDir).select(col("vec_id").as("t_id"))
+    val (centsS, cbS, codesEven) = Similarity.ivfpqProbeModel(spark, sfDir)
+    val codes = codesEven
+      .join(broadcast(tomb), col("vec_id") === col("t_id"), "left_anti")
+      .select(col("vec_id").as("m_id"), col("cell"),
+        col("s").cast("int").as("s"), col("cid"))
+    val qs = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 4 === 3)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val qtab = Similarity.cellResidualTables(qs, centsS, cbS)
+    Similarity.adcScoresCell(codes, qtab, boundedQueries = false)
+      .groupBy("q_id")
+      .agg(min(struct(col("adc"), col("m_id"))).as("best"))
+      .select(col("q_id").as("vec_id"), col("best.m_id").as("match_id"),
+        col("best.adc").as("adc_dist"))
+      .orderBy("vec_id")
+  }
+
   /** ONLINE CLASSIFIER FILTER drained end-to-end — the trained-model
     * serving stage of the curation tier (a crawl pipeline classifies
     * documents AS THEY ARRIVE against a model trained on the

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.KnnGraph
+import graft.storage.Storage
+import graft.streaming.StreamAssembly
+
+/** The DELETE letter of the index lifecycle (tombstone segments →
+  * masked serving → physical fold), the session's missing-CRUD
+  * closure over the r16 accreted-index work:
+  *
+  *  1. masked serving NEVER returns a tombstoned vector, on either
+  *     family, and the mask genuinely bites (some unmasked answer was
+  *     a tombstone — the assertion isn't vacuous);
+  *  2. on the PQ family the early (scan-side) mask is provably equal
+  *     to the late (result-side) mask — ADC is a pure per-row
+  *     function, which is the license for pushing `_row_exists` down;
+  *  3. the physical fold ([[KnnGraph.knnGraphRebuildDeleted]]) leaves
+  *     no edge touching a deleted vertex;
+  *  4. masked serving is invariant under tombstone-segment compaction
+  *     (the mask is a SET of ids — merges must not change reads);
+  *  5. the tombstone drain survives an injected crash between sink
+  *     write and checkpoint commit (idempotent `batch=<id>` replay).
+  */
+class LifecycleSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.count() === b.count())
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
+
+  test("masked graph serving never returns a tombstoned vector, and " +
+       "the mask bites (unmasked serving DID answer with tombstones)") {
+    val masked = StreamAssembly.streamGraphServeDeleted(spark, sf)
+      .localCheckpoint(true)
+    assert(masked.filter(col("match_id") % 8 === 6).count() === 0)
+    assert(masked.count() > 0)
+    // non-vacuous: the unmasked fleet serving must have answered some
+    // queries with a vec_id ≡ 6 mod 8 vector, or the mask tested nothing
+    val unmaskedHits = KnnGraph.graphSearch(spark, sf)
+      .filter(col("vec_id") % 4 === 3 && col("match_id") % 8 === 6)
+      .count()
+    assert(unmaskedHits > 0)
+  }
+
+  test("masked PQ serving never returns a tombstoned vector, and the " +
+       "scan-side mask equals the result-side mask (ADC is per-row pure)") {
+    val tombDir = StreamAssembly.drainTombstones(spark, sf,
+      StreamAssembly.tombstoneFixture, nFiles = 3, crashAfterBatches = 0)
+    val early = StreamAssembly.serveDeletedPq(spark, sf, tombDir)
+      .localCheckpoint(true)
+    assert(early.filter(col("match_id") % 8 === 6).count() === 0)
+    assert(early.count() > 0)
+    // late mask: ADC over ALL code rows, then the best non-deleted
+    import graft.ops.Similarity
+    graft.functions.GraftFunctions.register(spark)
+    val (centsS, cbS, codesEven) = Similarity.ivfpqProbeModel(spark, sf)
+    val codes = codesEven.select(col("vec_id").as("m_id"), col("cell"),
+      col("s").cast("int").as("s"), col("cid"))
+    val qs = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 4 === 3)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val qtab = Similarity.cellResidualTables(qs, centsS, cbS)
+    val late = Similarity.adcScoresCell(codes, qtab, boundedQueries = false)
+      .filter(col("m_id") % 8 =!= 6)
+      .groupBy("q_id")
+      .agg(min(struct(col("adc"), col("m_id"))).as("best"))
+      .select(col("q_id").as("vec_id"), col("best.m_id").as("match_id"),
+        col("best.adc").as("adc_dist"))
+    assertSameRows(early, late)
+  }
+
+  test("the physical delete fold leaves no edge touching a deleted " +
+       "vertex") {
+    val folded = KnnGraph.knnGraphRebuildDeleted(spark, sf)
+      .localCheckpoint(true)
+    assert(folded.filter(col("vec_id") % 8 === 6).count() === 0)
+    assert(folded.filter(col("nbr") % 8 === 6).count() === 0)
+    assert(folded.count() > 0)
+  }
+
+  test("masked graph serving is bit-identical across tombstone-segment " +
+       "compaction") {
+    val tombDir = StreamAssembly.drainTombstones(spark, sf,
+      StreamAssembly.tombstoneFixture, nFiles = 3, crashAfterBatches = 0)
+    val before = StreamAssembly.serveDeletedGraph(spark, sf, tombDir)
+      .collect().toSeq
+    val (nBefore, nAfter, _) = Storage.compactBatchSink(spark, tombDir)
+    assert(nBefore >= 3) // one file per drained micro-batch
+    assert(nAfter < nBefore)
+    val after = StreamAssembly.serveDeletedGraph(spark, sf, tombDir)
+      .collect().toSeq
+    assert(before === after)
+  }
+
+  test("tombstone drain killed between sink write and checkpoint commit " +
+       "resumes to the bit-identical tombstone set") {
+    val crashedDir = StreamAssembly.drainTombstones(spark, sf,
+      StreamAssembly.tombstoneFixture, nFiles = 3, crashAfterBatches = 2)
+    val cleanDir = StreamAssembly.drainTombstones(spark, sf,
+      StreamAssembly.tombstoneFixture, nFiles = 3, crashAfterBatches = 0)
+    assertSameRows(
+      spark.read.parquet(crashedDir).select("vec_id"),
+      spark.read.parquet(cleanDir).select("vec_id"))
+    assert(spark.read.parquet(crashedDir).count() > 0)
+  }
+}
