@@ -283,6 +283,15 @@ object SparkEntry {
         graft.streaming.StreamAssembly.streamPqServeDeleted(s, d)),
     "knn_graph_rebuild_deleted" ->
       ((s, d) => KnnGraph.knnGraphRebuildDeleted(s, d)),
+    // the LSH family's lifecycle: signature segments appended row-
+    // locally (nothing to train — the planes are a pure function), and
+    // bucket-join serving over base ∪ segments (purely additive index)
+    "stream_lsh_index_append" ->
+      ((s, d) =>
+        graft.streaming.StreamAssembly.streamLshIndexAppend(s, d)),
+    "stream_lsh_serve_accreted" ->
+      ((s, d) =>
+        graft.streaming.StreamAssembly.streamLshServeAccreted(s, d)),
     // the PQ fold: refresh the frozen coarse axis over base + inserted
     // (decimal-exact Lloyd round), re-code, report exact churn
     "ivfpq_warm_refresh" ->
@@ -1177,6 +1186,67 @@ object SparkEntry {
       |  UNION SELECT src, dst FROM rev),
       |aidx AS MATERIALIZED (SELECT vec_id, embedding, sq FROM e
       |  UNION ALL SELECT q_id, embedding, q_sq FROM isrc)""".stripMargin
+  }
+
+  /** 56-plane (7 bands × 8 bits) LSH signature + norm CTE over an
+    * `embeddings` slice — the production banding of
+    * [[ops.Dedup.embeddingNearDupsLshCapped]], shared by the LSH
+    * index-lifecycle oracles. Plane signs derive from md5("p,d")
+    * first-byte parity in both engines; per-plane dots fold in dim
+    * order, so signatures are bit-identical.
+    */
+  private def lshIndexSigsSql(where: String): String = {
+    val bb = graft.streaming.StreamAssembly.LshIndexBandBits
+    val nb = graft.streaming.StreamAssembly.LshIndexBands
+    s"""sigs AS (SELECT vec_id, embedding,
+      |  list_sum([
+      |    CASE WHEN list_sum([
+      |      CASE WHEN (('0x' || substr(md5(p::VARCHAR || ',' ||
+      |        (i-1)::VARCHAR), 1, 2))::INT & 1) = 0
+      |      THEN embedding[i]::DOUBLE ELSE -embedding[i]::DOUBLE END
+      |      for i in range(1, 65)]) > 0
+      |    THEN (1::BIGINT << p) ELSE 0 END
+      |    for p in range(0, ${bb * nb})])::BIGINT AS sig,
+      |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+      |                 for i in range(1, 65)])) AS nrm
+      |  FROM embeddings$where)""".stripMargin
+  }
+
+  /** The accreted-LSH serving oracle ([[graft.streaming.StreamAssembly
+    * .streamLshServeAccreted]]): band the accreted signature set (even
+    * base ∪ the ≡ 1 mod 4 insert fleet — signatures are pure row
+    * functions, so the segment replay is the same expression), skip
+    * overfull buckets, candidates from the (band, bucket) equi-join of
+    * the ≡ 3 mod 4 query fleet, exact-cosine top-1.
+    */
+  private def lshServeAccretedSql: String = {
+    val bb = graft.streaming.StreamAssembly.LshIndexBandBits
+    val nb = graft.streaming.StreamAssembly.LshIndexBands
+    s"""WITH ${lshIndexSigsSql("")},
+      |idx AS (SELECT vec_id, sig FROM sigs
+      |  WHERE vec_id % 2 = 0 OR vec_id % 4 = 1),
+      |banded AS (SELECT vec_id, bd.band,
+      |    (sig >> (bd.band * $bb)) & ${(1 << bb) - 1} AS bucket
+      |  FROM idx, range(0, $nb) bd(band)),
+      |kept AS (SELECT banded.* FROM banded
+      |  JOIN (SELECT band, bucket FROM banded GROUP BY 1, 2
+      |        HAVING count(*) <= ${ops.Dedup.LshBucketCap})
+      |    USING (band, bucket)),
+      |q AS (SELECT vec_id AS q_id, sig FROM sigs WHERE vec_id % 4 = 3),
+      |qb AS (SELECT q_id, bd.band,
+      |    (sig >> (bd.band * $bb)) & ${(1 << bb) - 1} AS bucket
+      |  FROM q, range(0, $nb) bd(band)),
+      |cand AS (SELECT DISTINCT qb.q_id, k.vec_id AS m_id
+      |  FROM qb JOIN kept k USING (band, bucket)),
+      |scored AS (SELECT c.q_id, c.m_id,
+      |    list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+      |              for i in range(1, 65)]) / (a.nrm * b.nrm) AS cosine
+      |  FROM cand c JOIN sigs a ON a.vec_id = c.q_id
+      |  JOIN sigs b ON b.vec_id = c.m_id)
+      |SELECT q_id AS vec_id, m_id AS match_id, cosine FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY cosine DESC, m_id ASC) AS rn
+      |  FROM scored) WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
 
   /** The delete-masked graph-serving oracle ([[graft.streaming
@@ -3690,6 +3760,14 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY q_id ORDER BY adc_dist ASC, m_id ASC) AS rn
         |  FROM adc) WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+    // the LSH write path: incoming vectors signed row-locally against
+    // the frozen deterministic planes, appended as (vec_id, sig) rows
+    "stream_lsh_index_append" ->
+      (s"""WITH ${lshIndexSigsSql(" WHERE vec_id % 2 = 1")}
+        |SELECT vec_id, sig FROM sigs ORDER BY vec_id""".stripMargin),
+    // bucket-join serving over the accreted signature set — inserted
+    // vectors findable the moment their segment lands (additive index)
+    "stream_lsh_serve_accreted" -> (lshServeAccretedSql),
     // the physical delete fold: cold rebuild over the live population
     // only — after the fold no edge touches a deleted vertex
     "knn_graph_rebuild_deleted" -> (knnGraphCteStack(

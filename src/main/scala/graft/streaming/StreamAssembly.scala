@@ -3069,6 +3069,170 @@ object StreamAssembly {
       .orderBy("vec_id")
   }
 
+  /** Production banding geometry of the LSH index lifecycle — 7 bands
+    * of 8 bits (256 buckets/band, 56 hyperplanes), the
+    * [[graft.ops.Dedup.embeddingNearDupsLshCapped]] scheme — one
+    * constant pair binds the append drain, accreted serving, and both
+    * oracles.
+    */
+  private[graft] val LshIndexBandBits = 8
+  private[graft] val LshIndexBands = 7
+
+  /** The LSH-index WRITE path — the third ANN family's streaming
+    * maintenance, completing lifecycle symmetry with
+    * [[streamPqIndexAppend]] (codes) and [[streamGraphInsert]]
+    * (edges): each micro-batch of incoming vectors is SIGNED row-
+    * locally against the frozen hyperplane set (the md5-derived ±1
+    * planes of [[graft.ops.Similarity.lshSignature]] — the "model" is
+    * a pure deterministic function, so unlike the PQ/graph families
+    * there is nothing to train, broadcast, or refresh) and appends its
+    * (vec_id, sig) rows as idempotent `segment=<id>` trees. The LSH
+    * family is the one whose index is PURELY ADDITIVE: serving is a
+    * bucket equi-join over the union of signature rows, so the fold is
+    * exactly [[graft.storage.Storage.compactBatchSink]] — no warm
+    * rebuild, no model churn, which is why production systems reach
+    * for LSH when ingest dominates.
+    */
+  def streamLshIndexAppend(spark: SparkSession, sfDir: String,
+                           nFiles: Int = 3,
+                           crashAfterBatches: Int = 0): DataFrame = {
+    val outDir = drainLshAppends(spark, sfDir, col("vec_id") % 2 === 1,
+      nFiles, crashAfterBatches)
+    spark.read.parquet(outDir)
+      .select(col("vec_id"), col("sig"))
+      .orderBy("vec_id")
+  }
+
+  /** The signature-append drain shared by [[streamLshIndexAppend]]
+    * (gate = the appended rows) and [[streamLshServeAccreted]] (gate =
+    * queries served from base ∪ segments). Returns the segment dir.
+    */
+  private[graft] def drainLshAppends(spark: SparkSession, sfDir: String,
+                                     fleet: org.apache.spark.sql.Column,
+                                     nFiles: Int,
+                                     crashAfterBatches: Int): String = {
+    import java.nio.file.Files
+    import graft.ops.Similarity
+    val tmp = Files.createTempDirectory("graft_lsh_append").toString
+    val outDir = s"$tmp/segments"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = s"$tmp/incoming"
+    graft.Tables.embeddings(spark, sfDir)
+      .filter(fleet)
+      .select(col("vec_id"), col("embedding"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(srcDir)
+    withDrainConf(spark) { ds =>
+      graft.functions.GraftFunctions.register(ds)
+      val embSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))
+      def drain(arm: CrashArm): Unit = {
+        val stream = ds.readStream
+          .schema(embSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir)
+        val query = stream.writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckptDir)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            batch.select(col("vec_id"),
+              Similarity.lshSignature(col("embedding"), dim = 64,
+                nPlanes = LshIndexBandBits * LshIndexBands).as("sig"))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/segment=$id")
+            arm.maybeCrash(id)
+            ()
+          }
+          .start()
+        query.awaitTermination()
+      }
+      runWithInjectedCrash(drain, crashAfterBatches)
+    }
+    outDir
+  }
+
+  /** SERVING FROM THE ACCRETED LSH INDEX — the bucket-join serving the
+    * [[graft.ops.Similarity.annTopK]] scaladoc promises ("in a real
+    * index the band keys are bucket LOOKUPS"), run over base ∪
+    * segments: one quarter of the vectors (vec_id ≡ 1 mod 4) stream in
+    * and append signature segments; the query fleet (≡ 3 mod 4) bands
+    * its own signatures and candidates come from the (band, bucket)
+    * equi-join against the accreted signature set — never a scan of
+    * the index — with overfull buckets (> [[graft.ops.Dedup
+    * .LshBucketCap]]) skipped, the capped production discipline.
+    * Candidates re-rank by exact cosine; top-1 live answer per query
+    * (queries whose bands all miss drop out, both engines
+    * identically). Because signatures are pure row-local functions of
+    * the frozen planes, an inserted vector is findable the moment its
+    * segment lands — the LSH family needs no back-link machinery and
+    * no warm fold, the structural payoff this gate exhibits.
+    */
+  def streamLshServeAccreted(spark: SparkSession, sfDir: String,
+                             nFiles: Int = 3): DataFrame = {
+    val segDir = drainLshAppends(spark, sfDir, col("vec_id") % 4 === 1,
+      nFiles, crashAfterBatches = 0)
+    serveAccretedLsh(spark, sfDir, segDir)
+  }
+
+  /** The batch read side of [[streamLshServeAccreted]], split out for
+    * the compaction-invariance spec.
+    */
+  private[graft] def serveAccretedLsh(spark: SparkSession, sfDir: String,
+                                      segDir: String): DataFrame = {
+    import graft.ops.{Dedup, Similarity}
+    graft.functions.GraftFunctions.register(spark)
+    val bb = LshIndexBandBits
+    val nb = LshIndexBands
+    val mask = (1L << bb) - 1
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val baseSigs = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"),
+        Similarity.lshSignature(col("embedding"), dim = 64,
+          nPlanes = bb * nb).as("sig"))
+    val segSigs = spark.read.parquet(segDir).select(col("vec_id"), col("sig"))
+    val banded = baseSigs.unionByName(segSigs)
+      .select(col("vec_id"), col("sig"),
+        explode(sequence(lit(0), lit(nb - 1))).as("band"))
+      .withColumn("bucket", expr(s"(sig >> (band * $bb)) & $mask"))
+      .select("vec_id", "band", "bucket")
+    val sizes = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= Dedup.LshBucketCap)
+    val kept = banded.join(broadcast(sizes.select("band", "bucket")),
+      Seq("band", "bucket"))
+    val qs = emb.filter(col("vec_id") % 4 === 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        Similarity.norm2(col("embedding")).as("q_nrm"),
+        Similarity.lshSignature(col("embedding"), dim = 64,
+          nPlanes = bb * nb).as("q_sig"))
+    val qBanded = qs
+      .select(col("q_id"), col("q_sig"),
+        explode(sequence(lit(0), lit(nb - 1))).as("band"))
+      .withColumn("bucket", expr(s"(q_sig >> (band * $bb)) & $mask"))
+      .select("q_id", "band", "bucket")
+    val cand = qBanded.join(kept, Seq("band", "bucket"))
+      .select(col("q_id"), col("vec_id").as("m_id"))
+      .distinct()
+    val msl = emb.select(col("vec_id").as("m_id"),
+      col("embedding").as("m_emb"), Similarity.norm2(col("embedding")).as("m_nrm"))
+    cand
+      .join(msl, "m_id")
+      .join(qs.select(col("q_id"), col("q_emb"), col("q_nrm")), "q_id")
+      .select(col("q_id"), col("m_id"),
+        (Similarity.dot(col("q_emb"), col("m_emb")) /
+          (col("q_nrm") * col("m_nrm"))).as("cosine"))
+      .groupBy("q_id")
+      .agg(max(struct(col("cosine"), (-col("m_id")).as("nm"))).as("best"))
+      .select(col("q_id").as("vec_id"), (-col("best.nm")).as("match_id"),
+        col("best.cosine").as("cosine"))
+      .orderBy("vec_id")
+  }
+
   /** ONLINE CLASSIFIER FILTER drained end-to-end — the trained-model
     * serving stage of the curation tier (a crawl pipeline classifies
     * documents AS THEY ARRIVE against a model trained on the

@@ -98,6 +98,50 @@ class LifecycleSpec extends SparkSpec {
     assert(before === after)
   }
 
+  test("LSH serving from base + segments is bit-identical across " +
+       "segment compaction") {
+    val segDir = StreamAssembly.drainLshAppends(spark, sf,
+      col("vec_id") % 4 === 1, nFiles = 3, crashAfterBatches = 0)
+    val before = StreamAssembly.serveAccretedLsh(spark, sf, segDir)
+      .collect().toSeq
+    val (nBefore, nAfter, _) = Storage.compactBatchSink(spark, segDir)
+    assert(nBefore >= 3)
+    assert(nAfter < nBefore)
+    val after = StreamAssembly.serveAccretedLsh(spark, sf, segDir)
+      .collect().toSeq
+    assert(before === after)
+  }
+
+  test("LSH append drain killed between sink write and checkpoint commit " +
+       "resumes to the bit-identical signature segments; online signing " +
+       "equals the batch expression") {
+    val crashed = StreamAssembly.streamLshIndexAppend(spark, sf,
+      crashAfterBatches = 2).localCheckpoint(true)
+    val clean = StreamAssembly.streamLshIndexAppend(spark, sf)
+    assertSameRows(crashed, clean)
+    // online ≡ batch: the drained signatures equal the same expression
+    // computed directly over the fleet
+    import graft.ops.Similarity
+    graft.functions.GraftFunctions.register(spark)
+    val batch = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"),
+        Similarity.lshSignature(col("embedding"), dim = 64,
+          nPlanes = StreamAssembly.LshIndexBandBits *
+            StreamAssembly.LshIndexBands).as("sig"))
+    assertSameRows(crashed, batch)
+  }
+
+  test("an LSH-inserted vector is findable the moment its segment lands " +
+       "(the additive-index property — no back-links, no fold needed)") {
+    val served = StreamAssembly.streamLshServeAccreted(spark, sf)
+      .localCheckpoint(true)
+    assert(served.count() > 0)
+    // non-vacuous routability: some query's best match IS an inserted
+    // (≡ 1 mod 4) vector, reachable only through a segment bucket row
+    assert(served.filter(col("match_id") % 4 === 1).count() > 0)
+  }
+
   test("tombstone drain killed between sink write and checkpoint commit " +
        "resumes to the bit-identical tombstone set") {
     val crashedDir = StreamAssembly.drainTombstones(spark, sf,
