@@ -292,6 +292,12 @@ object SparkEntry {
     "stream_lsh_serve_accreted" ->
       ((s, d) =>
         graft.streaming.StreamAssembly.streamLshServeAccreted(s, d)),
+    // Bloom membership tier: the bounded-filter decontamination audit
+    // (bloom vs exact hits, fp priced) and its at-ingest serving drain
+    "bloom_contamination" ->
+      ((s, d) => TrainingSets.bloomContamination(s, d)),
+    "stream_bloom_probe" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamBloomProbe(s, d)),
     // the PQ fold: refresh the frozen coarse axis over base + inserted
     // (decimal-exact Lloyd round), re-code, report exact churn
     "ivfpq_warm_refresh" ->
@@ -1247,6 +1253,105 @@ object SparkEntry {
       |  SELECT *, row_number() OVER (
       |    PARTITION BY q_id ORDER BY cosine DESC, m_id ASC) AS rn
       |  FROM scored) WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
+  /** The distinct word-8-gram list comprehension over a `ws`
+    * (string_split) column — the `word_shingles(text, 8)` twin, shared
+    * by the Bloom-tier oracles (contamination_check inlines the same
+    * expression).
+    */
+  // single-line on purpose: embedded into stripMargin templates, where a
+  // continuation line starting with "||" would lose its first pipe
+  private val gram8Sql: String =
+    "list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]" +
+      "||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] " +
+      "for i in range(1, len(ws) - 6)])"
+
+  /** md5 Bloom position of hash `i` for shingle column `s` — the
+    * engine's [[ops.TrainingSets]] draw replayed.
+    */
+  private def bloomPosSql(i: String, s: String): String =
+    s"('0x' || substr(md5($i::VARCHAR || '#' || $s), 1, 8))::BIGINT" +
+      s" % ${ops.TrainingSets.BloomBits}"
+
+  /** The Bloom-decontamination oracle ([[ops.TrainingSets
+    * .bloomContamination]]): train-shingle positions → the filter's
+    * distinct bit set; each test shingle's k positions probed; bloom
+    * vs exact hit/fp counts per lang, doc-level flag counts.
+    */
+  private def bloomContaminationSql: String = {
+    val k = ops.TrainingSets.BloomHashes
+    s"""WITH d AS (SELECT doc_id, lang, text,
+      |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+      |  FROM documents),
+      |sp AS (SELECT doc_id, lang,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+      |  string_split(text, ' ') AS ws FROM d),
+      |sh AS (SELECT doc_id, lang, split, unnest($gram8Sql) AS s
+      |  FROM sp WHERE len(ws) >= 8),
+      |tr AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
+      |pos AS (SELECT DISTINCT ${bloomPosSql("h.i", "s")} AS pos
+      |  FROM tr, range(0, $k) h(i)),
+      |ts AS (SELECT doc_id, lang, s FROM sh WHERE split = 'test'),
+      |pr AS (SELECT doc_id, lang, s,
+      |    ${bloomPosSql("h.i", "s")} AS p
+      |  FROM ts, range(0, $k) h(i)),
+      |hb AS (SELECT doc_id, lang, s,
+      |    sum(CASE WHEN p IN (SELECT pos FROM pos) THEN 1 ELSE 0 END) = $k
+      |      AS bloom_hit
+      |  FROM pr GROUP BY 1, 2, 3),
+      |tg AS (SELECT hb.*, (s IN (SELECT s FROM tr)) AS ex FROM hb)
+      |SELECT lang,
+      |  count(DISTINCT doc_id) AS n_test_docs,
+      |  count(*) AS n_test_shingles,
+      |  CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bloom_hits,
+      |  CAST(sum(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_exact_hits,
+      |  CAST(sum(CASE WHEN bloom_hit AND NOT ex THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_false_pos,
+      |  count(DISTINCT CASE WHEN bloom_hit THEN doc_id END)
+      |    AS n_docs_flagged_bloom,
+      |  count(DISTINCT CASE WHEN ex THEN doc_id END)
+      |    AS n_docs_flagged_exact
+      |FROM tg GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** The streaming Bloom-probe oracle ([[graft.streaming
+    * .StreamAssembly.streamBloomProbe]]): the filter over the even-doc
+    * half's shingles, every odd doc's shingles probed, per-doc verdict
+    * — everything doc-local given the position set, so the batch
+    * replay is bit-identical to the drained frame.
+    */
+  private def streamBloomProbeSql: String = {
+    val k = ops.TrainingSets.BloomHashes
+    s"""WITH ev AS (SELECT string_split(text, ' ') AS ws FROM documents
+      |  WHERE doc_id % 2 = 0),
+      |evs AS (SELECT DISTINCT unnest($gram8Sql) AS s
+      |  FROM ev WHERE len(ws) >= 8),
+      |pos AS (SELECT DISTINCT ${bloomPosSql("h.i", "s")} AS pos
+      |  FROM evs, range(0, $k) h(i)),
+      |od AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE doc_id % 2 = 1),
+      |osh AS (SELECT doc_id, unnest($gram8Sql) AS s
+      |  FROM od WHERE len(ws) >= 8),
+      |pr AS (SELECT doc_id, s, ${bloomPosSql("h.i", "s")} AS p
+      |  FROM osh, range(0, $k) h(i)),
+      |hb AS (SELECT doc_id, s,
+      |    CASE WHEN sum(CASE WHEN p IN (SELECT pos FROM pos)
+      |      THEN 1 ELSE 0 END) = $k THEN 1 ELSE 0 END AS bh
+      |  FROM pr GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, count(*) AS ns, sum(bh) AS nh
+      |  FROM hb GROUP BY 1)
+      |SELECT o.doc_id,
+      |  CAST(coalesce(a.ns, 0) AS BIGINT) AS n_shingles,
+      |  CAST(coalesce(a.nh, 0) AS BIGINT) AS n_hit_shingles,
+      |  CAST(CASE WHEN coalesce(a.nh, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS flagged
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) o
+      |LEFT JOIN agg a USING (doc_id)
+      |ORDER BY o.doc_id""".stripMargin
   }
 
   /** The delete-masked graph-serving oracle ([[graft.streaming
@@ -3768,6 +3873,12 @@ object SparkEntry {
     // bucket-join serving over the accreted signature set — inserted
     // vectors findable the moment their segment lands (additive index)
     "stream_lsh_serve_accreted" -> (lshServeAccretedSql),
+    // Bloom decontamination audit: bounded m-bit filter vs the exact
+    // semi-join, fp overcount priced per lang in exact integers
+    "bloom_contamination" -> (bloomContaminationSql),
+    // the at-ingest Bloom gate: per-doc membership verdict against the
+    // frozen even-half filter — batch replay is bit-identical
+    "stream_bloom_probe" -> (streamBloomProbeSql),
     // the physical delete fold: cold rebuild over the live population
     // only — after the fold no edge touches a deleted vertex
     "knn_graph_rebuild_deleted" -> (knnGraphCteStack(

@@ -225,6 +225,137 @@ object TrainingSets {
       .orderBy("lang")
   }
 
+  /** Bloom-filter geometry for the membership tier, env-knobbed like
+    * the IVF-PQ cells (the oracle interpolates the same constants at
+    * object init, so one JVM run can never see drifted values): m bits
+    * and k hash functions. The published decontamination calculus
+    * (GPT-3 appendix C runs exactly this shape at corpus scale): FP
+    * rate ≈ (1 − e^(−k·n/m))^k, so m scales with the distinct train
+    * shingle count — 2^20 suits the test fixtures; production sets
+    * GRAFT_BLOOM_BITS ≈ 10·n.
+    */
+  val BloomBits: Long = graft.EnvKnobs.posInt("GRAFT_BLOOM_BITS", 1 << 20)
+  val BloomHashes: Int = 3
+
+  /** Bit position of hash `i` for shingle `s` — the md5 draw both
+    * engines replay (`('0x' || substr(md5(i || '#' || s), 1, 8))
+    * ::BIGINT % m` on the DuckDB side).
+    */
+  private def bloomPos(i: org.apache.spark.sql.Column,
+                       s: org.apache.spark.sql.Column) =
+    pmod(conv(substring(md5(concat_ws("#", i, s)), 1, 8), 16, 10)
+      .cast("long"), lit(BloomBits))
+
+  /** BLOOM-FILTER DECONTAMINATION — [[contaminationCheck]]'s scale
+    * path, cashing the promise in that method's doc ("at 100 TB the
+    * train shingle set is the broadcast/bloom side"): instead of
+    * semi-joining test shingles against the FULL distinct train
+    * shingle set (which grows with the corpus), build an m-bit Bloom
+    * filter over it — the distinct SET OF BIT POSITIONS, ≤ m rows at
+    * ANY corpus size — broadcast that, and probe each test shingle's
+    * k positions; a shingle whose k bits are all set is flagged.
+    * Bloom filters have NO false negatives (every exact hit is a
+    * bloom hit — asserted in spec), and the false-positive overcount
+    * is exactly what this query REPORTS, per lang, as exact integers:
+    * shingle-level bloom/exact/fp counts and doc-level flag counts —
+    * the audit that prices the m-bits-per-shingle trade before anyone
+    * trusts the filter at scale.
+    *
+    * Scale shape: the filter build is one bounded distinct (train
+    * shingles × k → ≤ m position rows); the probe is a scan of test
+    * shingles with k-fan-out broadcast lookups — no shuffle of either
+    * shingle set against the other, which is the entire point.
+    */
+  def bloomContamination(spark: SparkSession, sfDir: String,
+                         n: Int = 8): DataFrame = {
+    val sh = splitShingles(spark, sfDir, n)
+    val trainSh = sh.filter(col("split") === "train").select("s").distinct()
+    val positions = trainSh
+      .select(explode(sequence(lit(0), lit(BloomHashes - 1))).as("i"),
+        col("s"))
+      .select(bloomPos(col("i"), col("s")).as("pos"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    val testSh = sh.filter(col("split") === "test")
+      .select("doc_id", "lang", "s")
+    val probed = testSh
+      .withColumn("i", explode(sequence(lit(0), lit(BloomHashes - 1))))
+      .withColumn("pos", bloomPos(col("i"), col("s")))
+      .join(broadcast(positions), Seq("pos"), "left_outer")
+      .groupBy("doc_id", "lang", "s")
+      .agg((count(col("hit")) === BloomHashes).as("bloom_hit"))
+    val exact = trainSh.withColumn("ex", lit(1L))
+    probed
+      .join(exact, Seq("s"), "left_outer")
+      .groupBy("lang")
+      .agg(
+        countDistinct(col("doc_id")).as("n_test_docs"),
+        count(lit(1)).as("n_test_shingles"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+        sum(when(col("ex").isNotNull, 1L).otherwise(0L)).as("n_exact_hits"),
+        sum(when(col("bloom_hit") && col("ex").isNull, 1L).otherwise(0L))
+          .as("n_false_pos"),
+        countDistinct(when(col("bloom_hit"), col("doc_id")))
+          .as("n_docs_flagged_bloom"),
+        countDistinct(when(col("ex").isNotNull, col("doc_id")))
+          .as("n_docs_flagged_exact"))
+      .orderBy("lang")
+  }
+
+  /** The frozen Bloom filter over the EVEN-doc half's shingles — the
+    * static side of [[graft.streaming.StreamAssembly
+    * .streamBloomProbe]], memoized per context (the nbModel / ivfpq
+    * discipline: built once on the outer session, shared by every
+    * drained micro-batch) and localCheckpointed so the broadcast
+    * rebuilds from bounded blocks, not the corpus scan.
+    */
+  private val bloomCache = Memo.registry[(org.apache.spark.SparkContext, String)]
+
+  private[graft] def bloomModel(spark: SparkSession,
+                                sfDir: String): DataFrame =
+    bloomCache.synchronized {
+      bloomCache.getOrElseUpdate((spark.sparkContext, sfDir), {
+        graft.functions.GraftFunctions.register(spark)
+        Tables.spread(Tables.documents(spark, sfDir))
+          .filter(col("doc_id") % 2 === 0)
+          .select(explode(Dedup.shingleCol(col("text"), 8)).as("s"))
+          .distinct()
+          .select(explode(sequence(lit(0), lit(BloomHashes - 1))).as("i"),
+            col("s"))
+          .select(bloomPos(col("i"), col("s")).as("pos"))
+          .distinct()
+          .withColumn("hit", lit(1L))
+          .localCheckpoint(true)
+      })
+    }
+
+  /** Per-doc Bloom verdict against an arbitrary position-set frame —
+    * row-local shingling, k-fan-out broadcast probe, per-doc rollup;
+    * shared by the streaming drain (per micro-batch) and its batch
+    * oracle twin. Docs shorter than the shingle width keep a row with
+    * zero counts (left join from the doc side).
+    */
+  private[graft] def bloomVerdict(docs: DataFrame,
+                                  positions: DataFrame): DataFrame = {
+    val verdicts = docs
+      .select(col("doc_id"), explode(Dedup.shingleCol(col("text"), 8)).as("s"))
+      .withColumn("i", explode(sequence(lit(0), lit(BloomHashes - 1))))
+      .withColumn("pos", bloomPos(col("i"), col("s")))
+      .join(broadcast(positions), Seq("pos"), "left_outer")
+      .groupBy("doc_id", "s")
+      .agg((count(col("hit")) === BloomHashes).as("bloom_hit"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ns"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("nh"))
+    docs.select(col("doc_id"))
+      .join(verdicts, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("ns"), lit(0L)).as("n_shingles"),
+        coalesce(col("nh"), lit(0L)).as("n_hit_shingles"),
+        when(coalesce(col("nh"), lit(0L)) > 0, 1L).otherwise(0L)
+          .as("flagged"))
+  }
+
   /** Context-window chunking with overlap: each doc is cut into windows of
     * `window` estimated tokens starting every `stride` tokens (overlap =
     * window - stride) — the chunking step that prepares long documents for

@@ -3233,6 +3233,67 @@ object StreamAssembly {
       .orderBy("vec_id")
   }
 
+  /** ONLINE BLOOM MEMBERSHIP FILTER — the at-ingest decontamination /
+    * dedup gate every large crawl pipeline runs (GPT-3 appendix C's
+    * n-gram overlap rule, executed through the only structure that
+    * holds the historical shingle set at 100 TB: an m-bit Bloom
+    * filter): the static side builds the filter over the EVEN-doc
+    * half's distinct 8-gram shingles ONCE ([[graft.ops.TrainingSets
+    * .bloomModel]] — the distinct bit-position set, ≤ m rows at ANY
+    * corpus size, the context-keyed-memo discipline); odd docs stream
+    * back one file per micro-batch and each batch shingles row-locally
+    * and probes its k md5 positions against the broadcast filter. Per
+    * incoming doc the append carries (n_shingles, n_hit_shingles,
+    * flagged) — no false negatives by construction, false positives
+    * priced by the batch `bloom_contamination` audit. Everything is
+    * doc-local given the filter broadcast, so the drained frame is
+    * batch-boundary-independent and the batch replay IS the oracle.
+    */
+  def streamBloomProbe(spark: SparkSession, sfDir: String,
+                       nFiles: Int = 3): DataFrame = {
+    import java.nio.file.Files
+    import graft.ops.TrainingSets
+    val tmp = Files.createTempDirectory("graft_bloom_probe").toString
+    val outDir = s"$tmp/verdicts"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = s"$tmp/incoming"
+    graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(srcDir)
+    // frozen filter, built/reused on the outer session
+    val positions = TrainingSets.bloomModel(spark, sfDir)
+    withDrainConf(spark) { ds =>
+      graft.functions.GraftFunctions.register(ds)
+      val docSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val stream = ds.readStream
+        .schema(docSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val query = stream.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          TrainingSets.bloomVerdict(batch, positions)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(outDir)
+      .select(col("doc_id"), col("n_shingles"), col("n_hit_shingles"),
+        col("flagged"))
+      .orderBy("doc_id")
+  }
+
   /** ONLINE CLASSIFIER FILTER drained end-to-end — the trained-model
     * serving stage of the curation tier (a crawl pipeline classifies
     * documents AS THEY ARRIVE against a model trained on the

@@ -142,6 +142,41 @@ class LifecycleSpec extends SparkSpec {
     assert(served.filter(col("match_id") % 4 === 1).count() > 0)
   }
 
+  test("Bloom filter has no false negatives: every exact hit is a bloom " +
+       "hit, and a self-probe flags every shingled doc completely") {
+    import graft.ops.TrainingSets
+    val audit = TrainingSets.bloomContamination(spark, sf)
+      .localCheckpoint(true)
+    // exact ⊆ bloom, per lang (n_bloom_hits ≥ n_exact_hits, and the fp
+    // column is exactly the difference)
+    assert(audit.filter(col("n_bloom_hits") < col("n_exact_hits"))
+      .count() === 0)
+    assert(audit.filter(
+      col("n_false_pos") =!= col("n_bloom_hits") - col("n_exact_hits"))
+      .count() === 0)
+    // self-probe: even docs against their own filter — every shingle of
+    // every doc must hit (the filter contains them by construction)
+    val self = TrainingSets.bloomVerdict(
+      Tables.documents(spark, sf).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text")),
+      TrainingSets.bloomModel(spark, sf))
+    assert(self.filter(col("n_hit_shingles") =!= col("n_shingles"))
+      .count() === 0)
+    assert(self.filter(col("n_shingles") > 0).count() > 0)
+  }
+
+  test("streamed Bloom verdicts equal the batch twin (doc-local given " +
+       "the frozen filter broadcast)") {
+    import graft.ops.TrainingSets
+    val drained = StreamAssembly.streamBloomProbe(spark, sf)
+    val batch = TrainingSets.bloomVerdict(
+      Tables.documents(spark, sf).filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text")),
+      TrainingSets.bloomModel(spark, sf))
+    assertSameRows(drained, batch)
+    assert(drained.count() > 0)
+  }
+
   test("tombstone drain killed between sink write and checkpoint commit " +
        "resumes to the bit-identical tombstone set") {
     val crashedDir = StreamAssembly.drainTombstones(spark, sf,
