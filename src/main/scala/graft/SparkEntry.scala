@@ -283,6 +283,11 @@ object SparkEntry {
         graft.streaming.StreamAssembly.streamPqServeDeleted(s, d)),
     "knn_graph_rebuild_deleted" ->
       ((s, d) => KnnGraph.knnGraphRebuildDeleted(s, d)),
+    // the production rolling fold: one warm round absorbing pending
+    // inserts AND deletes together (edges to tombstones vanish in the
+    // live-population scoring join; the exchange re-stitches)
+    "knn_graph_warm_rebuild_live" ->
+      ((s, d) => KnnGraph.knnGraphWarmRebuildLive(s, d)),
     // the LSH family's lifecycle: signature segments appended row-
     // locally (nothing to train — the planes are a pure function), and
     // bucket-join serving over base ∪ segments (purely additive index)
@@ -1398,6 +1403,30 @@ object SparkEntry {
       |    PARTITION BY src ORDER BY dist, dst) AS rn FROM w0s)
       |  WHERE rn <= ${ops.KnnGraph.K}),
       |""".stripMargin + knnRoundSql("w0", "w1", "aidx") + """
+      |SELECT src AS vec_id, rank, dst AS nbr,
+      |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
+      |FROM w1 ORDER BY vec_id, rank""".stripMargin
+
+  /** The combined-fold oracle ([[ops.KnnGraph.knnGraphWarmRebuildLive]]):
+    * the same accreted seed scored over the LIVE population (edges
+    * touching a tombstoned vertex vanish in the inner joins — no edge
+    * surgery), one refinement round over the live index.
+    */
+  private def knnGraphWarmRebuildLiveSql: String =
+    accretedGraphPrefix + s""",
+      |lidx AS MATERIALIZED (SELECT vec_id, embedding, sq FROM aidx
+      |  WHERE vec_id % 8 <> 6),
+      |w0s AS MATERIALIZED (SELECT p.src, p.dst,
+      |  a.sq + b.sq - 2 * list_sum([a.embedding[i]::DOUBLE *
+      |    b.embedding[i]::DOUBLE for i in range(1, 65)]) AS dist
+      |  FROM (SELECT src, dst FROM aserve WHERE src <> dst) p
+      |  JOIN lidx a ON a.vec_id = p.src
+      |  JOIN lidx b ON b.vec_id = p.dst),
+      |w0 AS MATERIALIZED (SELECT src, dst, dist, rn AS rank FROM (
+      |  SELECT src, dst, dist, row_number() OVER (
+      |    PARTITION BY src ORDER BY dist, dst) AS rn FROM w0s)
+      |  WHERE rn <= ${ops.KnnGraph.K}),
+      |""".stripMargin + knnRoundSql("w0", "w1", "lidx") + """
       |SELECT src AS vec_id, rank, dst AS nbr,
       |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
       |FROM w1 ORDER BY vec_id, rank""".stripMargin
@@ -3879,6 +3908,9 @@ object SparkEntry {
     // the at-ingest Bloom gate: per-doc membership verdict against the
     // frozen even-half filter — batch replay is bit-identical
     "stream_bloom_probe" -> (streamBloomProbeSql),
+    // the combined fold: accreted seed scored over the live population,
+    // one refinement round absorbs inserts and deletes together
+    "knn_graph_warm_rebuild_live" -> (knnGraphWarmRebuildLiveSql),
     // the physical delete fold: cold rebuild over the live population
     // only — after the fold no edge touches a deleted vertex
     "knn_graph_rebuild_deleted" -> (knnGraphCteStack(

@@ -401,6 +401,38 @@ object KnnGraph {
       .orderBy("vec_id", "rank")
   }
 
+  /** The PRODUCTION rolling fold — one warm NN-descent round absorbing
+    * BOTH pending CRUD letters at once: the accreted edge set (base ∪
+    * insert segments ∪ derived back-links, [[knnGraphWarmRebuild]]'s
+    * seed) is scored over the LIVE merged population (base minus the
+    * tombstoned quarter, plus the inserted fleet), so edges touching a
+    * deleted vertex vanish in the scoring join — no explicit edge
+    * surgery — and one general-neighbor exchange re-stitches the holes
+    * the deletions tear AND attaches the inserts, exactly what a
+    * MergeTree merge does to a part carrying both new rows and a
+    * delete mask. This is the fold an operator schedules off
+    * [[graphAttachStats]]: at 100 TB the alternative is a ⌈log_k n⌉
+    * full rebuild per maintenance window.
+    */
+  def knnGraphWarmRebuildLive(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = corpus(spark, sfDir).filter(col("vec_id") % 2 === 0)
+    val inserted = corpus(spark, sfDir).filter(col("vec_id") % 4 === 1)
+    val seg = greedySearch(
+        inserted.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb"), col("sq").as("q_sq")),
+        base, servingGraph(spark, sfDir))
+      .filter(col("rn") <= InsertFanout)
+      .select(col("q_id").as("vec_id"), col("v").as("nbr"),
+        floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
+    val acc = accretedEdges(servingGraph(spark, sfDir), seg)
+    val live = base.filter(col("vec_id") % 8 =!= 6).unionByName(inserted)
+    warmRebuildOf(live, acc, 1)
+      .select(col("src").as("vec_id"), col("rank").cast("long").as("rank"),
+        col("dst").as("nbr"),
+        floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** The PHYSICAL delete fold: rebuild the even-half index graph over
     * the LIVE population only (vec_id ≢ 6 mod 8 — the quarter the
     * tombstone drain deleted, [[graft.streaming.StreamAssembly

@@ -142,6 +142,23 @@ class LifecycleSpec extends SparkSpec {
     assert(served.filter(col("match_id") % 4 === 1).count() > 0)
   }
 
+  test("the combined warm fold absorbs inserts AND deletes in one " +
+       "round: no deleted vertex survives, every insert is stitched in") {
+    val folded = KnnGraph.knnGraphWarmRebuildLive(spark, sf)
+      .localCheckpoint(true)
+    assert(folded.filter(col("vec_id") % 8 === 6).count() === 0)
+    assert(folded.filter(col("nbr") % 8 === 6).count() === 0)
+    // every inserted (≡ 1 mod 4) vector owns a neighbor list post-fold
+    val nInserted = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 4 === 1).count()
+    val nInsertedFolded = folded.filter(col("vec_id") % 4 === 1)
+      .select("vec_id").distinct().count()
+    assert(nInsertedFolded === nInserted)
+    // and inserts are ROUTABLE post-fold: live base vertices point at them
+    assert(folded.filter(col("vec_id") % 2 === 0 && col("nbr") % 4 === 1)
+      .count() > 0)
+  }
+
   test("Bloom filter has no false negatives: every exact hit is a bloom " +
        "hit, and a self-probe flags every shingled doc completely") {
     import graft.ops.TrainingSets
