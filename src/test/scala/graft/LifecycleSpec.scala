@@ -142,6 +142,57 @@ class LifecycleSpec extends SparkSpec {
     assert(served.filter(col("match_id") % 4 === 1).count() > 0)
   }
 
+  // the drain-dependent serving helpers (the wholesale PlanSpec table
+  // cannot reach them — they need a drained segment dir first) hold
+  // their exchange ceilings: the Round16Spec accreted-serving idiom
+  // applied to the delete/LSH/Bloom read sides
+  private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val nested = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => Nil
+    }
+    p +: (p.children ++ p.subqueries ++ nested).flatMap(flattenPlan)
+  }
+
+  test("delete/LSH/Bloom serving plans hold their exchange ceilings, " +
+       "no cartesian, no UDFs") {
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.ops.TrainingSets
+    val tombDir = StreamAssembly.drainTombstones(spark, sf,
+      StreamAssembly.tombstoneFixture, nFiles = 3, crashAfterBatches = 0)
+    val lshDir = StreamAssembly.drainLshAppends(spark, sf,
+      col("vec_id") % 4 === 1, nFiles = 3, crashAfterBatches = 0)
+    val ceilings = Seq(
+      (StreamAssembly.serveDeletedGraph(spark, sf, tombDir),
+        "graph-deleted", 2),
+      (StreamAssembly.serveDeletedPq(spark, sf, tombDir),
+        "pq-deleted", 6),
+      (StreamAssembly.serveAccretedLsh(spark, sf, lshDir),
+        "lsh-accreted", 4),
+      (TrainingSets.bloomVerdict(
+        Tables.documents(spark, sf).filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text")),
+        TrainingSets.bloomModel(spark, sf)), "bloom-verdict", 3))
+    ceilings.foreach { case (df, name, ceiling) =>
+      df.collect()
+      val plan = flattenPlan(df.queryExecution.executedPlan)
+      assert(!plan.exists(
+          _.getClass.getSimpleName.contains("CartesianProduct")),
+        s"$name: cartesian product")
+      assert(!plan.exists(_.expressions.exists(
+          _.exists(_.isInstanceOf[ScalaUDF]))), s"$name: ScalaUDF")
+      val n = plan.count(_.isInstanceOf[ShuffleExchangeExec])
+      info(s"serve $name: $n exchanges (ceiling $ceiling)")
+      assert(n <= ceiling, s"$name exchanges grew: $n > $ceiling")
+    }
+  }
+
   test("the combined warm fold absorbs inserts AND deletes in one " +
        "round: no deleted vertex survives, every insert is stitched in") {
     val folded = KnnGraph.knnGraphWarmRebuildLive(spark, sf)

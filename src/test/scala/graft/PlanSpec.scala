@@ -699,6 +699,14 @@ class PlanSpec extends SparkSpec {
       // and the refinement round all checkpoint — the final plan is
       // the projection + presentation sort over the slim edge leaf
       "knn_graph_warm_rebuild" -> 1,
+      // the delete-tier folds are projections over eagerly-built
+      // checkpointed edge frames, like the warm rebuild above
+      "knn_graph_warm_rebuild_live" -> 1,
+      "knn_graph_rebuild_deleted" -> 1,
+      // bloom audit: train-shingle distinct + position distinct (both
+      // bounded), test-shingle per-doc and per-lang folds — the filter
+      // side is always the broadcast
+      "bloom_contamination" -> 7,
       // r16 PQ refresh: the old-assignment argmin combine, the
       // cell-keyed decimal-mean pair, the re-code argmin combines and
       // the two churn-report folds — every exchange carries a
