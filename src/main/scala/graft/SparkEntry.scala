@@ -288,6 +288,14 @@ object SparkEntry {
     // live-population scoring join; the exchange re-stitches)
     "knn_graph_warm_rebuild_live" ->
       ((s, d) => KnnGraph.knnGraphWarmRebuildLive(s, d)),
+    // the full-CRUD read path: reads see base ∪ inserts ∖ deletes —
+    // the index state between folds, both pending letters visible
+    "stream_graph_serve_full" ->
+      ((s, d) =>
+        graft.streaming.StreamAssembly.streamGraphServeFull(s, d)),
+    "stream_pq_serve_full" ->
+      ((s, d) =>
+        graft.streaming.StreamAssembly.streamPqServeFull(s, d)),
     // the LSH family's lifecycle: signature segments appended row-
     // locally (nothing to train — the planes are a pure function), and
     // bucket-join serving over base ∪ segments (purely additive index)
@@ -1406,6 +1414,51 @@ object SparkEntry {
       |SELECT src AS vec_id, rank, dst AS nbr,
       |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
       |FROM w1 ORDER BY vec_id, rank""".stripMargin
+
+  /** The full-CRUD graph-serving oracle ([[graft.streaming
+    * .StreamAssembly.streamGraphServeFull]]): the accreted-serving
+    * replay (insert fleet's descent → segments + back-links, query
+    * fleet over base ∪ segments) with the delete mask applied to the
+    * final beam — reads see base ∪ inserts ∖ deletes.
+    */
+  private def graphServeFullSql: String =
+    accretedGraphPrefix + s""",
+      |aq AS MATERIALIZED (SELECT vec_id AS q_id, embedding,
+      |    list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+      |              for i in range(1, 65)]) AS q_sq
+      |  FROM embeddings WHERE vec_id % 4 = 3)""".stripMargin +
+      descentStack("a", "aidx", "aserve", "aq") + s"""
+      |SELECT q_id AS vec_id, v AS match_id,
+      |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
+      |FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY dist, v) AS rn2
+      |  FROM af${ops.KnnGraph.SearchHops} WHERE v % 8 <> 6) t
+      |WHERE rn2 = 1 ORDER BY vec_id""".stripMargin
+
+  /** The full-CRUD PQ-serving oracle ([[graft.streaming.StreamAssembly
+    * .streamPqServeFull]]): ADC over (base codes ∖ tombstones) ∪
+    * insert-fleet codes.
+    */
+  private def pqServeFullSql: String = {
+    val m = ops.Similarity.PqSubspaces
+    ivfpqCteStack(" WHERE vec_id % 2 = 0", 2 * ops.Similarity.IvfPqCells,
+      2 * ops.Similarity.PqCentroids, "vec_id % 4 = 3", "") +
+      insertCodesCtes + s""",
+      |allc AS (SELECT vec_id, cell, s, cid FROM rcodes
+      |  WHERE vec_id % 8 <> 6
+      |  UNION ALL SELECT vec_id, cell, s, cid FROM icodes),
+      |adc2 AS (SELECT q.q_id, k.vec_id AS m_id,
+      |    ${(0 until m).map(i =>
+             s"max(CASE WHEN k.s = $i THEN q.qd END)").mkString("\n  + ")}
+      |      AS adc_dist
+      |  FROM allc k JOIN qt q
+      |    ON q.cell = k.cell AND q.s = k.s AND q.cid = k.cid
+      |  GROUP BY 1, 2)
+      |SELECT q_id AS vec_id, m_id AS match_id, adc_dist FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY adc_dist ASC, m_id ASC) AS rn
+      |  FROM adc2) WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
 
   /** The combined-fold oracle ([[ops.KnnGraph.knnGraphWarmRebuildLive]]):
     * the same accreted seed scored over the LIVE population (edges
@@ -3911,6 +3964,9 @@ object SparkEntry {
     // the combined fold: accreted seed scored over the live population,
     // one refinement round absorbs inserts and deletes together
     "knn_graph_warm_rebuild_live" -> (knnGraphWarmRebuildLiveSql),
+    // the full-CRUD read paths: base ∪ inserts ∖ deletes in one query
+    "stream_graph_serve_full" -> (graphServeFullSql),
+    "stream_pq_serve_full" -> (pqServeFullSql),
     // the physical delete fold: cold rebuild over the live population
     // only — after the fold no edge touches a deleted vertex
     "knn_graph_rebuild_deleted" -> (knnGraphCteStack(

@@ -3069,6 +3069,103 @@ object StreamAssembly {
       .orderBy("vec_id")
   }
 
+  /** THE FULL-CRUD READ PATH on the graph family — reads see base ∪
+    * inserts ∖ deletes, the complete MergeTree read contract with
+    * mutations in flight (`clickhouse/init/01_init.sql:27-31` parts
+    * union + the lightweight-DELETE mask, composed): the insert fleet
+    * (vec_id ≡ 1 mod 4) drains NSW edge segments, the delete stream
+    * drains tombstones for a quarter of the base (vec_id ≡ 6 mod 8),
+    * and the query fleet (≡ 3 mod 4) descends the ACCRETED graph over
+    * the accreted population — tombstoned vertices still routing — with
+    * the mask applied to the final beam. This is the state a real index
+    * is in ALL the time between folds: both pending letters visible to
+    * every read, neither yet folded. The combined fold
+    * ([[graft.ops.KnnGraph.knnGraphWarmRebuildLive]]) is what retires
+    * both.
+    */
+  def streamGraphServeFull(spark: SparkSession, sfDir: String,
+                           nFiles: Int = 3): DataFrame = {
+    val segDir = drainGraphInserts(spark, sfDir, col("vec_id") % 4 === 1,
+      nFiles, crashAfterBatches = 0)
+    val tombDir = drainTombstones(spark, sfDir, tombstoneFixture,
+      nFiles, crashAfterBatches = 0)
+    serveFullGraph(spark, sfDir, segDir, tombDir)
+  }
+
+  /** The batch read side of [[streamGraphServeFull]], split out for the
+    * compaction-invariance spec.
+    */
+  private[graft] def serveFullGraph(spark: SparkSession, sfDir: String,
+                                    segDir: String,
+                                    tombDir: String): DataFrame = {
+    import graft.ops.{KnnGraph, Similarity}
+    graft.functions.GraftFunctions.register(spark)
+    val tomb = spark.read.parquet(tombDir).select(col("vec_id").as("t_id"))
+    val seg = spark.read.parquet(segDir)
+      .select(col("vec_id"), col("nbr"), col("dist_u"))
+    val acc = KnnGraph.accretedEdges(
+      KnnGraph.servingGraph(spark, sfDir), seg)
+    val aidx = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 0 || col("vec_id") % 4 === 1)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.dot(col("embedding"), col("embedding")).as("sq"))
+    val qs = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 4 === 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        Similarity.dot(col("embedding"), col("embedding")).as("q_sq"))
+    KnnGraph.greedySearch(qs, aidx, acc)
+      .join(broadcast(tomb), col("v") === col("t_id"), "left_anti")
+      .groupBy("q_id")
+      .agg(min(struct(col("dist"), col("v"))).as("best"))
+      .select(col("q_id").as("vec_id"), col("best.v").as("match_id"),
+        floor(col("best.dist") * lit(1e6)).cast("long").as("dist_u"))
+      .orderBy("vec_id")
+  }
+
+  /** THE FULL-CRUD READ PATH on the PQ family —
+    * [[streamGraphServeFull]]'s compressed sibling: queries ADC-score
+    * (base codes ∖ tombstones) ∪ appended segment codes. The mask
+    * applies at scan (per-row-pure ADC — the early≡late equivalence the
+    * delete spec proves), so a deleted vector costs nothing and an
+    * inserted one is served the moment its segment lands.
+    */
+  def streamPqServeFull(spark: SparkSession, sfDir: String,
+                        nFiles: Int = 3): DataFrame = {
+    val segDir = drainPqAppends(spark, sfDir, col("vec_id") % 4 === 1,
+      nFiles, crashAfterBatches = 0)
+    val tombDir = drainTombstones(spark, sfDir, tombstoneFixture,
+      nFiles, crashAfterBatches = 0)
+    serveFullPq(spark, sfDir, segDir, tombDir)
+  }
+
+  /** The batch read side of [[streamPqServeFull]]. */
+  private[graft] def serveFullPq(spark: SparkSession, sfDir: String,
+                                 segDir: String,
+                                 tombDir: String): DataFrame = {
+    import graft.ops.Similarity
+    graft.functions.GraftFunctions.register(spark)
+    val tomb = spark.read.parquet(tombDir).select(col("vec_id").as("t_id"))
+    val (centsS, cbS, codesEven) = Similarity.ivfpqProbeModel(spark, sfDir)
+    val segCodes = spark.read.parquet(segDir)
+      .select(col("vec_id").as("m_id"), col("cell"),
+        col("s").cast("int").as("s"), col("cid"))
+    val codes = codesEven
+      .join(broadcast(tomb), col("vec_id") === col("t_id"), "left_anti")
+      .select(col("vec_id").as("m_id"), col("cell"),
+        col("s").cast("int").as("s"), col("cid"))
+      .union(segCodes)
+    val qs = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 4 === 3)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val qtab = Similarity.cellResidualTables(qs, centsS, cbS)
+    Similarity.adcScoresCell(codes, qtab, boundedQueries = false)
+      .groupBy("q_id")
+      .agg(min(struct(col("adc"), col("m_id"))).as("best"))
+      .select(col("q_id").as("vec_id"), col("best.m_id").as("match_id"),
+        col("best.adc").as("adc_dist"))
+      .orderBy("vec_id")
+  }
+
   /** Production banding geometry of the LSH index lifecycle — 7 bands
     * of 8 bits (256 buckets/band, 56 hyperplanes), the
     * [[graft.ops.Dedup.embeddingNearDupsLshCapped]] scheme — one

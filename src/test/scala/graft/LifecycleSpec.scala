@@ -142,6 +142,32 @@ class LifecycleSpec extends SparkSpec {
     assert(served.filter(col("match_id") % 4 === 1).count() > 0)
   }
 
+  test("full-CRUD serving sees both pending letters at once: no deleted " +
+       "vector ever answers, inserted vectors do, on both families — and " +
+       "the read is invariant under compaction of either segment tree") {
+    val segG = StreamAssembly.drainGraphInserts(spark, sf,
+      col("vec_id") % 4 === 1, nFiles = 3, crashAfterBatches = 0)
+    val segP = StreamAssembly.drainPqAppends(spark, sf,
+      col("vec_id") % 4 === 1, nFiles = 3, crashAfterBatches = 0)
+    val tombDir = StreamAssembly.drainTombstones(spark, sf,
+      StreamAssembly.tombstoneFixture, nFiles = 3, crashAfterBatches = 0)
+    val g = StreamAssembly.serveFullGraph(spark, sf, segG, tombDir)
+      .localCheckpoint(true)
+    val p = StreamAssembly.serveFullPq(spark, sf, segP, tombDir)
+      .localCheckpoint(true)
+    Seq(g, p).foreach { served =>
+      assert(served.count() > 0)
+      assert(served.filter(col("match_id") % 8 === 6).count() === 0)
+      assert(served.filter(col("match_id") % 4 === 1).count() > 0)
+    }
+    val before = g.collect().toSeq
+    Storage.compactBatchSink(spark, segG)
+    Storage.compactBatchSink(spark, tombDir)
+    val after = StreamAssembly.serveFullGraph(spark, sf, segG, tombDir)
+      .collect().toSeq
+    assert(before === after)
+  }
+
   // the drain-dependent serving helpers (the wholesale PlanSpec table
   // cannot reach them — they need a drained segment dir first) hold
   // their exchange ceilings: the Round16Spec accreted-serving idiom
