@@ -311,6 +311,12 @@ object SparkEntry {
       ((s, d) => TrainingSets.bloomContamination(s, d)),
     "stream_bloom_probe" ->
       ((s, d) => graft.streaming.StreamAssembly.streamBloomProbe(s, d)),
+    // count-min tier: the point-count sketch audit (est ≥ exact, the
+    // overestimate priced) and per-micro-batch partials merged by SUM
+    "cms_heavy_audit" ->
+      ((s, d) => HeavyHitters.cmsHeavyAudit(s, d)),
+    "stream_cms_partials" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamCmsPartials(s, d)),
     // the PQ fold: refresh the frozen coarse axis over base + inserted
     // (decimal-exact Lloyd round), re-code, report exact churn
     "ivfpq_warm_refresh" ->
@@ -1414,6 +1420,37 @@ object SparkEntry {
       |SELECT src AS vec_id, rank, dst AS nbr,
       |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
       |FROM w1 ORDER BY vec_id, rank""".stripMargin
+
+  /** The CMS oracles ([[ops.HeavyHitters.cmsHeavyAudit]] /
+    * [[graft.streaming.StreamAssembly.streamCmsPartials]]): the d×w
+    * grid over the token stream, exact top-k tokens, min-over-rows
+    * point estimates, integer overestimate. `where` slices the corpus
+    * (the partials gate runs the odd half; per-cell sums commute, so
+    * the single-pass replay equals the merged micro-batch partials).
+    */
+  private def cmsAuditSql(where: String): String = {
+    val d = ops.HeavyHitters.CmsDepth
+    val w = ops.HeavyHitters.CmsWidth
+    s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS w
+      |  FROM documents$where),
+      |g AS (SELECT h.i AS i,
+      |    ('0x' || substr(md5(h.i::VARCHAR || '#' || w), 1, 8))::BIGINT
+      |      % $w AS pos,
+      |    count(*) AS cnt
+      |  FROM t, range(0, $d) h(i) GROUP BY 1, 2),
+      |ex AS (SELECT w AS token, count(*) AS exact FROM t GROUP BY 1
+      |  ORDER BY exact DESC, token LIMIT 50),
+      |pr AS (SELECT token, exact, h.i AS i,
+      |    ('0x' || substr(md5(h.i::VARCHAR || '#' || token), 1, 8))::BIGINT
+      |      % $w AS pos
+      |  FROM ex, range(0, $d) h(i)),
+      |est AS (SELECT token, min(cnt) AS cms_est
+      |  FROM pr JOIN g USING (i, pos) GROUP BY 1)
+      |SELECT e.token, e.exact, s.cms_est,
+      |  s.cms_est - e.exact AS overestimate
+      |FROM ex e JOIN est s USING (token)
+      |ORDER BY exact DESC, token""".stripMargin
+  }
 
   /** The full-CRUD graph-serving oracle ([[graft.streaming
     * .StreamAssembly.streamGraphServeFull]]): the accreted-serving
@@ -3961,6 +3998,11 @@ object SparkEntry {
     // the at-ingest Bloom gate: per-doc membership verdict against the
     // frozen even-half filter — batch replay is bit-identical
     "stream_bloom_probe" -> (streamBloomProbeSql),
+    // CMS point-count audit over the full corpus token stream
+    "cms_heavy_audit" -> (cmsAuditSql("")),
+    // micro-batch CMS partials merged by per-cell SUM — linearity makes
+    // the single-pass replay equal the merged grid
+    "stream_cms_partials" -> (cmsAuditSql(" WHERE doc_id % 2 = 1")),
     // the combined fold: accreted seed scored over the live population,
     // one refinement round absorbs inserts and deletes together
     "knn_graph_warm_rebuild_live" -> (knnGraphWarmRebuildLiveSql),

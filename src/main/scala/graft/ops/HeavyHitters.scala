@@ -87,4 +87,81 @@ object HeavyHitters {
         (col("n").cast("double") / col("total")).as("share"))
       .orderBy(desc("n"), asc("token"))
   }
+
+  /** Count-min sketch geometry (Cormode & Muthukrishnan 2005): d rows
+    * of w counters; est(x) = min_i grid[i][h_i(x)] ≥ true count, with
+    * overestimate ≤ e·N/w at probability 1 − e^(−d). Width is
+    * env-knobbed like the IVF-PQ cells (the oracle interpolates the
+    * same constant at object init); production sets GRAFT_CMS_WIDTH ∝
+    * N/ε. The grid is the POINT-QUERY mergeable sketch next to the
+    * Misra-Gries candidate sketch above: MG answers "which items are
+    * heavy", CMS answers "how heavy is x" — and CMS partials merge by
+    * plain ADDITION, which is what makes it the per-micro-batch /
+    * per-partition aggregation structure at 100 TB.
+    */
+  val CmsDepth: Int = 4
+  val CmsWidth: Int = graft.EnvKnobs.posInt("GRAFT_CMS_WIDTH", 1024)
+
+  /** Row-i counter position of token `w` — the md5 draw both engines
+    * replay.
+    */
+  private def cmsPos(i: org.apache.spark.sql.Column,
+                     w: org.apache.spark.sql.Column) =
+    pmod(conv(substring(md5(concat_ws("#", i, w)), 1, 8), 16, 10)
+      .cast("long"), lit(CmsWidth.toLong))
+
+  /** The d×w counter grid over a token frame (column `w`) — one
+    * aggregate, partial map-side combine, result bounded at d·w rows
+    * at ANY corpus size (the broadcast side of every point query).
+    */
+  private[graft] def cmsOf(toks: DataFrame): DataFrame =
+    toks
+      .select(explode(sequence(lit(0), lit(CmsDepth - 1))).as("i"),
+        col("w"))
+      .select(col("i"), cmsPos(col("i"), col("w")).as("pos"))
+      .groupBy("i", "pos")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** CMS point estimates for a token frame (column `token`) against a
+    * grid — k-fan-out broadcast lookups, min over rows. Shared by the
+    * batch audit and the streaming-partials gate.
+    */
+  private[graft] def cmsEstimate(tokens: DataFrame,
+                                 grid: DataFrame): DataFrame =
+    tokens
+      .withColumn("i", explode(sequence(lit(0), lit(CmsDepth - 1))))
+      .withColumn("pos", cmsPos(col("i"), col("token")))
+      .join(broadcast(grid), Seq("i", "pos"))
+      .groupBy("token")
+      .agg(min(col("cnt")).as("cms_est"))
+
+  private def corpusTokens(spark: SparkSession, sfDir: String,
+                           filter: org.apache.spark.sql.Column): DataFrame =
+    Tables.spread(Tables.documents(spark, sfDir))
+      .filter(filter)
+      .select(explode(split(col("text"), " ")).as("w"))
+
+  /** THE CMS AUDIT — the Bloom-tier discipline applied to counting:
+    * build the grid over the corpus token stream, take the exact top-k
+    * tokens, and report exact count vs CMS estimate side by side. The
+    * sketch's one-sided guarantee (est ≥ exact, the mirror of Bloom's
+    * no-false-negatives) is asserted in spec; the OVERESTIMATE column
+    * is what prices the d×w memory trade before anyone serves counts
+    * from the sketch at scale. All integers, both engines replaying
+    * the same md5 positions and min-folds.
+    */
+  def cmsHeavyAudit(spark: SparkSession, sfDir: String,
+                    topN: Int = 50): DataFrame = {
+    val toks = corpusTokens(spark, sfDir, lit(true))
+    val grid = cmsOf(toks)
+    val exact = toks.groupBy(col("w").as("token"))
+      .agg(count(lit(1)).as("exact"))
+      .orderBy(desc("exact"), asc("token"))
+      .limit(topN)
+    cmsEstimate(exact, grid)
+      .join(exact, "token")
+      .select(col("token"), col("exact"), col("cms_est"),
+        (col("cms_est") - col("exact")).as("overestimate"))
+      .orderBy(desc("exact"), asc("token"))
+  }
 }

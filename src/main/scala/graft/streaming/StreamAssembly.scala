@@ -3330,6 +3330,85 @@ object StreamAssembly {
       .orderBy("vec_id")
   }
 
+  /** STREAMED COUNT-MIN PARTIALS — the mergeable-sketch aggregation
+    * pattern at micro-batch granularity (Agarwal et al., "Mergeable
+    * Summaries": sketch each shard, ship the sketches, ADD them): each
+    * micro-batch of incoming (odd) docs builds its own d×w count-min
+    * grid ([[graft.ops.HeavyHitters.cmsOf]] — bounded rows per batch
+    * regardless of batch size) and appends it as an idempotent
+    * `batch=<id>` partial; the read side merges partials by plain
+    * per-cell SUM — CMS's linearity, the property that lets 1000
+    * executors sketch independently and a coordinator fold the grids —
+    * and point-queries the merged grid for the odd half's exact top
+    * tokens. Because addition commutes, the merged grid is bit-equal
+    * to the single-pass batch grid under ANY micro-batch slicing
+    * (asserted in spec), so the batch replay IS the oracle.
+    */
+  def streamCmsPartials(spark: SparkSession, sfDir: String,
+                        nFiles: Int = 3, topN: Int = 50): DataFrame = {
+    import java.nio.file.Files
+    import graft.ops.HeavyHitters
+    val tmp = Files.createTempDirectory("graft_cms_partials").toString
+    val outDir = s"$tmp/partials"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = s"$tmp/incoming"
+    graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(srcDir)
+    withDrainConf(spark) { ds =>
+      val docSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val stream = ds.readStream
+        .schema(docSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val query = stream.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          HeavyHitters.cmsOf(
+            batch.select(explode(split(col("text"), " ")).as("w")))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    serveCmsMerged(spark, sfDir, outDir, topN)
+  }
+
+  /** The merge-and-query read side of [[streamCmsPartials]], split out
+    * for the slicing-invariance spec: per-cell SUM over the partial
+    * grids, then point estimates for the odd half's exact top tokens.
+    */
+  private[graft] def serveCmsMerged(spark: SparkSession, sfDir: String,
+                                    partialsDir: String,
+                                    topN: Int): DataFrame = {
+    import graft.ops.HeavyHitters
+    val merged = spark.read.parquet(partialsDir)
+      .groupBy("i", "pos")
+      .agg(sum(col("cnt")).as("cnt"))
+    val exact = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w").as("token"))
+      .agg(count(lit(1)).as("exact"))
+      .orderBy(desc("exact"), asc("token"))
+      .limit(topN)
+    HeavyHitters.cmsEstimate(exact, merged)
+      .join(exact, "token")
+      .select(col("token"), col("exact"), col("cms_est"),
+        (col("cms_est") - col("exact")).as("overestimate"))
+      .orderBy(desc("exact"), asc("token"))
+  }
+
   /** ONLINE BLOOM MEMBERSHIP FILTER — the at-ingest decontamination /
     * dedup gate every large crawl pipeline runs (GPT-3 appendix C's
     * n-gram overlap rule, executed through the only structure that

@@ -168,6 +168,29 @@ class LifecycleSpec extends SparkSpec {
     assert(before === after)
   }
 
+  test("CMS one-sided error and linearity: estimates never undercount, " +
+       "and micro-batch partials merged by SUM equal the single-pass grid") {
+    import graft.ops.HeavyHitters
+    val audit = HeavyHitters.cmsHeavyAudit(spark, sf).localCheckpoint(true)
+    assert(audit.count() > 0)
+    assert(audit.filter(col("cms_est") < col("exact")).count() === 0)
+    assert(audit.filter(col("overestimate") < 0).count() === 0)
+    // linearity: the drained partials, summed per cell, are bit-equal to
+    // the one-pass grid over the same (odd) token stream
+    val drained = StreamAssembly.streamCmsPartials(spark, sf)
+    val onePass = StreamAssembly.serveCmsMerged(spark, sf, {
+      // a 1-batch "drain": the whole odd half in one partial
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_cms_onepass").toString + "/partials"
+      HeavyHitters.cmsOf(
+        Tables.documents(spark, sf).filter(col("doc_id") % 2 === 1)
+          .select(explode(split(col("text"), " ")).as("w")))
+        .write.mode("overwrite").parquet(s"$dir/batch=0")
+      dir
+    }, topN = 50)
+    assertSameRows(drained, onePass)
+  }
+
   // the drain-dependent serving helpers (the wholesale PlanSpec table
   // cannot reach them — they need a drained segment dir first) hold
   // their exchange ceilings: the Round16Spec accreted-serving idiom
