@@ -250,6 +250,12 @@ object SparkEntry {
     "knn_graph_recall" -> ((s, d) => KnnGraph.knnGraphRecall(s, d)),
     "graph_search" -> ((s, d) => KnnGraph.graphSearch(s, d)),
     "graph_search_recall" -> ((s, d) => KnnGraph.graphSearchRecall(s, d)),
+    // hierarchical (2-layer HNSW-shape) serving: descend the md5-coin
+    // upper layer, enter the base layer at per-query winners — recall
+    // at the same hop budget strictly above the flat descent's
+    "graph_search_hier" -> ((s, d) => KnnGraph.graphSearchHier(s, d)),
+    "graph_search_hier_recall" ->
+      ((s, d) => KnnGraph.graphSearchHierRecall(s, d)),
     "stream_graph_probe" ->
       ((s, d) => graft.streaming.StreamAssembly.streamGraphProbe(s, d)),
     "stream_graph_insert" ->
@@ -1133,12 +1139,14 @@ object SparkEntry {
     * `serveCte(src, dst)`, `qsrcCte(q_id, embedding, q_sq)`; yields
     * `${p}f0..${p}fH` with the beam at `rn <= SearchBeam`.
     */
-  private def descentStack(p: String, idxCte: String, serveCte: String,
-                           qsrcCte: String): String = {
-    val b = ops.KnnGraph.SearchBeam
-    val dist = "q.q_sq + ev.sq - 2 * list_sum([q.embedding[i]::DOUBLE *" +
+  private def descentDistSql: String =
+    "q.q_sq + ev.sq - 2 * list_sum([q.embedding[i]::DOUBLE *" +
       "\n  ev.embedding[i]::DOUBLE for i in range(1, 65)])"
-    val hops = (1 to ops.KnnGraph.SearchHops).map { h =>
+
+  private def descentHopsSql(p: String, idxCte: String, serveCte: String,
+                             qsrcCte: String): String = {
+    val b = ops.KnnGraph.SearchBeam
+    (1 to ops.KnnGraph.SearchHops).map { h =>
       s""",
         |${p}h${h}x AS MATERIALIZED (SELECT DISTINCT q_id, v FROM (
         |  SELECT f.q_id, g.dst AS v FROM ${p}f${h - 1} f
@@ -1147,20 +1155,72 @@ object SparkEntry {
         |${p}f$h AS MATERIALIZED (SELECT q_id, v, dist, rn FROM (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY q_id ORDER BY dist, v) AS rn FROM (
-        |    SELECT x.q_id, x.v, $dist AS dist
+        |    SELECT x.q_id, x.v, $descentDistSql AS dist
         |    FROM ${p}h${h}x x JOIN $idxCte ev ON ev.vec_id = x.v
         |    JOIN $qsrcCte q ON q.q_id = x.q_id))
         |  WHERE rn <= $b)""".stripMargin
     }.mkString
+  }
+
+  private def descentStack(p: String, idxCte: String, serveCte: String,
+                           qsrcCte: String): String = {
+    val b = ops.KnnGraph.SearchBeam
     s""",
       |${p}entry AS (SELECT vec_id AS v FROM $idxCte
       |  ORDER BY vec_id LIMIT ${ops.KnnGraph.SearchEntries}),
       |${p}f0 AS MATERIALIZED (SELECT q_id, v, dist, rn FROM (
       |  SELECT *, row_number() OVER (
       |    PARTITION BY q_id ORDER BY dist, v) AS rn FROM (
-      |    SELECT q.q_id, ev.vec_id AS v, $dist AS dist
+      |    SELECT q.q_id, ev.vec_id AS v, $descentDistSql AS dist
       |    FROM $qsrcCte q, ${p}entry x JOIN $idxCte ev ON ev.vec_id = x.v))
-      |  WHERE rn <= $b)""".stripMargin + hops
+      |  WHERE rn <= $b)""".stripMargin +
+      descentHopsSql(p, idxCte, serveCte, qsrcCte)
+  }
+
+  /** [[descentStack]] from a PER-QUERY entry CTE `(q_id, v)` — the
+    * hierarchical oracle's base-layer descent enters at the upper
+    * layer's winners instead of the global min-id entries.
+    */
+  private def descentStackFrom(p: String, idxCte: String, serveCte: String,
+                               qsrcCte: String,
+                               entryCte: String): String = {
+    val b = ops.KnnGraph.SearchBeam
+    s""",
+      |${p}f0 AS MATERIALIZED (SELECT q_id, v, dist, rn FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY dist, v) AS rn FROM (
+      |    SELECT x.q_id, x.v, $descentDistSql AS dist
+      |    FROM $entryCte x JOIN $idxCte ev ON ev.vec_id = x.v
+      |    JOIN $qsrcCte q ON q.q_id = x.q_id))
+      |  WHERE rn <= $b)""".stripMargin +
+      descentHopsSql(p, idxCte, serveCte, qsrcCte)
+  }
+
+  /** The hierarchical-serving CTE stack ([[ops.KnnGraph
+    * .graphSearchHier]]): the base-layer even graph (unprefixed) + the
+    * md5-coin upper-layer graph (prefix `x`) + both serve edge sets +
+    * the odd query fleet (`qExtra` appends the stratum coin) + the
+    * upper descent (`u`, standard entries over the small layer) + the
+    * base descent (`z`) entering at each query's upper winners.
+    */
+  private def hierDescentCtes(qExtra: String): String = {
+    val coin = " AND ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT" +
+      s" % 100 < ${ops.KnnGraph.HierPct}"
+    knnGraphCteStack(" WHERE vec_id % 2 = 0") + ",\n" +
+      knnGraphCteStack(" WHERE vec_id % 2 = 0" + coin, "x",
+        withKw = false) + s""",
+      |serve AS MATERIALIZED (SELECT src, dst FROM gfin
+      |  UNION SELECT src, dst FROM init),
+      |xserve AS MATERIALIZED (SELECT src, dst FROM xgfin
+      |  UNION SELECT src, dst FROM xinit),
+      |qsrc AS MATERIALIZED (SELECT vec_id AS q_id, embedding,
+      |    list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+      |              for i in range(1, 65)]) AS q_sq
+      |  FROM embeddings WHERE vec_id % 2 = 1$qExtra)""".stripMargin +
+      descentStack("u", "xe", "xserve", "qsrc") + s""",
+      |zent AS (SELECT q_id, v FROM uf${ops.KnnGraph.SearchHops}
+      |  WHERE rn <= ${ops.KnnGraph.SearchEntries})""".stripMargin +
+      descentStackFrom("z", "e", "serve", "qsrc", "zent")
   }
 
   /** The accreted-graph serving oracle ([[graft.streaming
@@ -1559,38 +1619,49 @@ object SparkEntry {
        |    PARTITION BY src ORDER BY dist, dst) AS rn FROM ${cur}s)
        |  WHERE rn <= ${ops.KnnGraph.K})""".stripMargin
 
-  private def knnGraphCteStack(idxWhere: String): String = {
+  /** `pfx` prefixes every generated CTE name so two independent graph
+    * builds can coexist in one statement (the hierarchical oracle
+    * builds the base-layer graph AND the upper-layer graph); `withKw`
+    * drops the leading WITH for a continuation stack.
+    */
+  private def knnGraphCteStack(idxWhere: String, pfx: String = "",
+                               withKw: Boolean = true): String = {
     val k = ops.KnnGraph.K
     val rounds = (1 to ops.KnnGraph.Rounds)
-      .map(r => knnRoundSql(if (r == 1) "r0" else s"r${r - 1}", s"r$r", "e"))
-    val names = "r0" +: (1 to ops.KnnGraph.Rounds).map(r => s"r$r")
-    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding,
+      .map(r => knnRoundSql(if (r == 1) s"${pfx}r0" else s"${pfx}r${r - 1}",
+        s"${pfx}r$r", s"${pfx}e"))
+    val names = s"${pfx}r0" +:
+      (1 to ops.KnnGraph.Rounds).map(r => s"${pfx}r$r")
+    val kw = if (withKw) "WITH " else ""
+    s"""$kw${pfx}e AS MATERIALIZED (SELECT vec_id, embedding,
        |    list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
        |              for i in range(1, 65)]) AS sq
        |  FROM embeddings$idxWhere),
-       |nn AS (SELECT count(*) AS n FROM e),
-       |ranked AS MATERIALIZED (SELECT vec_id, row_number() OVER (
+       |${pfx}nn AS (SELECT count(*) AS n FROM ${pfx}e),
+       |${pfx}ranked AS MATERIALIZED (SELECT vec_id, row_number() OVER (
        |    ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
        |      % ${ops.KnnGraph.RankBuckets}, vec_id) - 1 AS rnk
-       |  FROM e),
-       |init AS MATERIALIZED (SELECT DISTINCT d.src, r.vec_id AS dst FROM (
-       |  SELECT e.vec_id AS src,
-       |    ('0x' || substr(md5(e.vec_id::VARCHAR || ',' || j.j::VARCHAR),
-       |      1, 8))::BIGINT % nn.n AS rnk
-       |  FROM e, range(0, $k) j(j), nn) d
-       |  JOIN ranked r USING (rnk)
+       |  FROM ${pfx}e),
+       |${pfx}init AS MATERIALIZED (
+       |  SELECT DISTINCT d.src, r.vec_id AS dst FROM (
+       |  SELECT ${pfx}e.vec_id AS src,
+       |    ('0x' || substr(md5(${pfx}e.vec_id::VARCHAR || ',' ||
+       |      j.j::VARCHAR), 1, 8))::BIGINT % ${pfx}nn.n AS rnk
+       |  FROM ${pfx}e, range(0, $k) j(j), ${pfx}nn) d
+       |  JOIN ${pfx}ranked r USING (rnk)
        |  WHERE r.vec_id <> d.src),
-       |r0s AS MATERIALIZED (SELECT p.src, p.dst,
+       |${pfx}r0s AS MATERIALIZED (SELECT p.src, p.dst,
        |  a.sq + b.sq - 2 * list_sum([a.embedding[i]::DOUBLE *
        |    b.embedding[i]::DOUBLE for i in range(1, 65)]) AS dist
-       |  FROM init p JOIN e a ON a.vec_id = p.src
-       |  JOIN e b ON b.vec_id = p.dst),
-       |r0 AS MATERIALIZED (SELECT src, dst, dist, rn AS rank FROM (
+       |  FROM ${pfx}init p JOIN ${pfx}e a ON a.vec_id = p.src
+       |  JOIN ${pfx}e b ON b.vec_id = p.dst),
+       |${pfx}r0 AS MATERIALIZED (SELECT src, dst, dist, rn AS rank FROM (
        |  SELECT src, dst, dist, row_number() OVER (
-       |    PARTITION BY src ORDER BY dist, dst) AS rn FROM r0s)
+       |    PARTITION BY src ORDER BY dist, dst) AS rn FROM ${pfx}r0s)
        |  WHERE rn <= $k),
        |${rounds.mkString(",\n")},
-       |gfin AS MATERIALIZED (SELECT * FROM ${names.last})""".stripMargin
+       |${pfx}gfin AS MATERIALIZED (SELECT * FROM ${names.last})"""
+      .stripMargin
   }
 
   /** The composed-path fleet-recall tail over the ivfpq probe stack:
@@ -4045,6 +4116,35 @@ object SparkEntry {
         |  FROM qsrc q, e ev) WHERE rn = 1),
         |g1 AS (SELECT q_id, v AS g_id
         |  FROM f${ops.KnnGraph.SearchHops} WHERE rn = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(CASE WHEN g_id = bf_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_top1_match,
+        |  CASE WHEN count(*) = 0 THEN NULL
+        |    ELSE CAST(sum(CASE WHEN g_id = bf_id THEN 1 ELSE 0 END)::HUGEINT
+        |      * 1000000 // count(*) AS BIGINT) END AS recall_ppm
+        |FROM g1 JOIN bf USING (q_id)""".stripMargin),
+    // hierarchical serving: upper-layer descent picks per-query entries,
+    // base descent refines — both layers' builds + both descents replayed
+    "graph_search_hier" -> (hierDescentCtes("") + s"""
+        |SELECT q_id AS vec_id, v AS match_id,
+        |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
+        |FROM zf${ops.KnnGraph.SearchHops} WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin),
+    // the hier recall audit — directly comparable to graph_search_recall
+    // at identical hops/beam: what the smart entries buy
+    "graph_search_hier_recall" -> (hierDescentCtes(
+      " AND ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT" +
+        " % 100 < 20") +
+      s""",
+        |bf AS MATERIALIZED (SELECT q_id, m_id AS bf_id FROM (
+        |  SELECT q.q_id, ev.vec_id AS m_id, row_number() OVER (
+        |    PARTITION BY q.q_id ORDER BY
+        |      q.q_sq + ev.sq - 2 * list_sum([q.embedding[i]::DOUBLE *
+        |        ev.embedding[i]::DOUBLE for i in range(1, 65)]),
+        |      ev.vec_id) AS rn
+        |  FROM qsrc q, e ev) WHERE rn = 1),
+        |g1 AS (SELECT q_id, v AS g_id
+        |  FROM zf${ops.KnnGraph.SearchHops} WHERE rn = 1)
         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |  CAST(sum(CASE WHEN g_id = bf_id THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_top1_match,

@@ -296,10 +296,22 @@ object KnnGraph {
     */
   private[graft] def greedySearch(qs: DataFrame, idx: DataFrame,
                                   edges: DataFrame): DataFrame = {
-    val ev = idx.select(col("vec_id").as("v"), col("embedding").as("v_emb"),
-      col("sq").as("v_sq"))
     val entry = idx.orderBy("vec_id").limit(SearchEntries)
       .select(col("vec_id").as("v"))
+    greedySearchFrom(qs, idx, edges,
+      qs.select(col("q_id")).crossJoin(broadcast(entry)))
+  }
+
+  /** [[greedySearch]] from an ARBITRARY per-query entry frame
+    * (q_id, v) — the hierarchical descent's lower stage enters the base
+    * layer at the upper layer's per-query winners instead of the global
+    * min-id entries.
+    */
+  private[graft] def greedySearchFrom(qs: DataFrame, idx: DataFrame,
+                                      edges: DataFrame,
+                                      entries: DataFrame): DataFrame = {
+    val ev = idx.select(col("vec_id").as("v"), col("embedding").as("v_emb"),
+      col("sq").as("v_sq"))
     def score(cand: DataFrame): DataFrame =
       cand
         .join(ev, "v")
@@ -312,8 +324,7 @@ object KnnGraph {
           Window.partitionBy("q_id").orderBy(col("dist"), col("v"))))
         .filter(col("rn") <= SearchBeam)
         .select(col("q_id"), col("v"), col("dist"), col("rn"))
-    var frontier = score(
-      qs.select(col("q_id")).crossJoin(broadcast(entry)))
+    var frontier = score(entries.select(col("q_id"), col("v")))
       .localCheckpoint(true)
     for (_ <- 1 to SearchHops) {
       val cand = frontier.select(col("q_id"), col("v").as("src"))
@@ -339,6 +350,117 @@ object KnnGraph {
       .select(col("q_id").as("vec_id"), col("v").as("match_id"),
         floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
       .orderBy("vec_id")
+  }
+
+  /** Upper-layer sample share (percent, md5 coin) for the hierarchical
+    * descent — HNSW's exponentially-decaying layer assignment reduced
+    * to its deterministic two-layer core: a vertex belongs to the
+    * upper layer iff its md5 bucket < this. Env-knobbed like the other
+    * geometry constants; production tunes it ∝ 1/log n so the upper
+    * layer stays descent-cheap while covering every region.
+    */
+  val HierPct: Int = graft.EnvKnobs.posInt("GRAFT_GRAPH_HIER_PCT", 10)
+
+  private def upperOf(e: DataFrame): DataFrame =
+    e.filter(TrainingSets.bucket100(col("vec_id")) < HierPct)
+
+  /** The upper layer's own serving graph (NN-descent + long-range
+    * links over the md5-coin sample of the even index) — memoized like
+    * every graph-family model.
+    */
+  private[graft] def upperServingGraph(spark: SparkSession,
+                                       sfDir: String): DataFrame =
+    graphCache.synchronized {
+      graphCache.getOrElseUpdate(
+        (spark.sparkContext, sfDir, Rounds, "even-upper"), {
+          val l1 = upperOf(corpus(spark, sfDir)
+            .filter(col("vec_id") % 2 === 0))
+          servingEdgesOf(l1, graphOf(l1, Rounds))
+        })
+    }
+
+  /** HIERARCHICAL graph serving — the HNSW shape that retires "hops
+    * must grow ~log n" as a flat-graph cost: queries first descend the
+    * SMALL upper layer (≈ [[HierPct]]% of the index — its own
+    * NN-descent graph, standard min-id entries), and the upper beam's
+    * [[SearchEntries]] best vertices become PER-QUERY entries into the
+    * full base-layer descent. Entries start near the query's true
+    * neighborhood, so the base descent spends its fixed hop budget
+    * refining locally instead of crossing the space — the measured
+    * effect is recall at the SAME hop count strictly above the flat
+    * descent's (see `graph_search_hier_recall` vs
+    * `graph_search_recall`). Upper-layer cost is beam·k rows per hop
+    * over a 10% population: asymptotically free, and both layers'
+    * structures are the same deterministic builds the oracle replays.
+    */
+  def graphSearchHier(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = corpus(spark, sfDir).filter(col("vec_id") % 2 === 0)
+    val qs = corpus(spark, sfDir).filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("sq").as("q_sq"))
+    hierSearch(spark, sfDir, idx, qs)
+      .filter(col("rn") === 1)
+      .select(col("q_id").as("vec_id"), col("v").as("match_id"),
+        floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
+      .orderBy("vec_id")
+  }
+
+  /** The two-stage descent shared by the hier gate and its recall
+    * audit: upper-layer beam → per-query entries → base-layer beam.
+    */
+  private def hierSearch(spark: SparkSession, sfDir: String,
+                         idx: DataFrame, qs: DataFrame): DataFrame = {
+    val l1 = upperOf(idx)
+    val top = greedySearch(qs, l1, upperServingGraph(spark, sfDir))
+      .filter(col("rn") <= SearchEntries)
+      .select(col("q_id"), col("v"))
+    greedySearchFrom(qs, idx, servingGraph(spark, sfDir), top)
+  }
+
+  /** Hierarchical-serving recall on the md5-coin stratum — the same
+    * audit as [[graphSearchRecall]], so the two gated numbers compare
+    * directly at identical hops/beam: what the smart entries buy.
+    */
+  def graphSearchHierRecall(spark: SparkSession, sfDir: String,
+                            pct: Int = 20): DataFrame = {
+    val idx = corpus(spark, sfDir).filter(col("vec_id") % 2 === 0)
+    val qs = corpus(spark, sfDir).filter(col("vec_id") % 2 === 1)
+      .filter(TrainingSets.bucket100(col("vec_id")) < pct)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("sq").as("q_sq"))
+    val greedy = hierSearch(spark, sfDir, idx, qs)
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("v").as("g_id"))
+    top1RecallVsBf(qs, idx, greedy)
+  }
+
+  /** Shared exact-top-1 compare (salt-keyed block join ground truth)
+    * for the serving recall audits.
+    */
+  private def top1RecallVsBf(qs: DataFrame, idx: DataFrame,
+                             greedy: DataFrame): DataFrame = {
+    val bf = qs
+      .withColumn("blk",
+        explode(sequence(lit(0), lit(Similarity.BlockCrossSalt - 1))))
+      .join(idx.select(col("vec_id").as("m_id"), col("embedding").as("m_emb"),
+          col("sq").as("m_sq"))
+        .withColumn("blk",
+          pmod(col("m_id"), lit(Similarity.BlockCrossSalt)).cast("int"))
+        .hint("shuffle_hash"), "blk")
+      .withColumn("dist",
+        col("q_sq") + col("m_sq") -
+          lit(2.0) * Similarity.dot(col("q_emb"), col("m_emb")))
+      .groupBy("q_id")
+      .agg(min(struct(col("dist"), col("m_id"))).as("best"))
+      .select(col("q_id"), col("best.m_id").as("bf_id"))
+    greedy.join(bf, "q_id")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("g_id") === col("bf_id"), 1L).otherwise(0L))
+          .as("n_top1_match"))
+      .withColumn("recall_ppm", expr(
+        """CASE WHEN n_queries = 0 THEN NULL
+          ELSE CAST(CAST(n_top1_match AS DECIMAL(38,0)) * 1000000
+            DIV n_queries AS BIGINT) END"""))
   }
 
   /** The ACCRETED serving edge set — the read side of the graph-index
@@ -508,28 +630,7 @@ object KnnGraph {
     val greedy = greedySearch(qs, idx, servingGraph(spark, sfDir))
       .filter(col("rn") === 1)
       .select(col("q_id"), col("v").as("g_id"))
-    val bf = qs
-      .withColumn("blk",
-        explode(sequence(lit(0), lit(Similarity.BlockCrossSalt - 1))))
-      .join(idx.select(col("vec_id").as("m_id"), col("embedding").as("m_emb"),
-          col("sq").as("m_sq"))
-        .withColumn("blk",
-          pmod(col("m_id"), lit(Similarity.BlockCrossSalt)).cast("int"))
-        .hint("shuffle_hash"), "blk")
-      .withColumn("dist",
-        col("q_sq") + col("m_sq") -
-          lit(2.0) * Similarity.dot(col("q_emb"), col("m_emb")))
-      .groupBy("q_id")
-      .agg(min(struct(col("dist"), col("m_id"))).as("best"))
-      .select(col("q_id"), col("best.m_id").as("bf_id"))
-    greedy.join(bf, "q_id")
-      .agg(count(lit(1)).as("n_queries"),
-        sum(when(col("g_id") === col("bf_id"), 1L).otherwise(0L))
-          .as("n_top1_match"))
-      .withColumn("recall_ppm", expr(
-        """CASE WHEN n_queries = 0 THEN NULL
-          ELSE CAST(CAST(n_top1_match AS DECIMAL(38,0)) * 1000000
-            DIV n_queries AS BIGINT) END"""))
+    top1RecallVsBf(qs, idx, greedy)
   }
 
   /** Recall audit on the deterministic md5-coin stratum (default 20%):

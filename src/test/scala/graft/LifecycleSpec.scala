@@ -168,6 +168,69 @@ class LifecycleSpec extends SparkSpec {
     assert(before === after)
   }
 
+  // the Round15Spec planted geometry: clusters on a lattice with tiny
+  // deterministic noise — where entry locality matters, unlike the
+  // near-isotropic gated fixtures where recall tracks explored fraction
+  private def plantedCorpus(nClusters: Int, perCluster: Int) = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    import graft.ops.Similarity
+    val rows = (0 until nClusters * perCluster).map { i =>
+      val c = (i / 2) % nClusters
+      val emb = Seq.tabulate(64) { d =>
+        val center = ((c * 31 + d * 17) % 13 - 6).toFloat
+        val noise = (((i * 13 + d * 7) % 5) - 2) * 0.01f
+        center + noise
+      }
+      (i.toLong, emb)
+    }
+    rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.dot(col("embedding"), col("embedding")).as("sq"))
+  }
+
+  test("hierarchical serving beats the flat descent where structure " +
+       "exists: upper-layer entries land in the query's cluster, the " +
+       "fixed hop budget refines locally (planted: flat 0.91 -> hier 1.0)") {
+    import graft.ops.{Similarity, TrainingSets}
+    val e = plantedCorpus(64, 64).localCheckpoint(true)
+    val idx = e.filter(col("vec_id") % 2 === 0).localCheckpoint(true)
+    val qs = e.filter(col("vec_id") % 2 === 1)
+      .filter(TrainingSets.bucket100(col("vec_id")) < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("sq").as("q_sq")).localCheckpoint(true)
+    val serve = KnnGraph.servingEdgesOf(idx, KnnGraph.graphOf(idx, 3))
+    val l1 = idx.filter(TrainingSets.bucket100(col("vec_id")) < 10)
+      .localCheckpoint(true)
+    val l1serve = KnnGraph.servingEdgesOf(l1, KnnGraph.graphOf(l1, 3))
+    val bf = qs.crossJoin(idx.select(col("vec_id").as("m_id"),
+        col("embedding").as("m_emb"), col("sq").as("m_sq")))
+      .withColumn("dist", col("q_sq") + col("m_sq") -
+        lit(2.0) * Similarity.dot(col("q_emb"), col("m_emb")))
+      .groupBy("q_id")
+      .agg(min(struct(col("dist"), col("m_id"))).as("best"))
+      .select(col("q_id"), col("best.m_id").as("bf_id"))
+      .localCheckpoint(true)
+    val n = bf.count().toDouble
+    def recall(top1: DataFrame): Double =
+      top1.join(bf, "q_id").filter(col("v") === col("bf_id")).count() / n
+    val flat = recall(KnnGraph.greedySearch(qs, idx, serve)
+      .filter(col("rn") === 1).select(col("q_id"), col("v")))
+    val entries = KnnGraph.greedySearch(qs, l1, l1serve)
+      .filter(col("rn") <= KnnGraph.SearchEntries)
+      .select(col("q_id"), col("v"))
+    val hier = recall(
+      KnnGraph.greedySearchFrom(qs, idx, serve, entries)
+        .filter(col("rn") === 1).select(col("q_id"), col("v")))
+    info(s"planted 64x64: flat $flat, hier $hier")
+    assert(hier > flat)
+    assert(hier >= 0.99)
+    // and the gated path is deterministic (two runs bit-equal)
+    val a = KnnGraph.graphSearchHier(spark, sf).collect().toSeq
+    assert(a === KnnGraph.graphSearchHier(spark, sf).collect().toSeq)
+    assert(a.nonEmpty)
+  }
+
   test("CMS one-sided error and linearity: estimates never undercount, " +
        "and micro-batch partials merged by SUM equal the single-pass grid") {
     import graft.ops.HeavyHitters
