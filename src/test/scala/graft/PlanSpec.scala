@@ -707,6 +707,10 @@ class PlanSpec extends SparkSpec {
       // bounded), test-shingle per-doc and per-lang folds — the filter
       // side is always the broadcast
       "bloom_contamination" -> 7,
+      // hier serving: the two descents run eagerly against checkpointed
+      // leaves; the gated frame is a projection + presentation sort
+      "graph_search_hier" -> 1,
+      "cms_heavy_audit" -> 6,
       // r16 PQ refresh: the old-assignment argmin combine, the
       // cell-keyed decimal-mean pair, the re-code argmin combines and
       // the two churn-report folds — every exchange carries a
