@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, Expression, ExpressionInfo, Size}
+import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Pmod, Size, Substring}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Registry for graft's native Catalyst expressions, usable two ways:
@@ -14,10 +14,11 @@ import org.apache.spark.sql.SparkSessionExtensions
   *   - [[GraftFunctions.register]] on a live session (idempotent) — the
   *     path the query library uses so the driver's plain sessions work.
   *
-  * Both paths also install [[RewriteIntersectSize]], the optimizer rule
-  * that fuses `size(array_intersect(a, b))` into the [[IntersectSize]]
-  * kernel — preference order (c) of the builder brief: query code stays
-  * declarative; the plan gets the native operator.
+  * Both paths also install the optimizer rules [[RewriteIntersectSize]]
+  * (fuses `size(array_intersect(a, b))` into the [[IntersectSize]]
+  * kernel) and [[RewriteMd5Bucket]] (fuses the engine-wide md5 coin
+  * into [[Md5Bucket]]) — preference order (c) of the builder brief:
+  * query code stays declarative; the plan gets the native operator.
   */
 object GraftFunctions {
 
@@ -33,7 +34,8 @@ object GraftFunctions {
     "vec_rp" -> (es => RandomProjection(es.head, intLit("vec_rp", es(1)))),
     // direct-call form: size(null)-as-NULL semantics (non-legacy)
     "intersect_size" ->
-      (es => IntersectSize(es.head, es(1), legacySizeOfNull = false))
+      (es => IntersectSize(es.head, es(1), legacySizeOfNull = false)),
+    "md5_bucket" -> (es => Md5Bucket(es.head, es(1)))
   )
 
   private def intLit(fn: String, e: Expression): Int = e match {
@@ -50,6 +52,9 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(RewriteIntersectSize))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteIntersectSize
+    if (!spark.experimental.extraOptimizations.contains(RewriteMd5Bucket))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteMd5Bucket
     if (!spark.experimental.extraStrategies
         .contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -81,6 +86,50 @@ object RewriteIntersectSize extends Rule[LogicalPlan] {
     }
 }
 
+/** Fuse the engine-wide md5 coin —
+  * `pmod(cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint), m)` —
+  * into the [[Md5Bucket]] kernel. The composed form renders the 16-byte
+  * digest as a 32-char hex string, substrings 8 chars, and reparses
+  * them base-16, all to recover the digest's own first 4 bytes; the
+  * kernel reads the bytes. Fires only on a POSITIVE long/int literal
+  * modulus, where pmod ≡ the kernel's `%` under either ANSI setting
+  * (a zero or negative modulus keeps the composed form and its exact
+  * semantics). Runs in the user-optimizer batch, i.e. after type
+  * coercion and constant folding — the literal is already a long.
+  */
+object RewriteMd5Bucket extends Rule[LogicalPlan] {
+  private object PositiveLit {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case l @ Literal(m: Long, LongType) if m > 0 => Some(l)
+      case Literal(m: Int, IntegerType) if m > 0 =>
+        Some(Literal(m.toLong, LongType))
+      case _ => None
+    }
+  }
+  /** The STRING the caller hashed: the analyzer wraps md5's argument in
+    * a string→binary cast, which the kernel (string-keyed, one
+    * getBytes) unwraps.
+    */
+  private object HashedString {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case Cast(s, org.apache.spark.sql.types.BinaryType, _, _)
+          if s.dataType == StringType => Some(s)
+      case s if s.dataType == StringType => Some(s)
+      case _ => None
+    }
+  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Pmod(
+          Cast(Conv(Substring(Md5(HashedString(s)), Literal(1, IntegerType),
+              Literal(8, IntegerType)),
+            Literal(16, IntegerType), Literal(10, IntegerType), _),
+            LongType, _, _),
+          PositiveLit(m), _) =>
+        Md5Bucket(s, m)
+    }
+}
+
 /** `SparkSessionExtensions` hook (config `spark.sql.extensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -91,6 +140,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => RewriteIntersectSize)
+    ext.injectOptimizerRule(_ => RewriteMd5Bucket)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }

@@ -134,6 +134,21 @@ object TextOps {
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
 
+  /** The md5 bucket draw — `pmod(conv(substring(md5(s), 1, 8), 16, 10),
+    * m)` collapsed to one digest + masked modulo: the first 8 hex chars
+    * of the digest ARE its first 4 bytes, so the hex-string render,
+    * substring, and base-16 reparse of the composed form are pure
+    * allocation overhead. Callers guarantee m > 0 (the rewrite only
+    * fires on positive literals; the direct-call form validates).
+    */
+  def md5Bucket(s: UTF8String, m: Long): Long = {
+    if (m <= 0) throw new IllegalArgumentException(
+      s"md5_bucket: modulus must be positive, got $m")
+    val d = md5Local.get().digest(s.getBytes)
+    (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % m
+  }
+
   /** k MinHash draws over a shingle array, row-local in one pass — no
     * explode, no aggregation shuffle. Bit-identical to the relational
     * formulation the oracle mirrors: per shingle, h1/h2 are the two
@@ -348,4 +363,58 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
+}
+
+/** md5_bucket(s, m): the engine-wide md5 coin —
+  * `pmod(conv(substring(md5(s), 1, 8), 16, 10), m)` — as one digest +
+  * modulo ([[TextOps.md5Bucket]]). Installed two ways like
+  * [[IntersectSize]]: callable, and via [[graft.functions
+  * .RewriteMd5Bucket]], which fuses the composed form wherever it
+  * appears (split coins, bucket-offset rank draws, Bloom/CMS hash
+  * positions, stratum filters) — query code stays declarative, every
+  * coin drops its hex-render/substring/reparse string work.
+  */
+case class Md5Bucket(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"md5_bucket expects (string, bigint), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_bucket"
+
+  override def eval(input: InternalRow): Any = {
+    val s = left.eval(input)
+    val m = right.eval(input)
+    if (s == null || m == null) null
+    else TextOps.md5Bucket(s.asInstanceOf[UTF8String],
+      m.asInstanceOf[Long])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val le = left.genCode(ctx)
+    val re = right.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${le.code}
+        ${re.code}
+        boolean ${ev.isNull} = false;
+        long ${ev.value} = 0L;
+        if (${le.isNull} || ${re.isNull}) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = graft.functions.TextOps.md5Bucket(
+            ${le.value}, ${re.value});
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Md5Bucket =
+    copy(left = newLeft, right = newRight)
 }

@@ -136,10 +136,13 @@ object HeavyHitters {
       .agg(min(col("cnt")).as("cms_est"))
 
   private def corpusTokens(spark: SparkSession, sfDir: String,
-                           filter: org.apache.spark.sql.Column): DataFrame =
+                           filter: org.apache.spark.sql.Column): DataFrame = {
+    // installs RewriteMd5Bucket so the k·tokens coin draws run fused
+    graft.functions.GraftFunctions.register(spark)
     Tables.spread(Tables.documents(spark, sfDir))
       .filter(filter)
       .select(explode(split(col("text"), " ")).as("w"))
+  }
 
   /** THE CMS AUDIT — the Bloom-tier discipline applied to counting:
     * build the grid over the corpus token stream, take the exact top-k

@@ -135,4 +135,55 @@ class TextExprSpec extends SparkSpec {
     assert(opt.contains("intersect_size"),
       s"RewriteIntersectSize did not fire:\n$opt")
   }
+
+  private def composedCoin(c: org.apache.spark.sql.Column, m: Long) =
+    pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), lit(m))
+
+  test("md5_bucket equals the composed hex-parse coin on varied inputs " +
+       "and moduli") {
+    val rows = Seq("", "a", "0", "42", "doc 7", "héllo wörld", "日本語",
+      "a" * 500, "123,7", "null")
+    val df = rows.toDF("s")
+    for (m <- Seq(2L, 100L, 256L, 1048576L, 4294967296L)) {
+      val bad = df.select(
+          call_function("md5_bucket", col("s"), lit(m)).as("k"),
+          composedCoin(col("s"), m).as("c"))
+        .filter(col("k") =!= col("c") || col("k").isNull =!= col("c").isNull)
+      assert(bad.count() === 0, s"mismatch at m=$m")
+    }
+    // null string -> null, like the composed form
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(call_function("md5_bucket", col("s"), lit(100L)).as("k"))
+    assert(n.head().isNullAt(0))
+  }
+
+  test("RewriteMd5Bucket fuses the composed coin on positive literal " +
+       "moduli, leaves non-literal moduli composed, and preserves values") {
+    // a parquet-backed frame: a local relation would be wholly
+    // constant-folded before the user batch and show nothing
+    val df = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"))
+    val composed = df.select(col("doc_id"),
+      composedCoin(col("doc_id").cast("string"), 100L).as("b"))
+    val opt = composed.queryExecution.optimizedPlan.toString
+    assert(opt.contains("md5_bucket"),
+      s"RewriteMd5Bucket did not fire:\n$opt")
+    assert(!opt.contains("conv("), s"composed chain survived:\n$opt")
+    // values identical to the direct kernel call (the fused plan's rows
+    // ARE the composed form's values — the kernel spec above pins the
+    // arithmetic; here we pin fused-plan output end to end)
+    val fused = composed.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val direct = df.select(col("doc_id"),
+        call_function("md5_bucket", col("doc_id").cast("string"),
+          lit(100L)).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fused.toSeq === direct.toSeq)
+    assert(fused.nonEmpty)
+    // a non-literal modulus keeps the composed form (pmod semantics at
+    // m<=0 must not change)
+    val dyn = df.select(pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), col("doc_id") + 1L).as("b"))
+    assert(!dyn.queryExecution.optimizedPlan.toString.contains("md5_bucket"))
+  }
 }
