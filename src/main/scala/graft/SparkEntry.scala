@@ -323,6 +323,11 @@ object SparkEntry {
       ((s, d) => HeavyHitters.cmsHeavyAudit(s, d)),
     "stream_cms_partials" ->
       ((s, d) => graft.streaming.StreamAssembly.streamCmsPartials(s, d)),
+    // bounded-state streaming heavy hitters: per-batch MG counters, the
+    // merged candidate superset recounted exactly — output DETERMINISTIC
+    // (equal to the batch two-pass) despite order-dependent sketch state
+    "stream_mg_partials" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamMgPartials(s, d)),
     // the PQ fold: refresh the frozen coarse axis over base + inserted
     // (decimal-exact Lloyd round), re-code, report exact churn
     "ivfpq_warm_refresh" ->
@@ -4074,6 +4079,19 @@ object SparkEntry {
     // micro-batch CMS partials merged by per-cell SUM — linearity makes
     // the single-pass replay equal the merged grid
     "stream_cms_partials" -> (cmsAuditSql(" WHERE doc_id % 2 = 1")),
+    // MG partials: the merged candidate superset + exact recount yields
+    // the SAME rows as the batch two-pass — so the plain heavy-hitter
+    // SQL over the odd half IS the oracle (sketch state never leaks
+    // into the answer)
+    "stream_mg_partials" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |tot AS (SELECT count(*) AS total FROM t)
+        |SELECT w AS token, count(*) AS n,
+        |CAST(count(*) AS DOUBLE) / total AS share
+        |FROM t, tot GROUP BY w, total
+        |HAVING count(*) * 1000 >= total * 34
+        |ORDER BY n DESC, token""".stripMargin,
     // the combined fold: accreted seed scored over the live population,
     // one refinement round absorbs inserts and deletes together
     "knn_graph_warm_rebuild_live" -> (knnGraphWarmRebuildLiveSql),

@@ -3330,6 +3330,83 @@ object StreamAssembly {
       .orderBy("vec_id")
   }
 
+  /** STREAMED MISRA-GRIES PARTIALS — deterministic heavy hitters over
+    * a stream with bounded state, the candidate-set counterpart of
+    * [[streamCmsPartials]] (CMS answers "how heavy", this answers
+    * "which are heavy" EXACTLY): each micro-batch runs the k-counter
+    * MG sketch over its own tokens and appends the surviving (token,
+    * count) counters as a `batch=<id>` partial — at most k rows per
+    * batch regardless of batch size. The read side unions the partial
+    * KEY SETS (the pigeonhole argument makes this a guaranteed
+    * superset of every globally-heavy token: global share > 1/k forces
+    * batch share > 1/k in at least one batch, where MG-k must retain
+    * it), recounts ONLY the candidates exactly, and applies the
+    * integer threshold — so the OUTPUT is deterministic and equal to
+    * the batch two-pass [[graft.ops.HeavyHitters.heavyHitterTokens]]
+    * even though intermediate sketch contents are batch-order
+    * dependent. That split — order-dependent bounded state, exact
+    * deterministic answer — is precisely how a 1000-executor
+    * heavy-hitter job ships per-shard summaries.
+    */
+  def streamMgPartials(spark: SparkSession, sfDir: String,
+                       nFiles: Int = 3,
+                       thresholdPerMille: Long = 34L,
+                       k: Int = 64): DataFrame = {
+    import java.nio.file.Files
+    import graft.ops.HeavyHitters
+    val tmp = Files.createTempDirectory("graft_mg_partials").toString
+    val outDir = s"$tmp/partials"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = s"$tmp/incoming"
+    graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(srcDir)
+    withDrainConf(spark) { ds =>
+      import ds.implicits._
+      val docSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val stream = ds.readStream
+        .schema(docSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val query = stream.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.select(explode(split(col("text"), " ")).as("w"))
+            .as[String]
+            .groupByKey(_ => 0)
+            .agg(new HeavyHitters.MisraGries(k).toColumn.name("mg"))
+            .flatMap { case (_, m) => m.toSeq }
+            .toDF("w", "c")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    // read side: candidate keys ∪ over partials, exact recount, threshold
+    val cand = spark.read.parquet(outDir).select("w").distinct()
+    val toks = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val total = toks.groupBy().agg(count(lit(1)).as("total"))
+    toks.join(broadcast(cand), Seq("w"), "left_semi")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * 1000L >= col("total") * thresholdPerMille)
+      .select(col("w").as("token"), col("n"),
+        (col("n").cast("double") / col("total")).as("share"))
+      .orderBy(desc("n"), asc("token"))
+  }
+
   /** STREAMED COUNT-MIN PARTIALS — the mergeable-sketch aggregation
     * pattern at micro-batch granularity (Agarwal et al., "Mergeable
     * Summaries": sketch each shard, ship the sketches, ADD them): each

@@ -254,6 +254,37 @@ class LifecycleSpec extends SparkSpec {
     assertSameRows(drained, onePass)
   }
 
+  test("MG partials answer deterministically: merged candidates + exact " +
+       "recount equal the batch two-pass heavy hitters, under different " +
+       "batch slicings") {
+    import graft.ops.HeavyHitters
+    val drained3 = StreamAssembly.streamMgPartials(spark, sf, nFiles = 3)
+      .localCheckpoint(true)
+    val drained5 = StreamAssembly.streamMgPartials(spark, sf, nFiles = 5)
+    assertSameRows(drained3, drained5)
+    assert(drained3.count() > 0)
+    // and equal to the batch two-pass over the same (odd) half: the
+    // sketch state never leaks into the answer
+    import spark.implicits._
+    val toks = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 === 1)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val pass1 = toks.as[String]
+      .groupByKey(_ => 0)
+      .agg(new HeavyHitters.MisraGries(64).toColumn.name("mg"),
+        count(lit(1)).as("total").as[Long])
+      .localCheckpoint(true)
+    val sketch = pass1.flatMap { case (_, m, _) => m.keys }.toDF("w")
+    val total = pass1.map { case (_, _, t) => t }.toDF("total")
+    val batch = toks.join(broadcast(sketch), Seq("w"), "left_semi")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * 1000L >= col("total") * 34L)
+      .select(col("w").as("token"), col("n"),
+        (col("n").cast("double") / col("total")).as("share"))
+    assertSameRows(drained3, batch)
+  }
+
   // the drain-dependent serving helpers (the wholesale PlanSpec table
   // cannot reach them — they need a drained segment dir first) hold
   // their exchange ceilings: the Round16Spec accreted-serving idiom
