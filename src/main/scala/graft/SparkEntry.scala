@@ -162,6 +162,8 @@ object SparkEntry {
     "dedup_latest" -> (Dedup.dedupLatest _),
     "pii_redact" -> (Privacy.piiRedact _),
     "k_anonymity" -> ((s, d) => Privacy.kAnonymity(s, d)),
+    // the k-anonymity follow-on: sensitive-value diversity per QI class
+    "l_diversity" -> ((s, d) => Privacy.lDiversity(s, d)),
     "scd2_user_history" -> (Analytics.scd2UserHistory _),
     "pit_state_lookup" -> ((s, d) => Analytics.pitStateLookup(s, d)),
     "rolling_active_users" -> (Analytics.rollingActiveUsers _),
@@ -2966,6 +2968,21 @@ object SparkEntry {
         |count(*) AS n,
         |CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS under_k
         |FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // sensitive-value diversity per QI class: distinct segments +
+    // dominant-value share (exact integer ppm), classes under l flagged
+    "l_diversity" ->
+      """WITH s AS (SELECT c_nationkey,
+        |  (floor(c_acctbal / 500.0) * 500.0)::DOUBLE AS acctbal_band,
+        |  c_mktsegment, count(*) AS sn
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, acctbal_band,
+        |CAST(sum(sn) AS BIGINT) AS n,
+        |count(*) AS l_distinct,
+        |CAST(max(sn) AS BIGINT) AS top_sens,
+        |CAST(max(sn)::HUGEINT * 1000000 // sum(sn) AS BIGINT)
+        |  AS top_share_ppm,
+        |CASE WHEN count(*) < 3 THEN 1 ELSE 0 END AS under_l
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "scd2_user_history" ->
       """WITH m AS (SELECT user_id, ts, event_id, event_type,
         |  CASE WHEN lag(event_type) OVER w IS NULL

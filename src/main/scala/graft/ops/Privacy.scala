@@ -59,4 +59,34 @@ object Privacy {
       .agg(count(lit(1)).as("n"))
       .withColumn("under_k", when(col("n") < k, 1).otherwise(0))
       .orderBy("c_nationkey", "c_mktsegment", "acctbal_band")
+
+  /** l-diversity audit (Machanavajjhala et al. 2006 — the k-anonymity
+    * follow-on: a QI class whose members all share one SENSITIVE value
+    * re-identifies the attribute even when the class is k-large): per
+    * quasi-identifier class (nation, balance band), the distinct count
+    * of the sensitive attribute (market segment) and the dominant
+    * value's share in exact integer ppm — the homogeneity signal
+    * behind recursive (c, l)-diversity. Flags classes below `l`. Same
+    * scale shape as the k audit: one shuffle on the QI tuple, class
+    * count bounded by the QI domain product.
+    */
+  def lDiversity(spark: SparkSession, sfDir: String, l: Int = 3): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"),
+        band500(col("c_acctbal")).as("acctbal_band"),
+        col("c_mktsegment"))
+      .groupBy("c_nationkey", "acctbal_band", "c_mktsegment")
+      .agg(count(lit(1)).as("sn"))
+      .groupBy("c_nationkey", "acctbal_band")
+      .agg(sum(col("sn")).cast("long").as("n"),
+        count(lit(1)).as("l_distinct"),
+        max(col("sn")).cast("long").as("top_sens"))
+      .withColumn("top_share_ppm",
+        expr("CAST(CAST(top_sens AS DECIMAL(38,0)) * 1000000 DIV n" +
+          " AS BIGINT)"))
+      .withColumn("under_l", when(col("l_distinct") < l, 1).otherwise(0))
+      .select(col("c_nationkey"), col("acctbal_band"), col("n"),
+        col("l_distinct"), col("top_sens"), col("top_share_ppm"),
+        col("under_l"))
+      .orderBy("c_nationkey", "acctbal_band")
 }
