@@ -164,6 +164,8 @@ object SparkEntry {
     "k_anonymity" -> ((s, d) => Privacy.kAnonymity(s, d)),
     // the k-anonymity follow-on: sensitive-value diversity per QI class
     "l_diversity" -> ((s, d) => Privacy.lDiversity(s, d)),
+    // and ITS follow-on: class-vs-global sensitive-distribution skew
+    "t_closeness" -> ((s, d) => Privacy.tCloseness(s, d)),
     "scd2_user_history" -> (Analytics.scd2UserHistory _),
     "pit_state_lookup" -> ((s, d) => Analytics.pitStateLookup(s, d)),
     "rolling_active_users" -> (Analytics.rollingActiveUsers _),
@@ -2983,6 +2985,35 @@ object SparkEntry {
         |  AS top_share_ppm,
         |CASE WHEN count(*) < 3 THEN 1 ELSE 0 END AS under_l
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // class-vs-global total-variation skew of the sensitive attribute,
+    // exact by cross-multiplication: 1/2 sum |sn*N - gn*n| as ppm of n*N
+    "t_closeness" ->
+      """WITH b AS (SELECT c_nationkey,
+        |  (floor(c_acctbal / 500.0) * 500.0)::DOUBLE AS acctbal_band,
+        |  c_mktsegment FROM customer),
+        |g AS (SELECT c_mktsegment, count(*) AS gn FROM b GROUP BY 1),
+        |nn AS (SELECT sum(gn) AS corpus_n FROM g),
+        |c AS (SELECT c_nationkey, acctbal_band, count(*) AS n
+        |  FROM b GROUP BY 1, 2),
+        |cs AS (SELECT c_nationkey, acctbal_band, c_mktsegment,
+        |  count(*) AS sn FROM b GROUP BY 1, 2, 3),
+        |spine AS (SELECT c.c_nationkey, c.acctbal_band, c.n,
+        |  g.c_mktsegment, g.gn, nn.corpus_n
+        |  FROM c CROSS JOIN g CROSS JOIN nn),
+        |sp AS (SELECT spine.c_nationkey, spine.acctbal_band, spine.n,
+        |  spine.gn, spine.corpus_n, coalesce(cs.sn, 0) AS sn
+        |  FROM spine LEFT JOIN cs
+        |    ON cs.c_nationkey = spine.c_nationkey
+        |    AND cs.acctbal_band = spine.acctbal_band
+        |    AND cs.c_mktsegment = spine.c_mktsegment)
+        |SELECT c_nationkey, acctbal_band, CAST(n AS BIGINT) AS n,
+        |CAST(sum(abs(sn::HUGEINT * corpus_n - gn::HUGEINT * n)) * 1000000
+        |  // (2 * n::HUGEINT * max(corpus_n)) AS BIGINT) AS t_ppm,
+        |CASE WHEN CAST(sum(abs(sn::HUGEINT * corpus_n - gn::HUGEINT * n))
+        |    * 1000000 // (2 * n::HUGEINT * max(corpus_n)) AS BIGINT)
+        |  > 300000 THEN 1 ELSE 0 END AS over_t
+        |FROM sp GROUP BY c_nationkey, acctbal_band, n
+        |ORDER BY 1, 2""".stripMargin,
     "scd2_user_history" ->
       """WITH m AS (SELECT user_id, ts, event_id, event_type,
         |  CASE WHEN lag(event_type) OVER w IS NULL

@@ -89,4 +89,50 @@ object Privacy {
         col("l_distinct"), col("top_sens"), col("top_share_ppm"),
         col("under_l"))
       .orderBy("c_nationkey", "acctbal_band")
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007 — the
+    * l-diversity follow-on: a class can be diverse yet still SKEWED
+    * far from the corpus baseline, leaking probabilistic information):
+    * per QI class, the total-variation distance between the class's
+    * sensitive-value distribution and the global one, kept EXACT by
+    * cross-multiplication — ½·Σ|sn·N − gn·n| over segments, reported
+    * as integer ppm of n·N — so both engines fold the same integers
+    * and the gate hashes. Classes beyond `tPpm` flagged. The global
+    * distribution is a 5-row broadcast; absent segments contribute
+    * their full global mass, which the class × segment spine (class
+    * frame ⨯ broadcast segment frame) makes explicit.
+    */
+  def tCloseness(spark: SparkSession, sfDir: String,
+                 tPpm: Long = 300000L): DataFrame = {
+    val base = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"),
+        band500(col("c_acctbal")).as("acctbal_band"),
+        col("c_mktsegment"))
+    val global = base.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("gn"))
+    val classes = base.groupBy("c_nationkey", "acctbal_band")
+      .agg(count(lit(1)).as("n"))
+    val classSeg = base.groupBy("c_nationkey", "acctbal_band",
+        "c_mktsegment")
+      .agg(count(lit(1)).as("sn"))
+    val bigN = global.agg(sum(col("gn")).as("corpus_n"))
+    classes
+      .crossJoin(broadcast(global))
+      .join(classSeg, Seq("c_nationkey", "acctbal_band", "c_mktsegment"),
+        "left_outer")
+      .crossJoin(broadcast(bigN))
+      .groupBy("c_nationkey", "acctbal_band")
+      .agg(first(col("n")).as("n"),
+        sum(abs(coalesce(col("sn"), lit(0L)).cast("decimal(38,0)") *
+            col("corpus_n") - col("gn").cast("decimal(38,0)") * col("n")))
+          .as("l1_num"),
+        first(col("corpus_n")).as("bigN"))
+      .withColumn("t_ppm", expr(
+        "CAST(l1_num * 1000000 DIV (2 * CAST(n AS DECIMAL(38,0)) * bigN)" +
+          " AS BIGINT)"))
+      .withColumn("over_t", when(col("t_ppm") > tPpm, 1).otherwise(0))
+      .select(col("c_nationkey"), col("acctbal_band"), col("n"),
+        col("t_ppm"), col("over_t"))
+      .orderBy("c_nationkey", "acctbal_band")
+  }
 }
