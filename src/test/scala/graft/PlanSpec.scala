@@ -711,6 +711,9 @@ class PlanSpec extends SparkSpec {
       // leaves; the gated frame is a projection + presentation sort
       "graph_search_hier" -> 1,
       "cms_heavy_audit" -> 6,
+      // privacy triad: QI-tuple aggregates + broadcast spines only
+      "l_diversity" -> 3,
+      "t_closeness" -> 6,
       // r16 PQ refresh: the old-assignment argmin combine, the
       // cell-keyed decimal-mean pair, the re-code argmin combines and
       // the two churn-report folds — every exchange carries a
