@@ -19,6 +19,27 @@ object EnvKnobs {
   def posInt(name: String, default: Int): Int =
     parsePosInt(name, sys.env.get(name), default)
 
+  /** A strictly-positive LONG knob — for knobs whose production values
+    * exceed Int (a Bloom filter sized ∝ 10·n bits at corpus scale).
+    */
+  def posLong(name: String, default: Long): Long =
+    parsePosLong(name, sys.env.get(name), default)
+
+  private[graft] def parsePosLong(name: String, raw: Option[String],
+                                  default: Long): Long =
+    raw match {
+      case None => default
+      case Some(r) =>
+        val v =
+          try r.trim.toLong
+          catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"env $name must be a positive integer, got '$r'")
+          }
+        require(v > 0, s"env $name must be > 0, got $v")
+        v
+    }
+
   /** The parse/validate core, split from the env read for testability. */
   private[graft] def parsePosInt(name: String, raw: Option[String],
                                  default: Int): Int =

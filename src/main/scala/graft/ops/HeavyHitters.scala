@@ -124,16 +124,23 @@ object HeavyHitters {
 
   /** CMS point estimates for a token frame (column `token`) against a
     * grid — k-fan-out broadcast lookups, min over rows. Shared by the
-    * batch audit and the streaming-partials gate.
+    * batch audit and the streaming-partials gate. The lookup is a LEFT
+    * join with empty cells counting as 0: for a token the sketch never
+    * saw, the true CMS estimate is the min over its cells INCLUDING
+    * the unpopulated ones (i.e. 0) — an inner join would inflate the
+    * min to the smallest populated collision, or drop the token
+    * entirely. Current gated callers only probe tokens drawn from the
+    * sketched stream (every cell populated, left ≡ inner), but the
+    * helper's contract must hold for unseen probes too.
     */
   private[graft] def cmsEstimate(tokens: DataFrame,
                                  grid: DataFrame): DataFrame =
     tokens
       .withColumn("i", explode(sequence(lit(0), lit(CmsDepth - 1))))
       .withColumn("pos", cmsPos(col("i"), col("token")))
-      .join(broadcast(grid), Seq("i", "pos"))
+      .join(broadcast(grid), Seq("i", "pos"), "left_outer")
       .groupBy("token")
-      .agg(min(col("cnt")).as("cms_est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 
   private def corpusTokens(spark: SparkSession, sfDir: String,
                            filter: org.apache.spark.sql.Column): DataFrame = {

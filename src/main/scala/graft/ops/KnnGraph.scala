@@ -504,19 +504,41 @@ object KnnGraph {
     * [[warmRebuildOf]] over the merged population, and ONE refinement
     * round yields the folded index's edge list.
     */
-  def knnGraphWarmRebuild(spark: SparkSession, sfDir: String): DataFrame = {
+  def knnGraphWarmRebuild(spark: SparkSession, sfDir: String): DataFrame =
+    warmRebuildGate(spark, sfDir, liveOnly = false)
+
+  /** The insert fleet's (vec_id ≡ 1 mod 4) drained-segment batch twin —
+    * descent beams against the frozen even graph, fan-out bounded to
+    * [[InsertFanout]], distances floored to micro-units — ONE
+    * definition shared by both warm folds and [[graphAttachStats]], so
+    * a change to the insert-segment replay (fan-out, encoding) cannot
+    * silently diverge between them and the drain they all claim to
+    * replay.
+    */
+  private def insertSegTwin(spark: SparkSession, sfDir: String): DataFrame = {
     val base = corpus(spark, sfDir).filter(col("vec_id") % 2 === 0)
     val inserted = corpus(spark, sfDir).filter(col("vec_id") % 4 === 1)
-    val seg = greedySearch(
+    greedySearch(
         inserted.select(col("vec_id").as("q_id"),
           col("embedding").as("q_emb"), col("sq").as("q_sq")),
         base, servingGraph(spark, sfDir))
       .filter(col("rn") <= InsertFanout)
       .select(col("q_id").as("vec_id"), col("v").as("nbr"),
         floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
-    val acc = accretedEdges(servingGraph(spark, sfDir), seg)
-    val e2 = base.unionByName(inserted)
-    warmRebuildOf(e2, acc, 1)
+  }
+
+  /** Shared body of the two warm folds: accreted seed from the
+    * insert-segment twin, scored over the full or live merged
+    * population, one refinement round.
+    */
+  private def warmRebuildGate(spark: SparkSession, sfDir: String,
+                              liveOnly: Boolean): DataFrame = {
+    val base0 = corpus(spark, sfDir).filter(col("vec_id") % 2 === 0)
+    val base = if (liveOnly) base0.filter(col("vec_id") % 8 =!= 6) else base0
+    val inserted = corpus(spark, sfDir).filter(col("vec_id") % 4 === 1)
+    val acc = accretedEdges(servingGraph(spark, sfDir),
+      insertSegTwin(spark, sfDir))
+    warmRebuildOf(base.unionByName(inserted), acc, 1)
       .select(col("src").as("vec_id"), col("rank").cast("long").as("rank"),
         col("dst").as("nbr"),
         floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
@@ -536,24 +558,8 @@ object KnnGraph {
     * [[graphAttachStats]]: at 100 TB the alternative is a ⌈log_k n⌉
     * full rebuild per maintenance window.
     */
-  def knnGraphWarmRebuildLive(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = corpus(spark, sfDir).filter(col("vec_id") % 2 === 0)
-    val inserted = corpus(spark, sfDir).filter(col("vec_id") % 4 === 1)
-    val seg = greedySearch(
-        inserted.select(col("vec_id").as("q_id"),
-          col("embedding").as("q_emb"), col("sq").as("q_sq")),
-        base, servingGraph(spark, sfDir))
-      .filter(col("rn") <= InsertFanout)
-      .select(col("q_id").as("vec_id"), col("v").as("nbr"),
-        floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
-    val acc = accretedEdges(servingGraph(spark, sfDir), seg)
-    val live = base.filter(col("vec_id") % 8 =!= 6).unionByName(inserted)
-    warmRebuildOf(live, acc, 1)
-      .select(col("src").as("vec_id"), col("rank").cast("long").as("rank"),
-        col("dst").as("nbr"),
-        floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
-      .orderBy("vec_id", "rank")
-  }
+  def knnGraphWarmRebuildLive(spark: SparkSession, sfDir: String): DataFrame =
+    warmRebuildGate(spark, sfDir, liveOnly = true)
 
   /** The PHYSICAL delete fold: rebuild the even-half index graph over
     * the LIVE population only (vec_id ≢ 6 mod 8 — the quarter the
@@ -593,14 +599,8 @@ object KnnGraph {
     * pressure (`01_init.sql:27-31`). One row of exact integers.
     */
   def graphAttachStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = corpus(spark, sfDir).filter(col("vec_id") % 2 === 0)
-    val inserted = corpus(spark, sfDir).filter(col("vec_id") % 4 === 1)
-    val seg = greedySearch(
-        inserted.select(col("vec_id").as("q_id"),
-          col("embedding").as("q_emb"), col("sq").as("q_sq")),
-        base, servingGraph(spark, sfDir))
-      .filter(col("rn") <= InsertFanout)
-      .select(col("q_id").as("vec_id"), col("v").as("nbr"))
+    val seg = insertSegTwin(spark, sfDir)
+      .select(col("vec_id"), col("nbr"))
       .localCheckpoint(true)
     val fan = seg.groupBy("nbr").agg(count(lit(1)).as("fan_in"))
     fan.agg(

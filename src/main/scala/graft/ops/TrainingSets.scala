@@ -234,7 +234,7 @@ object TrainingSets {
     * shingle count — 2^20 suits the test fixtures; production sets
     * GRAFT_BLOOM_BITS ≈ 10·n.
     */
-  val BloomBits: Long = graft.EnvKnobs.posInt("GRAFT_BLOOM_BITS", 1 << 20)
+  val BloomBits: Long = graft.EnvKnobs.posLong("GRAFT_BLOOM_BITS", 1L << 20)
   val BloomHashes: Int = 3
 
   /** Bit position of hash `i` for shingle `s` — the md5 draw both

@@ -3007,16 +3007,31 @@ object StreamAssembly {
                                        tombDir: String): DataFrame = {
     import graft.ops.{KnnGraph, Similarity}
     graft.functions.GraftFunctions.register(spark)
-    val tomb = spark.read.parquet(tombDir).select(col("vec_id").as("t_id"))
     val idx = graft.Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") % 2 === 0)
       .select(col("vec_id"), col("embedding"),
         Similarity.dot(col("embedding"), col("embedding")).as("sq"))
+    serveGraphMasked(spark, sfDir, tombDir, idx,
+      KnnGraph.servingGraph(spark, sfDir))
+  }
+
+  /** The masked graph-serving tail shared by the delete-only and
+    * full-CRUD read paths — the ≡ 3 mod 4 query fleet descends `edges`
+    * over `idx` (tombstones still routing), the read-back tombstone
+    * set anti-joins the final beam, the best live member answers. ONE
+    * definition, so a change to the mask join or the tie-break cannot
+    * diverge between the serving siblings the specs compare.
+    */
+  private def serveGraphMasked(spark: SparkSession, sfDir: String,
+                               tombDir: String, idx: DataFrame,
+                               edges: DataFrame): DataFrame = {
+    import graft.ops.{KnnGraph, Similarity}
+    val tomb = spark.read.parquet(tombDir).select(col("vec_id").as("t_id"))
     val qs = graft.Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") % 4 === 3)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         Similarity.dot(col("embedding"), col("embedding")).as("q_sq"))
-    KnnGraph.greedySearch(qs, idx, KnnGraph.servingGraph(spark, sfDir))
+    KnnGraph.greedySearch(qs, idx, edges)
       .join(broadcast(tomb), col("v") === col("t_id"), "left_anti")
       .groupBy("q_id")
       .agg(min(struct(col("dist"), col("v"))).as("best"))
@@ -3048,15 +3063,32 @@ object StreamAssembly {
     * the compaction-invariance spec.
     */
   private[graft] def serveDeletedPq(spark: SparkSession, sfDir: String,
-                                    tombDir: String): DataFrame = {
+                                    tombDir: String): DataFrame =
+    servePqMasked(spark, sfDir, tombDir, segDir = None)
+
+  /** The masked ADC serving tail shared by the delete-only and
+    * full-CRUD read paths: tombstones anti-joined off the base even
+    * codes AT SCAN (per-row-pure ADC makes early ≡ late), optional
+    * insert-segment codes unioned in, ≡ 3 mod 4 fleet scored, top-1
+    * live code row per probe. One definition for the mask and the
+    * tie-break, shared by both serving siblings.
+    */
+  private def servePqMasked(spark: SparkSession, sfDir: String,
+                            tombDir: String,
+                            segDir: Option[String]): DataFrame = {
     import graft.ops.Similarity
     graft.functions.GraftFunctions.register(spark)
     val tomb = spark.read.parquet(tombDir).select(col("vec_id").as("t_id"))
     val (centsS, cbS, codesEven) = Similarity.ivfpqProbeModel(spark, sfDir)
-    val codes = codesEven
+    val baseCodes = codesEven
       .join(broadcast(tomb), col("vec_id") === col("t_id"), "left_anti")
       .select(col("vec_id").as("m_id"), col("cell"),
         col("s").cast("int").as("s"), col("cid"))
+    val codes = segDir.fold(baseCodes) { dir =>
+      baseCodes.union(spark.read.parquet(dir)
+        .select(col("vec_id").as("m_id"), col("cell"),
+          col("s").cast("int").as("s"), col("cid")))
+    }
     val qs = graft.Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") % 4 === 3)
       .select(col("vec_id").as("q_id"), col("embedding"))
@@ -3100,7 +3132,6 @@ object StreamAssembly {
                                     tombDir: String): DataFrame = {
     import graft.ops.{KnnGraph, Similarity}
     graft.functions.GraftFunctions.register(spark)
-    val tomb = spark.read.parquet(tombDir).select(col("vec_id").as("t_id"))
     val seg = spark.read.parquet(segDir)
       .select(col("vec_id"), col("nbr"), col("dist_u"))
     val acc = KnnGraph.accretedEdges(
@@ -3109,17 +3140,7 @@ object StreamAssembly {
       .filter(col("vec_id") % 2 === 0 || col("vec_id") % 4 === 1)
       .select(col("vec_id"), col("embedding"),
         Similarity.dot(col("embedding"), col("embedding")).as("sq"))
-    val qs = graft.Tables.embeddings(spark, sfDir)
-      .filter(col("vec_id") % 4 === 3)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        Similarity.dot(col("embedding"), col("embedding")).as("q_sq"))
-    KnnGraph.greedySearch(qs, aidx, acc)
-      .join(broadcast(tomb), col("v") === col("t_id"), "left_anti")
-      .groupBy("q_id")
-      .agg(min(struct(col("dist"), col("v"))).as("best"))
-      .select(col("q_id").as("vec_id"), col("best.v").as("match_id"),
-        floor(col("best.dist") * lit(1e6)).cast("long").as("dist_u"))
-      .orderBy("vec_id")
+    serveGraphMasked(spark, sfDir, tombDir, aidx, acc)
   }
 
   /** THE FULL-CRUD READ PATH on the PQ family —
@@ -3141,30 +3162,8 @@ object StreamAssembly {
   /** The batch read side of [[streamPqServeFull]]. */
   private[graft] def serveFullPq(spark: SparkSession, sfDir: String,
                                  segDir: String,
-                                 tombDir: String): DataFrame = {
-    import graft.ops.Similarity
-    graft.functions.GraftFunctions.register(spark)
-    val tomb = spark.read.parquet(tombDir).select(col("vec_id").as("t_id"))
-    val (centsS, cbS, codesEven) = Similarity.ivfpqProbeModel(spark, sfDir)
-    val segCodes = spark.read.parquet(segDir)
-      .select(col("vec_id").as("m_id"), col("cell"),
-        col("s").cast("int").as("s"), col("cid"))
-    val codes = codesEven
-      .join(broadcast(tomb), col("vec_id") === col("t_id"), "left_anti")
-      .select(col("vec_id").as("m_id"), col("cell"),
-        col("s").cast("int").as("s"), col("cid"))
-      .union(segCodes)
-    val qs = graft.Tables.embeddings(spark, sfDir)
-      .filter(col("vec_id") % 4 === 3)
-      .select(col("vec_id").as("q_id"), col("embedding"))
-    val qtab = Similarity.cellResidualTables(qs, centsS, cbS)
-    Similarity.adcScoresCell(codes, qtab, boundedQueries = false)
-      .groupBy("q_id")
-      .agg(min(struct(col("adc"), col("m_id"))).as("best"))
-      .select(col("q_id").as("vec_id"), col("best.m_id").as("match_id"),
-        col("best.adc").as("adc_dist"))
-      .orderBy("vec_id")
-  }
+                                 tombDir: String): DataFrame =
+    servePqMasked(spark, sfDir, tombDir, Some(segDir))
 
   /** Production banding geometry of the LSH index lifecycle — 7 bands
     * of 8 bits (256 buckets/band, 56 hyperplanes), the
@@ -3354,6 +3353,11 @@ object StreamAssembly {
                        k: Int = 64): DataFrame = {
     import java.nio.file.Files
     import graft.ops.HeavyHitters
+    // the batch twin's guard: the pigeonhole superset argument needs
+    // k >= 1000/threshold, or a heavy token can be evicted from EVERY
+    // per-batch sketch and silently vanish from the candidate union
+    require(k >= (1000L + thresholdPerMille - 1) / thresholdPerMille,
+      "MG guarantee needs k >= 1000/thresholdPerMille")
     val tmp = Files.createTempDirectory("graft_mg_partials").toString
     val outDir = s"$tmp/partials"
     val ckptDir = s"$tmp/ckpt"
