@@ -1359,7 +1359,8 @@ object SparkEntry {
     * engine's [[ops.TrainingSets]] draw replayed.
     */
   private def bloomPosSql(i: String, s: String): String =
-    s"('0x' || substr(md5($i::VARCHAR || '#' || $s), 1, 8))::BIGINT" +
+    s"('0x' || substr(md5($i::VARCHAR || '#' || $s), 1, " +
+      s"${ops.TrainingSets.BloomHexChars}))::BIGINT" +
       s" % ${ops.TrainingSets.BloomBits}"
 
   /** The Bloom-decontamination oracle ([[ops.TrainingSets

@@ -118,15 +118,21 @@ object RewriteMd5Bucket extends Rule[LogicalPlan] {
       case _ => None
     }
   }
+  /** Hex widths the kernel supports: whole leading bytes, value < 2^56
+    * (fits a signed long) — 8 is the engine-wide coin, 14 the Bloom
+    * tier's wide draw for filters beyond 2^32 bits.
+    */
+  private val FusableHexLens = Set(8, 14)
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case Pmod(
           Cast(Conv(Substring(Md5(HashedString(s)), Literal(1, IntegerType),
-              Literal(8, IntegerType)),
+              Literal(len: Int, IntegerType)),
             Literal(16, IntegerType), Literal(10, IntegerType), _),
             LongType, _, _),
-          PositiveLit(m), _) =>
-        Md5Bucket(s, m)
+          PositiveLit(m), _) if FusableHexLens(len) =>
+        Md5Bucket(s, m, len)
     }
 }
 

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -141,12 +141,24 @@ object TextOps {
     * allocation overhead. Callers guarantee m > 0 (the rewrite only
     * fires on positive literals; the direct-call form validates).
     */
-  def md5Bucket(s: UTF8String, m: Long): Long = {
+  def md5Bucket(s: UTF8String, m: Long): Long = md5Bucket(s, m, 8)
+
+  /** The wide-draw variant: the first `nHexChars` hex characters of the
+    * digest (= nHexChars/2 leading bytes; callers pass an even count
+    * ≤ 14, so the value stays < 2^56 and fits a signed long in BOTH
+    * engines). The Bloom tier draws 14 when its bit count exceeds 2^32
+    * — a 32-bit draw can never set a bit position ≥ 2^32, which would
+    * silently cap a production-sized filter (the r16 advice finding).
+    */
+  def md5Bucket(s: UTF8String, m: Long, nHexChars: Int): Long = {
     if (m <= 0) throw new IllegalArgumentException(
       s"md5_bucket: modulus must be positive, got $m")
     val d = md5Local.get().digest(s.getBytes)
-    (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % m
+    val nBytes = nHexChars / 2
+    var v = 0L
+    var i = 0
+    while (i < nBytes) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v % m
   }
 
   /** k MinHash draws over a shingle array, row-local in one pass — no
@@ -374,18 +386,18 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   * positions, stratum filters) — query code stays declarative, every
   * coin drops its hex-render/substring/reparse string work.
   */
-case class Md5Bucket(left: Expression, right: Expression)
-    extends BinaryExpression {
+case class Md5Bucket(left: Expression, right: Expression,
+                     nHexChars: Int = 8)
+    extends BinaryExpression with ImplicitCastInputTypes {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"md5_bucket expects (string, bigint), got " +
-          s"(${l.catalogString}, ${r.catalogString})")
-    }
+  // ImplicitCastInputTypes so a direct call with an int modulus —
+  // md5_bucket(s, 100) — coerces like any binary expression instead of
+  // failing analysis (the r16 advice finding); the type check itself
+  // comes from ExpectsInputTypes.
+  // (return type inferred: AbstractDataType is private[sql])
+  override def inputTypes = Seq(StringType, LongType)
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_bucket"
 
@@ -394,7 +406,7 @@ case class Md5Bucket(left: Expression, right: Expression)
     val m = right.eval(input)
     if (s == null || m == null) null
     else TextOps.md5Bucket(s.asInstanceOf[UTF8String],
-      m.asInstanceOf[Long])
+      m.asInstanceOf[Long], nHexChars)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -410,7 +422,7 @@ case class Md5Bucket(left: Expression, right: Expression)
           ${ev.isNull} = true;
         } else {
           ${ev.value} = graft.functions.TextOps.md5Bucket(
-            ${le.value}, ${re.value});
+            ${le.value}, ${re.value}, $nHexChars);
         }""")
   }
 

@@ -513,19 +513,28 @@ object KnnGraph {
     * definition shared by both warm folds and [[graphAttachStats]], so
     * a change to the insert-segment replay (fan-out, encoding) cannot
     * silently diverge between them and the drain they all claim to
-    * replay.
+    * replay. Memoized in [[graphCache]] like the graphs themselves:
+    * three gated consumers (both warm folds and the stats query) share
+    * one materialized descent instead of each re-running the
+    * 5-hop × beam insert-fleet search (the r16 plan-audit finding —
+    * a one-row stats query was paying the full descent).
     */
-  private def insertSegTwin(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = corpus(spark, sfDir).filter(col("vec_id") % 2 === 0)
-    val inserted = corpus(spark, sfDir).filter(col("vec_id") % 4 === 1)
-    greedySearch(
-        inserted.select(col("vec_id").as("q_id"),
-          col("embedding").as("q_emb"), col("sq").as("q_sq")),
-        base, servingGraph(spark, sfDir))
-      .filter(col("rn") <= InsertFanout)
-      .select(col("q_id").as("vec_id"), col("v").as("nbr"),
-        floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
-  }
+  private def insertSegTwin(spark: SparkSession, sfDir: String): DataFrame =
+    graphCache.synchronized {
+      graphCache.getOrElseUpdate(
+        (spark.sparkContext, sfDir, Rounds, "insert-seg"), {
+          val base = corpus(spark, sfDir).filter(col("vec_id") % 2 === 0)
+          val inserted = corpus(spark, sfDir).filter(col("vec_id") % 4 === 1)
+          greedySearch(
+              inserted.select(col("vec_id").as("q_id"),
+                col("embedding").as("q_emb"), col("sq").as("q_sq")),
+              base, servingGraph(spark, sfDir))
+            .filter(col("rn") <= InsertFanout)
+            .select(col("q_id").as("vec_id"), col("v").as("nbr"),
+              floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
+            .localCheckpoint(true)
+        })
+    }
 
   /** Shared body of the two warm folds: accreted seed from the
     * insert-segment twin, scored over the full or live merged
@@ -601,7 +610,6 @@ object KnnGraph {
   def graphAttachStats(spark: SparkSession, sfDir: String): DataFrame = {
     val seg = insertSegTwin(spark, sfDir)
       .select(col("vec_id"), col("nbr"))
-      .localCheckpoint(true)
     val fan = seg.groupBy("nbr").agg(count(lit(1)).as("fan_in"))
     fan.agg(
         count(lit(1)).as("n_attach_vertices"),

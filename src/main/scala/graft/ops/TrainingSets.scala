@@ -237,13 +237,30 @@ object TrainingSets {
   val BloomBits: Long = graft.EnvKnobs.posLong("GRAFT_BLOOM_BITS", 1L << 20)
   val BloomHashes: Int = 3
 
+  /** Hex characters drawn per Bloom position: 8 (a 32-bit value)
+    * covers every m ≤ 2^32; a LARGER m must draw 14 (56 bits — still a
+    * signed long in both engines), because a 32-bit draw can never set
+    * a bit position ≥ 2^32 — the filter would silently cap at 2^32
+    * effective bits and the FP rate would floor above the
+    * (1−e^(−kn/m))^k the geometry doc promises (the r16 advice
+    * finding). Pure function of the bit count, unit-tested at the
+    * boundary; the oracle interpolates the SAME constant, so one JVM
+    * run can never see drifted widths.
+    */
+  private[graft] def bloomPosHexChars(bits: Long): Int =
+    if (bits > (1L << 32)) 14 else 8
+
+  val BloomHexChars: Int = bloomPosHexChars(BloomBits)
+
   /** Bit position of hash `i` for shingle `s` — the md5 draw both
-    * engines replay (`('0x' || substr(md5(i || '#' || s), 1, 8))
-    * ::BIGINT % m` on the DuckDB side).
+    * engines replay (`('0x' || substr(md5(i || '#' || s), 1,
+    * BloomHexChars))::BIGINT % m` on the DuckDB side); the composed
+    * form below fuses to the [[graft.functions.Md5Bucket]] kernel at
+    * either width.
     */
   private def bloomPos(i: org.apache.spark.sql.Column,
                        s: org.apache.spark.sql.Column) =
-    pmod(conv(substring(md5(concat_ws("#", i, s)), 1, 8), 16, 10)
+    pmod(conv(substring(md5(concat_ws("#", i, s)), 1, BloomHexChars), 16, 10)
       .cast("long"), lit(BloomBits))
 
   /** BLOOM-FILTER DECONTAMINATION — [[contaminationCheck]]'s scale
