@@ -315,6 +315,15 @@ object SparkEntry {
     "stream_lsh_serve_accreted" ->
       ((s, d) =>
         graft.streaming.StreamAssembly.streamLshServeAccreted(s, d)),
+    // the LSH delete letter (r17): tombstones anti-joined at scan —
+    // bucket caps are live-population properties — plus the full-CRUD
+    // read (base ∖ deletes ∪ segments), closing three-family symmetry
+    "stream_lsh_serve_deleted" ->
+      ((s, d) =>
+        graft.streaming.StreamAssembly.streamLshServeDeleted(s, d)),
+    "stream_lsh_serve_full" ->
+      ((s, d) =>
+        graft.streaming.StreamAssembly.streamLshServeFull(s, d)),
     // Bloom membership tier: the bounded-filter decontamination audit
     // (bloom vs exact hits, fp priced) and its at-ingest serving drain
     "bloom_contamination" ->
@@ -1313,12 +1322,37 @@ object SparkEntry {
     * overfull buckets, candidates from the (band, bucket) equi-join of
     * the ≡ 3 mod 4 query fleet, exact-cosine top-1.
     */
-  private def lshServeAccretedSql: String = {
+  private def lshServeAccretedSql: String =
+    lshServeSql("vec_id % 2 = 0 OR vec_id % 4 = 1")
+
+  /** The delete-masked LSH oracle ([[graft.streaming.StreamAssembly
+    * .streamLshServeDeleted]]): the scan-side mask — tombstoned base
+    * rows (vec_id ≡ 6 mod 8) excluded BEFORE banding, so bucket caps
+    * are live-population properties (the inequivalence-with-late-mask
+    * note on the engine side).
+    */
+  private def lshServeDeletedSql: String =
+    lshServeSql("vec_id % 2 = 0 AND vec_id % 8 <> 6")
+
+  /** The full-CRUD LSH oracle ([[graft.streaming.StreamAssembly
+    * .streamLshServeFull]]): (base ∖ tombstones) ∪ the ≡ 1 mod 4
+    * insert fleet's signatures.
+    */
+  private def lshServeFullSql: String =
+    lshServeSql("(vec_id % 2 = 0 AND vec_id % 8 <> 6) OR vec_id % 4 = 1")
+
+  /** Shared LSH bucket-join serving oracle over an index slice: band
+    * the live signature set, skip overfull buckets, candidates from
+    * the (band, bucket) equi-join of the ≡ 3 mod 4 fleet, exact-cosine
+    * top-1 — signatures are pure row functions, so the segment/mask
+    * replay is just this WHERE.
+    */
+  private def lshServeSql(idxWhere: String): String = {
     val bb = graft.streaming.StreamAssembly.LshIndexBandBits
     val nb = graft.streaming.StreamAssembly.LshIndexBands
     s"""WITH ${lshIndexSigsSql("")},
       |idx AS (SELECT vec_id, sig FROM sigs
-      |  WHERE vec_id % 2 = 0 OR vec_id % 4 = 1),
+      |  WHERE $idxWhere),
       |banded AS (SELECT vec_id, bd.band,
       |    (sig >> (bd.band * $bb)) & ${(1 << bb) - 1} AS bucket
       |  FROM idx, range(0, $nb) bd(band)),
@@ -4117,6 +4151,10 @@ object SparkEntry {
     // bucket-join serving over the accreted signature set — inserted
     // vectors findable the moment their segment lands (additive index)
     "stream_lsh_serve_accreted" -> (lshServeAccretedSql),
+    // the LSH delete letter: scan-side tombstone mask (bucket caps are
+    // live-population properties), and the full-CRUD read
+    "stream_lsh_serve_deleted" -> (lshServeDeletedSql),
+    "stream_lsh_serve_full" -> (lshServeFullSql),
     // Bloom decontamination audit: bounded m-bit filter vs the exact
     // semi-join, fp overcount priced per lang in exact integers
     "bloom_contamination" -> (bloomContaminationSql),

@@ -3279,19 +3279,95 @@ object StreamAssembly {
     * the compaction-invariance spec.
     */
   private[graft] def serveAccretedLsh(spark: SparkSession, sfDir: String,
-                                      segDir: String): DataFrame = {
+                                      segDir: String): DataFrame =
+    serveLshMasked(spark, sfDir, Some(segDir), tombDir = None)
+
+  /** THE DELETE LETTER ON THE LSH FAMILY — the asymmetry the r16
+    * verdict flagged (graph and PQ both had delete-masked serving;
+    * LSH had append-only): tombstones drain as `batch=<id>` segments
+    * ([[drainTombstones]] — deletes are data, the CK lightweight-
+    * DELETE shape), and the query fleet (vec_id ≡ 3 mod 4) serves
+    * from the base signature set with the read-back tombstone ids
+    * anti-joined AT SCAN. Signatures are per-row pure, so the PQ
+    * scan-side discipline transfers directly — with ONE honest
+    * difference, unlike ADC: the bucket CAP makes early and late
+    * masks inequivalent on this family (a bucket pushed over
+    * [[graft.ops.Dedup.LshBucketCap]] by deleted members would be
+    * skipped under a late mask but served under the scan mask). The
+    * scan mask is the production semantics — bucket sizes are a
+    * property of the LIVE index — and both engines replay exactly it.
+    */
+  def streamLshServeDeleted(spark: SparkSession, sfDir: String,
+                            nFiles: Int = 3): DataFrame = {
+    val tombDir = drainTombstones(spark, sfDir, tombstoneFixture,
+      nFiles, crashAfterBatches = 0)
+    serveDeletedLsh(spark, sfDir, tombDir)
+  }
+
+  /** The batch read side of [[streamLshServeDeleted]], split out for
+    * the compaction-invariance spec.
+    */
+  private[graft] def serveDeletedLsh(spark: SparkSession, sfDir: String,
+                                     tombDir: String): DataFrame =
+    serveLshMasked(spark, sfDir, segDir = None, tombDir = Some(tombDir))
+
+  /** THE FULL-CRUD READ PATH on the LSH family — reads see
+    * (base ∖ deletes) ∪ appended signature segments, completing
+    * three-family lifecycle symmetry ([[streamGraphServeFull]] /
+    * [[streamPqServeFull]]): the insert fleet (vec_id ≡ 1 mod 4)
+    * drains signature segments, the delete stream drains tombstones
+    * for a quarter of the base (vec_id ≡ 6 mod 8), and the query
+    * fleet (≡ 3 mod 4) bucket-joins the live accreted signature set —
+    * the mask at scan, segments unioned in, bucket caps over the live
+    * population.
+    */
+  def streamLshServeFull(spark: SparkSession, sfDir: String,
+                         nFiles: Int = 3): DataFrame = {
+    val segDir = drainLshAppends(spark, sfDir, col("vec_id") % 4 === 1,
+      nFiles, crashAfterBatches = 0)
+    val tombDir = drainTombstones(spark, sfDir, tombstoneFixture,
+      nFiles, crashAfterBatches = 0)
+    serveFullLsh(spark, sfDir, segDir, tombDir)
+  }
+
+  /** The batch read side of [[streamLshServeFull]]. */
+  private[graft] def serveFullLsh(spark: SparkSession, sfDir: String,
+                                  segDir: String,
+                                  tombDir: String): DataFrame =
+    serveLshMasked(spark, sfDir, Some(segDir), Some(tombDir))
+
+  /** The ONE LSH serving tail behind all four gates (accreted /
+    * deleted / full / the spec's base-only control): even-half base
+    * signatures, tombstones anti-joined at scan when a delete letter
+    * is pending, segment signatures unioned in when inserts are
+    * pending, then banding → live bucket caps → (band, bucket)
+    * equi-join candidates → exact-cosine top-1 per query. One
+    * definition, so the mask join, the cap, and the tie-break cannot
+    * diverge between the serving siblings the specs compare.
+    */
+  private[graft] def serveLshMasked(spark: SparkSession, sfDir: String,
+                                    segDir: Option[String],
+                                    tombDir: Option[String]): DataFrame = {
     import graft.ops.{Dedup, Similarity}
     graft.functions.GraftFunctions.register(spark)
     val bb = LshIndexBandBits
     val nb = LshIndexBands
     val mask = (1L << bb) - 1
     val emb = graft.Tables.embeddings(spark, sfDir)
-    val baseSigs = emb.filter(col("vec_id") % 2 === 0)
+    val baseSigs0 = emb.filter(col("vec_id") % 2 === 0)
       .select(col("vec_id"),
         Similarity.lshSignature(col("embedding"), dim = 64,
           nPlanes = bb * nb).as("sig"))
-    val segSigs = spark.read.parquet(segDir).select(col("vec_id"), col("sig"))
-    val banded = baseSigs.unionByName(segSigs)
+    val baseSigs = tombDir.fold(baseSigs0) { dir =>
+      val tomb = spark.read.parquet(dir).select(col("vec_id").as("t_id"))
+      baseSigs0.join(broadcast(tomb), col("vec_id") === col("t_id"),
+        "left_anti")
+    }
+    val allSigs = segDir.fold(baseSigs) { dir =>
+      baseSigs.unionByName(
+        spark.read.parquet(dir).select(col("vec_id"), col("sig")))
+    }
+    val banded = allSigs
       .select(col("vec_id"), col("sig"),
         explode(sequence(lit(0), lit(nb - 1))).as("band"))
       .withColumn("bucket", expr(s"(sig >> (band * $bb)) & $mask"))

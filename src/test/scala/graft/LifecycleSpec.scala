@@ -142,6 +142,50 @@ class LifecycleSpec extends SparkSpec {
     assert(served.filter(col("match_id") % 4 === 1).count() > 0)
   }
 
+  test("masked LSH serving never returns a tombstoned vector, the mask " +
+       "bites (the unmasked base serving DID answer with tombstones), " +
+       "and the read is compaction-invariant") {
+    val tombDir = StreamAssembly.drainTombstones(spark, sf,
+      StreamAssembly.tombstoneFixture, nFiles = 3, crashAfterBatches = 0)
+    val masked = StreamAssembly.serveDeletedLsh(spark, sf, tombDir)
+      .localCheckpoint(true)
+    assert(masked.count() > 0)
+    assert(masked.filter(col("match_id") % 8 === 6).count() === 0)
+    // non-vacuous: the UNMASKED base-only serving answers some queries
+    // with a vec_id ≡ 6 mod 8 vector, or the mask tested nothing
+    val unmasked = StreamAssembly.serveLshMasked(spark, sf,
+      segDir = None, tombDir = None)
+    assert(unmasked.filter(col("match_id") % 8 === 6).count() > 0)
+    // tombstone-segment compaction cannot change a read (the mask is a
+    // SET of ids)
+    val before = masked.collect().toSeq
+    val (nB, nA, _) = Storage.compactBatchSink(spark, tombDir)
+    assert(nB >= 3 && nA < nB)
+    val after = StreamAssembly.serveDeletedLsh(spark, sf, tombDir)
+      .collect().toSeq
+    assert(before === after)
+  }
+
+  test("full-CRUD LSH serving sees both pending letters: no deleted " +
+       "vector answers, inserted vectors do, invariant under compaction " +
+       "of either segment tree") {
+    val segDir = StreamAssembly.drainLshAppends(spark, sf,
+      col("vec_id") % 4 === 1, nFiles = 3, crashAfterBatches = 0)
+    val tombDir = StreamAssembly.drainTombstones(spark, sf,
+      StreamAssembly.tombstoneFixture, nFiles = 3, crashAfterBatches = 0)
+    val served = StreamAssembly.serveFullLsh(spark, sf, segDir, tombDir)
+      .localCheckpoint(true)
+    assert(served.count() > 0)
+    assert(served.filter(col("match_id") % 8 === 6).count() === 0)
+    assert(served.filter(col("match_id") % 4 === 1).count() > 0)
+    val before = served.collect().toSeq
+    Storage.compactBatchSink(spark, segDir)
+    Storage.compactBatchSink(spark, tombDir)
+    val after = StreamAssembly.serveFullLsh(spark, sf, segDir, tombDir)
+      .collect().toSeq
+    assert(before === after)
+  }
+
   test("full-CRUD serving sees both pending letters at once: no deleted " +
        "vector ever answers, inserted vectors do, on both families — and " +
        "the read is invariant under compaction of either segment tree") {
