@@ -282,6 +282,12 @@ object SparkEntry {
     // attachment vertex + what the K-bound evicts (= when to fold)
     "graph_attach_stats" ->
       ((s, d) => KnnGraph.graphAttachStats(s, d)),
+    // recall at identical hops on the ACCRETED index (r17): flat
+    // min-id entries vs the hier upper layer, priced against one
+    // exact pass — the measurement behind composing hier entries
+    // into the lifecycle serving paths
+    "graph_serve_accreted_recall" ->
+      ((s, d) => KnnGraph.graphServeAccretedRecall(s, d)),
     // the DELETE letter of the lifecycle: tombstone segments drained
     // per micro-batch (deletes are data — CK lightweight DELETE),
     // masked serving on both families, and the physical fold
@@ -1221,24 +1227,36 @@ object SparkEntry {
     * upper descent (`u`, standard entries over the small layer) + the
     * base descent (`z`) entering at each query's upper winners.
     */
-  private def hierDescentCtes(qExtra: String): String = {
-    val coin = " AND ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT" +
-      s" % 100 < ${ops.KnnGraph.HierPct}"
-    knnGraphCteStack(" WHERE vec_id % 2 = 0") + ",\n" +
-      knnGraphCteStack(" WHERE vec_id % 2 = 0" + coin, "x",
-        withKw = false) + s""",
+  private def hierDescentCtes(qExtra: String): String =
+    knnGraphCteStack(" WHERE vec_id % 2 = 0") + s""",
       |serve AS MATERIALIZED (SELECT src, dst FROM gfin
       |  UNION SELECT src, dst FROM init),
-      |xserve AS MATERIALIZED (SELECT src, dst FROM xgfin
-      |  UNION SELECT src, dst FROM xinit),
       |qsrc AS MATERIALIZED (SELECT vec_id AS q_id, embedding,
       |    list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
       |              for i in range(1, 65)]) AS q_sq
       |  FROM embeddings WHERE vec_id % 2 = 1$qExtra)""".stripMargin +
-      descentStack("u", "xe", "xserve", "qsrc") + s""",
-      |zent AS (SELECT q_id, v FROM uf${ops.KnnGraph.SearchHops}
-      |  WHERE rn <= ${ops.KnnGraph.SearchEntries})""".stripMargin +
+      hierEntryStage("qsrc") +
       descentStackFrom("z", "e", "serve", "qsrc", "zent")
+
+  /** The hierarchical ENTRY stage as CTEs (the oracle twin of
+    * [[ops.KnnGraph.hierEntries]]): build the md5-coin upper layer's
+    * own graph + long-range links (prefix `x`), run fleet `qsrcCte`'s
+    * standard descent over it (prefix `u`), and keep each query's
+    * [[ops.KnnGraph.SearchEntries]] best upper vertices as `zent` —
+    * the per-query base-layer entries every lifecycle serving oracle
+    * continues from (r17: the accreted / delete-masked / full-CRUD
+    * serves all enter here).
+    */
+  private def hierEntryStage(qsrcCte: String): String = {
+    val coin = " AND ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT" +
+      s" % 100 < ${ops.KnnGraph.HierPct}"
+    ",\n" + knnGraphCteStack(" WHERE vec_id % 2 = 0" + coin, "x",
+        withKw = false) + s""",
+      |xserve AS MATERIALIZED (SELECT src, dst FROM xgfin
+      |  UNION SELECT src, dst FROM xinit)""".stripMargin +
+      descentStack("u", "xe", "xserve", qsrcCte) + s""",
+      |zent AS (SELECT q_id, v FROM uf${ops.KnnGraph.SearchHops}
+      |  WHERE rn <= ${ops.KnnGraph.SearchEntries})""".stripMargin
   }
 
   /** The accreted-graph serving oracle ([[graft.streaming
@@ -1256,11 +1274,55 @@ object SparkEntry {
       |    list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
       |              for i in range(1, 65)]) AS q_sq
       |  FROM embeddings WHERE vec_id % 4 = 3)""".stripMargin +
-      descentStack("a", "aidx", "aserve", "aq") + s"""
+      hierEntryStage("aq") +
+      descentStackFrom("a", "aidx", "aserve", "aq", "zent") + s"""
       |SELECT q_id AS vec_id, v AS match_id,
       |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
       |FROM af${ops.KnnGraph.SearchHops} WHERE rn = 1
       |ORDER BY vec_id""".stripMargin
+
+  /** The accreted-serving recall-at-identical-hops oracle
+    * ([[ops.KnnGraph.graphServeAccretedRecall]]): the stratum fleet
+    * descends the accreted graph twice — flat min-id entries (`a`)
+    * and hier entries (`z` via the upper stage) — and both top-1s are
+    * priced against one exact pass over the accreted population.
+    */
+  private def graphServeAccretedRecallSql: String = {
+    val h = ops.KnnGraph.SearchHops
+    def countsFrom(g: String, variant: String): String =
+      s"""SELECT '$variant' AS variant,
+        |  CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(CASE WHEN g_id = bf_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_top1_match,
+        |  CASE WHEN count(*) = 0 THEN NULL
+        |    ELSE CAST(sum(CASE WHEN g_id = bf_id THEN 1 ELSE 0 END)::HUGEINT
+        |      * 1000000 // count(*) AS BIGINT) END AS recall_ppm
+        |FROM $g JOIN bf USING (q_id)""".stripMargin
+    accretedGraphPrefix + s""",
+      |aqs AS MATERIALIZED (SELECT vec_id AS q_id, embedding,
+      |    list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+      |              for i in range(1, 65)]) AS q_sq
+      |  FROM embeddings WHERE vec_id % 4 = 3
+      |    AND ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
+      |      % 100 < 20)""".stripMargin +
+      descentStack("a", "aidx", "aserve", "aqs") +
+      hierEntryStage("aqs") +
+      descentStackFrom("z", "aidx", "aserve", "aqs", "zent") + s""",
+      |bf AS MATERIALIZED (SELECT q_id, m_id AS bf_id FROM (
+      |  SELECT q.q_id, ev.vec_id AS m_id, row_number() OVER (
+      |    PARTITION BY q.q_id ORDER BY
+      |      q.q_sq + ev.sq - 2 * list_sum([q.embedding[i]::DOUBLE *
+      |        ev.embedding[i]::DOUBLE for i in range(1, 65)]),
+      |      ev.vec_id) AS rn
+      |  FROM aqs q, aidx ev) WHERE rn = 1),
+      |gflat AS (SELECT q_id, v AS g_id FROM af$h WHERE rn = 1),
+      |ghier AS (SELECT q_id, v AS g_id FROM zf$h WHERE rn = 1)
+      |SELECT * FROM (
+      |${countsFrom("gflat", "flat")}
+      |UNION ALL
+      |${countsFrom("ghier", "hier")})
+      |ORDER BY variant""".stripMargin
+  }
 
   /** Shared accreted-index CTE prefix (base even graph → insert-fleet
     * descent → segments + derived back-links → accreted edge set
@@ -1494,7 +1556,8 @@ object SparkEntry {
       |    list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
       |              for i in range(1, 65)]) AS q_sq
       |  FROM embeddings WHERE vec_id % 4 = 3)""".stripMargin +
-      descentStack("d", "e", "serve", "dq") + s"""
+      hierEntryStage("dq") +
+      descentStackFrom("d", "e", "serve", "dq", "zent") + s"""
       |SELECT q_id AS vec_id, v AS match_id,
       |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
       |FROM (SELECT *, row_number() OVER (
@@ -1568,7 +1631,8 @@ object SparkEntry {
       |    list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
       |              for i in range(1, 65)]) AS q_sq
       |  FROM embeddings WHERE vec_id % 4 = 3)""".stripMargin +
-      descentStack("a", "aidx", "aserve", "aq") + s"""
+      hierEntryStage("aq") +
+      descentStackFrom("a", "aidx", "aserve", "aq", "zent") + s"""
       |SELECT q_id AS vec_id, v AS match_id,
       |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
       |FROM (SELECT *, row_number() OVER (
@@ -4206,6 +4270,9 @@ object SparkEntry {
       |    AS BIGINT) AS n_evicted_links,
       |  (SELECT count(DISTINCT vec_id) FROM seg) AS n_inserts
       |FROM fan""".stripMargin),
+    // accreted-index recall at identical hops: flat vs hier entries,
+    // one exact pass (the r17 composition's measured justification)
+    "graph_serve_accreted_recall" -> (graphServeAccretedRecallSql),
     // serving recall: stratum greedy top-1 vs exact brute-force top-1
     // over the even index (prices the bounded-beam descent)
     "graph_search_recall" -> (graphDescentCtes(

@@ -405,17 +405,35 @@ object KnnGraph {
       .orderBy("vec_id")
   }
 
+  /** The hierarchical ENTRY stage alone: the query fleet descends the
+    * upper-layer graph (md5-coin sample of the even base) and each
+    * query's [[SearchEntries]] best upper vertices become its
+    * base-layer entries. Shared by [[hierSearch]] AND the lifecycle
+    * serving paths ([[graft.streaming.StreamAssembly]]'s accreted /
+    * delete-masked / full-CRUD graph serves, r17): production reads
+    * enter near the query's neighborhood instead of the global min-id
+    * vertices, so the fixed hop budget refines locally — the knob that
+    * at 100× otherwise had to grow ~log n exactly on the live CRUD
+    * read path. Upper vertices are base vertices, so the entries are
+    * valid in every serving population (accreted ⊇ base; tombstoned
+    * entries still ROUTE and are masked at result time, the Lucene
+    * posture).
+    */
+  private[graft] def hierEntries(spark: SparkSession, sfDir: String,
+                                 qs: DataFrame): DataFrame = {
+    val l1 = upperOf(corpus(spark, sfDir).filter(col("vec_id") % 2 === 0))
+    greedySearch(qs, l1, upperServingGraph(spark, sfDir))
+      .filter(col("rn") <= SearchEntries)
+      .select(col("q_id"), col("v"))
+  }
+
   /** The two-stage descent shared by the hier gate and its recall
     * audit: upper-layer beam → per-query entries → base-layer beam.
     */
   private def hierSearch(spark: SparkSession, sfDir: String,
-                         idx: DataFrame, qs: DataFrame): DataFrame = {
-    val l1 = upperOf(idx)
-    val top = greedySearch(qs, l1, upperServingGraph(spark, sfDir))
-      .filter(col("rn") <= SearchEntries)
-      .select(col("q_id"), col("v"))
-    greedySearchFrom(qs, idx, servingGraph(spark, sfDir), top)
-  }
+                         idx: DataFrame, qs: DataFrame): DataFrame =
+    greedySearchFrom(qs, idx, servingGraph(spark, sfDir),
+      hierEntries(spark, sfDir, qs))
 
   /** Hierarchical-serving recall on the md5-coin stratum — the same
     * audit as [[graphSearchRecall]], so the two gated numbers compare
@@ -438,8 +456,15 @@ object KnnGraph {
     * for the serving recall audits.
     */
   private def top1RecallVsBf(qs: DataFrame, idx: DataFrame,
-                             greedy: DataFrame): DataFrame = {
-    val bf = qs
+                             greedy: DataFrame): DataFrame =
+    top1Compare(greedy, bfTop1(qs, idx))
+
+  /** The exact ground-truth side alone — split out so a two-variant
+    * audit ([[graphServeAccretedRecall]]) prices BOTH descents against
+    * ONE materialized brute-force pass.
+    */
+  private def bfTop1(qs: DataFrame, idx: DataFrame): DataFrame =
+    qs
       .withColumn("blk",
         explode(sequence(lit(0), lit(Similarity.BlockCrossSalt - 1))))
       .join(idx.select(col("vec_id").as("m_id"), col("embedding").as("m_emb"),
@@ -453,6 +478,8 @@ object KnnGraph {
       .groupBy("q_id")
       .agg(min(struct(col("dist"), col("m_id"))).as("best"))
       .select(col("q_id"), col("best.m_id").as("bf_id"))
+
+  private def top1Compare(greedy: DataFrame, bf: DataFrame): DataFrame = {
     greedy.join(bf, "q_id")
       .agg(count(lit(1)).as("n_queries"),
         sum(when(col("g_id") === col("bf_id"), 1L).otherwise(0L))
@@ -639,6 +666,42 @@ object KnnGraph {
       .filter(col("rn") === 1)
       .select(col("q_id"), col("v").as("g_id"))
     top1RecallVsBf(qs, idx, greedy)
+  }
+
+  /** Recall-at-identical-hops on the ACCRETED index — the number that
+    * justifies the r17 hier-entry composition on the path production
+    * actually serves: the md5-coin stratum of the query fleet
+    * (vec_id ≡ 3 mod 4) descends the accreted graph (base ∪ insert
+    * segments ∪ back-links, the batch twin of the drain) TWICE at the
+    * SAME hops/beam — once from the flat min-id entries (the pre-r17
+    * serving path), once through the hierarchical upper layer — and
+    * both top-1 answers are priced against ONE exact brute-force pass
+    * over the accreted population. Two rows (variant 'flat' / 'hier');
+    * the hier row ≥ flat row is the claim, measured not asserted (the
+    * `graph_search_hier_recall` protocol moved onto the lifecycle
+    * index).
+    */
+  def graphServeAccretedRecall(spark: SparkSession, sfDir: String,
+                               pct: Int = 20): DataFrame = {
+    val acc = accretedEdges(servingGraph(spark, sfDir),
+      insertSegTwin(spark, sfDir))
+    val aidx = corpus(spark, sfDir)
+      .filter(col("vec_id") % 2 === 0 || col("vec_id") % 4 === 1)
+    val qs = corpus(spark, sfDir)
+      .filter(col("vec_id") % 4 === 3)
+      .filter(TrainingSets.bucket100(col("vec_id")) < pct)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("sq").as("q_sq"))
+    val bf = bfTop1(qs, aidx).localCheckpoint(true)
+    val flat = greedySearch(qs, aidx, acc)
+      .filter(col("rn") === 1).select(col("q_id"), col("v").as("g_id"))
+    val hier = greedySearchFrom(qs, aidx, acc,
+        hierEntries(spark, sfDir, qs))
+      .filter(col("rn") === 1).select(col("q_id"), col("v").as("g_id"))
+    top1Compare(flat, bf).withColumn("variant", lit("flat"))
+      .unionByName(top1Compare(hier, bf).withColumn("variant", lit("hier")))
+      .select("variant", "n_queries", "n_top1_match", "recall_ppm")
+      .orderBy("variant")
   }
 
   /** Recall audit on the deterministic md5-coin stratum (default 20%):

@@ -2699,7 +2699,11 @@ object StreamAssembly {
       .filter(col("vec_id") % 4 === 3)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         Similarity.dot(col("embedding"), col("embedding")).as("q_sq"))
-    KnnGraph.greedySearch(qs, aidx, acc)
+    // r17: production reads enter through the hierarchical upper layer
+    // (per-query entries near the query's neighborhood) instead of the
+    // flat min-id entries — the hop budget stops growing ~log n at scale
+    KnnGraph.greedySearchFrom(qs, aidx, acc,
+        KnnGraph.hierEntries(spark, sfDir, qs))
       .filter(col("rn") === 1)
       .select(col("q_id").as("vec_id"), col("v").as("match_id"),
         floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
@@ -3020,7 +3024,11 @@ object StreamAssembly {
     * over `idx` (tombstones still routing), the read-back tombstone
     * set anti-joins the final beam, the best live member answers. ONE
     * definition, so a change to the mask join or the tie-break cannot
-    * diverge between the serving siblings the specs compare.
+    * diverge between the serving siblings the specs compare. Since
+    * r17 the descent enters through the hierarchical upper layer
+    * ([[graft.ops.KnnGraph.hierEntries]]) — per-query entries; a
+    * tombstoned ENTRY still routes (it is masked only at result time,
+    * exactly like any other beam member).
     */
   private def serveGraphMasked(spark: SparkSession, sfDir: String,
                                tombDir: String, idx: DataFrame,
@@ -3031,7 +3039,8 @@ object StreamAssembly {
       .filter(col("vec_id") % 4 === 3)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         Similarity.dot(col("embedding"), col("embedding")).as("q_sq"))
-    KnnGraph.greedySearch(qs, idx, edges)
+    KnnGraph.greedySearchFrom(qs, idx, edges,
+        KnnGraph.hierEntries(spark, sfDir, qs))
       .join(broadcast(tomb), col("v") === col("t_id"), "left_anti")
       .groupBy("q_id")
       .agg(min(struct(col("dist"), col("v"))).as("best"))
