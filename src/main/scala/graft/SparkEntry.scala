@@ -304,6 +304,17 @@ object SparkEntry {
     // live-population scoring join; the exchange re-stitches)
     "knn_graph_warm_rebuild_live" ->
       ((s, d) => KnnGraph.knnGraphWarmRebuildLive(s, d)),
+    // post-fold hier serving (r17): the fold's serving product — the
+    // folded graph + fresh long-range links + the REFRESHED upper
+    // layer over live merged (entries keep sampling what the index
+    // now holds, retiring the upper-layer staleness item)
+    "graph_serve_folded_hier" ->
+      ((s, d) => KnnGraph.graphServeFoldedHier(s, d)),
+    // the fold-scheduling loop EXECUTED (r17): stats → fold-vs-serve
+    // decision on the documented eviction tolerance → post-decision
+    // canary serving rows, one deterministic plan, no driver collect
+    "graph_fold_decision" ->
+      ((s, d) => KnnGraph.graphFoldDecision(s, d)),
     // the full-CRUD read path: reads see base ∪ inserts ∖ deletes —
     // the index state between folds, both pending letters visible
     "stream_graph_serve_full" ->
@@ -1247,15 +1258,19 @@ object SparkEntry {
     * continues from (r17: the accreted / delete-masked / full-CRUD
     * serves all enter here).
     */
-  private def hierEntryStage(qsrcCte: String): String = {
+  private def hierEntryStage(qsrcCte: String,
+      upperWhere: String = " WHERE vec_id % 2 = 0",
+      stackPfx: String = "x", descPfx: String = "u",
+      entCte: String = "zent"): String = {
     val coin = " AND ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT" +
       s" % 100 < ${ops.KnnGraph.HierPct}"
-    ",\n" + knnGraphCteStack(" WHERE vec_id % 2 = 0" + coin, "x",
+    ",\n" + knnGraphCteStack(upperWhere + coin, stackPfx,
         withKw = false) + s""",
-      |xserve AS MATERIALIZED (SELECT src, dst FROM xgfin
-      |  UNION SELECT src, dst FROM xinit)""".stripMargin +
-      descentStack("u", "xe", "xserve", qsrcCte) + s""",
-      |zent AS (SELECT q_id, v FROM uf${ops.KnnGraph.SearchHops}
+      |${stackPfx}serve AS MATERIALIZED (SELECT src, dst FROM ${stackPfx}gfin
+      |  UNION SELECT src, dst FROM ${stackPfx}init)""".stripMargin +
+      descentStack(descPfx, s"${stackPfx}e", s"${stackPfx}serve",
+        qsrcCte) + s""",
+      |$entCte AS (SELECT q_id, v FROM ${descPfx}f${ops.KnnGraph.SearchHops}
       |  WHERE rn <= ${ops.KnnGraph.SearchEntries})""".stripMargin
   }
 
@@ -1322,6 +1337,55 @@ object SparkEntry {
       |UNION ALL
       |${countsFrom("ghier", "hier")})
       |ORDER BY variant""".stripMargin
+  }
+
+  /** The fold-decision oracle ([[ops.KnnGraph.graphFoldDecision]]):
+    * the attachment stats reduced to the one-row decision (`dec`), the
+    * fold branch (combined fold + fresh bidirectional links +
+    * refreshed live upper layer, prefix g), the serve-on branch
+    * (accreted graph + frozen-even hier entries + late tombstone mask,
+    * prefix t), each gated by the decision scalar — the whole loop
+    * replayed, including the decision.
+    */
+  private def graphFoldDecisionSql: String = {
+    val h = ops.KnnGraph.SearchHops
+    val k = ops.KnnGraph.K
+    val stratum = " AND ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))" +
+      "::BIGINT % 100 < 20"
+    warmLiveFoldCtes + ",\n" +
+      initEdgesSql("l", "lidx") + s""",
+      |lserve AS MATERIALIZED (SELECT src, dst FROM w1
+      |  UNION SELECT dst, src FROM w1
+      |  UNION SELECT src, dst FROM linit),
+      |dec AS (SELECT CASE WHEN sum(CASE WHEN fan_in > $k
+      |      THEN fan_in - $k ELSE 0 END)
+      |      >= ${ops.KnnGraph.FoldEvictThreshold}
+      |    THEN 1 ELSE 0 END AS fold_due
+      |  FROM (SELECT nbr, count(*) AS fan_in FROM seg GROUP BY 1)),
+      |fq AS MATERIALIZED (SELECT vec_id AS q_id, embedding,
+      |    list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+      |              for i in range(1, 65)]) AS q_sq
+      |  FROM embeddings WHERE vec_id % 4 = 3$stratum)""".stripMargin +
+      hierEntryStage("fq",
+        " WHERE ((vec_id % 2 = 0 AND vec_id % 8 <> 6)" +
+          " OR vec_id % 4 = 1)") +
+      descentStackFrom("g", "lidx", "lserve", "fq", "zent") +
+      hierEntryStage("fq", " WHERE vec_id % 2 = 0",
+        "x2", "u2", "zent2") +
+      descentStackFrom("t", "aidx", "aserve", "fq", "zent2") + s"""
+      |SELECT q_id AS vec_id, v AS match_id,
+      |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u,
+      |  CAST(1 AS BIGINT) AS fold_due
+      |FROM gf$h WHERE rn = 1 AND (SELECT fold_due FROM dec) = 1
+      |UNION ALL
+      |SELECT q_id AS vec_id, v AS match_id,
+      |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u,
+      |  CAST(0 AS BIGINT) AS fold_due
+      |FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY dist, v) AS rn2
+      |  FROM tf$h WHERE v % 8 <> 6) mx
+      |WHERE rn2 = 1 AND (SELECT fold_due FROM dec) = 0
+      |ORDER BY vec_id""".stripMargin
   }
 
   /** Shared accreted-index CTE prefix (base even graph → insert-fleet
@@ -1671,6 +1735,18 @@ object SparkEntry {
     * surgery), one refinement round over the live index.
     */
   private def knnGraphWarmRebuildLiveSql: String =
+    warmLiveFoldCtes + """
+      |SELECT src AS vec_id, rank, dst AS nbr,
+      |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
+      |FROM w1 ORDER BY vec_id, rank""".stripMargin
+
+  /** The combined-fold CTE stack shared by the fold gate and the
+    * post-fold hier serve: the accreted prefix, the live population
+    * `lidx`, the accreted seed scored over it (edges touching a
+    * tombstoned vertex vanish in the joins), one refinement round —
+    * the folded edge list as `w1`.
+    */
+  private def warmLiveFoldCtes: String =
     accretedGraphPrefix + s""",
       |lidx AS MATERIALIZED (SELECT vec_id, embedding, sq FROM aidx
       |  WHERE vec_id % 8 <> 6),
@@ -1684,10 +1760,35 @@ object SparkEntry {
       |  SELECT src, dst, dist, row_number() OVER (
       |    PARTITION BY src ORDER BY dist, dst) AS rn FROM w0s)
       |  WHERE rn <= ${ops.KnnGraph.K}),
-      |""".stripMargin + knnRoundSql("w0", "w1", "lidx") + """
-      |SELECT src AS vec_id, rank, dst AS nbr,
+      |""".stripMargin + knnRoundSql("w0", "w1", "lidx")
+
+  /** The post-fold hierarchical-serving oracle ([[ops.KnnGraph
+    * .graphServeFoldedHier]]): the combined fold (`w1`), fresh
+    * md5-random long-range links over the live population, the
+    * REFRESHED upper layer built over live merged (base survivors ∪
+    * inserts — same md5 coin), the fleet's upper descent picking
+    * entries, and the base descent over the folded serve edges.
+    */
+  private def graphServeFoldedHierSql: String = {
+    val h = ops.KnnGraph.SearchHops
+    warmLiveFoldCtes + ",\n" +
+      initEdgesSql("l", "lidx") + s""",
+      |lserve AS MATERIALIZED (SELECT src, dst FROM w1
+      |  UNION SELECT dst, src FROM w1
+      |  UNION SELECT src, dst FROM linit),
+      |fq AS MATERIALIZED (SELECT vec_id AS q_id, embedding,
+      |    list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+      |              for i in range(1, 65)]) AS q_sq
+      |  FROM embeddings WHERE vec_id % 4 = 3)""".stripMargin +
+      hierEntryStage("fq",
+        " WHERE ((vec_id % 2 = 0 AND vec_id % 8 <> 6)" +
+          " OR vec_id % 4 = 1)") +
+      descentStackFrom("g", "lidx", "lserve", "fq", "zent") + s"""
+      |SELECT q_id AS vec_id, v AS match_id,
       |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
-      |FROM w1 ORDER BY vec_id, rank""".stripMargin
+      |FROM gf$h WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
+  }
 
   /** NN-descent k-NN-graph CTE stack (knn_graph_* oracles): md5-seeded
     * init lists, then [[ops.KnnGraph.Rounds]] unrolled refinement
@@ -1732,6 +1833,29 @@ object SparkEntry {
     * builds the base-layer graph AND the upper-layer graph); `withKw`
     * drops the leading WITH for a continuation stack.
     */
+  /** The md5-random init / long-range-link CTEs over an arbitrary
+    * population CTE `eCte(vec_id, embedding, sq)` — the
+    * [[ops.KnnGraph.initEdges]] replay (dense rank via the md5 bucket
+    * order, neighbor j of vertex i at rank md5("i,j") mod n), split
+    * out of [[knnGraphCteStack]] so the folded-serve oracle can give
+    * the LIVE population fresh long-range links without rebuilding a
+    * whole graph stack. Yields `${pfx}init(src, dst)`.
+    */
+  private def initEdgesSql(pfx: String, eCte: String): String =
+    s"""${pfx}nn AS (SELECT count(*) AS n FROM $eCte),
+       |${pfx}ranked AS MATERIALIZED (SELECT vec_id, row_number() OVER (
+       |    ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
+       |      % ${ops.KnnGraph.RankBuckets}, vec_id) - 1 AS rnk
+       |  FROM $eCte),
+       |${pfx}init AS MATERIALIZED (
+       |  SELECT DISTINCT d.src, r.vec_id AS dst FROM (
+       |  SELECT $eCte.vec_id AS src,
+       |    ('0x' || substr(md5($eCte.vec_id::VARCHAR || ',' ||
+       |      j.j::VARCHAR), 1, 8))::BIGINT % ${pfx}nn.n AS rnk
+       |  FROM $eCte, range(0, ${ops.KnnGraph.K}) j(j), ${pfx}nn) d
+       |  JOIN ${pfx}ranked r USING (rnk)
+       |  WHERE r.vec_id <> d.src)""".stripMargin
+
   private def knnGraphCteStack(idxWhere: String, pfx: String = "",
                                withKw: Boolean = true): String = {
     val k = ops.KnnGraph.K
@@ -1745,19 +1869,8 @@ object SparkEntry {
        |    list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
        |              for i in range(1, 65)]) AS sq
        |  FROM embeddings$idxWhere),
-       |${pfx}nn AS (SELECT count(*) AS n FROM ${pfx}e),
-       |${pfx}ranked AS MATERIALIZED (SELECT vec_id, row_number() OVER (
-       |    ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
-       |      % ${ops.KnnGraph.RankBuckets}, vec_id) - 1 AS rnk
-       |  FROM ${pfx}e),
-       |${pfx}init AS MATERIALIZED (
-       |  SELECT DISTINCT d.src, r.vec_id AS dst FROM (
-       |  SELECT ${pfx}e.vec_id AS src,
-       |    ('0x' || substr(md5(${pfx}e.vec_id::VARCHAR || ',' ||
-       |      j.j::VARCHAR), 1, 8))::BIGINT % ${pfx}nn.n AS rnk
-       |  FROM ${pfx}e, range(0, $k) j(j), ${pfx}nn) d
-       |  JOIN ${pfx}ranked r USING (rnk)
-       |  WHERE r.vec_id <> d.src),
+       |""".stripMargin +
+      initEdgesSql(pfx, s"${pfx}e") + s""",
        |${pfx}r0s AS MATERIALIZED (SELECT p.src, p.dst,
        |  a.sq + b.sq - 2 * list_sum([a.embedding[i]::DOUBLE *
        |    b.embedding[i]::DOUBLE for i in range(1, 65)]) AS dist
@@ -4246,6 +4359,12 @@ object SparkEntry {
     // the combined fold: accreted seed scored over the live population,
     // one refinement round absorbs inserts and deletes together
     "knn_graph_warm_rebuild_live" -> (knnGraphWarmRebuildLiveSql),
+    // post-fold hier serving: fold + fresh long links + refreshed
+    // upper layer + both descents, replayed end to end
+    "graph_serve_folded_hier" -> (graphServeFoldedHierSql),
+    // the fold-scheduling loop: decision + both branches, the chosen
+    // one's canary rows emitted — replayed end to end
+    "graph_fold_decision" -> (graphFoldDecisionSql),
     // the full-CRUD read paths: base ∪ inserts ∖ deletes in one query
     "stream_graph_serve_full" -> (graphServeFullSql),
     "stream_pq_serve_full" -> (pqServeFullSql),

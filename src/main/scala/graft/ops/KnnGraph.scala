@@ -361,7 +361,7 @@ object KnnGraph {
     */
   val HierPct: Int = graft.EnvKnobs.posInt("GRAFT_GRAPH_HIER_PCT", 10)
 
-  private def upperOf(e: DataFrame): DataFrame =
+  private[graft] def upperOf(e: DataFrame): DataFrame =
     e.filter(TrainingSets.bucket100(col("vec_id")) < HierPct)
 
   /** The upper layer's own serving graph (NN-descent + long-range
@@ -420,12 +420,20 @@ object KnnGraph {
     * posture).
     */
   private[graft] def hierEntries(spark: SparkSession, sfDir: String,
-                                 qs: DataFrame): DataFrame = {
-    val l1 = upperOf(corpus(spark, sfDir).filter(col("vec_id") % 2 === 0))
-    greedySearch(qs, l1, upperServingGraph(spark, sfDir))
+                                 qs: DataFrame): DataFrame =
+    hierEntriesFrom(qs,
+      upperOf(corpus(spark, sfDir).filter(col("vec_id") % 2 === 0)),
+      upperServingGraph(spark, sfDir))
+
+  /** The entry stage over an ARBITRARY upper layer — the post-fold
+    * serve enters through a REFRESHED upper layer built on the live
+    * merged population instead of the frozen even base.
+    */
+  private[graft] def hierEntriesFrom(qs: DataFrame, l1: DataFrame,
+                                     upperGraph: DataFrame): DataFrame =
+    greedySearch(qs, l1, upperGraph)
       .filter(col("rn") <= SearchEntries)
       .select(col("q_id"), col("v"))
-  }
 
   /** The two-stage descent shared by the hier gate and its recall
     * audit: upper-layer beam → per-query entries → base-layer beam.
@@ -563,19 +571,49 @@ object KnnGraph {
         })
     }
 
+  /** The LIVE merged population — (even base ∖ the tombstoned quarter)
+    * ∪ the inserted fleet: what the index holds after both pending
+    * CRUD letters are folded.
+    */
+  private[graft] def liveMerged(spark: SparkSession,
+                                sfDir: String): DataFrame =
+    corpus(spark, sfDir).filter(
+      (col("vec_id") % 2 === 0 && col("vec_id") % 8 =!= 6) ||
+        col("vec_id") % 4 === 1)
+
+  /** The combined-fold k-NN graph over the live merged population —
+    * memoized like every graph-family model: the fold gate
+    * ([[knnGraphWarmRebuildLive]]), the post-fold hier serve
+    * ([[graphServeFoldedHier]]) and the fold-decision loop all consume
+    * THE SAME folded edge frame.
+    */
+  private[graft] def foldedLiveGraph(spark: SparkSession,
+                                     sfDir: String): DataFrame =
+    graphCache.synchronized {
+      graphCache.getOrElseUpdate(
+        (spark.sparkContext, sfDir, Rounds, "warm-live"), {
+          val acc = accretedEdges(servingGraph(spark, sfDir),
+            insertSegTwin(spark, sfDir))
+          warmRebuildOf(liveMerged(spark, sfDir), acc, 1)
+        })
+    }
+
   /** Shared body of the two warm folds: accreted seed from the
     * insert-segment twin, scored over the full or live merged
     * population, one refinement round.
     */
   private def warmRebuildGate(spark: SparkSession, sfDir: String,
                               liveOnly: Boolean): DataFrame = {
-    val base0 = corpus(spark, sfDir).filter(col("vec_id") % 2 === 0)
-    val base = if (liveOnly) base0.filter(col("vec_id") % 8 =!= 6) else base0
-    val inserted = corpus(spark, sfDir).filter(col("vec_id") % 4 === 1)
-    val acc = accretedEdges(servingGraph(spark, sfDir),
-      insertSegTwin(spark, sfDir))
-    warmRebuildOf(base.unionByName(inserted), acc, 1)
-      .select(col("src").as("vec_id"), col("rank").cast("long").as("rank"),
+    val g =
+      if (liveOnly) foldedLiveGraph(spark, sfDir)
+      else {
+        val merged = corpus(spark, sfDir)
+          .filter(col("vec_id") % 2 === 0 || col("vec_id") % 4 === 1)
+        warmRebuildOf(merged,
+          accretedEdges(servingGraph(spark, sfDir),
+            insertSegTwin(spark, sfDir)), 1)
+      }
+    g.select(col("src").as("vec_id"), col("rank").cast("long").as("rank"),
         col("dst").as("nbr"),
         floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
       .orderBy("vec_id", "rank")
@@ -596,6 +634,86 @@ object KnnGraph {
     */
   def knnGraphWarmRebuildLive(spark: SparkSession, sfDir: String): DataFrame =
     warmRebuildGate(spark, sfDir, liveOnly = true)
+
+  /** The folded index's SERVING edge set: the combined-fold k-NN edges
+    * IN BOTH DIRECTIONS ∪ fresh md5-random long-range links over the
+    * LIVE population. The symmetry is load-bearing, not cosmetic — the
+    * r16 back-link lesson applied to the fold: a freshly-stitched
+    * insert's k-NN list points INTO its own region (siblings + the
+    * nearest base vertex), while no base vertex elects an insert among
+    * its k best, so a fold that emitted only out-edges would strand
+    * exactly the regions the fold just attached (Round17Spec measures
+    * 20/32 planted probes routable out-edges-only vs 32/32 with the
+    * NSW bidirectional links Malkov et al. keep). Cost is ≤ 2k+k slim
+    * rows per vertex, same order as the cold serving set.
+    */
+  private[graft] def foldedServeEdges(spark: SparkSession,
+                                      sfDir: String): DataFrame =
+    graphCache.synchronized {
+      graphCache.getOrElseUpdate(
+        (spark.sparkContext, sfDir, Rounds, "warm-live-serve"),
+        servingEdgesSymOf(liveMerged(spark, sfDir),
+          foldedLiveGraph(spark, sfDir)))
+    }
+
+  /** [[servingEdgesOf]] with the refined edges kept BIDIRECTIONAL —
+    * the fold's serving composition (see [[foldedServeEdges]]).
+    */
+  private[graft] def servingEdgesSymOf(e: DataFrame,
+                                       knn: DataFrame): DataFrame =
+    knn.select(col("src"), col("dst"))
+      .union(knn.select(col("dst").as("src"), col("src").as("dst")))
+      .union(initEdges(e))
+      .distinct()
+      .localCheckpoint(true)
+
+  /** The REFRESHED upper layer — the r16 staleness item: the hier
+    * entry layer was built once on the even base, so inserts never
+    * entered it and after enough fold cycles the entries no longer
+    * sample the index they route into. The fold's serving product
+    * therefore rebuilds the upper layer over the LIVE MERGED
+    * population (same md5 coin, so ~[[HierPct]]% of base survivors AND
+    * inserts land in it) — entries keep covering what the index now
+    * holds, at the same bounded upper-layer cost.
+    */
+  private[graft] def liveUpperServingGraph(spark: SparkSession,
+                                           sfDir: String): DataFrame =
+    graphCache.synchronized {
+      graphCache.getOrElseUpdate(
+        (spark.sparkContext, sfDir, Rounds, "live-upper"), {
+          val l1 = upperOf(liveMerged(spark, sfDir))
+          servingEdgesOf(l1, graphOf(l1, Rounds))
+        })
+    }
+
+  /** POST-FOLD HIERARCHICAL SERVING — the state of the index AFTER the
+    * operator schedules the combined fold ([[knnGraphWarmRebuildLive]])
+    * and the read path the r17 composition ships end to end: the query
+    * fleet (vec_id ≡ 3 mod 4) enters through the REFRESHED upper layer
+    * ([[liveUpperServingGraph]] — built over base survivors ∪ inserts,
+    * so a probe whose true NN arrived as an INSERT can be routed to
+    * from entries that sample the insert's own region) and descends
+    * the folded graph + fresh long-range links over the live
+    * population. Tombstoned vectors are GONE — the fold retired the
+    * delete letter physically, so serving needs no mask and pays no
+    * dead hops; inserted ones are first-class vertices with converged
+    * neighborhoods. One (query, match, dist) row each, the same shape
+    * as every serving gate, hash-replayed by the oracle end to end
+    * (fold + refreshed upper build + both descents).
+    */
+  def graphServeFoldedHier(spark: SparkSession, sfDir: String): DataFrame = {
+    val live = liveMerged(spark, sfDir)
+    val qs = corpus(spark, sfDir).filter(col("vec_id") % 4 === 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("sq").as("q_sq"))
+    val entries = hierEntriesFrom(qs, upperOf(live),
+      liveUpperServingGraph(spark, sfDir))
+    greedySearchFrom(qs, live, foldedServeEdges(spark, sfDir), entries)
+      .filter(col("rn") === 1)
+      .select(col("q_id").as("vec_id"), col("v").as("match_id"),
+        floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
+      .orderBy("vec_id")
+  }
 
   /** The PHYSICAL delete fold: rebuild the even-half index graph over
     * the LIVE population only (vec_id ≢ 6 mod 8 — the quarter the
@@ -648,6 +766,77 @@ object KnnGraph {
           .as("n_evicted_links"))
       .crossJoin(broadcast(
         seg.agg(countDistinct(col("vec_id")).as("n_inserts"))))
+  }
+
+  /** Evicted-link tolerance for the fold scheduler: the combined fold
+    * is DUE once [[graphAttachStats]]' `n_evicted_links` reaches this
+    * (every evicted link is an insert that lost routability until the
+    * fold — the tolerance is the recall slack an operator accepts
+    * between maintenance windows). Env-knobbed like the geometry
+    * constants; the oracle interpolates the same value at object init.
+    */
+  val FoldEvictThreshold: Int =
+    graft.EnvKnobs.posInt("GRAFT_GRAPH_FOLD_EVICT", 1)
+
+  /** THE FOLD-SCHEDULING LOOP, EXECUTED — not just described by the
+    * operator playbook: one plan reads the attachment stats, decides
+    * fold-vs-serve on [[FoldEvictThreshold]], and emits the
+    * POST-DECISION serving rows for the md5-coin canary stratum of the
+    * query fleet (the replay an operator runs before flipping serving
+    * over). Fold due (`fold_due` = 1): rows come from the fold's
+    * serving product — folded live graph, bidirectional serve edges,
+    * REFRESHED upper layer ([[graphServeFoldedHier]]'s path). Not due
+    * (= 0): rows come from the standing full-CRUD read — accreted
+    * graph, frozen-even hier entries, tombstones masked late. The
+    * decision is data (a one-row broadcast both branches filter on),
+    * never a driver-side collect, so the whole loop is one
+    * deterministic plan both engines replay — including the decision
+    * itself.
+    */
+  def graphFoldDecision(spark: SparkSession, sfDir: String): DataFrame =
+    graphFoldDecisionAt(spark, sfDir, FoldEvictThreshold)
+
+  /** [[graphFoldDecision]] at an explicit threshold — the spec drives
+    * BOTH branches through it (a tolerance below the fixture's evicted
+    * count folds; an astronomically high one serves on).
+    */
+  private[graft] def graphFoldDecisionAt(spark: SparkSession, sfDir: String,
+                                         threshold: Long): DataFrame = {
+    val decision = graphAttachStats(spark, sfDir)
+      .select(when(col("n_evicted_links") >= threshold, 1L)
+        .otherwise(0L).as("fold_due"))
+    val qs = corpus(spark, sfDir)
+      .filter(col("vec_id") % 4 === 3)
+      .filter(TrainingSets.bucket100(col("vec_id")) < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("sq").as("q_sq"))
+    val live = liveMerged(spark, sfDir)
+    val foldRows = greedySearchFrom(qs, live, foldedServeEdges(spark, sfDir),
+        hierEntriesFrom(qs, upperOf(live),
+          liveUpperServingGraph(spark, sfDir)))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("v"), col("dist"))
+    val aidx = corpus(spark, sfDir)
+      .filter(col("vec_id") % 2 === 0 || col("vec_id") % 4 === 1)
+    val acc = accretedEdges(servingGraph(spark, sfDir),
+      insertSegTwin(spark, sfDir))
+    // the standing read: tombstones still route, masked late (the
+    // serveGraphMasked discipline; the ≡ 6 mod 8 fixture is the batch
+    // twin of the drained tombstone set)
+    val accRows = greedySearchFrom(qs, aidx, acc,
+        hierEntries(spark, sfDir, qs))
+      .filter(col("v") % 8 =!= 6)
+      .groupBy("q_id")
+      .agg(min(struct(col("dist"), col("v"))).as("best"))
+      .select(col("q_id"), col("best.v").as("v"), col("best.dist").as("dist"))
+    def shape(df: DataFrame): DataFrame =
+      df.select(col("q_id").as("vec_id"), col("v").as("match_id"),
+        floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
+    shape(foldRows).crossJoin(broadcast(decision))
+      .filter(col("fold_due") === 1L)
+      .unionByName(shape(accRows).crossJoin(broadcast(decision))
+        .filter(col("fold_due") === 0L))
+      .orderBy("vec_id")
   }
 
   /** Serving recall: the md5-coin stratum's greedy top-1 vs its exact

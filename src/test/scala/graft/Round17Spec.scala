@@ -77,6 +77,146 @@ class Round17Spec extends SparkSpec {
     assert(!odd.queryExecution.optimizedPlan.toString.contains("md5_bucket"))
   }
 
+  // ------------------------------------------------------------------
+  // post-fold hier serving: the REFRESHED upper layer routes probes to
+  // folded-in inserts (the Round16Spec planted geometry, one stage on)
+  // ------------------------------------------------------------------
+
+  private def plantedEmb(c: Int, i: Int): Seq[Float] =
+    Seq.tabulate(64) { d =>
+      val (bc, off) = if (c < 15) (c, 0f) else ((c - 15) * 3 + 1, 1.5f)
+      val center = ((bc * 31 + d * 17) % 13 - 6).toFloat + off
+      val noise = (((i * 13 + d * 7) % 5) - 2) * 0.01f +
+        (((i * 29 + d * 3) % 7) - 3) * 0.004f +
+        (((i * 37 + d * 11) % 11) - 5) * 0.0015f
+      center + noise
+    }
+
+  private def frame(rows: Seq[(Long, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.dot(col("embedding"), col("embedding")).as("sq"))
+  }
+
+  test("after the fold, probes whose true NN is an INSERTED vector are " +
+       "found through the REFRESHED hierarchical entries: fold + upper " +
+       "rebuild over live merged + hier descent, end to end") {
+    graft.functions.GraftFunctions.register(spark)
+    val base = frame((0 until 2048).map { i =>
+      (i.toLong, plantedEmb(i % 15, i))
+    }).localCheckpoint(true)
+    val inserted = frame((0 until 4 * KnnGraph.K).map { j =>
+      (10000L + j, plantedEmb(15 + j / KnnGraph.K, j))
+    }).localCheckpoint(true)
+    val probes = frame((0 until 32).map { i =>
+      (20000L + i, plantedEmb(15 + i / 8, i + 100))
+    }).select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("sq").as("q_sq"))
+      .localCheckpoint(true)
+
+    // the lifecycle up to the fold: base graph, insert descents
+    // (segment twin), accreted edge set, ONE warm round over merged
+    val serve = KnnGraph.servingEdgesOf(base, KnnGraph.graphOf(base, 3))
+    val seg = KnnGraph.greedySearch(
+        inserted.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb"), col("sq").as("q_sq")),
+        base, serve)
+      .filter(col("rn") <= KnnGraph.InsertFanout)
+      .select(col("q_id").as("vec_id"), col("v").as("nbr"),
+        floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
+      .localCheckpoint(true)
+    val merged = base.unionByName(inserted).localCheckpoint(true)
+    val folded = KnnGraph.warmRebuildOf(merged,
+      KnnGraph.accretedEdges(serve, seg), 1)
+      .localCheckpoint(true)
+    // the serving set keeps the folded edges BIDIRECTIONAL — without
+    // the reverse direction, the freshly-attached novel clusters are
+    // entered only by chance long links (out-edges-only contrast below)
+    val serve2 = KnnGraph.servingEdgesSymOf(merged, folded)
+
+    // the REFRESHED upper layer: built over the live MERGED population
+    // (the r16 staleness item — a frozen even-base upper layer never
+    // sees inserts)
+    val upperLive = KnnGraph.upperOf(merged).localCheckpoint(true)
+    val upperG = KnnGraph.servingEdgesOf(upperLive,
+      KnnGraph.graphOf(upperLive, 3))
+    val entries = KnnGraph.hierEntriesFrom(probes, upperLive, upperG)
+
+    val got = KnnGraph.greedySearchFrom(probes, merged, serve2, entries)
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 32)
+    val routed = got.count(_._2 >= 10000L)
+    assert(routed >= 29, s"only $routed/32 probes routed to inserts")
+    // and they are the EXACT nearest neighbors, not just any insert
+    val bf = probes.crossJoin(merged.select(col("vec_id").as("m_id"),
+        col("embedding").as("m_emb"), col("sq").as("m_sq")))
+      .withColumn("dist", col("q_sq") + col("m_sq") -
+        lit(2.0) * Similarity.dot(col("q_emb"), col("m_emb")))
+      .groupBy("q_id")
+      .agg(min(struct(col("dist"), col("m_id"))).as("best"))
+      .select(col("q_id"), col("best.m_id").as("bf_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val exact = got.count { case (q, v) => bf(q) == v }
+    assert(exact >= 29, s"only $exact/32 probes found the exact NN")
+
+    // the contrast that makes the bidirectional serving set
+    // load-bearing: out-edges-only folded serving strands part of the
+    // freshly-attached region (no base vertex elects an insert among
+    // its k best, so incoming edges exist only as reverses)
+    val outOnly = KnnGraph.servingEdgesOf(merged, folded)
+    val gotOut = KnnGraph.greedySearchFrom(probes, merged, outOnly, entries)
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("v"))
+      .collect().map(r => r.getLong(1))
+    val routedOut = gotOut.count(_ >= 10000L)
+    info(s"routed: sym $routed/32 vs out-only $routedOut/32")
+    assert(routedOut < routed,
+      s"out-only served $routedOut, sym served $routed — contrast gone")
+  }
+
+  test("the gated post-fold hier serve: no tombstoned vector ever " +
+       "answers (the fold retired the delete letter physically) and " +
+       "inserted vectors do") {
+    val served = KnnGraph.graphServeFoldedHier(spark, "/root/testdata/sf0.001")
+      .localCheckpoint(true)
+    assert(served.count() > 0)
+    assert(served.filter(col("match_id") % 8 === 6).count() === 0)
+    assert(served.filter(col("match_id") % 4 === 1).count() > 0)
+  }
+
+  test("the fold-decision loop takes BOTH branches: a tolerance below " +
+       "the fixture's evicted count folds (rows = the post-fold hier " +
+       "serve on the canary stratum), an astronomically high one " +
+       "serves on (rows = the masked accreted read)") {
+    val sf = "/root/testdata/sf0.001"
+    val folded = KnnGraph.graphFoldDecisionAt(spark, sf, 1L)
+      .localCheckpoint(true)
+    val servedOn = KnnGraph.graphFoldDecisionAt(spark, sf, Long.MaxValue)
+      .localCheckpoint(true)
+    assert(folded.count() > 0 && servedOn.count() > 0)
+    assert(folded.filter(col("fold_due") =!= 1L).count() === 0)
+    assert(servedOn.filter(col("fold_due") =!= 0L).count() === 0)
+    // the fold branch IS the post-fold hier serve, restricted to the
+    // canary stratum
+    val expectFold = KnnGraph.graphServeFoldedHier(spark, sf)
+      .filter(graft.ops.TrainingSets.bucket100(col("vec_id")) < 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val gotFold = folded
+      .select(col("vec_id"), col("match_id"), col("dist_u"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotFold === expectFold)
+    // the serve-on branch never answers with a tombstoned vector and
+    // answers DIFFERENTLY from the fold branch somewhere (the decision
+    // has consequences)
+    assert(servedOn.filter(col("match_id") % 8 === 6).count() === 0)
+    assert(gotFold !== servedOn
+      .select(col("vec_id"), col("match_id"), col("dist_u"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("md5_bucket coerces an integer modulus (implicit cast) and " +
        "matches the long-literal spelling") {
     graft.functions.GraftFunctions.register(spark)
