@@ -719,7 +719,17 @@ class PlanSpec extends SparkSpec {
       // the two churn-report folds — every exchange carries a
       // model-bounded or 8-int-per-vector code frame, the raw corpus
       // never shuffles
-      "ivfpq_warm_refresh" -> 7)
+      "ivfpq_warm_refresh" -> 7,
+      // r17 accreted recall pair: two checkpointed descent leaves join
+      // one checkpointed exact side; the final frame is two 1-row aggs
+      "graph_serve_accreted_recall" -> 6,
+      // r17 post-fold hier serve: fold, refreshed upper layer and both
+      // descents all checkpoint — the gated frame is the projection +
+      // presentation sort over the final beam leaf
+      "graph_serve_folded_hier" -> 1,
+      // r17 fold-decision loop: two serving branches filtered on the
+      // one-row broadcast decision + the masked-late rollup + sort
+      "graph_fold_decision" -> 4)
     val aggOrLimit = Set("HashAggregateExec", "ObjectHashAggregateExec",
       "SortAggregateExec", "TakeOrderedAndProjectExec", "GlobalLimitExec",
       "CollectLimitExec", "LocalLimitExec")
