@@ -358,6 +358,15 @@ object SparkEntry {
     // (equal to the batch two-pass) despite order-dependent sketch state
     "stream_mg_partials" ->
       ((s, d) => graft.streaming.StreamAssembly.streamMgPartials(s, d)),
+    // KMV bottom-k: the distinct-shingle count (what sizes the Bloom
+    // filter) estimated from k rows of state, the estimator
+    // integer-exact, error priced against the exact count
+    "kmv_distinct_shingles" ->
+      ((s, d) => HeavyHitters.kmvDistinctShingles(s, d)),
+    // per-micro-batch bottom-k sample partials: k rows per batch at any
+    // batch size, merged by re-taking the global bottom-k (exact)
+    "stream_sample_partials" ->
+      ((s, d) => graft.streaming.StreamAssembly.streamSamplePartials(s, d)),
     // the PQ fold: refresh the frozen coarse axis over base + inserted
     // (decimal-exact Lloyd round), re-code, report exact churn
     "ivfpq_warm_refresh" ->
@@ -4356,6 +4365,31 @@ object SparkEntry {
         |FROM t, tot GROUP BY w, total
         |HAVING count(*) * 1000 >= total * 34
         |ORDER BY n DESC, token""".stripMargin,
+    // KMV: bottom-k of the distinct 48-bit shingle hashes; D-hat =
+    // (k-1)*2^48 / h_k in integer division, err in integer ppm
+    "kmv_distinct_shingles" ->
+      s"""WITH sp AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT unnest($gram8Sql) AS s
+        |  FROM sp WHERE len(ws) >= 8),
+        |hs AS (SELECT DISTINCT
+        |  ('0x' || substr(md5(s), 1, 12))::BIGINT AS h FROM sh),
+        |bot AS (SELECT h FROM hs ORDER BY h LIMIT 1024),
+        |sk AS (SELECT count(*) AS k_eff, max(h) AS h_k FROM bot),
+        |ex AS (SELECT count(DISTINCT s) AS d_exact FROM sh),
+        |est AS (SELECT k_eff, h_k, d_exact,
+        |  CASE WHEN k_eff < 1024 THEN k_eff
+        |       ELSE (1023 * 281474976710656) // h_k END AS d_est
+        |  FROM sk, ex)
+        |SELECT 1024::BIGINT AS k, k_eff, h_k, d_est, d_exact,
+        |  (abs(d_est - d_exact) * 1000000) // d_exact AS err_ppm
+        |FROM est""".stripMargin,
+    // bottom-k sample partials: merging per-batch bottom-k's equals the
+    // single-pass bottom-k exactly, so the plain sort-limit over the
+    // staged half is the oracle (sketch slicing never leaks)
+    "stream_sample_partials" ->
+      """SELECT doc_id, source, md5('smp' || doc_id::VARCHAR) AS prio
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY prio LIMIT 200""".stripMargin,
     // the combined fold: accreted seed scored over the live population,
     // one refinement round absorbs inserts and deletes together
     "knn_graph_warm_rebuild_live" -> (knnGraphWarmRebuildLiveSql),

@@ -174,4 +174,63 @@ object HeavyHitters {
         (col("cms_est") - col("exact")).as("overestimate"))
       .orderBy(desc("exact"), asc("token"))
   }
+
+  /** Bottom-k size of the KMV sketch; production sizes k by the target
+    * relative standard error (≈ 1/√k — k=1024 gives ~3%). */
+  val KmvK: Int = graft.EnvKnobs.posInt("GRAFT_KMV_K", 1024)
+
+  /** 48-bit md5 draw (12 hex chars): wide enough that collisions are
+    * negligible at any fixture scale, narrow enough that the KMV
+    * numerator (k−1)·2^48 still fits a BIGINT both engines divide with
+    * exact integer semantics. */
+  private[graft] def h48(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  /** THE KMV DISTINCT-COUNT AUDIT — the order-statistics member of the
+    * bounded-structure family (Bloom answers "seen before?", CMS "how
+    * many of x?", MG "which items are heavy?"; KMV answers "how many
+    * DISTINCT items?" from k rows of state): keep the k minimum hash
+    * values of the distinct-shingle stream, and the k-th smallest
+    * h_(k) estimates the distinct count as D̂ = (k−1)·2^48 / h_(k)
+    * (Bar-Yossef et al. 2002 — the sketch inside BJKST and the Theta
+    * family). Bottom-k merges EXACTLY — bottom-k(A∪B) =
+    * bottom-k(bottom-k(A) ∪ bottom-k(B)) — so at 100 TB each executor
+    * ships k rows and a coordinator folds, no rate retuning as the
+    * corpus grows. The stream counted here is the 8-gram shingle set,
+    * because that is the count a production pipeline needs BEFORE it
+    * can build anything: the Bloom decontamination filter
+    * ([[graft.ops.TrainingSets.bloomContamination]]) is sized
+    * m ≈ 10·n_distinct_shingles — KMV prices n from k rows of state
+    * without materializing the set it is sizing a filter for. The
+    * audit reports the estimate against the exact distinct count with
+    * the error in integer ppm; the estimator is integer long division
+    * end to end, so the gate hashes exactly. When k exceeds the
+    * stream's distinct count the sketch holds everything and the
+    * answer is exact (k_eff < k branch).
+    */
+  def kmvDistinctShingles(spark: SparkSession, sfDir: String,
+                          k: Int = KmvK): DataFrame = {
+    // (k−1)·2^48 must fit a BIGINT: (2^15)·2^48 = 2^63 is the first
+    // value past Long range, so k caps at 2^15 (still a 0.6% rse —
+    // production never needs more)
+    require(k <= (1 << 15), s"KMV k=$k overflows the 2^48-scaled numerator")
+    graft.functions.GraftFunctions.register(spark)
+    val sh = Tables.spread(Tables.documents(spark, sfDir))
+      .select(explode(Dedup.shingleCol(col("text"), 8)).as("s"))
+    val hs = sh.select(h48(col("s")).as("h")).distinct()
+    // TakeOrderedAndProject: per-partition top-k, one driver-side fold
+    // of k·partitions rows — never a full sort
+    val sketch = hs.orderBy("h").limit(k)
+      .agg(count(lit(1)).as("k_eff"), max("h").as("h_k"))
+    val exact = sh.select("s").distinct()
+      .agg(count(lit(1)).as("d_exact"))
+    sketch.crossJoin(broadcast(exact))
+      .withColumn("d_est",
+        when(col("k_eff") < k, col("k_eff"))
+          .otherwise(expr(s"(${k - 1}L * ${1L << 48}L) div h_k")))
+      .select(lit(k.toLong).as("k"), col("k_eff"), col("h_k"),
+        col("d_est"), col("d_exact"),
+        expr("(abs(d_est - d_exact) * 1000000L) div d_exact")
+          .as("err_ppm"))
+  }
 }

@@ -3575,6 +3575,83 @@ object StreamAssembly {
       .orderBy(desc("exact"), asc("token"))
   }
 
+  /** STREAMED BOTTOM-K SAMPLE PARTIALS — the fixed-size uniform sample
+    * as a bounded mergeable structure (the order-statistics sibling of
+    * [[streamCmsPartials]]'s linear grid and [[streamMgPartials]]'s
+    * candidate counters): each micro-batch keeps only its k
+    * minimum-priority rows, priority = the md5 draw on doc_id both
+    * engines replay, and appends them as a `batch=<id>` partial — at
+    * most k rows per batch at ANY batch size. The read side unions the
+    * partials and re-takes the global bottom-k, which equals the
+    * bottom-k of the whole stream EXACTLY under any slicing
+    * (bottom-k(A∪B) = bottom-k(bottom-k(A) ∪ bottom-k(B)) — the
+    * mergeability CMS gets from linearity, order statistics give for
+    * free), so the plain ORDER BY md5 LIMIT k over the staged half IS
+    * the oracle. This is how a fixed-size uniform corpus sample ships
+    * at 100 TB: every executor keeps k rows, a coordinator folds k·p
+    * rows — unlike the Bernoulli samplers ([[graft.ops.TrainingSets
+    * .stratifiedSample]] et al.) whose output grows with the corpus
+    * and whose rate needs retuning at every scale-up.
+    */
+  def streamSamplePartials(spark: SparkSession, sfDir: String,
+                           nFiles: Int = 3, k: Int = 200): DataFrame =
+    serveSampleMerged(spark, drainSamplePartials(spark, sfDir, nFiles, k), k)
+
+  /** The drain side of [[streamSamplePartials]], split out so the spec
+    * can read the partial segments: returns the partials directory. */
+  private[graft] def drainSamplePartials(spark: SparkSession, sfDir: String,
+                                         nFiles: Int, k: Int): String = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_sample_partials").toString
+    val outDir = s"$tmp/partials"
+    val ckptDir = s"$tmp/ckpt"
+    val srcDir = s"$tmp/incoming"
+    graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(srcDir)
+    withDrainConf(spark) { ds =>
+      val docSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType)))
+      val stream = ds.readStream
+        .schema(docSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val query = stream.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.select(col("doc_id"), col("source"),
+              md5(concat(lit("smp"), col("doc_id").cast("string")))
+                .as("prio"))
+            .orderBy("prio").limit(k)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    outDir
+  }
+
+  /** The merge-and-serve read side of [[streamSamplePartials]], split
+    * out for the slicing-invariance spec: global bottom-k over the
+    * ≤ k·batches partial rows.
+    */
+  private[graft] def serveSampleMerged(spark: SparkSession,
+                                       partialsDir: String,
+                                       k: Int): DataFrame =
+    spark.read.parquet(partialsDir)
+      .orderBy("prio").limit(k)
+      .select("doc_id", "source", "prio")
+      .orderBy("prio")
+
   /** ONLINE BLOOM MEMBERSHIP FILTER — the at-ingest decontamination /
     * dedup gate every large crawl pipeline runs (GPT-3 appendix C's
     * n-gram overlap rule, executed through the only structure that

@@ -329,6 +329,57 @@ class LifecycleSpec extends SparkSpec {
     assertSameRows(drained3, batch)
   }
 
+  test("bottom-k sample partials: every batch ships at most k rows, and " +
+       "the merged sample is slicing-invariant and equal to the " +
+       "single-pass bottom-k") {
+    val k = 25
+    val dir2 = StreamAssembly.drainSamplePartials(spark, sf, nFiles = 2, k)
+    val dir4 = StreamAssembly.drainSamplePartials(spark, sf, nFiles = 4, k)
+    // bounded state: each batch=<id> partial holds ≤ k rows
+    new java.io.File(dir4).listFiles()
+      .filter(_.getName.startsWith("batch=")).foreach { d =>
+        val n = spark.read.parquet(d.getPath).count()
+        assert(n <= k, s"${d.getName} shipped $n > $k rows")
+      }
+    val merged2 = StreamAssembly.serveSampleMerged(spark, dir2, k)
+      .localCheckpoint(true)
+    val merged4 = StreamAssembly.serveSampleMerged(spark, dir4, k)
+    assertSameRows(merged2, merged4)
+    assert(merged2.count() === k)
+    // and equal to the one-pass bottom-k over the same (odd) half —
+    // bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B))
+    val onePass = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("smp"), col("doc_id").cast("string"))).as("prio"))
+      .orderBy("prio").limit(k)
+    assertSameRows(merged2, onePass)
+  }
+
+  test("KMV distinct estimate: exact when k covers the stream, within " +
+       "the order-statistics envelope when it does not, integer-exact " +
+       "arithmetic throughout") {
+    import graft.ops.HeavyHitters
+    // k above the fixture shingle count (~23k at sf0.001) yet under the
+    // numerator's 2^15 overflow cap: the sketch holds every hash, the
+    // k_eff < k branch answers EXACTLY
+    val full = HeavyHitters.kmvDistinctShingles(spark, sf, k = 1 << 15)
+      .collect().head
+    assert(full.getLong(full.fieldIndex("k_eff")) <
+      full.getLong(full.fieldIndex("k")))
+    assert(full.getLong(full.fieldIndex("d_est")) ===
+      full.getLong(full.fieldIndex("d_exact")))
+    assert(full.getLong(full.fieldIndex("err_ppm")) === 0L)
+    // estimating regime: k=256 gives rse ≈ 1/sqrt(k) ≈ 6.25%; assert a
+    // generous 4-sigma envelope (25%) — deterministic, not flaky: the
+    // md5 draws are fixed
+    val est = HeavyHitters.kmvDistinctShingles(spark, sf, k = 256)
+      .collect().head
+    assert(est.getLong(est.fieldIndex("k_eff")) === 256L)
+    assert(est.getLong(est.fieldIndex("err_ppm")) < 250000L,
+      s"err_ppm ${est.getLong(est.fieldIndex("err_ppm"))}")
+  }
+
   // the drain-dependent serving helpers (the wholesale PlanSpec table
   // cannot reach them — they need a drained segment dir first) hold
   // their exchange ceilings: the Round16Spec accreted-serving idiom

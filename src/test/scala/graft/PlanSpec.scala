@@ -729,7 +729,11 @@ class PlanSpec extends SparkSpec {
       "graph_serve_folded_hier" -> 1,
       // r17 fold-decision loop: two serving branches filtered on the
       // one-row broadcast decision + the masked-late rollup + sort
-      "graph_fold_decision" -> 4)
+      "graph_fold_decision" -> 4,
+      // r17 KMV audit: the distinct-hash exchange + the exact-distinct
+      // side + two 1-row agg folds; the bottom-k itself is a
+      // TakeOrderedAndProject (no full sort, no exchange)
+      "kmv_distinct_shingles" -> 5)
     val aggOrLimit = Set("HashAggregateExec", "ObjectHashAggregateExec",
       "SortAggregateExec", "TakeOrderedAndProjectExec", "GlobalLimitExec",
       "CollectLimitExec", "LocalLimitExec")

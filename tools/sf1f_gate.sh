@@ -1,0 +1,32 @@
+#!/bin/bash
+# Full-surface fresh-scale gate: run every registered query at
+# target/scale/sf1f in round-robin chunks (bounds per-JVM memory/tmp
+# growth), then oracle-check each chunk with tools/check.py.
+# Usage: tools/sf1f_gate.sh [nChunks] [outRoot]
+set -u
+N=${1:-7}
+OUT=${2:-/tmp/sf1f_gate}
+SF=target/scale/sf1f
+export GRAFT_KNNG_ROUNDS=5 GRAFT_IVFPQ_CELLS=140 GRAFT_IVFPQ_PROBE=12
+export GRAFT_BLOOM_BITS=8388608 GRAFT_CMS_WIDTH=16384
+export SPARK_GRAFT_CPUS=32
+mkdir -p "$OUT"
+grep -oP '^\s+"[a-z0-9_]+" ->' src/main/scala/graft/SparkEntry.scala |
+  grep -oP '[a-z0-9_]+' | sort -u > "$OUT/names.txt"
+TOTAL=$(wc -l < "$OUT/names.txt")
+echo "gating $TOTAL queries in $N chunks"
+: > "$OUT/summary.txt"
+for i in $(seq 0 $((N - 1))); do
+  CHUNK=$(awk -v n="$N" -v i="$i" 'NR % n == i' "$OUT/names.txt" |
+    paste -sd,)
+  [ -z "$CHUNK" ] && continue
+  echo "== chunk $i =="
+  sbt -batch "runMain graft.Verify $SF $OUT/chunk$i $CHUNK" \
+    > "$OUT/chunk$i.log" 2>&1
+  python3 tools/check.py "$SF" "$OUT/chunk$i" \
+    > "$OUT/chunk$i.check" 2>&1
+  tail -1 "$OUT/chunk$i.check" | tee -a "$OUT/summary.txt"
+  grep '^FAIL' "$OUT/chunk$i.check" | tee -a "$OUT/summary.txt"
+done
+echo "== totals =="
+cat "$OUT/summary.txt"
