@@ -4366,23 +4366,28 @@ object SparkEntry {
         |HAVING count(*) * 1000 >= total * 34
         |ORDER BY n DESC, token""".stripMargin,
     // KMV: bottom-k of the distinct 48-bit shingle hashes; D-hat =
-    // (k-1)*2^48 / h_k in integer division, err in integer ppm
-    "kmv_distinct_shingles" ->
+    // (k-1)*2^48 / h_k in integer division, err in integer ppm (the
+    // knob interpolates like every other, so the engines cannot
+    // diverge when GRAFT_KMV_K is set)
+    "kmv_distinct_shingles" -> {
+      val k = ops.HeavyHitters.KmvK
+      val num = (BigInt(k) - 1) * (BigInt(1) << 48)
       s"""WITH sp AS (SELECT string_split(text, ' ') AS ws FROM documents),
         |sh AS (SELECT unnest($gram8Sql) AS s
         |  FROM sp WHERE len(ws) >= 8),
         |hs AS (SELECT DISTINCT
         |  ('0x' || substr(md5(s), 1, 12))::BIGINT AS h FROM sh),
-        |bot AS (SELECT h FROM hs ORDER BY h LIMIT 1024),
+        |bot AS (SELECT h FROM hs ORDER BY h LIMIT $k),
         |sk AS (SELECT count(*) AS k_eff, max(h) AS h_k FROM bot),
         |ex AS (SELECT count(DISTINCT s) AS d_exact FROM sh),
         |est AS (SELECT k_eff, h_k, d_exact,
-        |  CASE WHEN k_eff < 1024 THEN k_eff
-        |       ELSE (1023 * 281474976710656) // h_k END AS d_est
+        |  CASE WHEN k_eff < $k THEN k_eff
+        |       ELSE $num // h_k END AS d_est
         |  FROM sk, ex)
-        |SELECT 1024::BIGINT AS k, k_eff, h_k, d_est, d_exact,
+        |SELECT $k::BIGINT AS k, k_eff, h_k, d_est, d_exact,
         |  (abs(d_est - d_exact) * 1000000) // d_exact AS err_ppm
-        |FROM est""".stripMargin,
+        |FROM est""".stripMargin
+    },
     // bottom-k sample partials: merging per-batch bottom-k's equals the
     // single-pass bottom-k exactly, so the plain sort-limit over the
     // staged half is the oracle (sketch slicing never leaks)

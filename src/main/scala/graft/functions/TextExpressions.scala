@@ -153,6 +153,12 @@ object TextOps {
   def md5Bucket(s: UTF8String, m: Long, nHexChars: Int): Long = {
     if (m <= 0) throw new IllegalArgumentException(
       s"md5_bucket: modulus must be positive, got $m")
+    // whole leading bytes only: an odd width would silently truncate to
+    // nHexChars−1 and diverge from the composed substring(md5…) form;
+    // 16 hex chars (2^64) is the first width past a signed long
+    if (nHexChars < 2 || nHexChars > 14 || nHexChars % 2 != 0)
+      throw new IllegalArgumentException(
+        s"md5_bucket: width must be an even count in [2, 14], got $nHexChars")
     val d = md5Local.get().digest(s.getBytes)
     val nBytes = nHexChars / 2
     var v = 0L

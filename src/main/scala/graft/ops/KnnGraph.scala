@@ -542,6 +542,23 @@ object KnnGraph {
   def knnGraphWarmRebuild(spark: SparkSession, sfDir: String): DataFrame =
     warmRebuildGate(spark, sfDir, liveOnly = false)
 
+  /** The ACCRETED population a between-folds read serves — the even
+    * base ∪ the pending insert fleet (≡ 1 mod 4) — and its edge set
+    * (base serving graph + segment attachment edges from the memoized
+    * insert twin). ONE definition each, shared by the recall audit,
+    * the fold-decision serve-on branch, and the non-live warm fold, so
+    * a change to the accreted geometry cannot silently diverge between
+    * the three reads that claim to serve the same index state.
+    */
+  private def accretedPopulation(spark: SparkSession,
+                                 sfDir: String): DataFrame =
+    corpus(spark, sfDir)
+      .filter(col("vec_id") % 2 === 0 || col("vec_id") % 4 === 1)
+
+  private def accretedIndexEdges(spark: SparkSession,
+                                 sfDir: String): DataFrame =
+    accretedEdges(servingGraph(spark, sfDir), insertSegTwin(spark, sfDir))
+
   /** The insert fleet's (vec_id ≡ 1 mod 4) drained-segment batch twin —
     * descent beams against the frozen even graph, fan-out bounded to
     * [[InsertFanout]], distances floored to micro-units — ONE
@@ -591,11 +608,9 @@ object KnnGraph {
                                      sfDir: String): DataFrame =
     graphCache.synchronized {
       graphCache.getOrElseUpdate(
-        (spark.sparkContext, sfDir, Rounds, "warm-live"), {
-          val acc = accretedEdges(servingGraph(spark, sfDir),
-            insertSegTwin(spark, sfDir))
-          warmRebuildOf(liveMerged(spark, sfDir), acc, 1)
-        })
+        (spark.sparkContext, sfDir, Rounds, "warm-live"),
+        warmRebuildOf(liveMerged(spark, sfDir),
+          accretedIndexEdges(spark, sfDir), 1))
     }
 
   /** Shared body of the two warm folds: accreted seed from the
@@ -606,13 +621,8 @@ object KnnGraph {
                               liveOnly: Boolean): DataFrame = {
     val g =
       if (liveOnly) foldedLiveGraph(spark, sfDir)
-      else {
-        val merged = corpus(spark, sfDir)
-          .filter(col("vec_id") % 2 === 0 || col("vec_id") % 4 === 1)
-        warmRebuildOf(merged,
-          accretedEdges(servingGraph(spark, sfDir),
-            insertSegTwin(spark, sfDir)), 1)
-      }
+      else warmRebuildOf(accretedPopulation(spark, sfDir),
+        accretedIndexEdges(spark, sfDir), 1)
     g.select(col("src").as("vec_id"), col("rank").cast("long").as("rank"),
         col("dst").as("nbr"),
         floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
@@ -816,10 +826,8 @@ object KnnGraph {
           liveUpperServingGraph(spark, sfDir)))
       .filter(col("rn") === 1)
       .select(col("q_id"), col("v"), col("dist"))
-    val aidx = corpus(spark, sfDir)
-      .filter(col("vec_id") % 2 === 0 || col("vec_id") % 4 === 1)
-    val acc = accretedEdges(servingGraph(spark, sfDir),
-      insertSegTwin(spark, sfDir))
+    val aidx = accretedPopulation(spark, sfDir)
+    val acc = accretedIndexEdges(spark, sfDir)
     // the standing read: tombstones still route, masked late (the
     // serveGraphMasked discipline; the ≡ 6 mod 8 fixture is the batch
     // twin of the drained tombstone set)
@@ -872,10 +880,8 @@ object KnnGraph {
     */
   def graphServeAccretedRecall(spark: SparkSession, sfDir: String,
                                pct: Int = 20): DataFrame = {
-    val acc = accretedEdges(servingGraph(spark, sfDir),
-      insertSegTwin(spark, sfDir))
-    val aidx = corpus(spark, sfDir)
-      .filter(col("vec_id") % 2 === 0 || col("vec_id") % 4 === 1)
+    val acc = accretedIndexEdges(spark, sfDir)
+    val aidx = accretedPopulation(spark, sfDir)
     val qs = corpus(spark, sfDir)
       .filter(col("vec_id") % 4 === 3)
       .filter(TrainingSets.bucket100(col("vec_id")) < pct)

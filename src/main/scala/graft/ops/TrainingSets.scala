@@ -247,8 +247,15 @@ object TrainingSets {
     * boundary; the oracle interpolates the SAME constant, so one JVM
     * run can never see drifted widths.
     */
-  private[graft] def bloomPosHexChars(bits: Long): Int =
+  private[graft] def bloomPosHexChars(bits: Long): Int = {
+    // the wide draw's own ceiling: 14 hex chars = 56 bits, so a filter
+    // past 2^56 bits would re-enter the silent-cap failure class one
+    // level up — reject it instead (no real deployment is within 2^16×
+    // of a 2^56-bit = 9-petabyte filter)
+    require(bits <= (1L << 56),
+      s"GRAFT_BLOOM_BITS=$bits exceeds the 56-bit position draw")
     if (bits > (1L << 32)) 14 else 8
+  }
 
   val BloomHexChars: Int = bloomPosHexChars(BloomBits)
 

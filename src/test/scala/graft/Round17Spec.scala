@@ -30,6 +30,22 @@ class Round17Spec extends SparkSpec {
     // scale — far beyond Int range, must use the wide draw
     assert(TrainingSets.bloomPosHexChars(10L * (1L << 33)) === 14)
     assert(TrainingSets.bloomPosHexChars(1L << 55) === 14)
+    assert(TrainingSets.bloomPosHexChars(1L << 56) === 14)
+    // past the wide draw's own ceiling the knob is REJECTED — the same
+    // silent-cap class one level up must not re-open at 2^56
+    intercept[IllegalArgumentException] {
+      TrainingSets.bloomPosHexChars((1L << 56) + 1)
+    }
+    // and the kernel rejects odd or over-long widths instead of
+    // silently truncating to whole bytes
+    intercept[IllegalArgumentException] {
+      graft.functions.TextOps.md5Bucket(
+        org.apache.spark.unsafe.types.UTF8String.fromString("x"), 7L, 9)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.TextOps.md5Bucket(
+        org.apache.spark.unsafe.types.UTF8String.fromString("x"), 7L, 16)
+    }
   }
 
   test("the 14-hex-char md5 draw: kernel equals the composed form, " +

@@ -16,17 +16,30 @@ grep -oP '^\s+"[a-z0-9_]+" ->' src/main/scala/graft/SparkEntry.scala |
 TOTAL=$(wc -l < "$OUT/names.txt")
 echo "gating $TOTAL queries in $N chunks"
 : > "$OUT/summary.txt"
+BAD=0
 for i in $(seq 0 $((N - 1))); do
   CHUNK=$(awk -v n="$N" -v i="$i" 'NR % n == i' "$OUT/names.txt" |
     paste -sd,)
   [ -z "$CHUNK" ] && continue
   echo "== chunk $i =="
-  sbt -batch "runMain graft.Verify $SF $OUT/chunk$i $CHUNK" \
-    > "$OUT/chunk$i.log" 2>&1
+  if ! sbt -batch "runMain graft.Verify $SF $OUT/chunk$i $CHUNK" \
+      > "$OUT/chunk$i.log" 2>&1; then
+    echo "chunk $i: Verify FAILED" | tee -a "$OUT/summary.txt"
+    BAD=$((BAD + 1))
+  fi
   python3 tools/check.py "$SF" "$OUT/chunk$i" \
     > "$OUT/chunk$i.check" 2>&1
   tail -1 "$OUT/chunk$i.check" | tee -a "$OUT/summary.txt"
-  grep '^FAIL' "$OUT/chunk$i.check" | tee -a "$OUT/summary.txt"
+  NFAIL=$(grep -c '^FAIL' "$OUT/chunk$i.check")
+  if [ "$NFAIL" -gt 0 ]; then
+    grep '^FAIL' "$OUT/chunk$i.check" | tee -a "$OUT/summary.txt"
+    BAD=$((BAD + NFAIL))
+  fi
 done
 echo "== totals =="
 cat "$OUT/summary.txt"
+if [ "$BAD" -gt 0 ]; then
+  echo "GATE RED: $BAD failures"
+  exit 1
+fi
+echo "GATE GREEN: every chunk passed"
