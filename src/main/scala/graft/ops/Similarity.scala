@@ -757,7 +757,13 @@ object Similarity {
     val (cents, assigned) = annProbeIndex(spark, sfDir)
     val labels = Tables.embeddings(spark, sfDir)
       .select(col("vec_id").as("m_id"), col("label").as("m_label"))
-    val idxL = assigned.join(labels, "m_id")
+    // labels is corpus-cardinality — never broadcastable at index scale,
+    // so pin the shuffle join explicitly: the assigned side reuses its
+    // groupBy partitioning on m_id, only the slim label projection
+    // shuffles. Without the hint the planner flips this join on cached-
+    // leaf size estimates (memory-pressure-dependent under a full suite
+    // run), which also flipped the pinned exchange count.
+    val idxL = assigned.join(labels.hint("shuffle_hash"), "m_id")
     val qs = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") % 2 === 1)
       .filter(TrainingSets.bucket100(col("vec_id")) < pct)

@@ -658,8 +658,15 @@ class PlanSpec extends SparkSpec {
       // doc-level verification joins — all on shingle/candidate frames
       "dedup_containment" -> 8,
       // the annProbe family shape (salt-keyed exact side) with the
-      // label predicate pushed into both sides
-      "ann_filtered_recall" -> 8,
+      // label predicate pushed into both sides; +2 for the EXPLICIT
+      // label shuffle join in both consuming branches (labels is
+      // corpus-cardinality — never a broadcast at index scale;
+      // unhinted, the planner flipped this join on memory-pressure-
+      // dependent cached-leaf estimates and the pin was flaky). The
+      // remaining broadcasts are the explicit cents sides, so this
+      // count is the deterministic maximum — joins can only flip
+      // DOWN from here
+      "ann_filtered_recall" -> 10,
       // user-keyed pass + 2-row arm rollup
       "welch_ttest_value" -> 3,
       // one corpus pass into the checkpointed #types x 2 table; every
