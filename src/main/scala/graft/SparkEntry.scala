@@ -4385,7 +4385,9 @@ object SparkEntry {
         |       ELSE $num // h_k END AS d_est
         |  FROM sk, ex)
         |SELECT $k::BIGINT AS k, k_eff, h_k, d_est, d_exact,
-        |  (abs(d_est - d_exact) * 1000000) // d_exact AS err_ppm
+        |  CASE WHEN d_exact = 0 THEN 0
+        |       ELSE (abs(d_est - d_exact) * 1000000) // d_exact
+        |  END AS err_ppm
         |FROM est""".stripMargin
     },
     // bottom-k sample partials: merging per-batch bottom-k's equals the

@@ -1250,6 +1250,93 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** MULTI-PROBE variant of [[embeddingNearDupsLshCapped]] — the
+    * standard production lever for recovering the recall a
+    * high-selectivity banding pays (Lv et al. 2007, "Multi-probe LSH",
+    * VLDB — public method): besides its home bucket, every signature
+    * PROBES the `bandBits` neighboring buckets at Hamming distance 1
+    * per band (flip one band bit per probe — the most-likely-miss
+    * cells under the hyperplane model, where a near pair differs in
+    * few plane signs). Stored side stays the cap-filtered home
+    * buckets; the probe side expands to (1 + bandBits) buckets per
+    * (vector, band), each probed only if it survived the cap — so the
+    * candidate volume is hard-bounded by nBands · (1+bandBits) · n ·
+    * cap at ANY duplication density, a (1+bandBits)× bound growth that
+    * buys back most of the fine-band recall loss
+    * ([[lshMultiprobeRecallEval]] prices it, gated). Pairs are
+    * canonicalized (least, greatest) before the distinct because the
+    * probe relation is asymmetric; exact-cosine verify as always.
+    */
+  def embeddingNearDupsLshMultiprobe(spark: SparkSession, sfDir: String,
+                                     threshold: Double = 0.4,
+                                     bandBits: Int = 8, nBands: Int = 7,
+                                     cap: Int = LshBucketCap): DataFrame = {
+    val (e, banded0) = lshBandedFrames(spark, sfDir, bandBits, nBands)
+    val banded = banded0.select("vec_id", "band", "bucket")
+    val sizes = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= cap)
+    val kept = banded.join(broadcast(sizes.select("band", "bucket")),
+      Seq("band", "bucket"))
+    // home bucket + one flipped bit per probe; only cap-surviving
+    // target cells are probed
+    val probes = banded
+      .select(col("vec_id"), col("band"),
+        explode(array(col("bucket") +:
+          (0 until bandBits).map(b =>
+            col("bucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
+      .join(broadcast(sizes.select("band", "bucket")), Seq("band", "bucket"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val candidates = probes.as("x")
+      .join(kept.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(least(col("x.vec_id"), col("y.vec_id")).as("vec_a"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("vec_b"))
+      .distinct()
+    candidates
+      .join(e.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(e.as("b"), col("vec_b") === col("b.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        (Similarity.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Recall audit for the multi-probe scheme, side by side with the
+    * capped home-bucket scheme it extends — one exact ground truth,
+    * two variant rows ('capped', 'multiprobe'), so the gated numbers
+    * read directly as "what the extra probes buy at what candidate
+    * cost" (recall_ppm up, n_cand bounded by the documented
+    * (1+bandBits)× growth).
+    */
+  def lshMultiprobeRecallEval(spark: SparkSession, sfDir: String,
+                              threshold: Double = 0.4): DataFrame = {
+    val exact = embeddingNearDups(spark, sfDir, threshold)
+      .select("vec_a", "vec_b").localCheckpoint(true)
+    def row(variant: String, cand: DataFrame): DataFrame = {
+      val tp = cand.join(exact, Seq("vec_a", "vec_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(tp.agg(count(lit(1)).as("tp")))
+        .select(lit(variant).as("variant"),
+          col("n_exact"), col("n_cand"), col("tp"),
+          (col("n_exact") - col("tp")).as("fn"),
+          when(col("n_exact") === 0L, lit(1000000L))
+            .otherwise(expr("(tp * 1000000) DIV n_exact"))
+            .cast("long").as("recall_ppm"))
+    }
+    row("capped",
+        embeddingNearDupsLshCapped(spark, sfDir, threshold)
+          .select("vec_a", "vec_b"))
+      .unionByName(row("multiprobe",
+        embeddingNearDupsLshMultiprobe(spark, sfDir, threshold)
+          .select("vec_a", "vec_b")))
+      .orderBy("variant")
+  }
+
   /** The hyperplane-LSH banding audited against the exact-cosine ground
     * truth — the embedding-space sibling of [[minhashRecallEval]], and
     * the measurement behind [[embeddingNearDupsLsh]]'s documented

@@ -230,7 +230,10 @@ object HeavyHitters {
           .otherwise(expr(s"(${k - 1}L * ${1L << 48}L) div h_k")))
       .select(lit(k.toLong).as("k"), col("k_eff"), col("h_k"),
         col("d_est"), col("d_exact"),
-        expr("(abs(d_est - d_exact) * 1000000L) div d_exact")
+        // degenerate-corpus guard: DuckDB's `//` raises on /0 while
+        // Spark's `div` yields NULL — pin both engines to 0 instead
+        expr("CASE WHEN d_exact = 0 THEN 0L ELSE " +
+          "(abs(d_est - d_exact) * 1000000L) div d_exact END")
           .as("err_ppm"))
   }
 }

@@ -21,6 +21,19 @@ object Memo {
     scala.collection.mutable.Buffer
       .empty[scala.collection.concurrent.TrieMap[_, DataFrame]]
 
+  private val clearHooks =
+    scala.collection.mutable.Buffer.empty[() => Unit]
+
+  /** Register a hook run by [[clearAll]] — for memo state that is not a
+    * DataFrame (e.g. the streaming drains' materialized segment
+    * directories, which are keyed paths on disk): the bench clears ALL
+    * per-process memo state between timed passes, and non-frame caches
+    * must drop with the frames or pass 2 reports memo-hit prices.
+    */
+  def onClear(f: () => Unit): Unit = caches.synchronized {
+    clearHooks += f
+  }
+
   /** A fresh TrieMap cache enrolled for [[clearAll]]. Call once per
     * operator at object-init time.
     */
@@ -54,6 +67,9 @@ object Memo {
         } catch { case _: Throwable => () }
       }
       m.clear()
+    }
+    clearHooks.foreach { f =>
+      try f() catch { case _: Throwable => () }
     }
   }
 }

@@ -135,4 +135,61 @@ object Privacy {
         col("t_ppm"), col("over_t"))
       .orderBy("c_nationkey", "acctbal_band")
   }
+
+  /** ε for [[dpNoisyCounts]] in exact integer micro-units (1e6 = 1.0) —
+    * env-knobbed like the other release constants; the oracle
+    * interpolates the same value at object init, so one JVM run can
+    * never see drifted budgets.
+    */
+  val DpEpsMicro: Int = graft.EnvKnobs.posInt("GRAFT_DP_EPS_MICRO", 1000000)
+
+  /** DIFFERENTIALLY-PRIVATE count release — the completion of the
+    * privacy progression (redact → k-anonymity → l-diversity →
+    * t-closeness → DP): per-source document counts with seeded Laplace
+    * noise at sensitivity 1 (one document moves one count by one), the
+    * standard ε-DP counting mechanism (Dwork et al. 2006, public
+    * method). The randomness is the repo's md5 coin, NOT an RNG — the
+    * release is a pure function of (corpus, ε, salt), which is what
+    * makes it HASH-GATABLE while keeping the mechanism's exact shape:
+    *
+    *  - u ∈ (0, 1): h = first 48 bits of md5("dp:" ‖ source), and
+    *    u = (h + ½)/2^48 — the ½ keeps u off 0 AND ½, so sign and log
+    *    are always defined; (2h + 1 − 2^48) is an odd integer, exact in
+    *    a double, and w = 1 − 2·|u − ½| = (2^48 − |2h+1−2^48|)/2^48 is
+    *    an integer over a power of two: bit-exact in both engines;
+    *  - Laplace inverse CDF: noise = −b·sgn(u − ½)·ln(w) with
+    *    b = 1/ε (one IEEE division, correctly rounded identically);
+    *    ln through [[graft.functions.PortableLn]] (the engine-portable
+    *    +−×/ ladder), then FLOORED to integer micro-units at source;
+    *  - the released value is noisy_u = n·1e6 + noise_u, integer.
+    *
+    * A production release would not also emit the exact count — this
+    * gate does (the audit posture: the oracle must verify the noise
+    * math, and the exact column is what every recall/err audit in the
+    * repo already carries). At 100 TB the plan is one groupBy over the
+    * corpus plus 14 narrow projections on a |sources|-row frame.
+    */
+  def dpNoisyCounts(spark: SparkSession, sfDir: String,
+                    epsMicro: Int = DpEpsMicro): DataFrame = {
+    val counts = Tables.spread(Tables.documents(spark, sfDir))
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val two48 = 1L << 48
+    val withW = counts
+      .withColumn("h", conv(substring(md5(
+        concat(lit("dp:"), col("source"))), 1, 12), 16, 10).cast("long"))
+      .withColumn("num", lit(2L) * col("h") + lit(1L) - lit(two48))
+      .withColumn("sgn", when(col("num") > 0, lit(1.0)).otherwise(lit(-1.0)))
+      .withColumn("w",
+        (lit(two48) - abs(col("num"))).cast("double") /
+          lit(two48.toDouble))
+    graft.functions.PortableLn.withLn(withW, "w", "lnw")
+      .withColumn("noise_u",
+        floor((lit(0.0) - (lit(1e6) / lit(epsMicro.toDouble))) *
+          col("sgn") * col("lnw") * lit(1e6)).cast("long"))
+      .select(col("source"), lit(epsMicro.toLong).as("eps_micro"),
+        col("n_docs"),
+        col("noise_u"),
+        (col("n_docs") * lit(1000000L) + col("noise_u")).as("noisy_u"))
+      .orderBy("source")
+  }
 }

@@ -1822,6 +1822,57 @@ object Similarity {
       .limit(k)
   }
 
+  /** BUILD → WRITE → LOAD → SERVE for the IVFADC family — the
+    * compressed sibling of [[graft.ops.KnnGraph.graphIndexPersistServe]]
+    * (one durability gate per index family, the [[graft.storage.Storage
+    * .writeIndex]] MergeTree contract): the trained even-half model's
+    * three artifacts — coarse centroids, residual codebook, coded
+    * index (8 ints + a cell per vector; the training-time `dist`
+    * column is distortion bookkeeping, not model state, and is NOT
+    * persisted) — are written, manifest-checked back in, and the
+    * md5-coin stratum of the odd fleet runs the standard cell-probed
+    * ADC top-1 ENTIRELY from the loaded frames. Every model column is
+    * long/double/float-array, which parquet round-trips bit-exactly,
+    * so the serve is bit-identical to the in-session probe —
+    * Round18Spec proves it with the memo tier killed.
+    */
+  def pqIndexPersistServe(spark: SparkSession, sfDir: String,
+                          pct: Int = 20): DataFrame = {
+    val (cents, cb, codes) = ivfpqProbeModel(spark, sfDir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pq_index").toString
+    graft.storage.Storage.writeIndex(cents, root, "centroids")
+    graft.storage.Storage.writeIndex(cb, root, "codebook")
+    graft.storage.Storage.writeIndex(
+      codes.select(col("vec_id"), col("cell"), col("s"), col("cid")),
+      root, "codes")
+    servePqFromArtifacts(spark, sfDir, root, pct)
+  }
+
+  /** The serve-from-loaded-artifacts probe, split out for the spec's
+    * fresh-session (memo-killed) bit-identity check.
+    */
+  private[graft] def servePqFromArtifacts(spark: SparkSession,
+                                          sfDir: String, root: String,
+                                          pct: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    val cents = graft.storage.Storage.loadIndex(spark, root, "centroids")
+    val cb = graft.storage.Storage.loadIndex(spark, root, "codebook")
+    val codes = graft.storage.Storage.loadIndex(spark, root, "codes")
+      .select(col("vec_id").as("m_id"), col("cell"), col("s"), col("cid"))
+    val qs = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 1)
+      .filter(TrainingSets.bucket100(col("vec_id")) < pct)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val qtab = cellResidualTables(qs, cents, cb)
+    adcScoresCell(codes, qtab)
+      .groupBy("q_id")
+      .agg(min(struct(col("adc"), col("m_id"))).as("best"))
+      .select(col("q_id").as("vec_id"), col("best.m_id").as("match_id"),
+        col("best.adc").as("adc_dist"))
+      .orderBy("vec_id")
+  }
+
   /** Code a batch of vectors against a FROZEN IVF-PQ model — the index
     * WRITE path (the maintenance side [[graft.streaming.StreamAssembly
     * .streamPqIndexAppend]] drains): nearest-cell argmin against the

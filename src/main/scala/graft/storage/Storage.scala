@@ -247,6 +247,57 @@ object Storage {
     dropped.map(_._1)
   }
 
+  /** INDEX-MODEL PERSISTENCE — the MergeTree durability contract
+    * (`clickhouse/init/01_init.sql:27-31`: tables, including the
+    * index-bearing state, survive restarts) applied to the engine's
+    * ANN model artifacts: a production index is built ONCE, written,
+    * and served from the loaded artifact — not rebuilt per session
+    * (the repo's Memo tier is a per-process cache, not durability).
+    * One named artifact = one parquet tree under `root/<name>` plus a
+    * `_manifest.json` recording row count and schema; [[loadIndex]]
+    * re-reads the tree and REFUSES a mismatched manifest (a truncated
+    * copy or a schema-drifted writer must fail loudly, not serve
+    * silently wrong answers). Model frames are slim (edge lists,
+    * centroids, codebooks, code rows) and parquet round-trips
+    * long/double/float columns bit-exactly, so a serve from the
+    * loaded artifact is bit-identical to one from the in-session
+    * build — the claim Round18Spec proves by killing the memo tier
+    * and comparing.
+    */
+  def writeIndex(df: DataFrame, root: String, name: String): Unit = {
+    val dir = s"$root/$name"
+    df.write.mode("overwrite").parquet(dir)
+    val spark = df.sparkSession
+    val rows = spark.read.parquet(dir).count()
+    val schema = spark.read.parquet(dir).schema.map(f =>
+      s"${f.name}:${f.dataType.simpleString}").mkString(",")
+    val manifest = s"""{"rows": $rows, "schema": "$schema"}"""
+    val p = new Path(dir, "_manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+  }
+
+  def loadIndex(spark: SparkSession, root: String, name: String): DataFrame = {
+    val dir = s"$root/$name"
+    val df = spark.read.parquet(dir)
+    val p = new Path(dir, "_manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"index artifact $dir has no manifest")
+    val in = fs.open(p)
+    val manifest =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val rows = df.count()
+    val schema = df.schema.map(f =>
+      s"${f.name}:${f.dataType.simpleString}").mkString(",")
+    val expected = s"""{"rows": $rows, "schema": "$schema"}"""
+    require(manifest == expected,
+      s"index artifact $dir fails manifest check:\n  stored   $manifest" +
+        s"\n  observed $expected")
+    df
+  }
+
   def compactMonth(spark: SparkSession, path: String, month: Int,
                    targetFiles: Int = 1): Unit = {
     val key = "spark.sql.sources.partitionOverwriteMode"

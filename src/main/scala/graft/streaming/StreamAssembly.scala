@@ -34,6 +34,47 @@ import graft.ingest.Ingest
   */
 object StreamAssembly {
 
+  /** Materialized drain-segment directories keyed by (context, sfDir,
+    * drain kind, fleet expr, nFiles) — the r17 `insertSegTwin` lesson
+    * applied to the drains themselves: the lifecycle serving family
+    * re-paid overlapping drains per gated query (six queries drain the
+    * IDENTICAL tombstone fixture; the graph/PQ/LSH serve pairs re-drain
+    * the same ≡ 1 mod 4 insert fleet), yet each drain is deterministic
+    * and slicing-invariant (the compaction/replay specs' standing
+    * claim), so its finished segment tree is a pure function of the key
+    * and can be shared across the family — zero hash changes by
+    * construction. Crash-armed drains (crashAfterBatches > 0) bypass
+    * the cache both ways: a crash gate must never serve, nor poison, a
+    * memoized tree. Cleared with the frame memos between bench passes
+    * ([[graft.ops.Memo.onClear]]), so both timed passes stay cold.
+    */
+  private val drainDirCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String, String, String, Int),
+        String]
+  graft.ops.Memo.onClear(() => drainDirCache.clear())
+
+  private def memoDrain(spark: SparkSession, sfDir: String, kind: String,
+                        fleet: org.apache.spark.sql.Column, nFiles: Int,
+                        crashAfterBatches: Int)(run: => String): String =
+    if (crashAfterBatches > 0) run
+    else drainDirCache.synchronized {
+      drainDirCache.getOrElseUpdate(
+        (spark.sparkContext, sfDir, kind, fleet.toString, nFiles), run)
+    }
+
+  /** Drop the drain-directory and derived-beam memos — the compaction
+    * specs call this after mutating a drained tree with
+    * [[graft.storage.Storage.compactBatchSink]]: the post-compaction
+    * re-read must be REAL (not a memo hit, which would make the
+    * invariance claim vacuous), and later drains must never inherit a
+    * compacted tree where they assert per-micro-batch file counts.
+    */
+  private[graft] def invalidateDrainMemos(): Unit = {
+    drainDirCache.clear()
+    accBeamCache.clear()
+  }
+
   /** S1 (`kafka_to_clickhouse.py:50-58`): Kafka source. Offsets live in
     * the checkpoint (not broker group auto-commit). `maxOffsetsPerTrigger`
     * plays the reference's `max_poll_records=500` role (T1).
@@ -2594,7 +2635,9 @@ object StreamAssembly {
   private[graft] def drainGraphInserts(spark: SparkSession, sfDir: String,
                                 fleet: org.apache.spark.sql.Column,
                                 nFiles: Int,
-                                crashAfterBatches: Int): String = {
+                                crashAfterBatches: Int): String =
+    memoDrain(spark, sfDir, "graph-insert", fleet, nFiles,
+        crashAfterBatches) {
     import java.nio.file.Files
     import graft.ops.{KnnGraph, Similarity}
     val tmp = Files.createTempDirectory("graft_graph_insert").toString
@@ -2684,30 +2727,58 @@ object StreamAssembly {
     * directory after [[graft.storage.Storage.compactBatchSink]].
     */
   private[graft] def serveAccretedGraph(spark: SparkSession, sfDir: String,
-                                        segDir: String): DataFrame = {
-    import graft.ops.{KnnGraph, Similarity}
-    graft.functions.GraftFunctions.register(spark)
-    val seg = spark.read.parquet(segDir)
-      .select(col("vec_id"), col("nbr"), col("dist_u"))
-    val acc = KnnGraph.accretedEdges(
-      KnnGraph.servingGraph(spark, sfDir), seg)
-    val aidx = graft.Tables.embeddings(spark, sfDir)
-      .filter(col("vec_id") % 2 === 0 || col("vec_id") % 4 === 1)
-      .select(col("vec_id"), col("embedding"),
-        Similarity.dot(col("embedding"), col("embedding")).as("sq"))
-    val qs = graft.Tables.embeddings(spark, sfDir)
-      .filter(col("vec_id") % 4 === 3)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        Similarity.dot(col("embedding"), col("embedding")).as("q_sq"))
-    // r17: production reads enter through the hierarchical upper layer
-    // (per-query entries near the query's neighborhood) instead of the
-    // flat min-id entries — the hop budget stops growing ~log n at scale
-    KnnGraph.greedySearchFrom(qs, aidx, acc,
-        KnnGraph.hierEntries(spark, sfDir, qs))
+                                        segDir: String): DataFrame =
+    drainedAccBeam(spark, sfDir, segDir)
       .filter(col("rn") === 1)
       .select(col("q_id").as("vec_id"), col("v").as("match_id"),
         floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
       .orderBy("vec_id")
+
+  /** Memoized descent beams over DRAINED accreted graphs, keyed by
+    * segment directory: with the drains themselves memoized, the
+    * accreted serve and the full-CRUD serve read the SAME segment tree
+    * and their descents are identical — the full-CRUD read only
+    * differs by the late tombstone mask on the final beam, so the two
+    * gates share one descent.
+    */
+  private val accBeamCache =
+    graft.ops.Memo.registry[(org.apache.spark.SparkContext, String, String)]
+
+  /** The ≡ 3 mod 4 query fleet's hier-entry descent over the accreted
+    * graph composed from `segDir`'s drained insert segments.
+    *
+    * r17: production reads enter through the hierarchical upper layer
+    * (per-query entries near the query's neighborhood) instead of the
+    * flat min-id entries — the hop budget stops growing ~log n at scale.
+    */
+  private def drainedAccBeam(spark: SparkSession, sfDir: String,
+                             segDir: String): DataFrame =
+    accBeamCache.synchronized {
+      accBeamCache.getOrElseUpdate(
+        (spark.sparkContext, sfDir, segDir), {
+          import graft.ops.{KnnGraph, Similarity}
+          graft.functions.GraftFunctions.register(spark)
+          val seg = spark.read.parquet(segDir)
+            .select(col("vec_id"), col("nbr"), col("dist_u"))
+          val acc = KnnGraph.accretedEdges(
+            KnnGraph.servingGraph(spark, sfDir), seg)
+          val aidx = graft.Tables.embeddings(spark, sfDir)
+            .filter(col("vec_id") % 2 === 0 || col("vec_id") % 4 === 1)
+            .select(col("vec_id"), col("embedding"),
+              Similarity.dot(col("embedding"), col("embedding")).as("sq"))
+          KnnGraph.greedySearchFrom(q3FleetOf(spark, sfDir), aidx, acc,
+              KnnGraph.hierEntriesQ3(spark, sfDir))
+            .localCheckpoint(true)
+        })
+    }
+
+  /** The ≡ 3 mod 4 query fleet — shared shape for the serving reads. */
+  private def q3FleetOf(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Similarity
+    graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 4 === 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        Similarity.dot(col("embedding"), col("embedding")).as("q_sq"))
   }
 
   /** The ONLINE IVF-PQ probe — [[streamAnnProbe]]'s compressed sibling,
@@ -2822,7 +2893,9 @@ object StreamAssembly {
   private[graft] def drainPqAppends(spark: SparkSession, sfDir: String,
                              fleet: org.apache.spark.sql.Column,
                              nFiles: Int,
-                             crashAfterBatches: Int): String = {
+                             crashAfterBatches: Int): String =
+    memoDrain(spark, sfDir, "pq-append", fleet, nFiles,
+        crashAfterBatches) {
     import java.nio.file.Files
     import graft.ops.Similarity
     val tmp = Files.createTempDirectory("graft_pq_append").toString
@@ -2935,7 +3008,9 @@ object StreamAssembly {
   private[graft] def drainTombstones(spark: SparkSession, sfDir: String,
                                      deleted: org.apache.spark.sql.Column,
                                      nFiles: Int,
-                                     crashAfterBatches: Int): String = {
+                                     crashAfterBatches: Int): String =
+    memoDrain(spark, sfDir, "tombstone", deleted, nFiles,
+        crashAfterBatches) {
     import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft_tombstones").toString
     val outDir = s"$tmp/segments"
@@ -3033,14 +3108,20 @@ object StreamAssembly {
   private def serveGraphMasked(spark: SparkSession, sfDir: String,
                                tombDir: String, idx: DataFrame,
                                edges: DataFrame): DataFrame = {
-    import graft.ops.{KnnGraph, Similarity}
+    import graft.ops.KnnGraph
+    maskedBest(spark, tombDir,
+      KnnGraph.greedySearchFrom(q3FleetOf(spark, sfDir), idx, edges,
+        KnnGraph.hierEntriesQ3(spark, sfDir)))
+  }
+
+  /** The masked result tail shared by the delete-only and full-CRUD
+    * graph reads: the read-back tombstone set anti-joins the final
+    * beam, the best live member answers.
+    */
+  private def maskedBest(spark: SparkSession, tombDir: String,
+                         beam: DataFrame): DataFrame = {
     val tomb = spark.read.parquet(tombDir).select(col("vec_id").as("t_id"))
-    val qs = graft.Tables.embeddings(spark, sfDir)
-      .filter(col("vec_id") % 4 === 3)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        Similarity.dot(col("embedding"), col("embedding")).as("q_sq"))
-    KnnGraph.greedySearchFrom(qs, idx, edges,
-        KnnGraph.hierEntries(spark, sfDir, qs))
+    beam
       .join(broadcast(tomb), col("v") === col("t_id"), "left_anti")
       .groupBy("q_id")
       .agg(min(struct(col("dist"), col("v"))).as("best"))
@@ -3138,19 +3219,10 @@ object StreamAssembly {
     */
   private[graft] def serveFullGraph(spark: SparkSession, sfDir: String,
                                     segDir: String,
-                                    tombDir: String): DataFrame = {
-    import graft.ops.{KnnGraph, Similarity}
-    graft.functions.GraftFunctions.register(spark)
-    val seg = spark.read.parquet(segDir)
-      .select(col("vec_id"), col("nbr"), col("dist_u"))
-    val acc = KnnGraph.accretedEdges(
-      KnnGraph.servingGraph(spark, sfDir), seg)
-    val aidx = graft.Tables.embeddings(spark, sfDir)
-      .filter(col("vec_id") % 2 === 0 || col("vec_id") % 4 === 1)
-      .select(col("vec_id"), col("embedding"),
-        Similarity.dot(col("embedding"), col("embedding")).as("sq"))
-    serveGraphMasked(spark, sfDir, tombDir, aidx, acc)
-  }
+                                    tombDir: String): DataFrame =
+    // the same memoized descent as the accreted serve — the full-CRUD
+    // read is that beam with the tombstone mask applied late
+    maskedBest(spark, tombDir, drainedAccBeam(spark, sfDir, segDir))
 
   /** THE FULL-CRUD READ PATH on the PQ family —
     * [[streamGraphServeFull]]'s compressed sibling: queries ADC-score
@@ -3215,7 +3287,9 @@ object StreamAssembly {
   private[graft] def drainLshAppends(spark: SparkSession, sfDir: String,
                                      fleet: org.apache.spark.sql.Column,
                                      nFiles: Int,
-                                     crashAfterBatches: Int): String = {
+                                     crashAfterBatches: Int): String =
+    memoDrain(spark, sfDir, "lsh-append", fleet, nFiles,
+        crashAfterBatches) {
     import java.nio.file.Files
     import graft.ops.Similarity
     val tmp = Files.createTempDirectory("graft_lsh_append").toString

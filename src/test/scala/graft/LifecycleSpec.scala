@@ -93,6 +93,7 @@ class LifecycleSpec extends SparkSpec {
     val (nBefore, nAfter, _) = Storage.compactBatchSink(spark, tombDir)
     assert(nBefore >= 3) // one file per drained micro-batch
     assert(nAfter < nBefore)
+    StreamAssembly.invalidateDrainMemos()
     val after = StreamAssembly.serveDeletedGraph(spark, sf, tombDir)
       .collect().toSeq
     assert(before === after)
@@ -107,6 +108,9 @@ class LifecycleSpec extends SparkSpec {
     val (nBefore, nAfter, _) = Storage.compactBatchSink(spark, segDir)
     assert(nBefore >= 3)
     assert(nAfter < nBefore)
+    // drop the drain/beam memos: the post-compaction read must be real,
+    // and later tests must never inherit a compacted tree
+    StreamAssembly.invalidateDrainMemos()
     val after = StreamAssembly.serveAccretedLsh(spark, sf, segDir)
       .collect().toSeq
     assert(before === after)
@@ -161,6 +165,7 @@ class LifecycleSpec extends SparkSpec {
     val before = masked.collect().toSeq
     val (nB, nA, _) = Storage.compactBatchSink(spark, tombDir)
     assert(nB >= 3 && nA < nB)
+    StreamAssembly.invalidateDrainMemos()
     val after = StreamAssembly.serveDeletedLsh(spark, sf, tombDir)
       .collect().toSeq
     assert(before === after)
@@ -181,6 +186,7 @@ class LifecycleSpec extends SparkSpec {
     val before = served.collect().toSeq
     Storage.compactBatchSink(spark, segDir)
     Storage.compactBatchSink(spark, tombDir)
+    StreamAssembly.invalidateDrainMemos()
     val after = StreamAssembly.serveFullLsh(spark, sf, segDir, tombDir)
       .collect().toSeq
     assert(before === after)
@@ -207,6 +213,7 @@ class LifecycleSpec extends SparkSpec {
     val before = g.collect().toSeq
     Storage.compactBatchSink(spark, segG)
     Storage.compactBatchSink(spark, tombDir)
+    StreamAssembly.invalidateDrainMemos()
     val after = StreamAssembly.serveFullGraph(spark, sf, segG, tombDir)
       .collect().toSeq
     assert(before === after)

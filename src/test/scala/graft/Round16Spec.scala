@@ -79,6 +79,9 @@ class Round16Spec extends SparkSpec {
       .collect().toSeq
     val (nBefore, nAfter, _) = Storage.compactBatchSink(spark, segDir)
     assert(nBefore > nAfter, s"compaction did not merge: $nBefore -> $nAfter")
+    // drop the drain/beam memos: the post-compaction read must be real,
+    // and later tests must never inherit a compacted tree
+    StreamAssembly.invalidateDrainMemos()
     val after = StreamAssembly.serveAccretedGraph(spark, sf, segDir)
       .collect().toSeq
     assert(before === after)
@@ -93,6 +96,7 @@ class Round16Spec extends SparkSpec {
       .collect().toSeq
     val (nBefore, nAfter, _) = Storage.compactBatchSink(spark, segDir)
     assert(nBefore > nAfter, s"compaction did not merge: $nBefore -> $nAfter")
+    StreamAssembly.invalidateDrainMemos()
     val after = StreamAssembly.serveAccretedPq(spark, sf, segDir)
       .collect().toSeq
     assert(before === after)

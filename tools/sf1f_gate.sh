@@ -14,6 +14,10 @@ mkdir -p "$OUT"
 grep -oP '^\s+"[a-z0-9_]+" ->' src/main/scala/graft/SparkEntry.scala |
   grep -oP '[a-z0-9_]+' | sort -u > "$OUT/names.txt"
 TOTAL=$(wc -l < "$OUT/names.txt")
+if [ "$TOTAL" -eq 0 ]; then
+  echo "GATE RED: no queries extracted from SparkEntry.scala (regex drift?)"
+  exit 1
+fi
 echo "gating $TOTAL queries in $N chunks"
 : > "$OUT/summary.txt"
 BAD=0
@@ -27,8 +31,11 @@ for i in $(seq 0 $((N - 1))); do
     echo "chunk $i: Verify FAILED" | tee -a "$OUT/summary.txt"
     BAD=$((BAD + 1))
   fi
-  python3 tools/check.py "$SF" "$OUT/chunk$i" \
-    > "$OUT/chunk$i.check" 2>&1
+  if ! python3 tools/check.py "$SF" "$OUT/chunk$i" \
+      > "$OUT/chunk$i.check" 2>&1; then
+    echo "chunk $i: check.py CRASHED (nonzero exit)" | tee -a "$OUT/summary.txt"
+    BAD=$((BAD + 1))
+  fi
   tail -1 "$OUT/chunk$i.check" | tee -a "$OUT/summary.txt"
   NFAIL=$(grep -c '^FAIL' "$OUT/chunk$i.check")
   if [ "$NFAIL" -gt 0 ]; then
