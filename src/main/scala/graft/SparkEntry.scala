@@ -123,6 +123,17 @@ object SparkEntry {
     "dedup_embedding_lsh_capped" ->
       ((s, d) => Dedup.embeddingNearDupsLshCapped(s, d)),
     "lsh_capped_recall" -> ((s, d) => Dedup.lshCappedRecallEval(s, d)),
+    // multi-probe LSH (r18): flip one band bit per probe against the
+    // cap-filtered stored buckets — bounded (1+bandBits)x candidate
+    // growth buys back fine-band recall; priced next to the capped row
+    "dedup_embedding_lsh_multiprobe" ->
+      ((s, d) => Dedup.embeddingNearDupsLshMultiprobe(s, d)),
+    "lsh_multiprobe_recall" ->
+      ((s, d) => Dedup.lshMultiprobeRecallEval(s, d)),
+    // seeded-Laplace DP count release (r18): md5-coin uniform through
+    // the PortableLn inverse CDF, ε in exact integer micro-units —
+    // the privacy progression's final letter, hash-gated end to end
+    "dp_noisy_counts" -> ((s, d) => Privacy.dpNoisyCounts(s, d)),
     "approx_distinct_users" -> (Rollups.approxDistinctUsersGated _),
     "topk_per_segment" -> ((s, d) => TopK.topOrdersPerSegment(s, d)),
     "asof_events_orders" -> (AsOf.eventsAsOfOrders _),
@@ -260,6 +271,21 @@ object SparkEntry {
     "graph_search_hier" -> ((s, d) => KnnGraph.graphSearchHier(s, d)),
     "graph_search_hier_recall" ->
       ((s, d) => KnnGraph.graphSearchHierRecall(s, d)),
+    // the log-depth entry TOWER (HNSW proper, r18): levels nest by
+    // salted md5 coins, queries descend level-by-level, entry cost
+    // stays flat as the index grows; recall audited against the
+    // 2-layer hier row at identical base hops, geometry per level
+    "graph_search_tower" -> ((s, d) => KnnGraph.graphSearchTower(s, d)),
+    "graph_tower_recall" -> ((s, d) => KnnGraph.graphTowerRecall(s, d)),
+    "graph_tower_stats" -> ((s, d) => KnnGraph.graphTowerStats(s, d)),
+    // build once, WRITE, serve from the LOADED artifact — the
+    // MergeTree durability contract on the index tier (r18): one gate
+    // per model-bearing family, rows bit-identical to the in-session
+    // serve (Round18Spec proves it with the memo tier killed)
+    "graph_index_persist_serve" ->
+      ((s, d) => KnnGraph.graphIndexPersistServe(s, d)),
+    "pq_index_persist_serve" ->
+      ((s, d) => Similarity.pqIndexPersistServe(s, d)),
     "stream_graph_probe" ->
       ((s, d) => graft.streaming.StreamAssembly.streamGraphProbe(s, d)),
     "stream_graph_insert" ->
@@ -315,6 +341,11 @@ object SparkEntry {
     // canary serving rows, one deterministic plan, no driver collect
     "graph_fold_decision" ->
       ((s, d) => KnnGraph.graphFoldDecision(s, d)),
+    // the PRODUCTION branch form (r18): the one-row decision collected
+    // driver-side (bounded at any scale), ONLY the chosen branch
+    // executed — same rows as the gated both-branch loop, half the work
+    "graph_fold_decision_branched" ->
+      ((s, d) => KnnGraph.graphFoldDecisionBranched(s, d)),
     // the full-CRUD read path: reads see base ∪ inserts ∖ deletes —
     // the index state between folds, both pending letters visible
     "stream_graph_serve_full" ->
@@ -1281,6 +1312,68 @@ object SparkEntry {
         qsrcCte) + s""",
       |$entCte AS (SELECT q_id, v FROM ${descPfx}f${ops.KnnGraph.SearchHops}
       |  WHERE rn <= ${ops.KnnGraph.SearchEntries})""".stripMargin
+  }
+
+  /** Membership coin for tower level `t` (the oracle twin of
+    * [[ops.KnnGraph.towerCoin]]): level-1 coin = the standing hier
+    * coin; each deeper level conjoins one salted md5 coin.
+    */
+  private def towerCoinSql(t: Int): String =
+    (1 to t).map {
+      case 1 => " AND ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))" +
+        s"::BIGINT % 100 < ${ops.KnnGraph.HierPct}"
+      case s => s" AND ('0x' || substr(md5('t$s:' || vec_id::VARCHAR)," +
+        s" 1, 8))::BIGINT % 100 < ${ops.KnnGraph.HierPct}"
+    }.mkString
+
+  /** The tower ENTRY stages as CTEs (the oracle twin of
+    * [[ops.KnnGraph.graphSearchTower]]'s level loop): for each level
+    * from the top down, that level's own graph stack (prefix `y{t}`) +
+    * the fleet's descent over it (prefix `w{t}` — min-id entries at
+    * the top, the level above's winners below), each level's
+    * [[ops.KnnGraph.SearchEntries]] best as `w{t}ent`. Returns the CTE
+    * text and the FINAL entry CTE name the base descent continues from.
+    */
+  private def towerEntryStages(qsrcCte: String): (String, String) = {
+    val sb = new StringBuilder
+    var entCte: String = null
+    for (t <- ops.KnnGraph.TowerLevels to 1 by -1) {
+      val pfx = s"y$t"
+      val dp = s"w$t"
+      sb.append(",\n" + knnGraphCteStack(
+        " WHERE vec_id % 2 = 0" + towerCoinSql(t), pfx, withKw = false))
+      sb.append(s""",
+        |${pfx}serve AS MATERIALIZED (SELECT src, dst FROM ${pfx}gfin
+        |  UNION SELECT src, dst FROM ${pfx}init)""".stripMargin)
+      sb.append(
+        if (entCte == null)
+          descentStack(dp, s"${pfx}e", s"${pfx}serve", qsrcCte)
+        else
+          descentStackFrom(dp, s"${pfx}e", s"${pfx}serve", qsrcCte, entCte))
+      entCte = s"${dp}ent"
+      sb.append(s""",
+        |$entCte AS (SELECT q_id, v FROM ${dp}f${ops.KnnGraph.SearchHops}
+        |  WHERE rn <= ${ops.KnnGraph.SearchEntries})""".stripMargin)
+    }
+    (sb.toString, entCte)
+  }
+
+  /** The tower-serving CTE stack ([[ops.KnnGraph.graphSearchTower]]):
+    * base even graph + odd fleet (`qExtra` appends the stratum coin) +
+    * the level-by-level entry stages + the base descent (prefix `z`)
+    * entering at the lowest level's winners.
+    */
+  private def towerDescentCtes(qExtra: String): String = {
+    val (stages, entCte) = towerEntryStages("qsrc")
+    knnGraphCteStack(" WHERE vec_id % 2 = 0") + s""",
+      |serve AS MATERIALIZED (SELECT src, dst FROM gfin
+      |  UNION SELECT src, dst FROM init),
+      |qsrc AS MATERIALIZED (SELECT vec_id AS q_id, embedding,
+      |    list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+      |              for i in range(1, 65)]) AS q_sq
+      |  FROM embeddings WHERE vec_id % 2 = 1$qExtra)""".stripMargin +
+      stages +
+      descentStackFrom("z", "e", "serve", "qsrc", entCte)
   }
 
   /** The accreted-graph serving oracle ([[graft.streaming
@@ -2505,6 +2598,43 @@ object SparkEntry {
         |CAST(CASE WHEN n_exact = 0 THEN 1000000
         |     ELSE (tp * 1000000) // n_exact END AS BIGINT) AS recall_ppm
         |FROM ne, nc, ntp""".stripMargin,
+    // multi-probe banding replay: home bucket + one flipped band bit
+    // per probe, targets cap-filtered, pairs canonicalized before the
+    // DISTINCT (asymmetric probe relation), exact-cosine verify
+    "dedup_embedding_lsh_multiprobe" ->
+      s"""WITH $lshMultiprobeCoreSql
+        |SELECT vec_a, vec_b, cosine FROM multi
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    // capped vs multiprobe confusion rows against ONE exact ground
+    // truth: what the bounded (1+bandBits)x probe growth buys
+    "lsh_multiprobe_recall" ->
+      s"""WITH $lshMultiprobeCoreSql,
+        |exact AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+        |  WHERE list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |                  for i in range(1, 65)]) / (a.nrm * b.nrm) >= 0.4),
+        |ne AS (SELECT count(*) AS n_exact FROM exact),
+        |ncc AS (SELECT count(*) AS n_cand FROM capped),
+        |tpc AS (SELECT count(*) AS tp FROM capped c
+        |  JOIN exact e ON c.vec_a = e.vec_a AND c.vec_b = e.vec_b),
+        |ncm AS (SELECT count(*) AS n_cand FROM multi),
+        |tpm AS (SELECT count(*) AS tp FROM multi m
+        |  JOIN exact e ON m.vec_a = e.vec_a AND m.vec_b = e.vec_b)
+        |SELECT * FROM (
+        |SELECT 'capped' AS variant, CAST(n_exact AS BIGINT) AS n_exact,
+        |  CAST(n_cand AS BIGINT) AS n_cand, CAST(tp AS BIGINT) AS tp,
+        |  CAST(n_exact - tp AS BIGINT) AS fn,
+        |  CAST(CASE WHEN n_exact = 0 THEN 1000000
+        |       ELSE (tp * 1000000) // n_exact END AS BIGINT) AS recall_ppm
+        |FROM ne, ncc, tpc
+        |UNION ALL
+        |SELECT 'multiprobe', CAST(n_exact AS BIGINT),
+        |  CAST(n_cand AS BIGINT), CAST(tp AS BIGINT),
+        |  CAST(n_exact - tp AS BIGINT),
+        |  CAST(CASE WHEN n_exact = 0 THEN 1000000
+        |       ELSE (tp * 1000000) // n_exact END AS BIGINT)
+        |FROM ne, ncm, tpm)
+        |ORDER BY variant""".stripMargin,
     "text_token_counts" ->
       """SELECT doc_id, lang,
         |CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
@@ -4406,6 +4536,98 @@ object SparkEntry {
     // the fold-scheduling loop: decision + both branches, the chosen
     // one's canary rows emitted — replayed end to end
     "graph_fold_decision" -> (graphFoldDecisionSql),
+    // the branched production form returns the IDENTICAL rows (the
+    // branch executes what the gated loop's decision filter keeps), so
+    // the same replay is its oracle — the equivalence the spec proves
+    // is exactly what lets one SQL serve both
+    "graph_fold_decision_branched" -> (graphFoldDecisionSql),
+    // tower serving: every level's build + descent replayed, the base
+    // descent entering at the lowest level's winners
+    "graph_search_tower" -> (towerDescentCtes("") + s"""
+        |SELECT q_id AS vec_id, v AS match_id,
+        |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
+        |FROM zf${ops.KnnGraph.SearchHops} WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin),
+    // tower vs 2-layer hier at identical base hops, one ground truth
+    "graph_tower_recall" -> {
+      val h = ops.KnnGraph.SearchHops
+      val strat = " AND ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))" +
+        "::BIGINT % 100 < 20"
+      val (stages, entCte) = towerEntryStages("qsrc")
+      def countsFrom(g: String, variant: String): String =
+        s"""SELECT '$variant' AS variant,
+          |  CAST(count(*) AS BIGINT) AS n_queries,
+          |  CAST(sum(CASE WHEN g_id = bf_id THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_top1_match,
+          |  CASE WHEN count(*) = 0 THEN NULL
+          |    ELSE CAST(sum(CASE WHEN g_id = bf_id THEN 1 ELSE 0 END)
+          |      ::HUGEINT * 1000000 // count(*) AS BIGINT) END
+          |    AS recall_ppm
+          |FROM $g JOIN bf USING (q_id)""".stripMargin
+      knnGraphCteStack(" WHERE vec_id % 2 = 0") + s""",
+        |serve AS MATERIALIZED (SELECT src, dst FROM gfin
+        |  UNION SELECT src, dst FROM init),
+        |qsrc AS MATERIALIZED (SELECT vec_id AS q_id, embedding,
+        |    list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |              for i in range(1, 65)]) AS q_sq
+        |  FROM embeddings WHERE vec_id % 2 = 1$strat)""".stripMargin +
+        hierEntryStage("qsrc") +
+        descentStackFrom("v", "e", "serve", "qsrc", "zent") +
+        stages +
+        descentStackFrom("z", "e", "serve", "qsrc", entCte) + s""",
+        |bf AS MATERIALIZED (SELECT q_id, m_id AS bf_id FROM (
+        |  SELECT q.q_id, ev.vec_id AS m_id, row_number() OVER (
+        |    PARTITION BY q.q_id ORDER BY
+        |      q.q_sq + ev.sq - 2 * list_sum([q.embedding[i]::DOUBLE *
+        |        ev.embedding[i]::DOUBLE for i in range(1, 65)]),
+        |      ev.vec_id) AS rn
+        |  FROM qsrc q, e ev) WHERE rn = 1),
+        |ghier AS (SELECT q_id, v AS g_id FROM vf$h WHERE rn = 1),
+        |gtower AS (SELECT q_id, v AS g_id FROM zf$h WHERE rn = 1)
+        |SELECT * FROM (
+        |${countsFrom("ghier", "hier")}
+        |UNION ALL
+        |${countsFrom("gtower", "tower")})
+        |ORDER BY variant""".stripMargin
+    },
+    // per-level tower geometry: population + serving edge counts
+    "graph_tower_stats" -> {
+      val levels = 1 to ops.KnnGraph.TowerLevels
+      val stacks = levels.map(t =>
+        ",\n" + knnGraphCteStack(
+          " WHERE vec_id % 2 = 0" + towerCoinSql(t), s"y$t",
+          withKw = false) + s""",
+          |y${t}serve AS MATERIALIZED (SELECT src, dst FROM y${t}gfin
+          |  UNION SELECT src, dst FROM y${t}init)""".stripMargin).mkString
+      knnGraphCteStack(" WHERE vec_id % 2 = 0") + s""",
+        |serve AS MATERIALIZED (SELECT src, dst FROM gfin
+        |  UNION SELECT src, dst FROM init)""".stripMargin + stacks + s"""
+        |SELECT * FROM (
+        |SELECT CAST(0 AS BIGINT) AS level,
+        |  (SELECT count(*) FROM e) AS n_vertices,
+        |  (SELECT count(*) FROM serve) AS n_serve_edges
+        |${levels.map(t => s"UNION ALL SELECT CAST($t AS BIGINT), " +
+            s"(SELECT count(*) FROM y${t}e), " +
+            s"(SELECT count(*) FROM y${t}serve)").mkString("\n")})
+        |ORDER BY level""".stripMargin
+    },
+    // persist-serve: the loaded artifacts ARE the in-session model
+    // frames bit-for-bit (parquet round-trip + manifest check), so the
+    // stratum hier-serve replay is the oracle
+    "graph_index_persist_serve" -> (hierDescentCtes(
+      " AND ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT" +
+        " % 100 < 20") + s"""
+        |SELECT q_id AS vec_id, v AS match_id,
+        |  CAST(floor(dist * 1e6) AS BIGINT) AS dist_u
+        |FROM zf${ops.KnnGraph.SearchHops} WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin),
+    "pq_index_persist_serve" -> (ivfpqProbeCtesWith(
+      " AND ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT" +
+        " % 100 < 20") + """
+        |SELECT q_id AS vec_id, m_id AS match_id, adc_dist FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY adc_dist ASC, m_id ASC) AS rn
+        |  FROM adc) WHERE rn = 1 ORDER BY vec_id""".stripMargin),
     // the full-CRUD read paths: base ∪ inserts ∖ deletes in one query
     "stream_graph_serve_full" -> (graphServeFullSql),
     "stream_pq_serve_full" -> (pqServeFullSql),
@@ -4825,6 +5047,36 @@ object SparkEntry {
         |    AS n_upweighted,
         |  CAST(sum(logw) AS BIGINT) AS total_logw_micro
         |FROM dw GROUP BY source ORDER BY source""".stripMargin
+    },
+    // seeded-Laplace DP counts: u from 48 md5 bits (+1/2 keeps it off
+    // 0 and 1/2, w = 1-2|u-1/2| is an integer over 2^48 — exact in a
+    // double both engines), inverse CDF through the PortableLn ladder,
+    // noise floored to integer micro-units at source; ε interpolates
+    // from Privacy.DpEpsMicro (the KmeansK anti-drift pattern)
+    "dp_noisy_counts" -> {
+      val eps = ops.Privacy.DpEpsMicro
+      val two48 = 1L << 48
+      val (plCtes, plOut) = functions.PortableLn.sqlCtes(
+        "pl", "wsrc", Seq("source", "n_docs", "sgn"), "w", "lnw")
+      s"""WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source),
+        |hs AS (SELECT source, n_docs,
+        |    ('0x' || substr(md5('dp:' || source), 1, 12))::BIGINT AS h
+        |  FROM counts),
+        |wsrc AS (SELECT source, n_docs,
+        |    CASE WHEN (2 * h + 1 - $two48) > 0 THEN 1e0
+        |         ELSE (0e0 - 1e0) END AS sgn,
+        |    CAST($two48 - abs(2 * h + 1 - $two48) AS DOUBLE)
+        |      / ${two48}e0 AS w
+        |  FROM hs),
+        |$plCtes,
+        |noise AS (SELECT source, n_docs,
+        |    CAST(floor((((0e0 - (1e6 / ${eps}e0)) * sgn) * lnw) * 1e6)
+        |      AS BIGINT) AS noise_u
+        |  FROM $plOut)
+        |SELECT source, CAST($eps AS BIGINT) AS eps_micro, n_docs,
+        |  noise_u, n_docs * 1000000 + noise_u AS noisy_u
+        |FROM noise ORDER BY source""".stripMargin
     },
     // trained multinomial NB language-ID: Laplace-smoothed priors +
     // per-(class, hashed-bucket) likelihoods, each through its own
@@ -6649,6 +6901,66 @@ object SparkEntry {
       |  WHERE list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
       |                  for i in range(1, 65)]) / (a.nrm * b.nrm) >= 0.4)"""
       .stripMargin
+
+  /** Multi-probe LSH DuckDB core ([[ops.Dedup
+    * .embeddingNearDupsLshMultiprobe]]): the capped core's signatures
+    * and cap-filtered home buckets, PLUS the probe expansion — home
+    * bucket + one flipped bit per band bit, probed only into
+    * cap-surviving cells — pairs canonicalized (least, greatest)
+    * before the DISTINCT because the probe relation is asymmetric.
+    * Emits BOTH verified pair sets (`capped` home-home, `multi`
+    * probed) so the recall audit prices them against one ground truth.
+    */
+  private def lshMultiprobeCoreSql: String = {
+    val cap = ops.Dedup.LshBucketCap
+    s"""sigs AS (SELECT vec_id, embedding,
+      |  list_sum([
+      |    CASE WHEN list_sum([
+      |      CASE WHEN (('0x' || substr(md5(p::VARCHAR || ',' ||
+      |        (i-1)::VARCHAR), 1, 2))::INT & 1) = 0
+      |      THEN embedding[i]::DOUBLE ELSE -embedding[i]::DOUBLE END
+      |      for i in range(1, 65)]) > 0
+      |    THEN (1::BIGINT << p) ELSE 0 END
+      |    for p in range(0, 56)])::BIGINT AS sig,
+      |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+      |                 for i in range(1, 65)])) AS nrm
+      |  FROM embeddings),
+      |banded AS (SELECT vec_id, bd.band,
+      |    (sig >> (bd.band * 8)) & 255 AS bucket
+      |  FROM sigs, range(0, 7) bd(band)),
+      |capok AS (SELECT band, bucket FROM banded GROUP BY 1, 2
+      |  HAVING count(*) <= $cap),
+      |kept AS (SELECT banded.* FROM banded JOIN capok USING (band, bucket)),
+      |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      |  FROM kept x JOIN kept y
+      |    ON x.band = y.band AND x.bucket = y.bucket
+      |    AND x.vec_id < y.vec_id),
+      |capped AS (SELECT vec_a, vec_b, cosine FROM (
+      |  SELECT vec_a, vec_b,
+      |    list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+      |              for i in range(1, 65)]) / (a.nrm * b.nrm) AS cosine
+      |  FROM cand JOIN sigs a ON vec_a = a.vec_id
+      |  JOIN sigs b ON vec_b = b.vec_id)
+      |  WHERE cosine >= 0.4),
+      |probes AS (SELECT p.vec_id, p.band, p.bucket FROM (
+      |    SELECT b.vec_id, b.band,
+      |      CASE WHEN t.j = 8 THEN b.bucket
+      |           ELSE xor(b.bucket, 1::BIGINT << t.j) END AS bucket
+      |    FROM banded b, range(0, 9) t(j)) p
+      |  JOIN capok USING (band, bucket)),
+      |mcand AS (SELECT DISTINCT least(x.vec_id, y.vec_id) AS vec_a,
+      |    greatest(x.vec_id, y.vec_id) AS vec_b
+      |  FROM probes x JOIN kept y
+      |    ON x.band = y.band AND x.bucket = y.bucket
+      |    AND x.vec_id <> y.vec_id),
+      |multi AS (SELECT vec_a, vec_b, cosine FROM (
+      |  SELECT vec_a, vec_b,
+      |    list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+      |              for i in range(1, 65)]) / (a.nrm * b.nrm) AS cosine
+      |  FROM mcand JOIN sigs a ON vec_a = a.vec_id
+      |  JOIN sigs b ON vec_b = b.vec_id)
+      |  WHERE cosine >= 0.4)""".stripMargin
+  }
 
   /** The Gopher-funnel DuckDB replay, parameterized by the corpus slice:
     * identical integer cross-multiplied gates, first-failing-stage

@@ -1316,7 +1316,10 @@ object Dedup {
                               threshold: Double = 0.4): DataFrame = {
     val exact = embeddingNearDups(spark, sfDir, threshold)
       .select("vec_a", "vec_b").localCheckpoint(true)
-    def row(variant: String, cand: DataFrame): DataFrame = {
+    // each candidate frame feeds BOTH its count and the tp semi-join —
+    // checkpoint so the banding pipeline runs once, not per reference
+    def row(variant: String, cand0: DataFrame): DataFrame = {
+      val cand = cand0.localCheckpoint(true)
       val tp = cand.join(exact, Seq("vec_a", "vec_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(cand.agg(count(lit(1)).as("n_cand")))

@@ -740,7 +740,32 @@ class PlanSpec extends SparkSpec {
       // r17 KMV audit: the distinct-hash exchange + the exact-distinct
       // side + two 1-row agg folds; the bottom-k itself is a
       // TakeOrderedAndProject (no full sort, no exchange)
-      "kmv_distinct_shingles" -> 5)
+      "kmv_distinct_shingles" -> 5,
+      // r18 tower serve: every level's descent checkpoints eagerly —
+      // the gated frame is projection + presentation sort over the
+      // final beam leaf (the hier discipline)
+      "graph_search_tower" -> 1,
+      // r18 tower recall: two checkpointed beam leaves vs the shared
+      // checkpointed exact side, two 1-row agg folds + union
+      "graph_tower_recall" -> 6,
+      // r18 tower stats: one count pair per level over checkpointed
+      // edge leaves + the level union + presentation sort
+      "graph_tower_stats" -> 6,
+      // r18 branched fold: only the chosen branch's rollup survives
+      // (masked-late best + presentation sort)
+      "graph_fold_decision_branched" -> 2,
+      // r18 persist serves: the loaded-artifact descent checkpoints
+      // per hop like every descent; the PQ probe keeps its cell-keyed
+      // agg chain (codes-wide agg, query tables, best, sort)
+      "graph_index_persist_serve" -> 1,
+      "pq_index_persist_serve" -> 5,
+      // r18 multi-probe: bucket-size agg + probe expansion joins +
+      // pair distinct + verify joins + presentation sort
+      "dedup_embedding_lsh_multiprobe" -> 5,
+      "lsh_multiprobe_recall" -> 10,
+      // r18 DP release: one corpus groupBy + the ladder projections
+      // (no exchange) + presentation sort
+      "dp_noisy_counts" -> 3)
     val aggOrLimit = Set("HashAggregateExec", "ObjectHashAggregateExec",
       "SortAggregateExec", "TakeOrderedAndProjectExec", "GlobalLimitExec",
       "CollectLimitExec", "LocalLimitExec")
