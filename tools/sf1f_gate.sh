@@ -1,15 +1,20 @@
 #!/bin/bash
-# Full-surface fresh-scale gate: run every registered query at
-# target/scale/sf1f in round-robin chunks (bounds per-JVM memory/tmp
-# growth), then oracle-check each chunk with tools/check.py.
-# Usage: tools/sf1f_gate.sh [nChunks] [outRoot]
+# Full-surface fresh-scale gate: run every registered query at a scale
+# fixture in round-robin chunks (bounds per-JVM memory/tmp growth),
+# then oracle-check each chunk with tools/check.py.
+# Usage: tools/sf1f_gate.sh [nChunks] [outRoot] [sfDir]
+# Knobs default to the sf1f production set; callers override via env
+# (sf2f: GRAFT_KNNG_ROUNDS=6 GRAFT_IVFPQ_CELLS=200 GRAFT_BLOOM_BITS=16777216).
 set -u
 N=${1:-7}
 OUT=${2:-/tmp/sf1f_gate}
-SF=target/scale/sf1f
-export GRAFT_KNNG_ROUNDS=5 GRAFT_IVFPQ_CELLS=140 GRAFT_IVFPQ_PROBE=12
-export GRAFT_BLOOM_BITS=8388608 GRAFT_CMS_WIDTH=16384
-export SPARK_GRAFT_CPUS=32
+SF=${3:-target/scale/sf1f}
+export GRAFT_KNNG_ROUNDS=${GRAFT_KNNG_ROUNDS:-5}
+export GRAFT_IVFPQ_CELLS=${GRAFT_IVFPQ_CELLS:-140}
+export GRAFT_IVFPQ_PROBE=${GRAFT_IVFPQ_PROBE:-12}
+export GRAFT_BLOOM_BITS=${GRAFT_BLOOM_BITS:-8388608}
+export GRAFT_CMS_WIDTH=${GRAFT_CMS_WIDTH:-16384}
+export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
 mkdir -p "$OUT"
 grep -oP '^\s+"[a-z0-9_]+" ->' src/main/scala/graft/SparkEntry.scala |
   grep -oP '[a-z0-9_]+' | sort -u > "$OUT/names.txt"
