@@ -26,26 +26,46 @@ fi
 echo "gating $TOTAL queries in $N chunks"
 : > "$OUT/summary.txt"
 BAD=0
+# Phase 1: Verify chunks back-to-back (the sbt lock is the scarce
+# resource); Phase 2: DuckDB oracle checks for ALL chunks in parallel
+# (no lock needed; the heavy graph-CTE oracles dominate wall clock).
 for i in $(seq 0 $((N - 1))); do
   CHUNK=$(awk -v n="$N" -v i="$i" 'NR % n == i' "$OUT/names.txt" |
     paste -sd,)
   [ -z "$CHUNK" ] && continue
-  echo "== chunk $i =="
+  echo "== verify chunk $i =="
   if ! sbt -batch "runMain graft.Verify $SF $OUT/chunk$i $CHUNK" \
       > "$OUT/chunk$i.log" 2>&1; then
     echo "chunk $i: Verify FAILED" | tee -a "$OUT/summary.txt"
     BAD=$((BAD + 1))
   fi
-  if ! python3 tools/check.py "$SF" "$OUT/chunk$i" \
-      > "$OUT/chunk$i.check" 2>&1; then
-    echo "chunk $i: check.py CRASHED (nonzero exit)" | tee -a "$OUT/summary.txt"
+done
+echo "== oracle checks (parallel) =="
+for i in $(seq 0 $((N - 1))); do
+  [ -d "$OUT/chunk$i" ] || continue
+  ( if ! python3 tools/check.py "$SF" "$OUT/chunk$i" \
+        > "$OUT/chunk$i.check" 2>&1; then
+      echo "chunk $i: check.py CRASHED (nonzero exit)" >> "$OUT/chunk$i.check"
+    fi ) &
+done
+wait
+for i in $(seq 0 $((N - 1))); do
+  [ -f "$OUT/chunk$i.check" ] || continue
+  tail -1 "$OUT/chunk$i.check" | tee -a "$OUT/summary.txt"
+  if grep -q 'CRASHED' "$OUT/chunk$i.check"; then
     BAD=$((BAD + 1))
   fi
-  tail -1 "$OUT/chunk$i.check" | tee -a "$OUT/summary.txt"
   NFAIL=$(grep -c '^FAIL' "$OUT/chunk$i.check")
   if [ "$NFAIL" -gt 0 ]; then
     grep '^FAIL' "$OUT/chunk$i.check" | tee -a "$OUT/summary.txt"
     BAD=$((BAD + NFAIL))
+  fi
+  # Spark-side throws land in failed.json, not as FAIL lines
+  if [ -f "$OUT/chunk$i/failed.json" ] &&
+      [ "$(cat "$OUT/chunk$i/failed.json")" != "{}" ]; then
+    echo "chunk $i: Spark-side failures: $(cat "$OUT/chunk$i/failed.json")" |
+      tee -a "$OUT/summary.txt"
+    BAD=$((BAD + 1))
   fi
 done
 echo "== totals =="
