@@ -6885,51 +6885,8 @@ object SparkEntry {
       |banded AS (SELECT vec_id, bd.band,
       |    (sig >> (bd.band * 8)) & 255 AS bucket
       |  FROM sigs, range(0, 7) bd(band)),
-      |kept AS (SELECT banded.* FROM banded
-      |  JOIN (SELECT band, bucket FROM banded GROUP BY 1, 2
-      |        HAVING count(*) <= ${ops.Dedup.LshBucketCap})
-      |    USING (band, bucket)),
-      |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-      |  FROM kept x JOIN kept y
-      |    ON x.band = y.band AND x.bucket = y.bucket
-      |    AND x.vec_id < y.vec_id),
-      |capped AS (SELECT vec_a, vec_b,
-      |    list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
-      |              for i in range(1, 65)]) / (a.nrm * b.nrm) AS cosine
-      |  FROM cand JOIN sigs a ON vec_a = a.vec_id
-      |  JOIN sigs b ON vec_b = b.vec_id
-      |  WHERE list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
-      |                  for i in range(1, 65)]) / (a.nrm * b.nrm) >= 0.4)"""
-      .stripMargin
-
-  /** Multi-probe LSH DuckDB core ([[ops.Dedup
-    * .embeddingNearDupsLshMultiprobe]]): the capped core's signatures
-    * and cap-filtered home buckets, PLUS the probe expansion — home
-    * bucket + one flipped bit per band bit, probed only into
-    * cap-surviving cells — pairs canonicalized (least, greatest)
-    * before the DISTINCT because the probe relation is asymmetric.
-    * Emits BOTH verified pair sets (`capped` home-home, `multi`
-    * probed) so the recall audit prices them against one ground truth.
-    */
-  private def lshMultiprobeCoreSql: String = {
-    val cap = ops.Dedup.LshBucketCap
-    s"""sigs AS (SELECT vec_id, embedding,
-      |  list_sum([
-      |    CASE WHEN list_sum([
-      |      CASE WHEN (('0x' || substr(md5(p::VARCHAR || ',' ||
-      |        (i-1)::VARCHAR), 1, 2))::INT & 1) = 0
-      |      THEN embedding[i]::DOUBLE ELSE -embedding[i]::DOUBLE END
-      |      for i in range(1, 65)]) > 0
-      |    THEN (1::BIGINT << p) ELSE 0 END
-      |    for p in range(0, 56)])::BIGINT AS sig,
-      |  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
-      |                 for i in range(1, 65)])) AS nrm
-      |  FROM embeddings),
-      |banded AS (SELECT vec_id, bd.band,
-      |    (sig >> (bd.band * 8)) & 255 AS bucket
-      |  FROM sigs, range(0, 7) bd(band)),
       |capok AS (SELECT band, bucket FROM banded GROUP BY 1, 2
-      |  HAVING count(*) <= $cap),
+      |  HAVING count(*) <= ${ops.Dedup.LshBucketCap}),
       |kept AS (SELECT banded.* FROM banded JOIN capok USING (band, bucket)),
       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
       |  FROM kept x JOIN kept y
@@ -6941,7 +6898,19 @@ object SparkEntry {
       |              for i in range(1, 65)]) / (a.nrm * b.nrm) AS cosine
       |  FROM cand JOIN sigs a ON vec_a = a.vec_id
       |  JOIN sigs b ON vec_b = b.vec_id)
-      |  WHERE cosine >= 0.4),
+      |  WHERE cosine >= 0.4)""".stripMargin
+
+  /** Multi-probe LSH DuckDB core ([[ops.Dedup
+    * .embeddingNearDupsLshMultiprobe]]): the capped core's signatures
+    * and cap-filtered home buckets, PLUS the probe expansion — home
+    * bucket + one flipped bit per band bit, probed only into
+    * cap-surviving cells — pairs canonicalized (least, greatest)
+    * before the DISTINCT because the probe relation is asymmetric.
+    * Emits BOTH verified pair sets (`capped` home-home, `multi`
+    * probed) so the recall audit prices them against one ground truth.
+    */
+  private def lshMultiprobeCoreSql: String = {
+    lshCappedCoreSql + s""",
       |probes AS (SELECT p.vec_id, p.band, p.bucket FROM (
       |    SELECT b.vec_id, b.band,
       |      CASE WHEN t.j = 8 THEN b.bucket

@@ -453,7 +453,8 @@ object KnnGraph {
   /** The hierarchical ENTRY stage alone: the query fleet descends the
     * upper-layer graph (md5-coin sample of the even base) and each
     * query's [[SearchEntries]] best upper vertices become its
-    * base-layer entries. Shared by [[hierSearch]] AND the lifecycle
+    * base-layer entries. Shared by the hier gate (via the memoized
+    * [[hierEntriesOdd]]/[[hierEntriesQ3]] fleet frames) AND the lifecycle
     * serving paths ([[graft.streaming.StreamAssembly]]'s accreted /
     * delete-masked / full-CRUD graph serves, r17): production reads
     * enter near the query's neighborhood instead of the global min-id
@@ -523,13 +524,6 @@ object KnnGraph {
       .select(col("q_id"), col("v").as("g_id"))
     top1Compare(greedy, bfOddEven(spark, sfDir, pct))
   }
-
-  /** Shared exact-top-1 compare (salt-keyed block join ground truth)
-    * for the serving recall audits.
-    */
-  private def top1RecallVsBf(qs: DataFrame, idx: DataFrame,
-                             greedy: DataFrame): DataFrame =
-    top1Compare(greedy, bfTop1(qs, idx))
 
   /** The exact ground-truth side alone — split out so a two-variant
     * audit ([[graphServeAccretedRecall]]) prices BOTH descents against
@@ -884,10 +878,6 @@ object KnnGraph {
   def graphFoldDecision(spark: SparkSession, sfDir: String): DataFrame =
     graphFoldDecisionAt(spark, sfDir, FoldEvictThreshold)
 
-  /** [[graphFoldDecision]] at an explicit threshold — the spec drives
-    * BOTH branches through it (a tolerance below the fixture's evicted
-    * count folds; an astronomically high one serves on).
-    */
   /** The accreted-twin hierarchical descent beam on the md5-coin
     * canary stratum, memoized — the fold-decision loop's serve branch
     * and the accreted recall audit's hier variant run the IDENTICAL
@@ -905,6 +895,10 @@ object KnnGraph {
           .localCheckpoint(true))
     }
 
+  /** [[graphFoldDecision]] at an explicit threshold — the spec drives
+    * BOTH branches through it (a tolerance below the fixture's evicted
+    * count folds; an astronomically high one serves on).
+    */
   private[graft] def graphFoldDecisionAt(spark: SparkSession, sfDir: String,
                                          threshold: Long): DataFrame = {
     val decision = graphAttachStats(spark, sfDir)
@@ -1104,20 +1098,15 @@ object KnnGraph {
     */
   val TowerLevels: Int = graft.EnvKnobs.posInt("GRAFT_GRAPH_TOWER_LEVELS", 2)
 
-  private def saltedBucket100(salt: String,
-                              id: org.apache.spark.sql.Column) =
-    pmod(conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8),
-      16, 10).cast("long"), lit(100))
-
   /** Membership coin for tower level `t ≥ 1` — the conjunction of the
     * level-1 coin (identical to [[upperOf]], so level 1 IS the standing
     * upper layer and shares its memoized graph) and one salted coin per
-    * further level.
+    * further level (the shared [[TrainingSets.bucket100]] encoding).
     */
   private[graft] def towerCoin(level: Int): org.apache.spark.sql.Column =
     (1 to level).map {
       case 1 => TrainingSets.bucket100(col("vec_id")) < HierPct
-      case t => saltedBucket100(s"t$t:", col("vec_id")) < HierPct
+      case t => TrainingSets.bucket100(col("vec_id"), s"t$t:") < HierPct
     }.reduce(_ && _)
 
   private def towerLayerIdx(spark: SparkSession, sfDir: String,

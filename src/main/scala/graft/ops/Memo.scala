@@ -54,18 +54,26 @@ object Memo {
     * the blocks (and makes the dropped frame unrecoverable, which is
     * the point — the registry reference is gone too).
     */
+  /** Release a memoized frame's blocks — `unpersist` on the Dataset
+    * AND on the localCheckpoint's underlying RDD (reachable as the
+    * LogicalRDD leaf); the Dataset call alone leaks the checkpoint
+    * blocks (see [[clearAll]]'s scaladoc). Shared with targeted
+    * invalidations (the compaction specs' drain-memo drop) so they
+    * cannot re-open the leak clearAll closed.
+    */
+  def unpersistFrame(df: DataFrame): Unit =
+    try {
+      df.unpersist(blocking = false)
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    } catch { case _: Throwable => () }
+
   def clearAll(): Unit = caches.synchronized {
     caches.foreach { m =>
-      m.values.foreach { df =>
-        try {
-          df.unpersist(blocking = false)
-          df.queryExecution.analyzed.foreach {
-            case lr: org.apache.spark.sql.execution.LogicalRDD =>
-              lr.rdd.unpersist(blocking = false)
-            case _ => ()
-          }
-        } catch { case _: Throwable => () }
-      }
+      m.values.foreach(unpersistFrame)
       m.clear()
     }
     clearHooks.foreach { f =>

@@ -24,9 +24,17 @@ object TrainingSets {
     * lives in exactly one place. First 8 hex chars < 2^32, exact in both
     * engines.
     */
-  private[graft] def bucket100(idCol: org.apache.spark.sql.Column) =
-    pmod(conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
-      .cast("long"), lit(100))
+  /** The repo's md5 percent coin; `salt` derives an INDEPENDENT coin
+    * from the same id (the tower levels' nested draws) — one
+    * definition so the coin encoding can never drift between the
+    * stratum filters and their salted siblings.
+    */
+  private[graft] def bucket100(idCol: org.apache.spark.sql.Column,
+                               salt: String = "") = {
+    val s = if (salt.isEmpty) idCol.cast("string")
+            else concat(lit(salt), idCol.cast("string"))
+    pmod(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), lit(100))
+  }
 
   private def withSplit(df: DataFrame): DataFrame =
     df.withColumn("bucket", bucket100(col("doc_id")))

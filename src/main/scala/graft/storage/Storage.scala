@@ -268,8 +268,9 @@ object Storage {
     val dir = s"$root/$name"
     df.write.mode("overwrite").parquet(dir)
     val spark = df.sparkSession
-    val rows = spark.read.parquet(dir).count()
-    val schema = spark.read.parquet(dir).schema.map(f =>
+    val back = spark.read.parquet(dir)
+    val rows = back.count()
+    val schema = back.schema.map(f =>
       s"${f.name}:${f.dataType.simpleString}").mkString(",")
     val manifest = s"""{"rows": $rows, "schema": "$schema"}"""
     val p = new Path(dir, "_manifest.json")

@@ -72,6 +72,7 @@ object StreamAssembly {
     */
   private[graft] def invalidateDrainMemos(): Unit = {
     drainDirCache.clear()
+    accBeamCache.values.foreach(graft.ops.Memo.unpersistFrame)
     accBeamCache.clear()
   }
 
@@ -2766,20 +2767,11 @@ object StreamAssembly {
             .filter(col("vec_id") % 2 === 0 || col("vec_id") % 4 === 1)
             .select(col("vec_id"), col("embedding"),
               Similarity.dot(col("embedding"), col("embedding")).as("sq"))
-          KnnGraph.greedySearchFrom(q3FleetOf(spark, sfDir), aidx, acc,
-              KnnGraph.hierEntriesQ3(spark, sfDir))
+          KnnGraph.greedySearchFrom(KnnGraph.q3Fleet(spark, sfDir), aidx,
+              acc, KnnGraph.hierEntriesQ3(spark, sfDir))
             .localCheckpoint(true)
         })
     }
-
-  /** The ≡ 3 mod 4 query fleet — shared shape for the serving reads. */
-  private def q3FleetOf(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.ops.Similarity
-    graft.Tables.embeddings(spark, sfDir)
-      .filter(col("vec_id") % 4 === 3)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        Similarity.dot(col("embedding"), col("embedding")).as("q_sq"))
-  }
 
   /** The ONLINE IVF-PQ probe — [[streamAnnProbe]]'s compressed sibling,
     * completing the online probe family with the production memory AND
@@ -3110,7 +3102,7 @@ object StreamAssembly {
                                edges: DataFrame): DataFrame = {
     import graft.ops.KnnGraph
     maskedBest(spark, tombDir,
-      KnnGraph.greedySearchFrom(q3FleetOf(spark, sfDir), idx, edges,
+      KnnGraph.greedySearchFrom(KnnGraph.q3Fleet(spark, sfDir), idx, edges,
         KnnGraph.hierEntriesQ3(spark, sfDir)))
   }
 
