@@ -9,6 +9,7 @@ tables, and compares: row count, column names (sorted), and values (columns
 sorted by name, rows sorted by all columns). Prints PASS/FAIL per query.
 """
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -16,6 +17,26 @@ import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def tune(con):
+    """Optional DuckDB resource knobs for heavy-oracle reruns.
+
+    The 20x-fresh graph/recall oracles can exceed DuckDB's default 80%%
+    memory limit + cwd/.tmp spill budget on this host; CHECK_DUCKDB_MEM
+    (e.g. '110GB'), CHECK_DUCKDB_THREADS and CHECK_DUCKDB_TMP let a solo
+    rerun use the whole machine and the largest free disk instead.
+    """
+    mem = os.environ.get("CHECK_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    thr = os.environ.get("CHECK_DUCKDB_THREADS")
+    if thr:
+        con.execute(f"SET threads={int(thr)}")
+    tmp = os.environ.get("CHECK_DUCKDB_TMP")
+    if tmp:
+        Path(tmp).mkdir(parents=True, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
 
 
 def norm(v):
@@ -28,6 +49,7 @@ def norm(v):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    tune(con)
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.is_dir():  # Spark-written table (e.g. tools.ScaleUp fixtures)
