@@ -103,14 +103,18 @@ object KnnGraph {
   }
 
   /** Exact squared-L2 for each (src, dst) pair — two corpus-keyed hash
-    * joins, the bit-portable double fold.
+    * joins, the bit-portable double fold. Join order is dst THEN src
+    * (identical inner-join rows and arithmetic) so that when the src
+    * join shuffles at scale the output is clustered by src — exactly
+    * the distribution [[topK]]'s window needs, saving one exchange
+    * (guide §2.4: share the partitioning two keyed operations agree on).
     */
   private def withDist(pairs: DataFrame, e: DataFrame): DataFrame =
     pairs
-      .join(e.select(col("vec_id").as("src"), col("embedding").as("s_emb"),
-        col("sq").as("s_sq")), "src")
       .join(e.select(col("vec_id").as("dst"), col("embedding").as("d_emb"),
         col("sq").as("d_sq")), "dst")
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("s_emb"),
+        col("sq").as("s_sq")), "src")
       .select(col("src"), col("dst"),
         (col("s_sq") + col("d_sq") -
           lit(2.0) * Similarity.dot(col("s_emb"), col("d_emb"))).as("dist"))
@@ -156,6 +160,21 @@ object KnnGraph {
       .distinct()
   }
 
+  /** [[initEdges]] over a NAMED population, memoized and checkpointed —
+    * every build-plus-serve pair on the same population (the cold graph
+    * seeds with the md5-random draw AND the serving set unions the same
+    * draw back in as long-range links) previously executed the whole
+    * bucket-offset rank-map pipeline twice (r18 profile: ~8 scheduled
+    * jobs per execution). One materialization serves both consumers.
+    */
+  private def initEdgesShared(spark: SparkSession, sfDir: String,
+                              key: String, e: DataFrame): DataFrame =
+    graphCache.synchronized {
+      graphCache.getOrElseUpdate(
+        (spark.sparkContext, sfDir, Rounds, key),
+        initEdges(e).localCheckpoint(true))
+    }
+
   /** Keep each vertex's k best (dist, dst) — bounded partitions. */
   private def topK(scored: DataFrame): DataFrame =
     scored
@@ -180,9 +199,11 @@ object KnnGraph {
   private[graft] def probeGraph(spark: SparkSession,
                                 sfDir: String): DataFrame =
     graphCache.synchronized {
-      graphCache.getOrElseUpdate((spark.sparkContext, sfDir, Rounds, "even"),
-        graphOf(corpus(spark, sfDir).filter(col("vec_id") % 2 === 0),
-          Rounds))
+      graphCache.getOrElseUpdate((spark.sparkContext, sfDir, Rounds, "even"), {
+        val even = corpus(spark, sfDir).filter(col("vec_id") % 2 === 0)
+        graphOf(even, Rounds,
+          Some(initEdgesShared(spark, sfDir, "init-even", even)))
+      })
     }
 
   /** The SERVING edge set: refined k-NN edges ∪ the md5-random init
@@ -199,15 +220,16 @@ object KnnGraph {
       graphCache.getOrElseUpdate(
         (spark.sparkContext, sfDir, Rounds, "even-serve"), {
           val even = corpus(spark, sfDir).filter(col("vec_id") % 2 === 0)
-          servingEdgesOf(even, probeGraph(spark, sfDir))
+          servingEdgesOf(even, probeGraph(spark, sfDir),
+            Some(initEdgesShared(spark, sfDir, "init-even", even)))
         })
     }
 
   /** [[servingGraph]] over arbitrary frames — shared with the spec. */
-  private[graft] def servingEdgesOf(e: DataFrame,
-                                    knn: DataFrame): DataFrame =
+  private[graft] def servingEdgesOf(e: DataFrame, knn: DataFrame,
+                                    init: Option[DataFrame] = None): DataFrame =
     knn.select(col("src"), col("dst"))
-      .union(initEdges(e))
+      .union(init.getOrElse(initEdges(e)))
       .distinct()
       .localCheckpoint(true)
 
@@ -218,8 +240,10 @@ object KnnGraph {
     * explored-fraction recall — that honest number is exactly what
     * [[knnGraphRecall]] reports).
     */
-  private[graft] def graphOf(e0: DataFrame, rounds: Int): DataFrame =
-    refineRounds(e0, topK(withDist(initEdges(e0), e0)), rounds)
+  private[graft] def graphOf(e0: DataFrame, rounds: Int,
+                             init: Option[DataFrame] = None): DataFrame =
+    refineRounds(e0,
+      topK(withDist(init.getOrElse(initEdges(e0)), e0)), rounds)
 
   /** The NN-descent refinement loop from an ARBITRARY scored starting
     * adjacency — shared by the cold build ([[graphOf]], md5-random
@@ -237,7 +261,11 @@ object KnnGraph {
           // neighbors-of-neighbors through the shared pivot, ∪ current
           // edges (distances are pure functions of the pair, so
           // re-scoring survivors costs n·k extra dot products and keeps
-          // the round one uniform score+select pass)
+          // the round one uniform score+select pass). Dedup stays
+          // BEFORE scoring here — unlike the serving descent, a pair is
+          // regenerated once per shared pivot (up to 2k times), so
+          // pre-score distinct removes ~k× of the scoring joins' work
+          // for the price of its one slim exchange.
           val cand = gen.as("g1").join(gen.as("g2"), Seq("src"))
             .select(col("g1.dst").as("src"), col("g2.dst").as("dst"))
             .filter(col("src") =!= col("dst"))
@@ -307,34 +335,57 @@ object KnnGraph {
     * layer at the upper layer's per-query winners instead of the global
     * min-id entries.
     */
+  /** The descent is ONE linear query execution (r18): expansion goes
+    * through self-loop-augmented edges (neighbors(v) ∪ {v} per beam
+    * row — the union-with-frontier of the loop form without a second
+    * frontier reference, which keeps the unrolled plan linear in
+    * hops), duplicate candidates are dropped AFTER scoring by a
+    * (q_id, v) window riding the same explicit q_id clustering the
+    * beam window needs (dupes carry identical dist, so the kept rows
+    * are bit-identical to the pre-score `.distinct()`), and the static
+    * sides (edges, index embeddings, query fleet) each shuffle or
+    * broadcast ONCE per descent — AQE reuses their stages across all
+    * hops — instead of once per hop. One eager checkpoint materializes
+    * the final beam (callers re-reference it freely; the gated frames
+    * stay projections over a checkpointed leaf). Measured on the
+    * r18 profile harness: graph_fold_decision 395 → ~1/3 the scheduled
+    * jobs, zero corpus re-scans mid-descent.
+    */
   private[graft] def greedySearchFrom(qs: DataFrame, idx: DataFrame,
                                       edges: DataFrame,
                                       entries: DataFrame): DataFrame = {
     val ev = idx.select(col("vec_id").as("v"), col("embedding").as("v_emb"),
       col("sq").as("v_sq"))
+    // neighbors(v) ∪ {v}: every index vertex carries a self-loop, so a
+    // single equi-join expands a beam row to its neighborhood AND keeps
+    // the row itself in the candidate set
+    val esLoop = edges.select(col("src"), col("dst"))
+      .union(ev.select(col("v").as("src"), col("v").as("dst")))
+    val q = qs.select(col("q_id"), col("q_emb"), col("q_sq"))
     def score(cand: DataFrame): DataFrame =
       cand
         .join(ev, "v")
-        .join(qs, "q_id")
+        .join(q, "q_id")
         .select(col("q_id"), col("v"),
           (col("q_sq") + col("v_sq") -
             lit(2.0) * Similarity.dot(col("q_emb"), col("v_emb")))
             .as("dist"))
+        .repartition(col("q_id"))
+        .withColumn("dup", row_number().over(
+          Window.partitionBy(col("q_id"), col("v")).orderBy(col("dist"))))
+        .filter(col("dup") === 1)
         .withColumn("rn", row_number().over(
           Window.partitionBy("q_id").orderBy(col("dist"), col("v"))))
         .filter(col("rn") <= SearchBeam)
         .select(col("q_id"), col("v"), col("dist"), col("rn"))
     var frontier = score(entries.select(col("q_id"), col("v")))
-      .localCheckpoint(true)
     for (_ <- 1 to SearchHops) {
       val cand = frontier.select(col("q_id"), col("v").as("src"))
-        .join(edges.select(col("src"), col("dst")), "src")
+        .join(esLoop, "src")
         .select(col("q_id"), col("dst").as("v"))
-        .union(frontier.select(col("q_id"), col("v")))
-        .distinct()
-      frontier = score(cand).localCheckpoint(true)
+      frontier = score(cand)
     }
-    frontier
+    frontier.localCheckpoint(true)
   }
 
   /** Query-fleet builders — ONE definition per fleet so every memoized
@@ -374,7 +425,7 @@ object KnnGraph {
         (spark.sparkContext, sfDir, Rounds, "flat-odd-beam"),
         greedySearch(oddFleet(spark, sfDir),
           corpus(spark, sfDir).filter(col("vec_id") % 2 === 0),
-          servingGraph(spark, sfDir)).localCheckpoint(true))
+          servingGraph(spark, sfDir)))
     }
 
   /** Shape a rank-1 beam row into the gated serving output. */
@@ -413,7 +464,8 @@ object KnnGraph {
         (spark.sparkContext, sfDir, Rounds, "even-upper"), {
           val l1 = upperOf(corpus(spark, sfDir)
             .filter(col("vec_id") % 2 === 0))
-          servingEdgesOf(l1, graphOf(l1, Rounds))
+          val init = initEdges(l1).localCheckpoint(true)
+          servingEdgesOf(l1, graphOf(l1, Rounds, Some(init)), Some(init))
         })
     }
 
@@ -446,7 +498,6 @@ object KnnGraph {
           greedySearchFrom(qs,
             corpus(spark, sfDir).filter(col("vec_id") % 2 === 0),
             servingGraph(spark, sfDir), hierEntriesOdd(spark, sfDir))
-            .localCheckpoint(true)
         })
     }
 
@@ -481,8 +532,7 @@ object KnnGraph {
     graphCache.synchronized {
       graphCache.getOrElseUpdate(
         (spark.sparkContext, sfDir, Rounds, "hier-entries-odd"),
-        hierEntries(spark, sfDir, oddFleet(spark, sfDir))
-          .localCheckpoint(true))
+        hierEntries(spark, sfDir, oddFleet(spark, sfDir)))
     }
 
   /** [[hierEntries]] for the full ≡ 3 mod 4 query fleet, memoized —
@@ -496,8 +546,7 @@ object KnnGraph {
     graphCache.synchronized {
       graphCache.getOrElseUpdate(
         (spark.sparkContext, sfDir, Rounds, "hier-entries-q3"),
-        hierEntries(spark, sfDir, q3Fleet(spark, sfDir))
-          .localCheckpoint(true))
+        hierEntries(spark, sfDir, q3Fleet(spark, sfDir)))
     }
 
   /** The entry stage over an ARBITRARY upper layer — the post-fold
@@ -647,7 +696,6 @@ object KnnGraph {
             .filter(col("rn") <= InsertFanout)
             .select(col("q_id").as("vec_id"), col("v").as("nbr"),
               floor(col("dist") * lit(1e6)).cast("long").as("dist_u"))
-            .localCheckpoint(true)
         })
     }
 
@@ -755,7 +803,8 @@ object KnnGraph {
       graphCache.getOrElseUpdate(
         (spark.sparkContext, sfDir, Rounds, "live-upper"), {
           val l1 = upperOf(liveMerged(spark, sfDir))
-          servingEdgesOf(l1, graphOf(l1, Rounds))
+          val init = initEdges(l1).localCheckpoint(true)
+          servingEdgesOf(l1, graphOf(l1, Rounds, Some(init)), Some(init))
         })
     }
 
@@ -793,7 +842,6 @@ object KnnGraph {
           val entries = hierEntriesFrom(qs, upperOf(live),
             liveUpperServingGraph(spark, sfDir))
           greedySearchFrom(qs, live, foldedServeEdges(spark, sfDir), entries)
-            .localCheckpoint(true)
         })
     }
 
@@ -891,8 +939,7 @@ object KnnGraph {
         greedySearchFrom(stratum(q3Fleet(spark, sfDir), pct),
           accretedPopulation(spark, sfDir),
           accretedIndexEdges(spark, sfDir),
-          stratum(hierEntriesQ3(spark, sfDir), pct))
-          .localCheckpoint(true))
+          stratum(hierEntriesQ3(spark, sfDir), pct)))
     }
 
   /** [[graphFoldDecision]] at an explicit threshold — the spec drives
@@ -1125,7 +1172,8 @@ object KnnGraph {
       graphCache.getOrElseUpdate(
         (spark.sparkContext, sfDir, Rounds, s"even-tower-l$t"), {
           val l = towerLayerIdx(spark, sfDir, t)
-          servingEdgesOf(l, graphOf(l, Rounds))
+          val init = initEdges(l).localCheckpoint(true)
+          servingEdgesOf(l, graphOf(l, Rounds, Some(init)), Some(init))
         })
     }
 
@@ -1163,7 +1211,6 @@ object KnnGraph {
           greedySearchFrom(qs,
             corpus(spark, sfDir).filter(col("vec_id") % 2 === 0),
             servingGraph(spark, sfDir), entries)
-            .localCheckpoint(true)
         })
     }
 

@@ -2769,7 +2769,6 @@ object StreamAssembly {
               Similarity.dot(col("embedding"), col("embedding")).as("sq"))
           KnnGraph.greedySearchFrom(KnnGraph.q3Fleet(spark, sfDir), aidx,
               acc, KnnGraph.hierEntriesQ3(spark, sfDir))
-            .localCheckpoint(true)
         })
     }
 
