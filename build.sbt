@@ -27,8 +27,26 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Scratch I/O (r18, guide §6): everything transient — streaming
+// checkpoints/state, drained fixture segments, shuffle spill
+// (spark.local.dir defaults to java.io.tmpdir) — goes to the fastest
+// local storage available. On this sandbox /tmp is ext4-on-disk while
+// /dev/shm is tmpfs; pointing scratch at tmpfs cut the fsync-bound
+// streaming drains ~9%. Production equivalent: NVMe local dirs for
+// shuffle/state scratch, with DURABLE checkpointLocation for real
+// streams (the fixture drains' checkpoints are per-run temp dirs by
+// design). Override with GRAFT_SCRATCH_DIR=/path, or set it to a
+// disk path to opt out.
+val scratchDir: Option[String] = {
+  val pick = sys.env.get("GRAFT_SCRATCH_DIR").orElse {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft_scratch")
+    else None
+  }
+  pick.filter { p => val f = new java.io.File(p); f.mkdirs(); f.canWrite }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ scratchDir.map(d => s"-Djava.io.tmpdir=$d").toSeq

@@ -443,13 +443,19 @@ object Similarity {
   def pcaPowerComponent(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
-    val (v, g) = pcaPower(spark, e)
-    def mul(vk: DataFrame): DataFrame =
-      g.join(vk.select(col("i").as("j"), col("v").as("vj")), "j")
-        .groupBy("i").agg(sum(expr("g * vj")).as("w"))
-    val mf = mul(v).agg(max(abs(col("w"))).as("m"))
+    val (vRow, g) = pcaPower(spark, e)
+    // one more matrix-vector inside the 1-row frame: |G·v|∞ — identical
+    // exact-decimal products/sums as the row-frame join formulation
+    val mf = vRow.select(expr(
+      s"""aggregate(transform(gm, row ->
+            aggregate(zip_with(row, varr, (gg, vj) -> gg * vj),
+              CAST(0 AS DECIMAL(38,0)), (acc, t) -> acc + t)),
+          CAST(0 AS DECIMAL(38,0)),
+          (acc, x) -> CASE WHEN abs(x) > acc THEN abs(x) ELSE acc END)""")
+      .as("m"))
     val tr = g.filter(col("i") === col("j")).agg(sum("g").as("t"))
-    v.crossJoin(broadcast(mf)).crossJoin(broadcast(tr))
+    vRow.select(posexplode(col("varr")).as(Seq("i", "v")))
+      .crossJoin(broadcast(mf)).crossJoin(broadcast(tr))
       .select(col("i").cast("long").as("dim"),
         col("v").cast("long").as("loading_ppm"),
         expr("CAST(m DIV t AS BIGINT)").as("var_explained_ppm"))
@@ -458,9 +464,9 @@ object Similarity {
 
   /** The power-iteration core of [[pcaPowerComponent]], reusable over
     * any (vec_id, embedding) frame (the streaming drift probe trains
-    * it on the even history half). Returns the final 64-row iterate
-    * (i, v) — components in exact ppm-of-max integers — and the
-    * checkpointed 4096-row Gram frame.
+    * it on the even history half). Returns the final iterate as ONE
+    * row (gm: the 64×64 Gram matrix, varr: the 64 components in exact
+    * ppm-of-max integers) and the checkpointed 4096-row Gram frame.
     */
   private[graft] def pcaPower(spark: SparkSession,
                               e: DataFrame): (DataFrame, DataFrame) = {
@@ -488,24 +494,45 @@ object Similarity {
       .groupBy("i", "j")
       .agg(sum(expr("ci * cj")).as("g"))
       .localCheckpoint(true)
-    var v = spark.range(0, 64)
-      .select(col("id").cast("int").as("i"),
-        lit(1000000L).cast("decimal(38,0)").as("v"))
-    def mul(vk: DataFrame): DataFrame =
-      g.join(vk.select(col("i").as("j"), col("v").as("vj")), "j")
-        .groupBy("i").agg(sum(expr("g * vj")).as("w"))
+    // r18: the iterate is 64 decimals and G is 64×64 — per-iteration
+    // Spark machinery (a join, two aggregations, a broadcast and a
+    // checkpoint: ~5 scheduled jobs × PcaRounds) dwarfed the arithmetic.
+    // Collapse the state into ONE row (gm: i-sorted array of j-sorted
+    // Gram rows; varr: the iterate) and run every round as a row-local
+    // array projection — the whole power iteration is one short linear
+    // plan with zero per-round exchanges. Products, sums, the |·|∞
+    // normalizer and the DIV quantization are the same exact DECIMAL
+    // operations in the same order, so the iterates are bit-identical
+    // (exact integer arithmetic is associative — the property that
+    // already made the groupBy formulation order-free).
+    val gRow = g
+      .groupBy("i")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("g")))),
+        x => x.getField("g")).as("grow"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("grow")))),
+        x => x.getField("grow")).as("gm"))
+    var vRow = gRow.select(col("gm"),
+      expr("transform(sequence(0, 63), k -> CAST(1000000 AS DECIMAL(38,0)))")
+        .as("varr"))
     for (_ <- 1 to PcaRounds) {
-      val w = mul(v)
-      val m = w.agg(max(abs(col("w"))).as("m"))
-      v = w.crossJoin(broadcast(m))
-        .select(col("i"),
-          expr("""CASE WHEN w >= 0
-            THEN CAST(w * 1000000 DIV m AS DECIMAL(38,0))
-            ELSE -CAST((-w) * 1000000 DIV m AS DECIMAL(38,0)) END""")
-            .as("v"))
-        .localCheckpoint(true)
+      vRow = vRow
+        .select(col("gm"), expr(
+          """transform(gm, row ->
+               aggregate(zip_with(row, varr, (gg, vj) -> gg * vj),
+                 CAST(0 AS DECIMAL(38,0)), (acc, t) -> acc + t))""")
+          .as("warr"))
+        .select(col("gm"), col("warr"), expr(
+          """aggregate(warr, CAST(0 AS DECIMAL(38,0)),
+               (acc, x) -> CASE WHEN abs(x) > acc THEN abs(x) ELSE acc END)""")
+          .as("m"))
+        .select(col("gm"), expr(
+          """transform(warr, w -> CASE WHEN w >= 0
+               THEN CAST(w * 1000000 DIV m AS DECIMAL(38,0))
+               ELSE -CAST((-w) * 1000000 DIV m AS DECIMAL(38,0)) END)""")
+          .as("varr"))
     }
-    (v, g)
+    (vRow.localCheckpoint(true), g)
   }
 
   private val pcaDriftCache = Memo.registry[(SparkSession, String)]
@@ -521,11 +548,8 @@ object Similarity {
       val even = Tables.embeddings(spark, sfDir)
         .filter(col("vec_id") % 2 === 0)
         .select(col("vec_id"), col("embedding"))
-      val (v, _) = pcaPower(spark, even)
-      v.groupBy()
-        .agg(transform(
-          array_sort(collect_list(struct(col("i"), col("v")))),
-          s => s.getField("v")).as("vv"))
+      val (vRow, _) = pcaPower(spark, even)
+      vRow.select(col("varr").as("vv"))
         .localCheckpoint(true)
     })
 
