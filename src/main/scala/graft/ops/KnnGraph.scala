@@ -252,7 +252,7 @@ object KnnGraph {
     */
   private def refineRounds(e: DataFrame, edges0: DataFrame,
                            rounds: Int): DataFrame = {
-        var edges = edges0.localCheckpoint(true)
+        var edges = Memo.scratchCheckpoint(edges0)
         for (_ <- 1 to rounds) {
           val fwd = edges.select(col("src"), col("dst"))
           // general neighbors: forward ∪ reverse adjacency
@@ -271,7 +271,7 @@ object KnnGraph {
             .filter(col("src") =!= col("dst"))
             .union(fwd)
             .distinct()
-          edges = topK(withDist(cand, e)).localCheckpoint(true)
+          edges = Memo.scratchCheckpoint(topK(withDist(cand, e)))
         }
         edges
   }
@@ -385,7 +385,10 @@ object KnnGraph {
         .select(col("q_id"), col("dst").as("v"))
       frontier = score(cand)
     }
-    frontier.localCheckpoint(true)
+    // scratch-enrolled so clearAll reclaims beams whose consumers are
+    // not themselves memo entries (persist-serve, recall flats, the
+    // streaming probes' per-batch descents)
+    Memo.scratchCheckpoint(frontier)
   }
 
   /** Query-fleet builders — ONE definition per fleet so every memoized
@@ -464,7 +467,7 @@ object KnnGraph {
         (spark.sparkContext, sfDir, Rounds, "even-upper"), {
           val l1 = upperOf(corpus(spark, sfDir)
             .filter(col("vec_id") % 2 === 0))
-          val init = initEdges(l1).localCheckpoint(true)
+          val init = Memo.scratchCheckpoint(initEdges(l1))
           servingEdgesOf(l1, graphOf(l1, Rounds, Some(init)), Some(init))
         })
     }
@@ -803,7 +806,7 @@ object KnnGraph {
       graphCache.getOrElseUpdate(
         (spark.sparkContext, sfDir, Rounds, "live-upper"), {
           val l1 = upperOf(liveMerged(spark, sfDir))
-          val init = initEdges(l1).localCheckpoint(true)
+          val init = Memo.scratchCheckpoint(initEdges(l1))
           servingEdgesOf(l1, graphOf(l1, Rounds, Some(init)), Some(init))
         })
     }
@@ -1172,7 +1175,7 @@ object KnnGraph {
       graphCache.getOrElseUpdate(
         (spark.sparkContext, sfDir, Rounds, s"even-tower-l$t"), {
           val l = towerLayerIdx(spark, sfDir, t)
-          val init = initEdges(l).localCheckpoint(true)
+          val init = Memo.scratchCheckpoint(initEdges(l))
           servingEdgesOf(l, graphOf(l, Rounds, Some(init)), Some(init))
         })
     }

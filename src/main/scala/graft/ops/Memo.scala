@@ -71,6 +71,25 @@ object Memo {
       }
     } catch { case _: Throwable => () }
 
+  private val scratchFrames = registry[Long]
+  private val scratchIds = new java.util.concurrent.atomic.AtomicLong
+
+  /** Eagerly checkpoint an INTERMEDIATE frame and enroll the result for
+    * [[clearAll]]. A memoized output frame that is itself
+    * `localCheckpoint`ed hides any checkpointed frames inside its build
+    * plan (the new LogicalRDD leaf replaces the whole subtree), so the
+    * intermediates' blocks would outlive every registry reference —
+    * exactly the leak [[unpersistFrame]]'s plan walk cannot see.
+    * Intermediates checkpointed through here are reclaimed with the
+    * registry frames (Round13Spec pins the invariant for the IVF-PQ
+    * model).
+    */
+  def scratchCheckpoint(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint(true)
+    scratchFrames.put(scratchIds.incrementAndGet(), c)
+    c
+  }
+
   def clearAll(): Unit = caches.synchronized {
     caches.foreach { m =>
       m.values.foreach(unpersistFrame)

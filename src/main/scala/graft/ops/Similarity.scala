@@ -488,12 +488,11 @@ object Similarity {
       .select(expr("""transform(embedding, (f, k) ->
         CAST(FLOOR(CAST(f AS DOUBLE) * 1e6) AS DECIMAL(38,0))
           - element_at(muv, k + 1))""").as("c"))
-    val g = cent
+    val g = Memo.scratchCheckpoint(cent
       .select(posexplode(col("c")).as(Seq("i", "ci")), col("c"))
       .select(col("i"), col("ci"), posexplode(col("c")).as(Seq("j", "cj")))
       .groupBy("i", "j")
-      .agg(sum(expr("ci * cj")).as("g"))
-      .localCheckpoint(true)
+      .agg(sum(expr("ci * cj")).as("g")))
     // r18: the iterate is 64 decimals and G is 64×64 — per-iteration
     // Spark machinery (a join, two aggregations, a broadcast and a
     // checkpoint: ~5 scheduled jobs × PcaRounds) dwarfed the arithmetic.
@@ -532,7 +531,7 @@ object Similarity {
                ELSE -CAST((-w) * 1000000 DIV m AS DECIMAL(38,0)) END)""")
           .as("varr"))
     }
-    (vRow.localCheckpoint(true), g)
+    (Memo.scratchCheckpoint(vRow), g)
   }
 
   private val pcaDriftCache = Memo.registry[(SparkSession, String)]
@@ -1342,12 +1341,18 @@ object Similarity {
     * of downstream state.
     */
   private def pqModel(spark: SparkSession,
-                      sfDir: String): (DataFrame, DataFrame, DataFrame) = {
-    GraftFunctions.register(spark)
-    val sub = pqSubVectors(Tables.embeddings(spark, sfDir))
-    val (cb1, codes) = pqTrain(sub, col("vec_id") < PqCentroids)
-    (sub, cb1, codes)
-  }
+                      sfDir: String): (DataFrame, DataFrame, DataFrame) =
+    ivfpqMemo(spark, sfDir, "flatpq") {
+      // r18: the flat-PQ model had NO memo — every consumer query
+      // (codes stats, distortion, top-k, both recall audits, the
+      // persist gate) re-ran the one-round training inside its own
+      // plan. Same build-once/serve-many discipline as the IVF-PQ
+      // models; the memoized "cents" slot carries the sub-vector frame.
+      GraftFunctions.register(spark)
+      val sub = pqSubVectors(Tables.embeddings(spark, sfDir))
+      val (cb1, codes) = pqTrain(sub, col("vec_id") < PqCentroids)
+      (sub, cb1, codes)
+    }
 
   /** The sub-vector split frame (vec_id, s, sv) PQ operates on. */
   private[graft] def pqSubVectors(e: DataFrame): DataFrame =
@@ -1386,10 +1391,14 @@ object Similarity {
       .groupBy("s", "cid", "pos")
       .agg((sum(col("v").cast("double").cast("decimal(30,15)")).cast("double") /
         count(lit(1))).as("comp"))
+    // r18: materialize the refined codebook before the final assign —
+    // the codes frame (and every later checkpoint of a consumer tuple)
+    // otherwise re-executes the whole mean-update subtree per reference
     val cb1 = m1.groupBy("s", "cid")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
         x => x.getField("comp")).as("cv"))
-    (cb1, assign(cb1))
+    val cb1c = Memo.scratchCheckpoint(cb1)
+    (cb1c, assign(cb1c))
   }
 
   /** Per-vector PQ code assignment against the trained codebook. */
@@ -1729,7 +1738,11 @@ object Similarity {
       GraftFunctions.register(spark)
       val e = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding"))
-      val (cents, assigned) = coarseQuantize(e, col("vec_id") < IvfPqCells)
+      val (cents, assigned0) = coarseQuantize(e, col("vec_id") < IvfPqCells)
+      // r18: materialize the coarse assignment once — the codebook and
+      // codes checkpoints otherwise each re-run the two-round coarse
+      // Lloyd subtree
+      val assigned = Memo.scratchCheckpoint(assigned0)
       val rsub = pqSubVectors(
         assigned.select(col("vec_id"), col("residual").as("embedding")))
       val (cb, codesD) = pqTrain(rsub, col("vec_id") < PqCentroids)
@@ -1750,7 +1763,8 @@ object Similarity {
       val even = Tables.embeddings(spark, sfDir)
         .filter(col("vec_id") % 2 === 0)
         .select(col("vec_id"), col("embedding"))
-      val (cents, assigned) = coarseQuantize(even, col("vec_id") < 2L * IvfPqCells)
+      val (cents, assigned0) = coarseQuantize(even, col("vec_id") < 2L * IvfPqCells)
+      val assigned = Memo.scratchCheckpoint(assigned0)
       val rsub = pqSubVectors(
         assigned.select(col("vec_id"), col("residual").as("embedding")))
       val (cb, codesD) = pqTrain(rsub, col("vec_id") < 2L * PqCentroids)
