@@ -769,8 +769,24 @@ object Dedup {
   /** The DISTINCT (doc_id, p) duplicated-position frame: token position p
     * of a doc is covered by some cross-doc-duplicated k-gram window.
     */
+  /** Memo for [[duplicatedPositions]] — the duplicated-position set is
+    * the shared core of dedup_exact_substring AND dedup_span_histogram
+    * (and the streaming substring probe's static index derives from the
+    * same grams); each gated consumer re-ran the k-gram inverted-index
+    * pass per query.
+    */
+  private val dupPosCache =
+    Memo.registry[(org.apache.spark.SparkContext, String, Int)]
+
   private def duplicatedPositions(spark: SparkSession, sfDir: String,
-                                  k: Int): DataFrame = {
+                                  k: Int): DataFrame =
+    dupPosCache.synchronized {
+      dupPosCache.getOrElseUpdate((spark.sparkContext, sfDir, k),
+        duplicatedPositionsBuild(spark, sfDir, k).localCheckpoint(true))
+    }
+
+  private def duplicatedPositionsBuild(spark: SparkSession, sfDir: String,
+                                       k: Int): DataFrame = {
     val grams = substrDocs(spark, sfDir, k)
       .select(col("doc_id"), col("n_tok"),
         explode(expr(
@@ -945,8 +961,19 @@ object Dedup {
     * [[simhashDigest]] (which folds it to per-bucket digests so the
     * scale tiers never pay a global sort over the pair output).
     */
+  private val simhashPairCache =
+    Memo.registry[(org.apache.spark.SparkContext, String, Int)]
+
   private def simhashPairFrame(spark: SparkSession, sfDir: String,
-                               maxHamming: Int): DataFrame = {
+                               maxHamming: Int): DataFrame =
+    simhashPairCache.synchronized {
+      simhashPairCache.getOrElseUpdate((spark.sparkContext, sfDir, maxHamming),
+        Memo.scratchCheckpoint(
+          simhashPairFrameBuild(spark, sfDir, maxHamming)))
+    }
+
+  private def simhashPairFrameBuild(spark: SparkSession, sfDir: String,
+                                    maxHamming: Int): DataFrame = {
     // persisted: the fingerprint frame feeds the distinct-hash band
     // join, the probe side and the doc-expansion side
     val fp = simhashFingerprints(spark, sfDir).persist()
@@ -1042,21 +1069,39 @@ object Dedup {
     * same IEEE operation order as the oracle's list_sum, hence
     * bit-identical.
     */
-  def embeddingNearDups(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"),
-        Similarity.norm2(col("embedding")).as("nrm"))
-    // single-file corpus → single split: spread the streamed side so the
-    // O(n²) dot products parallelize (see embeddingNearDupsLsh)
-    e.repartition(spark.sparkContext.defaultParallelism)
-      .as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (Similarity.dot(col("a.embedding"), col("b.embedding")) /
-          (col("a.nrm") * col("b.nrm"))).as("cosine"))
-      .filter(col("cosine") >= threshold)
-      .orderBy("vec_a", "vec_b")
-  }
+  def embeddingNearDups(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame =
+    exactCosinePairs(spark, sfDir, threshold).orderBy("vec_a", "vec_b")
+
+  /** The brute-force pair frame behind [[embeddingNearDups]], memoized
+    * per (context, dir, threshold) — it is the shared GROUND TRUTH of
+    * every LSH recall audit (capped, multiprobe, banded, sampled), and
+    * `lshRecallEval` alone referenced it twice in one plan. One O(n²)
+    * pass per process instead of six.
+    */
+  private val cosinePairCache =
+    Memo.registry[(org.apache.spark.SparkContext, String, Double)]
+
+  private[graft] def exactCosinePairs(spark: SparkSession, sfDir: String,
+                                      threshold: Double): DataFrame =
+    cosinePairCache.synchronized {
+      cosinePairCache.getOrElseUpdate(
+        (spark.sparkContext, sfDir, threshold), {
+          graft.functions.GraftFunctions.register(spark)
+          val e = Tables.embeddings(spark, sfDir)
+            .select(col("vec_id"), col("embedding"),
+              Similarity.norm2(col("embedding")).as("nrm"))
+          // single-file corpus → single split: spread the streamed side
+          // so the O(n²) dot products parallelize (see
+          // embeddingNearDupsLsh)
+          e.repartition(spark.sparkContext.defaultParallelism)
+            .as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+            .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+              (Similarity.dot(col("a.embedding"), col("b.embedding")) /
+                (col("a.nrm") * col("b.nrm"))).as("cosine"))
+            .filter(col("cosine") >= threshold)
+            .localCheckpoint(true)
+        })
+    }
 
   /** The 100 TB path for embedding near-dup: banded-LSH candidate join
     * instead of the all-pairs cross product. Signatures are the
@@ -1224,7 +1269,24 @@ object Dedup {
   def embeddingNearDupsLshCapped(spark: SparkSession, sfDir: String,
                                  threshold: Double = 0.4, bandBits: Int = 8,
                                  nBands: Int = 7,
-                                 cap: Int = LshBucketCap): DataFrame = {
+                                 cap: Int = LshBucketCap): DataFrame =
+    cappedPairCache.synchronized {
+      cappedPairCache.getOrElseUpdate(
+        (spark.sparkContext, sfDir, threshold, bandBits, nBands, cap),
+        embeddingNearDupsLshCappedBuild(spark, sfDir, threshold, bandBits,
+          nBands, cap).localCheckpoint(true))
+    }
+
+  /** Memo for the capped-banding pair frame — three gated consumers
+    * (the op itself, the capped recall audit, the multiprobe audit's
+    * baseline row) each re-ran the bucket self-join per query.
+    */
+  private val cappedPairCache = Memo.registry[
+    (org.apache.spark.SparkContext, String, Double, Int, Int, Int)]
+
+  private def embeddingNearDupsLshCappedBuild(
+      spark: SparkSession, sfDir: String, threshold: Double, bandBits: Int,
+      nBands: Int, cap: Int): DataFrame = {
     val (e, banded0) = lshBandedFrames(spark, sfDir, bandBits, nBands)
     val banded = banded0.select("vec_id", "band", "bucket")
     val sizes = banded.groupBy("band", "bucket")
@@ -1270,7 +1332,20 @@ object Dedup {
   def embeddingNearDupsLshMultiprobe(spark: SparkSession, sfDir: String,
                                      threshold: Double = 0.4,
                                      bandBits: Int = 8, nBands: Int = 7,
-                                     cap: Int = LshBucketCap): DataFrame = {
+                                     cap: Int = LshBucketCap): DataFrame =
+    multiprobePairCache.synchronized {
+      multiprobePairCache.getOrElseUpdate(
+        (spark.sparkContext, sfDir, threshold, bandBits, nBands, cap),
+        embeddingNearDupsLshMultiprobeBuild(spark, sfDir, threshold,
+          bandBits, nBands, cap).localCheckpoint(true))
+    }
+
+  private val multiprobePairCache = Memo.registry[
+    (org.apache.spark.SparkContext, String, Double, Int, Int, Int)]
+
+  private def embeddingNearDupsLshMultiprobeBuild(
+      spark: SparkSession, sfDir: String, threshold: Double, bandBits: Int,
+      nBands: Int, cap: Int): DataFrame = {
     val (e, banded0) = lshBandedFrames(spark, sfDir, bandBits, nBands)
     val banded = banded0.select("vec_id", "band", "bucket")
     val sizes = banded.groupBy("band", "bucket")
@@ -1314,8 +1389,8 @@ object Dedup {
     */
   def lshMultiprobeRecallEval(spark: SparkSession, sfDir: String,
                               threshold: Double = 0.4): DataFrame = {
-    val exact = embeddingNearDups(spark, sfDir, threshold)
-      .select("vec_a", "vec_b").localCheckpoint(true)
+    val exact = exactCosinePairs(spark, sfDir, threshold)
+      .select("vec_a", "vec_b")
     // each candidate frame feeds BOTH its count and the tp semi-join —
     // checkpoint so the banding pipeline runs once, not per reference
     def row(variant: String, cand0: DataFrame): DataFrame = {
@@ -1368,7 +1443,7 @@ object Dedup {
           col("x.vec_id") < col("y.vec_id"))
       .filter(firstAgreeingBand)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-    val exact = embeddingNearDups(spark, sfDir, threshold)
+    val exact = exactCosinePairs(spark, sfDir, threshold)
       .select("vec_a", "vec_b")
     val tp = cand.join(exact, Seq("vec_a", "vec_b"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
@@ -1445,7 +1520,7 @@ object Dedup {
                           threshold: Double = 0.4): DataFrame = {
     val cand = embeddingNearDupsLshCapped(spark, sfDir, threshold)
       .select("vec_a", "vec_b")
-    val exact = embeddingNearDups(spark, sfDir, threshold)
+    val exact = exactCosinePairs(spark, sfDir, threshold)
       .select("vec_a", "vec_b")
     val tp = cand.join(exact, Seq("vec_a", "vec_b"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
