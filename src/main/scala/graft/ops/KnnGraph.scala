@@ -131,9 +131,14 @@ object KnnGraph {
     * ([[servingGraph]]).
     */
   private def initEdges(e: DataFrame): DataFrame = {
+    // one explicit bkt clustering feeds BOTH the bucket-count aggregate
+    // and the per-bucket rank window (guide §2.4: two operations keyed
+    // the same way share one exchange); AQE reuses the stage across the
+    // main chain and the two broadcast subtrees
     val withB = e.select(col("vec_id"),
       pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 8),
         16, 10).cast("long"), lit(RankBuckets)).as("bkt"))
+      .repartition(col("bkt"))
     val counts = withB.groupBy("bkt").agg(count(lit(1)).as("cnt"))
     val offsets = counts.withColumn("offset",
       coalesce(sum("cnt").over(
