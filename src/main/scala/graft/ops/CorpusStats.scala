@@ -491,25 +491,35 @@ object CorpusStats {
     while (i <= rounds && !exhausted) {
       val best = bpePairCounts(words)
         .orderBy(desc("n"), asc("l"), asc("r")).limit(1)
-        .localCheckpoint(true)
+      // FUSED round (guide §2.4 / r18 verdict item): the argmax rides
+      // the SAME execution as the word rebuild — broadcast into the
+      // crossJoin and carried through as constant columns — so each
+      // round materializes ONE checkpoint instead of two (the argmax
+      // subtree executes inside the broadcast exchange). Every fused
+      // row carries the identical (bl, br, n), so any row reproduces
+      // the old 1-row best frame exactly.
+      //
       // Guard: a corpus can run out of mergeable pairs before `rounds`
-      // (every word reduced to one symbol). An empty `best` crossJoined
-      // into `words` would silently empty the word table for all later
-      // rounds — stop merging instead and keep the final word frame
-      // intact. (The `best` frame is already materialized by
-      // localCheckpoint, so this isEmpty is a cheap local scan. The
-      // unrolled DuckDB oracle still assumes rounds ≤ the corpus's
-      // merge capacity — see BpeMergeRounds.)
-      if (best.isEmpty) { exhausted = true }
+      // (every word reduced to one symbol). An empty `best` empties the
+      // fused crossJoin — stop merging instead and keep the final word
+      // frame intact (the fused frame's isEmpty is a cheap local scan
+      // on the checkpointed RDD; non-empty words × non-empty best is
+      // never empty, so exhaustion here means exactly "best was
+      // empty"). The unrolled DuckDB oracle still assumes rounds ≤ the
+      // corpus's merge capacity — see BpeMergeRounds.
+      val fused = words
+        .crossJoin(broadcast(best.select(col("l").as("bl"),
+          col("r").as("br"), col("n"))))
+        .select(col("cnt"), expr(
+          "replace(s, concat('|', bl, '||', br, '|')," +
+            " concat('|', bl, br, '|'))").as("s"),
+          col("bl"), col("br"), col("n"))
+        .localCheckpoint(true)
+      if (fused.isEmpty) { exhausted = true }
       else {
-        bests += best.select(lit(i.toLong).as("rank"),
-          concat_ws(" ", col("l"), col("r")).as("pair"), col("n"))
-        words = words
-          .crossJoin(broadcast(best.select(col("l").as("bl"), col("r").as("br"))))
-          .select(col("cnt"), expr(
-            "replace(s, concat('|', bl, '||', br, '|')," +
-              " concat('|', bl, br, '|'))").as("s"))
-          .localCheckpoint(true)
+        bests += fused.limit(1).select(lit(i.toLong).as("rank"),
+          concat_ws(" ", col("bl"), col("br")).as("pair"), col("n"))
+        words = fused.select("cnt", "s")
       }
       i += 1
     }

@@ -785,8 +785,8 @@ object Dedup {
         duplicatedPositionsBuild(spark, sfDir, k).localCheckpoint(true))
     }
 
-  private def duplicatedPositionsBuild(spark: SparkSession, sfDir: String,
-                                       k: Int): DataFrame = {
+  private[graft] def duplicatedPositionsBuild(spark: SparkSession, sfDir: String,
+                                              k: Int): DataFrame = {
     val grams = substrDocs(spark, sfDir, k)
       .select(col("doc_id"), col("n_tok"),
         explode(expr(
@@ -972,8 +972,8 @@ object Dedup {
           simhashPairFrameBuild(spark, sfDir, maxHamming)))
     }
 
-  private def simhashPairFrameBuild(spark: SparkSession, sfDir: String,
-                                    maxHamming: Int): DataFrame = {
+  private[graft] def simhashPairFrameBuild(spark: SparkSession, sfDir: String,
+                                           maxHamming: Int): DataFrame = {
     // persisted: the fingerprint frame feeds the distinct-hash band
     // join, the probe side and the doc-expansion side
     val fp = simhashFingerprints(spark, sfDir).persist()

@@ -271,10 +271,18 @@ object KnnGraph {
           // regenerated once per shared pivot (up to 2k times), so
           // pre-score distinct removes ~k× of the scoring joins' work
           // for the price of its one slim exchange.
+          // the explicit src clustering serves BOTH the candidate
+          // distinct (ClusteredDistribution(src, dst) is satisfied by
+          // hash(src)) and — at spec scale, where the corpus joins
+          // broadcast — topK's src window: one exchange per round
+          // instead of two (guide §2.4); at corpus scale the dst/src
+          // shuffle joins re-cluster anyway and the window still rides
+          // the src join (the r18 withDist ordering)
           val cand = gen.as("g1").join(gen.as("g2"), Seq("src"))
             .select(col("g1.dst").as("src"), col("g2.dst").as("dst"))
             .filter(col("src") =!= col("dst"))
             .union(fwd)
+            .repartition(col("src"))
             .distinct()
           edges = Memo.scratchCheckpoint(topK(withDist(cand, e)))
         }
@@ -367,6 +375,15 @@ object KnnGraph {
     val esLoop = edges.select(col("src"), col("dst"))
       .union(ev.select(col("v").as("src"), col("v").as("dst")))
     val q = qs.select(col("q_id"), col("q_emb"), col("q_sq"))
+    // dedup is a (q_id, v) hash aggregate, not a window: dupes carry
+    // identical dist (dist is a pure function of the pair), so
+    // min(dist) keeps rows bit-identical to the dup-rank filter — and
+    // ClusteredDistribution(q_id, v) is satisfied by ANY q_id hash
+    // clustering, so after hop 1's window exchange establishes
+    // hash(q_id), every later hop's aggregate AND beam window ride it
+    // with ZERO new exchanges (r18 paid one explicit repartition per
+    // hop; guide §2.4 — two operations keyed the same way share one
+    // exchange, applied across the unrolled hops)
     def score(cand: DataFrame): DataFrame =
       cand
         .join(ev, "v")
@@ -375,10 +392,7 @@ object KnnGraph {
           (col("q_sq") + col("v_sq") -
             lit(2.0) * Similarity.dot(col("q_emb"), col("v_emb")))
             .as("dist"))
-        .repartition(col("q_id"))
-        .withColumn("dup", row_number().over(
-          Window.partitionBy(col("q_id"), col("v")).orderBy(col("dist"))))
-        .filter(col("dup") === 1)
+        .groupBy(col("q_id"), col("v")).agg(min(col("dist")).as("dist"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("q_id").orderBy(col("dist"), col("v"))))
         .filter(col("rn") <= SearchBeam)

@@ -1559,21 +1559,10 @@ object Similarity {
       .groupBy("q_id")
       .agg(min(struct(col("adc"), col("m_id"))).as("best"))
       .select(col("q_id"), col("best.m_id").as("adc_id"))
-    // ground truth: fleet × full index — the same salt-keyed block join
-    // as the ADC side (the index is corpus-sized by audit contract, so
-    // no broadcast hint on either side)
-    val bf1 = odd.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      .withColumn("blk", explode(sequence(lit(0), lit(BlockCrossSalt - 1))))
-      .join(even.select(col("vec_id").as("b_id"), col("embedding").as("be"))
-        .withColumn("blk",
-          pmod(col("b_id"), lit(BlockCrossSalt)).cast("int"))
-        .hint("shuffle_hash"), "blk")
-      .withColumn("d",
-        dot(col("qe"), col("qe")) - lit(2.0) * dot(col("qe"), col("be")) +
-          dot(col("be"), col("be")))
-      .groupBy("q_id")
-      .agg(min(struct(col("d"), col("b_id"))).as("best"))
-      .select(col("q_id"), col("best.b_id").as("bf_id"))
+    // ground truth: fleet × full index — the memoized family-wide
+    // exact frame (see [[exactOddEvenTop1]]; same salt-keyed block
+    // join, same op order, so the shared leaf is bit-exact here too)
+    val bf1 = exactOddEvenTop1(spark, sfDir, pct)
     adc1.join(bf1, Seq("q_id"))
       .agg(count(lit(1)).as("n_queries"),
         sum(when(col("adc_id") === col("bf_id"), 1L).otherwise(0L))
@@ -1710,6 +1699,47 @@ object Similarity {
     */
   private val bfCache =
     Memo.registry[(org.apache.spark.SparkContext, String, String)]
+
+  /** The odd-fleet × even-index exact top-1 (salt-keyed block join,
+    * argmin over the x·x − 2·x·y + y·y double fold), memoized per
+    * (context, dir, stratum) — the ONE brute-force ground truth the
+    * whole flat-PQ + IVF-PQ audit family prices against
+    * (`pq_probe_recall`, `ivfpq_probe_recall`, `ivfpq_rerank_recall`
+    * and their sampled strata): r18 had the IVF-PQ pair sharing it
+    * while the flat-PQ audit re-ran the identical fleet×index
+    * quadratic per query (guide §5 caching-for-reuse; the frames are
+    * column-for-column and op-order identical, so the shared leaf is
+    * bit-exact for every consumer). The checkpointed result is
+    * fleet-sized (2 longs/row).
+    */
+  private def exactOddEvenTop1(spark: SparkSession, sfDir: String,
+                               pct: Option[Int]): DataFrame =
+    bfCache.synchronized {
+      val key = (spark.sparkContext, sfDir, s"bf:${pct.getOrElse(100)}")
+      bfCache.getOrElseUpdate(key, {
+        val even = Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") % 2 === 0)
+        val odd0 = Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") % 2 === 1)
+        val odd = pct.fold(odd0)(p =>
+          odd0.filter(TrainingSets.bucket100(col("vec_id")) < p))
+        odd.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+          .withColumn("blk",
+            explode(sequence(lit(0), lit(BlockCrossSalt - 1))))
+          .join(even.select(col("vec_id").as("b_id"),
+              col("embedding").as("be"))
+            .withColumn("blk",
+              pmod(col("b_id"), lit(BlockCrossSalt)).cast("int"))
+            .hint("shuffle_hash"), "blk")
+          .withColumn("d",
+            dot(col("qe"), col("qe")) - lit(2.0) * dot(col("qe"), col("be")) +
+              dot(col("be"), col("be")))
+          .groupBy("q_id")
+          .agg(min(struct(col("d"), col("b_id"))).as("best"))
+          .select(col("q_id"), col("best.b_id").as("bf_id"))
+          .localCheckpoint(true)
+      })
+    }
 
   private def ivfpqMemo(spark: SparkSession, sfDir: String, tag: String)(
       build: => (DataFrame, DataFrame, DataFrame)): (DataFrame, DataFrame, DataFrame) =
@@ -2201,28 +2231,9 @@ object Similarity {
           .agg(min(struct(col("d"), col("m_id"))).as("best"))
           .select(col("q_id"), col("best.m_id").as("adc_id"))
     }
-    // exact ground truth: fleet × full index, salt-keyed block join.
-    // Memoized (context, dir, stratum) — the probe audit and the
-    // rerank audit share the identical ground-truth frame, and it is
-    // by far the dominant cost of both (the fleet×index quadratic);
-    // the checkpointed result is fleet-sized (2 longs/row)
-    val bf1 = bfCache.synchronized {
-      val key = (spark.sparkContext, sfDir, s"bf:${pct.getOrElse(100)}")
-      bfCache.getOrElseUpdate(key,
-        odd.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-          .withColumn("blk", explode(sequence(lit(0), lit(BlockCrossSalt - 1))))
-          .join(even.select(col("vec_id").as("b_id"), col("embedding").as("be"))
-            .withColumn("blk",
-              pmod(col("b_id"), lit(BlockCrossSalt)).cast("int"))
-            .hint("shuffle_hash"), "blk")
-          .withColumn("d",
-            dot(col("qe"), col("qe")) - lit(2.0) * dot(col("qe"), col("be")) +
-              dot(col("be"), col("be")))
-          .groupBy("q_id")
-          .agg(min(struct(col("d"), col("b_id"))).as("best"))
-          .select(col("q_id"), col("best.b_id").as("bf_id"))
-          .localCheckpoint(true))
-    }
+    // exact ground truth: fleet × full index, salt-keyed block join —
+    // the memoized family-wide frame (see [[exactOddEvenTop1]])
+    val bf1 = exactOddEvenTop1(spark, sfDir, pct)
     // the IVF ceiling: was the exact winner's cell probed at all?
     val bfCell = bf1.join(
       codes.select(col("vec_id").as("bf_id"), col("cell")).distinct(), "bf_id")

@@ -234,24 +234,65 @@ object StreamAssembly {
     * restoring. The body must build its streaming frames FROM the clone
     * so the per-micro-batch incremental plans read the drain confs.
     */
-  /** Streaming-state parallelism for the fixture drains. State-store
-    * instances (and their per-micro-batch commits) scale with shuffle
-    * partitions × stateful-operator sides, while a fixture micro-batch
-    * is a few hundred rows — so the drain default is 1 and the knob
-    * exists for redeploying the drains against real volumes (size it to
-    * per-batch state, exactly like `spark.sql.shuffle.partitions` on
-    * the batch side). r18 measurement: 2 → 1 cut the 6-query
-    * stream-join/session bench slice by ~9% (state commits, not data,
-    * dominate at fixture scale).
+  /** Streaming-state parallelism for the drains — SCALE-AWARE (r18
+    * verdict item 5): state-store instances (and their per-micro-batch
+    * commits) scale with shuffle partitions × stateful-operator sides,
+    * so the partition count must track per-batch VOLUME, never the
+    * host's core count. Every drain here reads a staged file source
+    * with `maxFilesPerTrigger = 1` — one micro-batch = one staged
+    * file — so the honest sizing input is the largest staged file:
+    * one state partition per [[DrainTargetBatchBytes]] of micro-batch
+    * input (the guide §2.1/§2.2 partition-sizing guidance applied to
+    * streaming state), floor 1, capped at the session's default
+    * parallelism. At fixture scale every staged file is a few KB, so
+    * the derived value is 1 — identical to r18's constant, and the
+    * results are partition-count invariant (pinned by the
+    * drain-partitions spec) — while a redeploy against real volumes
+    * scales state parallelism with the data without touching code.
+    * `GRAFT_DRAIN_PARTITIONS` overrides the derivation outright
+    * (r18's knob, must be > 0); `GRAFT_DRAIN_TARGET_BATCH_BYTES`
+    * tunes the per-partition volume target.
     */
-  private val DrainPartitions: Int =
-    graft.EnvKnobs.posInt("GRAFT_DRAIN_PARTITIONS", 1)
+  private val DrainPartitionsEnv: Option[Int] =
+    sys.env.get("GRAFT_DRAIN_PARTITIONS").map(r =>
+      graft.EnvKnobs.parsePosInt("GRAFT_DRAIN_PARTITIONS", Some(r), 1))
+
+  private[graft] val DrainTargetBatchBytes: Long =
+    graft.EnvKnobs.posLong("GRAFT_DRAIN_TARGET_BATCH_BYTES", 64L << 20)
+
+  /** Spec hook: lets the partition-invariance spec drive the same drain
+    * at several state-partition counts inside one JVM (env knobs are
+    * frozen at object init).
+    */
+  @volatile private[graft] var drainPartitionsForTest: Option[Int] = None
+
+  private[graft] def maxStagedFileBytes(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .map(walk).foldLeft(0L)(math.max)
+      else if (f.getName.endsWith(".parquet")) f.length
+      else 0L
+    walk(new java.io.File(dir))
+  }
+
+  private[graft] def drainPartitionsFor(spark: SparkSession,
+                                        srcDir: String): Int =
+    drainPartitionsForTest.orElse(DrainPartitionsEnv).getOrElse {
+      if (srcDir == null) 1
+      else math.max(1L, math.min(
+        spark.sparkContext.defaultParallelism.toLong,
+        (maxStagedFileBytes(srcDir) + DrainTargetBatchBytes - 1) /
+          DrainTargetBatchBytes)).toInt
+    }
 
   private def withDrainConf[T](spark: SparkSession,
-                               extra: Map[String, String] = Map.empty)
+                               extra: Map[String, String] = Map.empty,
+                               srcDir: String = null)
                               (body: SparkSession => T): T = {
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", DrainPartitions.toString)
+    s.conf.set("spark.sql.shuffle.partitions",
+      drainPartitionsFor(spark, srcDir).toString)
     extra.foreach { case (k, v) => s.conf.set(k, v) }
     body(s)
   }
@@ -450,7 +491,7 @@ object StreamAssembly {
     // partitions × batches; 4→2 measured −11% across the streaming tier);
     // the stream is built FROM the drain clone so its per-batch plans see
     // the lowered conf
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       val stream = ds.readStream
         .schema(events.schema)
         .option("maxFilesPerTrigger", 1)
@@ -521,7 +562,7 @@ object StreamAssembly {
     // freeze the epoch from the static table: the x projection must be
     // identical in every micro-batch for the partials to be additive
     val t0 = Analytics.linregEpoch(events).localCheckpoint(true)
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       val stream = ds.readStream
         .schema(events.schema)
         .option("maxFilesPerTrigger", 1)
@@ -590,7 +631,7 @@ object StreamAssembly {
         sum("p").as("sp_hist"))
       .localCheckpoint(true)
     val srcSchema = spark.read.parquet(srcDir).schema
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       val stream = ds.readStream
         .schema(srcSchema)
         .option("maxFilesPerTrigger", 1)
@@ -655,7 +696,7 @@ object StreamAssembly {
       events.repartition(nFiles).write.parquet(d)
       d
     })
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       val stream = ds.readStream
         .schema(events.schema)
         .option("maxFilesPerTrigger", 1)
@@ -721,7 +762,7 @@ object StreamAssembly {
     // partitions (the count is pinned into the checkpoint at first start;
     // the stream is built FROM the drain clone so the per-batch
     // incremental plans see the lowered conf)
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       val stream = ds.readStream
         .schema(events.schema)
         .option("maxFilesPerTrigger", 1)
@@ -817,7 +858,7 @@ object StreamAssembly {
       }
       d
     })
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       def drain(arm: CrashArm): Unit = {
         val stream = ds.readStream
           .schema(events.schema)
@@ -903,7 +944,7 @@ object StreamAssembly {
     val ckptDir = s"$tmp/ckpt"
     val srcDir = stagePurchaseChunksWithSentinel(
       spark, sfDir, nChunks, tolMin, delayMs = 2 * 3600000L)
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       val stream = ds.readStream
         .schema(purchaseSchema)
         .option("maxFilesPerTrigger", 1)
@@ -966,7 +1007,7 @@ object StreamAssembly {
     val ckptDir = s"$tmp/ckpt"
     val srcDir = stagePurchaseChunksWithSentinel(
       spark, sfDir, nChunks, tolMin, delayMs = 2 * 3600000L)
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       val stream = ds.readStream
         .schema(purchaseSchema)
         .option("maxFilesPerTrigger", 1)
@@ -1069,7 +1110,9 @@ object StreamAssembly {
     val outDir = s"$tmp/daily"
     val ckptDir = s"$tmp/ckpt"
     val (dirA, dirB) = stageSplitEventsSentinel(spark, sfDir, nFiles)
-    withDrainConf(spark) { ds =>
+    // a union batch is still one staged file per trigger; either staged
+    // half sizes the per-batch volume (both are event-table slices)
+    withDrainConf(spark, srcDir = dirA) { ds =>
       def source(d: String) = ds.readStream
         .schema(enrichEventSchema)
         .option("maxFilesPerTrigger", 1)
@@ -1186,7 +1229,7 @@ object StreamAssembly {
     val ckptDir = s"$tmp/ckpt"
     val srcDir = stagePurchaseChunksWithSentinel(
       spark, sfDir, nChunks, tolMin, delayMs = 2 * 3600000L)
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       val stream = ds.readStream
         .schema(purchaseSchema)
         .option("maxFilesPerTrigger", 1)
@@ -1261,7 +1304,7 @@ object StreamAssembly {
       events.repartition(nFiles).write.parquet(d)
       d
     })
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       val stream = ds.readStream
         .schema(events.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1365,7 +1408,7 @@ object StreamAssembly {
     val outDir = s"$tmp/daily"
     val ckptDir = s"$tmp/ckpt"
     val srcDir = stageEventsReplaySentinel(spark, sfDir, nFiles)
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       val stream = ds.readStream
         .schema(replayEventSchema)
         .option("maxFilesPerTrigger", 1)
@@ -1472,7 +1515,7 @@ object StreamAssembly {
     val outDir = s"$tmp/sliding"
     val ckptDir = s"$tmp/ckpt"
     val srcDir = stageUserEventsSentinel(spark, sfDir, nFiles)
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       val stream = ds.readStream
         .schema(enrichEventSchema)
         .option("maxFilesPerTrigger", 1)
@@ -1524,7 +1567,7 @@ object StreamAssembly {
     val outDir = s"$tmp/enriched"
     val ckptDir = s"$tmp/ckpt"
     val srcDir = stageUserEventsSentinel(spark, sfDir, nFiles)
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       val dim = broadcast(graft.Tables.customer(ds, sfDir)
         .select(col("c_custkey"), col("c_mktsegment")))
       val stream = ds.readStream
@@ -1593,7 +1636,7 @@ object StreamAssembly {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     withDrainConf(spark, Map(provKey ->
       ("org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider"))) { ds =>
+        "state.RocksDBStateStoreProvider")), srcDir = srcDir) { ds =>
       def drain(arm: CrashArm): Unit = {
         val stream = ds.readStream
           .schema(userEventSchema)
@@ -1696,7 +1739,7 @@ object StreamAssembly {
     val outDir = s"$tmp/sessions"
     val ckptDir = s"$tmp/ckpt"
     val srcDir = stageUserEventsWithSentinel(spark, sfDir, nFiles, gapMinutes)
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       def drain(arm: CrashArm): Unit = {
         val stream = ds.readStream
           .schema(userEventSchema)
@@ -1761,7 +1804,7 @@ object StreamAssembly {
     val outDir = s"$tmp/sessions"
     val ckptDir = s"$tmp/ckpt"
     val srcDir = stageUserEventsSentinel(spark, sfDir, nFiles)
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       val stream = ds.readStream
         .schema(enrichEventSchema)
         .option("maxFilesPerTrigger", 1)
@@ -1859,7 +1902,7 @@ object StreamAssembly {
     val outDir = s"$tmp/deduped"
     val ckptDir = s"$tmp/ckpt"
     val srcDir = stageEventsWithReplay(spark, sfDir, nFiles)
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       val stream = ds.readStream
         .schema(replayEventSchema)
         .option("maxFilesPerTrigger", 1)
@@ -1976,7 +2019,7 @@ object StreamAssembly {
     val maxHour = graft.Tables.events(spark, sfDir)
       .agg(date_trunc("hour", max(col("ts").cast("timestamp"))))
       .first().getTimestamp(0)
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       val stream = ds.readStream
         .schema(replayEventSchema)
         .option("maxFilesPerTrigger", 1)
@@ -2044,7 +2087,7 @@ object StreamAssembly {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       graft.functions.GraftFunctions.register(ds)
       def bandsOf(docs: DataFrame): DataFrame =
         graft.ops.Dedup.bandedSignatures(
@@ -2121,7 +2164,7 @@ object StreamAssembly {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       def gramsOf(docs: DataFrame): DataFrame =
         docs.withColumn("ws", split(col("text"), " "))
           .filter(size(col("ws")) >= k)
@@ -2213,7 +2256,7 @@ object StreamAssembly {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("n_chars",
         org.apache.spark.sql.types.LongType)))
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       // register the word_ngrams kernel BEFORE the stream starts: each
       // micro-batch runs on a session clone whose function registry is
       // copied at clone time
@@ -2289,7 +2332,7 @@ object StreamAssembly {
       .select(col("doc_id"))
       .repartition(nFiles)
       .write.mode("overwrite").parquet(srcDir)
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       val idSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType)))
@@ -2386,7 +2429,7 @@ object StreamAssembly {
       .repartition(nFiles)
       .write.mode("overwrite").parquet(srcDir)
     val docSchema = docProbeSchema
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       // frozen model from the even-half history, materialized once
       val (idf0, corpus0) = graft.ops.Retrieval.bm25Model(
         graft.Tables.documents(ds, sfDir).filter(col("doc_id") % 2 === 0))
@@ -2447,7 +2490,7 @@ object StreamAssembly {
       .repartition(nFiles)
       .write.mode("overwrite").parquet(srcDir)
     val docSchema = docProbeSchema
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       val stream = ds.readStream
         .schema(docSchema)
         .option("maxFilesPerTrigger", 1)
@@ -2508,7 +2551,7 @@ object StreamAssembly {
       .select(col("vec_id"), col("embedding"))
       .repartition(nFiles)
       .write.mode("overwrite").parquet(srcDir)
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       // one-time static side, shared with the batch recall audit
       val (cents, assigned) =
         graft.ops.Similarity.annProbeIndex(ds, sfDir, nCells)
@@ -2576,7 +2619,7 @@ object StreamAssembly {
     val idx = graft.Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") % 2 === 0)
       .select(col("vec_id"), col("embedding"))
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       graft.functions.GraftFunctions.register(ds)
       val idxS = idx.select(col("vec_id"), col("embedding"),
         Similarity.dot(col("embedding"), col("embedding")).as("sq"))
@@ -2668,7 +2711,7 @@ object StreamAssembly {
     val idx = graft.Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") % 2 === 0)
       .select(col("vec_id"), col("embedding"))
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       graft.functions.GraftFunctions.register(ds)
       val idxS = idx.select(col("vec_id"), col("embedding"),
         Similarity.dot(col("embedding"), col("embedding")).as("sq"))
@@ -2824,7 +2867,7 @@ object StreamAssembly {
     val (centsS, cbS, codesD) = Similarity.ivfpqProbeModel(spark, sfDir)
     val codes = codesD
       .select(col("vec_id").as("m_id"), col("cell"), col("s"), col("cid"))
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       graft.functions.GraftFunctions.register(ds)
       val embSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vec_id",
@@ -2914,7 +2957,7 @@ object StreamAssembly {
     // frozen model, built/reused on the outer session (context-keyed
     // memo — shared with the probe drain and the batch consumers)
     val (centsS, cbS, _) = Similarity.ivfpqProbeModel(spark, sfDir)
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       graft.functions.GraftFunctions.register(ds)
       val embSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vec_id",
@@ -3025,7 +3068,7 @@ object StreamAssembly {
       .select(col("vec_id"))
       .repartition(nFiles)
       .write.mode("overwrite").parquet(srcDir)
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       val idSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vec_id",
           org.apache.spark.sql.types.LongType)))
@@ -3305,7 +3348,7 @@ object StreamAssembly {
       .select(col("vec_id"), col("embedding"))
       .repartition(nFiles)
       .write.mode("overwrite").parquet(srcDir)
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       graft.functions.GraftFunctions.register(ds)
       val embSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vec_id",
@@ -3530,7 +3573,7 @@ object StreamAssembly {
       .select(col("doc_id"), col("text"))
       .repartition(nFiles)
       .write.mode("overwrite").parquet(srcDir)
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       import ds.implicits._
       val docSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
@@ -3601,7 +3644,7 @@ object StreamAssembly {
       .select(col("doc_id"), col("text"))
       .repartition(nFiles)
       .write.mode("overwrite").parquet(srcDir)
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       val docSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),
@@ -3689,7 +3732,7 @@ object StreamAssembly {
       .select(col("doc_id"), col("source"))
       .repartition(nFiles)
       .write.mode("overwrite").parquet(srcDir)
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       val docSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),
@@ -3761,7 +3804,7 @@ object StreamAssembly {
       .write.mode("overwrite").parquet(srcDir)
     // frozen filter, built/reused on the outer session
     val positions = TrainingSets.bloomModel(spark, sfDir)
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       graft.functions.GraftFunctions.register(ds)
       val docSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
@@ -3831,7 +3874,7 @@ object StreamAssembly {
     // memo — retraining inside the drain was the r13 stream_pq_probe
     // regression; same fix applied from the start here)
     val model = TrainingSets.nbModel(spark, sfDir, "even")
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       graft.functions.GraftFunctions.register(ds)
       val docSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
@@ -3897,7 +3940,7 @@ object StreamAssembly {
     // frozen model, built/reused on the outer session (context-keyed
     // memo — the streamNbProbe discipline)
     val model = Similarity.centroidModel(spark, sfDir)
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       graft.functions.GraftFunctions.register(ds)
       val embSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vec_id",
@@ -3972,7 +4015,7 @@ object StreamAssembly {
       .select(md5(col("text")).as("h")).distinct()
       .localCheckpoint(true)
     val model = TrainingSets.nbModel(spark, sfDir, "even")
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       graft.functions.GraftFunctions.register(ds)
       val docSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
@@ -4043,7 +4086,7 @@ object StreamAssembly {
       .select(col("doc_id"))
       .repartition(nFiles)
       .write.mode("overwrite").parquet(srcDir)
-    withDrainConf(spark) { ds =>
+    withDrainConf(spark, srcDir = srcDir) { ds =>
       val idSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType)))

@@ -481,7 +481,13 @@ class PlanSpec extends SparkSpec {
 
   test("exact-substring dedup is inverted-index shaped: semi-join probe, " +
        "no pair enumeration, no windows") {
-    val plan = planOf("dedup_exact_substring")
+    // the duplicated-position core is memoized behind an eager
+    // checkpoint, so the inverted-index structure lives in the BUILD
+    // plan; consumers expose a projection over the checkpointed leaf
+    val build = graft.ops.Dedup.duplicatedPositionsBuild(
+      spark, sf, graft.ops.Dedup.SpanK)
+    build.collect()
+    val plan = flatten(build.queryExecution.executedPlan)
     assert(!plan.exists(_.getClass.getSimpleName.contains("Cartesian")))
     assert(!plan.exists(_.getClass.getSimpleName.contains("BroadcastNestedLoop")))
     // the duplicated-gram probe is a LEFT SEMI join on the gram key
@@ -495,6 +501,15 @@ class PlanSpec extends SparkSpec {
     })
     assert(!plan.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+    // consumer side: still no pair enumeration and no windows, and it
+    // reads the memoized core as a checkpointed leaf (never a re-scan)
+    graft.ops.Memo.clearAll()
+    val consumer = planOf("dedup_exact_substring")
+    assert(!consumer.exists(_.getClass.getSimpleName.contains("Cartesian")))
+    assert(!consumer.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+    assert(consumer.exists(_.getClass.getSimpleName.contains("RDDScan")),
+      "expected the memoized duplicated-position checkpoint leaf")
   }
 
   test("span histogram's island window is doc-partitioned — never global") {
@@ -825,7 +840,21 @@ class PlanSpec extends SparkSpec {
        "distinct-pair matched frame; the per-doc expansion is a salted " +
        "shuffle join") {
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
-    val plan = corpusScalePlan("dedup_simhash")
+    // the pair core is memoized behind an eager checkpoint, so the
+    // broadcast discipline lives in the BUILD plan: inspect it under
+    // the same corpus-scale confs (no auto-broadcast, no AQE) — the
+    // static executedPlan, nothing runs
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val plan = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      flatten(graft.ops.Dedup.simhashPairFrameBuild(spark, sf, 3)
+        .queryExecution.executedPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
     val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
     assert(bcasts.size == 1,
       s"expected exactly the matched-pairs broadcast, found ${bcasts.size}")
@@ -839,6 +868,11 @@ class PlanSpec extends SparkSpec {
     // the doc expansion joins on (g, salt) as a shuffle join
     assert(plan.collect { case j: SortMergeJoinExec => j }
       .exists(j => j.leftKeys.size == 2))
+    // the consumer's corpus-scale plan is a projection over the
+    // checkpointed leaf: zero broadcasts survive to the gated query
+    val consumer = corpusScalePlan("dedup_simhash")
+    assert(consumer.exists(_.getClass.getSimpleName.contains("RDDScan")),
+      "expected the memoized pair-frame checkpoint leaf")
   }
 
   test("fleet recall audits at corpus scale: no cartesian, and every " +
