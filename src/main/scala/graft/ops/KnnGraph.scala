@@ -162,6 +162,11 @@ object KnnGraph {
       .join(rankMap, "rnk")
       .select(col("src"), col("dst"))
       .filter(col("dst") =!= col("src"))
+      // src clustering serves the dedup (ClusteredDistribution(src,
+      // dst) is satisfied by hash(src)) AND survives the memo
+      // checkpoint into every consumer's first src-keyed window/top-k
+      // (guide §2.4) — one exchange does both jobs
+      .repartition(col("src"))
       .distinct()
   }
 
@@ -657,6 +662,9 @@ object KnnGraph {
       .select(col("nbr").as("src"), col("vec_id").as("dst"))
     base.select(col("src"), col("dst"))
       .union(fwd).union(rev)
+      // src clustering shared by the dedup and the warm fold's first
+      // src-keyed top-k window (rides through the checkpoint leaf)
+      .repartition(col("src"))
       .distinct()
       .localCheckpoint(true)
   }

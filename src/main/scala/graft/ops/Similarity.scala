@@ -1442,13 +1442,24 @@ object Similarity {
         when(col("s") === i, struct(col("cid"), col("qd"))))))
         .as(s"t$i"))
     val qTables = qtab.groupBy("q_id").agg(tabCols.head, tabCols.tail: _*)
+    // r19 (§2.3 shuffle fewer bytes): the block join replicates the
+    // SLIM side (codes: m_id + 8 ints, ~50 B/row) across the salt
+    // blocks and ships each FAT per-query distance-table row (8 maps
+    // of up-to-128 entries, KBs/row) exactly once — r18 replicated
+    // the tables ×32 (measured 28 MB shuffled on pq_probe_recall for
+    // a 1 MB-scale input). Every (code, query) pair still meets
+    // exactly once (codes carry ALL salts, a query exactly one), so
+    // rows and values are bit-identical; the salt is a hash of q_id
+    // (an id-parity-blind spread — the fleet ids are all odd, so a
+    // plain mod would fill only half the blocks).
     val scored =
       if (boundedQueries) codesWide.crossJoin(broadcast(qTables))
       else codesWide
-        .withColumn("blk", pmod(col("m_id"), lit(BlockCrossSalt)).cast("int"))
+        .withColumn("blk", explode(sequence(lit(0), lit(BlockCrossSalt - 1))))
         .hint("shuffle_hash") // 32-key join: keep out of sort-merge
         .join(qTables.withColumn("blk",
-          explode(sequence(lit(0), lit(BlockCrossSalt - 1)))), "blk")
+          pmod(xxhash64(col("q_id")), lit(BlockCrossSalt)).cast("int")),
+          "blk")
     scored.select(col("q_id"), col("m_id"),
       (0 until PqSubspaces).map(i =>
         element_at(col(s"t$i"), col(s"c$i"))).reduce(_ + _).as("adc"))
@@ -1857,13 +1868,17 @@ object Similarity {
         when(col("s") === i, struct(col("cid"), col("qd"))))))
         .as(s"t$i"))
     val qTables = qtab.groupBy("q_id", "cell").agg(tabCols.head, tabCols.tail: _*)
+    // r19 (§2.3): replicate the slim code rows across the salt blocks,
+    // ship each fat per-(query, cell) table row once — see the
+    // [[adcScores]] comment; identical pair coverage per shared cell.
     val scored =
       if (boundedQueries) codesWide.join(broadcast(qTables), Seq("cell"))
       else codesWide
-        .withColumn("blk", pmod(col("m_id"), lit(BlockCrossSalt)).cast("int"))
+        .withColumn("blk", explode(sequence(lit(0), lit(BlockCrossSalt - 1))))
         .hint("shuffle_hash") // low-cardinality key: no sort-merge
         .join(qTables.withColumn("blk",
-          explode(sequence(lit(0), lit(BlockCrossSalt - 1)))), Seq("cell", "blk"))
+          pmod(xxhash64(col("q_id")), lit(BlockCrossSalt)).cast("int")),
+          Seq("cell", "blk"))
     scored.select(col("q_id"), col("m_id"),
       (0 until PqSubspaces).map(i =>
         element_at(col(s"t$i"), col(s"c$i"))).reduce(_ + _).as("adc"))
